@@ -1,0 +1,162 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's analysis-query semantics (SURVEY.md §2.3-§2.7), Spark-first.
+  *
+  * The reference runs one MySQL statement per task
+  * (/root/reference/Fx_1min.py:147-217, /root/reference/update_exchange_rates.py:110-235)
+  * whose dataflow is: recency filter → latest-per-pair window → as-of
+  * previous-rate lookup → join → percent-change projection. Here each stage
+  * is a named, composable DataFrame transformation so Catalyst sees one
+  * declarative plan (filter pushdown + WindowGroupLimit + broadcast joins
+  * all apply).
+  *
+  * Expected input schema: Tables.rateEventSchema
+  * (event_id, event_time, ccy_couple, rate, date, timestamp).
+  */
+object RateAnalysis {
+
+  /** P2/A1 (Fx_1min.py:156): rows within `activeWindow` of the max ingestion
+    * timestamp. The 1-row aggregate is broadcast, so this stays a single
+    * scan + broadcast-nested-loop filter at any scale — no window-over-
+    * empty-partition collapse onto one task.
+    */
+  def activeRates(rates: DataFrame, activeWindow: String = "30 SECONDS"): DataFrame = {
+    val maxTs = rates.agg(max(col("timestamp")).as("__max_ts"))
+    rates.join(broadcast(maxTs),
+        col("timestamp") >= col("__max_ts") - expr(s"INTERVAL $activeWindow"))
+      .drop("__max_ts")
+  }
+
+  private def latestFirst = Window.partitionBy("ccy_couple")
+    .orderBy(col("event_time").desc, col("event_id").desc)
+
+  /** W1/P4 (Fx_1min.py:165-172): latest row per pair — top-1-per-group.
+    * Catalyst's InferWindowGroupLimit turns the rn=1 filter into
+    * WindowGroupLimitExec (no full per-partition sort materialization).
+    * event_id is a deterministic tiebreak the reference leaves to chance.
+    */
+  def latestPerPair(rates: DataFrame): DataFrame =
+    rates.withColumn("rn", row_number().over(latestFirst))
+      .where(col("rn") === 1).drop("rn")
+
+  /** A2 (Fx_1min.py:182-188): per-pair max event time at-or-before cutoff,
+    * plus the rate at that max (the reference recomputes it with a
+    * correlated subquery; `max_by` is the native argmax).
+    */
+  def maxPerPair(rates: DataFrame, cutoff: Column): DataFrame =
+    rates.where(col("date") <= cutoff)
+      .groupBy("ccy_couple")
+      .agg(max(col("event_time")).as("max_event_time"),
+        max_by(col("rate"), col("event_time")).as("rate_at_max"))
+
+  /** J1+J3+A3 (Fx_1min.py:175-197): the "previous rate" — the 2nd-latest
+    * event at-or-before the cutoff. The reference spells this as a theta
+    * join plus a correlated scalar MAX subquery; since event dates are
+    * monotone with event times, it is exactly row_number()=2 over the
+    * cutoff subset — one shuffle instead of three.
+    */
+  def previousRates(rates: DataFrame, cutoff: Column): DataFrame =
+    rates.where(col("date") <= cutoff)
+      .withColumn("rn", row_number().over(latestFirst))
+      .where(col("rn") === 2)
+      .select(col("ccy_couple"),
+        col("rate").as("previous_rate"),
+        col("event_time").as("previous_event_time"))
+
+  /** [[previousRates]] in the reference's own dataflow shape — grouped max
+    * per pair, theta join (J1), then argmax-before (A3) — but decorrelated
+    * BY HAND into equi-join + hash aggregate. Catalyst's automatic
+    * decorrelation of the reference's correlated scalar MAX plans a
+    * BroadcastNestedLoopJoin over the (pair, bound) domain (measured 50 s
+    * at sf0.1 vs ~1 s for this form), which would never survive cluster
+    * scale; this is the rewrite SURVEY §4 calls for. The pair dimension is
+    * tiny after the group-by, so AQE picks a broadcast-hash join at runtime.
+    */
+  def previousRatesJoinAgg(rates: DataFrame, cutoff: Column): DataFrame = {
+    val lr = rates.where(col("date") <= cutoff)
+      .groupBy("ccy_couple").agg(max(col("event_time")).as("max_event_time"))
+    rates.join(lr, Seq("ccy_couple"))
+      .where(col("event_time") < col("max_event_time"))
+      .groupBy("ccy_couple")
+      .agg(max_by(col("rate"), col("event_time")).as("previous_rate"),
+        max(col("event_time")).as("previous_event_time"))
+  }
+
+  /** The literal reference shape of [[previousRates]] — grouped-max + theta
+    * join + correlated scalar subquery (Fx_1min.py:180-196) — kept to
+    * exercise Catalyst's RewriteCorrelatedScalarSubquery decorrelation.
+    * Semantically identical to [[previousRates]] when (ccy_couple,
+    * event_time) is unique.
+    */
+  def previousRatesCompatSql(rates: DataFrame, cutoffSql: String): DataFrame = {
+    val spark = rates.sparkSession
+    val view = s"__rates_compat_${System.identityHashCode(rates).toHexString}"
+    rates.createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH lr AS (
+         |  SELECT ccy_couple, MAX(event_time) AS max_event_time
+         |  FROM $view WHERE date <= $cutoffSql GROUP BY ccy_couple
+         |)
+         |SELECT e1.ccy_couple,
+         |       e1.rate AS previous_rate,
+         |       e1.event_time AS previous_event_time
+         |FROM $view e1
+         |JOIN lr ON e1.ccy_couple = lr.ccy_couple
+         |       AND e1.event_time < lr.max_event_time
+         |WHERE e1.event_time = (
+         |  SELECT MAX(e2.event_time) FROM $view e2
+         |  WHERE e2.ccy_couple = e1.ccy_couple
+         |    AND e2.event_time < lr.max_event_time)
+         |""".stripMargin)
+  }
+
+  /** F2/F3 (Fx_1min.py:207-210): ((cur - prev) / prev) * 100, rounded to
+    * 2 dp. Routed through DecimalType so rounding is HALF_UP in every
+    * engine (MySQL, DuckDB, Spark) instead of double-formatting luck.
+    */
+  def pctChange(cur: Column, prev: Column): Column =
+    round(((cur - prev) / prev * 100).cast(DecimalType(28, 10)), 2)
+
+  /** F1/F4 (Fx_1min.py:204-213): the report string, with the Task A
+    * 'No Previous Rate' sentinel (update_exchange_rates.py:203).
+    */
+  def pctChangeLabel(cur: Column, prev: Column): Column =
+    when(prev.isNull, lit("No Previous Rate"))
+      .otherwise(concat(pctChange(cur, prev).cast("string"), lit("%")))
+
+  /** Task B report (Fx_1min.py:147-217): INNER join latest×previous. */
+  def rateChangeReport(rates: DataFrame, cutoff: Column,
+      activeWindow: String = "30 SECONDS"): DataFrame = {
+    val latest = latestPerPair(activeRates(rates, activeWindow))
+      .select(col("ccy_couple"), col("rate").as("current_rate"),
+        col("event_time").as("current_event_time"))
+    latest.join(previousRates(rates, cutoff), Seq("ccy_couple"), "inner")
+      .select(col("ccy_couple"), col("current_rate"),
+        pctChangeLabel(col("current_rate"), col("previous_rate")).as("rate_change"))
+  }
+
+  /** Task A report (update_exchange_rates.py:110-235): same pipeline but
+    * with the defensive dedup CTEs — independent MAX(rate), MAX(event_time)
+    * per pair, which is NOT argmax (SURVEY §2.5 A4, preserved bug-for-bug)
+    * — and a LEFT join that can emit the sentinel.
+    */
+  def rateChangeReportTaskA(rates: DataFrame, cutoff: Column,
+      activeWindow: String = "30 SECONDS"): DataFrame = {
+    val latest = latestPerPair(activeRates(rates, activeWindow))
+      .groupBy("ccy_couple")
+      .agg(max(col("rate")).as("current_rate"),
+        max(col("event_time")).as("current_event_time"))
+    val prev = previousRates(rates, cutoff)
+      .groupBy("ccy_couple")
+      .agg(max(col("previous_rate")).as("previous_rate"),
+        max(col("previous_event_time")).as("previous_event_time"))
+    latest.join(prev, Seq("ccy_couple"), "left_outer")
+      .select(col("ccy_couple"), col("current_rate"),
+        pctChangeLabel(col("current_rate"), col("previous_rate")).as("rate_change"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders over the driver-generated parquet fixtures (TESTDATA.md)
+  * plus the reference data model mapping (SURVEY.md §1).
+  *
+  * The reference's `exchange_rates` table
+  * (/root/reference/update_exchange_rates.py:32-43) is re-expressed over the
+  * synthetic `events` table: `user_id` plays the currency-pair key,
+  * `value` the rate, `ts` both the quote event time and the ingestion
+  * timestamp. This keeps every analysis operator testable against the
+  * DuckDB oracle on the shared parquet tables.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects by default. Read nanos as long (session-level
+    * legacy conf) and truncate to microsecond timestamps — the same ns→us
+    * truncation DuckDB applies, so oracle comparisons agree. `div` keeps
+    * the arithmetic integral (a double round-trip would lose precision at
+    * 1.7e18 nanos).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The reference rate-event schema (SURVEY.md §1.2). `event_time` is kept
+    * in epoch MICROseconds (the reference uses ms, /root/reference/Fx_1min.py:73)
+    * so that the synthetic microsecond-grain timestamps stay collision-free
+    * and every argmax/window is deterministic.
+    */
+  val rateEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("event_time", LongType, nullable = false),
+    StructField("ccy_couple", StringType, nullable = false),
+    StructField("rate", DoubleType, nullable = false),
+    StructField("date", DateType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false)))
+
+  /** `events` viewed through the reference's `exchange_rates` model. */
+  def rates(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"),
+      unix_micros(col("ts")).as("event_time"),
+      col("user_id").cast(StringType).as("ccy_couple"),
+      col("value").as("rate"),
+      to_date(col("ts")).as("date"),
+      col("ts").as("timestamp"))
+
+  /** The same projection as DuckDB-dialect SQL, for composing oracle CTEs. */
+  val ratesOracleCte: String =
+    """rates AS (
+      |  SELECT event_id,
+      |         epoch_us(ts) AS event_time,
+      |         CAST(user_id AS VARCHAR) AS ccy_couple,
+      |         value AS rate,
+      |         CAST(ts AS DATE) AS date,
+      |         ts AS timestamp
+      |  FROM events
+      |)""".stripMargin
+}
