@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
 import graft.analysis.RateAnalysis
 import graft.ingest.MergeOps
 import graft.model.Tables
+import graft.operators.Sessionize
+import graft.queries.BreadthQueries
+import graft.text.TextFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -120,6 +123,44 @@ object SparkEntry {
       Tables.events(s, dir).select(col("event_id"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k"))),
+
+    // ---- relational breadth (SURVEY §2.9: families the reference lacks) ----
+
+    // wide grouped aggregation with derived expressions (TPC-H Q1 shape)
+    "q_pricing_summary" -> BreadthQueries.pricingSummary _,
+    // broadcast dimension join + aggregation
+    "q_revenue_by_segment" -> BreadthQueries.revenueBySegment _,
+    // multi-way star join
+    "q_revenue_by_nation" -> BreadthQueries.revenueByNation _,
+    // global top-k (TakeOrderedAndProject)
+    "q_top_orders" -> ((s, dir) => BreadthQueries.topOrders(s, dir)),
+    // analytic windows: lag + rank + exact running total
+    "q_customer_order_analytics" -> BreadthQueries.customerOrderAnalytics _,
+    // exact grouped distinct aggregation
+    "q_distinct_users_by_type" -> BreadthQueries.distinctUsersByType _,
+    // set operations (INTERSECT / EXCEPT)
+    "q_set_ops_users" -> BreadthQueries.setOpsUsers _,
+    // grouping sets via ROLLUP
+    "q_rollup_balance" -> BreadthQueries.rollupRevenue _,
+    // equi + range (band) join
+    "q_shipped_within_90d" -> BreadthQueries.shippedWithin90d _,
+    // gap-based sessionization (30-minute gap)
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts",
+        gapSeconds = 1800L, tiebreak = col("event_id"), valueCol = "value")),
+
+    // ---- text-analysis pipeline operators (documents table) ----
+
+    // token / subword / punctuation counting, alpha density
+    "text_stats" -> TextFunctions.textStats _,
+    // composite quality score
+    "text_quality" -> TextFunctions.textQuality _,
+    // n-gram-heuristic language ID with per-language scores
+    "text_langid" -> TextFunctions.textLangId _,
+    // canonical-form content fingerprint
+    "text_fingerprint" -> TextFunctions.textFingerprint _,
+    // exact dedup clusters keyed by fingerprint
+    "dedup_exact" -> TextFunctions.dedupExact _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,5 +244,155 @@ object SparkEntry {
       """SELECT event_id,
         |       CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS k
         |FROM events""".stripMargin,
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount)
+        |                AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_revenue_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_revenue_by_nation" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_customer_order_analytics" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  row_number() OVER w AS order_seq,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_distinct_users_by_type" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_set_ops_users" ->
+      """(SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+        | INTERSECT
+        | SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase')
+        |EXCEPT
+        |SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q_rollup_balance" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q_shipped_within_90d" ->
+      """SELECT o_orderpriority, count(*) AS n_lineitems,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS shipped_value
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |                 THEN 1 ELSE 0 END AS news
+        |  FROM x
+        |), z AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM y
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM z GROUP BY user_id, session_id""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+        |  length(text) AS n_chars_measured,
+        |  len(regexp_extract_all(text, '[\.,;:!?]')) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha_ratio
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!?]')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in|is|it|for|on)\b')) AS DOUBLE) AS stop
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang,
+        |  0.4 * alpha + 0.3 * least(toks / 100.0, 1.0)
+        |    + 0.2 * (1.0 - least(punct / toks, 1.0))
+        |    + 0.1 * least((stop / toks) * 5.0, 1.0) AS quality
+        |FROM t""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|los|y|es)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|et|est|une)\b')) AS s_fr,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents
+        |)
+        |SELECT doc_id, labeled_lang, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |FROM t""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |), c AS (
+        |  SELECT fp, count(*) AS cluster_size, min(doc_id) AS keeper_id
+        |  FROM f GROUP BY fp
+        |)
+        |SELECT doc_id, fp, cluster_size, doc_id = keeper_id AS is_keeper
+        |FROM f JOIN c USING (fp)""".stripMargin,
   )
 }

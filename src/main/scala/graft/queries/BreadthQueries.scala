@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Relational breadth beyond the reference's own surface (SURVEY §2.9 notes
+  * which operator families the reference lacks): multi-way joins, grouped /
+  * rollup / distinct aggregation, global top-k, analytic windows, set ops,
+  * range join. All money arithmetic is routed through DecimalType before
+  * summation so results are exact and order-independent — hash-comparable
+  * against any engine, and deterministic under Spark's parallel partial
+  * aggregation at any scale.
+  */
+object BreadthQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary: wide grouped aggregation with derived
+    * expressions; partial (map-side) aggregation does the heavy lifting.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= expr("TIMESTAMP '1998-09-01 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum((dec("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+
+  /** Broadcast-dimension join + aggregation: revenue by market segment. */
+  def revenueBySegment(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"))
+
+  /** Multi-way star join (region ⋈ nation ⋈ customer ⋈ orders) — the two
+    * tiny dims broadcast, orders streams; one shuffle for the final agg.
+    */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"))
+
+  /** Global top-k: TakeOrderedAndProject, not a full sort. */
+  def topOrders(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** Analytic window pack over a customer's order history: lag, rank, and
+    * an exact running total in one window sort.
+    */
+  def customerOrderAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      row_number().over(w).as("order_seq"),
+      sum(dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").as("running_spend"))
+  }
+
+  /** Exact + grouped distinct aggregation (reference has none, SURVEY §2.5). */
+  def distinctUsersByType(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Set operations at (user, day) granularity: days a user both clicked
+    * and purchased without erroring (INTERSECT / EXCEPT are hash-dedup
+    * shuffles on the key — fine at scale).
+    */
+  def setOpsUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def daysOf(t: String) = ev.where(col("event_type") === t)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    daysOf("click").intersect(daysOf("purchase"))
+      .except(daysOf("error"))
+  }
+
+  /** ROLLUP over the region/nation hierarchy (grouping-set aggregation). */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec("c_acctbal")).cast("double").as("total_balance"))
+
+  /** Equi + range (band) join: lineitems shipped within 90 days of their
+    * order date. The range conjunct rides the hash join as a post-filter —
+    * no nested-loop explosion.
+    */
+  def shippedWithin90d(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(dec("l_extendedprice")).cast("double").as("shipped_value"))
+}

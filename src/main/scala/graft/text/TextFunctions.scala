@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, n-gram-heuristic language ID, document
+  * fingerprinting, exact dedup. Everything is a pure column expression
+  * (whole-stage codegen, no UDFs), deterministic, and reproducible in
+  * vanilla SQL — so the DuckDB oracle can check each operator exactly.
+  */
+object TextFunctions {
+
+  /** Canonical text form: lowercase, whitespace collapsed, trimmed. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Content-addressed document fingerprint over the canonical form. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** BPE-ish subword count: alpha runs, digit runs, single other glyphs. */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def punctCount(c: Column): Column = regexp_count(c, lit("[\\.,;:!?]"))
+
+  def alphaRatio(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]")).cast("double") / length(c)
+
+  private val Stopwords = "the|a|of|and|to|in|is|it|for|on"
+
+  def stopwordCount(c: Column): Column =
+    regexp_count(lower(c), lit(s"\\b($Stopwords)\\b"))
+
+  /** Composite quality score in [0,1]: alpha density, length saturation,
+    * punctuation restraint, stopword presence. The exact formula matters
+    * less than it being cheap, monotone in the obvious directions, and
+    * bit-reproducible.
+    */
+  def qualityScore(c: Column): Column = {
+    val tokens = tokenCount(c).cast("double")
+    val punctRatio = punctCount(c).cast("double") / tokens
+    val stopRatio = stopwordCount(c).cast("double") / tokens
+    lit(0.4) * alphaRatio(c) +
+      lit(0.3) * least(tokens / lit(100.0), lit(1.0)) +
+      lit(0.2) * (lit(1.0) - least(punctRatio, lit(1.0))) +
+      lit(0.1) * least(stopRatio * lit(5.0), lit(1.0))
+  }
+
+  /** Marker-word hit counts per candidate language (n-gram heuristic). */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the|a|of|and|is",
+    "de" -> "der|die|das|und|ist",
+    "es" -> "el|la|los|y|es",
+    "fr" -> "le|les|et|est|une",
+    "zh" -> "")
+
+  def langScore(c: Column, lang: String): Column = {
+    val pattern = langMarkers.toMap.apply(lang)
+    if (lang == "zh") regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
+    else regexp_count(lower(c), lit(s"\\b($pattern)\\b"))
+  }
+
+  /** Argmax over the language scores with a fixed priority order, so the
+    * prediction is total and deterministic even on ties.
+    */
+  def langPredict(scores: Map[String, Column]): Column = {
+    val order = Seq("en", "de", "es", "fr", "zh")
+    order.init.foldRight(lit(order.last)) { (lang, fallback) =>
+      val later = order.dropWhile(_ != lang).tail.map(scores)
+      val laterMax = if (later.sizeIs == 1) later.head else greatest(later: _*)
+      when(scores(lang) >= laterMax, lit(lang)).otherwise(fallback)
+    }
+  }
+
+  // ---- per-table query entry points ----
+
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      subwordCount(col("text")).as("n_subwords"),
+      length(col("text")).as("n_chars_measured"),
+      punctCount(col("text")).as("n_punct"),
+      alphaRatio(col("text")).as("alpha_ratio"))
+  }
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      qualityScore(col("text")).as("quality"))
+
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scores = langMarkers.map { case (l, _) =>
+      l -> langScore(col("text"), l) }.toMap
+    d.select(col("doc_id") +: col("lang").as("labeled_lang") +:
+      langMarkers.map { case (l, _) => scores(l).as(s"s_$l") } :+
+      langPredict(scores).as("predicted_lang"): _*)
+  }
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      fingerprint(col("text")).as("fingerprint"))
+
+  /** Exact dedup: cluster by canonical-form fingerprint; keep the min
+    * doc_id per cluster. One shuffle on the 128-bit fingerprint — the
+    * canonical exact-dedup plan at any scale.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val clusters = f.groupBy("fp")
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_id"))
+    f.join(clusters, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("cluster_size"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"))
+  }
+}
