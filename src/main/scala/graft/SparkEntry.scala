@@ -10,7 +10,8 @@ import graft.ingest.MergeOps
 import graft.model.Tables
 import graft.operators.Sessionize
 import graft.queries.BreadthQueries
-import graft.text.TextFunctions
+import graft.similarity.Similarity
+import graft.text.{NearDup, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +162,32 @@ object SparkEntry {
     "text_fingerprint" -> TextFunctions.textFingerprint _,
     // exact dedup clusters keyed by fingerprint
     "dedup_exact" -> TextFunctions.dedupExact _,
+    // MinHash + LSH banding near-dup (rows-only check: xxhash64 not in SQL)
+    "dedup_minhash_lsh" -> ((s, dir) => NearDup.minhashLsh(s, dir)),
+    // 64-bit SimHash + Hamming nearest (rows-only check)
+    "dedup_simhash" -> NearDup.simhashReport _,
+    // exact char-trigram Jaccard in (lang, source) buckets (oracle-checked)
+    "dedup_ngram_jaccard" -> ((s, dir) => NearDup.ngramJaccardPairs(s, dir)),
+
+    // ---- similarity search (embeddings table) ----
+
+    // brute-force cosine top-k (oracle-checked; fold-order-exact doubles)
+    "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    // random-hyperplane LSH bucketed ANN (rows-only check)
+    "sim_ann_lsh" -> ((s, dir) => Similarity.lshNearestInBucket(s, dir)),
+    // per-label centroids: distributed vector aggregation (IVF training step)
+    "sim_label_centroid" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      e.groupBy(col("label"), col("pos"))
+        .agg(sum(col("v").cast("double").cast("decimal(30,15)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          round(col("s").cast("double") / col("n"), 6).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,5 +421,54 @@ object SparkEntry {
         |)
         |SELECT doc_id, fp, cluster_size, doc_id = keeper_id AS is_keeper
         |FROM f JOIN c USING (fp)""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(CASE WHEN length(nt) < 3 THEN [nt]
+        |      ELSE list_transform(range(0, length(nt) - 2),
+        |                          i -> substring(nt, i + 1, 3)) END) AS g
+        |  FROM (SELECT doc_id, lang, source,
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM documents)
+        |)
+        |SELECT a.lang, a.source, a.doc_id, b.doc_id AS nb_id,
+        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |                 AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.15""".stripMargin,
+
+    "sim_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT qid, vec_id,
+        |    round(list_dot_product(qe, ee)
+        |          / sqrt(list_dot_product(qe, qe) * list_dot_product(ee, ee)),
+        |          6) AS cos_sim
+        |  FROM (SELECT qid, vec_id, qe, CAST(embedding AS DOUBLE[]) AS ee
+        |        FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+        |)
+        |SELECT qid, vec_id, cos_sim, rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
+    "sim_label_centroid" ->
+      """WITH un AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT label, pos,
+        |    round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+        |          / count(*), 6) AS c
+        |  FROM un GROUP BY label, pos
+        |)
+        |SELECT label, array_agg(c ORDER BY pos) AS centroid
+        |FROM s GROUP BY label""".stripMargin,
   )
 }

@@ -1,0 +1,98 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Determinism discipline: a dot product is a PER-ROW left fold over the
+  * array (fixed element order), so double accumulation is bit-reproducible
+  * — unlike a cross-row float SUM, whose partial-aggregation order Spark
+  * does not fix. Rankings tie-break on the candidate id after rounding, so
+  * near-equal cosines can never reorder results between engines or runs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, accumulated
+    * in double. Matches an engine's elementwise loop bit-for-bit.
+    */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosineFrom(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot / sqrt(normSqA * normSqB)
+
+  def cosine(a: Column, b: Column): Column =
+    cosineFrom(dotDouble(a, b), dotDouble(a, a), dotDouble(b, b))
+
+  /** Brute-force cosine top-k: the first `nQueries` vectors probe the full
+    * set. Query side broadcasts; candidate side streams — one pass over
+    * the embeddings per batch of queries, then a per-query top-k window
+    * (WindowGroupLimit keeps it a bounded heap, not a full sort).
+    * Cosines are rounded to 6 dp BEFORE ranking so the (score, id) order
+    * is total and portable.
+    */
+  def bruteForceTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (no RNG at runtime): a fixed
+    * 64-bit LCG stream, one plane per signature bit.
+    */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Signature column: bit j = sign of <embedding, plane_j>. */
+  def lshSignature(emb: Column, ps: Seq[Seq[Double]]): Column =
+    ps.zipWithIndex.map { case (p, j) =>
+      when(dotDouble(emb, typedlit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate nearest neighbor: vectors sharing a
+    * signature bucket are candidates; exact cosine reranks within the
+    * bucket; emit each vector's best in-bucket neighbor. At scale this is
+    * a self-equi-join on the bucket key (shuffle on signature) instead of
+    * the O(n²) cross join — the standard ANN trade: recall bounded by
+    * bucket collisions, cost bounded by bucket sizes.
+    */
+  def lshNearestInBucket(s: SparkSession, dir: String,
+      nPlanes: Int = 12): DataFrame = {
+    val ps = planes(nPlanes, 64)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        lshSignature(col("embedding"), ps).as("bucket"))
+    val right = emb.select(col("vec_id").as("nb_id"),
+      col("embedding").as("nb_emb"), col("bucket"))
+    val pairs = emb.join(right, Seq("bucket"))
+      .where(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id"),
+        round(cosine(col("embedding"), col("nb_emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nb_id").asc)
+    val best = pairs.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("nb_id").as("nn_id"), col("cos_sim").as("nn_cos"))
+    // left join keeps lone-bucket vectors (rows>0 invariant for the gate)
+    emb.select(col("vec_id"), col("bucket"))
+      .join(best, Seq("vec_id"), "left_outer")
+  }
+}
