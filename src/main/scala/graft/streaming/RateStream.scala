@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ingest.MergeOps
+
+/** The reference's polling loop, made native (SURVEY §2.10): Task Scheduler
+  * re-running a script each minute becomes a Structured Streaming
+  * micro-batch pipeline; MySQL's `ON DUPLICATE KEY UPDATE` becomes
+  * watermarked dedup + a foreachBatch merge; "latest rate per pair" becomes
+  * explicit keyed state.
+  *
+  * Late-data note (SURVEY §7.4): the reference upserts late rows whenever
+  * they arrive (last-write-wins, no ordering guarantee); the streaming path
+  * drops rows later than the watermark. That divergence is inherent to
+  * bounded state and is documented rather than papered over.
+  */
+object RateStream {
+
+  case class RateUpdate(ccy_couple: String, event_time: Long, rate: Double)
+  case class LatestRate(ccy_couple: String, event_time: Long, rate: Double)
+
+  /** K1 streaming form: exactly-once-per-key within the watermark via
+    * dropDuplicates on the natural key (Fx_1min.py:103-110's unique key).
+    */
+  def dedupWithinWatermark(parsed: DataFrame, tsCol: String = "timestamp",
+      watermark: String = "10 minutes"): DataFrame =
+    parsed.withWatermark(tsCol, watermark)
+      .dropDuplicates("ccy_couple", "date")
+
+  /** foreachBatch merge sink: each micro-batch upserts into a parquet
+    * target with last-writer-wins on `keys`. The existing table is
+    * materialized before overwrite (cache + count) so the read and the
+    * rewrite never race; at warehouse scale this step is a transactional
+    * table-format commit instead, but the merge RELATION is the same
+    * MergeOps.merge plan.
+    */
+  def mergeBatchWriter(target: String, keys: Seq[String],
+      orderCol: String): (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    val merged =
+      if (new java.io.File(target).exists()) {
+        val existing = spark.read.parquet(target)
+        MergeOps.merge(existing, batch.select(existing.columns.map(col): _*),
+          keys, Seq(col(orderCol)))
+      } else batch
+    val materialized = merged.cache()
+    materialized.count()
+    materialized.write.mode("overwrite").parquet(target)
+    materialized.unpersist()
+  }
+
+  /** Stateful latest-rate-per-pair (the ActiveRates/LatestRates semantics
+    * as explicit keyed state): emits an update whenever a pair's newest
+    * event time advances. flatMapGroupsWithState keeps one (event_time,
+    * rate) per key — constant state per pair, any number of pairs.
+    */
+  def latestPerPair(updates: Dataset[RateUpdate]): Dataset[LatestRate] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.ccy_couple)
+      .flatMapGroupsWithState[LatestRate, LatestRate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[RateUpdate], state: GroupState[LatestRate]) =>
+          val incoming = rows.maxByOption(r => (r.event_time, r.rate))
+          val current = state.getOption
+          incoming match {
+            case Some(r) if current.forall(_.event_time < r.event_time) =>
+              val next = LatestRate(key, r.event_time, r.rate)
+              state.update(next)
+              Iterator.single(next)
+            case _ => Iterator.empty
+          }
+      }
+  }
+}

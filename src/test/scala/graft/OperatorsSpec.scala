@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessionize
+import graft.similarity.Similarity
+import graft.text.{NearDup, TextFunctions}
+
+class OperatorsSpec extends SparkSuite {
+
+  test("sessionize: 30-minute gap splits sessions, stats are exact") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L, 1.0),
+      (2L, t("2024-01-01 10:10:00"), 7L, 2.0),
+      (3L, t("2024-01-01 11:30:00"), 7L, 4.0),  // > 30 min gap → new session
+      (4L, t("2024-01-01 10:05:00"), 9L, 8.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Sessionize.sessionStats(ev, "user_id", "ts", 1800L,
+      col("event_id"), "value").orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(2) == 2 && out(0).getDouble(5) == 3.0) // user 7 s1
+    assert(out(1).getLong(2) == 1 && out(1).getDouble(5) == 4.0) // user 7 s2
+    assert(out(2).getLong(2) == 1 && out(2).getDouble(5) == 8.0) // user 9
+  }
+
+  test("cosine: identical vectors score 1.0, orthogonal 0.0") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x").select(
+      Similarity.cosine(typedlit(Seq(1.0f, 0.0f)), typedlit(Seq(1.0f, 0.0f))).as("same"),
+      Similarity.cosine(typedlit(Seq(1.0f, 0.0f)), typedlit(Seq(0.0f, 2.0f))).as("orth"))
+    val r = df.collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, ranked by descending similarity") {
+    val out = Similarity.bruteForceTopK(spark, sf("sf0.001"), nQueries = 3, k = 5)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    assert(rows.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
+  }
+
+  test("minhash signatures: identical texts collide, disjoint texts do not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val sig = NearDup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    assert(sig(1L).length == 32)
+  }
+
+  test("simhash: identical docs at Hamming distance 0 from each other") {
+    val rep = NearDup.simhashReport(spark, sf("sf0.001"))
+    assert(rep.count() == 500)
+    // hamming, when present, is bounded by the signature width
+    assert(rep.where(col("nn_hamming") > 64).count() == 0)
+  }
+
+  test("exact dedup: every doc is its own cluster keeper on a dup-free corpus") {
+    val out = TextFunctions.dedupExact(spark, sf("sf0.001"))
+    assert(out.count() == 500)
+    assert(out.where(!col("is_keeper")).count() == 0)
+  }
+
+  test("language scores are non-negative and prediction is total") {
+    val out = TextFunctions.textLangId(spark, sf("sf0.001"))
+    assert(out.where(col("predicted_lang").isNull).count() == 0)
+    assert(out.where(col("s_en") < 0).count() == 0)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.fixtures.RateFixtures
+import graft.streaming.RateStream
+import graft.streaming.RateStream.RateUpdate
+
+class StreamingSpec extends SparkSuite {
+
+  test("stateful latest-per-pair emits only when a pair's event time advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RateUpdate]
+    val q = RateStream.latestPerPair(input.toDS())
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(RateUpdate("EUR/USD", 100L, 1.10),
+        RateUpdate("EUR/USD", 200L, 1.12), RateUpdate("USD/JPY", 50L, 147.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("latest_out").collect()
+      assert(afterB1.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ==
+        Set(("EUR/USD", 200L, 1.12), ("USD/JPY", 50L, 147.0)))
+
+      // late/stale update must NOT re-emit; a newer one must
+      input.addData(RateUpdate("EUR/USD", 150L, 1.11),
+        RateUpdate("USD/JPY", 60L, 147.5))
+      q.processAllAvailable()
+      val all = spark.table("latest_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(!all.contains(("EUR/USD", 150L, 1.11)))
+      assert(all.contains(("USD/JPY", 60L, 147.5)))
+    } finally q.stop()
+  }
+
+  test("watermarked dedup: duplicate natural keys collapse within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val parsed = input.toDS()
+      .toDF("ccy_couple", "date", "rate")
+      .withColumn("timestamp", col("date"))
+    val q = RateStream.dedupWithinWatermark(parsed, "timestamp", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val d = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+      input.addData(("EUR/USD", d, 1.15), ("EUR/USD", d, 1.16), ("AUD/CAD", d, 0.91))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("foreachBatch merge sink: parquet target converges to last-writer-wins") {
+    val dir = Files.createTempDirectory("merge_sink").toFile
+    val target = new java.io.File(dir, "rates").getAbsolutePath
+    val writer = RateStream.mergeBatchWriter(target,
+      Seq("ccy_couple", "date"), "event_id")
+    val fx = RateFixtures.exchangeRates(spark)
+    writer(fx.where(col("event_id") <= 4), 0L)   // includes (EUR/USD, Jan16)@1.15
+    writer(fx.where(col("event_id") >= 5), 1L)   // supersedes with 1.16
+    val result = spark.read.parquet(target)
+    assert(result.count() == 10)
+    val eur16 = result.where(col("ccy_couple") === "EUR/USD" &&
+      col("date") === to_timestamp(lit("2024-01-16"))).collect().head
+    assert(eur16.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.16)
+  }
+
+  test("entry contract: flagship query returns rows; every oracle key is a query") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
