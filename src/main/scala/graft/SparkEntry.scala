@@ -175,6 +175,8 @@ object SparkEntry {
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     // random-hyperplane LSH bucketed ANN (rows-only check)
     "sim_ann_lsh" -> ((s, dir) => Similarity.lshNearestInBucket(s, dir)),
+    // multimodal: binary payload + batched per-partition decode (stub codec)
+    "mm_meta" -> graft.multimodal.Multimodal.metaTable _,
     // per-label centroids: distributed vector aggregation (IVF training step)
     "sim_label_centroid" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -456,6 +458,18 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
         |WHERE rank <= 10""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS byte_len,
+        |  64 + octet_length(encode(text)) % 192 AS width,
+        |  64 + (octet_length(encode(text)) // 3) % 192 AS height,
+        |  CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 8
+        |       ELSE 1 END AS frames
+        |FROM documents""".stripMargin,
 
     "sim_label_centroid" ->
       """WITH un AS (

@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Multimodal columns for a training-data pipeline: media payloads travel
+  * as opaque `binary` columns with typed metadata alongside; decode /
+  * feature-extract runs batched per partition so a real decoder would
+  * amortize model/codec initialization per task, not per record.
+  *
+  * The decode step itself is a STUB (this container ships no image/audio
+  * codecs): `stubDecode` derives deterministic fake dimensions/features
+  * from the bytes. Everything around it — schema, encoders, partition
+  * batching, the DataFrame plumbing — is real and tested, so swapping in
+  * an actual codec is a one-function change.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, kind: String, bytes: Array[Byte])
+
+  final case class MediaMeta(doc_id: Long, kind: String, byte_len: Int,
+      width: Int, height: Int, frames: Int, feature: Array[Float])
+
+  /** Stand-in media table: UTF-8 payloads derived from `documents.text`
+    * (deterministic; at production scale this column is real image/audio
+    * bytes read from parquet/blob storage).
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("image"))
+          .when(col("doc_id") % 3 === 1, lit("audio"))
+          .otherwise(lit("video")).as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder — deterministic fake of a codec's output, pure in the
+    * payload bytes. Replace with the real decode when codecs exist.
+    */
+  def stubDecode(r: MediaRecord): MediaMeta = {
+    val len = r.bytes.length
+    val feature = Array.tabulate(8) { i =>
+      // cheap rolling hash over the payload, per feature slot
+      var h = 1125899906842597L + i
+      var j = i
+      while (j < len) { h = 31 * h + (r.bytes(j) & 0xFF); j += 8 }
+      ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    }
+    MediaMeta(r.doc_id, r.kind, len,
+      width = 64 + len % 192,
+      height = 64 + (len / 3) % 192,
+      frames = if (r.kind == "video") 1 + len % 8 else 1,
+      feature)
+  }
+
+  /** Batched per-partition decode: the `grouped(batchSize)` shape is where
+    * a vectorized decoder (or an inference runtime) would consume whole
+    * batches; keep it even though the stub maps element-wise.
+    */
+  def decodeMeta(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => batch.map(stubDecode))
+    }
+  }
+
+  /** Metadata projection of the decode, minus the feature vector — the
+    * part of the stub whose arithmetic is SQL-expressible, so the oracle
+    * can check the whole pipeline shape end-to-end.
+    */
+  def metaTable(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(mediaFromDocuments(spark, dir))
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("byte_len"),
+        col("width"), col("height"), col("frames"))
+}

@@ -29,7 +29,16 @@ object Similarity {
   def cosineFrom(dot: Column, normSqA: Column, normSqB: Column): Column =
     dot / sqrt(normSqA * normSqB)
 
+  /** Cosine via the native codegen'd Catalyst expression
+    * (graft.functions.CosineSimilarity) — bit-identical arithmetic to the
+    * HOF fold (same left-to-right double accumulation), but it stays
+    * inside whole-stage codegen instead of interpreted lambda dispatch.
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
+
+  /** Portable HOF formulation (kept as the cross-engine baseline). */
+  def cosineHof(a: Column, b: Column): Column =
     cosineFrom(dotDouble(a, b), dotDouble(a, a), dotDouble(b, b))
 
   /** Brute-force cosine top-k: the first `nQueries` vectors probe the full

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+
+class FunctionsSpec extends SparkSuite {
+
+  test("native cosine_sim expression matches the HOF baseline bit-for-bit") {
+    val emb = graft.model.Tables.embeddings(spark, sf("sf0.001")).limit(50)
+    val pairs = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .where(col("vec_id") < col("b_id")).limit(200)
+    val diff = pairs.select(
+      (GraftFunctions.cosine_sim(col("embedding"), col("b")) -
+        Similarity.cosineHof(col("embedding"), col("b"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("cosine_sim and pct_change are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       pct_change(1.16, 1.12) AS p""".stripMargin).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDecimal(1).toPlainString == "3.57")
+  }
+
+  test("whole-stage codegen covers the cosine_sim projection") {
+    val emb = graft.model.Tables.embeddings(spark, sf("sf0.001"))
+    val plan = emb.select(GraftFunctions.cosine_sim(col("embedding"),
+      col("embedding")).as("c")).queryExecution.executedPlan
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.toString.contains("*(1) Project"))
+  }
+
+  test("multimodal decode: schema, batching, and deterministic stub output") {
+    val meta = Multimodal.decodeMeta(
+      Multimodal.mediaFromDocuments(spark, sf("sf0.001")), batchSize = 7)
+    val rows = meta.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(m => m.byte_len > 0 && m.width >= 64 && m.width < 256))
+    assert(rows.forall(_.feature.length == 8))
+    // deterministic: same input → same features
+    val again = Multimodal.decodeMeta(
+      Multimodal.mediaFromDocuments(spark, sf("sf0.001"))).collect()
+    assert(rows.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+}
