@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.analysis.RateAnalysis
 import graft.ingest.MergeOps
 import graft.model.Tables
-import graft.operators.Sessionize
+import graft.operators.{AsOfJoin, Sessionize}
 import graft.queries.BreadthQueries
 import graft.similarity.Similarity
 import graft.text.{NearDup, TextFunctions}
@@ -149,6 +149,19 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts",
         gapSeconds = 1800L, tiebreak = col("event_id"), valueCol = "value")),
+
+    // named as-of join (the PreviousRates capability, generalized):
+    // each purchase gets the user's last click value at-or-before it
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      AsOfJoin.asofBackward(
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value")),
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("value" -> "last_click_value"))
+    }),
 
     // ---- text-analysis pipeline operators (documents table) ----
 
@@ -363,6 +376,14 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_id""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.user_id, p.ts, p.event_id, c.value AS last_click_value
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

@@ -174,17 +174,23 @@ object NearDup {
     // materialized attribute before the trigram lambda slices it —
     // inlined, the normalize regex would re-run per trigram element
     // (~300× per doc). The relation is also reused as both join sides.
+    // Trigrams are xxhash64'd to longs and kept SORTED: the codegen'd
+    // two-pointer SortedIntersectCount replaces array_intersect's per-row
+    // hash-set build (profiled ~10× cheaper). Jaccard COUNTS are
+    // preserved (a 64-bit collision inside one doc's ~300-trigram set is
+    // ~1e-15); the oracle intersects the string sets directly and agrees.
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), norm.as("nt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("doc_id"), col("lang"), col("source"),
-        charTrigrams(col("nt")).as("g"))
+        array_sort(transform(charTrigrams(col("nt")), t => xxhash64(t))).as("g"))
     val r = d.select(col("lang"), col("source"),
       col("doc_id").as("nb_id"), col("g").as("nb_g"))
     d.join(r, Seq("lang", "source"))
       .where(col("doc_id") < col("nb_id"))
       .select(col("lang"), col("source"), col("doc_id"), col("nb_id"),
-        size(array_intersect(col("g"), col("nb_g"))).cast("double").as("__i"),
+        graft.functions.SortedIntersectCount(col("g"), col("nb_g"))
+          .cast("double").as("__i"),
         size(col("g")).as("__a"), size(col("nb_g")).as("__b"))
       .select(col("lang"), col("source"), col("doc_id"), col("nb_id"),
         (col("__i") / (col("__a") + col("__b") - col("__i"))).as("jaccard"))
