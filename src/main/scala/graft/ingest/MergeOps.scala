@@ -33,4 +33,17 @@ object MergeOps {
     */
   def insertIfAbsent(newRows: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     newRows.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** SURVEY §7.2: the rates table is laid out date-partitioned, so cutoff
+    * and date-range predicates become partition pruning (whole days of
+    * files skipped at planning time) instead of row filters — the layout
+    * that matters most at a 100 TB history. A day of updates rewrites one
+    * partition, not the table (dynamic overwrite).
+    */
+  def writeDatePartitioned(df: DataFrame, path: String,
+      dateCol: String = "date"): Unit =
+    df.withColumn("p_date", to_date(col(dateCol)))
+      .write.partitionBy("p_date")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
 }

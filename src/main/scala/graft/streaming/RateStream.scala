@@ -52,6 +52,23 @@ object RateStream {
     materialized.unpersist()
   }
 
+  /** S1 streaming stand-in: a file-drop directory of `<BASE>_<TARGET>.json`
+    * FX_DAILY payloads consumed as a stream — the reference's polled REST
+    * fetch becomes "payloads arrive, micro-batches flatten them". Pair
+    * identity comes from the file name; the flatten is FxJson's.
+    */
+  def payloadFileStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(dir)
+    val f = input_file_name()
+    graft.ingest.FxJson.parsePayloads(
+      raw.select(col("value").as("payload"),
+        regexp_extract(f, "([A-Z]{3})_([A-Z]{3})\\.json", 1).as("base_currency"),
+        regexp_extract(f, "([A-Z]{3})_([A-Z]{3})\\.json", 2).as("target_currency")))
+  }
+
   /** Stateful latest-rate-per-pair (the ActiveRates/LatestRates semantics
     * as explicit keyed state): emits an update whenever a pair's newest
     * event time advances. flatMapGroupsWithState keeps one (event_time,

@@ -26,6 +26,19 @@ class MergeOpsSpec extends SparkSuite {
     assert(again.collect().map(_.toSeq).toSet == base.collect().map(_.toSeq).toSet)
   }
 
+  test("date-partitioned layout: cutoff predicates prune partitions at planning") {
+    val dir = java.nio.file.Files.createTempDirectory("rates_part").toFile
+    val path = new java.io.File(dir, "rates").getAbsolutePath
+    MergeOps.writeDatePartitioned(fixture, path)
+    val read = spark.read.parquet(path)
+      .where(col("p_date") <= lit("2024-01-12").cast("date"))
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(p_date"))
+    assert(read.count() == 4) // only the Jan 10/12 partitions are read
+    // files on disk really are split by day
+    assert(new java.io.File(path).listFiles().count(_.getName.startsWith("p_date=")) == 4)
+  }
+
   test("insertIfAbsent drops rows whose key already exists") {
     val existing = fixture.where(col("event_id") <= 9)
     val incoming = fixture // superset: 2 JPY rows are genuinely new

@@ -71,6 +71,27 @@ class StreamingSpec extends SparkSuite {
     assert(eur16.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.16)
   }
 
+  test("file-drop payload stream: dropped FX_DAILY files flatten into rate events") {
+    import graft.ingest.FxJson
+    val dir = Files.createTempDirectory("paydrop").toFile
+    val q = RateStream.payloadFileStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("pay_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      Files.writeString(new java.io.File(dir, "EUR_USD.json").toPath,
+        FxJson.fixturePayload(Seq("2024-01-15", "2024-01-16"),
+          Seq(BigDecimal("1.0925"), BigDecimal("1.0942"))))
+      q.processAllAvailable()
+      Files.writeString(new java.io.File(dir, "USD_JPY.json").toPath,
+        FxJson.fixturePayload(Seq("2024-01-16"), Seq(BigDecimal("147.35"))))
+      q.processAllAvailable()
+      val rows = spark.table("pay_out")
+        .select("ccy_couple", "rate").collect()
+      assert(rows.length == 3)
+      assert(rows.map(_.getString(0)).toSet == Set("EUR/USD", "USD/JPY"))
+    } finally q.stop()
+  }
+
   test("entry contract: flagship query returns rows; every oracle key is a query") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
