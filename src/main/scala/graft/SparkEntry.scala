@@ -150,6 +150,28 @@ object SparkEntry {
       Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts",
         gapSeconds = 1800L, tiebreak = col("event_id"), valueCol = "value")),
 
+    // approximate aggregates (HLL distinct + quantile sketch); rows-only
+    // check: approximation is engine-specific by design
+    "q_approx_stats" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))),
+
+    // skew-salted join: hot keys spread across shards (rows-only check —
+    // result equals the plain join; the plan shape is the point)
+    "q_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.SaltedJoin.saltedEquiJoin(
+        ev.select(col("event_id"), col("user_id"), col("value")),
+        Tables.customer(s, dir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        keys = Seq("user_id"), shards = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    }),
+
     // named as-of join (the PreviousRates capability, generalized):
     // each purchase gets the user's last click value at-or-before it
     "q_asof_join" -> ((s, dir) => {
@@ -376,6 +398,12 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_asof_join" ->
       """SELECT p.user_id, p.ts, p.event_id, c.value AS last_click_value

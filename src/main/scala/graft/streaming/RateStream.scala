@@ -69,6 +69,20 @@ object RateStream {
         regexp_extract(f, "([A-Z]{3})_([A-Z]{3})\\.json", 2).as("target_currency")))
   }
 
+  /** Tumbling-window per-pair aggregation with a watermark (the §2.10
+    * extension): e.g. 30-second windows of rate activity. Append mode
+    * emits a window only once its watermark passes — bounded state.
+    */
+  def windowedRateStats(parsed: DataFrame, tsCol: String = "timestamp",
+      windowLen: String = "30 seconds",
+      watermark: String = "1 minute"): DataFrame =
+    parsed.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("ccy_couple"))
+      .agg(count(lit(1)).as("n_quotes"),
+        max(col("rate")).as("max_rate"),
+        min(col("rate")).as("min_rate"),
+        max_by(col("rate"), col(tsCol)).as("last_rate"))
+
   /** Stateful latest-rate-per-pair (the ActiveRates/LatestRates semantics
     * as explicit keyed state): emits an update whenever a pair's newest
     * event time advances. flatMapGroupsWithState keeps one (event_time,

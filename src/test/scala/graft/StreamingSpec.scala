@@ -71,6 +71,32 @@ class StreamingSpec extends SparkSuite {
     assert(eur16.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.16)
   }
 
+  test("tumbling-window aggregation emits closed windows with per-pair stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val parsed = input.toDS().toDF("ccy_couple", "timestamp", "rate")
+    val q = RateStream.windowedRateStats(parsed)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        ("EUR/USD", t("2024-01-16 00:00:05"), 1.10),
+        ("EUR/USD", t("2024-01-16 00:00:20"), 1.12),
+        ("EUR/USD", t("2024-01-16 00:00:40"), 1.13))
+      q.processAllAvailable()
+      // advance the watermark past the first window
+      input.addData(("EUR/USD", t("2024-01-16 00:05:00"), 1.14))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.nonEmpty)
+      val first = rows.minBy(_.getStruct(0).getTimestamp(0).getTime)
+      assert(first.getLong(2) == 2)          // two quotes in [00:00:00,00:00:30)
+      assert(first.getDouble(5) == 1.12)     // last_rate by time
+    } finally q.stop()
+  }
+
   test("file-drop payload stream: dropped FX_DAILY files flatten into rate events") {
     import graft.ingest.FxJson
     val dir = Files.createTempDirectory("paydrop").toFile
