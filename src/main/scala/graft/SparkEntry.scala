@@ -150,6 +150,27 @@ object SparkEntry {
       Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts",
         gapSeconds = 1800L, tiebreak = col("event_id"), valueCol = "value")),
 
+    // pivot (wide reshaping): events per day × type matrix
+    "q_pivot_daily_types" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types).count()
+      p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    // typed Dataset Aggregator: bounded top-k per group (k doubles/group
+    // cross partial aggregation — the distributed top-k shape)
+    "q_typed_topk_per_customer" -> ((s, dir) => {
+      import s.implicits._
+      val topk = new graft.operators.TopKAggregator(3).toColumn
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+        .as[(Long, Double)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(topk.name("top_prices"))
+        .toDF("o_custkey", "top_prices")
+    }),
+
     // approximate aggregates (HLL distinct + quantile sketch); rows-only
     // check: approximation is engine-specific by design
     "q_approx_stats" -> ((s, dir) =>
@@ -398,6 +419,25 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_id""".stripMargin,
+
+    "q_pivot_daily_types" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
+
+    "q_typed_topk_per_customer" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |)
+        |SELECT o_custkey, array_agg(o_totalprice ORDER BY rn) AS top_prices
+        |FROM r WHERE rn <= 3 GROUP BY o_custkey""".stripMargin,
 
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,

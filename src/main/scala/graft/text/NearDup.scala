@@ -174,16 +174,24 @@ object NearDup {
     // materialized attribute before the trigram lambda slices it —
     // inlined, the normalize regex would re-run per trigram element
     // (~300× per doc). The relation is also reused as both join sides.
-    // Trigrams are xxhash64'd to longs and kept SORTED: the codegen'd
-    // two-pointer SortedIntersectCount replaces array_intersect's per-row
-    // hash-set build (profiled ~10× cheaper). Jaccard COUNTS are
+    // Trigrams are xxhash64'd to longs and kept SORTED so the codegen'd
+    // two-pointer SortedIntersectCount can merge them. Jaccard COUNTS are
     // preserved (a 64-bit collision inside one doc's ~300-trigram set is
     // ~1e-15); the oracle intersects the string sets directly and agrees.
+    //
+    // TWO cache boundaries, each load-bearing:
+    //  1. nt — the trigram lambda slices an attribute, not an inlined
+    //     normalize regex (which would re-run per element);
+    //  2. g  — the trigram HOF is CodegenFallback, and ONE non-codegen
+    //     expression de-codegens its whole stage; materializing the
+    //     arrays keeps the join+intersect stage in whole-stage codegen.
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), norm.as("nt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(mem)
       .select(col("doc_id"), col("lang"), col("source"),
         array_sort(transform(charTrigrams(col("nt")), t => xxhash64(t))).as("g"))
+      .persist(mem)
     val r = d.select(col("lang"), col("source"),
       col("doc_id").as("nb_id"), col("g").as("nb_g"))
     d.join(r, Seq("lang", "source"))
