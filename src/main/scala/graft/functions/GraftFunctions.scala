@@ -44,14 +44,21 @@ object GraftFunctions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "pct_change" -> (es => PctChange(es(0), es(1))))
 
-  /** Register into an existing session (usable from spark.sql). */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session (usable from spark.sql), including
+    * the optimizer identities via the public experimental hook.
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(FoldSelfIntersect))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FoldSelfIntersect
+  }
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — or
@@ -63,8 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("pct_change"),
       new ExpressionInfo(classOf[PctChange].getName, "pct_change"),
       (es: Seq[Expression]) => PctChange(es(0), es(1))))
+    e.injectOptimizerRule(_ => FoldSelfIntersect)
   }
 }

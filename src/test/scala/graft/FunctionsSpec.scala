@@ -38,6 +38,20 @@ class FunctionsSpec extends SparkSuite {
     assert(plan.toString.contains("*(1) Project"))
   }
 
+  test("optimizer rule folds self-intersection to size(x), null-preserving") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      """SELECT sorted_intersect_count(a, a) AS n,
+        |       sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>),
+        |                              CAST(NULL AS ARRAY<BIGINT>)) AS nn
+        |FROM VALUES (array(1L, 2L, 3L)) AS t(a)""".stripMargin)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("sorted_intersect_count"), plan) // folded away
+    val r = df.collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.isNullAt(1))
+  }
+
   test("multimodal decode: schema, batching, and deterministic stub output") {
     val meta = Multimodal.decodeMeta(
       Multimodal.mediaFromDocuments(spark, sf("sf0.001")), batchSize = 7)
