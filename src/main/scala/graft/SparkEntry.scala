@@ -99,6 +99,10 @@ object SparkEntry {
     "fx_report_b" -> ((s, dir) =>
       RateAnalysis.rateChangeReport(rates(s, dir), cutoff, ActiveWindowSpark)),
 
+    // Task B as the reference's single SQL statement (spark.sql CTE path)
+    "fx_report_b_sql" -> ((s, dir) =>
+      RateAnalysis.taskBCompatSql(rates(s, dir), CutoffSql, "7 DAYS")),
+
     // Task A end-to-end report (A4 independent-MAX dedup + LEFT join J2)
     "fx_report_a" -> ((s, dir) =>
       RateAnalysis.rateChangeReportTaskA(rates(s, dir), cutoff, ActiveWindowSpark)),
@@ -287,6 +291,11 @@ object SparkEntry {
          |    AND e2.event_time < lr.max_event_time)""".stripMargin,
 
     "fx_report_b" ->
+      s"""WITH $RatesCte, $ActiveCte, $LatestCte, $PrevCte
+         |SELECT l.ccy_couple, l.current_rate, $PctSql AS rate_change
+         |FROM latest l JOIN prev p USING (ccy_couple)""".stripMargin,
+
+    "fx_report_b_sql" ->
       s"""WITH $RatesCte, $ActiveCte, $LatestCte, $PrevCte
          |SELECT l.ccy_couple, l.current_rate, $PctSql AS rate_change
          |FROM latest l JOIN prev p USING (ccy_couple)""".stripMargin,

@@ -129,6 +129,51 @@ object RateAnalysis {
     when(prev.isNull, lit("No Previous Rate"))
       .otherwise(concat(pctChange(cur, prev).cast("string"), lit("%")))
 
+  /** The full Task B statement in one spark.sql CTE pipeline — the
+    * reference's single-SQL-statement shape (Fx_1min.py:147-217:
+    * ActiveRates → LatestRates → PreviousRates → report), with the two
+    * scalability substitutions this engine standardizes on: an explicit
+    * event_id tiebreak in the rank, and PreviousRates as window rn=2
+    * instead of the correlated MAX (see [[previousRatesJoinAgg]] for why).
+    */
+  def taskBCompatSql(rates: DataFrame, cutoffSql: String,
+      activeWindowSql: String): DataFrame = {
+    val spark = rates.sparkSession
+    val view = s"__rates_stmt_${System.identityHashCode(rates).toHexString}"
+    rates.createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH ActiveRates AS (
+         |  SELECT ccy_couple, rate, event_time AS event_date_time, event_id
+         |  FROM $view
+         |  WHERE `timestamp` >= (SELECT MAX(`timestamp`) FROM $view)
+         |                       - INTERVAL $activeWindowSql
+         |),
+         |LatestRates AS (
+         |  SELECT ccy_couple, rate AS current_rate
+         |  FROM (SELECT ccy_couple, rate,
+         |          ROW_NUMBER() OVER (PARTITION BY ccy_couple
+         |            ORDER BY event_date_time DESC, event_id DESC) AS rn
+         |        FROM ActiveRates) ranked
+         |  WHERE rn = 1
+         |),
+         |PreviousRates AS (
+         |  SELECT ccy_couple, rate AS previous_rate
+         |  FROM (SELECT ccy_couple, rate,
+         |          ROW_NUMBER() OVER (PARTITION BY ccy_couple
+         |            ORDER BY event_time DESC, event_id DESC) AS rn
+         |        FROM $view WHERE date <= $cutoffSql) ranked
+         |  WHERE rn = 2
+         |)
+         |SELECT l.ccy_couple, l.current_rate,
+         |  CASE WHEN p.previous_rate IS NULL THEN 'No Previous Rate'
+         |       ELSE CONCAT(CAST(ROUND(CAST((l.current_rate - p.previous_rate)
+         |                / p.previous_rate * 100 AS DECIMAL(28,10)), 2)
+         |              AS STRING), '%') END AS rate_change
+         |FROM LatestRates l
+         |JOIN PreviousRates p ON l.ccy_couple = p.ccy_couple
+         |""".stripMargin)
+  }
+
   /** Task B report (Fx_1min.py:147-217): INNER join latest×previous. */
   def rateChangeReport(rates: DataFrame, cutoff: Column,
       activeWindow: String = "30 SECONDS"): DataFrame = {
