@@ -235,6 +235,15 @@ object SparkEntry {
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     // random-hyperplane LSH bucketed ANN (rows-only check)
     "sim_ann_lsh" -> ((s, dir) => Similarity.lshNearestInBucket(s, dir)),
+    // IVF search: probe nearest cells, rerank within (rows-only check)
+    "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    // embedding-cosine near-dup flags at 0.95 (rows-only check)
+    "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
+    // rolling-hash document fingerprint (codegen'd; no SQL equivalent)
+    "text_rolling_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.RollingHash64(
+          TextFunctions.normText(col("text"))).as("rolling_fp"))),
     // multimodal: binary payload + batched per-partition decode (stub codec)
     "mm_meta" -> graft.multimodal.Multimodal.metaTable _,
     // per-label centroids: distributed vector aggregation (IVF training step)

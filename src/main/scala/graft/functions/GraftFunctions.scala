@@ -45,6 +45,7 @@ object GraftFunctions {
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "rolling_hash64" -> (es => RollingHash64(es(0))),
     "pct_change" -> (es => PctChange(es(0), es(1))))
 
   /** Register into an existing session (usable from spark.sql), including

@@ -78,6 +78,51 @@ object Similarity {
       when(dotDouble(emb, typedlit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) approximate search: vectors are indexed by cell
+    * (here the `label` column stands in for trained k-means cells — see
+    * the centroid aggregation in SparkEntry, which IS the training step);
+    * a query probes the `nprobe` nearest cell centroids and reranks
+    * exactly within those cells only. The scan is |cells probed| / |cells|
+    * of the corpus — the standard recall/cost dial — and the probe
+    * selection is a broadcast of (cells × dim) centroids, so the plan is
+    * one broadcast join + per-query top-k window regardless of corpus
+    * size.
+    */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // centroids per cell (exact decimal mean not needed here — serving path)
+    val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c").cast("float")).as("centroid"))
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // probe selection: rank cells per query by centroid similarity
+    val probeW = Window.partitionBy("qid").orderBy(col("c_sim").desc, col("label").asc)
+    val probes = queries.join(broadcast(cent))
+      .select(col("qid"), col("qe"), col("label"),
+        cosine(col("qe"), col("centroid")).as("c_sim"))
+      .withColumn("pr", row_number().over(probeW)).where(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("label"))
+    // exact rerank within probed cells only
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    probes.join(emb, Seq("label"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("label"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-dup view: each vector flagged against its best
+    * LSH-bucket neighbor at a duplicate threshold.
+    */
+  def embeddingNearDup(s: SparkSession, dir: String,
+      threshold: Double = 0.95): DataFrame =
+    lshNearestInBucket(s, dir)
+      .withColumn("is_dup", coalesce(col("nn_cos") >= threshold, lit(false)))
+
   /** LSH-bucketed approximate nearest neighbor: vectors sharing a
     * signature bucket are candidates; exact cosine reranks within the
     * bucket; emit each vector's best in-bucket neighbor. At scale this is

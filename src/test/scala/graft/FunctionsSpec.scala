@@ -38,6 +38,17 @@ class FunctionsSpec extends SparkSuite {
     assert(plan.toString.contains("*(1) Project"))
   }
 
+  test("rolling_hash64: codegen'd, deterministic, sensitive to every byte") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT rolling_hash64('abc') AS a, rolling_hash64('abc') AS a2,
+        |       rolling_hash64('abd') AS b, rolling_hash64(CAST(NULL AS STRING)) AS n
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+    assert(r.isNullAt(3))
+  }
+
   test("optimizer rule folds self-intersection to size(x), null-preserving") {
     GraftFunctions.register(spark)
     val df = spark.sql(
