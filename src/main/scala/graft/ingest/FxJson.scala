@@ -63,8 +63,15 @@ object FxJson {
        |"$SeriesKey": {${entries.mkString(", ")}}}""".stripMargin.replace("\n", " ")
   }
 
-  /** S3: the currency-pairs config (110 rows, currency_pairs.csv) as a
-    * broadcast-able DataFrame; the full 11-currency cross minus identity.
+  /** S3 (Fx_1min.py:251): read a `base_currency,target_currency` header
+    * CSV into the broadcast-able config DataFrame.
+    */
+  def currencyPairsFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .select(col("base_currency"), col("target_currency"))
+
+  /** The same config generated in code: the full 11-currency cross minus
+    * identity (110 rows, mirroring currency_pairs.csv).
     */
   def currencyPairs(spark: SparkSession): DataFrame = {
     import spark.implicits._

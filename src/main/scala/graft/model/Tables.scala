@@ -57,6 +57,19 @@ object Tables {
     StructField("date", DateType, nullable = false),
     StructField("timestamp", TimestampType, nullable = false)))
 
+  /** The reference row type (SURVEY §1.6) for the typed Dataset API. */
+  final case class RateEvent(event_id: Long, event_time: Long,
+      ccy_couple: String, rate: Double, date: java.sql.Date,
+      timestamp: java.sql.Timestamp)
+
+  /** Typed view: `Dataset[RateEvent]` with a case-class Encoder — use when
+    * compile-time field checks matter; the DataFrame view is the default.
+    */
+  def ratesTyped(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[RateEvent] = {
+    import spark.implicits._
+    rates(spark, dir).as[RateEvent]
+  }
+
   /** `events` viewed through the reference's `exchange_rates` model. */
   def rates(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(

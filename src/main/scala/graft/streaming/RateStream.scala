@@ -69,6 +69,17 @@ object RateStream {
         regexp_extract(f, "([A-Z]{3})_([A-Z]{3})\\.json", 2).as("target_currency")))
   }
 
+  /** Native session windows over the stream (the streaming form of
+    * operators.Sessionize): a session closes `gap` after its last event,
+    * then emits once the watermark passes — state per OPEN session only.
+    */
+  def sessionWindowStats(parsed: DataFrame, tsCol: String = "timestamp",
+      gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    parsed.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("ccy_couple"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("rate"), col(tsCol)).as("last_rate"))
+
   /** Tumbling-window per-pair aggregation with a watermark (the §2.10
     * extension): e.g. 30-second windows of rate activity. Append mode
     * emits a window only once its watermark passes — bounded state.

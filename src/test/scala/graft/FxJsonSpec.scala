@@ -39,4 +39,24 @@ class FxJsonSpec extends SparkSuite {
   test("currency config is the 11-currency cross minus identity (110 pairs)") {
     assert(FxJson.currencyPairs(spark).count() == 110)
   }
+
+  test("config CSV reader round-trips the generated pair set") {
+    val dir = java.nio.file.Files.createTempDirectory("pairs").toFile
+    val f = new java.io.File(dir, "currency_pairs.csv")
+    val generated = FxJson.currencyPairs(spark)
+    val csv = "base_currency,target_currency\n" +
+      generated.collect().map(r => s"${r.getString(0)},${r.getString(1)}")
+        .mkString("\n")
+    java.nio.file.Files.writeString(f.toPath, csv)
+    val read = FxJson.currencyPairsFromCsv(spark, f.getAbsolutePath)
+    assert(read.collect().map(_.toSeq).toSet ==
+      generated.collect().map(_.toSeq).toSet)
+  }
+
+  test("typed Dataset view exposes the reference row type") {
+    val ds = graft.model.Tables.ratesTyped(spark, sf("sf0.001"))
+    val first = ds.head()
+    assert(first.ccy_couple.nonEmpty && first.rate > 0)
+    assert(ds.filter(_.event_time > 0).count() == 1000)
+  }
 }

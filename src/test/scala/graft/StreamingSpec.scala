@@ -71,6 +71,32 @@ class StreamingSpec extends SparkSuite {
     assert(eur16.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.16)
   }
 
+  test("session windows close after the gap and carry the last rate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val parsed = input.toDS().toDF("ccy_couple", "timestamp", "rate")
+    val q = RateStream.sessionWindowStats(parsed, gap = "10 minutes",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        ("EUR/USD", t("2024-01-16 00:00:00"), 1.10),
+        ("EUR/USD", t("2024-01-16 00:05:00"), 1.11),   // same session
+        ("EUR/USD", t("2024-01-16 00:30:00"), 1.13))   // new session (>10m gap)
+      q.processAllAvailable()
+      input.addData(("EUR/USD", t("2024-01-16 02:00:00"), 1.15)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+      assert(rows.length == 2)
+      val bySize = rows.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+      assert(bySize(2L) == 1.11) // 2-event session ends on the 00:05 rate
+      assert(bySize(1L) == 1.13)
+    } finally q.stop()
+  }
+
   test("tumbling-window aggregation emits closed windows with per-pair stats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
