@@ -154,6 +154,14 @@ object SparkEntry {
       Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts",
         gapSeconds = 1800L, tiebreak = col("event_id"), valueCol = "value")),
 
+    // semi join (EXISTS): customers with at least one 250k+ order
+    "q_semi_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_totalprice") > 250000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+
     // pivot (wide reshaping): events per day × type matrix
     "q_pivot_daily_types" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -437,6 +445,11 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_id""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin,
 
     "q_pivot_daily_types" ->
       """SELECT CAST(ts AS DATE) AS day,

@@ -62,12 +62,37 @@ object RateStream {
     val raw = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(dir)
+    // file names: <BASE>_<TARGET>[.version].json — re-deliveries arrive as
+    // new versioned files (a file stream processes each name once)
     val f = input_file_name()
+    val pat = "([A-Z]{3})_([A-Z]{3})[^/]*\\.json"
     graft.ingest.FxJson.parsePayloads(
       raw.select(col("value").as("payload"),
-        regexp_extract(f, "([A-Z]{3})_([A-Z]{3})\\.json", 1).as("base_currency"),
-        regexp_extract(f, "([A-Z]{3})_([A-Z]{3})\\.json", 2).as("target_currency")))
+        regexp_extract(f, pat, 1).as("base_currency"),
+        regexp_extract(f, pat, 2).as("target_currency")))
   }
+
+  /** The composed ingest pipeline, one call: payload file-drop source →
+    * normalize → watermarked key dedup → foreachBatch merge into the
+    * rates table. Returns the running query; the caller owns its
+    * lifecycle. This is the reference's Task-Scheduler loop as a single
+    * always-on streaming job.
+    */
+  def runIngestPipeline(spark: SparkSession, feedDir: String,
+      tableDir: String, watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    payloadFileStream(spark, feedDir)
+      .withWatermark("timestamp", watermark)
+      // suppress EXACT re-deliveries (key + value) only: a corrected quote
+      // for an existing key must reach the merge, where last-writer-wins
+      // resolves it — deduplicating on the bare natural key here would
+      // silently swallow corrections (the reference's upsert applies them)
+      .dropDuplicates("ccy_couple", "date", "rate")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(mergeBatchWriter(tableDir,
+        Seq("ccy_couple", "date"), "timestamp"))
+      .start()
 
   /** Native session windows over the stream (the streaming form of
     * operators.Sessionize): a session closes `gap` after its last event,

@@ -144,6 +144,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("composed ingest pipeline: file drop converges to an upserted table") {
+    import graft.ingest.FxJson
+    val work = Files.createTempDirectory("ingest_e2e").toFile
+    val feed = new java.io.File(work, "feed"); feed.mkdirs()
+    val table = new java.io.File(work, "rates").getAbsolutePath
+    val q = RateStream.runIngestPipeline(spark, feed.getAbsolutePath, table)
+    try {
+      Files.writeString(new java.io.File(feed, "EUR_USD.json").toPath,
+        FxJson.fixturePayload(Seq("2024-01-15", "2024-01-16"),
+          Seq(BigDecimal("1.0925"), BigDecimal("1.0942"))))
+      q.processAllAvailable()
+      val t1 = spark.read.parquet(table)
+      assert(t1.count() == 2)
+      // second drop re-delivers Jan 16 with a correction → upsert, not dup
+      Files.writeString(new java.io.File(feed, "EUR_USD.v2.json").toPath,
+        FxJson.fixturePayload(Seq("2024-01-16"), Seq(BigDecimal("1.0950"))))
+      q.processAllAvailable()
+      val t2 = spark.read.parquet(table)
+      assert(t2.count() == 2)
+      val jan16 = t2.where(col("date") === to_timestamp(lit("2024-01-16")))
+        .collect().head
+      assert(jan16.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.095)
+    } finally q.stop()
+  }
+
   test("entry contract: flagship query returns rows; every oracle key is a query") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
