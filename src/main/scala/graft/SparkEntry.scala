@@ -154,6 +154,12 @@ object SparkEntry {
       Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts",
         gapSeconds = 1800L, tiebreak = col("event_id"), valueCol = "value")),
 
+    // exact interpolated percentiles per group (sort-based, not sketch)
+    "q_exact_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type")).agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"))),
+
     // semi join (EXISTS): customers with at least one 250k+ order
     "q_semi_join" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -446,6 +452,12 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_id""".stripMargin,
 
+    "q_exact_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -490,14 +502,16 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
         |  length(text) AS n_chars_measured,
         |  len(regexp_extract_all(text, '[\.,;:!?]')) AS n_punct,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha_ratio
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        |    / nullif(length(text), 0) AS alpha_ratio
         |FROM documents""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        |      / nullif(length(text), 0) AS alpha,
         |    CAST(len(regexp_extract_all(text, '[\.,;:!?]')) AS DOUBLE) AS punct,
         |    CAST(len(regexp_extract_all(lower(text),
         |      '\b(the|a|of|and|to|in|is|it|for|on)\b')) AS DOUBLE) AS stop

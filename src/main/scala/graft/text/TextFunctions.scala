@@ -29,8 +29,9 @@ object TextFunctions {
 
   def punctCount(c: Column): Column = regexp_count(c, lit("[\\.,;:!?]"))
 
+  /** Null (not an ANSI divide-by-zero crash) on empty documents. */
   def alphaRatio(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z]")).cast("double") / length(c)
+    regexp_count(c, lit("[A-Za-z]")).cast("double") / nullif(length(c), lit(0))
 
   private val Stopwords = "the|a|of|and|to|in|is|it|for|on"
 
