@@ -48,8 +48,14 @@ object NearDup {
       .where(col("t2").isNotNull || col("pos") === 0)
       .select(col("doc_id"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-    val hashCols = (0 until nHashes).map(j => xxhash64(lit(j), col("sh")).as(s"h$j"))
-    sh.select(col("doc_id") +: hashCols: _*)
+    // one string hash per shingle; the nHashes "permutations" re-hash the
+    // 8-byte base under distinct seeds — far cheaper than hashing the
+    // shingle string 32×, and overflow-free under ANSI mode (a wrapping
+    // multiply-add family would throw ARITHMETIC_OVERFLOW there).
+    val withBase = sh.select(col("doc_id"), xxhash64(col("sh")).as("hb"))
+    val hashCols = (0 until nHashes).map(j =>
+      xxhash64(col("hb"), lit(j)).as(s"h$j"))
+    withBase.select(col("doc_id") +: hashCols: _*)
       .groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until nHashes).map(j => min(col(s"h$j")).as(s"m$j")): _*)
