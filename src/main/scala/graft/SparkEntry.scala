@@ -107,6 +107,10 @@ object SparkEntry {
     "fx_report_a" -> ((s, dir) =>
       RateAnalysis.rateChangeReportTaskA(rates(s, dir), cutoff, ActiveWindowSpark)),
 
+    // Task A as the reference's single SQL statement (dedup CTEs + LEFT)
+    "fx_report_a_sql" -> ((s, dir) =>
+      RateAnalysis.taskACompatSql(rates(s, dir), CutoffSql, "7 DAYS")),
+
     // K1: last-writer-wins upsert on (ccy_couple, date)
     "fx_upsert_latest" -> ((s, dir) =>
       MergeOps.upsertLatest(rates(s, dir), Seq("ccy_couple", "date"),
@@ -324,6 +328,21 @@ object SparkEntry {
          |FROM latest l JOIN prev p USING (ccy_couple)""".stripMargin,
 
     "fx_report_a" ->
+      s"""WITH $RatesCte, $ActiveCte, $LatestCte, $PrevCte,
+         |latest2 AS (
+         |  SELECT ccy_couple, max(current_rate) AS current_rate,
+         |         max(current_event_time) AS current_event_time
+         |  FROM latest GROUP BY ccy_couple
+         |),
+         |prev2 AS (
+         |  SELECT ccy_couple, max(previous_rate) AS previous_rate,
+         |         max(previous_event_time) AS previous_event_time
+         |  FROM prev GROUP BY ccy_couple
+         |)
+         |SELECT l.ccy_couple, l.current_rate, $PctSql AS rate_change
+         |FROM latest2 l LEFT JOIN prev2 p USING (ccy_couple)""".stripMargin,
+
+    "fx_report_a_sql" ->
       s"""WITH $RatesCte, $ActiveCte, $LatestCte, $PrevCte,
          |latest2 AS (
          |  SELECT ccy_couple, max(current_rate) AS current_rate,

@@ -174,6 +174,61 @@ object RateAnalysis {
          |""".stripMargin)
   }
 
+  /** Task A as one statement (update_exchange_rates.py:116-217): same CTE
+    * pipeline plus the defensive dedup CTEs (independent MAX per pair —
+    * not argmax, preserved bug-for-bug) and the final LEFT JOIN with the
+    * 'No Previous Rate' sentinel.
+    */
+  def taskACompatSql(rates: DataFrame, cutoffSql: String,
+      activeWindowSql: String): DataFrame = {
+    val spark = rates.sparkSession
+    val view = s"__rates_stmt_a_${System.identityHashCode(rates).toHexString}"
+    rates.createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH ActiveRates AS (
+         |  SELECT ccy_couple, rate, event_time AS event_date_time, event_id
+         |  FROM $view
+         |  WHERE `timestamp` >= (SELECT MAX(`timestamp`) FROM $view)
+         |                       - INTERVAL $activeWindowSql
+         |),
+         |LatestRates AS (
+         |  SELECT ccy_couple, rate AS current_rate,
+         |         event_date_time AS current_event_date_time
+         |  FROM (SELECT ccy_couple, rate, event_date_time,
+         |          ROW_NUMBER() OVER (PARTITION BY ccy_couple
+         |            ORDER BY event_date_time DESC, event_id DESC) AS rn
+         |        FROM ActiveRates) ranked
+         |  WHERE rn = 1
+         |),
+         |PreviousRates AS (
+         |  SELECT ccy_couple, rate AS previous_rate,
+         |         event_time AS previous_event_time
+         |  FROM (SELECT ccy_couple, rate, event_time,
+         |          ROW_NUMBER() OVER (PARTITION BY ccy_couple
+         |            ORDER BY event_time DESC, event_id DESC) AS rn
+         |        FROM $view WHERE date <= $cutoffSql) ranked
+         |  WHERE rn = 2
+         |),
+         |DedupedLatest AS (
+         |  SELECT ccy_couple, MAX(current_rate) AS current_rate,
+         |         MAX(current_event_date_time) AS current_event_date_time
+         |  FROM LatestRates GROUP BY ccy_couple
+         |),
+         |DedupedPrevious AS (
+         |  SELECT ccy_couple, MAX(previous_rate) AS previous_rate,
+         |         MAX(previous_event_time) AS previous_event_time
+         |  FROM PreviousRates GROUP BY ccy_couple
+         |)
+         |SELECT l.ccy_couple, l.current_rate,
+         |  CASE WHEN p.previous_rate IS NULL THEN 'No Previous Rate'
+         |       ELSE CONCAT(CAST(ROUND(CAST((l.current_rate - p.previous_rate)
+         |                / p.previous_rate * 100 AS DECIMAL(28,10)), 2)
+         |              AS STRING), '%') END AS rate_change
+         |FROM DedupedLatest l
+         |LEFT JOIN DedupedPrevious p ON l.ccy_couple = p.ccy_couple
+         |""".stripMargin)
+  }
+
   /** Task B report (Fx_1min.py:147-217): INNER join latest×previous. */
   def rateChangeReport(rates: DataFrame, cutoff: Column,
       activeWindow: String = "30 SECONDS"): DataFrame = {
