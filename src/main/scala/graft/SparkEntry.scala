@@ -164,6 +164,19 @@ object SparkEntry {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))),
 
+    // full outer join: reconcile click-days vs purchase-days per user
+    "q_full_outer_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def daily(t: String, n: String) = ev.where(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as(n))
+      daily("click", "n_clicks")
+        .join(daily("purchase", "n_purchases"), Seq("user_id", "day"), "full_outer")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+    }),
+
     // semi join (EXISTS): customers with at least one 250k+ order
     "q_semi_join" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -476,6 +489,21 @@ object SparkEntry {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_full_outer_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |       coalesce(c.day, p.day) AS day,
+        |       coalesce(n_clicks, 0) AS n_clicks,
+        |       coalesce(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p
+        |  ON c.user_id = p.user_id AND c.day = p.day""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
