@@ -164,6 +164,15 @@ object SparkEntry {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))),
 
+    // single-pass data-quality profile (one aggregate, all rules)
+    "dq_lineitem_profile" -> ((s, dir) =>
+      graft.operators.DataQuality.profile(Tables.lineitem(s, dir), Seq(
+        graft.operators.DataQuality.Rule("qty_positive", col("l_quantity") > 0),
+        graft.operators.DataQuality.Rule("price_positive", col("l_extendedprice") > 0),
+        graft.operators.DataQuality.Rule("discount_unit", col("l_discount").between(0, 1)),
+        graft.operators.DataQuality.Rule("flag_domain",
+          col("l_returnflag").isin("A", "N", "R"))))),
+
     // full outer join: reconcile click-days vs purchase-days per user
     "q_full_outer_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -489,6 +498,14 @@ object SparkEntry {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "dq_lineitem_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN NOT coalesce(l_quantity > 0, false) THEN 1 ELSE 0 END) AS viol_qty_positive,
+        |  sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) AS viol_price_positive,
+        |  sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false) THEN 1 ELSE 0 END) AS viol_discount_unit,
+        |  sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 1 ELSE 0 END) AS viol_flag_domain
+        |FROM lineitem""".stripMargin,
 
     "q_full_outer_join" ->
       """WITH c AS (

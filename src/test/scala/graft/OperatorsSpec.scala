@@ -75,6 +75,21 @@ class OperatorsSpec extends SparkSuite {
     assert(out.where(!col("is_keeper")).count() == 0)
   }
 
+  test("data-quality gate: single-pass profile and assert semantics") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    import graft.operators.DataQuality.Rule
+    val df = Seq((1, 10.0), (2, -3.0), (3, 5.0)).toDF("id", "v")
+    val rules = Seq(Rule("v_positive", col("v") > 0), Rule("id_set", col("id") < 10))
+    val p = DataQuality.profile(df, rules).collect().head
+    assert(p.getLong(0) == 3 && p.getLong(1) == 1 && p.getLong(2) == 0)
+    val err = intercept[IllegalArgumentException] {
+      DataQuality.assertAll(df, rules)
+    }
+    assert(err.getMessage.contains("v_positive=1"))
+    DataQuality.assertAll(df.where(col("v") > 0), rules) // clean subset passes
+  }
+
   test("language scores are non-negative and prediction is total") {
     val out = TextFunctions.textLangId(spark, sf("sf0.001"))
     assert(out.where(col("predicted_lang").isNull).count() == 0)
