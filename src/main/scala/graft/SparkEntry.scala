@@ -153,10 +153,15 @@ object SparkEntry {
     "q_rollup_balance" -> BreadthQueries.rollupRevenue _,
     // equi + range (band) join
     "q_shipped_within_90d" -> BreadthQueries.shippedWithin90d _,
-    // gap-based sessionization (30-minute gap)
+    // gap-based sessionization (30-minute gap). Session bounds surface as
+    // epoch MICROsecond longs: events.ts is nanosecond-precision parquet,
+    // and raw timestamps hash differently across engines (ns survive in
+    // DuckDB, are truncated to µs in Spark).
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts",
-        gapSeconds = 1800L, tiebreak = col("event_id"), valueCol = "value")),
+          gapSeconds = 1800L, tiebreak = col("event_id"), valueCol = "value")
+        .withColumn("session_start", unix_micros(col("session_start")))
+        .withColumn("session_end", unix_micros(col("session_end")))),
 
     // exact interpolated percentiles per group (sort-based, not sketch)
     "q_exact_percentiles" -> ((s, dir) =>
@@ -204,7 +209,9 @@ object SparkEntry {
     }),
 
     // typed Dataset Aggregator: bounded top-k per group (k doubles/group
-    // cross partial aggregation — the distributed top-k shape)
+    // cross partial aggregation — the distributed top-k shape). The
+    // descending array is exploded to (o_custkey, rank, price) scalar rows
+    // because the oracle gate cannot sort/hash array-typed columns.
     "q_typed_topk_per_customer" -> ((s, dir) => {
       import s.implicits._
       val topk = new graft.operators.TopKAggregator(3).toColumn
@@ -213,6 +220,8 @@ object SparkEntry {
         .groupByKey(_._1).mapValues(_._2)
         .agg(topk.name("top_prices"))
         .toDF("o_custkey", "top_prices")
+        .select(col("o_custkey"), posexplode(col("top_prices")).as(Seq("pos", "price")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"), col("price"))
     }),
 
     // approximate aggregates (HLL distinct + quantile sketch); rows-only
@@ -286,18 +295,18 @@ object SparkEntry {
           TextFunctions.normText(col("text"))).as("rolling_fp"))),
     // multimodal: binary payload + batched per-partition decode (stub codec)
     "mm_meta" -> graft.multimodal.Multimodal.metaTable _,
-    // per-label centroids: distributed vector aggregation (IVF training step)
+    // per-label centroids: distributed vector aggregation (IVF training
+    // step). Emitted as (label, pos, c) scalar rows — one row per centroid
+    // component, 1-based pos — because the oracle gate cannot sort/hash
+    // array-typed columns. Still one shuffle: posexplode → hash agg.
     "sim_label_centroid" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       e.groupBy(col("label"), col("pos"))
         .agg(sum(col("v").cast("double").cast("decimal(30,15)")).as("s"),
           count(lit(1)).as("n"))
-        .select(col("label"), col("pos"),
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
           round(col("s").cast("double") / col("n"), 6).as("c"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("centroid"))
     }),
   )
 
@@ -484,12 +493,12 @@ object SparkEntry {
         |                 THEN 1 ELSE 0 END AS news
         |  FROM x
         |), z AS (
-        |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  SELECT *, CAST(sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM y
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_id""".stripMargin,
 
@@ -501,10 +510,10 @@ object SparkEntry {
 
     "dq_lineitem_profile" ->
       """SELECT count(*) AS n_rows,
-        |  sum(CASE WHEN NOT coalesce(l_quantity > 0, false) THEN 1 ELSE 0 END) AS viol_qty_positive,
-        |  sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) AS viol_price_positive,
-        |  sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false) THEN 1 ELSE 0 END) AS viol_discount_unit,
-        |  sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 1 ELSE 0 END) AS viol_flag_domain
+        |  CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_positive,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_price_positive,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_discount_unit,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_flag_domain
         |FROM lineitem""".stripMargin,
 
     "q_full_outer_join" ->
@@ -543,8 +552,8 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders
         |)
-        |SELECT o_custkey, array_agg(o_totalprice ORDER BY rn) AS top_prices
-        |FROM r WHERE rn <= 3 GROUP BY o_custkey""".stripMargin,
+        |SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_totalprice AS price
+        |FROM r WHERE rn <= 3""".stripMargin,
 
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
@@ -674,13 +683,10 @@ object SparkEntry {
         |  SELECT label, unnest(embedding) AS v,
         |         generate_subscripts(embedding, 1) AS pos
         |  FROM embeddings
-        |), s AS (
-        |  SELECT label, pos,
-        |    round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
-        |          / count(*), 6) AS c
-        |  FROM un GROUP BY label, pos
         |)
-        |SELECT label, array_agg(c ORDER BY pos) AS centroid
-        |FROM s GROUP BY label""".stripMargin,
+        |SELECT label, CAST(pos AS BIGINT) AS pos,
+        |  round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+        |        / count(*), 6) AS c
+        |FROM un GROUP BY label, pos""".stripMargin,
   )
 }
