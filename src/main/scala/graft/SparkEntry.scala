@@ -274,9 +274,14 @@ object SparkEntry {
     // MinHash + LSH banding near-dup (rows-only check: xxhash64 not in SQL)
     "dedup_minhash_lsh" -> ((s, dir) => NearDup.minhashLsh(s, dir)),
     // 64-bit SimHash + Hamming nearest (rows-only check)
-    "dedup_simhash" -> NearDup.simhashReport _,
+    "dedup_simhash" -> ((s, dir) => NearDup.simhashReport(s, dir)),
     // exact char-trigram Jaccard in (lang, source) buckets (oracle-checked)
     "dedup_ngram_jaccard" -> ((s, dir) => NearDup.ngramJaccardPairs(s, dir)),
+    // recall property-oracles: every exact trigram-Jaccard>=0.8 pair must
+    // be covered by the family's candidate pairs (violations must be 0 —
+    // external evidence the LSH candidates are any good)
+    "dedup_minhash_recall" -> ((s, dir) => NearDup.minhashRecallCheck(s, dir)),
+    "dedup_simhash_recall" -> ((s, dir) => NearDup.simhashRecallCheck(s, dir)),
 
     // ---- similarity search (embeddings table) ----
 
@@ -632,22 +637,19 @@ object SparkEntry {
         |FROM f JOIN c USING (fp)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, source,
-        |    list_distinct(CASE WHEN length(nt) < 3 THEN [nt]
-        |      ELSE list_transform(range(0, length(nt) - 2),
-        |                          i -> substring(nt, i + 1, 3)) END) AS g
-        |  FROM (SELECT doc_id, lang, source,
-        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
-        |        FROM documents)
-        |)
-        |SELECT a.lang, a.source, a.doc_id, b.doc_id AS nb_id,
-        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
-        |                 AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.15""".stripMargin,
+      s"""WITH $NgramCappedCtes
+         |SELECT a.lang, a.source, a.doc_id, b.doc_id AS nb_id,
+         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+         |FROM db a JOIN db b ON a.lang = b.lang AND a.source = b.source
+         |                   AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.15""".stripMargin,
+
+    // recall properties: the oracle computes the exact-Jaccard>=0.8 pair
+    // count independently and asserts the candidate sets missed none
+    "dedup_minhash_recall" -> RecallOracleSql,
+    "dedup_simhash_recall" -> RecallOracleSql,
 
     "sim_topk" ->
       """WITH q AS (

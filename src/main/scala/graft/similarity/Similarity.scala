@@ -91,19 +91,30 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 5, nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // centroids per cell (exact decimal mean not needed here — serving path)
+    // Centroids with DECIMAL-exact means, rounded to 6 dp and stored as
+    // float: cross-row double SUM order is engine/partitioning-dependent,
+    // but decimal addition is associative-exact, so the trained centroid
+    // (and therefore probe selection and the whole IVF answer) is
+    // bit-reproducible — which is what lets the external oracle check
+    // this query end-to-end instead of a rows-only smoke test.
     val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+      .groupBy("label", "pos")
+      .agg(sum(col("v").cast("double").cast("decimal(30,15)")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        round(col("sv").cast("double") / col("n"), 6).cast("float").as("c"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c").cast("float")).as("centroid"))
+        x => x.getField("c")).as("centroid"))
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    // probe selection: rank cells per query by centroid similarity
+    // probe selection: rank cells per query by centroid similarity,
+    // rounded to 6 dp BEFORE ranking (with the label tiebreak) so probe
+    // choice is total and portable across engines
     val probeW = Window.partitionBy("qid").orderBy(col("c_sim").desc, col("label").asc)
     val probes = queries.join(broadcast(cent))
       .select(col("qid"), col("qe"), col("label"),
-        cosine(col("qe"), col("centroid")).as("c_sim"))
+        round(cosine(col("qe"), col("centroid")), 6).as("c_sim"))
       .withColumn("pr", row_number().over(probeW)).where(col("pr") <= nprobe)
       .select(col("qid"), col("qe"), col("label"))
     // exact rerank within probed cells only
@@ -128,17 +139,25 @@ object Similarity {
     * bucket; emit each vector's best in-bucket neighbor. At scale this is
     * a self-equi-join on the bucket key (shuffle on signature) instead of
     * the O(n²) cross join — the standard ANN trade: recall bounded by
-    * bucket collisions, cost bounded by bucket sizes.
+    * bucket collisions, cost bounded by bucket sizes. Buckets larger than
+    * `maxBucket` are dropped whole (mirrored in the oracle SQL): an
+    * oversized signature bucket means the planes don't separate that
+    * region (e.g. a degenerate all-similar corpus), and pairing inside it
+    * would be quadratic, not informative.
     */
   def lshNearestInBucket(s: SparkSession, dir: String,
-      nPlanes: Int = 12): DataFrame = {
+      nPlanes: Int = 12, maxBucket: Int = 50): DataFrame = {
     val ps = planes(nPlanes, 64)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         lshSignature(col("embedding"), ps).as("bucket"))
-    val right = emb.select(col("vec_id").as("nb_id"),
+    val okBuckets = emb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+      .select(col("bucket"))
+    val pruned = emb.join(okBuckets, Seq("bucket"))
+    val right = pruned.select(col("vec_id").as("nb_id"),
       col("embedding").as("nb_emb"), col("bucket"))
-    val pairs = emb.join(right, Seq("bucket"))
+    val pairs = pruned.join(right, Seq("bucket"))
       .where(col("vec_id") =!= col("nb_id"))
       .select(col("vec_id"), col("nb_id"),
         round(cosine(col("embedding"), col("nb_emb")), 6).as("cos_sim"))

@@ -16,52 +16,31 @@ import graft.model.Tables
   *  - n-gram Jaccard: exact character-trigram set overlap inside small
   *    deterministic buckets (oracle-checkable).
   *
-  * All hashing is xxhash64 column expressions — codegen'd, no UDFs, and
-  * deterministic across runs/partitionings.
+  * Scale discipline shared by all three: EVERY candidate-generation
+  * self-join is bucket-capped. A bucket larger than `maxBucket` marks an
+  * uninformative key (stop-shingle band, degenerate signature chunk, too
+  * coarse a grouping) and is dropped rather than allowed to go quadratic —
+  * the candidate stage stays ~linear in corpus size whatever the corpus
+  * looks like. All hashing is xxhash64-family codegen'd expressions — no
+  * UDFs, deterministic across runs/partitionings.
   */
 object NearDup {
 
   private val norm = TextFunctions.normText(col("text"))
 
-  /** Per-doc minhash signatures as a DATAFLOW, not nested array lambdas:
-    * explode tokens (the split/normalize chain runs once per doc), form
-    * word 3-shingles with lead() windows, hash each shingle under
-    * `nHashes` seeds as codegen'd columns, and min-aggregate. Minhash is
-    * duplicate-insensitive, so no distinct step is needed. Array-lambda
-    * formulations (transform/element_at over a derived array) re-evaluate
-    * the producing expression per element inside interpreted projections
-    * — measured >100× slower — and HOFs also block whole-stage codegen;
-    * this shape is all codegen + one partial-agg shuffle, and scales to
-    * any corpus (map-side combine collapses shingle rows to one row per
-    * doc before the exchange).
+  private val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Per-doc minhash signature via the single-pass codegen'd expression
+    * (graft.functions.MinHashSignature): signature computation is a pure
+    * map — no token explode, no per-doc window, no aggregation exchange.
+    * The old dataflow formulation shuffled every token of the corpus
+    * twice before LSH banding even started; this shape reaches the band
+    * shuffle with one row per document.
     */
-  def minhashSignatures(docsRaw: DataFrame, nHashes: Int = 32): DataFrame = {
-    val toks = docsRaw.select(col("doc_id"),
-      posexplode(split(norm, " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val sh = toks
-      .select(col("doc_id"), col("pos"),
-        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"),
-        col("tok"))
-      // short docs (<3 tokens) keep their pos=0 partial shingle:
-      // concat_ws skips the null leads, degrading to the whole text
-      .where(col("t2").isNotNull || col("pos") === 0)
+  def minhashSignatures(docsRaw: DataFrame, nHashes: Int = 32): DataFrame =
+    docsRaw.where(col("text").isNotNull) // null text → no signature row
       .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-    // one string hash per shingle; the nHashes "permutations" re-hash the
-    // 8-byte base under distinct seeds — far cheaper than hashing the
-    // shingle string 32×, and overflow-free under ANSI mode (a wrapping
-    // multiply-add family would throw ARITHMETIC_OVERFLOW there).
-    val withBase = sh.select(col("doc_id"), xxhash64(col("sh")).as("hb"))
-    val hashCols = (0 until nHashes).map(j =>
-      xxhash64(col("hb"), lit(j)).as(s"h$j"))
-    withBase.select(col("doc_id") +: hashCols: _*)
-      .groupBy("doc_id")
-      .agg(min(col("h0")).as("m0"),
-        (1 until nHashes).map(j => min(col(s"h$j")).as(s"m$j")): _*)
-      .select(col("doc_id"),
-        array((0 until nHashes).map(j => col(s"m$j")): _*).as("mh"))
-  }
+        graft.functions.MinHashSignature(norm, nHashes).as("mh"))
 
   /** Band keys: hash 4 consecutive minhashes per band (8 bands). */
   def bandKeys(mh: Column, nBands: Int = 8, rowsPerBand: Int = 4): Column =
@@ -75,6 +54,34 @@ object NearDup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / size(a)
 
+  /** Generic bucket-capped self-pairing: rows sharing `keys` pair up,
+    * except inside buckets larger than `maxBucket`, which are dropped
+    * whole (an uninformative bucket key, not evidence). Emits distinct
+    * (doc_id, nb_id) with doc_id != nb_id; only `idCol` rides the shuffle.
+    */
+  private def cappedBucketPairs(bucketed: DataFrame, keys: Seq[String],
+      idCol: String, maxBucket: Int): DataFrame = {
+    val kc = keys.map(col)
+    val okBuckets = bucketed.groupBy(kc: _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+      .select(kc: _*)
+    val pruned = bucketed.join(okBuckets, keys)
+    pruned
+      .join(pruned.select(kc :+ col(idCol).as("nb_id"): _*), keys)
+      .where(col(idCol) =!= col("nb_id"))
+      .select(col(idCol), col("nb_id")).distinct()
+  }
+
+  /** MinHash-LSH candidate pairs (band-bucket collisions), bucket-capped.
+    * Pair generation is on bare ids — the 32-hash payload must not ride
+    * the band shuffle.
+    */
+  def minhashCandidatePairs(docs: DataFrame, maxBucket: Int = 50): DataFrame = {
+    val banded = docs.select(col("doc_id"),
+      posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
+    cappedBucketPairs(banded, Seq("band", "key"), "doc_id", maxBucket)
+  }
+
   /** MinHash-LSH near-dup report: per document, the candidate (band-bucket
     * collision) count and the best-estimated-Jaccard neighbor. Every doc
     * emits a row (left join), so the result is rows-stable even on a
@@ -83,27 +90,10 @@ object NearDup {
   def minhashLsh(s: SparkSession, dir: String,
       maxBucket: Int = 50): DataFrame = {
     // Cached because reused three times (banding + both sides of the
-    // agreement join) and because the cache boundary keeps band-key
-    // element_at lookups from inlining the signature expression. 32 longs
-    // per doc — trivial at any corpus scale; spills to disk if not.
-    val docs = minhashSignatures(Tables.documents(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Pair on bare ids — the 32-hash payload must not ride the band
-    // shuffle, and a (band,key) bucket larger than `maxBucket` marks an
-    // uninformative signature (stop-shingle), so it is dropped rather
-    // than allowed to go quadratic. This keeps candidate generation
-    // ~linear in corpus size whatever the corpus looks like.
-    val banded = docs.select(col("doc_id"),
-      posexplode(bandKeys(col("mh"))).as(Seq("band", "key")))
-    val okBuckets = banded.groupBy("band", "key")
-      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
-      .select(col("band"), col("key"))
-    val pruned = banded.join(okBuckets, Seq("band", "key"))
-    val pairs = pruned
-      .join(pruned.select(col("band"), col("key"), col("doc_id").as("nb_id")),
-        Seq("band", "key"))
-      .where(col("doc_id") =!= col("nb_id"))
-      .select(col("doc_id"), col("nb_id")).distinct()
+    // agreement join). 32 longs per doc — trivial at any corpus scale;
+    // spills to disk if not.
+    val docs = minhashSignatures(Tables.documents(s, dir)).persist(mem)
+    val pairs = minhashCandidatePairs(docs, maxBucket)
     val cand = pairs
       .join(docs, Seq("doc_id"))
       .join(docs.select(col("doc_id").as("nb_id"), col("mh").as("nb_mh")),
@@ -121,42 +111,43 @@ object NearDup {
       .na.fill(0L, Seq("n_candidates"))
   }
 
-  /** 64-bit SimHash over canonical tokens: bit j is the sign of the
-    * token-count-weighted sum of hash-bit j.
+  /** 64-bit SimHash per doc via the single-pass codegen'd expression
+    * (graft.functions.SimHash64): a pure map — the old dataflow version
+    * (explode → count per token → 64 conditional sums) pushed every token
+    * through two aggregation exchanges and was the most variance-prone
+    * query in the bench.
     */
-  def simhashDf(s: SparkSession, dir: String): DataFrame = {
-    val tokens = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(norm, " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$j")
-    }
-    tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+  def simhashDf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(col("text").isNotNull) // null text → no signature row
+      .select(col("doc_id"), graft.functions.SimHash64(norm).as("simhash"))
 
-  /** SimHash near-dup report: candidates share one of four 16-bit chunks
-    * (any pair within Hamming distance 3 must collide on ≥1 chunk);
-    * nearest by Hamming distance via bit_count(xor).
+  /** SimHash 16-bit-chunk candidate pairs (any pair within Hamming
+    * distance 3 must collide on ≥1 of the 4 chunks), bucket-capped: a
+    * chunk value shared by more than `maxBucket` docs is a degenerate
+    * signature region (e.g. boilerplate-dominated corpora) and is dropped
+    * rather than allowed to go quadratic.
     */
-  def simhashReport(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhashDf(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+  def simhashCandidatePairs(sh: DataFrame, maxBucket: Int = 50): DataFrame = {
+    val chunked = sh.select(col("doc_id"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "ckey")))
-    val right = chunked.select(col("chunk"), col("ckey"),
-      col("doc_id").as("nb_id"), col("simhash").as("nb_simhash"))
-    val cand = chunked.join(right, Seq("chunk", "ckey"))
-      .where(col("doc_id") =!= col("nb_id"))
+    cappedBucketPairs(chunked, Seq("chunk", "ckey"), "doc_id", maxBucket)
+  }
+
+  /** SimHash near-dup report: nearest candidate by Hamming distance via
+    * bit_count(xor); every doc emits a row (left join).
+    */
+  def simhashReport(s: SparkSession, dir: String,
+      maxBucket: Int = 50): DataFrame = {
+    val sh = simhashDf(s, dir).persist(mem)
+    val cand = simhashCandidatePairs(sh, maxBucket)
+      .join(sh, Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("nb_id"), col("simhash").as("nb_simhash")),
+        Seq("nb_id"))
       .select(col("doc_id"), col("nb_id"),
         bit_count(col("simhash").bitwiseXOR(col("nb_simhash"))).as("hamming"))
-      .distinct()
     val w = Window.partitionBy("doc_id").orderBy(col("hamming").asc, col("nb_id").asc)
     val best = cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("doc_id"), col("nb_id").as("nn_id"), col("hamming").as("nn_hamming"))
@@ -171,11 +162,14 @@ object NearDup {
           i => c.substr(i + 1, lit(3)))))
 
   /** Exact n-gram Jaccard inside deterministic (lang, source) buckets —
-    * small enough to pair exhaustively, expressible in vanilla SQL, so
-    * the oracle checks the full similarity arithmetic.
+    * expressible in vanilla SQL, so the oracle checks the full similarity
+    * arithmetic. Buckets above `maxBucket` docs are dropped whole (the
+    * guard is mirrored in the oracle SQL): exhaustive in-bucket pairing is
+    * only sound when the bucketing key keeps buckets small, and at 100 TB
+    * an uncapped bucket is an O(n²) stall, not a result.
     */
   def ngramJaccardPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.15): DataFrame = {
+      threshold: Double = 0.15, maxBucket: Int = 500): DataFrame = {
     // Two-stage with a persist barrier: the canonical text must be a
     // materialized attribute before the trigram lambda slices it —
     // inlined, the normalize regex would re-run per trigram element
@@ -191,16 +185,19 @@ object NearDup {
     //  2. g  — the trigram HOF is CodegenFallback, and ONE non-codegen
     //     expression de-codegens its whole stage; materializing the
     //     arrays keeps the join+intersect stage in whole-stage codegen.
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), norm.as("nt"))
       .persist(mem)
       .select(col("doc_id"), col("lang"), col("source"),
         array_sort(transform(charTrigrams(col("nt")), t => xxhash64(t))).as("g"))
       .persist(mem)
-    val r = d.select(col("lang"), col("source"),
+    val okBuckets = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+      .select(col("lang"), col("source"))
+    val db = d.join(okBuckets, Seq("lang", "source"))
+    val r = db.select(col("lang"), col("source"),
       col("doc_id").as("nb_id"), col("g").as("nb_g"))
-    d.join(r, Seq("lang", "source"))
+    db.join(r, Seq("lang", "source"))
       .where(col("doc_id") < col("nb_id"))
       .select(col("lang"), col("source"), col("doc_id"), col("nb_id"),
         graft.functions.SortedIntersectCount(col("g"), col("nb_g"))
@@ -210,4 +207,36 @@ object NearDup {
         (col("__i") / (col("__a") + col("__b") - col("__i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Recall property check, oracle-checkable: every exact trigram-Jaccard
+    * pair at `threshold` (the hash-green ngramJaccardPairs arithmetic)
+    * must appear among this family's LSH candidate pairs. Returns ONE row
+    * (n_exact_pairs, n_violations); the external oracle computes the
+    * exact-pair count in SQL and asserts violations = 0 — turning the
+    * "are the candidates any good?" question into a checked query instead
+    * of a rows-only smoke test.
+    */
+  private def recallCheck(exact: DataFrame, candidates: DataFrame): DataFrame = {
+    val exactPairs = exact.select(col("doc_id"), col("nb_id"))
+    val canon = candidates.select(
+      least(col("doc_id"), col("nb_id")).as("doc_id"),
+      greatest(col("doc_id"), col("nb_id")).as("nb_id")).distinct()
+    val missed = exactPairs.join(canon, Seq("doc_id", "nb_id"), "left_anti")
+    exactPairs.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(missed.agg(count(lit(1)).as("n_violations")))
+  }
+
+  /** MinHash-LSH recall vs exact trigram Jaccard ≥ `threshold`. */
+  def minhashRecallCheck(s: SparkSession, dir: String,
+      threshold: Double = 0.8, maxBucket: Int = 50): DataFrame = {
+    val docs = minhashSignatures(Tables.documents(s, dir)).persist(mem)
+    recallCheck(ngramJaccardPairs(s, dir, threshold),
+      minhashCandidatePairs(docs, maxBucket))
+  }
+
+  /** SimHash chunk-collision recall vs exact trigram Jaccard ≥ `threshold`. */
+  def simhashRecallCheck(s: SparkSession, dir: String,
+      threshold: Double = 0.8, maxBucket: Int = 50): DataFrame =
+    recallCheck(ngramJaccardPairs(s, dir, threshold),
+      simhashCandidatePairs(simhashDf(s, dir).persist(mem), maxBucket))
 }
