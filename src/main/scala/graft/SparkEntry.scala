@@ -315,6 +315,44 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB CTE chain shared by the ngram-Jaccard oracles: normalize →
+    * distinct char trigrams (`d`) → drop (lang, source) buckets larger
+    * than 500 docs (`db`), mirroring NearDup.ngramJaccardPairs' bucket
+    * cap. The Spark side intersects xxhash64'd trigrams; the oracle
+    * intersects the strings directly — counts agree (64-bit collision
+    * inside one doc's ~300-trigram set is ~1e-15).
+    */
+  private val NgramCappedCtes =
+    """d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(CASE WHEN length(nt) < 3 THEN [nt]
+      |      ELSE list_transform(range(0, length(nt) - 2),
+      |                          i -> substring(nt, i + 1, 3)) END) AS g
+      |  FROM (SELECT doc_id, lang, source,
+      |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |        FROM documents)
+      |), ok AS (
+      |  SELECT lang, source FROM d GROUP BY lang, source
+      |  HAVING count(*) <= 500
+      |), db AS (
+      |  SELECT d.* FROM d JOIN ok USING (lang, source)
+      |)""".stripMargin
+
+  /** One-row recall property oracle: `n_exact_pairs` recomputes the exact
+    * trigram-Jaccard >= 0.8 pair count from the same capped CTEs (the
+    * quantity NearDup.recallCheck reports), and `n_violations` is the
+    * literal 0 the Spark side must match — every exact near-dup pair must
+    * appear among the LSH candidates.
+    */
+  private val RecallOracleSql =
+    s"""WITH $NgramCappedCtes
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       |       CAST(0 AS BIGINT) AS n_violations
+       |FROM db a JOIN db b ON a.lang = b.lang AND a.source = b.source
+       |                   AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
