@@ -338,6 +338,48 @@ object SparkEntry {
       |  SELECT d.* FROM d JOIN ok USING (lang, source)
       |)""".stripMargin
 
+  /** The LSH hyperplanes inlined as DuckDB DOUBLE[] literals. The planes
+    * are a deterministic LCG stream (Similarity.planes — no RNG at
+    * runtime), and Scala's Double.toString is the shortest round-trip
+    * representation, so DuckDB parses back bit-identical doubles and the
+    * oracle can recompute the exact same signatures the Spark side does.
+    */
+  private val LshSigSqlExpr: String =
+    Similarity.planes(12, 64).zipWithIndex.map { case (p, j) =>
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(emb, $arr) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", "\n     + ", ")")
+
+  /** Shared CTE chain for the LSH-bucketed ANN oracles: signature per
+    * vector (the literal-planes sign-dot above), buckets capped at 50
+    * (mirroring Similarity.lshNearestInBucket), exact in-bucket rerank,
+    * best neighbor per vector with the (cos desc, id asc) tiebreak.
+    */
+  private val AnnLshCtes =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), sig AS (
+       |  SELECT vec_id, emb,
+       |    CAST($LshSigSqlExpr AS BIGINT) AS bucket
+       |  FROM e
+       |), ok AS (
+       |  SELECT bucket FROM sig GROUP BY bucket HAVING count(*) <= 50
+       |), pr AS (
+       |  SELECT s.* FROM sig s JOIN ok USING (bucket)
+       |), pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS nb_id,
+       |    round(list_dot_product(a.emb, b.emb)
+       |          / sqrt(list_dot_product(a.emb, a.emb)
+       |               * list_dot_product(b.emb, b.emb)), 6) AS cos_sim
+       |  FROM pr a JOIN pr b USING (bucket)
+       |  WHERE a.vec_id <> b.vec_id
+       |), best AS (
+       |  SELECT vec_id, nb_id AS nn_id, cos_sim AS nn_cos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cos_sim DESC, nb_id ASC) AS rn FROM pairs)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
   /** One-row recall property oracle: `n_exact_pairs` recomputes the exact
     * trigram-Jaccard >= 0.8 pair count from the same capped CTEs (the
     * quantity NearDup.recallCheck reports), and `n_violations` is the
@@ -705,6 +747,64 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
         |WHERE rank <= 10""".stripMargin,
+
+    // IVF end-to-end: DECIMAL-exact centroid training (the same arithmetic
+    // as sim_label_centroid, then float-cast like the Spark side), probe
+    // selection on rounded centroid cosine with the label tiebreak, exact
+    // rerank within the nprobe=2 probed cells.
+    "sim_ivf_topk" ->
+      """WITH un AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings
+        |), cc AS (
+        |  SELECT label, pos,
+        |    CAST(round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+        |               / count(*), 6) AS FLOAT) AS c
+        |  FROM un GROUP BY label, pos
+        |), cent AS (
+        |  SELECT label, CAST(list(c ORDER BY pos) AS DOUBLE[]) AS centroid
+        |  FROM cc GROUP BY label
+        |), q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5
+        |), probes AS (
+        |  SELECT qid, qe, label FROM (
+        |    SELECT qid, qe, label,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        round(list_dot_product(qe, centroid)
+        |              / sqrt(list_dot_product(qe, qe)
+        |                   * list_dot_product(centroid, centroid)), 6) DESC,
+        |        label ASC) AS pr
+        |    FROM q CROSS JOIN cent)
+        |  WHERE pr <= 2
+        |), scored AS (
+        |  SELECT p.qid, p.label, e.vec_id,
+        |    round(list_dot_product(p.qe, CAST(e.embedding AS DOUBLE[]))
+        |          / sqrt(list_dot_product(p.qe, p.qe)
+        |               * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                  CAST(e.embedding AS DOUBLE[]))), 6) AS cos_sim
+        |  FROM probes p JOIN embeddings e USING (label)
+        |  WHERE e.vec_id <> p.qid
+        |)
+        |SELECT qid, label, vec_id, cos_sim, rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    // LSH ANN end-to-end: the oracle recomputes the hyperplane signatures
+    // from the literal plane values, applies the same <=50 bucket cap,
+    // and reranks exactly in-bucket.
+    "sim_ann_lsh" ->
+      s"""WITH $AnnLshCtes
+         |SELECT s.vec_id, s.bucket, b.nn_id, b.nn_cos
+         |FROM sig s LEFT JOIN best b ON s.vec_id = b.vec_id""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH $AnnLshCtes
+         |SELECT s.vec_id, s.bucket, b.nn_id, b.nn_cos,
+         |       coalesce(b.nn_cos >= 0.95, false) AS is_dup
+         |FROM sig s LEFT JOIN best b ON s.vec_id = b.vec_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

@@ -72,8 +72,19 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(next()))
   }
 
-  /** Signature column: bit j = sign of <embedding, plane_j>. */
+  /** Signature column: bit j = sign of <embedding, plane_j>, via the
+    * single-pass codegen'd expression (graft.functions.LshSignature). The
+    * HOF formulation below is the portable baseline it must match
+    * bit-for-bit (asserted in SimilaritySpec).
+    */
   def lshSignature(emb: Column, ps: Seq[Seq[Double]]): Column =
+    graft.functions.LshSignature(emb, ps)
+
+  /** Portable HOF signature (interpreted; equivalence baseline only — it
+    * runs nPlanes CodegenFallback folds per row and de-codegens its
+    * stage, the round-1 interpreted-projection trap).
+    */
+  def lshSignatureHof(emb: Column, ps: Seq[Seq[Double]]): Column =
     ps.zipWithIndex.map { case (p, j) =>
       when(dotDouble(emb, typedlit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

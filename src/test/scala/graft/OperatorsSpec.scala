@@ -48,6 +48,17 @@ class OperatorsSpec extends SparkSuite {
     assert(rows.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
   }
 
+  test("LshSignature expression == HOF signature bit-for-bit on real embeddings") {
+    val ps = Similarity.planes(12, 64)
+    val emb = graft.model.Tables.embeddings(spark, sf("sf0.001"))
+    val both = emb.select(col("vec_id"),
+      Similarity.lshSignature(col("embedding"), ps).as("expr_sig"),
+      Similarity.lshSignatureHof(col("embedding"), ps).as("hof_sig"))
+    assert(both.where(col("expr_sig") =!= col("hof_sig")).count() == 0)
+    // signatures spread across buckets (planes actually separate vectors)
+    assert(both.select(col("expr_sig")).distinct().count() > 1)
+  }
+
   test("minhash signatures: identical texts collide, disjoint texts do not") {
     import spark.implicits._
     val docs = Seq(
