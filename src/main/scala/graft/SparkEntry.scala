@@ -117,6 +117,15 @@ object SparkEntry {
           Seq(col("timestamp"), col("event_id")))
         .select(col("ccy_couple"), col("date"), col("rate"), col("event_time"))),
 
+    // §1.4 OHLC extension: daily bars, one hash agg (min_by/max_by)
+    "fx_ohlc_bars" -> ((s, dir) => RateAnalysis.ohlcBars(rates(s, dir))),
+
+    // §2.10 streaming replay: rates driven through the real Structured
+    // Streaming file source + foreachBatch LWW merge; must converge to
+    // the one-shot batch upsert (batching-order independent)
+    "stream_replay_upsert" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayUpsert(s, dir)),
+
     // K2: insert-if-absent (left-anti against existing key set)
     "fx_insert_if_absent" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -474,6 +483,31 @@ object SparkEntry {
          |FROM latest2 l LEFT JOIN prev2 p USING (ccy_couple)""".stripMargin,
 
     "fx_upsert_latest" ->
+      s"""WITH $RatesCte
+         |SELECT ccy_couple, date, rate, event_time
+         |FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |        ORDER BY "timestamp" DESC, event_id DESC) AS rn FROM rates)
+         |WHERE rn = 1""".stripMargin,
+
+    "fx_ohlc_bars" ->
+      s"""WITH $RatesCte, w AS (
+         |  SELECT ccy_couple, date, rate,
+         |    row_number() OVER (PARTITION BY ccy_couple, date
+         |      ORDER BY event_time ASC, event_id ASC) AS rn_a,
+         |    row_number() OVER (PARTITION BY ccy_couple, date
+         |      ORDER BY event_time DESC, event_id DESC) AS rn_d
+         |  FROM rates
+         |)
+         |SELECT ccy_couple, date,
+         |  max(CASE WHEN rn_a = 1 THEN rate END) AS open,
+         |  max(rate) AS high, min(rate) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN rate END) AS close,
+         |  count(*) AS n_ticks
+         |FROM w GROUP BY ccy_couple, date""".stripMargin,
+
+    // identical target state to fx_upsert_latest: the streaming replay
+    // must converge to the one-shot LWW upsert
+    "stream_replay_upsert" ->
       s"""WITH $RatesCte
          |SELECT ccy_couple, date, rate, event_time
          |FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date

@@ -259,4 +259,21 @@ object RateAnalysis {
       .select(col("ccy_couple"), col("current_rate"),
         pctChangeLabel(col("current_rate"), col("previous_rate")).as("rate_change"))
   }
+
+  /** OHLC daily bars (SURVEY §1.4: the reference discards open/high/low —
+    * modeled here as the standard time-series bar aggregation). Per
+    * (ccy_couple, date): first/max/min/last rate ordered by (event_time,
+    * event_id) — the unique tiebreak makes every bar deterministic. ONE
+    * hash aggregation: min_by/max_by carry (value, ordering) pairs through
+    * partial aggregation, so there is no window sort and the shuffle moves
+    * one combined row per (pair, day) per map task, not the tick stream.
+    */
+  def ohlcBars(rates: DataFrame): DataFrame =
+    rates.groupBy(col("ccy_couple"), col("date"))
+      .agg(
+        min_by(col("rate"), struct(col("event_time"), col("event_id"))).as("open"),
+        max(col("rate")).as("high"),
+        min(col("rate")).as("low"),
+        max_by(col("rate"), struct(col("event_time"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_ticks"))
 }
