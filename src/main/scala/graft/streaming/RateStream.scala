@@ -19,8 +19,10 @@ import graft.ingest.MergeOps
   */
 object RateStream {
 
-  case class RateUpdate(ccy_couple: String, event_time: Long, rate: Double)
-  case class LatestRate(ccy_couple: String, event_time: Long, rate: Double)
+  case class RateUpdate(ccy_couple: String, event_time: Long, rate: Double,
+      event_id: Long)
+  case class LatestRate(ccy_couple: String, event_time: Long, rate: Double,
+      event_id: Long)
 
   /** K1 streaming form: exactly-once-per-key within the watermark via
     * dropDuplicates on the natural key (Fx_1min.py:103-110's unique key).
@@ -30,26 +32,20 @@ object RateStream {
     parsed.withWatermark(tsCol, watermark)
       .dropDuplicates("ccy_couple", "date")
 
-  /** foreachBatch merge sink: each micro-batch upserts into a parquet
-    * target with last-writer-wins on `keys`. The existing table is
-    * materialized before overwrite (cache + count) so the read and the
-    * rewrite never race; at warehouse scale this step is a transactional
-    * table-format commit instead, but the merge RELATION is the same
-    * MergeOps.merge plan.
+  /** foreachBatch merge sink: each micro-batch upserts into a
+    * date-partitioned parquet target with last-writer-wins on `keys`.
+    * The merge is PARTITION-SCOPED (MergeOps.mergeIntoDatePartitioned):
+    * only the date partitions the batch touches are read, merged, and
+    * dynamically overwritten — per-batch cost is O(touched days), never
+    * O(table). That matches the reference's minutely upsert, which only
+    * ever touches ~one day's keys per run (Fx_1min.py:93-125); the
+    * previous full-table-rewrite design was the one remaining O(table)
+    * cost on the ingest hot path at warehouse scale.
     */
   def mergeBatchWriter(target: String, keys: Seq[String],
       orderCol: String): (DataFrame, Long) => Unit = { (batch, _) =>
-    val spark = batch.sparkSession
-    val merged =
-      if (new java.io.File(target).exists()) {
-        val existing = spark.read.parquet(target)
-        MergeOps.merge(existing, batch.select(existing.columns.map(col): _*),
-          keys, Seq(col(orderCol)))
-      } else batch
-    val materialized = merged.cache()
-    materialized.count()
-    materialized.write.mode("overwrite").parquet(target)
-    materialized.unpersist()
+    MergeOps.mergeIntoDatePartitioned(target, batch, keys,
+      Seq(col(orderCol)), dateCol = "date")
   }
 
   /** S1 streaming stand-in: a file-drop directory of `<BASE>_<TARGET>.json`
@@ -121,8 +117,13 @@ object RateStream {
 
   /** Stateful latest-rate-per-pair (the ActiveRates/LatestRates semantics
     * as explicit keyed state): emits an update whenever a pair's newest
-    * event time advances. flatMapGroupsWithState keeps one (event_time,
-    * rate) per key — constant state per pair, any number of pairs.
+    * (event_time, event_id) advances. flatMapGroupsWithState keeps one
+    * (event_time, rate, event_id) per key — constant state per pair, any
+    * number of pairs. The event_id tiebreak makes the final state the
+    * same total-order argmax the batch window (ORDER BY event_time DESC,
+    * event_id DESC) computes, REGARDLESS of how rows are batched — which
+    * is what lets StreamReplay oracle-check this operator against the
+    * batch SQL instead of leaving it spec-only.
     */
   def latestPerPair(updates: Dataset[RateUpdate]): Dataset[LatestRate] = {
     import updates.sparkSession.implicits._
@@ -130,11 +131,12 @@ object RateStream {
       .flatMapGroupsWithState[LatestRate, LatestRate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[RateUpdate], state: GroupState[LatestRate]) =>
-          val incoming = rows.maxByOption(r => (r.event_time, r.rate))
+          val incoming = rows.maxByOption(r => (r.event_time, r.event_id))
           val current = state.getOption
           incoming match {
-            case Some(r) if current.forall(_.event_time < r.event_time) =>
-              val next = LatestRate(key, r.event_time, r.rate)
+            case Some(r) if current.forall(c => c.event_time < r.event_time ||
+                (c.event_time == r.event_time && c.event_id < r.event_id)) =>
+              val next = LatestRate(key, r.event_time, r.rate, r.event_id)
               state.update(next)
               Iterator.single(next)
             case _ => Iterator.empty

@@ -1,43 +1,60 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.ingest.MergeOps
 import graft.model.Tables
+import graft.util.Scratch
 
-/** Oracle-checkable replay of the streaming ingest pipeline (SURVEY §2.10):
+/** Oracle-checkable replays of the streaming pipelines (SURVEY §2.10):
   * the rates feed is split into micro-batch files and driven through the
-  * REAL Structured Streaming engine — file source → foreachBatch
-  * last-writer-wins merge — and the final merged table must hash-match the
-  * one-shot batch upsert oracle.
+  * REAL Structured Streaming engine; the final result must hash-match a
+  * one-shot batch oracle.
   *
-  * Why this is a fair check: the merge ordering (timestamp, event_id) is a
-  * total order, so sequential per-batch LWW merging converges to the global
-  * argmax REGARDLESS of how rows are batched or which order the files are
-  * picked up in. That makes the streaming path's result deterministic and
-  * lets the DuckDB gate verify the foreachBatch machinery end-to-end,
-  * instead of leaving streaming as spec-only coverage.
+  * Why this is a fair check: both replayed operators resolve to a per-key
+  * argmax under the TOTAL order (event ordering with an id tiebreak), so
+  * sequential per-batch processing converges to the global argmax
+  * REGARDLESS of how rows are batched or which order the files are picked
+  * up in. That makes the streaming paths' results deterministic and lets
+  * the DuckDB gate verify the streaming machinery end-to-end, instead of
+  * leaving streaming as spec-only coverage.
+  *
+  * All scratch trees (feed, table, checkpoint) are Scratch dirs — deleted
+  * at JVM exit, so repeated gate/bench invocations don't leak parquet.
   */
 object StreamReplay {
 
+  private val sinkId = new AtomicLong(0)
+
   /** Split rates into `nBatches` parquet files, stream them back one file
-    * per micro-batch, merge each batch into a parquet target with
-    * last-writer-wins on (ccy_couple, date), and return the final table.
-    * The round-robin split is arbitrary on purpose — the result must not
-    * depend on it.
+    * per micro-batch, merge each batch into a DATE-PARTITIONED parquet
+    * target with last-writer-wins on (ccy_couple, date), and return the
+    * final table. Each micro-batch merge is partition-scoped
+    * (MergeOps.mergeIntoDatePartitioned): only the days present in the
+    * batch are read and rewritten — O(touched days) per batch, the shape
+    * that survives a 100 TB history.
+    *
+    * The feed is split by time RANGE, so each micro-batch spans a
+    * contiguous slice of days — the arrival pattern the reference's
+    * minutely job actually has (each run upserts ~one day's keys,
+    * Fx_1min.py:93-125) and the one partition scoping exists for. The
+    * merge itself is split-agnostic: LWW under the (timestamp, event_id)
+    * total order converges to the same table under ANY batching
+    * (MergeOpsSpec replays out-of-order and stale re-deliveries).
     */
   def replayUpsert(s: SparkSession, dir: String, nBatches: Int = 4): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_stream_replay")
+    val tmp = Scratch.dir("graft_stream_replay")
     val feed = tmp.resolve("feed").toString
     val target = tmp.resolve("table").toString
     val checkpoint = tmp.resolve("chk").toString
 
     val rates = Tables.rates(s, dir)
-    rates.repartition(nBatches).write.mode("overwrite").parquet(feed)
+    rates.repartitionByRange(nBatches, col("date"), col("event_id"))
+      .write.mode("overwrite").parquet(feed)
 
     val keys = Seq("ccy_couple", "date")
     val ordering = Seq(col("timestamp"), col("event_id"))
@@ -50,23 +67,63 @@ object StreamReplay {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val merged =
-          if (new java.io.File(target).exists()) {
-            val existing = spark.read.parquet(target)
-            MergeOps.merge(existing, batch.select(existing.columns.map(col): _*),
-              keys, ordering)
-          } else MergeOps.upsertLatest(batch, keys, ordering)
-        // materialize before overwrite so the read never races the rewrite
-        // (at warehouse scale this is a transactional table-format commit)
-        val m = merged.cache(); m.count()
-        m.write.mode("overwrite").parquet(target)
-        m.unpersist(); ()
+        MergeOps.mergeIntoDatePartitioned(target, batch, keys, ordering)
       }
       .start()
     query.awaitTermination()
 
     s.read.parquet(target)
       .select(col("ccy_couple"), col("date"), col("rate"), col("event_time"))
+  }
+
+  /** Replay of the STATEFUL streaming operator (RateStream.latestPerPair,
+    * flatMapGroupsWithState): rates stream in file micro-batches through
+    * the real state store; every state advance is emitted to a memory
+    * sink; the per-key argmax over emissions is the final state, which
+    * must hash-match the batch latest-per-pair SQL. The global-argmax row
+    * always strictly advances the state when it arrives, so it is always
+    * emitted and the aggregate is batching-order independent.
+    *
+    * The memory sink holds emissions on the driver — bounded by the
+    * number of state ADVANCES (≤ rows, ~#pairs × #batches in practice),
+    * fine for a replay harness; the production sink is foreachBatch.
+    * The small final result is materialized and the sink view dropped so
+    * repeated bench invocations don't accumulate driver memory.
+    */
+  def replayLatestPerPair(s: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_latest_replay")
+    val feed = tmp.resolve("feed").toString
+    val checkpoint = tmp.resolve("chk").toString
+
+    val updates = Tables.rates(s, dir)
+      .select(col("ccy_couple"), col("event_time"), col("rate"), col("event_id"))
+    updates.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    val name = s"graft_latest_replay_sink_${sinkId.incrementAndGet()}"
+    val stream = s.readStream
+      .schema(updates.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .as[RateStream.RateUpdate]
+    val query = RateStream.latestPerPair(stream)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    val finalRows = s.table(name)
+      .groupBy(col("ccy_couple"))
+      .agg(max_by(struct(col("event_time"), col("rate"), col("event_id")),
+        struct(col("event_time"), col("event_id"))).as("m"))
+      .select(col("ccy_couple"), col("m.event_time").as("event_time"),
+        col("m.rate").as("rate"), col("m.event_id").as("event_id"))
+      .as[RateStream.LatestRate].collect() // one row per pair — tiny
+    s.catalog.dropTempView(name)
+    s.createDataset(finalRows.toSeq).toDF()
+      .select(col("ccy_couple"), col("event_time"), col("rate"), col("event_id"))
   }
 }

@@ -226,17 +226,47 @@ object NearDup {
       .crossJoin(missed.agg(count(lit(1)).as("n_violations")))
   }
 
+  /** ngramJaccardPairs, materialized ONCE per (dir, threshold, cap) to a
+    * scratch parquet file and re-read from there: the exact-pair relation
+    * anchors BOTH LSH recall oracles, so the second check reuses the
+    * first's materialization instead of re-running the whole trigram
+    * pipeline (~3s of duplicated work per gate run).
+    *
+    * Parquet-backed on purpose, NOT `.persist`: a persisted DataFrame
+    * held across queries is a trap — after `spark.catalog.clearCache()`
+    * (which Bench runs between queries) re-scanning the captured
+    * InMemoryRelation re-materializes the whole nested cache tree ~10×
+    * slower than planning fresh (measured 45s vs 3.5s at sf0.1; cached
+    * plans also forgo AQE re-optimization). A tiny parquet file of the
+    * final pairs has none of those failure modes, and the relation is
+    * deterministic so staleness cannot arise. coalesce(1) guarantees a
+    * schema-bearing file even when zero pairs clear the threshold.
+    */
+  private val exactPairsPaths =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double, Int), String]()
+
+  def ngramJaccardPairsCached(s: SparkSession, dir: String,
+      threshold: Double, maxBucket: Int = 500): DataFrame = {
+    val path = exactPairsPaths.computeIfAbsent((dir, threshold, maxBucket), _ => {
+      val p = graft.util.Scratch.dir("graft_exact_pairs").resolve("pairs").toString
+      ngramJaccardPairs(s, dir, threshold, maxBucket)
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** MinHash-LSH recall vs exact trigram Jaccard ≥ `threshold`. */
   def minhashRecallCheck(s: SparkSession, dir: String,
       threshold: Double = 0.8, maxBucket: Int = 50): DataFrame = {
     val docs = minhashSignatures(Tables.documents(s, dir)).persist(mem)
-    recallCheck(ngramJaccardPairs(s, dir, threshold),
+    recallCheck(ngramJaccardPairsCached(s, dir, threshold),
       minhashCandidatePairs(docs, maxBucket))
   }
 
   /** SimHash chunk-collision recall vs exact trigram Jaccard ≥ `threshold`. */
   def simhashRecallCheck(s: SparkSession, dir: String,
       threshold: Double = 0.8, maxBucket: Int = 50): DataFrame =
-    recallCheck(ngramJaccardPairs(s, dir, threshold),
+    recallCheck(ngramJaccardPairsCached(s, dir, threshold),
       simhashCandidatePairs(simhashDf(s, dir).persist(mem), maxBucket))
 }

@@ -1,0 +1,38 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.mutable
+
+/** JVM-lifetime scratch directories for operators that need a filesystem
+  * target (streaming merge targets, partitioned-layout demos). Every
+  * directory handed out here is deleted by a single shutdown hook, so
+  * repeated gate/bench invocations cannot accumulate leaked parquet trees
+  * (each stream replay previously leaked a full copy of its feed + table
+  * + checkpoint per run).
+  */
+object Scratch {
+
+  private val registered = mutable.ArrayBuffer.empty[Path]
+
+  private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => registered.synchronized {
+      registered.foreach(deleteRecursively)
+    }, "graft-scratch-cleanup"))
+
+  /** A fresh temp directory, deleted (recursively) at JVM exit. */
+  def dir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    registered.synchronized { hook; registered += p }
+    p
+  }
+
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+}

@@ -76,4 +76,20 @@ class FunctionsSpec extends SparkSuite {
     assert(rows.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
       .forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
+
+  test("mm_features pins the decoded feature vector to a driver-side stub run") {
+    val dir = sf("sf0.001")
+    val row = Multimodal.featureTable(spark, dir)
+      .where(col("doc_id") === 0).collect().head
+    // recompute doc 0's feature sum OFF Spark: same stub, driver-side
+    val text = graft.model.Tables.documents(spark, dir)
+      .where(col("doc_id") === 0).select(col("text")).collect().head.getString(0)
+    val rec = Multimodal.MediaRecord(0L, "image", text.getBytes("UTF-8"))
+    val sum = Multimodal.stubDecode(rec).feature
+      .foldLeft(0.0)((acc, x) => acc + x.toDouble)
+    val expected = BigDecimal(sum)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[String]("kind") == "image") // doc_id 0 % 3 == 0
+    assert(row.getAs[Double]("feature_sum") == expected)
+  }
 }

@@ -39,6 +39,45 @@ class MergeOpsSpec extends SparkSuite {
     assert(new java.io.File(path).listFiles().count(_.getName.startsWith("p_date=")) == 4)
   }
 
+  test("partition-scoped merge rewrites ONLY the touched date partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("part_merge").toFile
+    val target = new java.io.File(dir, "rates").getAbsolutePath
+    def files(day: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(target, s"p_date=$day")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.lastModified(), f.length())).toMap
+    }
+
+    // batch 1: the Jan 10 + Jan 12 quotes
+    MergeOps.mergeIntoDatePartitioned(target,
+      fixture.where(col("event_id").isin(1, 2, 6, 10)), keys, ordering)
+    val jan10 = files("2024-01-10")
+    val jan12 = files("2024-01-12")
+    assert(jan10.nonEmpty && jan12.nonEmpty)
+
+    // batch 2 touches ONLY Jan 15/16 → the Jan 10/12 parquet files must
+    // be byte-for-byte untouched (same names, mtimes, sizes)
+    MergeOps.mergeIntoDatePartitioned(target,
+      fixture.where(col("event_id").isin(3, 4, 5, 7, 8, 9, 11)), keys, ordering)
+    assert(files("2024-01-10") == jan10)
+    assert(files("2024-01-12") == jan12)
+    assert(new java.io.File(target, "p_date=2024-01-16").exists())
+
+    // batch 3: a STALE re-delivery of the superseded (EUR/USD, Jan 16)
+    // quote — LWW must keep 1.16, and the old days stay untouched again
+    MergeOps.mergeIntoDatePartitioned(target,
+      fixture.where(col("event_id") === 4), keys, ordering)
+    assert(files("2024-01-10") == jan10)
+    assert(files("2024-01-12") == jan12)
+
+    val result = spark.read.parquet(target)
+    assert(result.count() == 10)
+    val eur16 = result.where(col("ccy_couple") === "EUR/USD" &&
+      col("date") === to_timestamp(lit("2024-01-16"))).collect().head
+    assert(eur16.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.16)
+  }
+
   test("insertIfAbsent drops rows whose key already exists") {
     val existing = fixture.where(col("event_id") <= 9)
     val incoming = fixture // superset: 2 JPY rows are genuinely new

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.PartitionedRates
+import graft.model.Tables
+
+/** The §7.2 layout claim, asserted on the plan: over the date-partitioned
+  * rates table, the day-granular cutoff is a PARTITION filter (directory
+  * pruning at planning time), and the pruned answer equals the
+  * row-filtered formulation exactly.
+  */
+class PartitionPruningSpec extends SparkSuite {
+
+  test("fx_partitioned_cutoff: cutoff predicate lands in PartitionFilters") {
+    val df = PartitionedRates.cutoffStats(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_date"),
+      s"expected a non-empty PartitionFilters on p_date in:\n$plan")
+    // the cutoff must NOT survive as a post-scan row filter — day
+    // granularity means pruning answers it completely
+    assert(!plan.contains("PushedFilters: [IsNotNull(p_date"),
+      "p_date must be a partition column, not a data column")
+  }
+
+  test("pruned cutoff stats equal the row-filtered formulation") {
+    val pruned = PartitionedRates.cutoffStats(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSet
+    val rowFiltered = Tables.rates(spark, sf("sf0.001"))
+      .where(col("date") <= lit("2024-01-20").cast("date"))
+      .groupBy(col("ccy_couple"))
+      .agg(count(lit(1)).as("n_ticks"),
+        max(col("rate")).as("max_rate"),
+        max(col("event_time")).as("max_event_time"))
+      .collect().map(_.toSeq).toSet
+    assert(pruned == rowFiltered)
+  }
+
+  test("scan reads strictly fewer partitions than exist (pruning fires)") {
+    val path = PartitionedRates.partitionedPath(spark, sf("sf0.001"))
+    val all = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("p_date="))
+    // the synthetic window spans ~30 days; the cutoff keeps days <= Jan 20
+    val kept = spark.read.parquet(path)
+      .where(col("p_date") <= lit("2024-01-20").cast("date"))
+      .select(col("p_date")).distinct().count()
+    assert(kept < all, s"cutoff kept $kept of $all partitions — nothing pruned")
+  }
+}

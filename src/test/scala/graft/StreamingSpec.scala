@@ -20,16 +20,16 @@ class StreamingSpec extends SparkSuite {
       .writeStream.format("memory").queryName("latest_out")
       .outputMode(OutputMode.Update).start()
     try {
-      input.addData(RateUpdate("EUR/USD", 100L, 1.10),
-        RateUpdate("EUR/USD", 200L, 1.12), RateUpdate("USD/JPY", 50L, 147.0))
+      input.addData(RateUpdate("EUR/USD", 100L, 1.10, 1L),
+        RateUpdate("EUR/USD", 200L, 1.12, 2L), RateUpdate("USD/JPY", 50L, 147.0, 3L))
       q.processAllAvailable()
       val afterB1 = spark.table("latest_out").collect()
       assert(afterB1.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ==
         Set(("EUR/USD", 200L, 1.12), ("USD/JPY", 50L, 147.0)))
 
       // late/stale update must NOT re-emit; a newer one must
-      input.addData(RateUpdate("EUR/USD", 150L, 1.11),
-        RateUpdate("USD/JPY", 60L, 147.5))
+      input.addData(RateUpdate("EUR/USD", 150L, 1.11, 4L),
+        RateUpdate("USD/JPY", 60L, 147.5, 5L))
       q.processAllAvailable()
       val all = spark.table("latest_out").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
@@ -167,6 +167,21 @@ class StreamingSpec extends SparkSuite {
         .collect().head
       assert(jan16.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.095)
     } finally q.stop()
+  }
+
+  test("stateful latest-per-pair replay converges to the batch argmax") {
+    import graft.model.Tables
+    import graft.streaming.StreamReplay
+    val streamed = StreamReplay.replayLatestPerPair(spark, sf("sf0.001"), nBatches = 3)
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ccy_couple")
+      .orderBy(col("event_time").desc, col("event_id").desc)
+    val batch = Tables.rates(spark, sf("sf0.001"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("ccy_couple"), col("event_time"), col("rate"), col("event_id"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
   }
 
   test("entry contract: flagship query returns rows; every oracle key is a query") {
