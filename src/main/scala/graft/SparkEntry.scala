@@ -315,6 +315,13 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, dir) => Similarity.lshNearestInBucket(s, dir)),
     // IVF search: probe nearest cells, rerank within (rows-only check)
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    // spherical k-means training (REAL trained IVF cells): deterministic
+    // seed + 2 Lloyd steps, decimal-exact means — the oracle replays the
+    // whole training loop
+    "sim_kmeans_cells" -> ((s, dir) => Similarity.kmeansCellsScalar(s, dir)),
+    // IVF search over the trained cells (assignment + probe + rerank,
+    // end-to-end reproducible)
+    "sim_ivf_kmeans_topk" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
     // embedding-cosine near-dup flags at 0.95 (rows-only check)
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     // rolling-hash document fingerprint (codegen'd; no SQL equivalent)
@@ -408,6 +415,54 @@ object SparkEntry {
        |          ORDER BY cos_sim DESC, nb_id ASC) AS rn FROM pairs)
        |  WHERE rn = 1
        |)""".stripMargin
+
+  /** DuckDB cosine with the same 6-dp pre-ranking rounding the engine
+    * uses (dot products are sequential folds in double on both sides, so
+    * the rounded values agree bitwise).
+    */
+  private def KmCos(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a)" +
+      s" * list_dot_product($b, $b)), 6)"
+
+  /** Unrolled spherical-k-means CTE chain mirroring
+    * Similarity.kmeansCentroids step for step: cent0 = the k lowest-id
+    * vectors; each iteration assigns to the max-cosine cell (6-dp
+    * rounding, cell-asc tiebreak) then recomputes DECIMAL-exact
+    * per-dimension means rounded to 6 dp and stored as FLOAT. Returns
+    * (CTE SQL, final-centroid CTE name, final component CTE name).
+    */
+  private def KmeansCtes(k: Int, iters: Int): (String, String, String) = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), cent0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cell, emb AS centroid
+         |  FROM e WHERE vec_id < $k
+         |)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""", a$i AS (
+           |  SELECT vec_id, emb, cell FROM (
+           |    SELECT e.vec_id, e.emb, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${KmCos("e.emb", "c.centroid")} DESC, c.cell ASC) AS rn
+           |    FROM e CROSS JOIN cent${i - 1} c)
+           |  WHERE rn = 1
+           |), cc$i AS (
+           |  SELECT cell, pos,
+           |    CAST(round(CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE)
+           |               / count(*), 6) AS FLOAT) AS c
+           |  FROM (SELECT cell, unnest(emb) AS v,
+           |          generate_subscripts(emb, 1) AS pos FROM a$i)
+           |  GROUP BY cell, pos
+           |), cent$i AS (
+           |  SELECT cell, CAST(list(c ORDER BY pos) AS DOUBLE[]) AS centroid
+           |  FROM cc$i GROUP BY cell
+           |)""".stripMargin)
+    }
+    (sb.toString, s"cent$iters", s"cc$iters")
+  }
 
   /** One-row recall property oracle: `n_exact_pairs` recomputes the exact
     * trigram-Jaccard >= 0.8 pair count from the same capped CTEs (the
@@ -862,6 +917,48 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
         |WHERE rank <= 5""".stripMargin,
+
+    // the full spherical-k-means training loop, replayed in SQL: the
+    // final per-cell per-dimension components must match exactly
+    "sim_kmeans_cells" -> {
+      val (ctes, _, ccFinal) = KmeansCtes(8, 2)
+      s"""WITH $ctes
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
+         |       CAST(c AS DOUBLE) AS c
+         |FROM $ccFinal""".stripMargin
+    },
+
+    // IVF over the trained cells: final assignment + probe selection +
+    // exact in-cell rerank, all replayed from the training CTEs
+    "sim_ivf_kmeans_topk" -> {
+      val (ctes, centFinal, _) = KmeansCtes(8, 2)
+      s"""WITH $ctes, af AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT e.vec_id, e.emb, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${KmCos("e.emb", "c.centroid")} DESC, c.cell ASC) AS rn
+         |    FROM e CROSS JOIN $centFinal c)
+         |  WHERE rn = 1
+         |), q AS (
+         |  SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5
+         |), probes AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT q.qid, q.qe, c.cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${KmCos("q.qe", "c.centroid")} DESC, c.cell ASC) AS pr
+         |    FROM q CROSS JOIN $centFinal c)
+         |  WHERE pr <= 2
+         |), scored AS (
+         |  SELECT p.qid, p.cell, a.vec_id,
+         |    ${KmCos("p.qe", "a.emb")} AS cos_sim
+         |  FROM probes p JOIN af a USING (cell)
+         |  WHERE a.vec_id <> p.qid
+         |)
+         |SELECT qid, CAST(cell AS BIGINT) AS cell, vec_id, cos_sim, rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    },
 
     // LSH ANN end-to-end: the oracle recomputes the hyperplane signatures
     // from the literal plane values, applies the same <=50 bucket cap,

@@ -144,6 +144,98 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** One spherical-k-means step: assign every vector to its max-cosine
+    * cell (6-dp rounding + cell-asc tiebreak make the argmax total and
+    * portable across engines), via a broadcast of the (cells × dim)
+    * centroid table — the corpus streams, nothing shuffles.
+    */
+  private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell").asc)
+    emb.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cosine(col("embedding"), col("centroid")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Spherical k-means training (REAL trained IVF cells, replacing the
+    * `label` stand-in): deterministic seeding (the k lowest-id vectors),
+    * then `iters` Lloyd steps of assign (broadcast centroids, max-cosine,
+    * tiebreak on cell) + update (per-dimension DECIMAL-exact mean,
+    * rounded to 6 dp, stored as float). Every step is bit-reproducible —
+    * decimal addition is associative-exact, so partial-aggregation order
+    * cannot perturb a centroid — which is what lets the DuckDB oracle
+    * replay the whole training loop and hash-match the result.
+    *
+    * The trained centroids are collected to the driver and re-emitted as
+    * a local relation: a centroid table is (cells × dim) BY DEFINITION —
+    * bounded however big the corpus — and truncating the iterative
+    * lineage here is the standard Spark shape for iterative ML (MLlib
+    * keeps centers on the driver between iterations too). Per iteration
+    * the corpus is scanned once; nothing but (cell, pos) partial sums
+    * ever shuffles.
+    */
+  def kmeansCentroids(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    var cent = emb.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    for (_ <- 1 to iters) {
+      cent = assignCells(emb, cent)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v").cast("double").cast("decimal(30,15)")).as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          round(col("sv").cast("double") / col("n"), 6).cast("float").as("c"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+      // truncate lineage between iterations: k × dim floats, bounded
+      val local = cent.as[(Int, Array[Float])].collect().toSeq
+      cent = s.createDataset(local).toDF("cell", "centroid")
+    }
+    cent
+  }
+
+  /** Trained cells as oracle-hashable scalar rows (cell, pos, component);
+    * the gate cannot sort/hash array columns.
+    */
+  def kmeansCellsScalar(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame =
+    kmeansCentroids(s, dir, k, iters)
+      .select(col("cell").cast("long").as("cell"),
+        posexplode(col("centroid")).as(Seq("pos", "c")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("pos"),
+        col("c").cast("double").as("c"))
+
+  /** IVF search over the TRAINED cells: index assignment with the final
+    * centroids, probe the nprobe best cells per query, exact rerank
+    * within probed cells only — the same recall/cost dial as ivfTopK but
+    * with cells the engine trained itself, end-to-end reproducible.
+    */
+  def ivfKmeansTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nprobe: Int = 2, cells: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cent = kmeansCentroids(s, dir, cells, iters)
+    val assigned = assignCells(emb, cent)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probeW = Window.partitionBy("qid").orderBy(col("c_sim").desc, col("cell").asc)
+    val probes = queries.join(broadcast(cent))
+      .select(col("qid"), col("qe"), col("cell"),
+        round(cosine(col("qe"), col("centroid")), 6).as("c_sim"))
+      .withColumn("pr", row_number().over(probeW)).where(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cell").cast("long").as("cell"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-dup view: each vector flagged against its best
     * LSH-bucket neighbor at a duplicate threshold.
     */
