@@ -306,6 +306,23 @@ object SparkEntry {
     // external evidence the LSH candidates are any good)
     "dedup_minhash_recall" -> ((s, dir) => NearDup.minhashRecallCheck(s, dir)),
     "dedup_simhash_recall" -> ((s, dir) => NearDup.simhashRecallCheck(s, dir)),
+    // near-dup CLUSTERS: connected components of the exact-Jaccard pair
+    // graph via hash-min label propagation; oracle replays it with a
+    // recursive CTE (min over the transitive closure)
+    "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(s, dir)),
+
+    // ---- curation operators (deterministic, RNG-free) ----
+
+    // ~10% hash sample: md5-prefix filter, reproducible across engines
+    "cur_hash_sample" -> ((s, dir) => graft.text.Curation.hashSample(s, dir)),
+    // 75/12.5/12.5 train/val/test split on the first hash nibble
+    "cur_train_val_test" -> ((s, dir) => graft.text.Curation.trainValTest(s, dir)),
+    // source balancing: <=50 docs per (lang, source) in hash order
+    "cur_source_quota" -> ((s, dir) => graft.text.Curation.sourceQuota(s, dir)),
+    // PII scrub: email/phone redaction counts + scrubbed-text fingerprint
+    "cur_redact_pii" -> ((s, dir) => graft.text.Curation.redactPii(s, dir)),
+    // global top-100 vocabulary (map-side partial agg + bounded-heap cut)
+    "cur_top_tokens" -> ((s, dir) => graft.text.Curation.topTokens(s, dir)),
 
     // ---- similarity search (embeddings table) ----
 
@@ -856,6 +873,65 @@ object SparkEntry {
     // count independently and asserts the candidate sets missed none
     "dedup_minhash_recall" -> RecallOracleSql,
     "dedup_simhash_recall" -> RecallOracleSql,
+
+    // connected components of the 0.5-Jaccard pair graph, replayed with
+    // a recursive CTE: label = min doc_id over the transitive closure
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $NgramCappedCtes, pr AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst FROM db a JOIN db b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+         |), ed AS (
+         |  SELECT src, dst FROM pr UNION SELECT dst, src FROM pr
+         |), reach(id, label) AS (
+         |  SELECT DISTINCT src, src FROM ed
+         |  UNION
+         |  SELECT ed.src, r.label FROM ed JOIN reach r ON ed.dst = r.id
+         |), comp AS (
+         |  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+         |), cs AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+         |)
+         |SELECT comp.id AS doc_id, comp.cluster_id, cs.cluster_size
+         |FROM comp JOIN cs USING (cluster_id)""".stripMargin,
+
+    "cur_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin,
+
+    "cur_train_val_test" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "cur_source_quota" ->
+      """SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50""".stripMargin,
+
+    "cur_redact_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\d{3}[- ]\d{3,4}[- ]\d{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}[- ]\d{3,4}[- ]\d{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM documents""".stripMargin,
+
+    "cur_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
 
     "sim_topk" ->
       """WITH q AS (

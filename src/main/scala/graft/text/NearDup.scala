@@ -256,6 +256,57 @@ object NearDup {
     s.read.parquet(path)
   }
 
+  /** Near-dup CLUSTERS: connected components of the exact-Jaccard pair
+    * graph, labeled by component-minimum doc_id — what a dedup pipeline
+    * actually consumes (pick one keeper per cluster), not just pairs.
+    *
+    * Algorithm: hash-min label propagation — every vertex starts labeled
+    * with itself; each round takes the min of its own and its neighbors'
+    * labels; fixpoint = component minimum. Iterations = graph diameter,
+    * and near-dup components are small by construction (edges come from
+    * the bucket-capped pair generation, so no giant component can form);
+    * each round is one join + one aggregation on (src, label) — the
+    * standard distributed-CC shape, linear per round at any corpus size.
+    * Deterministic: min is order-free, so the labeling is engine- and
+    * partitioning-independent — which lets a DuckDB recursive CTE replay
+    * it exactly.
+    */
+  def nearDupClusters(s: SparkSession, dir: String,
+      threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairsCached(s, dir, threshold)
+      .select(col("doc_id").as("src"), col("nb_id").as("dst"))
+    val e = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst"))).persist(mem)
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist(mem)
+    // convergence probe: labels only ever DECREASE (min is monotone), so
+    // the label sum strictly decreases iff any label changed — one cheap
+    // scan of the just-persisted relation instead of a join against the
+    // previous generation
+    var prevSum = Long.MaxValue
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbMin = e.join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(nbMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(mem)
+      val s = next.agg(sum(col("label"))).collect().head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   /** MinHash-LSH recall vs exact trigram Jaccard ≥ `threshold`. */
   def minhashRecallCheck(s: SparkSession, dir: String,
       threshold: Double = 0.8, maxBucket: Int = 50): DataFrame = {

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.text.{Curation, NearDup}
+
+/** Curation-operator properties: determinism, bounds, and the cluster
+  * invariants the dedup pipeline depends on.
+  */
+class CurationSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  test("hash sample is deterministic and roughly the target fraction") {
+    val a = Curation.hashSample(spark, dir).collect().map(_.getLong(0)).sorted
+    val b = Curation.hashSample(spark, dir).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    val n = Tables.documents(spark, dir).count().toDouble
+    // 26/256 ≈ 10.2% target; allow generous binomial slack at small n
+    assert(a.length / n > 0.04 && a.length / n < 0.20)
+  }
+
+  test("train/val/test split covers every doc exactly once, ~75/12.5/12.5") {
+    val split = Curation.trainValTest(spark, dir)
+    val n = Tables.documents(spark, dir).count()
+    assert(split.count() == n)
+    val frac = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n.toDouble).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(frac("train") > 0.6 && frac("train") < 0.9)
+  }
+
+  test("source quota never exceeds the cap and keeps full small groups") {
+    val q = Curation.sourceQuota(spark, dir, quota = 20)
+    val byGroup = q.groupBy("lang", "source").count().collect()
+    assert(byGroup.forall(_.getLong(2) <= 20))
+    // groups smaller than the quota survive whole
+    val sizes = Tables.documents(spark, dir)
+      .groupBy("lang", "source").count()
+      .withColumnRenamed("count", "total")
+    val kept = q.groupBy("lang", "source").count()
+    val joined = sizes.join(kept, Seq("lang", "source"), "left_outer").collect()
+    assert(joined.forall { r =>
+      val total = r.getLong(2); val k = if (r.isNullAt(3)) 0L else r.getLong(3)
+      k == math.min(total, 20L)
+    })
+  }
+
+  test("PII redaction is the identity on PII-free text") {
+    val r = Curation.redactPii(spark, dir)
+      .join(Tables.documents(spark, dir), "doc_id")
+      .where(col("n_emails") === 0 && col("n_phones") === 0)
+      .where(col("redacted_fp") =!= md5(col("text")))
+    assert(r.count() == 0)
+  }
+
+  test("top tokens are ranked by a total (count desc, token asc) order") {
+    val rows = Curation.topTokens(spark, dir, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.zip(rows.tail).forall { case ((ta, na), (tb, nb)) =>
+      na > nb || (na == nb && ta < tb) })
+  }
+
+  test("near-dup clusters: edges never straddle clusters; label = min member") {
+    val clusters = NearDup.nearDupClusters(spark, dir, threshold = 0.5)
+    val c = clusters.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every exact pair's endpoints carry the same cluster id
+    val pairs = NearDup.ngramJaccardPairsCached(spark, dir, 0.5)
+      .select("doc_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => c(a)._1 == c(b)._1 })
+    // the cluster label is the minimum member id, and sizes agree
+    val members = c.groupBy(_._2._1)
+    members.foreach { case (label, ms) =>
+      assert(ms.keys.min == label)
+      assert(ms.values.forall(_._2 == ms.size))
+    }
+  }
+}
