@@ -134,6 +134,19 @@ object SparkEntry {
     "stream_latest_per_pair" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayLatestPerPair(s, dir)),
 
+    // §2.10 WATERMARKED window replay: tumbling-window aggregation driven
+    // through ordered micro-batches; append mode must emit exactly the
+    // windows whose end passed the final watermark — watermark semantics
+    // as a hash-checked fact
+    "stream_window_stats" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayWindowedStats(s, dir)),
+
+    // §2.10 SESSION-window replay: gap-based sessions through the real
+    // merging session store; emitted set = sessions closed by the final
+    // watermark (half-open [first, last+gap) semantics)
+    "stream_session_stats" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replaySessionStats(s, dir)),
+
     // §7.2 partitioned layout: the day-granular cutoff answered by
     // PARTITION PRUNING over the date-partitioned rates table (the scan's
     // PartitionFilters carry the predicate — asserted in
@@ -614,6 +627,52 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple
          |        ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
          |WHERE rn = 1""".stripMargin,
+
+    // the streamed window set = batch time_bucket aggregation restricted
+    // to windows closed by the final watermark (integer-µs arithmetic on
+    // both sides so the ns-vs-µs storage difference cannot shift the cut)
+    "stream_window_stats" ->
+      s"""WITH $RatesCte,
+         |wmk AS (
+         |  SELECT epoch_us(max("timestamp")) - 60000000 AS w FROM rates
+         |), b AS (
+         |  SELECT time_bucket(INTERVAL 6 HOUR, "timestamp") AS ws, ccy_couple,
+         |    count(*) AS n_quotes, max(rate) AS max_rate, min(rate) AS min_rate
+         |  FROM rates GROUP BY 1, 2
+         |)
+         |SELECT epoch_us(ws) AS window_start,
+         |       epoch_us(ws + INTERVAL 6 HOUR) AS window_end,
+         |       ccy_couple, n_quotes, max_rate, min_rate
+         |FROM b, wmk WHERE epoch_us(ws + INTERVAL 6 HOUR) <= wmk.w""".stripMargin,
+
+    // streamed sessions = lag/cumsum gap sessionization per pair
+    // (new-session predicate diff >= gap: Spark sessions are half-open
+    // [first, last+gap)), restricted to sessions the watermark closed
+    "stream_session_stats" ->
+      s"""WITH $RatesCte, x AS (
+         |  SELECT ccy_couple, "timestamp" AS ts, event_id,
+         |    lag("timestamp") OVER (PARTITION BY ccy_couple
+         |      ORDER BY "timestamp", event_id) AS prev_ts
+         |  FROM rates
+         |), y AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+         |                 THEN 1 ELSE 0 END AS news
+         |  FROM x
+         |), z AS (
+         |  SELECT *, CAST(sum(news) OVER (PARTITION BY ccy_couple
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM y
+         |), ses AS (
+         |  SELECT ccy_couple, sid, count(*) AS n_events,
+         |    epoch_us(min(ts)) AS session_start,
+         |    epoch_us(max(ts)) + 1800000000 AS session_end
+         |  FROM z GROUP BY ccy_couple, sid
+         |), wmk AS (
+         |  SELECT epoch_us(max("timestamp")) - 60000000 AS w FROM rates
+         |)
+         |SELECT session_start, session_end, ccy_couple, n_events
+         |FROM ses, wmk WHERE session_end <= wmk.w""".stripMargin,
 
     // the partition-pruned cutoff must agree with the row-filtered form:
     // `date` is day-granular, so date <= cutoff == p_date <= cutoff_day

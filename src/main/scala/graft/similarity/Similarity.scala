@@ -229,7 +229,9 @@ object Similarity {
       .withColumn("pr", row_number().over(probeW)).where(col("pr") <= nprobe)
       .select(col("qid"), col("qe"), col("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    probes.join(assigned, Seq("cell"))
+    // probe side is (queries × nprobe) rows — bounded by the serving
+    // batch, so it broadcasts and the corpus never shuffles for rerank
+    broadcast(probes).join(assigned, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("cell").cast("long").as("cell"), col("vec_id"),
         round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))

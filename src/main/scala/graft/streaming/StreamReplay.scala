@@ -30,6 +30,22 @@ object StreamReplay {
 
   private val sinkId = new AtomicLong(0)
 
+  /** Run `body` with a reduced shuffle-partition count and restore the
+    * session's setting after. Stateful streaming cost scales with the
+    * state-store instance count (one per shuffle partition, each paying
+    * commit + checkpoint I/O per micro-batch) — for a replay over a
+    * bounded keyspace, 32 instances × 5 batches is pure overhead. A real
+    * deployment sizes this to its key cardinality the same way; the
+    * partition count is baked into the checkpoint at first run either
+    * way, so scoping it here is the honest equivalent.
+    */
+  private def withReplayPartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Split rates into `nBatches` parquet files, stream them back one file
     * per micro-batch, merge each batch into a DATE-PARTITIONED parquet
     * target with last-writer-wins on (ccy_couple, date), and return the
@@ -58,7 +74,7 @@ object StreamReplay {
 
     val keys = Seq("ccy_couple", "date")
     val ordering = Seq(col("timestamp"), col("event_id"))
-    val query = s.readStream
+    withReplayPartitions(s, 8) { val query = s.readStream
       .schema(rates.schema)
       .option("maxFilesPerTrigger", "1") // one file = one micro-batch
       .parquet(feed)
@@ -70,10 +86,125 @@ object StreamReplay {
         MergeOps.mergeIntoDatePartitioned(target, batch, keys, ordering)
       }
       .start()
-    query.awaitTermination()
+    query.awaitTermination() }
 
     s.read.parquet(target)
       .select(col("ccy_couple"), col("date"), col("rate"), col("event_time"))
+  }
+
+  /** Write `df` as `n` single-file parquet slices, contiguous in
+    * `(timestamp, event_id)` order, with staggered modification times so
+    * the file stream source replays them CHRONOLOGICALLY — the arrival
+    * pattern a live feed has. Unordered arrival is not merely slower: the
+    * watermark closes windows while their (shuffled-into-the-future) rows
+    * are still in flight and silently drops them as late (measured: half
+    * the groups lost on a round-robin split). The global ntile sort is
+    * replay-harness-only — a real feed arrives ordered by construction.
+    */
+  private def writeOrderedSlices(df: DataFrame, feed: java.nio.file.Path,
+      n: Int): Unit = {
+    // persist the ranked relation: the ntile needs one global sort, and
+    // without the barrier each of the n slice writes would redo it
+    val ranked = df.withColumn("__b",
+      ntile(n).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("timestamp"), col("event_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try (1 to n).foreach { b =>
+      val p = feed.resolve(f"slice_$b%02d").toString
+      ranked.where(col("__b") === b).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      val mtime = 1700000000000L + b * 10000L
+      val walk = java.nio.file.Files.walk(java.nio.file.Path.of(p))
+      try walk.forEach(f => { f.toFile.setLastModified(mtime); () })
+      finally walk.close()
+    } finally { ranked.unpersist(); () }
+  }
+
+  /** Replay of the WATERMARKED tumbling-window aggregation
+    * (RateStream.windowedRateStats) through real micro-batches: ordered
+    * file slices advance the watermark batch by batch; append mode emits
+    * exactly the windows whose end passed the final watermark
+    * (max event time − delay). That emission rule is closed-form, so the
+    * DuckDB oracle recomputes the same window set with time_bucket and
+    * the same integer-microsecond watermark cutoff — turning watermark
+    * semantics themselves into a hash-checked fact. `last_rate` is
+    * excluded from the gate projection (max_by ties on equal timestamps
+    * are unordered); count/max/min are total.
+    */
+  def replayWindowedStats(s: SparkSession, dir: String, nBatches: Int = 4,
+      windowLen: String = "6 hours", watermark: String = "1 minute"): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_window_replay")
+    val feed = tmp.resolve("feed")
+    val rates = Tables.rates(s, dir)
+      .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
+    writeOrderedSlices(rates, feed, nBatches)
+
+    val name = s"graft_window_replay_sink_${sinkId.incrementAndGet()}"
+    withReplayPartitions(s, 8) { val stream = s.readStream.schema(rates.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.toString + "/*")
+    val query = RateStream.windowedRateStats(stream, "timestamp",
+        windowLen, watermark)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp.resolve("chk").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination() }
+
+    val out = s.table(name)
+      .select(unix_micros(col("window.start")).as("window_start"),
+        unix_micros(col("window.end")).as("window_end"),
+        col("ccy_couple"), col("n_quotes"),
+        col("max_rate"), col("min_rate"))
+      .as[(Long, Long, String, Long, Double, Double)].collect()
+    s.catalog.dropTempView(name)
+    s.createDataset(out.toSeq)
+      .toDF("window_start", "window_end", "ccy_couple", "n_quotes",
+        "max_rate", "min_rate")
+  }
+
+  /** Replay of the SESSION-window aggregation
+    * (RateStream.sessionWindowStats): same ordered-slice harness as the
+    * tumbling replay. A session is [first_event, last_event + gap) —
+    * half-open, so events exactly `gap` apart start a NEW session — and
+    * append mode emits a session once the watermark passes its end. Both
+    * rules are closed-form, so the oracle rebuilds the sessions with a
+    * lag/cumsum chain (new-session predicate `diff >= gap`) and applies
+    * the same integer-µs watermark cutoff. `last_rate` excluded as in
+    * the tumbling replay (max_by tie ambiguity).
+    */
+  def replaySessionStats(s: SparkSession, dir: String, nBatches: Int = 4,
+      gap: String = "30 minutes", watermark: String = "1 minute"): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_session_replay")
+    val feed = tmp.resolve("feed")
+    val rates = Tables.rates(s, dir)
+      .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
+    writeOrderedSlices(rates, feed, nBatches)
+
+    val name = s"graft_session_replay_sink_${sinkId.incrementAndGet()}"
+    withReplayPartitions(s, 8) { val stream = s.readStream.schema(rates.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.toString + "/*")
+    val query = RateStream.sessionWindowStats(stream, "timestamp",
+        gap, watermark)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp.resolve("chk").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination() }
+
+    val out = s.table(name)
+      .select(unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("ccy_couple"), col("n_events"))
+      .as[(Long, Long, String, Long)].collect()
+    s.catalog.dropTempView(name)
+    s.createDataset(out.toSeq)
+      .toDF("session_start", "session_end", "ccy_couple", "n_events")
   }
 
   /** Replay of the STATEFUL streaming operator (RateStream.latestPerPair,
@@ -102,7 +233,7 @@ object StreamReplay {
     updates.repartition(nBatches).write.mode("overwrite").parquet(feed)
 
     val name = s"graft_latest_replay_sink_${sinkId.incrementAndGet()}"
-    val stream = s.readStream
+    withReplayPartitions(s, 8) { val stream = s.readStream
       .schema(updates.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
@@ -113,7 +244,7 @@ object StreamReplay {
       .outputMode(OutputMode.Update)
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    query.awaitTermination() }
 
     val finalRows = s.table(name)
       .groupBy(col("ccy_couple"))
