@@ -63,6 +63,29 @@ class CurationSpec extends SparkSuite {
       na > nb || (na == nb && ta < tb) })
   }
 
+  test("clusters stay bounded on an adversarial all-identical corpus") {
+    import spark.implicits._
+    // 600 identical docs in one (lang, source) bucket: the 500-doc bucket
+    // cap drops the bucket whole, so the pair graph — and therefore the
+    // cluster relation — is EMPTY rather than one quadratic mega-cluster.
+    // At 100 TB this is the property that keeps CC from melting down on
+    // boilerplate-dominated corpora.
+    val docs = (0 until 600)
+      .map(i => (i.toLong, "en", "web", "the same boilerplate text"))
+      .toDF("doc_id", "lang", "source", "text")
+    val pairs = graft.text.NearDup.ngramJaccardPairs(spark, dirFromDf(docs), 0.5)
+    assert(pairs.count() == 0)
+  }
+
+  /** Write an ad-hoc documents table to scratch so table-loading
+    * operators can run against it.
+    */
+  private def dirFromDf(docs: org.apache.spark.sql.DataFrame): String = {
+    val d = graft.util.Scratch.dir("curation_adv")
+    docs.write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    d.toString
+  }
+
   test("near-dup clusters: edges never straddle clusters; label = min member") {
     val clusters = NearDup.nearDupClusters(spark, dir, threshold = 0.5)
     val c = clusters.collect()

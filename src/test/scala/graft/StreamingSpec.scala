@@ -184,6 +184,57 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("windowed replay equals the batch time-bucket set under the final watermark") {
+    import graft.model.Tables
+    import graft.streaming.StreamReplay
+    val dir = sf("sf0.001")
+    val streamed = StreamReplay.replayWindowedStats(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val rates = Tables.rates(spark, dir)
+    val wmk = rates.agg((unix_micros(max(col("timestamp"))) - 60000000L).as("w"))
+      .collect().head.getLong(0)
+    val batch = rates
+      .groupBy(window(col("timestamp"), "6 hours"), col("ccy_couple"))
+      .agg(count(lit(1)).as("n_quotes"), max(col("rate")).as("max_rate"),
+        min(col("rate")).as("min_rate"))
+      .select(unix_micros(col("window.start")).as("window_start"),
+        unix_micros(col("window.end")).as("window_end"),
+        col("ccy_couple"), col("n_quotes"), col("max_rate"), col("min_rate"))
+      .where(col("window_end") <= wmk)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("session replay equals batch gap-sessionization under the final watermark") {
+    import graft.model.Tables
+    import graft.streaming.StreamReplay
+    val dir = sf("sf0.001")
+    val streamed = StreamReplay.replaySessionStats(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val rates = Tables.rates(spark, dir)
+    val wmk = rates.agg((unix_micros(max(col("timestamp"))) - 60000000L).as("w"))
+      .collect().head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ccy_couple").orderBy(col("timestamp"), col("event_id"))
+    val batch = rates
+      .withColumn("prev", lag(col("timestamp"), 1).over(w))
+      .withColumn("news", when(col("prev").isNull ||
+        unix_micros(col("timestamp")) - unix_micros(col("prev")) >= 1800000000L, 1)
+        .otherwise(0))
+      .withColumn("sid", sum(col("news")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("ccy_couple"), col("sid"))
+      .agg(unix_micros(min(col("timestamp"))).as("session_start"),
+        (unix_micros(max(col("timestamp"))) + 1800000000L).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .where(col("session_end") <= wmk)
+      .select(col("session_start"), col("session_end"), col("ccy_couple"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("entry contract: flagship query returns rows; every oracle key is a query") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
