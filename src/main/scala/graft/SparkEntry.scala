@@ -182,6 +182,9 @@ object SparkEntry {
     "q_top_orders" -> ((s, dir) => BreadthQueries.topOrders(s, dir)),
     // analytic windows: lag + rank + exact running total
     "q_customer_order_analytics" -> BreadthQueries.customerOrderAnalytics _,
+    // window breadth: ntile/percent_rank/cume_dist/nth_value + sliding
+    // frame, one window spec (SQL WINDOW-clause surface)
+    "q_window_breadth" -> BreadthQueries.windowBreadth _,
     // exact grouped distinct aggregation
     "q_distinct_users_by_type" -> BreadthQueries.distinctUsersByType _,
     // set operations (INTERSECT / EXCEPT)
@@ -737,6 +740,19 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_window_breadth" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS sum3
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 

@@ -103,6 +103,32 @@ object BreadthQueries {
       .agg(count(lit(1)).as("n_customers"),
         sum(dec("c_acctbal")).cast("double").as("total_balance"))
 
+  /** Analytic-window breadth beyond lag/rank/running-sum: ntile,
+    * percent_rank, cume_dist, nth_value, and a bounded sliding frame, all
+    * over one window spec (ONE shuffle + sort serves every function).
+    * Expressed through the SQL API (WINDOW clause) to exercise that
+    * surface; the (o_orderdate, o_orderkey) ordering is total, so RANGE
+    * and ROWS frames coincide and every value is deterministic. The
+    * sliding aggregate sums DECIMAL (exact at any frame order), cast to
+    * double only at the edge.
+    */
+  def windowBreadth(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_wb")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS sum3
+        |FROM orders_wb
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |""".stripMargin)
+  }
+
   /** Equi + range (band) join: lineitems shipped within 90 days of their
     * order date. The range conjunct rides the hash join as a post-filter —
     * no nested-loop explosion.
