@@ -147,6 +147,12 @@ object SparkEntry {
     "stream_session_stats" -> ((s, dir) =>
       graft.streaming.StreamReplay.replaySessionStats(s, dir)),
 
+    // §2.10 streaming exact dedup of a document feed: dropDuplicates
+    // keyed state across micro-batches must emit exactly one row per
+    // distinct content fingerprint (streaming form of dedup_exact)
+    "stream_dedup_docs" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayDedupDocs(s, dir)),
+
     // §7.2 partitioned layout: the day-granular cutoff answered by
     // PARTITION PRUNING over the date-partitioned rates table (the scan's
     // PartitionFilters carry the predicate — asserted in
@@ -676,6 +682,12 @@ object SparkEntry {
          |)
          |SELECT session_start, session_end, ccy_couple, n_events
          |FROM ses, wmk WHERE session_end <= wmk.w""".stripMargin,
+
+    // the streamed dedup key set = the batch DISTINCT fingerprint set
+    "stream_dedup_docs" ->
+      """SELECT DISTINCT
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
 
     // the partition-pruned cutoff must agree with the row-filtered form:
     // `date` is day-granular, so date <= cutoff == p_date <= cutoff_day

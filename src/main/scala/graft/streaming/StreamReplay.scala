@@ -207,6 +207,49 @@ object StreamReplay {
       .toDF("session_start", "session_end", "ccy_couple", "n_events")
   }
 
+  /** Replay of STREAMING EXACT DEDUP over a document feed: the documents
+    * table streams in micro-batches through `dropDuplicates` on the
+    * content fingerprint (the K1 dedup mechanism, unwatermarked = exact
+    * global dedup, the streaming form of `dedup_exact`). The emitted KEY
+    * SET is deterministic — exactly one row per distinct fingerprint,
+    * whatever the batching — so the oracle is the batch DISTINCT of the
+    * same fingerprint expression. Which carrier row of a fingerprint is
+    * emitted is arrival-order-dependent, so the gate projection is the
+    * key alone.
+    */
+  def replayDedupDocs(s: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_dedup_replay")
+    val feed = tmp.resolve("feed").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      graft.text.TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    // feed every document TWICE (a full re-delivery, scattered across
+    // batches): the state must suppress each key's second arrival, so
+    // the dedup mechanism is exercised on every key even on a
+    // duplicate-free corpus
+    docs.unionByName(docs)
+      .repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    val name = s"graft_dedup_replay_sink_${sinkId.incrementAndGet()}"
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .dropDuplicates("fingerprint")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+
+    val out = s.table(name).select(col("fingerprint")).as[String].collect()
+    s.catalog.dropTempView(name)
+    s.createDataset(out.toSeq).toDF("fingerprint")
+  }
+
   /** Replay of the STATEFUL streaming operator (RateStream.latestPerPair,
     * flatMapGroupsWithState): rates stream in file micro-batches through
     * the real state store; every state advance is emitted to a memory
