@@ -147,6 +147,13 @@ object SparkEntry {
     "stream_session_stats" -> ((s, dir) =>
       graft.streaming.StreamReplay.replaySessionStats(s, dir)),
 
+    // incremental aggregate maintenance: a daily-OHLC bars table kept by
+    // the stream at O(touched days) per batch (idempotent tick merge +
+    // partition-pruned bar refresh + dynamic overwrite); must converge
+    // to the one-shot batch OHLC aggregation
+    "stream_ohlc_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayOhlcIncremental(s, dir)),
+
     // §2.10 streaming exact dedup of a document feed: dropDuplicates
     // keyed state across micro-batches must emit exactly one row per
     // distinct content fingerprint (streaming form of dedup_exact)
@@ -455,6 +462,27 @@ object SparkEntry {
        |  WHERE rn = 1
        |)""".stripMargin
 
+  /** Daily OHLC bars (first/max/min/last per pair-day under the
+    * (event_time, event_id) total order) — shared by the batch query and
+    * the incrementally-maintained streaming table, which must converge
+    * to the identical result.
+    */
+  private val OhlcOracleSql =
+    s"""WITH $RatesCte, w AS (
+       |  SELECT ccy_couple, date, rate,
+       |    row_number() OVER (PARTITION BY ccy_couple, date
+       |      ORDER BY event_time ASC, event_id ASC) AS rn_a,
+       |    row_number() OVER (PARTITION BY ccy_couple, date
+       |      ORDER BY event_time DESC, event_id DESC) AS rn_d
+       |  FROM rates
+       |)
+       |SELECT ccy_couple, date,
+       |  max(CASE WHEN rn_a = 1 THEN rate END) AS open,
+       |  max(rate) AS high, min(rate) AS low,
+       |  max(CASE WHEN rn_d = 1 THEN rate END) AS close,
+       |  count(*) AS n_ticks
+       |FROM w GROUP BY ccy_couple, date""".stripMargin
+
   /** DuckDB cosine with the same 6-dp pre-ranking rounding the engine
     * uses (dot products are sequential folds in double on both sides, so
     * the rounded values agree bitwise).
@@ -603,21 +631,11 @@ object SparkEntry {
          |        ORDER BY "timestamp" DESC, event_id DESC) AS rn FROM rates)
          |WHERE rn = 1""".stripMargin,
 
-    "fx_ohlc_bars" ->
-      s"""WITH $RatesCte, w AS (
-         |  SELECT ccy_couple, date, rate,
-         |    row_number() OVER (PARTITION BY ccy_couple, date
-         |      ORDER BY event_time ASC, event_id ASC) AS rn_a,
-         |    row_number() OVER (PARTITION BY ccy_couple, date
-         |      ORDER BY event_time DESC, event_id DESC) AS rn_d
-         |  FROM rates
-         |)
-         |SELECT ccy_couple, date,
-         |  max(CASE WHEN rn_a = 1 THEN rate END) AS open,
-         |  max(rate) AS high, min(rate) AS low,
-         |  max(CASE WHEN rn_d = 1 THEN rate END) AS close,
-         |  count(*) AS n_ticks
-         |FROM w GROUP BY ccy_couple, date""".stripMargin,
+    "fx_ohlc_bars" -> OhlcOracleSql,
+
+    // the incrementally-maintained bars table must equal the one-shot
+    // batch aggregation — identical oracle to fx_ohlc_bars
+    "stream_ohlc_incremental" -> OhlcOracleSql,
 
     // identical target state to fx_upsert_latest: the streaming replay
     // must converge to the one-shot LWW upsert

@@ -207,6 +207,68 @@ object StreamReplay {
       .toDF("session_start", "session_end", "ccy_couple", "n_events")
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE: a daily-OHLC bars table kept up
+    * to date by the stream, at O(touched days) per micro-batch. Each
+    * batch (1) merges its raw ticks into a date-partitioned tick store
+    * keyed by event identity (idempotent under re-delivery), then
+    * (2) recomputes bars for ONLY the days the batch touched, from the
+    * accumulated ticks of those days, and dynamic-overwrites just those
+    * bar partitions. A day's final bar is computed by the last batch
+    * touching it, over all of its ticks — so the maintained table
+    * converges to the one-shot batch aggregation (the fx_ohlc_bars
+    * oracle) regardless of batching, while never rewriting an untouched
+    * day. This is the materialized-view maintenance pattern a 100 TB
+    * warehouse needs: both the tick merge and the bar refresh scale with
+    * the batch's day span, not the table.
+    */
+  def replayOhlcIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    val tmp = Scratch.dir("graft_ohlc_replay")
+    val feed = tmp.resolve("feed").toString
+    val ticks = tmp.resolve("ticks").toString
+    val bars = tmp.resolve("bars").toString
+
+    val rates = Tables.rates(s, dir)
+    rates.repartitionByRange(nBatches, col("date"), col("event_id"))
+      .write.mode("overwrite").parquet(feed)
+
+    val tickKeys = Seq("ccy_couple", "date", "event_id")
+    withReplayPartitions(s, 8) {
+      val query = s.readStream
+        .schema(rates.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          // (1) idempotent tick merge, partition-scoped
+          MergeOps.mergeIntoDatePartitioned(ticks, batch, tickKeys,
+            Seq(col("timestamp")))
+          // (2) refresh bars for the touched days only: partition-pruned
+          // read of the tick store, one hash agg, dynamic overwrite
+          val touched = batch.select(to_date(col("date")).as("p_date"))
+            .distinct().collect().map(_.getDate(0)).toSeq
+          if (touched.nonEmpty) {
+            val dayTicks = spark.read.parquet(ticks)
+              .where(col("p_date").isin(touched: _*))
+            // dynamic overwrite replaces exactly the partitions present
+            // in the refreshed bars (the touched days), nothing else
+            MergeOps.writeDatePartitioned(
+              graft.analysis.RateAnalysis.ohlcBars(dayTicks), bars)
+          }
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    s.read.parquet(bars)
+      .select(col("ccy_couple"), col("date"), col("open"), col("high"),
+        col("low"), col("close"), col("n_ticks"))
+  }
+
   /** Replay of STREAMING EXACT DEDUP over a document feed: the documents
     * table streams in micro-batches through `dropDuplicates` on the
     * content fingerprint (the K1 dedup mechanism, unwatermarked = exact
