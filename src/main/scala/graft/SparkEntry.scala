@@ -352,6 +352,9 @@ object SparkEntry {
     "cur_redact_pii" -> ((s, dir) => graft.text.Curation.redactPii(s, dir)),
     // global top-100 vocabulary (map-side partial agg + bounded-heap cut)
     "cur_top_tokens" -> ((s, dir) => graft.text.Curation.topTokens(s, dir)),
+    // greedy sequence packing into 512-token packs (one window cumsum
+    // per language — distributed sample packing)
+    "cur_pack_sequences" -> ((s, dir) => graft.text.Curation.packSequences(s, dir)),
 
     // ---- similarity search (embeddings table) ----
 
@@ -1030,6 +1033,17 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\d{3}[- ]\d{3,4}[- ]\d{4}', '<PHONE>', 'g')) AS redacted_fp
         |FROM documents""".stripMargin,
+
+    "cur_pack_sequences" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM (SELECT doc_id, lang,
+        |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |        FROM documents))""".stripMargin,
 
     "cur_top_tokens" ->
       """SELECT token, count(*) AS n FROM (

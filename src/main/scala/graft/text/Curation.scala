@@ -79,6 +79,28 @@ object Curation {
       md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>")).as("redacted_fp"))
 
+  /** Greedy contiguous sequence packing (the sample-packing step of a
+    * training-data pipeline): per language, documents are laid out in
+    * doc_id order and assigned to the pack where their cumulative token
+    * offset starts — `pack_id = start_offset / budget`. This is the
+    * standard streaming-fill approximation (a doc overflows into the
+    * pack it started in rather than splitting); it needs ONE window
+    * cumsum per language partition, so packing a 100 TB corpus is a
+    * single sort-shuffle, not a sequential driver loop. Token counts use
+    * the same whitespace tokenizer as text_stats (oracle-proven).
+    */
+  def packSequences(s: SparkSession, dir: String,
+      budgetTokens: Int = 512): DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("start_tok") / lit(budgetTokens)).cast("long").as("pack_id"))
+  }
+
   /** Corpus vocabulary: global top-k tokens by frequency (count desc,
     * token asc — a total order, so the cut is deterministic). The
     * aggregation is map-side partial (token counts combine before the

@@ -63,6 +63,25 @@ class CurationSpec extends SparkSuite {
       na > nb || (na == nb && ta < tb) })
   }
 
+  test("sequence packing: contiguous fill, driver-recomputed offsets agree") {
+    val budget = 512
+    val packed = Curation.packSequences(spark, dir, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // recompute the greedy fill off Spark: per lang in doc_id order
+    val expected = packed.groupBy(_._2).toSeq.flatMap { case (_, docs) =>
+      var off = 0L
+      docs.sortBy(_._1).toSeq.map { case (id, lang, n, _) =>
+        val pid = off / budget; off += n; (id, lang, n, pid)
+      }
+    }.toSet
+    assert(packed.toSet == expected)
+    // packs are contiguous: within a lang, pack_id is non-decreasing
+    packed.groupBy(_._2).values.foreach { docs =>
+      val ordered = docs.sortBy(_._1).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("clusters stay bounded on an adversarial all-identical corpus") {
     import spark.implicits._
     // 600 identical docs in one (lang, source) bucket: the 500-doc bucket
