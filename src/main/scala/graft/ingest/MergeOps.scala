@@ -91,7 +91,7 @@ object MergeOps {
         if (touched.isEmpty) return
         val existing = spark.read.parquet(target)
           .where(col("p_date").isin(touched: _*))
-        merge(existing, withP.select(existing.columns.map(col): _*),
+        merge(existing, withP.select(existing.columns.toIndexedSeq.map(col): _*),
           keys, ordering)
       }
 

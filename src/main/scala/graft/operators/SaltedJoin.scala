@@ -19,7 +19,7 @@ object SaltedJoin {
   def saltedEquiJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       shards: Int = 8, joinType: String = "inner"): DataFrame = {
     val saltedLarge = large.withColumn("__shard",
-      pmod(hash(large.columns.map(col): _*), lit(shards)))
+      pmod(hash(large.columns.toIndexedSeq.map(col): _*), lit(shards)))
     val replicatedSmall = small.withColumn("__shard",
       explode(array((0 until shards).map(lit): _*)))
     saltedLarge.join(replicatedSmall, keys :+ "__shard", joinType)
