@@ -80,32 +80,53 @@ object MergeOps {
     val hasPartitions = fs.exists(hPath) &&
       fs.listStatus(hPath).exists(_.getPath.getName.startsWith("p_date="))
 
-    val merged =
-      if (!hasPartitions) upsertLatest(withP, keys, ordering)
-      else {
-        // the touched-day set is tiny by construction (a micro-batch
-        // spans ~a day of keys); collecting it is what turns the read of
-        // the existing side into partition PRUNING instead of a scan
-        val touched = withP.select(col("p_date")).distinct()
-          .collect().map(_.getDate(0)).toSeq
-        if (touched.isEmpty) return
-        val existing = spark.read.parquet(target)
-          .where(col("p_date").isin(touched: _*))
-        merge(existing, withP.select(existing.columns.toIndexedSeq.map(col): _*),
-          keys, ordering)
-      }
+    // the touched-day set is tiny by construction (a micro-batch spans
+    // ~a day of keys); collecting it is what turns the read of the
+    // existing side into partition PRUNING instead of a scan — and lets
+    // the merge read ONLY the days that already exist on disk
+    val touched = withP.select(col("p_date")).distinct()
+      .collect().map(_.getDate(0)).toSeq
+    if (touched.isEmpty) return
+    val overlap =
+      if (!hasPartitions) Seq.empty
+      else touched.filter(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(hPath, s"p_date=$d")))
 
-    val staging = new org.apache.hadoop.fs.Path(target + "__staging")
-    // repartition by day before staging: the swapped-in partition is ONE
-    // compacted file per touched day, not shuffle-partition-count × days
-    // splinters — micro-batch merges must not grow the file count
-    merged.repartition(col("p_date"))
-      .write.mode("overwrite").parquet(staging.toString)
-    spark.read.parquet(staging.toString)
-      .write.partitionBy("p_date")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(target)
-    fs.delete(staging, true)
-    ()
+    def writePartitioned(df: DataFrame): Unit =
+      df.repartition(col("p_date"))
+        .write.partitionBy("p_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(target)
+
+    if (overlap.isEmpty) {
+      // fast path — every touched day is NEW (the common case for a
+      // time-ordered feed: each run appends fresh days, overlapping the
+      // previous run on at most a boundary day). No existing data is
+      // read, so no staging hop is needed; the in-batch upsert writes
+      // one compacted file per day straight into fresh partition dirs.
+      writePartitioned(upsertLatest(withP, keys, ordering))
+    } else {
+      // merge path — read ONLY the overlapping days' partitions, merge,
+      // and swap via a staging hop: Spark refuses to overwrite a path
+      // that is also a read source of the same plan, and cache()-based
+      // self-overwrite corrupts the target if a cached partition is
+      // evicted mid-write. The repartition by day keeps the swapped-in
+      // partition at ONE compacted file per touched day, not
+      // shuffle-partition-count × days splinters.
+      val existing = spark.read.parquet(target)
+        .where(col("p_date").isin(overlap: _*))
+      val merged = merge(existing,
+        withP.select(existing.columns.toIndexedSeq.map(col): _*),
+        keys, ordering)
+      val staging = new org.apache.hadoop.fs.Path(target + "__staging")
+      merged.repartition(col("p_date"))
+        .write.mode("overwrite").parquet(staging.toString)
+      spark.read.parquet(staging.toString)
+        .write.partitionBy("p_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(target)
+      fs.delete(staging, true)
+      ()
+    }
   }
 }
