@@ -84,19 +84,47 @@ object Curation {
     * doc_id order and assigned to the pack where their cumulative token
     * offset starts — `pack_id = start_offset / budget`. This is the
     * standard streaming-fill approximation (a doc overflows into the
-    * pack it started in rather than splitting); it needs ONE window
-    * cumsum per language partition, so packing a 100 TB corpus is a
-    * single sort-shuffle, not a sequential driver loop. Token counts use
-    * the same whitespace tokenizer as text_stats (oracle-proven).
+    * pack it started in rather than splitting). Token counts use the
+    * same whitespace tokenizer as text_stats (oracle-proven).
+    *
+    * The cumulative offset is a DISTRIBUTED two-pass prefix sum, not a
+    * per-language window: a `Window.partitionBy(lang)` cumsum puts the
+    * dominant language's entire token stream on ONE task — the classic
+    * scale-killer for a corpus that is 99% one language. Instead doc_ids
+    * are grouped into fixed ranges ("chunks", doc_id / chunkDocs — chunk
+    * order IS doc_id order, so the greedy fill is unchanged):
+    *   pass 1: per-(lang, chunk) token totals — a map-side-combined
+    *           aggregation to a relation of ~langs × chunks rows — then
+    *           an exclusive running sum over that TINY relation gives
+    *           each chunk's starting offset;
+    *   pass 2: broadcast the offsets back and cumsum locally within each
+    *           bounded (lang, chunk) window partition — parallel across
+    *           chunks, no partition ever exceeds chunkDocs rows.
+    * `chunkDocs` dials offset-relation size against local-partition
+    * size: 64k docs/chunk keeps a 10^10-doc corpus's offset relation
+    * ~150k rows/lang (broadcastable) and every sorted partition ≤64k
+    * rows. Identical output to the single-window form (PackingScaleSpec
+    * pins both the equivalence and the plan shape).
     */
   def packSequences(s: SparkSession, dir: String,
-      budgetTokens: Int = 512): DataFrame = {
+      budgetTokens: Int = 512, chunkDocs: Long = 65536L): DataFrame = {
     val toks = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .withColumn("chunk", floor(col("doc_id") / lit(chunkDocs)))
+    // pass 1: chunk totals + exclusive running offset (langs × chunks
+    // rows — the window here sorts the aggregated relation, not the data)
+    val wc = Window.partitionBy("lang").orderBy("chunk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks
-      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val offsets = toks.groupBy(col("lang"), col("chunk"))
+      .agg(sum(col("n_tokens")).as("chunk_toks"))
+      .withColumn("chunk_off", coalesce(sum(col("chunk_toks")).over(wc), lit(0L)))
+      .select(col("lang"), col("chunk"), col("chunk_off"))
+    // pass 2: bounded local cumsum per (lang, chunk), offsets broadcast
+    val wl = Window.partitionBy("lang", "chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), Seq("lang", "chunk"))
+      .withColumn("start_tok",
+        col("chunk_off") + coalesce(sum(col("n_tokens")).over(wl), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         (col("start_tok") / lit(budgetTokens)).cast("long").as("pack_id"))
   }
