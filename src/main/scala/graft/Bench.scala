@@ -45,10 +45,16 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal per-query seconds keep the map line compact; the total
+    // goes on its OWN final line so a bounded tail capture of the log can
+    // never truncate it away (with 60+ queries the combined single line
+    // outgrew the driver's capture window and the round-6 total had to be
+    // reconstructed by hand)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
