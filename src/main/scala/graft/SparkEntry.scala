@@ -160,6 +160,14 @@ object SparkEntry {
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayDedupDocs(s, dir)),
 
+    // the COMPOSED ingest pipeline (the reference's whole E1 loop,
+    // Fx_1min.py:240-262) as one checked artifact: versioned payload
+    // files → file stream → FxJson flatten → key+value dedup →
+    // partition-scoped LWW merge; final table = delivery-order argmax,
+    // recomputed by the oracle from the same fixture constant
+    "stream_ingest_pipeline" -> ((s, _) =>
+      graft.streaming.StreamReplay.replayIngestPipeline(s)),
+
     // §7.2 partitioned layout: the day-granular cutoff answered by
     // PARTITION PRUNING over the date-partitioned rates table (the scan's
     // PartitionFilters carry the predicate — asserted in
@@ -365,9 +373,11 @@ object SparkEntry {
     // IVF search: probe nearest cells, rerank within (rows-only check)
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     // spherical k-means training (REAL trained IVF cells): deterministic
-    // seed + 2 Lloyd steps, decimal-exact means — the oracle replays the
-    // whole training loop
-    "sim_kmeans_cells" -> ((s, dir) => Similarity.kmeansCellsScalar(s, dir)),
+    // seed + 3 Lloyd steps at k=16, decimal-exact means — the oracle
+    // replays the whole training loop unrolled (KmeansSpec additionally
+    // pins fixpoint stability on a separable corpus)
+    "sim_kmeans_cells" -> ((s, dir) =>
+      Similarity.kmeansCellsScalar(s, dir, k = 16, iters = 3)),
     // IVF search over the trained cells (assignment + probe + rerank,
     // end-to-end reproducible)
     "sim_ivf_kmeans_topk" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
@@ -381,8 +391,9 @@ object SparkEntry {
     // multimodal: binary payload + batched per-partition decode (stub codec)
     "mm_meta" -> graft.multimodal.Multimodal.metaTable _,
     // multimodal FEATURE path: the decode's vector reduced to a
-    // deterministic fold-sum scalar (rows-only: stub codec has no SQL
-    // twin; MultimodalSpec pins exact values)
+    // deterministic fold-sum scalar; the stub codec's byte-stride hash
+    // loop is replayed in DuckDB (hex-pair byte extraction + HUGEINT
+    // mod-2^64 fold), so the whole decode path is hash-checked
     "mm_features" -> graft.multimodal.Multimodal.featureTable _,
     // per-label centroids: distributed vector aggregation (IVF training
     // step). Emitted as (label, pos, c) scalar rows — one row per centroid
@@ -660,27 +671,37 @@ object SparkEntry {
 
     // the streamed window set = batch time_bucket aggregation restricted
     // to windows closed by the final watermark (integer-µs arithmetic on
-    // both sides so the ns-vs-µs storage difference cannot shift the cut)
+    // both sides so the ns-vs-µs storage difference cannot shift the cut);
+    // last_rate replays the total (µs ts, event_id) argmax with a
+    // descending row_number (DuckDB's arg_max has no composite-key form)
     "stream_window_stats" ->
       s"""WITH $RatesCte,
          |wmk AS (
          |  SELECT epoch_us(max("timestamp")) - 60000000 AS w FROM rates
+         |), r AS (
+         |  SELECT time_bucket(INTERVAL 6 HOUR, "timestamp") AS ws, ccy_couple, rate,
+         |    row_number() OVER (
+         |      PARTITION BY time_bucket(INTERVAL 6 HOUR, "timestamp"), ccy_couple
+         |      ORDER BY epoch_us("timestamp") DESC, event_id DESC) AS rn_d
+         |  FROM rates
          |), b AS (
-         |  SELECT time_bucket(INTERVAL 6 HOUR, "timestamp") AS ws, ccy_couple,
-         |    count(*) AS n_quotes, max(rate) AS max_rate, min(rate) AS min_rate
-         |  FROM rates GROUP BY 1, 2
+         |  SELECT ws, ccy_couple,
+         |    count(*) AS n_quotes, max(rate) AS max_rate, min(rate) AS min_rate,
+         |    max(CASE WHEN rn_d = 1 THEN rate END) AS last_rate
+         |  FROM r GROUP BY 1, 2
          |)
          |SELECT epoch_us(ws) AS window_start,
          |       epoch_us(ws + INTERVAL 6 HOUR) AS window_end,
-         |       ccy_couple, n_quotes, max_rate, min_rate
+         |       ccy_couple, n_quotes, max_rate, min_rate, last_rate
          |FROM b, wmk WHERE epoch_us(ws + INTERVAL 6 HOUR) <= wmk.w""".stripMargin,
 
     // streamed sessions = lag/cumsum gap sessionization per pair
     // (new-session predicate diff >= gap: Spark sessions are half-open
-    // [first, last+gap)), restricted to sessions the watermark closed
+    // [first, last+gap)), restricted to sessions the watermark closed;
+    // last_rate = the total (µs ts, event_id) argmax within the session
     "stream_session_stats" ->
       s"""WITH $RatesCte, x AS (
-         |  SELECT ccy_couple, "timestamp" AS ts, event_id,
+         |  SELECT ccy_couple, "timestamp" AS ts, event_id, rate,
          |    lag("timestamp") OVER (PARTITION BY ccy_couple
          |      ORDER BY "timestamp", event_id) AS prev_ts
          |  FROM rates
@@ -693,15 +714,20 @@ object SparkEntry {
          |  SELECT *, CAST(sum(news) OVER (PARTITION BY ccy_couple
          |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
          |  FROM y
+         |), zr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY ccy_couple, sid
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+         |  FROM z
          |), ses AS (
          |  SELECT ccy_couple, sid, count(*) AS n_events,
          |    epoch_us(min(ts)) AS session_start,
-         |    epoch_us(max(ts)) + 1800000000 AS session_end
-         |  FROM z GROUP BY ccy_couple, sid
+         |    epoch_us(max(ts)) + 1800000000 AS session_end,
+         |    max(CASE WHEN rn_d = 1 THEN rate END) AS last_rate
+         |  FROM zr GROUP BY ccy_couple, sid
          |), wmk AS (
          |  SELECT epoch_us(max("timestamp")) - 60000000 AS w FROM rates
          |)
-         |SELECT session_start, session_end, ccy_couple, n_events
+         |SELECT session_start, session_end, ccy_couple, n_events, last_rate
          |FROM ses, wmk WHERE session_end <= wmk.w""".stripMargin,
 
     // the streamed dedup key set = the batch DISTINCT fingerprint set
@@ -709,6 +735,24 @@ object SparkEntry {
       """SELECT DISTINCT
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // the composed ingest pipeline's merged table = the per-(pair, date)
+    // argmax over delivery order, recomputed from the SAME fixture
+    // constant the replay writes as payload files (exact re-deliveries
+    // carry the same value, so delivery-order argmax equals what the
+    // dedup+LWW pipeline converges to)
+    "stream_ingest_pipeline" -> {
+      val values = graft.streaming.StreamReplay.IngestFeed.zipWithIndex
+        .flatMap { case ((name, quotes), v) =>
+          val pair = name.take(3) + "/" + name.slice(4, 7)
+          quotes.map { case (d, c) => s"('$pair', DATE '$d', $c, $v)" }
+        }.mkString(",\n  ")
+      s"""WITH quotes(ccy_couple, quote_date, rate, v) AS (VALUES
+         |  $values
+         |)
+         |SELECT ccy_couple, quote_date, arg_max(rate, v) AS rate
+         |FROM quotes GROUP BY ccy_couple, quote_date""".stripMargin
+    },
 
     // the partition-pruned cutoff must agree with the row-filtered form:
     // `date` is day-granular, so date <= cutoff == p_date <= cutoff_day
@@ -1116,7 +1160,7 @@ object SparkEntry {
     // the full spherical-k-means training loop, replayed in SQL: the
     // final per-cell per-dimension components must match exactly
     "sim_kmeans_cells" -> {
-      val (ctes, _, ccFinal) = KmeansCtes(8, 2)
+      val (ctes, _, ccFinal) = KmeansCtes(16, 3)
       s"""WITH $ctes
          |SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
          |       CAST(c AS DOUBLE) AS c
@@ -1180,6 +1224,39 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 8
         |       ELSE 1 END AS frames
         |FROM documents""".stripMargin,
+
+    // the stub decode replayed exactly: bytes come back out of the UTF-8
+    // blob as hex pairs; each of the 8 feature slots folds its byte
+    // stride through the 31·h+b hash in HUGEINT mod 2^64 (2048 = 2^11
+    // shift, 9007199254740992 = 2^53 scale — the same unsigned-shift /
+    // scale the Scala stub applies); the float-cast slot values then
+    // fold-sum left to right like the Spark `aggregate` lambda
+    "mm_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS len, hex(encode(text)) AS hx
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, kind,
+        |    list_transform(range(0, 8), i ->
+        |      CAST(CAST(
+        |        list_reduce(
+        |          list_prepend(CAST(1125899906842597 + i AS HUGEINT),
+        |            list_transform(range(i, len, 8), j ->
+        |              CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |                   + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |                   AS HUGEINT))),
+        |          (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT
+        |        ) // 2048 AS DOUBLE) / 9007199254740992.0 AS FLOAT)) AS feats
+        |  FROM m
+        |)
+        |SELECT doc_id, kind,
+        |  round(list_reduce(list_prepend(0.0, list_transform(feats, x -> CAST(x AS DOUBLE))),
+        |        (a, x) -> a + x), 6) AS feature_sum
+        |FROM f""".stripMargin,
 
     "sim_label_centroid" ->
       """WITH un AS (

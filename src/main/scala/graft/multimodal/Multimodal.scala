@@ -81,9 +81,11 @@ object Multimodal {
   /** The FEATURE path surfaced as a query: the batched decode's 8-float
     * vector reduced to a deterministic scalar (sequential-fold sum in
     * double, rounded) — so the machinery the Dataset hop exists for
-    * (decode → typed feature vector) actually executes under the gate,
-    * not just in specs. Rows-only at the gate (the stub codec has no SQL
-    * twin); MultimodalSpec pins exact feature values.
+    * (decode → typed feature vector) actually executes under the gate.
+    * Hash-checked: the stub's byte-stride hash loop is pure mod-2^64
+    * arithmetic over the UTF-8 bytes, which the DuckDB oracle replays
+    * (hex-pair byte extraction + HUGEINT fold — SparkEntry.oracleSql
+    * "mm_features"); MultimodalSpec additionally pins exact vectors.
     */
   def featureTable(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(mediaFromDocuments(spark, dir))

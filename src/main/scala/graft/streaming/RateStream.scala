@@ -53,11 +53,13 @@ object RateStream {
     * fetch becomes "payloads arrive, micro-batches flatten them". Pair
     * identity comes from the file name; the flatten is FxJson's.
     */
-  def payloadFileStream(spark: SparkSession, dir: String): DataFrame = {
+  def payloadFileStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
-    val raw = spark.readStream
+    val reader = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
-      .text(dir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val raw = reader.text(dir)
     // file names: <BASE>_<TARGET>[.version].json — re-deliveries arrive as
     // new versioned files (a file stream processes each name once)
     val f = input_file_name()
@@ -72,12 +74,19 @@ object RateStream {
     * normalize → watermarked key dedup → foreachBatch merge into the
     * rates table. Returns the running query; the caller owns its
     * lifecycle. This is the reference's Task-Scheduler loop as a single
-    * always-on streaming job.
+    * always-on streaming job. The replay knobs (`maxFilesPerTrigger`,
+    * `trigger`, `checkpointDir`) default to the always-on production
+    * shape; StreamReplay.replayIngestPipeline sets them to drive the SAME
+    * composed pipeline one file per micro-batch to completion, which is
+    * what lets the gate oracle-check the composition end to end.
     */
   def runIngestPipeline(spark: SparkSession, feedDir: String,
-      tableDir: String, watermark: String = "10 minutes")
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    payloadFileStream(spark, feedDir)
+      tableDir: String, watermark: String = "10 minutes",
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = payloadFileStream(spark, feedDir, maxFilesPerTrigger)
       .withWatermark("timestamp", watermark)
       // suppress EXACT re-deliveries (key + value) only: a corrected quote
       // for an existing key must reach the merge, where last-writer-wins
@@ -88,22 +97,31 @@ object RateStream {
       .outputMode("append")
       .foreachBatch(mergeBatchWriter(tableDir,
         Seq("ccy_couple", "date"), "timestamp"))
-      .start()
+    trigger.foreach(writer.trigger)
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
 
   /** Native session windows over the stream (the streaming form of
     * operators.Sessionize): a session closes `gap` after its last event,
     * then emits once the watermark passes — state per OPEN session only.
+    * `last_rate` argmaxes under the TOTAL (ts, event_id) order (the input
+    * must carry `event_id`), so equal-timestamp ties cannot make the
+    * emitted value batching- or partitioning-dependent — which is what
+    * lets the replay gate hash-check it against batch SQL.
     */
   def sessionWindowStats(parsed: DataFrame, tsCol: String = "timestamp",
       gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
     parsed.withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col("ccy_couple"))
       .agg(count(lit(1)).as("n_events"),
-        max_by(col("rate"), col(tsCol)).as("last_rate"))
+        max_by(col("rate"), struct(col(tsCol), col("event_id"))).as("last_rate"))
 
   /** Tumbling-window per-pair aggregation with a watermark (the §2.10
     * extension): e.g. 30-second windows of rate activity. Append mode
     * emits a window only once its watermark passes — bounded state.
+    * `last_rate` is a total argmax under (ts, event_id), as in
+    * sessionWindowStats — deterministic under any batching.
     */
   def windowedRateStats(parsed: DataFrame, tsCol: String = "timestamp",
       windowLen: String = "30 seconds",
@@ -113,7 +131,7 @@ object RateStream {
       .agg(count(lit(1)).as("n_quotes"),
         max(col("rate")).as("max_rate"),
         min(col("rate")).as("min_rate"),
-        max_by(col("rate"), col(tsCol)).as("last_rate"))
+        max_by(col("rate"), struct(col(tsCol), col("event_id"))).as("last_rate"))
 
   /** Stateful latest-rate-per-pair (the ActiveRates/LatestRates semantics
     * as explicit keyed state): emits an update whenever a pair's newest

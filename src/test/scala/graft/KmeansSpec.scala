@@ -34,6 +34,33 @@ class KmeansSpec extends SparkSuite {
       seed.get(cell).exists(s => s != c) })
   }
 
+  test("on a separable corpus training reaches a fixpoint: extra iterations are no-ops") {
+    import spark.implicits._
+    // 4 well-separated direction clusters in 64 dims: member m of cluster
+    // c points along axis c with small deterministic jitter elsewhere.
+    // vec_ids interleave clusters so the k lowest-id seeds (0..3) land in
+    // distinct clusters.
+    val vecs = (0 until 200).map { m =>
+      val c = m % 4
+      val e = Array.tabulate(64)(d =>
+        (if (d == c) 10f else 0f) + ((m * 31 + d * 7) % 13) * 0.01f)
+      (m.toLong, c.toLong, e)
+    }.toDF("vec_id", "label", "embedding")
+    val d = graft.util.Scratch.dir("kmeans_fixpoint")
+    vecs.write.mode("overwrite").parquet(d.resolve("embeddings.parquet").toString)
+
+    def cells(iters: Int) = Similarity.kmeansCentroids(spark, d.toString,
+        k = 4, iters = iters).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val at2 = cells(2)
+    val at3 = cells(3)
+    // converged: the assignment is stable, so one more Lloyd step
+    // reproduces the centroids bit-for-bit (update is a pure function of
+    // the assignment, assignment a pure function of the centroids)
+    assert(at2 == at3)
+    assert(at2.size == 4 && at2.values.forall(_.length == 64))
+  }
+
   test("IVF over trained cells returns k ranked neighbors per query") {
     val res = Similarity.ivfKmeansTopK(spark, sf("sf0.001")).collect()
     val byQ = res.groupBy(_.getLong(0))

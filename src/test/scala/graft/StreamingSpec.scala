@@ -74,8 +74,8 @@ class StreamingSpec extends SparkSuite {
   test("session windows close after the gap and carry the last rate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
-    val parsed = input.toDS().toDF("ccy_couple", "timestamp", "rate")
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)]
+    val parsed = input.toDS().toDF("ccy_couple", "timestamp", "rate", "event_id")
     val q = RateStream.sessionWindowStats(parsed, gap = "10 minutes",
         watermark = "10 minutes")
       .writeStream.format("memory").queryName("sess_out")
@@ -83,11 +83,11 @@ class StreamingSpec extends SparkSuite {
     try {
       def t(s: String) = java.sql.Timestamp.valueOf(s)
       input.addData(
-        ("EUR/USD", t("2024-01-16 00:00:00"), 1.10),
-        ("EUR/USD", t("2024-01-16 00:05:00"), 1.11),   // same session
-        ("EUR/USD", t("2024-01-16 00:30:00"), 1.13))   // new session (>10m gap)
+        ("EUR/USD", t("2024-01-16 00:00:00"), 1.10, 1L),
+        ("EUR/USD", t("2024-01-16 00:05:00"), 1.11, 2L),   // same session
+        ("EUR/USD", t("2024-01-16 00:30:00"), 1.13, 3L))   // new session (>10m gap)
       q.processAllAvailable()
-      input.addData(("EUR/USD", t("2024-01-16 02:00:00"), 1.15)) // advance watermark
+      input.addData(("EUR/USD", t("2024-01-16 02:00:00"), 1.15, 4L)) // advance watermark
       q.processAllAvailable()
       val rows = spark.table("sess_out").collect()
       assert(rows.length == 2)
@@ -100,26 +100,27 @@ class StreamingSpec extends SparkSuite {
   test("tumbling-window aggregation emits closed windows with per-pair stats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
-    val parsed = input.toDS().toDF("ccy_couple", "timestamp", "rate")
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)]
+    val parsed = input.toDS().toDF("ccy_couple", "timestamp", "rate", "event_id")
     val q = RateStream.windowedRateStats(parsed)
       .writeStream.format("memory").queryName("win_out")
       .outputMode(OutputMode.Append).start()
     try {
       def t(s: String) = java.sql.Timestamp.valueOf(s)
       input.addData(
-        ("EUR/USD", t("2024-01-16 00:00:05"), 1.10),
-        ("EUR/USD", t("2024-01-16 00:00:20"), 1.12),
-        ("EUR/USD", t("2024-01-16 00:00:40"), 1.13))
+        ("EUR/USD", t("2024-01-16 00:00:05"), 1.10, 1L),
+        // equal timestamps: the (ts, event_id) tiebreak must pick id 3
+        ("EUR/USD", t("2024-01-16 00:00:20"), 1.12, 3L),
+        ("EUR/USD", t("2024-01-16 00:00:20"), 1.11, 2L))
       q.processAllAvailable()
       // advance the watermark past the first window
-      input.addData(("EUR/USD", t("2024-01-16 00:05:00"), 1.14))
+      input.addData(("EUR/USD", t("2024-01-16 00:05:00"), 1.14, 4L))
       q.processAllAvailable()
       val rows = spark.table("win_out").collect()
       assert(rows.nonEmpty)
       val first = rows.minBy(_.getStruct(0).getTimestamp(0).getTime)
-      assert(first.getLong(2) == 2)          // two quotes in [00:00:00,00:00:30)
-      assert(first.getDouble(5) == 1.12)     // last_rate by time
+      assert(first.getLong(2) == 3)          // three quotes in [00:00:00,00:00:30)
+      assert(first.getDouble(5) == 1.12)     // equal-ts tie resolved by event_id
     } finally q.stop()
   }
 
@@ -196,10 +197,12 @@ class StreamingSpec extends SparkSuite {
     val batch = rates
       .groupBy(window(col("timestamp"), "6 hours"), col("ccy_couple"))
       .agg(count(lit(1)).as("n_quotes"), max(col("rate")).as("max_rate"),
-        min(col("rate")).as("min_rate"))
+        min(col("rate")).as("min_rate"),
+        max_by(col("rate"), struct(col("timestamp"), col("event_id"))).as("last_rate"))
       .select(unix_micros(col("window.start")).as("window_start"),
         unix_micros(col("window.end")).as("window_end"),
-        col("ccy_couple"), col("n_quotes"), col("max_rate"), col("min_rate"))
+        col("ccy_couple"), col("n_quotes"), col("max_rate"), col("min_rate"),
+        col("last_rate"))
       .where(col("window_end") <= wmk)
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
@@ -227,12 +230,28 @@ class StreamingSpec extends SparkSuite {
       .groupBy(col("ccy_couple"), col("sid"))
       .agg(unix_micros(min(col("timestamp"))).as("session_start"),
         (unix_micros(max(col("timestamp"))) + 1800000000L).as("session_end"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        max_by(col("rate"), struct(col("timestamp"), col("event_id"))).as("last_rate"))
       .where(col("session_end") <= wmk)
       .select(col("session_start"), col("session_end"), col("ccy_couple"),
-        col("n_events"))
+        col("n_events"), col("last_rate"))
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
+  }
+
+  test("composed-ingest replay: corrections win LWW, re-deliveries are inert") {
+    import graft.streaming.StreamReplay
+    val table = StreamReplay.replayIngestPipeline(spark).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        r.getDecimal(2).doubleValue()).toMap
+    // 3 pairs × their distinct quote dates
+    assert(table.size == 11)
+    // corrections from later deliveries overwrite (LWW through the merge)
+    assert(table(("EUR/USD", "2024-01-11")) == 1.115)
+    assert(table(("GBP/JPY", "2024-01-11")) == 185.75)
+    // exact re-deliveries leave the original value
+    assert(table(("EUR/USD", "2024-01-12")) == 1.12)
+    assert(table(("AUD/CAD", "2024-01-11")) == 0.915)
   }
 
   test("entry contract: flagship query returns rows; every oracle key is a query") {
