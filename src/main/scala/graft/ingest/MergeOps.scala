@@ -67,6 +67,14 @@ object MergeOps {
     * evicted mid-write. The staging write is also O(touched days). At
     * warehouse scale the equivalent is a transactional table-format
     * commit; on raw parquet the staging hop is what makes the swap safe.
+    *
+    * RECOVERY CONTRACT: the swap is not atomic across partitions, but a
+    * crash anywhere (after the staging write, or mid-overwrite with some
+    * partitions swapped and others stale) is repaired by RE-RUNNING THE
+    * SAME BATCH MERGE — LWW over (partially-merged ∪ batch) is the same
+    * per-key argmax as over (old ∪ batch), so the retry converges to the
+    * identical table and re-overwrites any orphaned staging tree
+    * (MergeOpsSpec "staging-swap crash recovery").
     */
   def mergeIntoDatePartitioned(target: String, batch: DataFrame,
       keys: Seq[String], ordering: Seq[Column],

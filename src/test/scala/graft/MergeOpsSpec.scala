@@ -78,6 +78,47 @@ class MergeOpsSpec extends SparkSuite {
     assert(eur16.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.16)
   }
 
+  test("staging-swap crash recovery: re-running the batch merge converges") {
+    val dir = java.nio.file.Files.createTempDirectory("crash_merge").toFile
+    val target = new java.io.File(dir, "rates").getAbsolutePath
+    val batch1 = fixture.where(col("event_id").isin(1, 2, 6, 10)) // Jan 10+12
+    val batch2 = fixture // overlaps Jan 10/12, adds Jan 15/16 → merge path
+    def tableSet() = spark.read.parquet(target)
+      .select(col("ccy_couple"), col("date"), col("rate"), col("event_id"))
+      .collect().map(_.toSeq).toSet
+    val expected = MergeOps.upsertLatest(fixture, keys, ordering)
+      .select(col("ccy_couple"), col("date"), col("rate"), col("event_id"))
+      .collect().map(_.toSeq).toSet
+
+    MergeOps.mergeIntoDatePartitioned(target, batch1, keys, ordering)
+
+    // crash A — a previous merge died BETWEEN the staging write and the
+    // dynamic overwrite: the target is untouched but an orphaned staging
+    // tree holds a full merged copy. The retry must overwrite the
+    // leftovers, converge, and clean the staging dir up.
+    val staging = new java.io.File(target + "__staging")
+    batch1.withColumn("p_date", to_date(col("date")))
+      .write.mode("overwrite").parquet(staging.getAbsolutePath)
+    MergeOps.mergeIntoDatePartitioned(target, batch2, keys, ordering)
+    assert(tableSet() == expected)
+    assert(!staging.exists())
+
+    // crash B — the dynamic overwrite died HALF-SWAPPED: rebuild the
+    // pre-merge table, then hand-swap ONLY Jan 12 to its merged content
+    // (Jan 10 stale, the new days never landed). Retrying the same batch
+    // merge must converge: LWW over (partially-merged ∪ batch) is the
+    // same argmax as over (old ∪ batch).
+    graft.util.Scratch.deleteRecursively(new java.io.File(target).toPath)
+    MergeOps.mergeIntoDatePartitioned(target, batch1, keys, ordering)
+    MergeOps.upsertLatest(fixture, keys, ordering)
+      .where(to_date(col("date")) === lit("2024-01-12").cast("date"))
+      .withColumn("p_date", to_date(col("date")))
+      .write.partitionBy("p_date").option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(target)
+    MergeOps.mergeIntoDatePartitioned(target, batch2, keys, ordering)
+    assert(tableSet() == expected)
+  }
+
   test("insertIfAbsent drops rows whose key already exists") {
     val existing = fixture.where(col("event_id") <= 9)
     val incoming = fixture // superset: 2 JPY rows are genuinely new
