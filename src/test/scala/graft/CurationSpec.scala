@@ -55,6 +55,25 @@ class CurationSpec extends SparkSuite {
     assert(r.count() == 0)
   }
 
+  test("weighted sample: deterministic, accepts exactly u < quality") {
+    val rows = Curation.weightedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    val again = Curation.weightedSample(spark, dir).collect().map(_.getLong(0))
+    assert(rows.map(_._1).sorted.sameElements(again.sorted))
+    assert(rows.forall { case (_, u, w) => u < w && u >= 0.0 && u < 1.0 })
+    // the prior bites: some docs kept, some dropped
+    val n = Tables.documents(spark, dir).count()
+    assert(rows.length > 0 && rows.length < n)
+    // acceptance decisions recompute off-Spark: u is the scaled 8-hex-digit
+    // md5 prefix of doc_id — a doc is in the sample iff u < its quality
+    rows.foreach { case (id, u, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      assert(java.lang.Long.parseLong(hex, 16) / 4294967296.0 == u)
+    }
+  }
+
   test("top tokens are ranked by a total (count desc, token asc) order") {
     val rows = Curation.topTokens(spark, dir, k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))
