@@ -120,6 +120,20 @@ object SparkEntry {
     // §1.4 OHLC extension: daily bars, one hash agg (min_by/max_by)
     "fx_ohlc_bars" -> ((s, dir) => RateAnalysis.ohlcBars(rates(s, dir))),
 
+    // CDC: recover the change set between the as-of-cutoff upsert table
+    // and the current one — one null-safe full-outer diff on the key;
+    // the complement of MergeOps (which applies changes, this RECOVERS
+    // them for downstream sync)
+    "fx_cdc_snapshot_diff" -> ((s, dir) => {
+      val r = rates(s, dir)
+      val keys = Seq("ccy_couple", "date")
+      val ord = Seq(col("timestamp"), col("event_id"))
+      graft.operators.Cdc.snapshotDiff(
+        MergeOps.upsertLatest(r.where(col("timestamp") <= cutoff), keys, ord),
+        MergeOps.upsertLatest(r, keys, ord),
+        keys, Seq("rate", "event_time"))
+    }),
+
     // SCD2 temporal history: the version intervals the reference's
     // destructive upsert throws away — one lead() window per key under
     // the (timestamp, event_id) total order; `is_current` recovers the
@@ -668,6 +682,33 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin,
 
     "fx_ohlc_bars" -> OhlcOracleSql,
+
+    // the diff of the two LWW snapshots, null-safe per value column;
+    // unchanged keys drop out (IS NOT DISTINCT FROM mirrors Spark's <=>)
+    "fx_cdc_snapshot_diff" ->
+      s"""WITH $RatesCte, o AS (
+         |  SELECT ccy_couple, date, rate AS old_rate,
+         |         event_time AS old_event_time, true AS in_old
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY "timestamp" DESC, event_id DESC) AS rn
+         |        FROM rates WHERE "timestamp" <= $CutoffSql)
+         |  WHERE rn = 1
+         |), nw AS (
+         |  SELECT ccy_couple, date, rate AS new_rate,
+         |         event_time AS new_event_time, true AS in_new
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY "timestamp" DESC, event_id DESC) AS rn
+         |        FROM rates)
+         |  WHERE rn = 1
+         |)
+         |SELECT ccy_couple, date, old_rate, old_event_time,
+         |       new_rate, new_event_time,
+         |       CASE WHEN in_old IS NULL THEN 'insert'
+         |            WHEN in_new IS NULL THEN 'delete'
+         |            ELSE 'update' END AS change_type
+         |FROM o FULL OUTER JOIN nw USING (ccy_couple, date)
+         |WHERE NOT (old_rate IS NOT DISTINCT FROM new_rate
+         |           AND old_event_time IS NOT DISTINCT FROM new_event_time)""".stripMargin,
 
     // every observed version with [valid_from, valid_to) bounds; the
     // open interval marks the current row (= the upsert table)

@@ -29,11 +29,16 @@ object TfIdf {
 
   def topTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // persist barrier: tf feeds BOTH the scored left side and the df
+    // aggregation; without it column pruning makes the two subtrees
+    // differ, Catalyst cannot reuse the exchange, and the corpus is
+    // tokenized and aggregated twice (measured 2 full scans in the plan)
     val tf = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(df, Seq("token"))
