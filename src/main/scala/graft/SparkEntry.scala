@@ -120,6 +120,21 @@ object SparkEntry {
     // §1.4 OHLC extension: daily bars, one hash agg (min_by/max_by)
     "fx_ohlc_bars" -> ((s, dir) => RateAnalysis.ohlcBars(rates(s, dir))),
 
+    // table maintenance: compact a deliberately fragmented copy of the
+    // date-partitioned rates table (8 files/day — the post-ingest sprawl
+    // shape) and hash-check that not a single row changed through the
+    // fragment → compact round trip
+    "maint_compact_rates" -> ((s, dir) => {
+      val tmp = graft.util.Scratch.dir("graft_compact").resolve("rates").toString
+      Tables.rates(s, dir).repartition(8)
+        .withColumn("p_date", to_date(col("date")))
+        .write.partitionBy("p_date").mode("overwrite").parquet(tmp)
+      graft.operators.Compaction.compactDatePartitioned(s, tmp)
+      s.read.parquet(tmp)
+        .select(col("event_id"), col("ccy_couple"), col("rate"),
+          col("date"), col("event_time"))
+    }),
+
     // CDC: recover the change set between the as-of-cutoff upsert table
     // and the current one — one null-safe full-outer diff on the key;
     // the complement of MergeOps (which applies changes, this RECOVERS
@@ -682,6 +697,11 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin,
 
     "fx_ohlc_bars" -> OhlcOracleSql,
+
+    // compaction must be row-identity: the output is simply the table
+    "maint_compact_rates" ->
+      s"""WITH $RatesCte
+         |SELECT event_id, ccy_couple, rate, date, event_time FROM rates""".stripMargin,
 
     // the diff of the two LWW snapshots, null-safe per value column;
     // unchanged keys drop out (IS NOT DISTINCT FROM mirrors Spark's <=>)
