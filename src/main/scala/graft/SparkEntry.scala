@@ -201,6 +201,13 @@ object SparkEntry {
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayDedupDocs(s, dir)),
 
+    // incremental SCD2 maintenance: the full version-history table kept
+    // by the stream at O(touched key-buckets) per batch (bucket-pruned
+    // read + interval rebuild + dynamic overwrite); must converge to the
+    // one-shot batch SCD2 — same oracle as fx_scd2_history
+    "stream_scd2_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayScd2Incremental(s, dir)),
+
     // the COMPOSED ingest pipeline (the reference's whole E1 loop,
     // Fx_1min.py:240-262) as one checked artifact: versioned payload
     // files → file stream → FxJson flatten → key+value dedup →
@@ -548,6 +555,23 @@ object SparkEntry {
        |  count(*) AS n_ticks
        |FROM w GROUP BY ccy_couple, date""".stripMargin
 
+  /** SCD2 validity intervals per (pair, day) under the (ts, event_id)
+    * total order — shared by the batch operator and the incrementally
+    * maintained streaming history, which must converge to the identical
+    * table.
+    */
+  private val Scd2OracleSql =
+    s"""WITH $RatesCte, h AS (
+       |  SELECT ccy_couple, date, rate,
+       |    epoch_us("timestamp") AS valid_from_us,
+       |    epoch_us(lead("timestamp") OVER (PARTITION BY ccy_couple, date
+       |      ORDER BY "timestamp" ASC, event_id ASC)) AS valid_to_us
+       |  FROM rates
+       |)
+       |SELECT ccy_couple, date, rate, valid_from_us, valid_to_us,
+       |       valid_to_us IS NULL AS is_current
+       |FROM h""".stripMargin
+
   /** DuckDB cosine with the same 6-dp pre-ranking rounding the engine
     * uses (dot products are sequential folds in double on both sides, so
     * the rounded values agree bitwise).
@@ -732,17 +756,11 @@ object SparkEntry {
 
     // every observed version with [valid_from, valid_to) bounds; the
     // open interval marks the current row (= the upsert table)
-    "fx_scd2_history" ->
-      s"""WITH $RatesCte, h AS (
-         |  SELECT ccy_couple, date, rate,
-         |    epoch_us("timestamp") AS valid_from_us,
-         |    epoch_us(lead("timestamp") OVER (PARTITION BY ccy_couple, date
-         |      ORDER BY "timestamp" ASC, event_id ASC)) AS valid_to_us
-         |  FROM rates
-         |)
-         |SELECT ccy_couple, date, rate, valid_from_us, valid_to_us,
-         |       valid_to_us IS NULL AS is_current
-         |FROM h""".stripMargin,
+    "fx_scd2_history" -> Scd2OracleSql,
+
+    // the incrementally-maintained history must equal the one-shot batch
+    // SCD2 — identical oracle to fx_scd2_history
+    "stream_scd2_incremental" -> Scd2OracleSql,
 
     // the incrementally-maintained bars table must equal the one-shot
     // batch aggregation — identical oracle to fx_ohlc_bars

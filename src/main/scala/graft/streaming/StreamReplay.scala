@@ -334,6 +334,53 @@ object StreamReplay {
     s.createDataset(out.toSeq).toDF("fingerprint")
   }
 
+  /** INCREMENTAL SCD2 MAINTENANCE through the stream: the history table
+    * (every version with [valid_from, valid_to) bounds — operators.Scd2)
+    * kept up to date by foreachBatch at O(touched key-buckets) per
+    * micro-batch (Scd2.applyVersionBatch: bucket-pruned read, interval
+    * rebuild over touched buckets only, dynamic overwrite). The
+    * maintained table must converge to the one-shot batch SCD2 — the
+    * SAME oracle as fx_scd2_history — under any batching, because the
+    * interval rebuild is a pure function of the accumulated version set.
+    * The OHLC replay maintains a daily AGGREGATE incrementally; this
+    * maintains full HISTORY incrementally — the two materialized-view
+    * shapes a warehouse needs.
+    */
+  def replayScd2Incremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_scd2_replay")
+    val feed = tmp.resolve("feed").toString
+    val hist = tmp.resolve("history").toString
+
+    val rates = Tables.rates(s, dir)
+    rates.repartitionByRange(nBatches, col("date"), col("event_id"))
+      .write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream
+        .schema(rates.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Scd2.applyVersionBatch(hist, batch,
+            keys = Seq("ccy_couple", "date"), versionTs = "timestamp",
+            tiebreakCol = "event_id", valueCols = Seq("rate"))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    s.read.parquet(hist)
+      .select(col("ccy_couple"), col("date"), col("rate"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+  }
+
   /** The versioned payload feed for the composed-ingest replay: one entry
     * per dropped file, in arrival order — `<BASE>_<TARGET>.v<n>.json`
     * carrying (quote date → close) series. The sequence deliberately

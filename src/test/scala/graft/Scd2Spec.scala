@@ -33,6 +33,51 @@ class Scd2Spec extends SparkSuite {
     }
   }
 
+  test("incremental maintenance: untouched buckets byte-identical, result = batch SCD2") {
+    val root = graft.util.Scratch.dir("scd2_incr")
+    val hist = root.resolve("history").toString
+    val all = RateFixtures.exchangeRates(spark)
+    def bucketFiles(): Map[String, Map[String, (Long, Long)]] = {
+      val d = new java.io.File(hist)
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(b => b.getName -> b.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> (f.lastModified(), f.length())).toMap).toMap
+    }
+    def apply(batch: org.apache.spark.sql.DataFrame): Unit =
+      graft.operators.Scd2.applyVersionBatch(hist, batch, keys,
+        "timestamp", "event_id", Seq("rate"))
+
+    // batch 1: everything except EUR/USD — establishes several buckets
+    apply(all.where(col("ccy_couple") =!= "EUR/USD"))
+    val before = bucketFiles()
+    assert(before.nonEmpty)
+
+    // batch 2: only EUR/USD versions — buckets not hosting EUR keys must
+    // stay byte-for-byte untouched (names, mtimes, sizes)
+    apply(all.where(col("ccy_couple") === "EUR/USD"))
+    val after = bucketFiles()
+    val eurBuckets = after.keySet.diff(before.keySet) ++
+      before.keySet.filter(b => before(b) != after(b))
+    assert((before.keySet -- eurBuckets).forall(b => before(b) == after(b)))
+    assert((before.keySet -- eurBuckets).nonEmpty) // some buckets untouched
+
+    // batch 3: re-deliver EVERYTHING — idempotent, converges to batch SCD2
+    apply(all)
+    val got = spark.read.parquet(hist)
+      .select(col("ccy_couple"), col("date"), col("rate"),
+        unix_micros(col("valid_from")), unix_micros(col("valid_to")),
+        col("is_current"))
+      .collect().map(_.toSeq).toSet
+    val expected = Scd2.history(all, keys, "timestamp", col("event_id"))
+      .select(col("ccy_couple"), col("date"), col("rate"),
+        unix_micros(col("valid_from")), unix_micros(col("valid_to")),
+        col("is_current"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
   test("current rows = the upsert table (history strictly supersets it)") {
     val current = hist.where(col("is_current"))
       .select(col("ccy_couple"), col("date"), col("rate"))
