@@ -201,6 +201,13 @@ object SparkEntry {
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayDedupDocs(s, dir)),
 
+    // §2.10 stream-stream interval join: purchases matched to the same
+    // user's clicks in the preceding 30 min through the real symmetric
+    // state store; watermarks bound state to one window of active users;
+    // emitted pairs must equal the batch interval join
+    "stream_interval_join" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayStreamStreamJoin(s, dir)),
+
     // incremental SCD2 maintenance: the full version-history table kept
     // by the stream at O(touched key-buckets) per batch (bucket-pruned
     // read + interval rebuild + dynamic overwrite); must converge to the
@@ -761,6 +768,17 @@ object SparkEntry {
     // the incrementally-maintained history must equal the one-shot batch
     // SCD2 — identical oracle to fx_scd2_history
     "stream_scd2_incremental" -> Scd2OracleSql,
+
+    // the streamed join's emitted pairs = the batch interval join
+    // (integer-µs bounds so ns-precision timestamps cannot shift them)
+    "stream_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS p_id,
+        |       c.value AS click_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000""".stripMargin,
 
     // the incrementally-maintained bars table must equal the one-shot
     // batch aggregation — identical oracle to fx_ohlc_bars

@@ -133,6 +133,28 @@ object RateStream {
         min(col("rate")).as("min_rate"),
         max_by(col("rate"), struct(col(tsCol), col("event_id"))).as("last_rate"))
 
+  /** STREAM-STREAM interval join (the §2.10 mechanism batch joins can't
+    * replace): each purchase matched to the same user's clicks in the
+    * preceding `window`. Both sides carry watermarks, so click state is
+    * evicted once the watermark passes `click_ts + window` — state is
+    * bounded by (users active inside one window), never by stream
+    * length. Inner-join emission is match-driven (the watermark gates
+    * eviction, not emission), so under chronological arrival every
+    * qualifying pair is emitted exactly once — which is what makes the
+    * replay oracle-checkable against the batch interval join.
+    *
+    * Inputs must carry distinct column names: clicks(user_id, click_ts,
+    * click_id, click_value), purchases(p_user_id, p_ts, p_id).
+    */
+  def clickPurchaseIntervalJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes",
+      watermark: String = "1 minute"): DataFrame =
+    clicks.withWatermark("click_ts", watermark)
+      .join(purchases.withWatermark("p_ts", watermark),
+        expr(s"""user_id = p_user_id
+                 AND p_ts >= click_ts
+                 AND p_ts <= click_ts + interval $window"""))
+
   /** Stateful latest-rate-per-pair (the ActiveRates/LatestRates semantics
     * as explicit keyed state): emits an update whenever a pair's newest
     * (event_time, event_id) advances. flatMapGroupsWithState keeps one

@@ -381,6 +381,56 @@ object StreamReplay {
         col("is_current"))
   }
 
+  /** Replay of the STREAM-STREAM interval join
+    * (RateStream.clickPurchaseIntervalJoin) through real micro-batches:
+    * the events table streams in chronological slices TWICE (one file
+    * source per side — clicks and purchases), the join runs through the
+    * real symmetric state store, and the emitted pair set must equal the
+    * batch interval join. Chronological arrival is what keeps the early
+    * side in state when its match arrives (eviction lags by watermark +
+    * window); the oracle compares in integer microseconds so DuckDB's
+    * ns-precision timestamps cannot shift the interval bound.
+    */
+  def replayStreamStreamJoin(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_ssjoin_replay")
+    val feed = tmp.resolve("feed")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    writeOrderedSlices(ev.withColumnRenamed("ts", "timestamp"), feed, nBatches)
+
+    val name = s"graft_ssjoin_sink_${sinkId.incrementAndGet()}"
+    withReplayPartitions(s, 8) {
+      def side() = s.readStream.schema(
+          ev.withColumnRenamed("ts", "timestamp").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString + "/*")
+      val clicks = side().where(col("event_type") === "click")
+        .select(col("user_id"), col("timestamp").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      val purchases = side().where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("timestamp").as("p_ts"),
+          col("event_id").as("p_id"))
+      val query = RateStream.clickPurchaseIntervalJoin(clicks, purchases)
+        .select(col("user_id"), col("click_id"), col("p_id"),
+          col("click_value"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+
+    val out = s.table(name)
+      .as[(Long, Long, Long, Double)].collect()
+    s.catalog.dropTempView(name)
+    s.createDataset(out.toSeq)
+      .toDF("user_id", "click_id", "p_id", "click_value")
+  }
+
   /** The versioned payload feed for the composed-ingest replay: one entry
     * per dropped file, in arrival order — `<BASE>_<TARGET>.v<n>.json`
     * carrying (quote date → close) series. The sequence deliberately

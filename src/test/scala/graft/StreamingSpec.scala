@@ -239,6 +239,37 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches across micro-batches, honors the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = RateStream.clickPurchaseIntervalJoin(
+        clicks.toDS().toDF("user_id", "click_ts", "click_id", "click_value"),
+        purchases.toDS().toDF("p_user_id", "p_ts", "p_id"))
+      .select(col("user_id"), col("click_id"), col("p_id"))
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 1: click only — goes into join state, nothing emits
+      clicks.addData((1L, t("2024-01-16 00:00:00"), 10L, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("ssjoin_out").isEmpty)
+      // batch 2: matching purchase arrives LATER — state must still hold
+      // the click; and a purchase outside the 30-minute window must not
+      // match
+      purchases.addData(
+        (1L, t("2024-01-16 00:10:00"), 20L),   // in window → match
+        (1L, t("2024-01-16 01:00:00"), 21L),   // past the window → no match
+        (2L, t("2024-01-16 00:10:00"), 22L))   // other user → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 10L, 20L)))
+    } finally q.stop()
+  }
+
   test("composed-ingest replay: corrections win LWW, re-deliveries are inert") {
     import graft.streaming.StreamReplay
     val table = StreamReplay.replayIngestPipeline(spark).collect()
