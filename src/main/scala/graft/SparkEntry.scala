@@ -120,6 +120,19 @@ object SparkEntry {
     // §1.4 OHLC extension: daily bars, one hash agg (min_by/max_by)
     "fx_ohlc_bars" -> ((s, dir) => RateAnalysis.ohlcBars(rates(s, dir))),
 
+    // layout maintenance: rewrite events Z-ORDERED by (user_id, time) —
+    // interleaved-bit sort key → every file gets a tight min/max
+    // envelope on BOTH dimensions (the multi-dim data-skipping layout);
+    // rows must be untouched (hash identity), ZOrderSpec measures the
+    // envelopes
+    "maint_zorder_events" -> ((s, dir) => {
+      val tmp = graft.util.Scratch.dir("graft_zorder").resolve("events").toString
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      graft.operators.ZOrder.writeZOrdered(ev, "user_id", "ts_us", tmp)
+      s.read.parquet(tmp)
+    }),
+
     // table maintenance: compact a deliberately fragmented copy of the
     // date-partitioned rates table (8 files/day — the post-ingest sprawl
     // shape) and hash-check that not a single row changed through the
@@ -728,6 +741,11 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin,
 
     "fx_ohlc_bars" -> OhlcOracleSql,
+
+    // z-ordering must be row-identity: the output is simply the table
+    "maint_zorder_events" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |FROM events""".stripMargin,
 
     // compaction must be row-identity: the output is simply the table
     "maint_compact_rates" ->
