@@ -38,17 +38,21 @@ object StreamReplay {
     * no executor memory (the cache-rebuild trap from round 2).
     */
   private val orderedFeeds =
-    scala.collection.mutable.Map.empty[(String, Int), java.nio.file.Path]
+    scala.collection.mutable.Map.empty[(String, String, Int), java.nio.file.Path]
 
-  private def sharedOrderedFeed(s: SparkSession, dir: String,
-      n: Int): java.nio.file.Path = orderedFeeds.synchronized {
-    orderedFeeds.getOrElseUpdate((dir, n), {
-      val feed = Scratch.dir("graft_ordered_feed").resolve("feed")
-      val rates = Tables.rates(s, dir)
-        .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
-      writeOrderedSlices(rates, feed, n)
+  private def sharedFeed(tag: String, dir: String, n: Int)
+      (build: => DataFrame): java.nio.file.Path = orderedFeeds.synchronized {
+    orderedFeeds.getOrElseUpdate((tag, dir, n), {
+      val feed = Scratch.dir(s"graft_ordered_feed_$tag").resolve("feed")
+      writeOrderedSlices(build, feed, n)
       feed
     })
+  }
+
+  private def sharedOrderedFeed(s: SparkSession, dir: String,
+      n: Int): java.nio.file.Path = sharedFeed("rates", dir, n) {
+    Tables.rates(s, dir)
+      .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
   }
 
   /** Run `body` with a reduced shuffle-partition count and restore the
@@ -395,11 +399,12 @@ object StreamReplay {
       nBatches: Int = 3): DataFrame = {
     import s.implicits._
     val tmp = Scratch.dir("graft_ssjoin_replay")
-    val feed = tmp.resolve("feed")
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
-    writeOrderedSlices(ev.withColumnRenamed("ts", "timestamp"), feed, nBatches)
+    val feed = sharedFeed("events", dir, nBatches) {
+      ev.withColumnRenamed("ts", "timestamp")
+    }
 
     val name = s"graft_ssjoin_sink_${sinkId.incrementAndGet()}"
     withReplayPartitions(s, 8) {
