@@ -49,12 +49,15 @@ object Bench {
     // goes on its OWN final line so a bounded tail capture of the log can
     // never truncate it away (with 60+ queries the combined single line
     // outgrew the driver's capture window and the round-6 total had to be
-    // reconstructed by hand)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // reconstructed by hand). Locale.ROOT: the default-locale f"%.3f"
+    // would emit comma decimals on e.g. a de_DE JVM — invalid JSON.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -776,7 +776,8 @@ object SparkEntry {
          |            WHEN in_new IS NULL THEN 'delete'
          |            ELSE 'update' END AS change_type
          |FROM o FULL OUTER JOIN nw USING (ccy_couple, date)
-         |WHERE NOT (old_rate IS NOT DISTINCT FROM new_rate
+         |WHERE in_old IS NULL OR in_new IS NULL
+         |   OR NOT (old_rate IS NOT DISTINCT FROM new_rate
          |           AND old_event_time IS NOT DISTINCT FROM new_event_time)""".stripMargin,
 
     // every observed version with [valid_from, valid_to) bounds; the

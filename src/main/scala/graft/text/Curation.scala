@@ -19,6 +19,28 @@ import graft.model.Tables
   */
 object Curation {
 
+  /** Scratch-parquet memo of the per-doc token counts: the two-pass
+    * prefix sum in packSequences consumes this relation in BOTH passes
+    * (chunk partials, then the offset-apply join); materializing the
+    * ~1000×-smaller (doc_id, lang, n_tokens) projection once means the
+    * corpus TEXT is read and tokenized once, not per pass. Parquet, not
+    * `.persist`, for the usual clearCache-toxicity reasons
+    * (NearDup.ngramJaccardPairsCached).
+    */
+  private val tokPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tokenCountsCached(s: SparkSession, dir: String): DataFrame = {
+    val path = tokPaths.computeIfAbsent(dir, _ => {
+      val p = graft.util.Scratch.dir("graft_pack_toks").resolve("toks").toString
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Hex-string hash key: md5 of the key's decimal string. Lexicographic
     * comparison on the hex prefix gives fraction control at 1/256
     * granularity, identically in any engine with md5 (DuckDB oracle
@@ -108,8 +130,7 @@ object Curation {
     */
   def packSequences(s: SparkSession, dir: String,
       budgetTokens: Int = 512, chunkDocs: Long = 65536L): DataFrame = {
-    val toks = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val toks = tokenCountsCached(s, dir)
       .withColumn("chunk", floor(col("doc_id") / lit(chunkDocs)))
     // pass 1: chunk totals + exclusive running offset (langs × chunks
     // rows — the window here sorts the aggregated relation, not the data)

@@ -27,18 +27,38 @@ import graft.model.Tables
   */
 object TfIdf {
 
+  /** Scratch-parquet memo of the per-(doc, token) counts: tf feeds BOTH
+    * the scored left side and the df aggregation; without
+    * materialization column pruning makes the two subtrees differ,
+    * Catalyst cannot reuse the exchange, and the corpus is tokenized
+    * and aggregated twice (measured 2 full scans in the plan).
+    * Parquet-backed, NOT `.persist` — same rationale as
+    * NearDup.ngramJaccardPairsCached: a persisted relation held past
+    * the query leaks executor memory and turns toxic after
+    * clearCache(); the tf relation is deterministic, ~1000× smaller
+    * than the corpus (3 scalars vs the text), and re-reads at scan
+    * speed.
+    */
+  private val tfPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tfCached(s: SparkSession, dir: String): DataFrame = {
+    val path = tfPaths.computeIfAbsent(dir, _ => {
+      val p = graft.util.Scratch.dir("graft_tfidf_tf").resolve("tf").toString
+      Tables.documents(s, dir).select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   def topTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // persist barrier: tf feeds BOTH the scored left side and the df
-    // aggregation; without it column pruning makes the two subtrees
-    // differ, Catalyst cannot reuse the exchange, and the corpus is
-    // tokenized and aggregated twice (measured 2 full scans in the plan)
-    val tf = docs.select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-      .where(length(col("token")) > 0)
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = tfCached(s, dir)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(df, Seq("token"))
