@@ -214,6 +214,13 @@ object SparkEntry {
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayDedupDocs(s, dir)),
 
+    // §2.10 stream-static join: the events stream enriched against the
+    // static customer dimension per micro-batch (no state, no
+    // watermark); emitted rows = the batch join, checked through the
+    // per-segment aggregate
+    "stream_static_join" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayStreamStaticJoin(s, dir)),
+
     // §2.10 stream-stream interval join: purchases matched to the same
     // user's clicks in the preceding 30 min through the real symmetric
     // state store; watermarks bound state to one window of active users;
@@ -787,6 +794,14 @@ object SparkEntry {
     // the incrementally-maintained history must equal the one-shot batch
     // SCD2 — identical oracle to fx_scd2_history
     "stream_scd2_incremental" -> Scd2OracleSql,
+
+    // streamed enrichment emissions = the batch dimension join,
+    // aggregated per segment (decimal sum for cross-engine determinism)
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // the streamed join's emitted pairs = the batch interval join
     // (integer-µs bounds so ns-precision timestamps cannot shift them)

@@ -436,6 +436,54 @@ object StreamReplay {
       .toDF("user_id", "click_id", "p_id", "click_value")
   }
 
+  /** Replay of the STREAM-STATIC join: the events stream enriched
+    * against the static customer dimension (the no-state streaming join
+    * — the dimension is planned fresh per micro-batch, broadcast when
+    * small, and needs no watermark because only the stream side flows).
+    * Every stream row joins as it arrives, so the emitted set is exactly
+    * the batch join; the gate projects the per-segment aggregate of the
+    * emissions, recomputed by the oracle from the batch join.
+    */
+  def replayStreamStaticJoin(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_ssta_replay")
+    // the same ordered events feed the stream-stream join replays —
+    // built once per JVM, shared by both
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val feed = sharedFeed("events", dir, nBatches) {
+      ev.withColumnRenamed("ts", "timestamp")
+    }
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+
+    val name = s"graft_ssta_sink_${sinkId.incrementAndGet()}"
+    withReplayPartitions(s, 8) {
+      val stream = s.readStream
+        .schema(ev.withColumnRenamed("ts", "timestamp").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString + "/*")
+      val query = stream.join(dim, Seq("user_id")) // inner, static side
+        .select(col("c_mktsegment"), col("value"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+
+    val out = s.table(name)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .as[(String, Long, Double)].collect()
+    s.catalog.dropTempView(name)
+    s.createDataset(out.toSeq).toDF("c_mktsegment", "n_events", "total_value")
+  }
+
   /** The versioned payload feed for the composed-ingest replay: one entry
     * per dropped file, in arrival order — `<BASE>_<TARGET>.v<n>.json`
     * carrying (quote date → close) series. The sequence deliberately
