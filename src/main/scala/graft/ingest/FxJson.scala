@@ -27,24 +27,33 @@ object FxJson {
     * reference rate-event schema plus OHLC. `slashName=false` gives Task
     * A's concatenated pair naming (update_exchange_rates.py:72) vs Task
     * B's slashed naming (Fx_1min.py:71).
+    *
+    * `carryCols` are input columns threaded through the flatten unchanged
+    * (e.g. the delivery `ingest_version` the streaming source parses from
+    * the payload file name). The `timestamp` column stays processing-time
+    * (the reference's CURRENT_TIMESTAMP, Fx_1min.py:103-110) but is NOT a
+    * safe last-writer-wins version on a distributed engine — MySQL
+    * serializes upserts, micro-batches don't; merge orderings must lead
+    * with an explicit delivery version (see RateStream.mergeBatchWriter).
     */
   def parsePayloads(payloads: DataFrame, slashName: Boolean = true,
-      payloadCol: String = "payload"): DataFrame = {
+      payloadCol: String = "payload", carryCols: Seq[String] = Nil): DataFrame = {
     val pair =
       if (slashName) concat_ws("/", col("base_currency"), col("target_currency"))
       else concat(col("base_currency"), col("target_currency"))
     payloads
-      .select(pair.as("ccy_couple"),
-        explode(get_json_map(col(payloadCol))).as(Seq("quote_date", "ohlc")))
+      .select(pair.as("ccy_couple") +:
+        explode(get_json_map(col(payloadCol))).as(Seq("quote_date", "ohlc")) +:
+        carryCols.map(col): _*)
       .select(
-        col("ccy_couple"),
-        unix_millis(to_timestamp(col("quote_date"), "yyyy-MM-dd")).as("event_time"),
-        element_at(col("ohlc"), "4. close").cast(DecimalType(10, 6)).as("rate"),
-        to_timestamp(col("quote_date"), "yyyy-MM-dd").as("date"),
-        element_at(col("ohlc"), "1. open").cast(DecimalType(10, 6)).as("open"),
-        element_at(col("ohlc"), "2. high").cast(DecimalType(10, 6)).as("high"),
-        element_at(col("ohlc"), "3. low").cast(DecimalType(10, 6)).as("low"),
-        current_timestamp().as("timestamp"))
+        Seq(col("ccy_couple"),
+          unix_millis(to_timestamp(col("quote_date"), "yyyy-MM-dd")).as("event_time"),
+          element_at(col("ohlc"), "4. close").cast(DecimalType(10, 6)).as("rate"),
+          to_timestamp(col("quote_date"), "yyyy-MM-dd").as("date"),
+          element_at(col("ohlc"), "1. open").cast(DecimalType(10, 6)).as("open"),
+          element_at(col("ohlc"), "2. high").cast(DecimalType(10, 6)).as("high"),
+          element_at(col("ohlc"), "3. low").cast(DecimalType(10, 6)).as("low"),
+          current_timestamp().as("timestamp")) ++ carryCols.map(col): _*)
   }
 
   private def get_json_map(payload: org.apache.spark.sql.Column) =

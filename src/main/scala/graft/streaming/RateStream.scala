@@ -41,17 +41,42 @@ object RateStream {
     * ever touches ~one day's keys per run (Fx_1min.py:93-125); the
     * previous full-table-rewrite design was the one remaining O(table)
     * cost on the ingest hot path at warehouse scale.
+    *
+    * LWW ORDERING IS DETERMINISTIC, never wall-clock: the merge orders by
+    * (`ingest_version` if the batch carries one, then the micro-batch id
+    * as `ingest_batch`, then `orderCol`). The reference gets away with
+    * `timestamp=CURRENT_TIMESTAMP` ordering (Fx_1min.py:103-110) because
+    * MySQL serializes upserts; on a micro-batch engine a processing-time
+    * version has millisecond granularity shared by a whole batch, so a
+    * correction can TIE its original and lose the row_number coin flip
+    * (the round-7 gate caught exactly that). The delivery version comes
+    * from the payload file name (payloadFileStream); `ingest_batch` is
+    * Spark's replayable monotone batch id — both are stable under
+    * re-execution, so the merged table is a pure function of the feed.
+    * An unversioned feed that delivers two CONFLICTING values for one
+    * key inside one micro-batch remains inherently ambiguous (no
+    * delivery order exists) — version your files to resolve it.
     */
   def mergeBatchWriter(target: String, keys: Seq[String],
-      orderCol: String): (DataFrame, Long) => Unit = { (batch, _) =>
-    MergeOps.mergeIntoDatePartitioned(target, batch, keys,
-      Seq(col(orderCol)), dateCol = "date")
+      orderCol: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val versioned = batch.withColumn("ingest_batch", lit(batchId))
+    val ordering =
+      (if (batch.columns.contains("ingest_version")) Seq(col("ingest_version"))
+       else Seq.empty) ++ Seq(col("ingest_batch"), col(orderCol))
+    MergeOps.mergeIntoDatePartitioned(target, versioned, keys,
+      ordering, dateCol = "date")
   }
 
   /** S1 streaming stand-in: a file-drop directory of `<BASE>_<TARGET>.json`
     * FX_DAILY payloads consumed as a stream — the reference's polled REST
     * fetch becomes "payloads arrive, micro-batches flatten them". Pair
     * identity comes from the file name; the flatten is FxJson's.
+    *
+    * `ingest_version` is the delivery version parsed from the
+    * `<PAIR>.v<n>.json` file name (0 when the name is unversioned) — the
+    * durable record of delivery order the LWW merge needs. File mtimes
+    * and processing timestamps both fail as versions (mtime granularity,
+    * clock ties under load); the name survives re-execution byte-for-byte.
     */
   def payloadFileStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -60,14 +85,17 @@ object RateStream {
       .schema(StructType(Seq(StructField("value", StringType))))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     val raw = reader.text(dir)
-    // file names: <BASE>_<TARGET>[.version].json — re-deliveries arrive as
+    // file names: <BASE>_<TARGET>[.v<n>].json — re-deliveries arrive as
     // new versioned files (a file stream processes each name once)
     val f = input_file_name()
     val pat = "([A-Z]{3})_([A-Z]{3})[^/]*\\.json"
     graft.ingest.FxJson.parsePayloads(
       raw.select(col("value").as("payload"),
         regexp_extract(f, pat, 1).as("base_currency"),
-        regexp_extract(f, pat, 2).as("target_currency")))
+        regexp_extract(f, pat, 2).as("target_currency"),
+        coalesce(regexp_extract(f, "\\.v(\\d+)\\.json$", 1).cast("long"),
+          lit(0L)).as("ingest_version")),
+      carryCols = Seq("ingest_version"))
   }
 
   /** The composed ingest pipeline, one call: payload file-drop source →
