@@ -121,10 +121,25 @@ object MergeOps {
       // evicted mid-write. The repartition by day keeps the swapped-in
       // partition at ONE compacted file per touched day, not
       // shuffle-partition-count × days splinters.
-      val existing = spark.read.parquet(target)
+      // Align the LWW metadata columns BOTH ways before the union: a
+      // target written before versioned ingest existed (no ingest_batch /
+      // ingest_version) gets them backfilled as 0 — pre-versioning rows
+      // predate any delivery order, so they lose LWW to any batch row —
+      // and an unversioned batch merging into a versioned table gets
+      // version 0 likewise. Without this the batch-side projection onto
+      // existing.columns silently DROPS the ordering columns and the
+      // window orderBy fails unresolved on the first overlapping day.
+      val metaCols = Seq("ingest_version", "ingest_batch")
+      val existingRaw = spark.read.parquet(target)
         .where(col("p_date").isin(overlap: _*))
+      val existing = metaCols
+        .filter(c => withP.columns.contains(c) && !existingRaw.columns.contains(c))
+        .foldLeft(existingRaw)((df, c) => df.withColumn(c, lit(0L)))
+      val batchAligned = metaCols
+        .filter(c => existing.columns.contains(c) && !withP.columns.contains(c))
+        .foldLeft(withP)((df, c) => df.withColumn(c, lit(0L)))
       val merged = merge(existing,
-        withP.select(existing.columns.toIndexedSeq.map(col): _*),
+        batchAligned.select(existing.columns.toIndexedSeq.map(col): _*),
         keys, ordering)
       val staging = new org.apache.hadoop.fs.Path(target + "__staging")
       merged.repartition(col("p_date"))

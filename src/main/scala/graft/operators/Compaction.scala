@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction for a date-partitioned parquet table: rewrite
@@ -11,14 +12,57 @@ import org.apache.spark.sql.functions._
   * footer reads) and scan parallelism long before data size does —
   * periodic compaction is the standard maintenance job.
   *
-  * Shape: one shuffle keyed by partition date (each day's rows gather on
-  * one task group), then the writer's `maxRecordsPerFile` splits days
-  * larger than the bound into multiple files. Rewrites go through the
-  * same dynamic-overwrite path as the merge — only listed partitions are
-  * replaced, and the operation is idempotent (re-compacting a compacted
-  * table is a no-op on content).
+  * Shape: rows are assigned an EXACT within-day shard of
+  * `maxRecordsPerFile` rows (distributed two-pass prefix sum, same
+  * technique as Curation.packSequences) and shuffled by (day, shard) —
+  * a hot day is written by ceil(day_rows/maxRecordsPerFile) tasks in
+  * parallel instead of one straggler task buffering the whole day, and
+  * the layout is still the canonical ceil count of files per partition
+  * (every shard except a day's remainder holds exactly
+  * `maxRecordsPerFile` rows, so the writer's record bound rolls files
+  * exactly at shard boundaries even when two shards share a task).
+  * Rewrites go through the same dynamic-overwrite path as the merge —
+  * only listed partitions are replaced, and the operation is idempotent
+  * (re-compacting a compacted table is a no-op on content).
   */
 object Compaction {
+
+  /** Shuffle a `p_date`-carrying DataFrame so each day is spread over
+    * ceil(day_rows / maxRecordsPerFile) tasks, each holding whole
+    * `maxRecordsPerFile`-row shards. The within-day row index is a
+    * distributed two-pass prefix sum keyed by the scan partition id —
+    * never a `Window.partitionBy(day)` cumsum, which would put a hot
+    * day's entire row stream on one task (the straggler this exists to
+    * kill):
+    *   pass 1: per-(day, scan-partition) counts — a map-side-combined
+    *           aggregation to a tiny relation — then an exclusive
+    *           running sum per day gives each scan partition's starting
+    *           offset within its day;
+    *   pass 2: broadcast the offsets back and row_number locally within
+    *           each (day, scan-partition) group — parallel across scan
+    *           partitions, no window partition ever exceeds a scan
+    *           split.
+    */
+  def shardByDay(df: DataFrame, maxRecordsPerFile: Long): DataFrame = {
+    val dataCols = df.columns.toIndexedSeq.map(col)
+    // __mid orders rows within a (day, scan-partition) window group; any
+    // unique-per-row order works (the shard assignment only needs a
+    // bijective index), it just has to be SOME order for row_number
+    val withPid = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val wOff = Window.partitionBy("p_date").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy(col("p_date"), col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("p_date"), col("__pid"), col("__off"))
+    val wLocal = Window.partitionBy("p_date", "__pid").orderBy("__mid")
+    withPid.join(broadcast(offsets), Seq("p_date", "__pid"))
+      .withColumn("__shard", floor(
+        (col("__off") + row_number().over(wLocal) - 1) / lit(maxRecordsPerFile)))
+      .repartition(col("p_date"), col("__shard"))
+      .select(dataCols: _*)
+  }
 
   /** Compact `path` (a `p_date`-partitioned table) in place. Returns the
     * compacted row count for verification.
@@ -31,17 +75,18 @@ object Compaction {
     // cannot overwrite its own read source, and the same re-run recovery
     // contract applies (content is unchanged, so a crashed compaction is
     // repaired by compacting again)
-    df.repartition(col("p_date"))
+    shardByDay(df, maxRecordsPerFile)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .parquet(staging)
     val staged = spark.read.parquet(staging)
     val n = staged.count()
-    // re-shuffle by day on the final write too: otherwise the staging
-    // read's task layout (file boundaries, row-group splits) leaks into
-    // the output file count — with one writer task per day the layout is
-    // the canonical ceil(rows/maxRecordsPerFile) files per partition
-    staged.repartition(col("p_date"))
+    // re-shard on the final write too: otherwise the staging read's task
+    // layout (file boundaries, row-group splits) leaks into the output
+    // file count — sharded, the layout is the canonical
+    // ceil(rows/maxRecordsPerFile) files per partition, written by
+    // ceil(rows/maxRecordsPerFile) parallel tasks on a hot day
+    shardByDay(staged, maxRecordsPerFile)
       .write.partitionBy("p_date")
       .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)

@@ -56,6 +56,13 @@ object RateStream {
     * An unversioned feed that delivers two CONFLICTING values for one
     * key inside one micro-batch remains inherently ambiguous (no
     * delivery order exists) — version your files to resolve it.
+    *
+    * CHECKPOINT-LINEAGE CAVEAT: `ingest_batch` is monotone only within
+    * one checkpoint lineage. If the checkpoint is lost and batchId
+    * restarts at 0, new UNVERSIONED deliveries (version 0) lose LWW to
+    * rows already in the table carrying a higher ingest_batch. Versioned
+    * feeds are immune (ingest_version dominates the ordering); for
+    * unversioned feeds, keep the checkpoint as durable as the table.
     */
   def mergeBatchWriter(target: String, keys: Seq[String],
       orderCol: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
@@ -89,12 +96,16 @@ object RateStream {
     // new versioned files (a file stream processes each name once)
     val f = input_file_name()
     val pat = "([A-Z]{3})_([A-Z]{3})[^/]*\\.json"
+    // regexp_extract yields '' (not null) on a non-match, and ANSI mode
+    // makes cast('' as long) THROW — guard before casting so an
+    // unversioned <PAIR>.json really does parse as version 0
+    val ver = regexp_extract(f, "\\.v(\\d+)\\.json$", 1)
     graft.ingest.FxJson.parsePayloads(
       raw.select(col("value").as("payload"),
         regexp_extract(f, pat, 1).as("base_currency"),
         regexp_extract(f, pat, 2).as("target_currency"),
-        coalesce(regexp_extract(f, "\\.v(\\d+)\\.json$", 1).cast("long"),
-          lit(0L)).as("ingest_version")),
+        when(ver =!= "", ver.cast("long")).otherwise(lit(0L))
+          .as("ingest_version")),
       carryCols = Seq("ingest_version"))
   }
 

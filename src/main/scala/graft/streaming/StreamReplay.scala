@@ -542,11 +542,12 @@ object StreamReplay {
       ()
     }
     // two files per trigger groups the mtime-ordered feed into its
-    // version waves (v1 v1 | v2 v2 | v3 v3 | v4) — corrections always
-    // land in a LATER micro-batch than the quote they correct, which the
-    // LWW merge needs (the per-batch ingest timestamp is the version
-    // column). 2 shuffle partitions: the dedup state store pays per
-    // instance per batch, and the replay keyspace is three pairs.
+    // version waves (v1 v1 | v2 v2 | v3 v3 | v4). The LWW merge orders by
+    // (ingest_version from the file name, then micro-batch id, then
+    // timestamp), so the final table is the delivery-order argmax under
+    // ANY grouping — the waves just keep the replay's batch count small.
+    // 2 shuffle partitions: the dedup state store pays per instance per
+    // batch, and the replay keyspace is three pairs.
     withReplayPartitions(s, 2) {
       val query = RateStream.runIngestPipeline(s, feed.toString, table,
         maxFilesPerTrigger = Some(2),
@@ -554,9 +555,52 @@ object StreamReplay {
         checkpointDir = Some(tmp.resolve("chk").toString))
       query.awaitTermination()
     }
-    s.read.parquet(table)
+    val merged = s.read.parquet(table)
+    val out = merged
       .select(col("ccy_couple"), to_date(col("date")).as("quote_date"),
         col("rate"))
+
+    // SELF-CHECK: the gate has twice recorded a hash divergence on this
+    // replay that no local run reproduces. Recompute the expected
+    // per-(pair, date) delivery-order argmax from IngestFeed in-process
+    // and compare; on ANY divergence, dump the merged table — WITH its
+    // ingest_version/ingest_batch ordering columns — next to the repo's
+    // artifacts so the failing environment finally leaves evidence.
+    val expected: Map[(String, String), BigDecimal] =
+      IngestFeed.foldLeft(Map.empty[(String, String), BigDecimal]) {
+        case (m, (name, quotes)) =>
+          val pair = name.take(3) + "/" + name.slice(4, 7)
+          quotes.foldLeft(m) { case (mm, (d, c)) =>
+            mm.updated((pair, d), BigDecimal(c)) }
+      }
+    val actual: Map[(String, String), BigDecimal] =
+      out.collect().map(r => // 11 rows — the fixture keyspace
+        (r.getString(0), r.getDate(1).toString) -> BigDecimal(r.getDecimal(2))
+      ).toMap
+    if (actual != expected) {
+      val dumpRows = merged
+        .select(col("ccy_couple"), to_date(col("date")).cast("string").as("d"),
+          col("rate").cast("string").as("rate"),
+          col("ingest_version"), col("ingest_batch"),
+          col("timestamp").cast("string").as("ts"))
+        .orderBy("ccy_couple", "d")
+        .collect().map { r =>
+          s"""{"ccy_couple":"${r.getString(0)}","quote_date":"${r.getString(1)}",""" +
+            s""""rate":"${r.getString(2)}","ingest_version":${r.getLong(3)},""" +
+            s""""ingest_batch":${r.getLong(4)},"timestamp":"${r.getString(5)}"}"""
+        }
+      val diffs = (expected.keySet ++ actual.keySet).toSeq.sorted.flatMap { k =>
+        val (e, a) = (expected.get(k), actual.get(k))
+        if (e.exists(ev => a.exists(_ == ev))) None
+        else Some(s"""{"key":"${k._1} ${k._2}","expected":${e.fold("null")(_.toString)},""" +
+          s""""actual":${a.fold("null")(_.toString)}}""")
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("DEBUG_ingest_divergence.json"),
+        s"""{"diffs":[${diffs.mkString(",")}],"merged_table":[${dumpRows.mkString(",")}]}\n""")
+      ()
+    }
+    out
   }
 
   /** Replay of the STATEFUL streaming operator (RateStream.latestPerPair,

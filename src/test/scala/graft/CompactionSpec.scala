@@ -50,4 +50,28 @@ class CompactionSpec extends SparkSuite {
     assert(spark.read.parquet(path).drop("p_date")
       .collect().map(_.toSeq).toSet == content)
   }
+
+  test("a day far over the record bound is written by many parallel tasks") {
+    // the straggler check: with maxRecordsPerFile=50, a 600-row day must
+    // shuffle onto >1 writer task (previously repartition(p_date) pinned
+    // the whole day onto ONE task that wrote all its files serially)
+    val df = spark.range(600)
+      .withColumn("p_date", to_date(lit("2024-03-01")))
+      .withColumn("payload", col("id") * 2)
+    val sharded = Compaction.shardByDay(df, maxRecordsPerFile = 50L)
+    // AQE coalesces these KB-sized test partitions into one (at real
+    // scale each ~maxRecordsPerFile shard is far above the advisory
+    // size and stays its own task) — switch coalescing off to observe
+    // the distribution the plan actually declares
+    val tasksForDay = try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      sharded
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("tid"))
+        .distinct().count()
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert(tasksForDay > 1, s"hot day written by $tasksForDay task(s)")
+    // sharding is a pure reshuffle: row identity holds
+    assert(sharded.select("id", "payload").collect().map(_.toSeq).toSet ==
+      df.select("id", "payload").collect().map(_.toSeq).toSet)
+  }
 }

@@ -170,6 +170,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("same-batch version tie: conflicting versioned files in ONE micro-batch, higher version wins") {
+    import graft.ingest.FxJson
+    val work = Files.createTempDirectory("ingest_tie").toFile
+    val feed = new java.io.File(work, "feed"); feed.mkdirs()
+    val table = new java.io.File(work, "rates").getAbsolutePath
+    // both files present BEFORE the stream starts and no maxFilesPerTrigger
+    // cap → one micro-batch carries both deliveries; ingest_batch ties, so
+    // only the explicit ingest_version can resolve the conflict
+    Files.writeString(new java.io.File(feed, "EUR_USD.v1.json").toPath,
+      FxJson.fixturePayload(Seq("2024-01-16"), Seq(BigDecimal("1.0900"))))
+    Files.writeString(new java.io.File(feed, "EUR_USD.v2.json").toPath,
+      FxJson.fixturePayload(Seq("2024-01-16"), Seq(BigDecimal("1.0950"))))
+    val q = RateStream.runIngestPipeline(spark, feed.getAbsolutePath, table)
+    try {
+      q.processAllAvailable()
+      val rows = spark.read.parquet(table).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.095)
+      assert(rows.head.getAs[Long]("ingest_version") == 2L)
+    } finally q.stop()
+  }
+
   test("stateful latest-per-pair replay converges to the batch argmax") {
     import graft.model.Tables
     import graft.streaming.StreamReplay
