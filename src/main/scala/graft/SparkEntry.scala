@@ -243,6 +243,13 @@ object SparkEntry {
     "stream_ingest_pipeline" -> ((s, _) =>
       graft.streaming.StreamReplay.replayIngestPipeline(s)),
 
+    // the SAME composed pipeline, with the merge diffing each batch's
+    // before/after partition images into an append-only CDC changelog;
+    // the oracle recomputes every batch's LWW state transition from the
+    // fixture constant and diffs consecutive states
+    "stream_cdc_changelog" -> ((s, _) =>
+      graft.streaming.StreamReplay.replayCdcChangelog(s)),
+
     // §7.2 partitioned layout: the day-granular cutoff answered by
     // PARTITION PRUNING over the date-partitioned rates table (the scan's
     // PartitionFilters carry the predicate — asserted in
@@ -395,6 +402,33 @@ object SparkEntry {
         valueCols = Seq("value" -> "last_click_value"))
     }),
 
+    // forward as-of: each purchase gets the user's NEXT click value
+    // at-or-after it (mirror window, same single shuffle)
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      AsOfJoin.asofForward(
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value")),
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("value" -> "next_click_value"))
+    }),
+
+    // nearest-within-tolerance as-of: the closer of the two directions
+    // within 1 hour, ties backward; both passes ride one shuffle
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      AsOfJoin.asofNearest(
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value")),
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("value" -> "nearest_click_value"),
+        toleranceMicros = 3600L * 1000000L)
+    }),
+
     // ---- text-analysis pipeline operators (documents table) ----
 
     // token / subword / punctuation counting, alpha density
@@ -407,9 +441,10 @@ object SparkEntry {
     "text_fingerprint" -> TextFunctions.textFingerprint _,
     // exact dedup clusters keyed by fingerprint
     "dedup_exact" -> TextFunctions.dedupExact _,
-    // MinHash + LSH banding near-dup (rows-only check: xxhash64 not in SQL)
+    // MinHash + LSH banding near-dup (hash-checked: the XXH64 signature
+    // pipeline is replayed in DuckDB by graft.oracle.XxhOracleSql)
     "dedup_minhash_lsh" -> ((s, dir) => NearDup.minhashLsh(s, dir)),
-    // 64-bit SimHash + Hamming nearest (rows-only check)
+    // 64-bit SimHash + Hamming nearest (hash-checked, same replay)
     "dedup_simhash" -> ((s, dir) => NearDup.simhashReport(s, dir)),
     // exact char-trigram Jaccard in (lang, source) buckets (oracle-checked)
     "dedup_ngram_jaccard" -> ((s, dir) => NearDup.ngramJaccardPairs(s, dir)),
@@ -907,18 +942,63 @@ object SparkEntry {
     // argmax over delivery order, recomputed from the SAME fixture
     // constant the replay writes as payload files (exact re-deliveries
     // carry the same value, so delivery-order argmax equals what the
-    // dedup+LWW pipeline converges to)
+    // dedup+LWW pipeline converges to). The rate is decimal-pinned on
+    // BOTH sides: DuckDB types the bare VALUES literals DECIMAL(9,6)
+    // while the merged table carries the ingest schema's DECIMAL(10,6) —
+    // an asymmetry invisible to the loose schema check but visible to
+    // the driver's value hash (the 3-rounds-red root cause).
     "stream_ingest_pipeline" -> {
       val values = graft.streaming.StreamReplay.IngestFeed.zipWithIndex
         .flatMap { case ((name, quotes), v) =>
           val pair = name.take(3) + "/" + name.slice(4, 7)
-          quotes.map { case (d, c) => s"('$pair', DATE '$d', $c, $v)" }
+          quotes.map { case (d, c) =>
+            s"('$pair', DATE '$d', CAST($c AS DECIMAL(10,6)), $v)" }
         }.mkString(",\n  ")
       s"""WITH quotes(ccy_couple, quote_date, rate, v) AS (VALUES
          |  $values
          |)
-         |SELECT ccy_couple, quote_date, arg_max(rate, v) AS rate
+         |SELECT ccy_couple, quote_date,
+         |       CAST(arg_max(rate, v) AS DECIMAL(10,6)) AS rate
          |FROM quotes GROUP BY ccy_couple, quote_date""".stripMargin
+    },
+
+    // the changelog = per-batch diffs of consecutive LWW states over the
+    // same fixture. dd keeps each exact (key, value)'s FIRST delivery
+    // (the stream suppresses later exact re-deliveries); batch = delivery
+    // index / 2 (maxFilesPerTrigger=2 over the mtime-ordered feed); state
+    // after batch b = argmax over deliveries in batches <= b; a key whose
+    // rate changed is an update, a key absent before is an insert,
+    // unchanged keys emit nothing. Decimal-pinned on both sides.
+    "stream_cdc_changelog" -> {
+      val values = graft.streaming.StreamReplay.IngestFeed.zipWithIndex
+        .flatMap { case ((name, quotes), v) =>
+          val pair = name.take(3) + "/" + name.slice(4, 7)
+          quotes.map { case (d, c) =>
+            s"('$pair', DATE '$d', CAST($c AS DECIMAL(10,6)), $v)" }
+        }.mkString(",\n  ")
+      s"""WITH quotes(ccy_couple, quote_date, rate, v) AS (VALUES
+         |  $values
+         |), dd AS (
+         |  SELECT ccy_couple, quote_date, rate, min(v) AS v
+         |  FROM quotes GROUP BY ccy_couple, quote_date, rate
+         |), db AS (
+         |  SELECT *, v // 2 AS b FROM dd
+         |), bs AS (
+         |  SELECT DISTINCT v // 2 AS b FROM quotes
+         |), st AS (
+         |  SELECT bs.b, d.ccy_couple, d.quote_date, arg_max(d.rate, d.v) AS rate
+         |  FROM bs JOIN db d ON d.b <= bs.b
+         |  GROUP BY bs.b, d.ccy_couple, d.quote_date
+         |)
+         |SELECT c.ccy_couple, c.quote_date,
+         |  CASE WHEN p.rate IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+         |  CAST(p.rate AS DECIMAL(10,6)) AS old_rate,
+         |  CAST(c.rate AS DECIMAL(10,6)) AS new_rate,
+         |  CAST(c.b AS BIGINT) AS cdc_batch
+         |FROM st c LEFT JOIN st p
+         |  ON p.b = c.b - 1 AND p.ccy_couple = c.ccy_couple
+         | AND p.quote_date = c.quote_date
+         |WHERE p.rate IS NULL OR p.rate <> c.rate""".stripMargin
     },
 
     // the partition-pruned cutoff must agree with the row-filtered form:
@@ -1116,6 +1196,42 @@ object SparkEntry {
         |                WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
+    // DuckDB ASOF with the inequality flipped is the forward direction
+    "q_asof_forward" ->
+      """SELECT p.user_id, p.ts, p.event_id, c.value AS next_click_value
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
+
+    // nearest = closer of the two ASOF directions within tolerance
+    // (1h = 3600000000 us), equal distance resolving backward
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT p.user_id, p.event_id, p.ts, c.ts AS bt, c.value AS bv
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (SELECT p.user_id, p.event_id, c.ts AS ft, c.value AS fv
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT b.user_id, b.ts, b.event_id,
+        |  CASE WHEN b.bt IS NOT NULL
+        |            AND epoch_us(b.ts) - epoch_us(b.bt) <= 3600000000
+        |            AND (f.ft IS NULL
+        |                 OR epoch_us(f.ft) - epoch_us(b.ts) > 3600000000
+        |                 OR epoch_us(b.ts) - epoch_us(b.bt)
+        |                    <= epoch_us(f.ft) - epoch_us(b.ts))
+        |       THEN b.bv
+        |       WHEN f.ft IS NOT NULL
+        |            AND epoch_us(f.ft) - epoch_us(b.ts) <= 3600000000
+        |       THEN f.fv
+        |  END AS nearest_click_value
+        |FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id""".stripMargin,
+
     "text_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -1192,6 +1308,13 @@ object SparkEntry {
     // count independently and asserts the candidate sets missed none
     "dedup_minhash_recall" -> RecallOracleSql,
     "dedup_simhash_recall" -> RecallOracleSql,
+
+    // full value-checked replays of the seeded-signature near-dup
+    // reports: Spark's XXH64 (byte-string + hashLong/hashInt + the
+    // multi-arg fold) re-implemented in single-statement DuckDB SQL over
+    // HUGEINT mod-2^64 arithmetic — see graft.oracle.XxhOracleSql
+    "dedup_minhash_lsh" -> graft.oracle.XxhOracleSql.minhashLsh(),
+    "dedup_simhash" -> graft.oracle.XxhOracleSql.simhashReport(),
 
     // connected components of the 0.5-Jaccard pair graph, replayed with
     // a recursive CTE: label = min doc_id over the transitive closure

@@ -76,9 +76,33 @@ object MergeOps {
     * identical table and re-overwrites any orphaned staging tree
     * (MergeOpsSpec "staging-swap crash recovery").
     */
+  /** Append one micro-batch's change rows to `path`: the snapshotDiff
+    * output plus the batch id. One file per batch (micro-batch sized by
+    * construction) so the changelog never splinters.
+    */
+  private def writeChangelog(path: String, diff: DataFrame,
+      batchId: Long): Unit =
+    diff.withColumn("cdc_batch", lit(batchId))
+      .coalesce(1).write.mode("append").parquet(path)
+
+  /** @param changelog when set, every merge also APPENDS the batch's
+    *   change rows (insert/update, old_/new_ images, cdc_batch) to this
+    *   path — the per-batch CDC feed downstream consumers apply to stay
+    *   in sync without re-reading the table. The before/after images are
+    *   relations the merge already computes (the overlap read and the
+    *   staged result), so the changelog costs one extra diff of O(touched
+    *   days), not a table scan; the diff itself is operators.Cdc's.
+    *   Changelog rows are written BEFORE the destructive target swap, so
+    *   a crash between the two yields at-least-once changelog delivery
+    *   (the retry's re-merge then diffs against the already-applied state
+    *   and re-emits nothing) — the conventional contract for a CDC feed.
+    * @param changelogBatchId stamped on the rows as `cdc_batch`.
+    */
   def mergeIntoDatePartitioned(target: String, batch: DataFrame,
       keys: Seq[String], ordering: Seq[Column],
-      dateCol: String = "date"): Unit = {
+      dateCol: String = "date",
+      changelog: Option[String] = None,
+      changelogBatchId: Long = 0L): Unit = {
     if (batch.isEmpty) return // empty micro-batch: nothing to merge
     val spark = batch.sparkSession
     val withP = batch.withColumn("p_date", to_date(col(dateCol)))
@@ -106,13 +130,24 @@ object MergeOps {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(target)
 
+    // value columns the changelog diffs (everything but key + layout cols)
+    def cdcValues(df: DataFrame): Seq[String] =
+      df.columns.toIndexedSeq.filterNot(c => keys.contains(c) || c == "p_date")
+
     if (overlap.isEmpty) {
       // fast path — every touched day is NEW (the common case for a
       // time-ordered feed: each run appends fresh days, overlapping the
       // previous run on at most a boundary day). No existing data is
       // read, so no staging hop is needed; the in-batch upsert writes
       // one compacted file per day straight into fresh partition dirs.
-      writePartitioned(upsertLatest(withP, keys, ordering))
+      val upserted = upsertLatest(withP, keys, ordering)
+      changelog.foreach { cl =>
+        // no before-image exists: every merged row is an insert
+        writeChangelog(cl, graft.operators.Cdc.snapshotDiff(
+          upserted.where(lit(false)), upserted, keys, cdcValues(upserted)),
+          changelogBatchId)
+      }
+      writePartitioned(upserted)
     } else {
       // merge path — read ONLY the overlapping days' partitions, merge,
       // and swap via a staging hop: Spark refuses to overwrite a path
@@ -130,7 +165,14 @@ object MergeOps {
       // existing.columns silently DROPS the ordering columns and the
       // window orderBy fails unresolved on the first overlapping day.
       val metaCols = Seq("ingest_version", "ingest_batch")
-      val existingRaw = spark.read.parquet(target)
+      // mergeSchema: without it parquet resolves the schema from ONE file
+      // footer — on a mixed-schema table (some partitions written before
+      // versioned ingest existed) a legacy footer would hide the real
+      // ingest_version column and the backfill below would stamp 0L over
+      // rows whose true versions are higher, letting a stale re-delivery
+      // win LWW over an applied correction. The overlap read is O(touched
+      // days), so the footer-merge cost is negligible.
+      val existingRaw = spark.read.option("mergeSchema", "true").parquet(target)
         .where(col("p_date").isin(overlap: _*))
       val existing = metaCols
         .filter(c => withP.columns.contains(c) && !existingRaw.columns.contains(c))
@@ -144,6 +186,16 @@ object MergeOps {
       val staging = new org.apache.hadoop.fs.Path(target + "__staging")
       merged.repartition(col("p_date"))
         .write.mode("overwrite").parquet(staging.toString)
+      changelog.foreach { cl =>
+        // before = the overlap days still on disk (this plan lazily reads
+        // the PRE-overwrite files, which is why the changelog must be
+        // written before the swap below); after = the staged merge result
+        // (overlap days + the batch's new days — new-day keys fall out of
+        // the full-outer diff as inserts)
+        val after = spark.read.parquet(staging.toString)
+        writeChangelog(cl, graft.operators.Cdc.snapshotDiff(
+          existing, after, keys, cdcValues(after)), changelogBatchId)
+      }
       spark.read.parquet(staging.toString)
         .write.partitionBy("p_date")
         .option("partitionOverwriteMode", "dynamic")

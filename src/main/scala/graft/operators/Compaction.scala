@@ -16,14 +16,15 @@ import org.apache.spark.sql.functions._
   * `maxRecordsPerFile` rows (distributed two-pass prefix sum, same
   * technique as Curation.packSequences) and shuffled by (day, shard) —
   * a hot day is written by ceil(day_rows/maxRecordsPerFile) tasks in
-  * parallel instead of one straggler task buffering the whole day, and
-  * the layout is still the canonical ceil count of files per partition
-  * (every shard except a day's remainder holds exactly
-  * `maxRecordsPerFile` rows, so the writer's record bound rolls files
-  * exactly at shard boundaries even when two shards share a task).
-  * Rewrites go through the same dynamic-overwrite path as the merge —
-  * only listed partitions are replaced, and the operation is idempotent
-  * (re-compacting a compacted table is a no-op on content).
+  * parallel instead of one straggler task buffering the whole day. The
+  * per-day FILE COUNT is the canonical ceil(day_rows/maxRecordsPerFile):
+  * each task's day-rows total k·maxRecordsPerFile plus at most one
+  * remainder, so the writer's record bound emits exactly the ceil count
+  * (when two shards share a task their rows interleave, so files are not
+  * shard-pure — only the count is canonical, which is what compaction is
+  * for). Rewrites go through the same dynamic-overwrite path as the
+  * merge — only listed partitions are replaced, and the operation is
+  * idempotent (re-compacting a compacted table is a no-op on content).
   */
 object Compaction {
 
@@ -74,23 +75,33 @@ object Compaction {
     // the staging hop mirrors MergeOps.mergeIntoDatePartitioned: Spark
     // cannot overwrite its own read source, and the same re-run recovery
     // contract applies (content is unchanged, so a crashed compaction is
-    // repaired by compacting again)
-    shardByDay(df, maxRecordsPerFile)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
-      .parquet(staging)
+    // repaired by compacting again). The staging LAYOUT is discarded by
+    // the sharded final write, so a plain round-robin repartition is all
+    // the hop needs — running shardByDay here too would double the
+    // operator's shuffle work for a layout nobody reads.
+    df.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(staging)
     val staged = spark.read.parquet(staging)
     val n = staged.count()
-    // re-shard on the final write too: otherwise the staging read's task
-    // layout (file boundaries, row-group splits) leaks into the output
-    // file count — sharded, the layout is the canonical
-    // ceil(rows/maxRecordsPerFile) files per partition, written by
-    // ceil(rows/maxRecordsPerFile) parallel tasks on a hot day
+    // shard the final write: the canonical ceil(rows/maxRecordsPerFile)
+    // files per partition, written by that many parallel tasks on a hot
+    // day. shardByDay branches its input twice over nondeterministic
+    // spark_partition_id/monotonically_increasing_id, which is safe here
+    // ONLY because `staged` is a private immutable parquet dir (both
+    // subtree scans see identical splits) — which is why the prefix sum
+    // runs on staging rather than on the caller's arbitrary `df` plan.
     shardByDay(staged, maxRecordsPerFile)
       .write.partitionBy("p_date")
       .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .mode("overwrite").parquet(path)
+    // Verify the DESTRUCTIVE write before dropping the recovery copy: a
+    // divergence between shardByDay's two scans would silently drop rows
+    // (inner join on __pid) and n — counted from staging — could not see
+    // it. The post-write count is footer-metadata-only, near-free.
+    val m = spark.read.parquet(path).count()
+    require(m == n,
+      s"compaction wrote $m rows, expected $n — staging kept at $staging")
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)

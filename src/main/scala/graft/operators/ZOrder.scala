@@ -34,11 +34,23 @@ object ZOrder {
     MortonCode16(rank16(a, aMin, aMax), rank16(b, bMin, bMax))
   }
 
-  /** Rewrite `df` z-ordered by (`c1`, `c2`) into `nFiles` files at
-    * `path`. Returns the written row count.
+  /** Rewrite `df` z-ordered by (`c1`, `c2`) at `path`. Returns the
+    * written row count.
+    *
+    * The output file count is DATA-SIZED: ceil(rows / targetRowsPerFile)
+    * unless `nFiles` pins it explicitly. A constant count is a scale
+    * trap both ways — at 100× the data each file is 100× oversized
+    * (row-group pruning degrades to file-sized granularity), and on a
+    * tiny table it splinters into skew-prone slivers. The extra count()
+    * is footer-metadata-only on a parquet-backed input, negligible next
+    * to the rewrite itself.
     */
   def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
-      nFiles: Int = 16): Long = {
+      targetRowsPerFile: Long = 1000000L,
+      nFiles: Option[Int] = None): Long = {
+    val files = nFiles.getOrElse(
+      math.max(1L, (df.count() + targetRowsPerFile - 1) / targetRowsPerFile)
+        .min(Int.MaxValue).toInt)
     val bounds = df.agg(
       min(col(c1)).as("min1"), max(col(c1)).as("max1"),
       min(col(c2)).as("min2"), max(col(c2)).as("max2"))
@@ -46,10 +58,14 @@ object ZOrder {
       .withColumn("__z", mortonKey(col(c1), col("min1"), col("max1"),
         col(c2), col("min2"), col("max2")))
       .drop("min1", "max1", "min2", "max2")
-    keyed.repartitionByRange(nFiles, col("__z"))
+    keyed.repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z")) // tight row-group envelopes too
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+      // belt for range skew (heavy duplicate __z values): even if a range
+      // partition lands fat, no single file exceeds the target
+      .option("maxRecordsPerFile", targetRowsPerFile.toString)
+      .parquet(path)
     df.sparkSession.read.parquet(path).count()
   }
 }

@@ -1,0 +1,265 @@
+package graft.oracle
+
+/** DuckDB-SQL replay of Spark's XXH64 hash family, used to give the
+  * MinHash-LSH and SimHash near-dup reports REAL value-checked oracles
+  * (they were the gate's last two rows-only entries).
+  *
+  * The whole xxhash64 family — byte-string hash (with the 4-lane stripe
+  * phase for inputs >= 32 bytes), the 8-byte-primitive `hashLong`, the
+  * 4-byte `hashInt`, and Spark's multi-argument left-fold — is emitted as
+  * single-statement DuckDB SQL over HUGEINT arithmetic in [0, 2^64):
+  *
+  *  - mod-2^64 multiply: HUGEINT is signed 128-bit, so a*b with both
+  *    operands < 2^64 can overflow. Every multiply here is by a known
+  *    prime constant, so it is decomposed as a*c = a*(c - 2^63) +
+  *    (a&1)<<63 when c >= 2^63 — a*(c-2^63) < 2^127 always fits.
+  *  - shifts/masks use HUGEINT `>>`/`<<`/`&` (4-8x cheaper than `%`/`//`,
+  *    which are 128-bit divisions — measured 27s -> 4s on the full
+  *    minhash oracle at sf0.01).
+  *  - xor() on HUGEINT is bitwise on two's-complement 128-bit, which for
+  *    values < 2^64 equals 64-bit xor.
+  *  - per-row sequential hash phases are CHAINED CTE COLUMN STEPS (one
+  *    new column per mixing step), keeping everything vectorized; lambda
+  *    `list_reduce` folds appear only where length varies per row (the
+  *    stripe/word/byte loops of the byte hash).
+  *
+  * Byte access comes out of the UTF-8 blob as hex pairs (the technique
+  * proven by the `text_rolling_fingerprint` / `mm_features` oracles).
+  * Signed Java semantics (the signature slots are signed longs and the
+  * min is a signed min) are recovered by converting the unsigned residue
+  * at exactly the points the Spark side compares or emits values.
+  *
+  * Every emitted building block is pinned against Spark ground truth by
+  * XxhOracleSqlSpec (spark.sql xxhash64 vs the DuckDB semantics replayed
+  * in Scala); the end-to-end reports hash-match the Python/DuckDB
+  * cross-validation and ultimately the driver's gate.
+  */
+object XxhOracleSql {
+
+  private val W = BigInt(1) << 64
+  private val M64 = "18446744073709551615" // 2^64 - 1 mask
+  private val H63 = BigInt(1) << 63
+  private val P1 = BigInt("9E3779B185EBCA87", 16)
+  private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val P3 = BigInt("165667B19E3779F9", 16)
+  private val P4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val P5 = BigInt("27D4EB2F165667C5", 16)
+  private val Seed = BigInt(42) // Spark's xxhash64 default seed
+
+  /** a*c mod 2^64 for a in [0,2^64) (SQL expr) and constant c < 2^64. */
+  private def mulc(a: String, c: BigInt): String =
+    if (c < H63) s"(($a*$c) & $M64)"
+    else s"(((($a*${c - H63}) & $M64) + (($a&1) << 63)) & $M64)"
+
+  private def rotl(x: String, r: Int): String = {
+    val lo = BigInt(1) << (64 - r)
+    s"((($x & ${lo - 1}) << $r) + ($x >> ${64 - r}))"
+  }
+
+  private def xor(a: String, b: String): String = s"xor($a,$b)"
+  private def add(a: String, b: String): String = s"((($a+$b)) & $M64)"
+
+  /** let-binding via single-element list_transform (for inside folds,
+    * where intermediates can't be CTE columns): keeps generated text
+    * linear instead of exponentially duplicated.
+    */
+  private def let(bindings: Seq[(String, String)], body: String): String =
+    bindings.foldRight(body) { case ((n, e), b) =>
+      s"list_transform([$e], $n -> $b)[1]"
+    }
+
+  /** XXH64 finalization avalanche as column steps ending at `${pfx}x`. */
+  private def fmixSteps(h: String, pfx: String): Seq[(String, String)] = Seq(
+    s"${pfx}f1" -> xor(h, s"($h >> 33)"),
+    s"${pfx}f2" -> mulc(s"${pfx}f1", P2),
+    s"${pfx}f3" -> xor(s"${pfx}f2", s"(${pfx}f2 >> 29)"),
+    s"${pfx}f4" -> mulc(s"${pfx}f3", P3),
+    s"${pfx}x" -> xor(s"${pfx}f4", s"(${pfx}f4 >> 32)"))
+
+  /** Spark XXH64.hashLong(inp, seed) as column steps ending at `${pfx}x`;
+    * inp/seed are column refs holding unsigned HUGEINT in [0,2^64).
+    */
+  private def hashLongSteps(inp: String, seed: String,
+      pfx: String): Seq[(String, String)] = Seq(
+    s"${pfx}g0" -> s"(($seed + ${P5 + 8}) & $M64)",
+    s"${pfx}k1" -> mulc(inp, P2),
+    s"${pfx}k2" -> mulc(rotl(s"${pfx}k1", 31), P1),
+    s"${pfx}g1" -> xor(s"${pfx}g0", s"${pfx}k2"),
+    s"${pfx}g2" -> add(mulc(rotl(s"${pfx}g1", 27), P1), P4.toString)) ++
+    fmixSteps(s"${pfx}g2", pfx)
+
+  /** Spark XXH64.hashInt(inp, seed): inp nonneg < 2^32, so inp*P1 < 2^96
+    * fits HUGEINT directly with no constant split.
+    */
+  private def hashIntSteps(inp: String, seed: String,
+      pfx: String): Seq[(String, String)] = Seq(
+    s"${pfx}g0" -> s"(($seed + ${P5 + 4}) & $M64)",
+    s"${pfx}g1" -> xor(s"${pfx}g0", s"((CAST($inp AS HUGEINT)*$P1) & $M64)"),
+    s"${pfx}g2" -> add(mulc(rotl(s"${pfx}g1", 23), P2), P3.toString)) ++
+    fmixSteps(s"${pfx}g2", pfx)
+
+  /** LIST(HUGEINT) of UTF-8 bytes from a hex(encode(...)) column. */
+  private def byteList(hx: String, ln: String): String =
+    s"list_transform(range(0, $ln), j -> CAST(" +
+      s"16*(strpos('0123456789ABCDEF', substring($hx, 2*j+1, 1))-1)" +
+      s" + strpos('0123456789ABCDEF', substring($hx, 2*j+2, 1))-1 AS HUGEINT))"
+
+  /** Little-endian word from LIST var bs at 0-based offset expr o. */
+  private def word(bs: String, o: String, n: Int): String =
+    (0 until n).map(k => s"$bs[$o+${k + 1}]*${BigInt(1) << (8 * k)}")
+      .mkString("(", " + ", ")")
+
+  /** Spark XXH64.hashUnsafeBytes over columns bs (LIST(HUGEINT)) and ln
+    * (BIGINT), as column steps ending at col `xh`. Structure mirrors the
+    * Java original: 4-lane 32-byte stripes (length >= 32), then 8-byte
+    * words, one optional 4-byte word, trailing bytes, fmix.
+    */
+  private def hashBytesSteps(): Seq[(String, String)] = {
+    val vInit = Seq((Seed + P1 + P2) mod W, (Seed + P2) mod W, Seed mod W,
+      (Seed - P1) mod W)
+    def lane(v: String, k: String) = mulc(rotl(add(v, mulc(k, P2)), 31), P1)
+    val stripes = "list_transform(range(0, ln//32), si -> " +
+      s"[${word("bs", "(si*32)", 8)}, ${word("bs", "(si*32+8)", 8)}, " +
+      s"${word("bs", "(si*32+16)", 8)}, ${word("bs", "(si*32+24)", 8)}])"
+    val stripeFold =
+      s"list_reduce(list_prepend([${vInit.mkString(",")}]::HUGEINT[], $stripes), " +
+        s"(ac, st) -> [${lane("ac[1]", "st[1]")}, ${lane("ac[2]", "st[2]")}, " +
+        s"${lane("ac[3]", "st[3]")}, ${lane("ac[4]", "st[4]")}])"
+    def mergeOne(h: String, v: String) =
+      add(mulc(xor(h, mulc(rotl(mulc(v, P2), 31), P1)), P1), P4.toString)
+    val merge = let(Seq(
+      "m0" -> s"(((${rotl("ac[1]", 1)} + ${rotl("ac[2]", 7)} + ${rotl("ac[3]", 12)} + ${rotl("ac[4]", 18)})) & $M64)",
+      "m1" -> mergeOne("m0", "ac[1]"),
+      "m2" -> mergeOne("m1", "ac[2]"),
+      "m3" -> mergeOne("m2", "ac[3]")), mergeOne("m3", "ac[4]"))
+    val wordStep = let(
+      Seq("w1" -> xor("ac", mulc(rotl(mulc("wk", P2), 31), P1))),
+      add(mulc(rotl("w1", 27), P1), P4.toString))
+    val byteStep = mulc(rotl(xor("ac", mulc("bb", P5)), 11), P1)
+    val four = let(
+      Seq("q1" -> xor("h2", mulc(word("bs", "(ln - ln%8)", 4), P1))),
+      add(mulc(rotl("q1", 23), P2), P3.toString))
+    Seq(
+      "h0" -> (s"CASE WHEN ln >= 32 THEN list_transform([$stripeFold], ac -> $merge)[1] " +
+        s"ELSE ${(Seed + P5) mod W} END"),
+      "h1" -> s"((h0 + ln) & $M64)",
+      "h2" -> (s"list_reduce(list_prepend(h1, list_transform(range((ln//32)*32, ln-7, 8), " +
+        s"wo -> ${word("bs", "wo", 8)})), (ac, wk) -> $wordStep)"),
+      "h3" -> s"CASE WHEN ln%8 >= 4 THEN $four ELSE h2 END",
+      "h4" -> s"list_reduce(list_prepend(h3, bs[(ln - ln%4)+1 : ln]), (ac, bb) -> $byteStep)") ++
+      fmixSteps("h4", "hb") :+ ("xh" -> "hbx")
+  }
+
+  /** Chain steps as CTEs: each adds one column on top of the previous
+    * (SELECT * keeps intermediates visible; DuckDB prunes unused ones).
+    */
+  private def chain(baseName: String, steps: Seq[(String, String)],
+      prefix: String): (Seq[String], String) = {
+    val named = steps.zipWithIndex.map { case ((n, e), i) =>
+      (s"$prefix$i", s"$prefix$i AS (SELECT *, $e AS $n FROM " +
+        s"${if (i == 0) baseName else s"$prefix${i - 1}"})")
+    }
+    (named.map(_._2), if (named.isEmpty) baseName else named.last._1)
+  }
+
+  /** Unsigned HUGEINT in [0,2^64) from a signed BIGINT expr. */
+  private def toU(v: String): String =
+    s"CAST(CASE WHEN $v < 0 THEN $v + 18446744073709551616::HUGEINT ELSE CAST($v AS HUGEINT) END AS HUGEINT)"
+
+  /** Signed BIGINT from an unsigned HUGEINT expr in [0,2^64). */
+  private def toS(v: String): String =
+    s"CAST(CASE WHEN $v >= 9223372036854775808::HUGEINT THEN $v - 18446744073709551616::HUGEINT ELSE $v END AS BIGINT)"
+
+  /** Canonical text + shingle/token base CTEs shared by both oracles. */
+  private val canonCte =
+    """d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |       FROM documents WHERE text IS NOT NULL)""".stripMargin
+
+  /** Oracle for NearDup.minhashLsh: 3-word-shingle signatures (32 seeded
+    * minhashes), 8 band keys via Spark's multi-arg xxhash64 fold, the
+    * bucket-capped candidate self-join, and the per-doc best-neighbor
+    * report — all replayed value-exactly.
+    */
+  def minhashLsh(maxBucket: Int = 50): String = {
+    val (hbCtes, hbLast) = chain("b2", hashBytesSteps(), "hs")
+    val (hlCtes, hlLast) = chain(hbLast, hashLongSteps("xh", "42::HUGEINT", "L"), "cl")
+    val (hiCtes, hiLast) = chain("jx", hashIntSteps("j", "hseed", "I"), "ci")
+    val (baCtes, baLast) = chain("bw", hashIntSteps("band", "42::HUGEINT", "A"), "ca")
+    val (b0Ctes, b0Last) = chain("a0", hashLongSteps("u0", "acc0", "B"), "cb")
+    val (b1Ctes, b1Last) = chain("a1", hashLongSteps("u1", "acc1", "C"), "cc")
+    val (b2Ctes, b2Last) = chain("a2", hashLongSteps("u2", "acc2", "D"), "cd")
+    val (b3Ctes, b3Last) = chain("a3", hashLongSteps("u3", "acc3", "E"), "ce")
+    s"""WITH $canonCte,
+       |tk AS (SELECT doc_id, nt, str_split(nt, ' ') AS toks FROM d0),
+       |se AS (SELECT doc_id, nt, toks, unnest(range(0, CASE WHEN len(toks) >= 3 THEN len(toks)-2 ELSE 1 END)) AS s FROM tk),
+       |sg0 AS (SELECT doc_id, s, CASE WHEN len(toks) >= 3 THEN array_to_string(toks[s+1:s+3], ' ') ELSE nt END AS sg FROM se),
+       |sg1 AS (SELECT doc_id, s, hex(encode(sg)) AS hx, octet_length(encode(sg)) AS ln FROM sg0),
+       |b2 AS (SELECT doc_id, s, ln, ${byteList("hx", "ln")} AS bs FROM sg1),
+       |${hbCtes.mkString(",\n")},
+       |${hlCtes.mkString(",\n")},
+       |hsd AS (SELECT doc_id, Lx AS hseed FROM $hlLast),
+       |jx AS (SELECT doc_id, hseed, unnest(range(0, 32)) AS j FROM hsd),
+       |${hiCtes.mkString(",\n")},
+       |sig AS (SELECT doc_id, j, min(${toS("Ix")}) AS sg FROM $hiLast GROUP BY doc_id, j),
+       |bp AS (SELECT doc_id, j // 4 AS band, j % 4 AS slot, sg FROM sig),
+       |bw AS (SELECT doc_id, band,
+       |       ${toU("max(CASE WHEN slot = 0 THEN sg END)")} AS u0,
+       |       ${toU("max(CASE WHEN slot = 1 THEN sg END)")} AS u1,
+       |       ${toU("max(CASE WHEN slot = 2 THEN sg END)")} AS u2,
+       |       ${toU("max(CASE WHEN slot = 3 THEN sg END)")} AS u3
+       |       FROM bp GROUP BY doc_id, band),
+       |${baCtes.mkString(",\n")},
+       |a0 AS (SELECT doc_id, band, u0, u1, u2, u3, Ax AS acc0 FROM $baLast),
+       |${b0Ctes.mkString(",\n")},
+       |a1 AS (SELECT doc_id, band, u1, u2, u3, Bx AS acc1 FROM $b0Last),
+       |${b1Ctes.mkString(",\n")},
+       |a2 AS (SELECT doc_id, band, u2, u3, Cx AS acc2 FROM $b1Last),
+       |${b2Ctes.mkString(",\n")},
+       |a3 AS (SELECT doc_id, band, u3, Dx AS acc3 FROM $b2Last),
+       |${b3Ctes.mkString(",\n")},
+       |bk AS (SELECT doc_id, band, ${toS("Ex")} AS key FROM $b3Last),
+       |okb AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= $maxBucket),
+       |pr AS (SELECT b.doc_id, b.band, b.key FROM bk b JOIN okb USING (band, key)),
+       |cp AS (SELECT DISTINCT a.doc_id, b.doc_id AS nb_id FROM pr a JOIN pr b USING (band, key) WHERE a.doc_id <> b.doc_id),
+       |cj AS (SELECT c.doc_id, c.nb_id, sum(CASE WHEN sa.sg = sb.sg THEN 1 ELSE 0 END) AS eq
+       |       FROM cp c JOIN sig sa ON sa.doc_id = c.doc_id JOIN sig sb ON sb.doc_id = c.nb_id AND sb.j = sa.j
+       |       GROUP BY c.doc_id, c.nb_id),
+       |cand AS (SELECT doc_id, nb_id, CAST(eq AS DOUBLE)/32 AS est_jaccard FROM cj),
+       |best AS (SELECT doc_id, nb_id, est_jaccard FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY est_jaccard DESC, nb_id ASC) rn FROM cand) WHERE rn = 1),
+       |nc AS (SELECT doc_id, count(*) AS n_candidates FROM cand GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n.n_candidates, 0) AS n_candidates, b.nb_id, b.est_jaccard
+       |FROM documents d LEFT JOIN nc n USING (doc_id) LEFT JOIN best b USING (doc_id)""".stripMargin
+  }
+
+  /** Oracle for NearDup.simhashReport: per-token xxhash64, sign-of-bit-sum
+    * 64-bit signature, 16-bit-chunk bucket-capped candidates, Hamming
+    * nearest neighbor.
+    */
+  def simhashReport(maxBucket: Int = 50): String = {
+    val (hbCtes, hbLast) = chain("b2", hashBytesSteps(), "hs")
+    s"""WITH $canonCte,
+       |tt AS (SELECT doc_id, unnest(str_split(nt, ' ')) AS tok FROM d0),
+       |tb AS (SELECT doc_id, hex(encode(tok)) AS hx, octet_length(encode(tok)) AS ln FROM tt),
+       |b2 AS (SELECT doc_id, ln, ${byteList("hx", "ln")} AS bs FROM tb),
+       |${hbCtes.mkString(",\n")},
+       |bx AS (SELECT doc_id, xh, unnest(range(0, 64)) AS j FROM $hbLast),
+       |bsum AS (SELECT doc_id, j, sum(CASE WHEN ((xh >> CAST(j AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+       |         FROM bx GROUP BY doc_id, j),
+       |sg0 AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::HUGEINT << CAST(j AS INTEGER)) ELSE 0::HUGEINT END) AS su0
+       |        FROM bsum GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST(coalesce(su0, 0) AS HUGEINT) AS su, ${toS("CAST(coalesce(su0,0) AS HUGEINT)")} AS simhash FROM sg0),
+       |ch AS (SELECT doc_id, su, simhash, unnest(range(0, 4)) AS chunk FROM sig),
+       |ck AS (SELECT doc_id, chunk, simhash,
+       |       CAST((su // (CASE chunk WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT
+       |                    WHEN 2 THEN 4294967296::HUGEINT ELSE 281474976710656::HUGEINT END)) % 65536 AS BIGINT) AS ckey
+       |       FROM ch),
+       |okb AS (SELECT chunk, ckey FROM ck GROUP BY chunk, ckey HAVING count(*) <= $maxBucket),
+       |pr AS (SELECT c.doc_id, c.chunk, c.ckey FROM ck c JOIN okb USING (chunk, ckey)),
+       |cp AS (SELECT DISTINCT a.doc_id, b.doc_id AS nb_id FROM pr a JOIN pr b USING (chunk, ckey) WHERE a.doc_id <> b.doc_id),
+       |hm AS (SELECT c.doc_id, c.nb_id, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+       |       FROM cp c JOIN sig sa ON sa.doc_id = c.doc_id JOIN sig sb ON sb.doc_id = c.nb_id),
+       |best AS (SELECT doc_id, nb_id AS nn_id, hamming AS nn_hamming
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hamming ASC, nb_id ASC) rn FROM hm) WHERE rn = 1)
+       |SELECT s.doc_id, s.simhash, b.nn_id, b.nn_hamming FROM sig s LEFT JOIN best b USING (doc_id)""".stripMargin
+  }
+}

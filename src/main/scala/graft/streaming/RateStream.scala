@@ -65,13 +65,16 @@ object RateStream {
     * unversioned feeds, keep the checkpoint as durable as the table.
     */
   def mergeBatchWriter(target: String, keys: Seq[String],
-      orderCol: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val versioned = batch.withColumn("ingest_batch", lit(batchId))
-    val ordering =
-      (if (batch.columns.contains("ingest_version")) Seq(col("ingest_version"))
-       else Seq.empty) ++ Seq(col("ingest_batch"), col(orderCol))
-    MergeOps.mergeIntoDatePartitioned(target, versioned, keys,
-      ordering, dateCol = "date")
+      orderCol: String,
+      changelog: Option[String] = None): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val versioned = batch.withColumn("ingest_batch", lit(batchId))
+      val ordering =
+        (if (batch.columns.contains("ingest_version")) Seq(col("ingest_version"))
+         else Seq.empty) ++ Seq(col("ingest_batch"), col(orderCol))
+      MergeOps.mergeIntoDatePartitioned(target, versioned, keys,
+        ordering, dateCol = "date",
+        changelog = changelog, changelogBatchId = batchId)
   }
 
   /** S1 streaming stand-in: a file-drop directory of `<BASE>_<TARGET>.json`
@@ -123,7 +126,8 @@ object RateStream {
       tableDir: String, watermark: String = "10 minutes",
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      changelogDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = payloadFileStream(spark, feedDir, maxFilesPerTrigger)
       .withWatermark("timestamp", watermark)
@@ -135,7 +139,7 @@ object RateStream {
       .writeStream
       .outputMode("append")
       .foreachBatch(mergeBatchWriter(tableDir,
-        Seq("ccy_couple", "date"), "timestamp"))
+        Seq("ccy_couple", "date"), "timestamp", changelog = changelogDir))
     trigger.foreach(writer.trigger)
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer.start()

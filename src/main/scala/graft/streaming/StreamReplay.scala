@@ -556,9 +556,12 @@ object StreamReplay {
       query.awaitTermination()
     }
     val merged = s.read.parquet(table)
+    // rate is decimal-pinned to the ingest schema's DECIMAL(10,6) so the
+    // gate's value hash sees the exact type the oracle SQL casts to —
+    // never the looser type a parquet footer happens to record.
     val out = merged
       .select(col("ccy_couple"), to_date(col("date")).as("quote_date"),
-        col("rate"))
+        col("rate").cast("decimal(10,6)").as("rate"))
 
     // SELF-CHECK: the gate has twice recorded a hash divergence on this
     // replay that no local run reproduces. Recompute the expected
@@ -578,29 +581,90 @@ object StreamReplay {
         (r.getString(0), r.getDate(1).toString) -> BigDecimal(r.getDecimal(2))
       ).toMap
     if (actual != expected) {
-      val dumpRows = merged
-        .select(col("ccy_couple"), to_date(col("date")).cast("string").as("d"),
-          col("rate").cast("string").as("rate"),
-          col("ingest_version"), col("ingest_batch"),
-          col("timestamp").cast("string").as("ts"))
-        .orderBy("ccy_couple", "d")
-        .collect().map { r =>
-          s"""{"ccy_couple":"${r.getString(0)}","quote_date":"${r.getString(1)}",""" +
-            s""""rate":"${r.getString(2)}","ingest_version":${r.getLong(3)},""" +
-            s""""ingest_batch":${r.getLong(4)},"timestamp":"${r.getString(5)}"}"""
+      // Evidence capture must never escalate a divergence into a crash:
+      // null-guard the meta columns (a pre-versioning writer can leave
+      // them null) and swallow any dump failure. The path is anchored to
+      // the repo (falling back to tmpdir) — a cwd-relative dump in the
+      // driver's environment lands somewhere invisible.
+      scala.util.Try {
+        def longOrNull(r: org.apache.spark.sql.Row, i: Int): String =
+          if (r.isNullAt(i)) "null" else r.getLong(i).toString
+        val dumpRows = merged
+          .select(col("ccy_couple"), to_date(col("date")).cast("string").as("d"),
+            col("rate").cast("string").as("rate"),
+            col("ingest_version"), col("ingest_batch"),
+            col("timestamp").cast("string").as("ts"))
+          .orderBy("ccy_couple", "d")
+          .collect().map { r =>
+            s"""{"ccy_couple":"${r.getString(0)}","quote_date":"${r.getString(1)}",""" +
+              s""""rate":"${r.getString(2)}","ingest_version":${longOrNull(r, 3)},""" +
+              s""""ingest_batch":${longOrNull(r, 4)},"timestamp":"${r.getString(5)}"}"""
+          }
+        val diffs = (expected.keySet ++ actual.keySet).toSeq.sorted.flatMap { k =>
+          val (e, a) = (expected.get(k), actual.get(k))
+          if (e.exists(ev => a.exists(_ == ev))) None
+          else Some(s"""{"key":"${k._1} ${k._2}","expected":${e.fold("null")(_.toString)},""" +
+            s""""actual":${a.fold("null")(_.toString)}}""")
         }
-      val diffs = (expected.keySet ++ actual.keySet).toSeq.sorted.flatMap { k =>
-        val (e, a) = (expected.get(k), actual.get(k))
-        if (e.exists(ev => a.exists(_ == ev))) None
-        else Some(s"""{"key":"${k._1} ${k._2}","expected":${e.fold("null")(_.toString)},""" +
-          s""""actual":${a.fold("null")(_.toString)}}""")
+        val dumpDir = {
+          val repo = java.nio.file.Paths.get("/root/repo")
+          if (java.nio.file.Files.isWritable(repo)) repo
+          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        }
+        java.nio.file.Files.writeString(
+          dumpDir.resolve("DEBUG_ingest_divergence.json"),
+          s"""{"diffs":[${diffs.mkString(",")}],"merged_table":[${dumpRows.mkString(",")}]}\n""")
       }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("DEBUG_ingest_divergence.json"),
-        s"""{"diffs":[${diffs.mkString(",")}],"merged_table":[${dumpRows.mkString(",")}]}\n""")
       ()
     }
     out
+  }
+
+  /** Replay of the ingest pipeline's PER-BATCH CDC CHANGELOG: the same
+    * composed pipeline as replayIngestPipeline, with the merge also
+    * diffing each micro-batch's touched partitions (before/after images
+    * it already holds) into an append-only change feed — the reference's
+    * `ON DUPLICATE KEY UPDATE` stream (Fx_1min.py:103-110) recovered as
+    * consumable changes rather than silent table mutations.
+    *
+    * Deterministic because the feed files carry fixed staggered mtimes
+    * and maxFilesPerTrigger=2 groups them into fixed version waves
+    * (batch = delivery_index / 2), and the exact-redelivery dedup keeps
+    * the first occurrence of each (pair, date, rate) — so the DuckDB
+    * oracle can recompute every batch's LWW state transition from the
+    * IngestFeed constant and diff consecutive states.
+    *
+    * Emitted columns are the STABLE subset (pair, day, change_type,
+    * old/new rate decimal-pinned, cdc_batch): ingest timestamps are
+    * wall-clock and must not reach the hash.
+    */
+  def replayCdcChangelog(s: SparkSession): DataFrame = {
+    val tmp = Scratch.dir("graft_cdc_replay")
+    val feed = tmp.resolve("feed")
+    java.nio.file.Files.createDirectories(feed)
+    val table = tmp.resolve("table").toString
+    val changelog = tmp.resolve("changelog").toString
+    IngestFeed.zipWithIndex.foreach { case ((name, quotes), i) =>
+      val p = feed.resolve(name)
+      java.nio.file.Files.writeString(p, graft.ingest.FxJson.fixturePayload(
+        quotes.map(_._1), quotes.map(q => BigDecimal(q._2))))
+      p.toFile.setLastModified(1700000000000L + i * 10000L)
+      ()
+    }
+    withReplayPartitions(s, 2) {
+      val query = RateStream.runIngestPipeline(s, feed.toString, table,
+        maxFilesPerTrigger = Some(2),
+        trigger = Some(Trigger.AvailableNow()),
+        checkpointDir = Some(tmp.resolve("chk").toString),
+        changelogDir = Some(changelog))
+      query.awaitTermination()
+    }
+    s.read.parquet(changelog)
+      .select(col("ccy_couple"), to_date(col("date")).as("quote_date"),
+        col("change_type"),
+        col("old_rate").cast("decimal(10,6)").as("old_rate"),
+        col("new_rate").cast("decimal(10,6)").as("new_rate"),
+        col("cdc_batch"))
   }
 
   /** Replay of the STATEFUL streaming operator (RateStream.latestPerPair,

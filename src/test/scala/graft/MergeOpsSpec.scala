@@ -119,6 +119,76 @@ class MergeOpsSpec extends SparkSuite {
     assert(tableSet() == expected)
   }
 
+  test("mixed-schema table: versioned partitions keep their versions against a stale merge") {
+    val dir = java.nio.file.Files.createTempDirectory("mixed_schema").toFile
+    val target = new java.io.File(dir, "rates").getAbsolutePath
+    val vOrdering =
+      Seq(col("ingest_version"), col("ingest_batch"), col("timestamp"))
+    // legacy partition: Jan 10 written by a PRE-versioning writer (no meta
+    // columns in its parquet footers)
+    MergeOps.writeDatePartitioned(fixture.where(col("event_id") === 1), target)
+    // a versioned correction lands on Jan 16 with version 5
+    MergeOps.mergeIntoDatePartitioned(target,
+      fixture.where(col("event_id") === 5)
+        .withColumn("ingest_version", lit(5L))
+        .withColumn("ingest_batch", lit(0L)),
+      keys, vOrdering)
+    // stale re-delivery: version 1 carries the superseded 1.15 rate for
+    // the same key. Without mergeSchema on the overlap read, parquet can
+    // resolve the table schema from the LEGACY footer, hide the real
+    // ingest_version column, backfill 0 over the applied 5 — and let this
+    // stale row win LWW.
+    MergeOps.mergeIntoDatePartitioned(target,
+      fixture.where(col("event_id") === 4)
+        .withColumn("ingest_version", lit(1L))
+        .withColumn("ingest_batch", lit(1L)),
+      keys, vOrdering)
+    val jan16 = spark.read.option("mergeSchema", "true").parquet(target)
+      .where(col("p_date") === lit("2024-01-16").cast("date")).collect().head
+    assert(jan16.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.16)
+    assert(jan16.getAs[Long]("ingest_version") == 5L)
+  }
+
+  test("merge emits a per-batch CDC changelog; unchanged keys emit nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_merge").toFile
+    val target = new java.io.File(dir, "rates").getAbsolutePath
+    val cl = new java.io.File(dir, "changelog").getAbsolutePath
+    // batch 1: two fresh days → fast path, all inserts
+    MergeOps.mergeIntoDatePartitioned(target,
+      fixture.where(col("event_id").isin(1, 2)), keys, ordering,
+      changelog = Some(cl), changelogBatchId = 1L)
+    val c1 = spark.read.parquet(cl).collect()
+    assert(c1.length == 2)
+    assert(c1.forall(r => r.getAs[String]("change_type") == "insert"
+      && r.getAs[Long]("cdc_batch") == 1L))
+    // batch 2: an EXACT re-delivery (unchanged → no row), a corrected
+    // rate on an existing key (update), a fresh day (insert), and a new
+    // key on an existing day (insert)
+    val corrected = fixture.where(col("event_id") === 2)
+      .withColumn("rate", lit("1.125").cast(fixture.schema("rate").dataType))
+      .withColumn("timestamp",
+        col("timestamp") + expr("INTERVAL 1 MINUTE"))
+    val batch2 = fixture.where(col("event_id").isin(1, 3, 6))
+      .unionByName(corrected)
+    MergeOps.mergeIntoDatePartitioned(target, batch2, keys, ordering,
+      changelog = Some(cl), changelogBatchId = 2L)
+    val c2 = spark.read.parquet(cl).where(col("cdc_batch") === 2L)
+      .select(col("ccy_couple"), to_date(col("date")).cast("string").as("d"),
+        col("change_type"), col("old_rate"), col("new_rate"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getDecimal(3)).map(_.doubleValue()),
+        r.getDecimal(4).doubleValue())).toSet
+    assert(c2 == Set(
+      ("EUR/USD", "2024-01-12", "update", Some(1.12), 1.125),
+      ("EUR/USD", "2024-01-15", "insert", None, 1.15),
+      ("AUD/CAD", "2024-01-12", "insert", None, 0.916)))
+    // the table itself reflects the applied changes
+    val jan12 = spark.read.parquet(target)
+      .where(col("ccy_couple") === "EUR/USD" &&
+        col("p_date") === lit("2024-01-12").cast("date")).collect().head
+    assert(jan12.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.125)
+  }
+
   test("insertIfAbsent drops rows whose key already exists") {
     val existing = fixture.where(col("event_id") <= 9)
     val incoming = fixture // superset: 2 JPY rows are genuinely new

@@ -50,7 +50,8 @@ class ZOrderSpec extends SparkSuite {
     val (globalUser, globalTs) = (bounds.getDouble(0), bounds.getDouble(1))
 
     val zdir = root.resolve("z").toString
-    val n = ZOrder.writeZOrdered(ev, "user_id", "ts_us", zdir, nFiles = 16)
+    val n = ZOrder.writeZOrdered(ev, "user_id", "ts_us", zdir,
+      nFiles = Some(16))
     assert(n == ev.count())
     val (zUser, zTs) = spans(zdir)
 
@@ -65,5 +66,33 @@ class ZOrderSpec extends SparkSuite {
     // single-dim layout: its own column tight, the other essentially global
     assert(sUser < zUser)
     assert(sTs > 0.9 * globalTs)
+  }
+
+  test("file count is data-sized, never the constant-N scale trap") {
+    val root = graft.util.Scratch.dir("zorder_sized")
+    val ev = Tables.events(spark, sf("sf0.001")).select(col("event_id"),
+      col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val n = ev.count()
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+
+    // target covering the whole table → exactly one file
+    val one = root.resolve("one").toString
+    ZOrder.writeZOrdered(ev, "user_id", "ts_us", one, targetRowsPerFile = n * 10)
+    assert(parquetFiles(one) == 1)
+
+    // small target → file count tracks ceil(n/target) (range-boundary
+    // sampling can split a fat partition, so allow up to 2× the ceil)
+    // and no file exceeds the target row bound
+    val many = root.resolve("many").toString
+    val target = 500L
+    val ceil = ((n + target - 1) / target).toInt
+    ZOrder.writeZOrdered(ev, "user_id", "ts_us", many, targetRowsPerFile = target)
+    val files = parquetFiles(many)
+    assert(files >= ceil && files <= 2 * ceil, s"files=$files ceil=$ceil")
+    val maxPerFile = spark.read.parquet(many)
+      .groupBy(input_file_name()).count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    assert(maxPerFile <= target)
   }
 }
