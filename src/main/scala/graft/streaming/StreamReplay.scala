@@ -518,7 +518,17 @@ object StreamReplay {
       "2024-01-12" -> "0.920000"),
     // Jan 11 GBP: CORRECTION
     "GBP_JPY.v4.json" -> Seq("2024-01-11" -> "185.750000",
-      "2024-01-15" -> "186.000000"))
+      "2024-01-15" -> "186.000000"),
+    // fresh pair rounding out the v4 wave (delivery indexes pair up
+    // 2-per-trigger, so this keeps the next two files in ONE wave)
+    "USD_JPY.v5.json" -> Seq("2024-01-16" -> "147.350000"),
+    // SAME-BATCH version conflict: v5 and v6 land in one trigger wave
+    // (delivery indexes 8+9, maxFilesPerTrigger=2) with different Jan 16
+    // rates — ingest_batch ties, so only ingest_version can resolve it.
+    // v6 must win in BOTH oracle-checked replays; the changelog must show
+    // ONE insert carrying the v6 rate (in-batch LWW already resolved)
+    "AUD_CAD.v5.json" -> Seq("2024-01-16" -> "0.925000"),
+    "AUD_CAD.v6.json" -> Seq("2024-01-16" -> "0.930000"))
 
   /** Replay of the COMPOSED ingest pipeline
     * (RateStream.runIngestPipeline: payload file drop → FxJson flatten →
@@ -542,7 +552,8 @@ object StreamReplay {
       ()
     }
     // two files per trigger groups the mtime-ordered feed into its
-    // version waves (v1 v1 | v2 v2 | v3 v3 | v4). The LWW merge orders by
+    // version waves (v1 v1 | v2 v2 | v3 v3 | v4 v5 | v5 v6 — the last
+    // wave is the SAME-BATCH version conflict). The LWW merge orders by
     // (ingest_version from the file name, then micro-batch id, then
     // timestamp), so the final table is the delivery-order argmax under
     // ANY grouping — the waves just keep the replay's batch count small.
@@ -577,7 +588,7 @@ object StreamReplay {
             mm.updated((pair, d), BigDecimal(c)) }
       }
     val actual: Map[(String, String), BigDecimal] =
-      out.collect().map(r => // 11 rows — the fixture keyspace
+      out.collect().map(r => // 13 rows — the fixture keyspace
         (r.getString(0), r.getDate(1).toString) -> BigDecimal(r.getDecimal(2))
       ).toMap
     if (actual != expected) {

@@ -297,14 +297,16 @@ class StreamingSpec extends SparkSuite {
     val table = StreamReplay.replayIngestPipeline(spark).collect()
       .map(r => (r.getString(0), r.getDate(1).toString) ->
         r.getDecimal(2).doubleValue()).toMap
-    // 3 pairs × their distinct quote dates
-    assert(table.size == 11)
+    // 4 pairs × their distinct quote dates
+    assert(table.size == 13)
     // corrections from later deliveries overwrite (LWW through the merge)
     assert(table(("EUR/USD", "2024-01-11")) == 1.115)
     assert(table(("GBP/JPY", "2024-01-11")) == 185.75)
     // exact re-deliveries leave the original value
     assert(table(("EUR/USD", "2024-01-12")) == 1.12)
     assert(table(("AUD/CAD", "2024-01-11")) == 0.915)
+    // the same-batch v5/v6 conflict resolves to the higher version
+    assert(table(("AUD/CAD", "2024-01-16")) == 0.93)
   }
 
   test("entry contract: flagship query returns rows; every oracle key is a query") {
