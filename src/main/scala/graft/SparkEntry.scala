@@ -486,6 +486,10 @@ object SparkEntry {
 
     // brute-force cosine top-k (oracle-checked; fold-order-exact doubles)
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    // int8-quantized top-k (the 4× memory path): integer code dots over
+    // integer norms, one final double division — oracle replays the
+    // quantization and ranking value-exactly
+    "sim_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
     // random-hyperplane LSH bucketed ANN (rows-only check)
     "sim_ann_lsh" -> ((s, dir) => Similarity.lshNearestInBucket(s, dir)),
     // IVF search: probe nearest cells, rerank within (rows-only check)
@@ -1452,6 +1456,39 @@ object SparkEntry {
         |SELECT qid, vec_id, cos_sim, rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
+    // int8 quantization replayed exactly: scale = 127/max|v| per vector,
+    // codes floor(v·scale + 0.5) (half-up on doubles — engine-portable),
+    // integer dot and norms, one final double division rounded like
+    // sim_topk
+    "sim_quantized_topk" ->
+      """WITH sc AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings
+        |), qz AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+        |      * (CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END) + 0.5) AS BIGINT)) AS q8
+        |  FROM sc
+        |), nn AS (
+        |  SELECT vec_id, q8,
+        |    list_sum(list_transform(q8, x -> x * x)) AS nq
+        |  FROM qz
+        |), q AS (
+        |  SELECT vec_id AS qid, q8 AS qq8, nq AS qnq FROM nn WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT qid, vec_id,
+        |    CASE WHEN nq * qnq > 0 THEN
+        |      round(list_dot_product(CAST(q8 AS DOUBLE[]), CAST(qq8 AS DOUBLE[]))
+        |            / sqrt(CAST(nq AS DOUBLE) * CAST(qnq AS DOUBLE)), 6)
+        |    ELSE 0.0 END AS q_cos
+        |  FROM nn CROSS JOIN q WHERE vec_id <> qid
+        |)
+        |SELECT qid, vec_id, q_cos, rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY q_cos DESC, vec_id ASC) AS rank FROM scored)
         |WHERE rank <= 10""".stripMargin,
 
     // IVF end-to-end: DECIMAL-exact centroid training (the same arithmetic

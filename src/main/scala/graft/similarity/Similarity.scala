@@ -280,4 +280,58 @@ object Similarity {
     emb.select(col("vec_id"), col("bucket"))
       .join(best, Seq("vec_id"), "left_outer")
   }
+
+  /** Symmetric per-vector int8 quantization: scale = 127/max|v|, code_i =
+    * floor(v_i·scale + 0.5) ∈ [-127, 127] — the standard 4× memory
+    * reduction for corpus-scale vector search (the float corpus never
+    * needs to be resident; only int8 codes + one scale per vector ride
+    * the scan). floor(x + 0.5) rather than round(): half-up on doubles is
+    * engine-portable that way, so the oracle replays the codes exactly.
+    * Zero vectors quantize to all-zero codes (scale 0).
+    *
+    * Adds `q8` (codes) and `nq` (integer self-dot) to the frame.
+    */
+  def withInt8Codes(emb: DataFrame,
+      embCol: String = "embedding"): DataFrame =
+    emb
+      .withColumn("__ma",
+        array_max(transform(col(embCol), x => abs(x))).cast("double"))
+      .withColumn("__scale",
+        when(col("__ma") > 0, lit(127.0) / col("__ma")).otherwise(lit(0.0)))
+      .withColumn("q8", transform(col(embCol),
+        x => floor(x.cast("double") * col("__scale") + lit(0.5)).cast("int")))
+      // integer self-dot: the quantized norm the rerank denominator needs;
+      // exact in long (64 dims × 127² ≪ 2^63)
+      .withColumn("nq", aggregate(col("q8"), lit(0L),
+        (acc, x) => acc + x.cast("long") * x.cast("long")))
+      .drop("__ma", "__scale")
+
+  /** Top-k by QUANTIZED cosine: the int8-code dot product over the exact
+    * integer norms. All ranking arithmetic is integer-derived (long dot,
+    * long norms, one final double division), so the result is
+    * bit-reproducible and the oracle replays it value-exactly — no float
+    * accumulation order anywhere. Same plan shape as bruteForceTopK:
+    * queries broadcast, corpus streams, WindowGroupLimit heap.
+    */
+  def quantizedTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val q8 = withInt8Codes(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("q8"), col("nq"))
+    val queries = q8.select(col("vec_id").as("qid"), col("q8").as("qq8"),
+      col("nq").as("qnq")).where(col("qid") < nQueries)
+    val scored = q8.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("q8"), col("qq8"),
+            (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, x) => acc + x).as("__dot"),
+        col("nq"), col("qnq"))
+      .select(col("qid"), col("vec_id"),
+        when(col("nq") * col("qnq") > 0,
+          round(col("__dot").cast("double")
+            / sqrt((col("nq") * col("qnq")).cast("double")), 6))
+          .otherwise(lit(0.0)).as("q_cos"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("q_cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }
