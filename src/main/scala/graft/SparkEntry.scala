@@ -294,6 +294,8 @@ object SparkEntry {
     "q_set_ops_users" -> BreadthQueries.setOpsUsers _,
     // grouping sets via ROLLUP
     "q_rollup_balance" -> BreadthQueries.rollupRevenue _,
+    // CUBE grouping sets: marginals + grand total, grouping() flags
+    "q_cube_events" -> BreadthQueries.cubeEventStats _,
     // equi + range (band) join
     "q_shipped_within_90d" -> BreadthQueries.shippedWithin90d _,
     // gap-based sessionization (30-minute gap). Session bounds surface as
@@ -437,6 +439,9 @@ object SparkEntry {
     "text_quality" -> TextFunctions.textQuality _,
     // n-gram-heuristic language ID with per-language scores
     "text_langid" -> TextFunctions.textLangId _,
+    // Gopher-style repetition stats + keep/drop gate (single codegen'd
+    // sort+fold per document — no token explode, no shuffle)
+    "text_repetition" -> TextFunctions.textRepetition _,
     // canonical-form content fingerprint
     "text_fingerprint" -> TextFunctions.textFingerprint _,
     // exact dedup clusters keyed by fingerprint
@@ -477,6 +482,13 @@ object SparkEntry {
     // the quality score — RNG-free curation under a quality prior, a
     // pure pushed filter at scan speed
     "cur_weighted_sample" -> ((s, dir) => graft.text.Curation.weightedSample(s, dir)),
+    // context-window chunking: 64-token chunks every 48 tokens (narrow
+    // map + explode; the tail chunk is kept, every doc yields >=1 chunk)
+    "cur_chunk_docs" -> ((s, dir) => graft.text.Curation.chunkDocs(s, dir)),
+    // benchmark decontamination: flag train docs sharing any word 5-gram
+    // with the hash-split eval set (eval n-grams broadcast — the corpus
+    // is never shuffled)
+    "cur_decontaminate" -> ((s, dir) => graft.text.Curation.decontaminate(s, dir)),
     // tf-idf keyword extraction: per-doc top-5 distinctive terms (linear
     // idf keeps the score in exact IEEE arithmetic; ranking identical to
     // the ln form)
@@ -1104,6 +1116,15 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
+    "q_cube_events" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(grouping(event_type) AS INT) AS g_type,
+        |  CAST(grouping(CAST(ts AS DATE)) AS INT) AS g_day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+
     "q_shipped_within_90d" ->
       """SELECT o_orderpriority, count(*) AS n_lineitems,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS shipped_value
@@ -1281,6 +1302,41 @@ object SparkEntry {
         |       ELSE 'zh' END AS predicted_lang
         |FROM t""".stripMargin,
 
+    // the oracle affords the unnest+GROUP BY formulation at test scale;
+    // the Spark side is a per-row sorted fold (mode = longest run in the
+    // sorted token array) — same integer counts, same single double
+    // division, bit-identical fractions
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), wc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY doc_id, w
+        |), wa AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         max(c) AS top_word, count(*) AS n_distinct
+        |  FROM wc GROUP BY doc_id
+        |), bc AS (
+        |  SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |          i -> tk[i] || ' ' || tk[i + 1])) AS b FROM t)
+        |  GROUP BY doc_id, b
+        |), ba AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         max(c) AS top_bigram
+        |  FROM bc GROUP BY doc_id
+        |)
+        |SELECT wa.doc_id, wa.n_tokens,
+        |  coalesce(ba.n_bigrams, 0) AS n_bigrams,
+        |  1.0 - CAST(wa.n_distinct AS DOUBLE) / wa.n_tokens AS dup_word_frac,
+        |  CAST(wa.top_word AS DOUBLE) / wa.n_tokens AS top_word_frac,
+        |  CAST(ba.top_bigram AS DOUBLE) / ba.n_bigrams AS top_bigram_frac,
+        |  NOT (1.0 - CAST(wa.n_distinct AS DOUBLE) / wa.n_tokens > 0.55
+        |       OR CAST(ba.top_bigram AS DOUBLE) / ba.n_bigrams > 0.05)
+        |    AS gopher_keep
+        |FROM wa LEFT JOIN ba USING (doc_id)""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
@@ -1382,6 +1438,46 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang,
         |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |        FROM documents))""".stripMargin,
+
+    // chunk starts = range(0, n_tokens, 48), identical to Spark's
+    // sequence(0, n−1, 48); list_slice is 1-based-inclusive = slice
+    "cur_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start FROM t
+        |)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(tk, start + 1, start + 64), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(tk, start + 1, start + 64)) AS BIGINT)
+        |    AS n_chunk_tokens
+        |FROM s""".stripMargin,
+
+    // word 5-grams; range(1, len−3) is empty for docs under 5 tokens —
+    // the same guard as the Spark side's when(size >= 5)
+    "cur_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, nib, unnest(list_transform(range(1, len(tk) - 3),
+        |    i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+        |  FROM t
+        |), ev AS (
+        |  SELECT DISTINCT g FROM g WHERE nib >= 'e'
+        |), hits AS (
+        |  SELECT tr.doc_id, count(*) AS n_shared
+        |  FROM (SELECT DISTINCT doc_id, g FROM g WHERE nib <= 'd') tr
+        |  JOIN ev USING (g) GROUP BY tr.doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+        |  coalesce(h.n_shared, 0) > 0 AS contaminated
+        |FROM t LEFT JOIN hits h USING (doc_id)
+        |WHERE t.nib <= 'd'""".stripMargin,
 
     // the hash-uniform draw rebuilt by folding the first 8 (lowercase)
     // md5 hex digits to an integer / 2^32; the weight is the text_quality

@@ -103,6 +103,24 @@ object BreadthQueries {
       .agg(count(lit(1)).as("n_customers"),
         sum(dec("c_acctbal")).cast("double").as("total_balance"))
 
+  /** CUBE grouping (completes the grouping-sets family next to ROLLUP):
+    * both one-dimensional marginals plus the grand total in one pass —
+    * Spark expands the grouping sets BEFORE the shuffle, so partial
+    * aggregation still combines map-side. `grouping()` flags disambiguate
+    * subtotal NULLs from (hypothetical) real NULL group keys, emitted as
+    * INT on both sides (Spark's grouping() is a byte, DuckDB's a BIGINT).
+    * The measure sums DECIMAL (exact, order-independent), double at the
+    * edge.
+    */
+  def cubeEventStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day", col("ts").cast("date"))
+      .cube(col("event_type"), col("day"))
+      .agg(grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("day")).cast("int").as("g_day"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+
   /** Analytic-window breadth beyond lag/rank/running-sum: ntile,
     * percent_rank, cume_dist, nth_value, and a bounded sliding frame, all
     * over one window spec (ONE shuffle + sort serves every function).

@@ -181,4 +181,69 @@ object Curation {
       .where(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k)
+
+  /** Context-window chunking: split each document's token stream into
+    * `window`-token chunks that start every `stride` tokens (overlap =
+    * window − stride), the standard pre-tokenization step that turns
+    * variable-length documents into training-context-sized rows. Chunk
+    * starts are `sequence(0, n−1, stride)` — every start strictly below
+    * the token count, so the final (possibly short) tail chunk is kept
+    * and a document always yields at least one chunk.
+    *
+    * Pure narrow map + explode: no shuffle at any corpus size; output
+    * row count is ~n_tokens/stride per document, the operator's job.
+    */
+  def chunkDocs(s: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), size(col("tk")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("tk"), col("col") + 1, lit(window)))
+          .as("chunk_text"),
+        size(slice(col("tk"), col("col") + 1, lit(window)))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Benchmark decontamination: flag every training document that shares
+    * at least one word `n`-gram with the held-out eval split (the
+    * hash-nibble test split of [[trainValTest]] stands in for the
+    * benchmark suite). Contaminated documents must be dropped before
+    * training or the benchmark is measuring memorization.
+    *
+    * Shape at 100 TB: the eval side is small BY DEFINITION (benchmarks
+    * are thousands of documents, not billions), so its distinct n-gram
+    * set broadcasts and the training corpus is flagged in one narrow
+    * pass — explode + broadcast-hash semi-match, then a groupBy on the
+    * (tiny) hit relation only; the final flag join broadcasts the hits
+    * back. The full corpus is never shuffled.
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    // guarded: sequence(0, size−n) would COUNT DOWN for short docs
+    // (Spark infers step −1 when start > stop) — emit no n-grams instead
+    val grams = when(size(col("tk")) >= n,
+      transform(sequence(lit(0), size(col("tk")) - n),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tk.as("tk"),
+        substring(hashKey(col("doc_id")), 1, 1).as("nib"))
+      .select(col("doc_id"), col("nib"), grams.as("grams"))
+    val evalGrams = docs.where(col("nib") >= "e")
+      .select(explode(col("grams")).as("g")).distinct()
+    val train = docs.where(col("nib") <= "d")
+    val hits = train
+      .select(col("doc_id"), explode(array_distinct(col("grams"))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    train.select(col("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
 }

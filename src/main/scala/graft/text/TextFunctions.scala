@@ -121,4 +121,67 @@ object TextFunctions {
       .select(col("doc_id"), col("fp"), col("cluster_size"),
         (col("doc_id") === col("keeper_id")).as("is_keeper"))
   }
+
+  /** Mode frequency and distinct count of an array in ONE fold over its
+    * SORTED form: equal values are adjacent after the sort, so the longest
+    * run length IS the most-frequent-element count. A single codegen'd
+    * `aggregate` per row — no token explode, no shuffle. The accumulator
+    * seeds `prev` with NULL (null-safe `<=>` makes the first element start
+    * a fresh run) because an empty document tokenizes to `[""]` and a ""
+    * sentinel would silently merge with it.
+    */
+  private def modeAndDistinct(sorted: Column): Column = {
+    val init = struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit(0L).as("nd"))
+    aggregate(sorted, init, (acc, x) => {
+      val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L)
+        .otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"),
+        (acc.getField("nd") +
+          when(acc.getField("prev") <=> x, 0L).otherwise(1L)).as("nd"))
+    })
+  }
+
+  /** Repetition-based quality stats (the Gopher-rule family): duplicate
+    * word fraction, most-frequent-word fraction, most-frequent-bigram
+    * fraction, and the keep/drop gate over them. Highly repetitive
+    * documents (boilerplate, keyword stuffing, generation loops) are the
+    * classic training-data poison these filters exist to drop.
+    *
+    * Everything is a pure narrow column map — per-document sort + fold
+    * inside whole-stage codegen, NO token explode and NO shuffle (the
+    * explode+groupBy formulation shuffles every token of a 100 TB corpus;
+    * this reads and writes one row per document at scan speed). Fractions
+    * are single double divisions of exact integer counts, so the DuckDB
+    * oracle (which MAY afford the unnest+GROUP BY form at test scale)
+    * reproduces them bit-identically.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    val bigrams = zip_with(
+      slice(col("tk"), lit(1), size(col("tk")) - 1),
+      slice(col("tk"), lit(2), size(col("tk")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val nTok = size(col("tk")).cast("long")
+    val nBig = size(col("bg")).cast("long")
+    val w = modeAndDistinct(array_sort(col("tk")))
+    val b = modeAndDistinct(array_sort(col("bg")))
+    val dupFrac = lit(1.0) -
+      col("w").getField("nd").cast("double") / col("n_tokens")
+    val topWordFrac = col("w").getField("best").cast("double") / col("n_tokens")
+    val topBigramFrac =
+      col("b").getField("best").cast("double") / nullif(col("n_bigrams"), lit(0L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tk.as("tk"))
+      .withColumn("bg", bigrams)
+      .select(col("doc_id"), nTok.as("n_tokens"), nBig.as("n_bigrams"),
+        w.as("w"), b.as("b"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+        dupFrac.as("dup_word_frac"),
+        topWordFrac.as("top_word_frac"),
+        topBigramFrac.as("top_bigram_frac"))
+      .withColumn("gopher_keep",
+        !(col("dup_word_frac") > 0.55 || col("top_bigram_frac") > 0.05))
+  }
 }

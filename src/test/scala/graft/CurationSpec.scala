@@ -124,6 +124,80 @@ class CurationSpec extends SparkSuite {
     d.toString
   }
 
+  test("chunking: starts every stride, short tail kept, text reconstructs") {
+    import spark.implicits._
+    val d = dirFromDf(Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" "), "en", "s", 0L),
+      (2L, "only three tokens", "en", "s", 0L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val chunks = Curation.chunkDocs(spark, d, window = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = chunks.groupBy(_._1)
+    // 100 tokens → starts 0/48/96 → lengths 64/52/4
+    assert(byDoc(1L).sortBy(_._2).map(_._4).toSeq == Seq(64L, 52L, 4L))
+    // chunk 0 is the document prefix; the tail chunk is the suffix
+    assert(byDoc(1L).minBy(_._2)._3 ==
+      (1 to 64).map(i => s"t$i").mkString(" "))
+    assert(byDoc(1L).maxBy(_._2)._3 == "t97 t98 t99 t100")
+    // short and empty docs still yield exactly one chunk
+    assert(byDoc(2L).toSeq == Seq((2L, 0L, "only three tokens", 3L)))
+    assert(byDoc(3L).map(t => (t._2, t._4)).toSeq == Seq((0L, 1L)))
+  }
+
+  test("decontamination flags exactly the train docs sharing an eval 5-gram") {
+    import spark.implicits._
+    // md5 first nibbles: 1→c 2→c 4→a (train, <= 'd'); 3→e 5→e (eval)
+    val shared = "a b c d e f g h"
+    val d = dirFromDf(Seq(
+      (1L, shared, "en", "s", 0L),              // train, identical to eval doc 3
+      (2L, "z y x w v u t s", "en", "s", 0L),   // train, disjoint
+      (4L, "a b c", "en", "s", 0L),             // train, too short for a 5-gram
+      (3L, shared, "en", "s", 0L),              // eval
+      (5L, "p q r s t u v w", "en", "s", 0L))   // eval
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Curation.decontaminate(spark, d, n = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))       // eval docs never emitted
+    assert(out(1L) == (4L, true))               // 8 tokens → 4 shared 5-grams
+    assert(out(2L) == (0L, false))
+    assert(out(4L) == (0L, false))
+  }
+
+  test("repetition stats: hand values, null bigram guard, fold = groupBy mode") {
+    import spark.implicits._
+    val d = dirFromDf(Seq(
+      (1L, "a a a b", "en", "s", 0L),
+      (2L, "solo", "en", "s", 0L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rep = graft.text.TextFunctions.textRepetition(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // "a a a b": 4 tokens 2 distinct → dup 0.5; mode a×3 → 0.75;
+    // bigrams [a a, a a, a b] → top 2/3
+    assert(rep(1L).getDouble(3) == 0.5)
+    assert(rep(1L).getDouble(4) == 0.75)
+    assert(math.abs(rep(1L).getDouble(5) - 2.0 / 3.0) < 1e-15)
+    assert(!rep(1L).getBoolean(6))              // top-bigram 0.67 > 0.05
+    // single-token and empty docs: no bigrams → null frac, null gate
+    Seq(2L, 3L).foreach { id =>
+      assert(rep(id).getLong(2) == 0L && rep(id).isNullAt(5) && rep(id).isNullAt(6))
+    }
+    // the per-row sorted fold agrees with the explode+groupBy mode on
+    // real data (the formulation the oracle uses)
+    val real = graft.text.TextFunctions.textRepetition(spark, dir)
+      .select("doc_id", "top_word_frac")
+    val tok = Tables.documents(spark, dir).select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("w"))
+    val mode = tok.groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(
+        (max(col("count")).cast("double") / sum(col("count")))
+          .as("expect_frac"))
+    val joined = real.join(mode, Seq("doc_id"))
+    assert(joined.count() == Tables.documents(spark, dir).count())
+    assert(joined.where(col("top_word_frac") =!= col("expect_frac")).count() == 0)
+  }
+
   test("near-dup clusters: edges never straddle clusters; label = min member") {
     val clusters = NearDup.nearDupClusters(spark, dir, threshold = 0.5)
     val c = clusters.collect()
