@@ -148,6 +148,25 @@ object SparkEntry {
           col("date"), col("event_time"))
     }),
 
+    // data-skipping index: range-clustered layout + per-file min/max
+    // stats; the scan reads ONLY the files whose envelope intersects the
+    // predicate (file identity is hash-invisible, so the oracle checks
+    // the contract that matters: pruned scan ≡ full-table filter;
+    // DataSkippingSpec pins that files are actually skipped)
+    "maint_skipping_scan" -> ((s, dir) => {
+      val tmp = graft.util.Scratch.dir("graft_skip").resolve("events").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("user_id"))
+        .write.mode("overwrite").parquet(tmp)
+      val stats = graft.operators.DataSkipping.buildStats(s, tmp, Seq("user_id"))
+      graft.operators.DataSkipping
+        .prunedRangeScan(s, tmp, stats, "user_id", 30L, 44L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("value"))
+    }),
+
     // CDC: recover the change set between the as-of-cutoff upsert table
     // and the current one — one null-safe full-outer diff on the key;
     // the complement of MergeOps (which applies changes, this RECOVERS
@@ -227,6 +246,14 @@ object SparkEntry {
     // emitted pairs must equal the batch interval join
     "stream_interval_join" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayStreamStreamJoin(s, dir)),
+
+    // LEFT OUTER stream-stream join: matches stream out like the inner
+    // join; an unmatched click emits with a null purchase only once the
+    // watermark proves no in-window purchase can still arrive (state
+    // expiry). The oracle replays BOTH rules: the batch interval join
+    // plus the null rows under the final global watermark
+    "stream_outer_join" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayStreamStreamJoinLeftOuter(s, dir)),
 
     // incremental SCD2 maintenance: the full version-history table kept
     // by the stream at O(touched key-buckets) per batch (bucket-pruned
@@ -805,6 +832,11 @@ object SparkEntry {
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |FROM events""".stripMargin,
 
+    // the skipping contract: pruned scan ≡ full-table range filter
+    "maint_skipping_scan" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events WHERE user_id BETWEEN 30 AND 44""".stripMargin,
+
     // compaction must be row-identity: the output is simply the table
     "maint_compact_rates" ->
       s"""WITH $RatesCte
@@ -864,6 +896,39 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000""".stripMargin,
+
+    // LEFT OUTER: the inner pairs plus a null row per unmatched click
+    // whose state expired. Expiry replays Spark's exact rule: the global
+    // watermark is min(per-side max event time, FLOORED TO MILLISECONDS)
+    // − 60 s delay, and a click is evicted when click_ts < wm − 30 min
+    // − 1 µs (the −1 compensates the non-strict `p_ts <= click_ts +
+    // window` bound; pinned empirically in StreamingSpec's boundary
+    // test). Tail clicks whose window is still open are withheld — that
+    // withholding IS the semantics under check.
+    "stream_outer_join" ->
+      """WITH wm AS (
+        |  SELECT ((least(
+        |      epoch_us(max(ts) FILTER (WHERE event_type = 'click')) // 1000,
+        |      epoch_us(max(ts) FILTER (WHERE event_type = 'purchase')) // 1000)
+        |    - 60000) * 1000 - 1800000001) AS boundary_us
+        |  FROM events
+        |), m AS (
+        |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS p_id,
+        |         c.value AS click_value
+        |  FROM events c JOIN events p
+        |    ON c.user_id = p.user_id
+        |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |   AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |   AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |), u AS (
+        |  SELECT c.user_id, c.event_id AS click_id,
+        |         CAST(NULL AS BIGINT) AS p_id, c.value AS click_value
+        |  FROM events c, wm
+        |  WHERE c.event_type = 'click'
+        |    AND c.event_id NOT IN (SELECT click_id FROM m)
+        |    AND epoch_us(c.ts) < wm.boundary_us
+        |)
+        |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin,
 
     // the incrementally-maintained bars table must equal the one-shot
     // batch aggregation — identical oracle to fx_ohlc_bars

@@ -191,12 +191,14 @@ object RateStream {
     */
   def clickPurchaseIntervalJoin(clicks: DataFrame, purchases: DataFrame,
       window: String = "30 minutes",
-      watermark: String = "1 minute"): DataFrame =
+      watermark: String = "1 minute",
+      joinType: String = "inner"): DataFrame =
     clicks.withWatermark("click_ts", watermark)
       .join(purchases.withWatermark("p_ts", watermark),
         expr(s"""user_id = p_user_id
                  AND p_ts >= click_ts
-                 AND p_ts <= click_ts + interval $window"""))
+                 AND p_ts <= click_ts + interval $window"""),
+        joinType)
 
   /** Stateful latest-rate-per-pair (the ActiveRates/LatestRates semantics
     * as explicit keyed state): emits an update whenever a pair's newest

@@ -436,6 +436,59 @@ object StreamReplay {
       .toDF("user_id", "click_id", "p_id", "click_value")
   }
 
+  /** LEFT OUTER variant of [[replayStreamStreamJoin]]: matched pairs
+    * stream out exactly like the inner join, and an UNMATCHED click is
+    * emitted with a null purchase only once the watermark proves no
+    * in-window purchase can still arrive — i.e. when the click's state
+    * row expires. Clicks whose window is still open against the final
+    * watermark (the stream's tail) are correctly withheld, and that
+    * emission rule ITSELF is what the oracle replays: null rows are the
+    * unmatched clicks with `click_ts + window < min(max click_ts,
+    * max p_ts) − watermark_delay` (the global watermark is the MIN of
+    * the per-side watermarks under the default multipleWatermarkPolicy).
+    */
+  def replayStreamStreamJoinLeftOuter(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_ssjoin_outer_replay")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val feed = sharedFeed("events", dir, nBatches) {
+      ev.withColumnRenamed("ts", "timestamp")
+    }
+
+    val name = s"graft_ssjoin_outer_sink_${sinkId.incrementAndGet()}"
+    withReplayPartitions(s, 8) {
+      def side() = s.readStream.schema(
+          ev.withColumnRenamed("ts", "timestamp").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString + "/*")
+      val clicks = side().where(col("event_type") === "click")
+        .select(col("user_id"), col("timestamp").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      val purchases = side().where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("timestamp").as("p_ts"),
+          col("event_id").as("p_id"))
+      val query = RateStream
+        .clickPurchaseIntervalJoin(clicks, purchases, joinType = "left_outer")
+        .select(col("user_id"), col("click_id"), col("p_id"),
+          col("click_value"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+
+    val out = s.table(name)
+      .as[(Long, Long, Option[Long], Double)].collect()
+    s.catalog.dropTempView(name)
+    s.createDataset(out.toSeq)
+      .toDF("user_id", "click_id", "p_id", "click_value")
+  }
+
   /** Replay of the STREAM-STATIC join: the events stream enriched
     * against the static customer dimension (the no-state streaming join
     * — the dimension is planned fresh per micro-batch, broadcast when

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.DataSkipping
+
+/** The two halves of the data-skipping contract: the pruned scan returns
+  * exactly the full-table filter's rows, AND the index actually skips
+  * files on a clustered layout (otherwise it's a no-op with extra steps).
+  */
+class DataSkippingSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  private def layout(): (String, org.apache.spark.sql.DataFrame) = {
+    val path = graft.util.Scratch.dir("skip_spec").resolve("ev").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartitionByRange(8, col("user_id"))
+      .write.mode("overwrite").parquet(path)
+    (path, DataSkipping.buildStats(spark, path, Seq("user_id")))
+  }
+
+  test("stats index has one row per file and covers every row") {
+    val (path, stats) = layout()
+    val nFiles = spark.read.parquet(path)
+      .select(input_file_name()).distinct().count()
+    assert(stats.count() == nFiles)
+    assert(stats.agg(sum("n_rows")).head.getLong(0) ==
+      spark.read.parquet(path).count())
+  }
+
+  test("pruned range scan equals the full filter and skips files") {
+    val (path, stats) = layout()
+    val total = stats.count()
+    // a range in the middle of the key space: on a range-clustered
+    // 8-file layout it must hit a strict subset of files
+    val candidates = DataSkipping.candidateFiles(stats, "user_id", 10L, 19L)
+    assert(candidates.nonEmpty && candidates.size < total,
+      s"expected pruning: ${candidates.size} of $total files")
+    val pruned = DataSkipping
+      .prunedRangeScan(spark, path, stats, "user_id", 10L, 19L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val full = spark.read.parquet(path)
+      .where(col("user_id").between(10L, 19L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(pruned.nonEmpty && pruned.sameElements(full))
+  }
+
+  test("out-of-range predicate prunes everything and returns empty") {
+    val (path, stats) = layout()
+    assert(DataSkipping.candidateFiles(stats, "user_id", 100000L, 200000L).isEmpty)
+    assert(DataSkipping
+      .prunedRangeScan(spark, path, stats, "user_id", 100000L, 200000L)
+      .count() == 0L)
+  }
+
+  test("unclustered layout degrades to reading everything, never to wrong rows") {
+    // round-robin layout: every file spans the whole key range, so the
+    // index cannot prune — but correctness must hold regardless
+    val path = graft.util.Scratch.dir("skip_spec_rr").resolve("ev").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(path)
+    val stats = DataSkipping.buildStats(spark, path, Seq("user_id"))
+    val pruned = DataSkipping
+      .prunedRangeScan(spark, path, stats, "user_id", 10L, 19L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val full = spark.read.parquet(path)
+      .where(col("user_id").between(10L, 19L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(pruned.sameElements(full))
+  }
+}

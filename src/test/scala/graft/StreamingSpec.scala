@@ -292,6 +292,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer join: null emission sits exactly at wm − window − 1µs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = RateStream.clickPurchaseIntervalJoin(
+        clicks.toDS().toDF("user_id", "click_ts", "click_id", "click_value"),
+        purchases.toDS().toDF("p_user_id", "p_ts", "p_id"),
+        joinType = "left_outer")
+      .select(col("click_id"), col("p_id"))
+      .writeStream.format("memory").queryName("ssjoin_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 1: a matched click, and unmatched clicks straddling the
+      // eviction boundary the batch-2 watermark will set (wm = 01:59:00,
+      // so state expires strictly below 01:29:00.000000 − 1µs)
+      clicks.addData(
+        (1L, t("2024-01-16 00:00:00"),        10L, 1.0),  // will match
+        (1L, t("2024-01-16 01:28:59.999"),    11L, 1.0),  // below → null row
+        (1L, t("2024-01-16 01:28:59.999999"), 12L, 1.0),  // AT wm−30min−1µs → held
+        (1L, t("2024-01-16 01:29:00"),        13L, 1.0),  // above → held
+        (1L, t("2024-01-16 01:58:00"),        14L, 1.0))  // tail → held
+      purchases.addData((1L, t("2024-01-16 00:10:00"), 20L))
+      q.processAllAvailable()
+      // batch 2: advance BOTH side watermarks to 01:59:00 (policy = min)
+      clicks.addData((2L, t("2024-01-16 02:00:00"), 15L, 1.0))
+      purchases.addData((3L, t("2024-01-16 02:00:00"), 21L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_outer_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      // the match emits with its purchase, never ALSO as a null row;
+      // only the expired unmatched click gains a null row
+      assert(rows == Set((10L, Some(20L)), (11L, None)))
+    } finally q.stop()
+  }
+
   test("composed-ingest replay: corrections win LWW, re-deliveries are inert") {
     import graft.streaming.StreamReplay
     val table = StreamReplay.replayIngestPipeline(spark).collect()
