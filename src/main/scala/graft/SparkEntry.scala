@@ -255,6 +255,14 @@ object SparkEntry {
     "stream_outer_join" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayStreamStreamJoinLeftOuter(s, dir)),
 
+    // incremental NEAR-DUP INDEX maintenance: each micro-batch of new
+    // documents is admitted into the persisted LSH index (signatures /
+    // buckets / supports) at O(batch) cost — never a corpus recompute;
+    // the report from the maintained index must equal the one-shot
+    // dedup_minhash_lsh (same oracle)
+    "stream_neardup_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayNearDupIncremental(s, dir)),
+
     // incremental SCD2 maintenance: the full version-history table kept
     // by the stream at O(touched key-buckets) per batch (bucket-pruned
     // read + interval rebuild + dynamic overwrite); must converge to the
@@ -1439,6 +1447,9 @@ object SparkEntry {
     // multi-arg fold) re-implemented in single-statement DuckDB SQL over
     // HUGEINT mod-2^64 arithmetic — see graft.oracle.XxhOracleSql
     "dedup_minhash_lsh" -> graft.oracle.XxhOracleSql.minhashLsh(),
+    // the incrementally-maintained index must converge to the one-shot
+    // batch report — identical oracle to dedup_minhash_lsh
+    "stream_neardup_incremental" -> graft.oracle.XxhOracleSql.minhashLsh(),
     "dedup_simhash" -> graft.oracle.XxhOracleSql.simhashReport(),
 
     // connected components of the 0.5-Jaccard pair graph, replayed with

@@ -489,6 +489,41 @@ object StreamReplay {
       .toDF("user_id", "click_id", "p_id", "click_value")
   }
 
+  /** Replay of INCREMENTAL NEAR-DUP INDEX maintenance: the documents
+    * table arrives in micro-batches and each batch is admitted into the
+    * persisted LSH index (signatures / buckets / supports — see
+    * NearDup's incremental section) at O(batch) cost. The final report
+    * derived from the maintained index must EQUAL the one-shot batch
+    * [[graft.text.NearDup.minhashLsh]] — same oracle
+    * (XxhOracleSql.minhashLsh), which is the convergence proof: the
+    * index kept up across batches without ever recomputing the corpus.
+    */
+  def replayNearDupIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_neardup_replay")
+    val feed = tmp.resolve("feed").toString
+    val indexDir = tmp.resolve("index").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.text.NearDup.applyMinhashIndexBatch(s, indexDir, batch)
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.text.NearDup.minhashIndexReport(s, indexDir,
+      Tables.documents(s, dir).select(col("doc_id")))
+  }
+
   /** Replay of the STREAM-STATIC join: the events stream enriched
     * against the static customer dimension (the no-state streaming join
     * — the dimension is planned fresh per micro-batch, broadcast when

@@ -94,9 +94,20 @@ object NearDup {
     // spills to disk if not.
     val docs = minhashSignatures(Tables.documents(s, dir)).persist(mem)
     val pairs = minhashCandidatePairs(docs, maxBucket)
+    lshReport(Tables.documents(s, dir).select(col("doc_id")), pairs, docs)
+  }
+
+  /** The per-doc near-dup report over a candidate-pair relation: est
+    * Jaccard per pair from the signatures, best neighbor + candidate
+    * count per doc, rows-stable left join over the full doc set. Shared
+    * by the one-shot [[minhashLsh]] and the incremental index report —
+    * convergence of the two is convergence of their pair sets.
+    */
+  private def lshReport(docIds: DataFrame, pairs: DataFrame,
+      sigs: DataFrame): DataFrame = {
     val cand = pairs
-      .join(docs, Seq("doc_id"))
-      .join(docs.select(col("doc_id").as("nb_id"), col("mh").as("nb_mh")),
+      .join(sigs, Seq("doc_id"))
+      .join(sigs.select(col("doc_id").as("nb_id"), col("mh").as("nb_mh")),
         Seq("nb_id"))
       .select(col("doc_id"), col("nb_id"),
         minhashAgreement(col("mh"), col("nb_mh")).as("est_jaccard"))
@@ -105,7 +116,7 @@ object NearDup {
     val best = cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .drop("rn")
     val nCand = cand.groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    Tables.documents(s, dir).select(col("doc_id"))
+    docIds
       .join(nCand, Seq("doc_id"), "left_outer")
       .join(best, Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("n_candidates"))
@@ -320,4 +331,103 @@ object NearDup {
       threshold: Double = 0.8, maxBucket: Int = 50): DataFrame =
     recallCheck(ngramJaccardPairsCached(s, dir, threshold),
       simhashCandidatePairs(simhashDf(s, dir).persist(mem), maxBucket))
+
+  // ---- incremental LSH index maintenance ----
+  //
+  // At corpus scale the near-dup index cannot be recomputed per ingest
+  // batch: signing 100 TB to admit a 100 GB batch is the wrong side of a
+  // 1000× ratio. The index is therefore a maintained TABLE SET —
+  //   signatures (doc_id, mh)            one row per doc
+  //   buckets    (doc_id, band, key)     one row per doc per band
+  //   supports   (doc_id, nb_id, band, key)  one row per pair-evidence
+  // — and each batch appends: only the NEW docs are signed, and new
+  // supports come from joining the batch's band keys against the
+  // (broadcast-pruned) touched buckets of the existing index. Per-batch
+  // cost is O(batch) signing + one index scan filtered to touched
+  // buckets — never a corpus recompute.
+  //
+  // CONVERGENCE with the one-shot [[minhashLsh]] is exact, whatever the
+  // batching: the final pair set is "distinct (a,b) sharing at least one
+  // band bucket whose FINAL size is ≤ maxBucket", evaluated at report
+  // time from the buckets table. Supports are generated per batch only
+  // for buckets still under the cap — safe to skip the rest, because
+  // bucket sizes only grow (insert-only corpus), so a bucket over the
+  // cap at ANY batch is over it at the end, and the report filters its
+  // pairs regardless. That skip is also what keeps candidate generation
+  // ~linear: a degenerate bucket stops producing pairs the moment it
+  // crosses the cap instead of going quadratic in the supports table.
+
+  private def readOrEmpty(s: SparkSession, path: String,
+      schemaOf: DataFrame): DataFrame =
+    if (new java.io.File(path).exists()) s.read.parquet(path)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schemaOf.schema)
+
+  /** Admit one batch of NEW documents (insert-only: a doc_id must not
+    * re-arrive) into the LSH index at `indexDir`.
+    */
+  def applyMinhashIndexBatch(s: SparkSession, indexDir: String,
+      batch: DataFrame, maxBucket: Int = 50): Unit = {
+    val sigs = minhashSignatures(batch).persist(mem)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(bandKeys(col("mh"))).as(Seq("band", "key"))).persist(mem)
+    try {
+      val existing = readOrEmpty(s, s"$indexDir/buckets",
+        banded.select(col("doc_id"), col("band"), col("key")))
+      // index scan pruned to the buckets this batch touches (broadcast
+      // semi-join on the batch's small key set — the index side never
+      // shuffles; a disk layout bucketed by (band, key) would prune the
+      // scan itself the same way)
+      val touched = banded.select(col("band"), col("key")).distinct()
+      val existingTouched = existing
+        .join(broadcast(touched), Seq("band", "key"), "left_semi")
+        .persist(mem)
+      // buckets that stay under the cap AFTER this batch: only they get
+      // supports (see convergence note above)
+      val ok = banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n_new"))
+        .join(existingTouched.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("n_old")), Seq("band", "key"), "left_outer")
+        .where(coalesce(col("n_old"), lit(0L)) + col("n_new") <= maxBucket)
+        .select(col("band"), col("key"))
+      val newSide = banded.join(broadcast(ok), Seq("band", "key"))
+        .select(col("band"), col("key"), col("doc_id").as("a"))
+      val allSide = existingTouched.unionByName(banded)
+        .join(broadcast(ok), Seq("band", "key"))
+        .select(col("band"), col("key"), col("doc_id").as("b"))
+      val sup0 = newSide.join(allSide, Seq("band", "key"))
+        .where(col("a") =!= col("b"))
+      // both directions (the one-shot pair set is symmetric); distinct
+      // folds the new×new pairs the swap duplicates. Cross-batch dups
+      // cannot exist: every support involves a doc whose band rows are
+      // appended exactly once.
+      val sup = sup0.select(col("a").as("doc_id"), col("b").as("nb_id"),
+          col("band"), col("key"))
+        .unionByName(sup0.select(col("b").as("doc_id"), col("a").as("nb_id"),
+          col("band"), col("key")))
+        .distinct()
+      // supports FIRST (its plan scans the buckets table, which the next
+      // write appends to), then buckets, then signatures
+      sup.write.mode("append").parquet(s"$indexDir/supports")
+      banded.write.mode("append").parquet(s"$indexDir/buckets")
+      sigs.write.mode("append").parquet(s"$indexDir/signatures")
+    } finally { banded.unpersist(); sigs.unpersist(); () }
+  }
+
+  /** The near-dup report from the maintained index: pairs = supports
+    * whose bucket's FINAL size is under the cap, then the same per-doc
+    * report as the one-shot [[minhashLsh]] — to which this must be
+    * EQUAL (the oracle checks exactly that).
+    */
+  def minhashIndexReport(s: SparkSession, indexDir: String,
+      docIds: DataFrame, maxBucket: Int = 50): DataFrame = {
+    val buckets = s.read.parquet(s"$indexDir/buckets")
+    val ok = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n")).where(col("n") <= maxBucket)
+      .select(col("band"), col("key"))
+    val pairs = s.read.parquet(s"$indexDir/supports")
+      .join(ok, Seq("band", "key"), "left_semi")
+      .select(col("doc_id"), col("nb_id")).distinct()
+    lshReport(docIds, pairs, s.read.parquet(s"$indexDir/signatures"))
+  }
 }
