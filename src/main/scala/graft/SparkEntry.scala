@@ -233,6 +233,13 @@ object SparkEntry {
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayDedupDocs(s, dir)),
 
+    // BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark):
+    // state expires with the watermark instead of growing forever —
+    // near re-deliveries suppressed, far ones re-emitted; the oracle
+    // replays the exact expiry rule batch by batch
+    "stream_dedup_bounded" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayDedupBounded(s, dir)),
+
     // §2.10 stream-static join: the events stream enriched against the
     // static customer dimension per micro-batch (no state, no
     // watermark); emitted rows = the batch join, checked through the
@@ -1026,6 +1033,45 @@ object SparkEntry {
       """SELECT DISTINCT
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // bounded-state dedup replayed batch-by-batch: every first delivery
+    // emits; a re-delivery emits iff its key's state was REMOVED in an
+    // earlier batch. Under Trigger.AvailableNow no intermediate no-data
+    // batches run, so removal at the end of batch j uses the PRE-batch
+    // watermark (max event time of batches < j, minus the 600 s delay)
+    // — the binding condition for a re-delivery in batch m is therefore
+    // the watermark derived from batches ≤ m−2 reaching first-ts +
+    // 600 s (non-strict; the whole rule is pinned empirically by the
+    // replay itself and the expiry boundary by StreamingSpec). Batch
+    // assignment = the feed writer's ntile(10) over (ts, event_id);
+    // fixture times are whole seconds so the engine's ms flooring is a
+    // no-op
+    "stream_dedup_bounded" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |r AS (
+        |  SELECT doc_id, 1700000000 + doc_id AS t, doc_id * 2 AS event_id,
+        |         true AS is_first FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1700000000 + doc_id +
+        |           CASE WHEN doc_id % 2 = 0 THEN 30 ELSE 3000 END,
+        |         doc_id * 2 + 1, false FROM d
+        |), b AS (
+        |  SELECT *, ntile(10) OVER (ORDER BY t, event_id) AS batch FROM r
+        |), bm AS (
+        |  SELECT batch, max(t) AS mx FROM b GROUP BY batch
+        |), wmb AS (
+        |  SELECT cur.batch, max(prev.mx) - 600 AS wm_t
+        |  FROM (SELECT DISTINCT batch FROM b) cur
+        |  LEFT JOIN bm prev ON prev.batch <= cur.batch - 2
+        |  GROUP BY cur.batch
+        |)
+        |SELECT doc_id, t * 1000000 AS ts_us FROM b WHERE is_first
+        |UNION ALL
+        |SELECT d2.doc_id, d2.t * 1000000 AS ts_us
+        |FROM b d2
+        |JOIN b d1 ON d1.doc_id = d2.doc_id AND d1.is_first
+        |JOIN wmb ON wmb.batch = d2.batch
+        |WHERE NOT d2.is_first AND wmb.wm_t >= d1.t + 600""".stripMargin,
 
     // the composed ingest pipeline's merged table = the per-(pair, date)
     // argmax over delivery order, recomputed from the SAME fixture

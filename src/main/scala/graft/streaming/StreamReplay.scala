@@ -305,6 +305,78 @@ object StreamReplay {
     * emitted is arrival-order-dependent, so the gate projection is the
     * key alone.
     */
+  /** Replay of BOUNDED-STATE streaming dedup
+    * (`dropDuplicatesWithinWatermark`): unlike [[replayDedupDocs]] —
+    * whose keyed state grows forever — state here expires once the
+    * watermark passes the first arrival's event time + delay, which is
+    * what makes streaming dedup viable on an unbounded 100 TB feed
+    * (state ∝ keys per watermark window, not keys ever seen).
+    *
+    * The fixture delivers every document TWICE with synthetic event
+    * times: a near re-delivery at +30 s (inside the 10-minute delay →
+    * suppressed) and, for odd doc_ids, a far re-delivery at +3000 s
+    * (state expired → re-emitted once eviction has run). The oracle
+    * replays the engine's exact rules, pinned empirically: a row emits
+    * iff its key has no state AT LOOKUP; state expiry is `>=` first-ts
+    * + delay (non-strict, ms-floored — StreamingSpec); suppressed
+    * duplicates do NOT extend expiry; and — the subtle one — under
+    * Trigger.AvailableNow no intermediate no-data batches run, so
+    * eviction happens at the END of each data batch using its PRE-batch
+    * watermark (max event time of batches < j, minus delay). A
+    * re-delivery in batch m therefore emits iff the watermark derived
+    * from batches ≤ m−2 had reached its first's expiry. Batch
+    * assignment is replayed with the same ntile over (ts, event_id)
+    * that writes the feed slices.
+    */
+  def replayDedupBounded(s: SparkSession, dir: String,
+      nBatches: Int = 10): DataFrame = {
+    // 10 batches: the far re-delivery wave must span ≥3 batches (advance
+    // the watermark, run the lagged eviction, then re-deliver) before
+    // the re-emission path fires at all; with 3 batches the whole wave
+    // lands in one batch under live state and everything is suppressed
+    val base = 1700000000L
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val feed = sharedFeed("dedup_bounded", dir, nBatches) {
+      val wave1 = docs.select(col("doc_id"),
+        timestamp_seconds(lit(base) + col("doc_id")).as("timestamp"),
+        (col("doc_id") * 2).as("event_id"))
+      val wave2 = docs.select(col("doc_id"),
+        timestamp_seconds(lit(base) + col("doc_id") +
+          when(col("doc_id") % 2 === 0, 30L).otherwise(3000L)).as("timestamp"),
+        (col("doc_id") * 2 + 1).as("event_id"))
+      wave1.unionByName(wave2)
+    }
+
+    val name = s"graft_dedup_bounded_sink_${sinkId.incrementAndGet()}"
+    withReplayPartitions(s, 8) {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("timestamp",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType)))
+      val query = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString + "/*")
+        .withWatermark("timestamp", "10 minutes")
+        .dropDuplicatesWithinWatermark("doc_id")
+        .select(col("doc_id"), unix_micros(col("timestamp")).as("ts_us"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+          Scratch.dir("graft_dedup_bounded").resolve("chk").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+
+    import s.implicits._
+    val out = s.table(name).as[(Long, Long)].collect()
+    s.catalog.dropTempView(name)
+    s.createDataset(out.toSeq).toDF("doc_id", "ts_us")
+  }
+
   def replayDedupDocs(s: SparkSession, dir: String,
       nBatches: Int = 3): DataFrame = {
     import s.implicits._

@@ -292,6 +292,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bounded dedup: expiry is non-strict at first-ts + delay, dups don't extend") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = in.toDS().toDF("doc_id", "timestamp")
+      .withWatermark("timestamp", "1 minute")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream.format("memory").queryName("ddw_spec")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(sec: Double) = new java.sql.Timestamp(1700000000000L + (sec * 1000).toLong)
+      // key 1 first at 0s (expiry 60s), with an in-batch duplicate at 30s
+      // that must NOT extend the expiry to 90s
+      in.addData((1L, t(0)), (1L, t(30)), (2L, t(1)))
+      q.processAllAvailable()
+      // watermark lands EXACTLY at key 1's expiry (max 130s − 60s = 70s
+      // ≥ 60s, non-strict) but before the would-be extended 90s
+      in.addData((8L, t(130)))
+      q.processAllAvailable()
+      // re-delivery: emits because state expired at exactly-70 ≥ 60;
+      // with strict eviction or dup-extension it would be suppressed
+      in.addData((1L, t(80)))
+      q.processAllAvailable()
+      // key 2's state (expiry 61s) also expired; key 9 is brand new
+      in.addData((2L, t(140)), (9L, t(141)))
+      q.processAllAvailable()
+      val rows = spark.table("ddw_spec").collect()
+        .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - 1700000000000L) / 1000))
+        .toSet
+      assert(rows == Set((1L, 0L), (2L, 1L), (8L, 130L), (1L, 80L),
+        (2L, 140L), (9L, 141L)))
+    } finally q.stop()
+  }
+
   test("left-outer join: null emission sits exactly at wm − window − 1µs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
