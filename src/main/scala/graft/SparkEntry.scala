@@ -38,6 +38,18 @@ object SparkEntry {
 
   // ---- shared oracle CTE fragments (DuckDB dialect) ----
   private val RatesCte = Tables.ratesOracleCte
+
+  /** The IngestFeed fixture constant rendered as a DuckDB VALUES list
+    * (pair, quote date, decimal-pinned rate, delivery index) — shared by
+    * the CDC changelog and time-travel oracles.
+    */
+  private lazy val IngestFeedValuesSql =
+    graft.streaming.StreamReplay.IngestFeed.zipWithIndex
+      .flatMap { case ((name, quotes), v) =>
+        val pair = name.take(3) + "/" + name.slice(4, 7)
+        quotes.map { case (d, c) =>
+          s"('$pair', DATE '$d', CAST($c AS DECIMAL(10,6)), $v)" }
+      }.mkString(",\n  ")
   private val ActiveCte =
     s"""active AS (
        |  SELECT * FROM rates
@@ -291,6 +303,13 @@ object SparkEntry {
     // fixture constant and diffs consecutive states
     "stream_cdc_changelog" -> ((s, _) =>
       graft.streaming.StreamReplay.replayCdcChangelog(s)),
+
+    // CDC TIME TRAVEL (the consumer half): the table AS OF batch 1,
+    // reconstructed purely from the changelog — corrections delivered in
+    // later batches must NOT appear; the oracle recomputes the same
+    // historical state from the fixture constant
+    "stream_cdc_timetravel" -> ((s, _) =>
+      graft.streaming.StreamReplay.replayCdcTimeTravel(s, batch = 1L)),
 
     // §7.2 partitioned layout: the day-granular cutoff answered by
     // PARTITION PRUNING over the date-partitioned rates table (the scan's
@@ -1104,15 +1123,25 @@ object SparkEntry {
     // after batch b = argmax over deliveries in batches <= b; a key whose
     // rate changed is an update, a key absent before is an insert,
     // unchanged keys emit nothing. Decimal-pinned on both sides.
-    "stream_cdc_changelog" -> {
-      val values = graft.streaming.StreamReplay.IngestFeed.zipWithIndex
-        .flatMap { case ((name, quotes), v) =>
-          val pair = name.take(3) + "/" + name.slice(4, 7)
-          quotes.map { case (d, c) =>
-            s"('$pair', DATE '$d', CAST($c AS DECIMAL(10,6)), $v)" }
-        }.mkString(",\n  ")
+    // the table as of batch 1 = the delivery-order argmax restricted to
+    // deliveries in batches <= 1 (same VALUES + exact-redelivery dedup
+    // as the changelog oracle below)
+    "stream_cdc_timetravel" ->
       s"""WITH quotes(ccy_couple, quote_date, rate, v) AS (VALUES
-         |  $values
+         |  $IngestFeedValuesSql
+         |), dd AS (
+         |  SELECT ccy_couple, quote_date, rate, min(v) AS v
+         |  FROM quotes GROUP BY ccy_couple, quote_date, rate
+         |), db AS (
+         |  SELECT *, v // 2 AS b FROM dd
+         |)
+         |SELECT ccy_couple, quote_date,
+         |  CAST(arg_max(rate, v) AS DECIMAL(10,6)) AS rate
+         |FROM db WHERE b <= 1 GROUP BY ccy_couple, quote_date""".stripMargin,
+
+    "stream_cdc_changelog" -> {
+      s"""WITH quotes(ccy_couple, quote_date, rate, v) AS (VALUES
+         |  $IngestFeedValuesSql
          |), dd AS (
          |  SELECT ccy_couple, quote_date, rate, min(v) AS v
          |  FROM quotes GROUP BY ccy_couple, quote_date, rate

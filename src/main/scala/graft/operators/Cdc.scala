@@ -39,4 +39,24 @@ object Cdc {
       .where(col("change_type") =!= "unchanged")
       .drop("__in_old", "__in_new")
   }
+
+  /** The consumer side: reconstruct the table AS OF `upToBatch` from an
+    * append-only changelog (rows shaped like [[snapshotDiff]] output plus
+    * a `cdc_batch` stamp) — each key's newest change at or below the
+    * cutoff wins; a key whose last change is a delete is absent. This is
+    * CDC time travel: any historical state from one changelog scan,
+    * without table snapshots. One shuffle on the key, WindowGroupLimit
+    * top-1 — no global sort; (key, cdc_batch) is unique by construction
+    * (one diff row per key per batch), so the order is total.
+    */
+  def applyChangelog(changelog: DataFrame, keys: Seq[String],
+      values: Seq[String], upToBatch: Option[Long] = None): DataFrame = {
+    val bounded = upToBatch.fold(changelog)(b =>
+      changelog.where(col("cdc_batch") <= b))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("cdc_batch").desc)
+    bounded.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .where(col("change_type") =!= "delete")
+      .select(keys.map(col) ++ values.map(v => col(s"new_$v").as(v)): _*)
+  }
 }

@@ -37,6 +37,39 @@ object DataSkipping {
           max(col(c)).as(s"max_$c"))): _*)
   }
 
+  /** Incremental index refresh after the table changed (a merge appended
+    * or rewrote files): scan ONLY the files missing from the index and
+    * append their envelopes; drop index rows whose files are gone.
+    * O(changed files) — the full-corpus rebuild never recurs, which is
+    * the difference between "stats index" and "stats I can't afford to
+    * keep" at 10^5 files. The file-list diff is driver-side over file
+    * NAMES (the same bounded list any table format's planner holds).
+    */
+  def refreshStats(spark: SparkSession, path: String, stats: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // compare on the scheme-less path: input_file_name() renders
+    // "file:///x" while Hadoop's Path.toUri renders "file:/x"
+    def norm(uri: String) = new java.net.URI(uri).getPath
+    val onDisk = fs.listStatus(hadoopPath).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString)
+    val onDiskNorm = onDisk.map(norm).toSet
+    val indexed = stats.select(col("file")).collect().map(_.getString(0))
+    val indexedNorm = indexed.map(norm).toSet
+    val added = onDisk.filterNot(f => indexedNorm.contains(norm(f))).sorted
+    val keptFiles = indexed.filter(f => onDiskNorm.contains(norm(f))).toSeq
+    val kept = stats.where(col("file").isin(keptFiles: _*))
+    if (added.isEmpty) kept
+    else kept.unionByName(
+      spark.read.parquet(added: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c"))): _*))
+  }
+
   /** Files whose [min,max] envelope intersects [lo, hi] on `c` —
     * i.e. NOT (max < lo OR min > hi). Null-envelope files (all-null
     * column) cannot satisfy a range predicate and are skipped.

@@ -809,33 +809,58 @@ object StreamReplay {
     * old/new rate decimal-pinned, cdc_batch): ingest timestamps are
     * wall-clock and must not reach the hash.
     */
-  def replayCdcChangelog(s: SparkSession): DataFrame = {
-    val tmp = Scratch.dir("graft_cdc_replay")
-    val feed = tmp.resolve("feed")
-    java.nio.file.Files.createDirectories(feed)
-    val table = tmp.resolve("table").toString
-    val changelog = tmp.resolve("changelog").toString
-    IngestFeed.zipWithIndex.foreach { case ((name, quotes), i) =>
-      val p = feed.resolve(name)
-      java.nio.file.Files.writeString(p, graft.ingest.FxJson.fixturePayload(
-        quotes.map(_._1), quotes.map(q => BigDecimal(q._2))))
-      p.toFile.setLastModified(1700000000000L + i * 10000L)
-      ()
-    }
-    withReplayPartitions(s, 2) {
-      val query = RateStream.runIngestPipeline(s, feed.toString, table,
-        maxFilesPerTrigger = Some(2),
-        trigger = Some(Trigger.AvailableNow()),
-        checkpointDir = Some(tmp.resolve("chk").toString),
-        changelogDir = Some(changelog))
-      query.awaitTermination()
-    }
-    s.read.parquet(changelog)
+  def replayCdcChangelog(s: SparkSession): DataFrame =
+    s.read.parquet(cdcChangelogDir(s))
       .select(col("ccy_couple"), to_date(col("date")).as("quote_date"),
         col("change_type"),
         col("old_rate").cast("decimal(10,6)").as("old_rate"),
         col("new_rate").cast("decimal(10,6)").as("new_rate"),
         col("cdc_batch"))
+
+  /** CDC TIME TRAVEL: the table as of `batch`, reconstructed purely from
+    * the changelog via [[graft.operators.Cdc.applyChangelog]] — the
+    * consumer half of the CDC contract (the changelog replay is the
+    * producer). The oracle recomputes the same historical state as the
+    * delivery-order argmax over IngestFeed batches ≤ `batch`.
+    */
+  def replayCdcTimeTravel(s: SparkSession, batch: Long = 1L): DataFrame =
+    graft.operators.Cdc.applyChangelog(
+        s.read.parquet(cdcChangelogDir(s)),
+        keys = Seq("ccy_couple", "date"), values = Seq("rate"),
+        upToBatch = Some(batch))
+      .select(col("ccy_couple"), to_date(col("date")).as("quote_date"),
+        col("rate").cast("decimal(10,6)").as("rate"))
+
+  // the changelog replay memo: the time-travel query consumes the SAME
+  // feed the changelog query produces, so the micro-batch replay runs
+  // once per JVM (same discipline as orderedFeeds)
+  private val cdcDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def cdcChangelogDir(s: SparkSession): String = cdcDir.synchronized {
+    if (cdcDir.get == null) {
+      val tmp = Scratch.dir("graft_cdc_replay")
+      val feed = tmp.resolve("feed")
+      java.nio.file.Files.createDirectories(feed)
+      val table = tmp.resolve("table").toString
+      val changelog = tmp.resolve("changelog").toString
+      IngestFeed.zipWithIndex.foreach { case ((name, quotes), i) =>
+        val p = feed.resolve(name)
+        java.nio.file.Files.writeString(p, graft.ingest.FxJson.fixturePayload(
+          quotes.map(_._1), quotes.map(q => BigDecimal(q._2))))
+        p.toFile.setLastModified(1700000000000L + i * 10000L)
+        ()
+      }
+      withReplayPartitions(s, 2) {
+        val query = RateStream.runIngestPipeline(s, feed.toString, table,
+          maxFilesPerTrigger = Some(2),
+          trigger = Some(Trigger.AvailableNow()),
+          checkpointDir = Some(tmp.resolve("chk").toString),
+          changelogDir = Some(changelog))
+        query.awaitTermination()
+      }
+      cdcDir.set(changelog)
+    }
+    cdcDir.get
   }
 
   /** Replay of the STATEFUL streaming operator (RateStream.latestPerPair,

@@ -49,4 +49,26 @@ class CdcSpec extends SparkSuite {
     assert(applied.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
       == nw.collect().map(r => (r.getString(0), r.getDouble(1))).toSet)
   }
+
+  test("applyChangelog reconstructs any historical state, deletes included") {
+    import spark.implicits._
+    // a 3-batch changelog for one key universe: insert → update+insert →
+    // delete (columns shaped like snapshotDiff output + cdc_batch)
+    val log = Seq(
+      ("a", None, Some(1.0), "insert", 0L),
+      ("b", None, Some(2.0), "insert", 0L),
+      ("a", Some(1.0), Some(1.5), "update", 1L),
+      ("c", None, Some(3.0), "insert", 1L),
+      ("b", Some(2.0), None, "delete", 2L))
+      .toDF("k", "old_v", "new_v", "change_type", "cdc_batch")
+    def state(b: Long) = Cdc.applyChangelog(log, Seq("k"), Seq("v"), Some(b))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(state(0L) == Map("a" -> 1.0, "b" -> 2.0))
+    assert(state(1L) == Map("a" -> 1.5, "b" -> 2.0, "c" -> 3.0))
+    assert(state(2L) == Map("a" -> 1.5, "c" -> 3.0)) // b deleted
+    // unbounded = the current table
+    val full = Cdc.applyChangelog(log, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(full == state(2L))
+  }
 }

@@ -56,6 +56,30 @@ class DataSkippingSpec extends SparkSuite {
       .count() == 0L)
   }
 
+  test("incremental refresh equals a full rebuild after appends and rewrites") {
+    import spark.implicits._
+    val (path, stats0) = layout()
+    // a no-op refresh returns the index unchanged (no files scanned)
+    val same = DataSkipping.refreshStats(spark, path, stats0, Seq("user_id"))
+    assert(same.orderBy("file").collect().toSeq ==
+      stats0.orderBy("file").collect().toSeq)
+    // append new files to the table, then refresh
+    Seq((900001L, 900L, 1.0), (900002L, 901L, 2.0))
+      .toDF("event_id", "user_id", "value")
+      .repartition(2).write.mode("append").parquet(path)
+    val refreshed = DataSkipping.refreshStats(spark, path, stats0, Seq("user_id"))
+    val rebuilt = DataSkipping.buildStats(spark, path, Seq("user_id"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(canon(refreshed) == canon(rebuilt))
+    // the refreshed index plans correctly over the appended key range
+    val hits = DataSkipping
+      .prunedRangeScan(spark, path, refreshed, "user_id", 900L, 901L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(hits.toSeq == Seq(900001L, 900002L))
+  }
+
   test("unclustered layout degrades to reading everything, never to wrong rows") {
     // round-robin layout: every file spans the whole key range, so the
     // index cannot prune — but correctness must hold regardless
