@@ -1101,20 +1101,13 @@ object SparkEntry {
     // while the merged table carries the ingest schema's DECIMAL(10,6) —
     // an asymmetry invisible to the loose schema check but visible to
     // the driver's value hash (the 3-rounds-red root cause).
-    "stream_ingest_pipeline" -> {
-      val values = graft.streaming.StreamReplay.IngestFeed.zipWithIndex
-        .flatMap { case ((name, quotes), v) =>
-          val pair = name.take(3) + "/" + name.slice(4, 7)
-          quotes.map { case (d, c) =>
-            s"('$pair', DATE '$d', CAST($c AS DECIMAL(10,6)), $v)" }
-        }.mkString(",\n  ")
+    "stream_ingest_pipeline" ->
       s"""WITH quotes(ccy_couple, quote_date, rate, v) AS (VALUES
-         |  $values
+         |  $IngestFeedValuesSql
          |)
          |SELECT ccy_couple, quote_date,
          |       CAST(arg_max(rate, v) AS DECIMAL(10,6)) AS rate
-         |FROM quotes GROUP BY ccy_couple, quote_date""".stripMargin
-    },
+         |FROM quotes GROUP BY ccy_couple, quote_date""".stripMargin,
 
     // the changelog = per-batch diffs of consecutive LWW states over the
     // same fixture. dd keeps each exact (key, value)'s FIRST delivery

@@ -140,14 +140,29 @@ object MergeOps {
       // previous run on at most a boundary day). No existing data is
       // read, so no staging hop is needed; the in-batch upsert writes
       // one compacted file per day straight into fresh partition dirs.
-      val upserted = upsertLatest(withP, keys, ordering)
-      changelog.foreach { cl =>
-        // no before-image exists: every merged row is an insert
-        writeChangelog(cl, graft.operators.Cdc.snapshotDiff(
-          upserted.where(lit(false)), upserted, keys, cdcValues(upserted)),
-          changelogBatchId)
-      }
-      writePartitioned(upserted)
+      // persisted only when the changelog ALSO consumes it: otherwise the
+      // changelog write and the table write would each re-execute the
+      // upsert plan (dedup window included)
+      val upserted0 = upsertLatest(withP, keys, ordering)
+      val upserted = if (changelog.isDefined)
+        upserted0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else upserted0
+      try {
+        changelog.foreach { cl =>
+          // no before-image exists: every merged row is an insert. Stamp
+          // the diff shape directly — snapshotDiff against an empty frame
+          // would pay a full-outer join to discover that fact
+          val values = cdcValues(upserted)
+          writeChangelog(cl, upserted.select(
+            keys.map(col) ++
+              values.map(v => lit(null).cast(upserted.schema(v).dataType)
+                .as(s"old_$v")) ++
+              values.map(v => col(v).as(s"new_$v")) :+
+              lit("insert").as("change_type"): _*),
+            changelogBatchId)
+        }
+        writePartitioned(upserted)
+      } finally { if (changelog.isDefined) { upserted.unpersist(); () } }
     } else {
       // merge path — read ONLY the overlapping days' partitions, merge,
       // and swap via a staging hop: Spark refuses to overwrite a path

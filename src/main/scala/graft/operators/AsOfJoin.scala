@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   * capability, and forward/nearest complete the family (DuckDB ASOF
   * oracles both directions). The implementation is the scalable
   * union-window technique: tag both sides, union, and carry the adjacent
-  * right-side value across with last_value(ignoreNulls) over one
+  * right-side ROW across with last_value(ignoreNulls) over one
   * (key, time) sort — a single shuffle, no range/nested-loop join, no
   * per-row subquery. The forward pass is the same window with the sort
   * REVERSED, so backward+forward together still cost one Exchange (the
@@ -24,40 +24,64 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   * a 1000-executor cluster: partition by key, sort within partition,
   * stream.
   *
+  * The carried unit is a STRUCT of (right time, value columns), so the
+  * matched row's time and values always travel together: a right row
+  * whose value column is NULL is still the match (and surfaces its
+  * null), it is never skipped in favor of an older row's value — the
+  * struct is non-null exactly for right rows, which is what
+  * ignoreNulls skips on.
+  *
   * Ties (equal times on both sides) resolve inclusively in BOTH
   * directions — a right row at exactly the left row's time matches, like
   * DuckDB/QuestDB ASOF JOIN. Nearest at equal distance resolves backward.
   */
 object AsOfJoin {
 
-  /** Tag + union the two sides: right rows carry `__v_<out>` values (and
-    * `__rt`, the right time), left rows carry their payload columns.
+  /** Tag + union the two sides: right rows carry ONE `__r` struct
+    * (`__rt` = right time, then the renamed value columns); left rows
+    * carry their payload columns and a typed-null `__r`.
     */
   private def taggedUnion(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,
       valueCols: Seq[(String, String)]): DataFrame = {
     val leftCols = left.columns
+    val rStruct = struct(col(rightTime).as("__rt") +:
+      valueCols.map { case (in, out) => col(in).as(out) }: _*)
+    val rType = right.select(rStruct.as("__r")).schema.head.dataType
     left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(0).as("__is_right"),
-          lit(null).cast(right.schema(rightTime).dataType).as("__rt")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        valueCols.map { case (_, out) => lit(null).as(s"__v_$out") }: _*)
+          lit(null).cast(rType).as("__r")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
       .unionByName(
         right.select(
           keys.map(col) ++
             Seq(col(rightTime).as("__t"), lit(1).as("__is_right"),
-              col(rightTime).as("__rt")) ++
-            leftCols.filterNot(keys.contains).map(c => lit(null).as(c)) ++
-            valueCols.map { case (in, out) => col(in).as(s"__v_$out") }: _*))
+              rStruct.as("__r")) ++
+            leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*))
   }
 
   private def leftProjection(leftCols: Seq[String], keys: Seq[String],
-      leftTime: String, outCols: Seq[String]): Seq[Column] =
+      leftTime: String, carried: Column, outCols: Seq[String]): Seq[Column] =
     keys.map(col) ++
       Seq(col("__t").as(leftTime)) ++
       leftCols.filterNot(k => keys.contains(k) || k == leftTime).map(col) ++
-      outCols.map(col)
+      outCols.map(o => carried.getField(o).as(o))
+
+  private def directional(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      valueCols: Seq[(String, String)], descending: Boolean): DataFrame = {
+    val tagged = taggedUnion(left, right, keys, leftTime, rightTime, valueCols)
+    // right rows sort before left rows at equal time → inclusive match
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(if (descending) col("__t").desc else col("__t").asc,
+        col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__is_right") === 0)
+      .select(leftProjection(left.columns.toIndexedSeq, keys, leftTime,
+        col("__m"), valueCols.map(_._2)): _*)
+  }
 
   /** @param left      probe side
     * @param right     reference side (its `valueCols` are carried)
@@ -68,19 +92,9 @@ object AsOfJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      valueCols: Seq[(String, String)]): DataFrame = {
-    val tagged = taggedUnion(left, right, keys, leftTime, rightTime, valueCols)
-    // right rows sort before left rows at equal time → inclusive (<=) match
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__is_right").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(tagged) { case (df, (_, out)) =>
-      df.withColumn(out, last(col(s"__v_$out"), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__is_right") === 0)
-      .select(leftProjection(left.columns.toIndexedSeq, keys, leftTime,
-        valueCols.map(_._2)): _*)
-  }
+      valueCols: Seq[(String, String)]): DataFrame =
+    directional(left, right, keys, leftTime, rightTime, valueCols,
+      descending = false)
 
   /** Forward as-of: the EARLIEST right row at-or-after each left row's
     * time. The mirror of asofBackward: descending time sort, so
@@ -89,18 +103,9 @@ object AsOfJoin {
     */
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      valueCols: Seq[(String, String)]): DataFrame = {
-    val tagged = taggedUnion(left, right, keys, leftTime, rightTime, valueCols)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").desc, col("__is_right").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(tagged) { case (df, (_, out)) =>
-      df.withColumn(out, last(col(s"__v_$out"), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__is_right") === 0)
-      .select(leftProjection(left.columns.toIndexedSeq, keys, leftTime,
-        valueCols.map(_._2)): _*)
-  }
+      valueCols: Seq[(String, String)]): DataFrame =
+    directional(left, right, keys, leftTime, rightTime, valueCols,
+      descending = true)
 
   /** Microsecond distance between two time columns (timestamp/date cast
     * exactly; numeric columns are taken as already-micros).
@@ -129,28 +134,23 @@ object AsOfJoin {
     val wf = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").desc, col("__is_right").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val withCarried = valueCols.foldLeft(
-      tagged
-        .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wb))
-        .withColumn("__ft", last(col("__rt"), ignoreNulls = true).over(wf))) {
-      case (df, (_, out)) =>
-        df.withColumn(s"__b_$out", last(col(s"__v_$out"), ignoreNulls = true).over(wb))
-          .withColumn(s"__f_$out", last(col(s"__v_$out"), ignoreNulls = true).over(wf))
-    }
+    val withCarried = tagged
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(wf))
     val tDt = right.schema(rightTime).dataType
     val lt = asMicros(col("__t"), tDt)
-    val bd = lt - asMicros(col("__bt"), tDt)
-    val fd = asMicros(col("__ft"), tDt) - lt
+    val bt = col("__b").getField("__rt")
+    val ft = col("__f").getField("__rt")
+    val bd = lt - asMicros(bt, tDt)
+    val fd = asMicros(ft, tDt) - lt
     val tol = lit(toleranceMicros)
-    val pickB = col("__bt").isNotNull && bd <= tol &&
-      (col("__ft").isNull || fd > tol || bd <= fd)
-    val pickF = !pickB && col("__ft").isNotNull && fd <= tol
-    val out = valueCols.foldLeft(withCarried) { case (df, (_, o)) =>
-      df.withColumn(o, when(pickB, col(s"__b_$o"))
-        .when(pickF, col(s"__f_$o")))
-    }
-    out.where(col("__is_right") === 0)
+    val pickB = bt.isNotNull && bd <= tol &&
+      (ft.isNull || fd > tol || bd <= fd)
+    val pickF = !pickB && ft.isNotNull && fd <= tol
+    withCarried
+      .withColumn("__m", when(pickB, col("__b")).when(pickF, col("__f")))
+      .where(col("__is_right") === 0)
       .select(leftProjection(left.columns.toIndexedSeq, keys, leftTime,
-        valueCols.map(_._2)): _*)
+        col("__m"), valueCols.map(_._2)): _*)
   }
 }

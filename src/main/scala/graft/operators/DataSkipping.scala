@@ -29,13 +29,18 @@ object DataSkipping {
     * reduces locally to ONE partial row per column).
     */
   def buildStats(spark: SparkSession, path: String,
-      cols: Seq[String]): DataFrame = {
-    val df = spark.read.parquet(path)
+      cols: Seq[String]): DataFrame =
+    statsOf(spark.read.parquet(path), cols)
+
+  /** The per-file envelope aggregation — ONE definition, so the index
+    * schema cannot drift between the full build and the incremental
+    * refresh.
+    */
+  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
         cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))): _*)
-  }
 
   /** Incremental index refresh after the table changed (a merge appended
     * or rewrote files): scan ONLY the files missing from the index and
@@ -52,22 +57,25 @@ object DataSkipping {
     // compare on the scheme-less path: input_file_name() renders
     // "file:///x" while Hadoop's Path.toUri renders "file:/x"
     def norm(uri: String) = new java.net.URI(uri).getPath
-    val onDisk = fs.listStatus(hadoopPath).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.toString)
+    // RECURSIVE listing: a partitioned table (the layout the merge
+    // writes) keeps its files under partition dirs — a flat listStatus
+    // would see no files, mark every indexed file deleted, and hand the
+    // planner an empty index (= zero-row scans)
+    val it = fs.listFiles(hadoopPath, true)
+    val onDisk = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        onDisk += f.getPath.toUri.toString
+    }
     val onDiskNorm = onDisk.map(norm).toSet
     val indexed = stats.select(col("file")).collect().map(_.getString(0))
     val indexedNorm = indexed.map(norm).toSet
-    val added = onDisk.filterNot(f => indexedNorm.contains(norm(f))).sorted
+    val added = onDisk.toSeq.filterNot(f => indexedNorm.contains(norm(f))).sorted
     val keptFiles = indexed.filter(f => onDiskNorm.contains(norm(f))).toSeq
     val kept = stats.where(col("file").isin(keptFiles: _*))
     if (added.isEmpty) kept
-    else kept.unionByName(
-      spark.read.parquet(added: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(count(lit(1)).as("n_rows"),
-          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-            max(col(c)).as(s"max_$c"))): _*))
+    else kept.unionByName(statsOf(spark.read.parquet(added: _*), cols))
   }
 
   /** Files whose [min,max] envelope intersects [lo, hi] on `c` —

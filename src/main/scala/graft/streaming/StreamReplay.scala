@@ -468,9 +468,18 @@ object StreamReplay {
     * ns-precision timestamps cannot shift the interval bound.
     */
   def replayStreamStreamJoin(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 3): DataFrame =
+    clickPurchaseJoinReplay(s, dir, nBatches, joinType = "inner",
+      tag = "graft_ssjoin")
+
+  /** The shared click/purchase join replay machinery — ONE definition,
+    * so the inner and left-outer replays cannot drift (schema, feed
+    * slicing, watermarking, sink wiring are semantics-bearing here).
+    */
+  private def clickPurchaseJoinReplay(s: SparkSession, dir: String,
+      nBatches: Int, joinType: String, tag: String): DataFrame = {
     import s.implicits._
-    val tmp = Scratch.dir("graft_ssjoin_replay")
+    val tmp = Scratch.dir(s"${tag}_replay")
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
@@ -478,7 +487,7 @@ object StreamReplay {
       ev.withColumnRenamed("ts", "timestamp")
     }
 
-    val name = s"graft_ssjoin_sink_${sinkId.incrementAndGet()}"
+    val name = s"${tag}_sink_${sinkId.incrementAndGet()}"
     withReplayPartitions(s, 8) {
       def side() = s.readStream.schema(
           ev.withColumnRenamed("ts", "timestamp").schema)
@@ -490,7 +499,8 @@ object StreamReplay {
       val purchases = side().where(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"), col("timestamp").as("p_ts"),
           col("event_id").as("p_id"))
-      val query = RateStream.clickPurchaseIntervalJoin(clicks, purchases)
+      val query = RateStream
+        .clickPurchaseIntervalJoin(clicks, purchases, joinType = joinType)
         .select(col("user_id"), col("click_id"), col("p_id"),
           col("click_value"))
         .writeStream.format("memory").queryName(name)
@@ -501,8 +511,9 @@ object StreamReplay {
       query.awaitTermination()
     }
 
+    // Option decode: p_id is null on outer rows (inner rows are all Some)
     val out = s.table(name)
-      .as[(Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Option[Long], Double)].collect()
     s.catalog.dropTempView(name)
     s.createDataset(out.toSeq)
       .toDF("user_id", "click_id", "p_id", "click_value")
@@ -520,46 +531,9 @@ object StreamReplay {
     * the per-side watermarks under the default multipleWatermarkPolicy).
     */
   def replayStreamStreamJoinLeftOuter(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
-    import s.implicits._
-    val tmp = Scratch.dir("graft_ssjoin_outer_replay")
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("ts"), col("value"))
-    val feed = sharedFeed("events", dir, nBatches) {
-      ev.withColumnRenamed("ts", "timestamp")
-    }
-
-    val name = s"graft_ssjoin_outer_sink_${sinkId.incrementAndGet()}"
-    withReplayPartitions(s, 8) {
-      def side() = s.readStream.schema(
-          ev.withColumnRenamed("ts", "timestamp").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(feed.toString + "/*")
-      val clicks = side().where(col("event_type") === "click")
-        .select(col("user_id"), col("timestamp").as("click_ts"),
-          col("event_id").as("click_id"), col("value").as("click_value"))
-      val purchases = side().where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user_id"), col("timestamp").as("p_ts"),
-          col("event_id").as("p_id"))
-      val query = RateStream
-        .clickPurchaseIntervalJoin(clicks, purchases, joinType = "left_outer")
-        .select(col("user_id"), col("click_id"), col("p_id"),
-          col("click_value"))
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", tmp.resolve("chk").toString)
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    }
-
-    val out = s.table(name)
-      .as[(Long, Long, Option[Long], Double)].collect()
-    s.catalog.dropTempView(name)
-    s.createDataset(out.toSeq)
-      .toDF("user_id", "click_id", "p_id", "click_value")
-  }
+      nBatches: Int = 3): DataFrame =
+    clickPurchaseJoinReplay(s, dir, nBatches, joinType = "left_outer",
+      tag = "graft_ssjoin_outer")
 
   /** Replay of INCREMENTAL NEAR-DUP INDEX maintenance: the documents
     * table arrives in micro-batches and each batch is admitted into the

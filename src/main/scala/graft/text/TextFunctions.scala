@@ -158,6 +158,9 @@ object TextFunctions {
     * reproduces them bit-identically.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    // null text → no stats row (same contract as minhashSignatures, and
+    // what the oracle's unnest-based formulation computes: a null token
+    // array contributes no rows, so the doc is absent on both sides)
     val tk = split(trim(col("text")), "\\s+")
     val bigrams = zip_with(
       slice(col("tk"), lit(1), size(col("tk")) - 1),
@@ -173,6 +176,7 @@ object TextFunctions {
     val topBigramFrac =
       col("b").getField("best").cast("double") / nullif(col("n_bigrams"), lit(0L))
     Tables.documents(s, dir)
+      .where(col("text").isNotNull)
       .select(col("doc_id"), tk.as("tk"))
       .withColumn("bg", bigrams)
       .select(col("doc_id"), nTok.as("n_tokens"), nBig.as("n_bigrams"),

@@ -59,6 +59,29 @@ class AsOfJoinSpec extends SparkSuite {
     assert(gotTie(100L).contains("lo"))
   }
 
+  test("a null-valued right row IS the match — never skipped for an older value") {
+    import spark.implicits._
+    // right rows: t=4 carries "x", t=9 carries NULL; probe at t=10.
+    // The nearest/backward match is the t=9 ROW, so the surfaced value
+    // must be its null — not "x" smuggled from distance 6 (a value-level
+    // ignoreNulls carry would do exactly that)
+    val l = Seq(("A", 10L, 1L)).toDF("k", "t", "probe_id")
+    val r = Seq(("A", 4L, Some("x")), ("A", 9L, None)).toDF("k", "t", "v")
+    def one(df: org.apache.spark.sql.DataFrame): Option[String] = {
+      val row = df.collect().head
+      if (row.isNullAt(row.fieldIndex("vv"))) None
+      else Some(row.getString(row.fieldIndex("vv")))
+    }
+    assert(one(AsOfJoin.asofBackward(l, r, Seq("k"), "t", "t",
+      Seq("v" -> "vv"))).isEmpty)
+    assert(one(AsOfJoin.asofNearest(l, r, Seq("k"), "t", "t",
+      Seq("v" -> "vv"), toleranceMicros = 2L)).isEmpty)
+    // forward mirror: right rows at t=11 (null) and t=20 ("y"), probe 10
+    val r2 = Seq(("A", 11L, None), ("A", 20L, Some("y"))).toDF("k", "t", "v")
+    assert(one(AsOfJoin.asofForward(l, r2, Seq("k"), "t", "t",
+      Seq("v" -> "vv"))).isEmpty)
+  }
+
   test("all three variants plan exactly ONE shuffle exchange") {
     // AQE hides exchanges behind the adaptive wrapper until execution —
     // inspect the static physical plan

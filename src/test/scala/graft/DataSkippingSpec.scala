@@ -80,6 +80,23 @@ class DataSkippingSpec extends SparkSuite {
     assert(hits.toSeq == Seq(900001L, 900002L))
   }
 
+  test("refresh works on a PARTITIONED table (files live under partition dirs)") {
+    import spark.implicits._
+    val path = graft.util.Scratch.dir("skip_spec_part").resolve("ev").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        to_date(col("ts")).as("p_date"))
+      .write.partitionBy("p_date").mode("overwrite").parquet(path)
+    val stats = DataSkipping.buildStats(spark, path, Seq("user_id"))
+    assert(stats.count() > 0)
+    // a flat listing would see only partition DIRS, mark every indexed
+    // file deleted, and return an empty index
+    val refreshed = DataSkipping.refreshStats(spark, path, stats, Seq("user_id"))
+    assert(refreshed.count() == stats.count())
+    assert(refreshed.agg(sum("n_rows")).head.getLong(0) ==
+      spark.read.parquet(path).count())
+  }
+
   test("unclustered layout degrades to reading everything, never to wrong rows") {
     // round-robin layout: every file spans the whole key range, so the
     // index cannot prune — but correctness must hold regardless
