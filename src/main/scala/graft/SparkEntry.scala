@@ -357,6 +357,8 @@ object SparkEntry {
     "q_rollup_balance" -> BreadthQueries.rollupRevenue _,
     // CUBE grouping sets: marginals + grand total, grouping() flags
     "q_cube_events" -> BreadthQueries.cubeEventStats _,
+    // explicit GROUPING SETS: the mixed-marginal shape ROLLUP/CUBE can't
+    "q_grouping_sets" -> BreadthQueries.groupingSetsEvents _,
     // equi + range (band) join
     "q_shipped_within_90d" -> BreadthQueries.shippedWithin90d _,
     // gap-based sessionization (30-minute gap). Session bounds surface as
@@ -1256,6 +1258,15 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(grouping(event_type) AS INT) AS g_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+        |                        (CAST(ts AS DATE)))""".stripMargin,
 
     "q_cube_events" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,

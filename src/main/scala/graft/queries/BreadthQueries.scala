@@ -121,6 +121,25 @@ object BreadthQueries {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
 
+  /** Explicit GROUPING SETS — the mixed-marginal shape neither ROLLUP
+    * nor CUBE expresses: (type, day) detail plus a per-day marginal, NO
+    * grand total and NO per-type marginal. Same Expand-before-shuffle
+    * plan as the other grouping-set forms (partial agg still combines
+    * map-side); expressed through the SQL API to exercise that surface.
+    */
+  def groupingSetsEvents(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_gs")
+    s.sql(
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(grouping(event_type) AS INT) AS g_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events_gs
+        |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+        |                        (CAST(ts AS DATE)))
+        |""".stripMargin)
+  }
+
   /** Analytic-window breadth beyond lag/rank/running-sum: ntile,
     * percent_rank, cume_dist, nth_value, and a bounded sliding frame, all
     * over one window spec (ONE shuffle + sort serves every function).
