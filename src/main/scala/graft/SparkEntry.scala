@@ -1098,17 +1098,16 @@ object SparkEntry {
     // argmax over delivery order, recomputed from the SAME fixture
     // constant the replay writes as payload files (exact re-deliveries
     // carry the same value, so delivery-order argmax equals what the
-    // dedup+LWW pipeline converges to). The rate is decimal-pinned on
-    // BOTH sides: DuckDB types the bare VALUES literals DECIMAL(9,6)
-    // while the merged table carries the ingest schema's DECIMAL(10,6) —
-    // an asymmetry invisible to the loose schema check but visible to
-    // the driver's value hash (the 3-rounds-red root cause).
+    // dedup+LWW pipeline converges to). The rate crosses the output
+    // boundary as DOUBLE on BOTH sides — the repo-wide convention every
+    // hash-green query follows; the 6-dp-exact fixture rates convert
+    // identically on both engines.
     "stream_ingest_pipeline" ->
       s"""WITH quotes(ccy_couple, quote_date, rate, v) AS (VALUES
          |  $IngestFeedValuesSql
          |)
          |SELECT ccy_couple, quote_date,
-         |       CAST(arg_max(rate, v) AS DECIMAL(10,6)) AS rate
+         |       CAST(arg_max(rate, v) AS DOUBLE) AS rate
          |FROM quotes GROUP BY ccy_couple, quote_date""".stripMargin,
 
     // the changelog = per-batch diffs of consecutive LWW states over the
@@ -1117,7 +1116,8 @@ object SparkEntry {
     // index / 2 (maxFilesPerTrigger=2 over the mtime-ordered feed); state
     // after batch b = argmax over deliveries in batches <= b; a key whose
     // rate changed is an update, a key absent before is an insert,
-    // unchanged keys emit nothing. Decimal-pinned on both sides.
+    // unchanged keys emit nothing. Rates cross the output boundary as
+    // DOUBLE on both sides (internal arithmetic stays decimal).
     // the table as of batch 1 = the delivery-order argmax restricted to
     // deliveries in batches <= 1 (same VALUES + exact-redelivery dedup
     // as the changelog oracle below)
@@ -1131,7 +1131,7 @@ object SparkEntry {
          |  SELECT *, v // 2 AS b FROM dd
          |)
          |SELECT ccy_couple, quote_date,
-         |  CAST(arg_max(rate, v) AS DECIMAL(10,6)) AS rate
+         |  CAST(arg_max(rate, v) AS DOUBLE) AS rate
          |FROM db WHERE b <= 1 GROUP BY ccy_couple, quote_date""".stripMargin,
 
     "stream_cdc_changelog" -> {
@@ -1151,8 +1151,8 @@ object SparkEntry {
          |)
          |SELECT c.ccy_couple, c.quote_date,
          |  CASE WHEN p.rate IS NULL THEN 'insert' ELSE 'update' END AS change_type,
-         |  CAST(p.rate AS DECIMAL(10,6)) AS old_rate,
-         |  CAST(c.rate AS DECIMAL(10,6)) AS new_rate,
+         |  CAST(p.rate AS DOUBLE) AS old_rate,
+         |  CAST(c.rate AS DOUBLE) AS new_rate,
          |  CAST(c.b AS BIGINT) AS cdc_batch
          |FROM st c LEFT JOIN st p
          |  ON p.b = c.b - 1 AND p.ccy_couple = c.ccy_couple

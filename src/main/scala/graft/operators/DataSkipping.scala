@@ -73,7 +73,13 @@ object DataSkipping {
     val indexedNorm = indexed.map(norm).toSet
     val added = onDisk.toSeq.filterNot(f => indexedNorm.contains(norm(f))).sorted
     val keptFiles = indexed.filter(f => onDiskNorm.contains(norm(f))).toSeq
-    val kept = stats.where(col("file").isin(keptFiles: _*))
+    // survivors via LEFT SEMI join against a small file-name relation —
+    // an `isin(keptFiles)` literal would embed every surviving path in
+    // the plan (a multi-MB In-expression at the advertised 10^5-file
+    // scale); the semi-join keeps the plan O(1) and broadcasts the list
+    import spark.implicits._
+    val kept = stats.join(broadcast(keptFiles.toDF("file")),
+      Seq("file"), "left_semi")
     if (added.isEmpty) kept
     else kept.unionByName(statsOf(spark.read.parquet(added: _*), cols))
   }

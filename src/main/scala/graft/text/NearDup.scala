@@ -357,20 +357,49 @@ object NearDup {
   // ~linear: a degenerate bucket stops producing pairs the moment it
   // crosses the cap instead of going quadratic in the supports table.
 
+  // existence checks go through the Hadoop FS API (same idiom as
+  // MergeOps.mergeIntoDatePartitioned) so the index dir can live on any
+  // supported filesystem (hdfs://, s3a://, file:) — a java.io.File check
+  // silently reports "absent" for non-local URIs and would rebuild the
+  // index from empty.
+  private def hadoopFs(s: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+  }
+
   private def readOrEmpty(s: SparkSession, path: String,
-      schemaOf: DataFrame): DataFrame =
-    if (new java.io.File(path).exists()) s.read.parquet(path)
+      schemaOf: DataFrame): DataFrame = {
+    val (fs, p) = hadoopFs(s, path)
+    if (fs.exists(p)) s.read.parquet(path)
     else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schemaOf.schema)
+  }
 
   /** Admit one batch of NEW documents (insert-only: a doc_id must not
     * re-arrive) into the LSH index at `indexDir`.
+    *
+    * `batchId` (pass the foreachBatch epoch when driving this from a
+    * stream) makes re-delivery idempotent: foreachBatch is at-least-once,
+    * and a retried micro-batch would otherwise double-append a doc's band
+    * rows — inflating bucket counts past `maxBucket` and silently
+    * retracting valid pairs. A marker file per applied batch is written
+    * AFTER the appends commit, so an already-applied re-delivery no-ops.
+    * (A crash BETWEEN the appends and the marker still re-appends on
+    * retry — closing that window needs an atomically-committing table
+    * format; the marker covers the common sink-restart re-delivery.)
     */
   def applyMinhashIndexBatch(s: SparkSession, indexDir: String,
-      batch: DataFrame, maxBucket: Int = 50): Unit = {
+      batch: DataFrame, maxBucket: Int = 50,
+      batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val (fs, p) = hadoopFs(s, s"$indexDir/_applied/batch-$id")
+      (fs, p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
     val sigs = minhashSignatures(batch).persist(mem)
     val banded = sigs.select(col("doc_id"),
       posexplode(bandKeys(col("mh"))).as(Seq("band", "key"))).persist(mem)
+    var existingTouched: Option[DataFrame] = None
     try {
       val existing = readOrEmpty(s, s"$indexDir/buckets",
         banded.select(col("doc_id"), col("band"), col("key")))
@@ -379,20 +408,21 @@ object NearDup {
       // shuffles; a disk layout bucketed by (band, key) would prune the
       // scan itself the same way)
       val touched = banded.select(col("band"), col("key")).distinct()
-      val existingTouched = existing
+      val existTouched = existing
         .join(broadcast(touched), Seq("band", "key"), "left_semi")
         .persist(mem)
+      existingTouched = Some(existTouched)
       // buckets that stay under the cap AFTER this batch: only they get
       // supports (see convergence note above)
       val ok = banded.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).as("n_new"))
-        .join(existingTouched.groupBy(col("band"), col("key"))
+        .join(existTouched.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("n_old")), Seq("band", "key"), "left_outer")
         .where(coalesce(col("n_old"), lit(0L)) + col("n_new") <= maxBucket)
         .select(col("band"), col("key"))
       val newSide = banded.join(broadcast(ok), Seq("band", "key"))
         .select(col("band"), col("key"), col("doc_id").as("a"))
-      val allSide = existingTouched.unionByName(banded)
+      val allSide = existTouched.unionByName(banded)
         .join(broadcast(ok), Seq("band", "key"))
         .select(col("band"), col("key"), col("doc_id").as("b"))
       val sup0 = newSide.join(allSide, Seq("band", "key"))
@@ -411,7 +441,12 @@ object NearDup {
       sup.write.mode("append").parquet(s"$indexDir/supports")
       banded.write.mode("append").parquet(s"$indexDir/buckets")
       sigs.write.mode("append").parquet(s"$indexDir/signatures")
-    } finally { banded.unpersist(); sigs.unpersist(); () }
+      marker.foreach { case (fs, p) =>
+        fs.mkdirs(p.getParent); fs.create(p, true).close() }
+    } finally {
+      banded.unpersist(); sigs.unpersist()
+      existingTouched.foreach(_.unpersist()); ()
+    }
   }
 
   /** The near-dup report from the maintained index: pairs = supports

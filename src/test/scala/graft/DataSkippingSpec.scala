@@ -63,6 +63,10 @@ class DataSkippingSpec extends SparkSuite {
     val same = DataSkipping.refreshStats(spark, path, stats0, Seq("user_id"))
     assert(same.orderBy("file").collect().toSeq ==
       stats0.orderBy("file").collect().toSeq)
+    // survivors are kept via a semi-join, NOT an In-literal embedding
+    // every surviving part-file path in the plan (a plan-size bomb at
+    // the 10^5-file scale the index is built for)
+    assert(!same.queryExecution.optimizedPlan.toString.contains("part-0"))
     // append new files to the table, then refresh
     Seq((900001L, 900L, 1.0), (900002L, 901L, 2.0))
       .toDF("event_id", "user_id", "value")

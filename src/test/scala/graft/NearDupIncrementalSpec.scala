@@ -22,7 +22,9 @@ class NearDupIncrementalSpec extends SparkSuite {
   }.toMap
 
   test("index maintained over doc_id-split batches equals the one-shot report") {
-    val index = graft.util.Scratch.dir("ndinc_spec").resolve("idx").toString
+    // explicit file: URI — the index dir contract is the Hadoop FS API,
+    // not java.io.File (hdfs/s3a URIs must work the same way)
+    val index = "file:" + graft.util.Scratch.dir("ndinc_spec").resolve("idx").toString
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // 4 uneven batches split by doc_id range — a different batching than
     // the replay's round-robin, same converged index
@@ -54,5 +56,21 @@ class NearDupIncrementalSpec extends SparkSuite {
     // the final-size filter retracts EVERYTHING those buckets supported,
     // matching what the one-shot operator would compute over all 5 docs
     assert(fin.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+  }
+
+  test("re-delivered batchId is a no-op (foreachBatch at-least-once)") {
+    import spark.implicits._
+    val index = graft.util.Scratch.dir("ndinc_idem").resolve("idx").toString
+    def docs(ids: Seq[Long]) =
+      ids.map(i => (i, "identical text shared by every doc")).toDF("doc_id", "text")
+    NearDup.applyMinhashIndexBatch(spark, index, docs(Seq(1L, 2L, 3L)),
+      maxBucket = 4, batchId = Some(0L))
+    // sink restart re-delivers epoch 0: must not double-append band rows
+    // (which would push the shared buckets to 6 > 4 and retract all pairs)
+    NearDup.applyMinhashIndexBatch(spark, index, docs(Seq(1L, 2L, 3L)),
+      maxBucket = 4, batchId = Some(0L))
+    val ids = (1L to 3L).toDF("doc_id")
+    val rep = NearDup.minhashIndexReport(spark, index, ids, maxBucket = 4).collect()
+    assert(rep.forall(_.getLong(1) == 2L))
   }
 }

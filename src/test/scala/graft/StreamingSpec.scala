@@ -368,7 +368,7 @@ class StreamingSpec extends SparkSuite {
     import graft.streaming.StreamReplay
     val table = StreamReplay.replayIngestPipeline(spark).collect()
       .map(r => (r.getString(0), r.getDate(1).toString) ->
-        r.getDecimal(2).doubleValue()).toMap
+        r.getDouble(2)).toMap
     // 4 pairs × their distinct quote dates
     assert(table.size == 13)
     // corrections from later deliveries overwrite (LWW through the merge)
