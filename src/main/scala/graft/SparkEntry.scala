@@ -43,6 +43,8 @@ object SparkEntry {
     * (pair, quote date, decimal-pinned rate, delivery index) — shared by
     * the CDC changelog and time-travel oracles.
     */
+  private def RetentionCutoffSql = graft.streaming.StreamReplay.RetentionCutoff
+
   private lazy val IngestFeedValuesSql =
     graft.streaming.StreamReplay.IngestFeed.zipWithIndex
       .flatMap { case ((name, quotes), v) =>
@@ -310,6 +312,19 @@ object SparkEntry {
     // historical state from the fixture constant
     "stream_cdc_timetravel" -> ((s, _) =>
       graft.streaming.StreamReplay.replayCdcTimeTravel(s, batch = 1L)),
+
+    // CDC DELETE path: a retention sweep (MergeOps.deleteWhere) retires
+    // the keys dated ≤ the cutoff from a COPY of the converged ingest
+    // table, appending delete rows (old images, next batch id) to the
+    // changelog — the change an LWW upsert can never emit
+    "stream_cdc_delete_changelog" -> ((s, _) =>
+      graft.streaming.StreamReplay.replayCdcDeleteChangelog(s)),
+
+    // ...and the consumer half: time travel over the delete-bearing
+    // changelog must DROP the retired keys (their newest change is the
+    // delete)
+    "stream_cdc_delete_timetravel" -> ((s, _) =>
+      graft.streaming.StreamReplay.replayCdcDeleteTimeTravel(s)),
 
     // §7.2 partitioned layout: the day-granular cutoff answered by
     // PARTITION PRUNING over the date-partitioned rates table (the scan's
@@ -1159,6 +1174,55 @@ object SparkEntry {
          | AND p.quote_date = c.quote_date
          |WHERE p.rate IS NULL OR p.rate <> c.rate""".stripMargin
     },
+
+    // the delete-bearing changelog = the insert/update feed above UNION
+    // the retention sweep's deletes: every FINAL-state key dated ≤ the
+    // cutoff, old image = its final rate, new image NULL, stamped with
+    // the next batch id after the feed's last (max delivery // 2 + 1)
+    "stream_cdc_delete_changelog" ->
+      s"""WITH quotes(ccy_couple, quote_date, rate, v) AS (VALUES
+         |  $IngestFeedValuesSql
+         |), dd AS (
+         |  SELECT ccy_couple, quote_date, rate, min(v) AS v
+         |  FROM quotes GROUP BY ccy_couple, quote_date, rate
+         |), db AS (
+         |  SELECT *, v // 2 AS b FROM dd
+         |), bs AS (
+         |  SELECT DISTINCT v // 2 AS b FROM quotes
+         |), st AS (
+         |  SELECT bs.b, d.ccy_couple, d.quote_date, arg_max(d.rate, d.v) AS rate
+         |  FROM bs JOIN db d ON d.b <= bs.b
+         |  GROUP BY bs.b, d.ccy_couple, d.quote_date
+         |)
+         |SELECT c.ccy_couple, c.quote_date,
+         |  CASE WHEN p.rate IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+         |  CAST(p.rate AS DOUBLE) AS old_rate,
+         |  CAST(c.rate AS DOUBLE) AS new_rate,
+         |  CAST(c.b AS BIGINT) AS cdc_batch
+         |FROM st c LEFT JOIN st p
+         |  ON p.b = c.b - 1 AND p.ccy_couple = c.ccy_couple
+         | AND p.quote_date = c.quote_date
+         |WHERE p.rate IS NULL OR p.rate <> c.rate
+         |UNION ALL
+         |SELECT ccy_couple, quote_date, 'delete' AS change_type,
+         |  CAST(arg_max(rate, v) AS DOUBLE) AS old_rate,
+         |  CAST(NULL AS DOUBLE) AS new_rate,
+         |  CAST((SELECT max(v) // 2 + 1 FROM quotes) AS BIGINT) AS cdc_batch
+         |FROM quotes
+         |WHERE quote_date <= DATE '$RetentionCutoffSql'
+         |GROUP BY ccy_couple, quote_date""".stripMargin,
+
+    // time travel to the changelog's head after the retention sweep:
+    // the delivery-order argmax minus the retired (≤ cutoff) keys
+    "stream_cdc_delete_timetravel" ->
+      s"""WITH quotes(ccy_couple, quote_date, rate, v) AS (VALUES
+         |  $IngestFeedValuesSql
+         |)
+         |SELECT ccy_couple, quote_date,
+         |       CAST(arg_max(rate, v) AS DOUBLE) AS rate
+         |FROM quotes
+         |WHERE quote_date > DATE '$RetentionCutoffSql'
+         |GROUP BY ccy_couple, quote_date""".stripMargin,
 
     // the partition-pruned cutoff must agree with the row-filtered form:
     // `date` is day-granular, so date <= cutoff == p_date <= cutoff_day

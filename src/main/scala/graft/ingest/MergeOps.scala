@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,13 +77,23 @@ object MergeOps {
     * (MergeOpsSpec "staging-swap crash recovery").
     */
   /** Append one micro-batch's change rows to `path`: the snapshotDiff
-    * output plus the batch id. One file per batch (micro-batch sized by
-    * construction) so the changelog never splinters.
+    * output plus the batch id. Sharded by the day of `dateCol` when the
+    * diff carries one — a micro-batch spans ~a day so that still writes
+    * one file per batch, but a backfill-sized replay through the same
+    * writer fans out one task per touched day instead of funnelling
+    * everything through a single coalesce(1) task. maxRecordsPerFile
+    * bounds a skewed day; AQE drops the empty shuffle partitions.
     */
   private def writeChangelog(path: String, diff: DataFrame,
-      batchId: Long): Unit =
-    diff.withColumn("cdc_batch", lit(batchId))
-      .coalesce(1).write.mode("append").parquet(path)
+      batchId: Long, dateCol: Option[String] = None): Unit = {
+    val stamped = diff.withColumn("cdc_batch", lit(batchId))
+    val sharded = dateCol.filter(diff.columns.contains) match {
+      case Some(d) => stamped.repartition(to_date(col(d)))
+      case None    => stamped.coalesce(1)
+    }
+    sharded.write.option("maxRecordsPerFile", 1000000L)
+      .mode("append").parquet(path)
+  }
 
   /** @param changelog when set, every merge also APPENDS the batch's
     *   change rows (insert/update, old_/new_ images, cdc_batch) to this
@@ -159,7 +169,7 @@ object MergeOps {
                 .as(s"old_$v")) ++
               values.map(v => col(v).as(s"new_$v")) :+
               lit("insert").as("change_type"): _*),
-            changelogBatchId)
+            changelogBatchId, dateCol = Some(dateCol))
         }
         writePartitioned(upserted)
       } finally { if (changelog.isDefined) { upserted.unpersist(); () } }
@@ -209,7 +219,8 @@ object MergeOps {
         // the full-outer diff as inserts)
         val after = spark.read.parquet(staging.toString)
         writeChangelog(cl, graft.operators.Cdc.snapshotDiff(
-          existing, after, keys, cdcValues(after)), changelogBatchId)
+          existing, after, keys, cdcValues(after)), changelogBatchId,
+          dateCol = Some(dateCol))
       }
       spark.read.parquet(staging.toString)
         .write.partitionBy("p_date")
@@ -218,5 +229,67 @@ object MergeOps {
       fs.delete(staging, true)
       ()
     }
+  }
+
+  /** Retention/expiry sweep: DELETE the rows matching `pred` from the
+    * date-partitioned table at `target`, emitting `change_type='delete'`
+    * rows (with their old_ images) to the changelog — the path an LWW
+    * upsert can never produce (it only inserts/updates), completing the
+    * CDC contract end-to-end: a consumer applying the changelog
+    * ([[graft.operators.Cdc.applyChangelog]]) drops the retired keys.
+    *
+    * Shape at scale: the touched-day set is collected from a
+    * PARTITION-PRUNED scan of `pred`'s matches (for a retention rule on
+    * the date this prunes to the expiring tail, not the table), only
+    * those days are read and rewritten, and a day left EMPTY by the
+    * delete has its partition directory removed outright — dynamic
+    * overwrite alone would leave the old files in place, silently
+    * resurrecting the deleted rows. Cost is O(touched days); the same
+    * staging hop + re-run crash recovery as the merge (re-running the
+    * sweep after a partial swap deletes the same rows again and re-emits
+    * nothing new to the changelog only if the caller re-stamps the same
+    * batch id — the changelog write precedes the swap, so a crash
+    * between them re-emits on retry: at-least-once, like the merge).
+    */
+  def deleteWhere(spark: SparkSession, target: String, pred: Column,
+      keys: Seq[String], dateCol: String = "date",
+      changelog: Option[String] = None,
+      changelogBatchId: Long = 0L): Unit = {
+    val full = spark.read.option("mergeSchema", "true").parquet(target)
+    // bounded driver list: touched days only (a retention sweep touches
+    // the expiring tail of the layout, the same list any planner holds)
+    val touched = full.where(pred).select(col("p_date")).distinct()
+      .collect().map(_.getDate(0)).toSeq
+    if (touched.isEmpty) return
+    val existing = full.where(col("p_date").isin(touched: _*))
+    val survivors = existing.where(!pred)
+    val staging = new org.apache.hadoop.fs.Path(target + "__staging")
+    val hPath = new org.apache.hadoop.fs.Path(target)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    survivors.repartition(col("p_date"))
+      .write.mode("overwrite").parquet(staging.toString)
+    // explicit schema: a sweep that empties every touched day stages ZERO
+    // part files, and a schema-inferred read of that dir would throw
+    val staged = spark.read.schema(survivors.schema).parquet(staging.toString)
+    changelog.foreach { cl =>
+      val values = existing.columns.toIndexedSeq
+        .filterNot(c => keys.contains(c) || c == "p_date")
+      writeChangelog(cl,
+        graft.operators.Cdc.snapshotDiff(existing, staged, keys, values),
+        changelogBatchId, dateCol = Some(dateCol))
+    }
+    // swap: surviving days via dynamic overwrite; fully-emptied days by
+    // removing the partition directory (nothing staged to overwrite them)
+    val stagedDays = staged.select(col("p_date")).distinct()
+      .collect().map(_.getDate(0)).toSet
+    if (stagedDays.nonEmpty)
+      staged.write.partitionBy("p_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(target)
+    touched.filterNot(stagedDays).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(hPath, s"p_date=$d"), true); ()
+    }
+    fs.delete(staging, true)
+    ()
   }
 }

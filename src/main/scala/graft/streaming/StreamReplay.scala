@@ -785,6 +785,69 @@ object StreamReplay {
       .select(col("ccy_couple"), to_date(col("date")).as("quote_date"),
         col("rate").cast("double").as("rate"))
 
+  /** Quotes dated on/before this day are retired by the retention sweep
+    * — the fixture's expiry rule (shared with the oracle builders).
+    */
+  val RetentionCutoff = "2024-01-10"
+
+  /** CDC DELETE path, end-to-end: the converged ingest table + changelog
+    * are copied, then a retention sweep ([[MergeOps.deleteWhere]])
+    * retires every (pair, date) key dated ≤ [[RetentionCutoff]] — the
+    * change an LWW upsert can never produce. The changelog copy gains
+    * `change_type='delete'` rows carrying the retired keys' old images
+    * under the next cdc_batch id; this query returns the full
+    * delete-bearing changelog (stable columns), which the oracle
+    * recomputes as the insert/update feed UNION the final-state keys
+    * under the cutoff.
+    */
+  def replayCdcDeleteChangelog(s: SparkSession): DataFrame =
+    s.read.parquet(retentionReplayDirs(s)._2)
+      .select(col("ccy_couple"), to_date(col("date")).as("quote_date"),
+        col("change_type"),
+        col("old_rate").cast("double").as("old_rate"),
+        col("new_rate").cast("double").as("new_rate"),
+        col("cdc_batch"))
+
+  /** The consumer half of the delete contract: time travel over the
+    * delete-bearing changelog to its head must DROP the retired keys
+    * (each one's newest change is the delete). Oracle = delivery-order
+    * argmax restricted to keys past the retention cutoff.
+    */
+  def replayCdcDeleteTimeTravel(s: SparkSession): DataFrame =
+    graft.operators.Cdc.applyChangelog(
+        s.read.parquet(retentionReplayDirs(s)._2),
+        keys = Seq("ccy_couple", "date"), values = Seq("rate"))
+      .select(col("ccy_couple"), to_date(col("date")).as("quote_date"),
+        col("rate").cast("double").as("rate"))
+
+  // Retention-swept COPY of the memoized ingest artifacts: the sweep
+  // mutates table + changelog, so it must not touch the dirs the three
+  // ingest-family gate queries read. Copy cost is the fixture's 13 rows.
+  private val retentionDirs =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+
+  private def retentionReplayDirs(s: SparkSession): (String, String) =
+    retentionDirs.synchronized {
+      if (retentionDirs.get == null) {
+        val (srcTable, srcChangelog) = ingestReplayDirs(s)
+        val tmp = Scratch.dir("graft_cdc_retention")
+        val table = tmp.resolve("table").toString
+        val changelog = tmp.resolve("changelog").toString
+        s.read.parquet(srcTable)
+          .write.partitionBy("p_date").mode("overwrite").parquet(table)
+        s.read.parquet(srcChangelog)
+          .write.mode("overwrite").parquet(changelog)
+        val nextBatch = s.read.parquet(changelog)
+          .agg(max(col("cdc_batch"))).head().getLong(0) + 1
+        MergeOps.deleteWhere(s, table,
+          pred = col("p_date") <= lit(java.sql.Date.valueOf(RetentionCutoff)),
+          keys = Seq("ccy_couple", "date"),
+          changelog = Some(changelog), changelogBatchId = nextBatch)
+        retentionDirs.set((table, changelog))
+      }
+      retentionDirs.get
+    }
+
   // ONE memoized run of the composed ingest pipeline (with changelog
   // capture) backs three gate queries: stream_ingest_pipeline reads the
   // merged table, stream_cdc_changelog / stream_cdc_timetravel read the

@@ -189,6 +189,75 @@ class MergeOpsSpec extends SparkSuite {
     assert(jan12.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.125)
   }
 
+  test("deleteWhere retires keys, emits delete rows, prunes emptied partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_delete").toFile
+    val target = new java.io.File(dir, "rates").getAbsolutePath
+    val cl = new java.io.File(dir, "changelog").getAbsolutePath
+    MergeOps.mergeIntoDatePartitioned(target, fixture, keys, ordering,
+      changelog = Some(cl), changelogBatchId = 1L)
+    assert(spark.read.parquet(target).count() == 10)
+    val cutoff = lit("2024-01-12").cast("date")
+
+    // sweep 1 — PARTIAL days: only EUR/USD rows at or before the cutoff.
+    // Jan 10 (EUR-only) empties → its partition dir must be REMOVED;
+    // Jan 12 keeps its AUD + JPY survivors.
+    MergeOps.deleteWhere(spark, target,
+      col("p_date") <= cutoff && col("ccy_couple") === "EUR/USD", keys,
+      changelog = Some(cl), changelogBatchId = 2L)
+    assert(!new java.io.File(target, "p_date=2024-01-10").exists())
+    val jan12 = spark.read.parquet(target)
+      .where(col("p_date") === cutoff)
+      .select("ccy_couple").collect().map(_.getString(0)).toSet
+    assert(jan12 == Set("AUD/CAD", "JPY/USD"))
+    val dels = spark.read.parquet(cl).where(col("cdc_batch") === 2L)
+      .select(col("ccy_couple"), to_date(col("date")).cast("string").as("d"),
+        col("change_type"), col("old_rate"), col("new_rate"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDecimal(3).doubleValue(), r.isNullAt(4))).toSet
+    assert(dels == Set(
+      ("EUR/USD", "2024-01-10", "delete", 1.10, true),
+      ("EUR/USD", "2024-01-12", "delete", 1.12, true)))
+
+    // sweep 2 — the rest of the expiring tail: Jan 12 empties too
+    MergeOps.deleteWhere(spark, target, col("p_date") <= cutoff, keys,
+      changelog = Some(cl), changelogBatchId = 3L)
+    assert(!new java.io.File(target, "p_date=2024-01-12").exists())
+    assert(spark.read.parquet(target)
+      .where(col("p_date") <= cutoff).count() == 0)
+
+    // the consumer: time travel over the delete-bearing changelog to its
+    // head equals the post-sweep table (retired keys' newest change is
+    // the delete, so applyChangelog drops them)
+    val state = graft.operators.Cdc.applyChangelog(
+      spark.read.parquet(cl), keys, Seq("rate"))
+    assert(state.count() == 6)
+    assert(state.where(to_date(col("date")) <= cutoff).count() == 0)
+    val onDisk = spark.read.parquet(target)
+      .select(col("ccy_couple"), to_date(col("date")).cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(state.select(col("ccy_couple"), to_date(col("date")).cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet == onDisk)
+  }
+
+  test("changelog write is day-sharded: a multi-day batch is not one task") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_shard").toFile
+    val target = new java.io.File(dir, "rates").getAbsolutePath
+    val cl = new java.io.File(dir, "changelog").getAbsolutePath
+    // AQE would legitimately coalesce this toy batch's shards back to
+    // one; disable that to observe the sharding a backfill would keep
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try MergeOps.mergeIntoDatePartitioned(target, fixture, keys, ordering,
+      changelog = Some(cl), changelogBatchId = 1L)
+    finally spark.conf.set(key, prev)
+    // the 4-day batch fans out across day-hashed tasks (modulo hash
+    // collisions between days), never the old single coalesce(1) funnel
+    val files = new java.io.File(cl).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 2, s"expected day-sharded changelog files, got $files")
+  }
+
   test("insertIfAbsent drops rows whose key already exists") {
     val existing = fixture.where(col("event_id") <= 9)
     val incoming = fixture // superset: 2 JPY rows are genuinely new
