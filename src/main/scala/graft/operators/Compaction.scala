@@ -76,11 +76,13 @@ object Compaction {
     // cannot overwrite its own read source, and the same re-run recovery
     // contract applies (content is unchanged, so a crashed compaction is
     // repaired by compacting again). The staging LAYOUT is discarded by
-    // the sharded final write, so a plain round-robin repartition is all
-    // the hop needs — running shardByDay here too would double the
-    // operator's shuffle work for a layout nobody reads.
-    df.repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(staging)
+    // the sharded final write, so the copy is written STRAIGHT from the
+    // scan — no repartition: shuffling the whole table to "balance" a
+    // layout nobody reads would be the single largest cost of the
+    // operator at scale, and the scan's bin-packed splits (≤
+    // maxPartitionBytes each, small files coalesced) already yield
+    // well-sized staging files at full parallelism.
+    df.write.mode("overwrite").parquet(staging)
     val staged = spark.read.parquet(staging)
     val n = staged.count()
     // shard the final write: the canonical ceil(rows/maxRecordsPerFile)
