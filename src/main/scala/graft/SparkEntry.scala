@@ -431,6 +431,43 @@ object SparkEntry {
       p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
     }),
 
+    // batch RANGE JOIN via time-axis quantization (operators.RangeJoin):
+    // each purchase opens a 6-hour attribution window; the same user's
+    // clicks inside it are counted. The BETWEEN join runs as a plain
+    // equi-join on (user, 6h-bucket) with a residual filter — never the
+    // nested-loop plan the declarative form degrades to (plan pinned in
+    // RangeJoinSpec)
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          col("ts").as("p_ts"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("p_end"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("value").cast("decimal(18,2)").as("c_value"))
+      graft.operators.RangeJoin.pointInInterval(clicks, purchases,
+          "c_ts", "p_ts", "p_end", Seq("user_id"),
+          bucketMicros = 6L * 3600 * 1000000)
+        .groupBy(col("p_event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("c_value")).cast("double").as("click_value"))
+    }),
+
+    // the inverse surface: UNPIVOT (melt) the wide daily matrix back to
+    // long (day, event_type, n) rows — the relational round-trip proves
+    // both directions. Zero cells (a type absent on a day) are melted
+    // then dropped, matching the plain GROUP BY the oracle runs.
+    "q_unpivot_daily_types" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types).count()
+      wide.unpivot(Array(col("day")), types.map(col).toArray,
+          "event_type", "n")
+        .where(col("n").isNotNull && col("n") > 0)
+    }),
+
     // typed Dataset Aggregator: bounded top-k per group (k doubles/group
     // cross partial aggregation — the distributed top-k shape). The
     // descending array is exploded to (o_custkey, rank, price) scalar rows
@@ -471,6 +508,33 @@ object SparkEntry {
 
     // named as-of join (the PreviousRates capability, generalized):
     // each purchase gets the user's last click value at-or-before it
+    // CALENDAR RESAMPLE + FORWARD FILL (gap filling): a generated daily
+    // grid (distinct pairs × the table's global day span) probed with a
+    // day-end backward as-of join — each (pair, day) carries the latest
+    // quote at-or-before end of day; days before a pair's first quote
+    // stay null. The grid generation is sequence()+explode (no driver
+    // loop); the fill rides the as-of family's single-shuffle
+    // union-window plan, so resampling a 100 TB history costs one
+    // Exchange on the pair key.
+    "fx_resample_ffill" -> ((s, dir) => {
+      val r = Tables.rates(s, dir)
+      val span = r.agg(min(to_date(col("timestamp"))).as("d0"),
+        max(to_date(col("timestamp"))).as("d1"))
+      val grid = r.select(col("ccy_couple")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("ccy_couple"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val probe = grid.withColumn("__pt",
+        to_timestamp(col("day")) + expr("INTERVAL 1 DAY")
+          - expr("INTERVAL 1 MICROSECOND"))
+      AsOfJoin.asofBackward(probe,
+          r.select(col("ccy_couple"), col("timestamp"), col("rate")),
+          keys = Seq("ccy_couple"), leftTime = "__pt",
+          rightTime = "timestamp",
+          valueCols = Seq("rate" -> "rate_ffill"))
+        .select(col("ccy_couple"), col("day"), col("rate_ffill"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       AsOfJoin.asofBackward(
@@ -520,6 +584,11 @@ object SparkEntry {
     // Gopher-style repetition stats + keep/drop gate (single codegen'd
     // sort+fold per document — no token explode, no shuffle)
     "text_repetition" -> TextFunctions.textRepetition _,
+    // corpus-frequent trigram-phrase fraction per doc (cross-document
+    // boilerplate signal — the complement of text_repetition's
+    // within-document fractions)
+    "text_boilerplate" -> ((s, dir) =>
+      TextFunctions.textBoilerplate(s, dir)),
     // canonical-form content fingerprint
     "text_fingerprint" -> TextFunctions.textFingerprint _,
     // exact dedup clusters keyed by fingerprint
@@ -1413,6 +1482,21 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
 
+    // the quantized range join must equal the naive BETWEEN join
+    "q_range_join" ->
+      """SELECT p.event_id AS p_event_id, count(*) AS n_clicks,
+        |  CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 6 HOUR
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id""".stripMargin,
+
+    // melt(pivot(x)) minus the fill-in zeros = the plain long-form count
+    "q_unpivot_daily_types" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_typed_topk_per_customer" ->
       """WITH r AS (
         |  SELECT o_custkey, o_totalprice,
@@ -1436,6 +1520,28 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
         |                WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // daily grid × pairs, day-end ASOF fill; pre-first-quote days null
+    "fx_resample_ffill" ->
+      s"""WITH $RatesCte, span AS (
+         |  SELECT min(CAST("timestamp" AS DATE)) AS d0,
+         |         max(CAST("timestamp" AS DATE)) AS d1
+         |  FROM rates
+         |), grid AS (
+         |  SELECT p.ccy_couple,
+         |         CAST(unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY))
+         |              AS DATE) AS day
+         |  FROM (SELECT DISTINCT ccy_couple FROM rates) p, span s
+         |)
+         |SELECT g.ccy_couple, g.day, r.rate AS rate_ffill
+         |FROM (SELECT ccy_couple, day,
+         |        CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+         |          - INTERVAL 1 MICROSECOND AS pt
+         |      FROM grid) g
+         |ASOF LEFT JOIN
+         |  (SELECT ccy_couple AS r_pair, "timestamp" AS rts, rate
+         |   FROM rates) r
+         |  ON g.ccy_couple = r.r_pair AND g.pt >= r.rts""".stripMargin,
 
     // DuckDB ASOF with the inequality flipped is the forward direction
     "q_asof_forward" ->
@@ -1552,6 +1658,30 @@ object SparkEntry {
         |       OR CAST(ba.top_bigram AS DOUBLE) / ba.n_bigrams > 0.05)
         |    AS gopher_keep
         |FROM wa LEFT JOIN ba USING (doc_id)""".stripMargin,
+
+    // per-doc fraction of DISTINCT word trigrams appearing in >= 5 docs;
+    // boiler_frac = exact-integer double division, identical both engines
+    "text_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), s0 AS (
+        |  SELECT doc_id,
+        |    [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |     for i in range(1, len(tk)-1)] AS shs
+        |  FROM t
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, sh
+        |  FROM (SELECT doc_id, unnest(shs) AS sh FROM s0)
+        |), f AS (
+        |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        |  WHERE df >= 5
+        |)
+        |SELECT d.doc_id, count(*) AS n_shingles,
+        |  count(f.sh) AS n_boiler,
+        |  CAST(count(f.sh) AS DOUBLE) / count(*) AS boiler_frac
+        |FROM sh d LEFT JOIN f ON f.sh = d.sh
+        |GROUP BY d.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

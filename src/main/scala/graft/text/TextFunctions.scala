@@ -188,4 +188,66 @@ object TextFunctions {
       .withColumn("gopher_keep",
         !(col("dup_word_frac") > 0.55 || col("top_bigram_frac") > 0.05))
   }
+
+  /** CORPUS-level boilerplate signal (the cross-document complement of
+    * [[textRepetition]]'s within-document fractions): for each document,
+    * the fraction of its DISTINCT word-trigram phrases that are
+    * corpus-frequent — i.e. appear in at least `minDocs` distinct
+    * documents. Repeated navigation chrome, license headers, and
+    * templated spans score high; the CCNet/RefinedWeb-style cleanups
+    * drop or down-weight such documents before training.
+    *
+    * Shape at 100 TB: shingling is a narrow per-row map; the document
+    * frequency table is one map-side-combined groupBy on the shingle;
+    * per-doc scoring is a left join of the exploded shingles against the
+    * FREQUENT subset (df >= minDocs — orders of magnitude smaller than
+    * the full df table) followed by a per-doc count. Two shuffles on the
+    * shingle string, one on doc_id — no driver state, no all-pairs work.
+    * The exploded relation feeds both the df aggregation and the scoring
+    * join; it is memoized as scratch parquet (the TfIdf.tfCached idiom —
+    * a `.persist` held past the query would leak executor memory) so the
+    * documents scan + shingling runs once per (dir), not twice per call.
+    */
+  def textBoilerplate(s: SparkSession, dir: String,
+      minDocs: Long = 5L): DataFrame = {
+    val docSh = docShinglesCached(s, dir)
+    val frequent = docSh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("sh"), lit(1).as("__b"))
+    docSh.join(frequent, Seq("sh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__b")).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_shingles"))
+  }
+
+  private val shinglePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Scratch-parquet memo of each doc's DISTINCT word trigrams, one
+    * (doc_id, sh) row each — shared by the df aggregation and the
+    * scoring join of [[textBoilerplate]].
+    */
+  private def docShinglesCached(s: SparkSession, dir: String): DataFrame = {
+    val path = shinglePaths.computeIfAbsent(dir, _ => {
+      val p = graft.util.Scratch.dir("graft_boiler_sh").resolve("sh").toString
+      val tk = split(trim(col("text")), "\\s+")
+      // the three staggered slices zip into the doc's word trigrams
+      val len = greatest(size(col("tk")) - 2, lit(0))
+      val tri = zip_with(
+        slice(col("tk"), lit(1), len),
+        zip_with(slice(col("tk"), lit(2), len), slice(col("tk"), lit(3), len),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc))
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), explode(array_distinct(tri)).as("sh"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 }

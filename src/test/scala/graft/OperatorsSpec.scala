@@ -101,6 +101,22 @@ class OperatorsSpec extends SparkSuite {
     DataQuality.assertAll(df.where(col("v") > 0), rules) // clean subset passes
   }
 
+  test("boilerplate fractions: corpus-frequent trigram phrases score, rare ones don't") {
+    val out = TextFunctions.textBoilerplate(spark, sf("sf0.001"), minDocs = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // every non-null-text doc with >= 3 tokens scores exactly once
+    assert(out.nonEmpty)
+    out.values.foreach { case (n, b, f) =>
+      assert(n > 0 && b >= 0 && b <= n)
+      assert(math.abs(f - b.toDouble / n) == 0.0) // exact integer division
+    }
+    // the synthetic corpus shares phrases: SOME doc must score > 0 at
+    // df >= 2, and none can be 100% boilerplate-free corpus-wide unless
+    // genuinely unique
+    assert(out.values.exists(_._2 > 0))
+  }
+
   test("language scores are non-negative and prediction is total") {
     val out = TextFunctions.textLangId(spark, sf("sf0.001"))
     assert(out.where(col("predicted_lang").isNull).count() == 0)

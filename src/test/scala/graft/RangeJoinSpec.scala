@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.RangeJoin
+
+/** The two halves of the range-join contract: quantized results equal
+  * the naive BETWEEN join exactly, and the plan is an equi-join — never
+  * the nested-loop shape the declarative form degrades to.
+  */
+class RangeJoinSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  private def sides = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"),
+        col("ts").as("p_ts"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("p_end"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_event_id"),
+        col("ts").as("c_ts"))
+    (purchases, clicks)
+  }
+
+  test("quantized range join equals the naive BETWEEN join, at several bucket widths") {
+    val (purchases, clicks) = sides
+    val naive = clicks.join(purchases,
+        clicks("user_id") === purchases("user_id") &&
+          col("c_ts") >= col("p_ts") && col("c_ts") <= col("p_end"))
+      .select(col("p_event_id"), col("c_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty) // fixture must actually exercise the join
+    // bucket width smaller than, equal to, and larger than the interval:
+    // replication factor changes, the result must not
+    for (bucket <- Seq(3600L, 6L * 3600, 24L * 3600)) {
+      val fast = RangeJoin.pointInInterval(clicks, purchases,
+          "c_ts", "p_ts", "p_end", Seq("user_id"), bucket * 1000000L)
+        .select(col("p_event_id"), col("c_event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == naive, s"bucket=${bucket}s diverged")
+    }
+  }
+
+  test("bounds are inclusive and each pair appears exactly once") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val intervals = Seq((1L, 10L, t("2024-01-01 00:00:00"), t("2024-01-01 01:00:00")))
+      .toDF("k", "iv_id", "start_ts", "end_ts")
+    val points = Seq(
+      (1L, 100L, t("2024-01-01 00:00:00")),  // ON the start bound
+      (1L, 101L, t("2024-01-01 01:00:00")),  // ON the end bound
+      (1L, 102L, t("2024-01-01 00:30:00")),  // interior
+      (1L, 103L, t("2024-01-01 01:00:00.001")), // just past the end
+      (2L, 104L, t("2024-01-01 00:30:00")))  // wrong key
+      .toDF("k", "pt_id", "pt_ts")
+    // 10-minute buckets: the interval spans 7 buckets, interior points
+    // must still match exactly once each
+    val got = RangeJoin.pointInInterval(points, intervals,
+        "pt_ts", "start_ts", "end_ts", Seq("k"), 600000000L)
+      .select(col("pt_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(100L, 101L, 102L))
+  }
+
+  test("plan is a shuffle equi-join on (key, bucket) — no nested loop") {
+    val (purchases, clicks) = sides
+    val plan = RangeJoin.pointInInterval(clicks, purchases,
+        "c_ts", "p_ts", "p_end", Seq("user_id"), 6L * 3600 * 1000000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"))
+  }
+}
