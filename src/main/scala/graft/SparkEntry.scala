@@ -401,6 +401,21 @@ object SparkEntry {
         graft.operators.DataQuality.Rule("flag_domain",
           col("l_returnflag").isin("A", "N", "R"))))),
 
+    // the WRITE-PATH DQ gate: the same rule counters observed IN-FLIGHT
+    // (Dataset.observe / CollectMetrics) while the instrumented frame
+    // flows to a noop-format write — the zero-extra-scan shape a 100 TB
+    // write pipeline gates on; must equal the second-scan profile
+    "dq_observe_lineitem" -> ((s, dir) =>
+      graft.operators.DataQuality.observedProfile(
+        Tables.lineitem(s, dir), Seq(
+          graft.operators.DataQuality.Rule("qty_positive", col("l_quantity") > 0),
+          graft.operators.DataQuality.Rule("price_positive", col("l_extendedprice") > 0),
+          graft.operators.DataQuality.Rule("discount_unit", col("l_discount").between(0, 1)),
+          graft.operators.DataQuality.Rule("flag_domain",
+            col("l_returnflag").isin("A", "N", "R")))) { instrumented =>
+        instrumented.write.format("noop").mode("overwrite").save()
+      }),
+
     // full outer join: reconcile click-days vs purchase-days per user
     "q_full_outer_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -1446,6 +1461,15 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "dq_lineitem_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_positive,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_price_positive,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_discount_unit,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_flag_domain
+        |FROM lineitem""".stripMargin,
+
+    // the in-flight observed counters must equal the second-scan profile
+    "dq_observe_lineitem" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_positive,
         |  CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_price_positive,

@@ -19,6 +19,38 @@ object DataQuality {
         sum(when(!coalesce(r.holds, lit(false)), 1L).otherwise(0L))
           .as(s"viol_${r.name}")): _*)
 
+  /** The WRITE-PATH form of [[profile]]: the same single-pass rule
+    * counters collected while the data flows to its sink via
+    * `Dataset.observe` (Catalyst `CollectMetrics`) — zero extra scans,
+    * zero extra shuffles; the metrics ride the already-running job as
+    * accumulators. This is how a production pipeline gates a 100 TB
+    * write: profile() afterwards would pay a second full read; observe()
+    * is free. Returns the observed metrics as a 1-row DataFrame after
+    * running `action` on the instrumented frame (in production: the
+    * parquet write of the instrumented frame itself — the noop-format
+    * write the gate query uses is that shape without the bytes).
+    */
+  def observedProfile(df: DataFrame, rules: Seq[Rule])
+      (action: DataFrame => Unit): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val metricCols =
+      count(lit(1)).as("n_rows") +:
+        rules.map(r =>
+          sum(when(!coalesce(r.holds, lit(false)), 1L).otherwise(0L))
+            .as(s"viol_${r.name}"))
+    val instrumented = df.observe(obs, metricCols.head, metricCols.tail: _*)
+    action(instrumented)
+    val row = obs.get
+    val names = "n_rows" +: rules.map(r => s"viol_${r.name}")
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(
+        names.map(n => row(n).asInstanceOf[Long]))),
+      org.apache.spark.sql.types.StructType(names.map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Throws with a per-rule breakdown when any rule is violated. */
   def assertAll(df: DataFrame, rules: Seq[Rule]): Unit = {
     val row = profile(df, rules).collect().head

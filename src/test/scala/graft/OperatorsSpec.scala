@@ -101,6 +101,19 @@ class OperatorsSpec extends SparkSuite {
     DataQuality.assertAll(df.where(col("v") > 0), rules) // clean subset passes
   }
 
+  test("observe(): in-flight write-path metrics equal the second-scan profile") {
+    import graft.operators.DataQuality
+    val li = graft.model.Tables.lineitem(spark, sf("sf0.001"))
+    val rules = Seq(
+      DataQuality.Rule("qty_positive", col("l_quantity") > 0),
+      DataQuality.Rule("discount_unit", col("l_discount").between(0, 1)))
+    val observed = DataQuality.observedProfile(li, rules) { inst =>
+      inst.write.format("noop").mode("overwrite").save()
+    }.collect().head.toSeq
+    val scanned = DataQuality.profile(li, rules).collect().head.toSeq
+    assert(observed == scanned)
+  }
+
   test("boilerplate fractions: corpus-frequent trigram phrases score, rare ones don't") {
     val out = TextFunctions.textBoilerplate(spark, sf("sf0.001"), minDocs = 2L)
       .collect().map(r => r.getLong(0) ->
