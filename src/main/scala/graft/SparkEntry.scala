@@ -134,6 +134,28 @@ object SparkEntry {
     // §1.4 OHLC extension: daily bars, one hash agg (min_by/max_by)
     "fx_ohlc_bars" -> ((s, dir) => RateAnalysis.ohlcBars(rates(s, dir))),
 
+    // time-RANGE window frame (the VALUE-based sliding frame a rows
+    // frame can't express): per tick, the trailing-7-day count / mean /
+    // max over the pair's quote history — rangeBetween on event-time
+    // micros, one shuffle on the pair key. The mean routes through an
+    // exact decimal sum over the frame and divides in double at the
+    // boundary, so distributed accumulation order cannot perturb it.
+    "fx_rolling_7d" -> ((s, dir) => {
+      val sevenDaysUs = 7L * 24 * 3600 * 1000000
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ccy_couple")).orderBy(col("event_time"))
+        .rangeBetween(-sevenDaysUs, 0)
+      rates(s, dir).select(col("ccy_couple"), col("event_id"),
+          col("event_time"), col("rate"))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("avg_7d",
+          sum(col("rate").cast("decimal(18,6)")).over(w).cast("double")
+            / col("n_7d").cast("double"))
+        .withColumn("max_7d", max(col("rate")).over(w))
+        .select(col("ccy_couple"), col("event_id"), col("n_7d"),
+          col("avg_7d"), col("max_7d"))
+    }),
+
     // layout maintenance: rewrite events Z-ORDERED by (user_id, time) —
     // interleaved-bit sort key → every file gets a tight min/max
     // envelope on BOTH dimensions (the multi-dim data-skipping layout);
@@ -651,6 +673,11 @@ object SparkEntry {
     // with the hash-split eval set (eval n-grams broadcast — the corpus
     // is never shuffled)
     "cur_decontaminate" -> ((s, dir) => graft.text.Curation.decontaminate(s, dir)),
+    // the COMPOSED curation chain (split → quality → dedup keeper →
+    // decontaminate → chunk) as ONE lazy plan — the end-to-end run a
+    // real training-data pipeline executes; every stage also checked in
+    // isolation by its own gate query
+    "cur_pipeline_e2e" -> ((s, dir) => graft.text.Curation.curationPipeline(s, dir)),
     // tf-idf keyword extraction: per-doc top-5 distinctive terms (linear
     // idf keeps the score in exact IEEE arithmetic; ranking identical to
     // the ln form)
@@ -961,6 +988,19 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin,
 
     "fx_ohlc_bars" -> OhlcOracleSql,
+
+    // value-based RANGE frame replayed verbatim; the mean divides two
+    // exactly-converted doubles (decimal frame sum < 2^53 in 6-dp units)
+    "fx_rolling_7d" ->
+      s"""WITH $RatesCte
+         |SELECT ccy_couple, event_id,
+         |  count(*) OVER w AS n_7d,
+         |  CAST(sum(CAST(rate AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |    / CAST(count(*) OVER w AS DOUBLE) AS avg_7d,
+         |  max(rate) OVER w AS max_7d
+         |FROM rates
+         |WINDOW w AS (PARTITION BY ccy_couple ORDER BY event_time
+         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // z-ordering must be row-identity: the output is simply the table
     "maint_zorder_events" ->
@@ -1820,6 +1860,58 @@ object SparkEntry {
         |  FROM documents
         |), s AS (
         |  SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start FROM t
+        |)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(tk, start + 1, start + 64), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(tk, start + 1, start + 64)) AS BIGINT)
+        |    AS n_chunk_tokens
+        |FROM s""".stripMargin,
+
+    // the composed chain replayed stage-for-stage: the train/eval split,
+    // the quality formula (float-identical to text_quality), min-doc_id
+    // dedup keepers over the quality survivors, 5-gram contamination vs
+    // the eval split, then the chunk arithmetic of cur_chunk_docs
+    "cur_pipeline_e2e" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE text IS NOT NULL
+        |), q AS (
+        |  SELECT doc_id, tk, nib, fp,
+        |    0.4 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        |           / nullif(length(text), 0))
+        |  + 0.3 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+        |  + 0.2 * (1.0 - least(CAST(len(regexp_extract_all(text, '[\.,;:!?]')) AS DOUBLE)
+        |                       / CAST(len(tk) AS DOUBLE), 1.0))
+        |  + 0.1 * least((CAST(len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|to|in|is|it|for|on)\b')) AS DOUBLE)
+        |      / CAST(len(tk) AS DOUBLE)) * 5.0, 1.0) AS quality
+        |  FROM t
+        |), trainq AS (
+        |  SELECT * FROM q WHERE nib <= 'd' AND quality >= 0.65
+        |), keep1 AS (
+        |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper
+        |                 FROM trainq)
+        |  WHERE doc_id = keeper
+        |), ev AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk) - 3),
+        |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+        |    FROM t WHERE nib >= 'e')
+        |), gtrain AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+        |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+        |    FROM keep1)
+        |), contaminated AS (
+        |  SELECT DISTINCT doc_id FROM gtrain JOIN ev USING (g)
+        |), surv AS (
+        |  SELECT doc_id, tk FROM keep1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |), s AS (
+        |  SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start FROM surv
         |)
         |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
         |  array_to_string(list_slice(tk, start + 1, start + 64), ' ')

@@ -221,14 +221,19 @@ object Curation {
     * (tiny) hit relation only; the final flag join broadcasts the hits
     * back. The full corpus is never shuffled.
     */
+  /** Word n-grams of the tokenized column. Guarded: sequence(0, size−n)
+    * would COUNT DOWN for short docs (Spark infers step −1 when
+    * start > stop) — emit no n-grams instead.
+    */
+  private def wordGrams(tkCol: Column, n: Int): Column =
+    when(size(tkCol) >= n,
+      transform(sequence(lit(0), size(tkCol) - n),
+        i => concat_ws(" ", slice(tkCol, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   def decontaminate(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val tk = split(trim(col("text")), "\\s+")
-    // guarded: sequence(0, size−n) would COUNT DOWN for short docs
-    // (Spark infers step −1 when start > stop) — emit no n-grams instead
-    val grams = when(size(col("tk")) >= n,
-      transform(sequence(lit(0), size(col("tk")) - n),
-        i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val grams = wordGrams(col("tk"), n)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tk.as("tk"),
         substring(hashKey(col("doc_id")), 1, 1).as("nib"))
@@ -245,5 +250,55 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared_ngrams"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The COMPOSED curation pipeline, end-to-end in one lazy plan — the
+    * chain a real training-data run executes, proving the stages compose
+    * (each is also oracle-checked in isolation):
+    *
+    *   1. train split      — hash-nibble ≤ 'd' (the [[trainValTest]] rule)
+    *   2. quality filter   — [[TextFunctions.qualityScore]] ≥ `minQuality`
+    *   3. exact dedup      — keeper = min doc_id per canonical-text
+    *                         fingerprint AMONG the quality-passing docs
+    *   4. decontamination  — drop docs sharing any word `n`-gram with the
+    *                         held-out split (nibble ≥ 'e'), eval grams
+    *                         broadcast as in [[decontaminate]]
+    *   5. chunking         — `window`-token windows every `stride`
+    *
+    * Everything stays narrow until the dedup groupBy (one shuffle on the
+    * fingerprint) — filters are pure scans, contamination is a broadcast
+    * semi-match, chunking is explode arithmetic. At 100 TB the plan reads
+    * the corpus once and shuffles only fingerprints + the tiny hit set.
+    */
+  def curationPipeline(s: SparkSession, dir: String,
+      minQuality: Double = 0.65, n: Int = 5,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), tk.as("tk"),
+        substring(hashKey(col("doc_id")), 1, 1).as("nib"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+    val evalGrams = docs.where(col("nib") >= "e")
+      .select(explode(wordGrams(col("tk"), n)).as("g")).distinct()
+    val trainQ = docs.where(col("nib") <= "d" && col("q") >= minQuality)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val keepers = trainQ
+      .withColumn("__keeper", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("__keeper"))
+    val contaminated = keepers
+      .select(col("doc_id"), explode(array_distinct(wordGrams(col("tk"), n))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+    keepers.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), size(col("tk")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("tk"), col("col") + 1, lit(window)))
+          .as("chunk_text"),
+        size(slice(col("tk"), col("col") + 1, lit(window)))
+          .cast("long").as("n_chunk_tokens"))
   }
 }
