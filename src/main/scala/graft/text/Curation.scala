@@ -267,19 +267,19 @@ object Curation {
     *
     * Everything stays narrow until the dedup groupBy (one shuffle on the
     * fingerprint) — filters are pure scans, contamination is a broadcast
-    * semi-match, chunking is explode arithmetic. At 100 TB the plan reads
-    * the corpus once and shuffles only fingerprints + the tiny hit set.
+    * semi-match, chunking is explode arithmetic. The scored base
+    * projection (tokens, split nibble, fingerprint, quality) feeds FOUR
+    * plan branches (eval grams, the train filter, and the keeper
+    * relation twice); without materialization Spark re-reads and
+    * re-scores the corpus once per branch, so the base is staged to
+    * scratch parquet first (the tfCached idiom) — at 100 TB that is the
+    * difference between one corpus read plus cheap derived scans and six
+    * full corpus reads.
     */
   def curationPipeline(s: SparkSession, dir: String,
       minQuality: Double = 0.65, n: Int = 5,
       window: Int = 64, stride: Int = 48): DataFrame = {
-    val tk = split(trim(col("text")), "\\s+")
-    val docs = Tables.documents(s, dir)
-      .where(col("text").isNotNull)
-      .select(col("doc_id"), tk.as("tk"),
-        substring(hashKey(col("doc_id")), 1, 1).as("nib"),
-        TextFunctions.fingerprint(col("text")).as("fp"),
-        TextFunctions.qualityScore(col("text")).as("q"))
+    val docs = scoredBaseCached(s, dir)
     val evalGrams = docs.where(col("nib") >= "e")
       .select(explode(wordGrams(col("tk"), n)).as("g")).distinct()
     val trainQ = docs.where(col("nib") <= "d" && col("q") >= minQuality)
@@ -300,5 +300,28 @@ object Curation {
           .as("chunk_text"),
         size(slice(col("tk"), col("col") + 1, lit(window)))
           .cast("long").as("n_chunk_tokens"))
+  }
+
+  private val scoredBasePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Scratch-parquet memo of the pipeline's scored base projection:
+    * (doc_id, tk, nib, fp, q) — one corpus read per (dir), shared by
+    * every branch of [[curationPipeline]].
+    */
+  private def scoredBaseCached(s: SparkSession, dir: String): DataFrame = {
+    val path = scoredBasePaths.computeIfAbsent(dir, _ => {
+      val p = graft.util.Scratch.dir("graft_cur_base").resolve("base").toString
+      val tk = split(trim(col("text")), "\\s+")
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), tk.as("tk"),
+          substring(hashKey(col("doc_id")), 1, 1).as("nib"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
   }
 }
