@@ -44,10 +44,15 @@ object RangeJoin {
     // bucket: -1µs must land in bucket -1, not 0
     val p = points.withColumn("__bucket",
       floor(unix_micros(col(pointTs)) / lit(bucketMicros.toDouble)).cast("long"))
-    val i = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(unix_micros(col(startTs)) / lit(bucketMicros.toDouble)).cast("long"),
-        floor(unix_micros(col(endTs)) / lit(bucketMicros.toDouble)).cast("long"))))
+    // empty intervals (end < start) are dropped up front: they can match
+    // nothing, and sequence() would otherwise COUNT DOWN between their
+    // reversed bucket bounds — a malformed row exploding into
+    // |start−end|/bucket rows instead of zero
+    val i = intervals.where(col(startTs) <= col(endTs))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(unix_micros(col(startTs)) / lit(bucketMicros.toDouble)).cast("long"),
+          floor(unix_micros(col(endTs)) / lit(bucketMicros.toDouble)).cast("long"))))
     p.join(i, equiKeys :+ "__bucket")
       .where(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
       .drop("__bucket")

@@ -49,6 +49,10 @@ class RangeJoinSpec extends SparkSuite {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val intervals = Seq((1L, 10L, t("2024-01-01 00:00:00"), t("2024-01-01 01:00:00")))
       .toDF("k", "iv_id", "start_ts", "end_ts")
+    // a malformed (end < start) interval must match nothing and must NOT
+    // explode into a counted-down bucket range
+    val reversed = Seq((1L, 99L, t("2024-01-02 00:00:00"), t("2024-01-01 00:00:00")))
+      .toDF("k", "iv_id", "start_ts", "end_ts")
     val points = Seq(
       (1L, 100L, t("2024-01-01 00:00:00")),  // ON the start bound
       (1L, 101L, t("2024-01-01 01:00:00")),  // ON the end bound
@@ -58,7 +62,8 @@ class RangeJoinSpec extends SparkSuite {
       .toDF("k", "pt_id", "pt_ts")
     // 10-minute buckets: the interval spans 7 buckets, interior points
     // must still match exactly once each
-    val got = RangeJoin.pointInInterval(points, intervals,
+    val got = RangeJoin.pointInInterval(points,
+        intervals.unionByName(reversed),
         "pt_ts", "start_ts", "end_ts", Seq("k"), 600000000L)
       .select(col("pt_id")).collect().map(_.getLong(0)).toSeq.sorted
     assert(got == Seq(100L, 101L, 102L))
