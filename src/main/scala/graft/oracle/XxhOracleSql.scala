@@ -180,7 +180,11 @@ object XxhOracleSql {
     * bucket-capped candidate self-join, and the per-doc best-neighbor
     * report — all replayed value-exactly.
     */
-  def minhashLsh(maxBucket: Int = 50): String = {
+  /** The CTE chain (no WITH, no canonCte) from tokenization through the
+    * capped band-bucket candidate pairs `cp` — shared by the full report
+    * oracle and the recall oracle.
+    */
+  private def minhashCandidateChain(maxBucket: Int): String = {
     val (hbCtes, hbLast) = chain("b2", hashBytesSteps(), "hs")
     val (hlCtes, hlLast) = chain(hbLast, hashLongSteps("xh", "42::HUGEINT", "L"), "cl")
     val (hiCtes, hiLast) = chain("jx", hashIntSteps("j", "hseed", "I"), "ci")
@@ -189,8 +193,7 @@ object XxhOracleSql {
     val (b1Ctes, b1Last) = chain("a1", hashLongSteps("u1", "acc1", "C"), "cc")
     val (b2Ctes, b2Last) = chain("a2", hashLongSteps("u2", "acc2", "D"), "cd")
     val (b3Ctes, b3Last) = chain("a3", hashLongSteps("u3", "acc3", "E"), "ce")
-    s"""WITH $canonCte,
-       |tk AS (SELECT doc_id, nt, str_split(nt, ' ') AS toks FROM d0),
+    s"""tk AS (SELECT doc_id, nt, str_split(nt, ' ') AS toks FROM d0),
        |se AS (SELECT doc_id, nt, toks, unnest(range(0, CASE WHEN len(toks) >= 3 THEN len(toks)-2 ELSE 1 END)) AS s FROM tk),
        |sg0 AS (SELECT doc_id, s, CASE WHEN len(toks) >= 3 THEN array_to_string(toks[s+1:s+3], ' ') ELSE nt END AS sg FROM se),
        |sg1 AS (SELECT doc_id, s, hex(encode(sg)) AS hx, octet_length(encode(sg)) AS ln FROM sg0),
@@ -220,7 +223,12 @@ object XxhOracleSql {
        |bk AS (SELECT doc_id, band, ${toS("Ex")} AS key FROM $b3Last),
        |okb AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= $maxBucket),
        |pr AS (SELECT b.doc_id, b.band, b.key FROM bk b JOIN okb USING (band, key)),
-       |cp AS (SELECT DISTINCT a.doc_id, b.doc_id AS nb_id FROM pr a JOIN pr b USING (band, key) WHERE a.doc_id <> b.doc_id),
+       |cp AS (SELECT DISTINCT a.doc_id, b.doc_id AS nb_id FROM pr a JOIN pr b USING (band, key) WHERE a.doc_id <> b.doc_id)""".stripMargin
+  }
+
+  def minhashLsh(maxBucket: Int = 50): String =
+    s"""WITH $canonCte,
+       |${minhashCandidateChain(maxBucket)},
        |cj AS (SELECT c.doc_id, c.nb_id, sum(CASE WHEN sa.sg = sb.sg THEN 1 ELSE 0 END) AS eq
        |       FROM cp c JOIN sig sa ON sa.doc_id = c.doc_id JOIN sig sb ON sb.doc_id = c.nb_id AND sb.j = sa.j
        |       GROUP BY c.doc_id, c.nb_id),
@@ -229,16 +237,17 @@ object XxhOracleSql {
        |nc AS (SELECT doc_id, count(*) AS n_candidates FROM cand GROUP BY doc_id)
        |SELECT d.doc_id, coalesce(n.n_candidates, 0) AS n_candidates, b.nb_id, b.est_jaccard
        |FROM documents d LEFT JOIN nc n USING (doc_id) LEFT JOIN best b USING (doc_id)""".stripMargin
-  }
 
   /** Oracle for NearDup.simhashReport: per-token xxhash64, sign-of-bit-sum
     * 64-bit signature, 16-bit-chunk bucket-capped candidates, Hamming
     * nearest neighbor.
     */
-  def simhashReport(maxBucket: Int = 50): String = {
+  /** The CTE chain (no WITH, no canonCte) from tokenization through the
+    * capped chunk-bucket candidate pairs `cp`.
+    */
+  private def simhashCandidateChain(maxBucket: Int): String = {
     val (hbCtes, hbLast) = chain("b2", hashBytesSteps(), "hs")
-    s"""WITH $canonCte,
-       |tt AS (SELECT doc_id, unnest(str_split(nt, ' ')) AS tok FROM d0),
+    s"""tt AS (SELECT doc_id, unnest(str_split(nt, ' ')) AS tok FROM d0),
        |tb AS (SELECT doc_id, hex(encode(tok)) AS hx, octet_length(encode(tok)) AS ln FROM tt),
        |b2 AS (SELECT doc_id, ln, ${byteList("hx", "ln")} AS bs FROM tb),
        |${hbCtes.mkString(",\n")},
@@ -255,11 +264,44 @@ object XxhOracleSql {
        |       FROM ch),
        |okb AS (SELECT chunk, ckey FROM ck GROUP BY chunk, ckey HAVING count(*) <= $maxBucket),
        |pr AS (SELECT c.doc_id, c.chunk, c.ckey FROM ck c JOIN okb USING (chunk, ckey)),
-       |cp AS (SELECT DISTINCT a.doc_id, b.doc_id AS nb_id FROM pr a JOIN pr b USING (chunk, ckey) WHERE a.doc_id <> b.doc_id),
+       |cp AS (SELECT DISTINCT a.doc_id, b.doc_id AS nb_id FROM pr a JOIN pr b USING (chunk, ckey) WHERE a.doc_id <> b.doc_id)""".stripMargin
+  }
+
+  def simhashReport(maxBucket: Int = 50): String =
+    s"""WITH $canonCte,
+       |${simhashCandidateChain(maxBucket)},
        |hm AS (SELECT c.doc_id, c.nb_id, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
        |       FROM cp c JOIN sig sa ON sa.doc_id = c.doc_id JOIN sig sb ON sb.doc_id = c.nb_id),
        |best AS (SELECT doc_id, nb_id AS nn_id, hamming AS nn_hamming
        |         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hamming ASC, nb_id ASC) rn FROM hm) WHERE rn = 1)
        |SELECT s.doc_id, s.simhash, b.nn_id, b.nn_hamming FROM sig s LEFT JOIN best b USING (doc_id)""".stripMargin
-  }
+
+  /** Recall oracle: the TRUE missed-pair count — exact pairs (computed
+    * by the caller-supplied CTEs, exposed as `expair(a, b)` with a < b)
+    * not present among the replayed capped bucket candidates. Measured,
+    * not asserted: chunk/band collision is probabilistic (a Jaccard-0.8
+    * pair can sit at simhash Hamming 9 and share no 16-bit chunk — seen
+    * at sf0.1), so the oracle computes the same count the engine does
+    * at ANY scale instead of hardcoding zero.
+    */
+  private def recallSql(candidateChain: String, exactCtes: String,
+      exactPairsSelect: String): String =
+    s"""WITH $canonCte,
+       |$candidateChain,
+       |ccanon AS (SELECT DISTINCT least(doc_id, nb_id) AS a,
+       |                  greatest(doc_id, nb_id) AS b FROM cp),
+       |$exactCtes,
+       |expair AS ($exactPairsSelect)
+       |SELECT CAST((SELECT count(*) FROM expair) AS BIGINT) AS n_exact_pairs,
+       |  CAST((SELECT count(*) FROM expair e LEFT JOIN ccanon c
+       |          ON c.a = e.a AND c.b = e.b
+       |        WHERE c.a IS NULL) AS BIGINT) AS n_violations""".stripMargin
+
+  def minhashRecall(exactCtes: String, exactPairsSelect: String,
+      maxBucket: Int = 50): String =
+    recallSql(minhashCandidateChain(maxBucket), exactCtes, exactPairsSelect)
+
+  def simhashRecall(exactCtes: String, exactPairsSelect: String,
+      maxBucket: Int = 50): String =
+    recallSql(simhashCandidateChain(maxBucket), exactCtes, exactPairsSelect)
 }
