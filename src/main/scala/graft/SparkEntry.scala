@@ -646,6 +646,11 @@ object SparkEntry {
     // graph via hash-min label propagation; oracle replays it with a
     // recursive CTE (min over the transitive closure)
     "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(s, dir)),
+    // EXACT substring-span dedup (Lee et al. 2022 shape): maximal
+    // verbatim token runs >= 12 shared between doc pairs, via anchor
+    // diagonals + gaps-and-islands — span-level duplication shingle-set
+    // Jaccard can't see
+    "dedup_substring" -> ((s, dir) => NearDup.substringSpans(s, dir)),
 
     // ---- curation operators (deterministic, RNG-free) ----
 
@@ -1814,6 +1819,41 @@ object SparkEntry {
          |)
          |SELECT comp.id AS doc_id, comp.cluster_id, cs.cluster_size
          |FROM comp JOIN cs USING (cluster_id)""".stripMargin,
+
+    // anchor-diagonal replay: the oracle joins on the shingle STRING
+    // where the engine joins on its xxhash64 (the ngram-Jaccard
+    // precedent — a 64-bit collision would need ~10^10 anchors to reach
+    // 1e-7 odds); cap, diagonal islands, and span arithmetic identical
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(range(0, greatest(len(tk) - 7, 0))) AS pos, tk
+        |  FROM t WHERE len(tk) >= 8
+        |), sa AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(list_slice(tk, pos + 1, pos + 8), ' ') AS a
+        |  FROM sh
+        |), ok AS (
+        |  SELECT a FROM sa GROUP BY a HAVING count(*) <= 50
+        |), sc AS (
+        |  SELECT sa.doc_id, sa.pos, sa.a FROM sa JOIN ok USING (a)
+        |), m AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
+        |  FROM sc x JOIN sc y ON x.a = y.a AND x.doc_id < y.doc_id
+        |), isl AS (
+        |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+        |                            ORDER BY pa) AS grp
+        |  FROM m
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(min(pa) AS BIGINT) AS a_start,
+        |  CAST(min(pb) AS BIGINT) AS b_start,
+        |  CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_a, doc_b, diag, grp
+        |HAVING max(pa) - min(pa) + 8 >= 12""".stripMargin,
 
     "cur_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents

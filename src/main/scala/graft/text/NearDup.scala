@@ -449,6 +449,70 @@ object NearDup {
     }
   }
 
+  /** EXACT duplicated-substring spans across documents — the
+    * exact-substring dedup of training-data pipelines (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better")
+    * re-expressed as anchor diagonals instead of a distributed suffix
+    * array: every maximal run of ≥ `minSpan` tokens shared VERBATIM
+    * between two documents is reported with its start offset in both.
+    * Span-level (not doc-level) duplication is what shingle-set Jaccard
+    * cannot see: two long documents sharing one 50-token boilerplate
+    * paragraph have near-zero Jaccard but exactly the memorization risk
+    * substring dedup exists to remove.
+    *
+    * Mechanism: word `w`-shingle anchors at every token position;
+    * matching anchor positions (pa, pb) between two docs lie on the
+    * diagonal pa − pb, and a shared span of L ≥ w tokens is exactly a run
+    * of L − w + 1 consecutive anchors on one diagonal — recovered with a
+    * gaps-and-islands window (pa − row_number), no suffix array needed.
+    * Anchors occurring more than `maxAnchor` times corpus-wide are
+    * dropped whole (the family's boilerplate/cap guard, mirrored in the
+    * oracle): a viral phrase would otherwise go quadratic in the pair
+    * join. A span crossing a dropped anchor splits into two reported
+    * islands — deterministically on both sides.
+    *
+    * Shape at 100 TB: one narrow explode, one map-side-combined anchor
+    * count, one hash-shuffle self-join on the 64-bit anchor (never the
+    * shingle string), one window over (doc_a, doc_b, diag) groups — no
+    * all-pairs work anywhere. The anchor relation is persisted once and
+    * read three times (count + both join sides).
+    */
+  def substringSpans(s: SparkSession, dir: String, w: Int = 8,
+      minSpan: Int = 12, maxAnchor: Int = 50): DataFrame = {
+    require(minSpan >= w, s"minSpan ($minSpan) must be >= w ($w)")
+    // same tokenizer as Curation.chunkDocs: split on runs of whitespace
+    // (string_split_regex('\s+') on the oracle side)
+    val sa = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .where(size(col("tk")) >= w)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - lit(w))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(w))))
+          .as("a"))
+      .persist(mem)
+    val ok = sa.groupBy(col("a")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxAnchor).select(col("a"))
+    val sc = sa.join(ok, Seq("a"), "left_semi")
+    val m = sc.select(col("a"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(sc.select(col("a"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), Seq("a"))
+      .where(col("doc_a") < col("doc_b"))
+    // gaps-and-islands: within one diagonal pa values are unique (each
+    // (doc, pos) emits one anchor), so row_number is deterministic
+    val wDiag = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    m.withColumn("grp", col("pa") - row_number().over(wDiag))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pa") - col("pb")).as("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (max(col("pa")) - min(col("pa")) + lit(w)).as("span_tokens"))
+      .where(col("span_tokens") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("span_tokens").cast("long").as("span_tokens"))
+  }
+
   /** The near-dup report from the maintained index: pairs = supports
     * whose bucket's FINAL size is under the cap, then the same per-doc
     * report as the one-shot [[minhashLsh]] — to which this must be
