@@ -646,6 +646,11 @@ object SparkEntry {
     // graph via hash-min label propagation; oracle replays it with a
     // recursive CTE (min over the transitive closure)
     "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(s, dir)),
+    // schema-evolved feed read: three parquet generations with different
+    // schemas merged into ONE scan (mergeSchema), nulls where a
+    // generation predates a column
+    "ing_schema_evolution" -> ((s, dir) =>
+      graft.sources.SchemaEvolution.evolvedDocsRead(s, dir)),
     // EXACT substring-span dedup (Lee et al. 2022 shape): maximal
     // verbatim token runs >= 12 shared between doc pairs, via anchor
     // diagonals + gaps-and-islands — span-level duplication shingle-set
@@ -1819,6 +1824,20 @@ object SparkEntry {
          |)
          |SELECT comp.id AS doc_id, comp.cluster_id, cs.cluster_size
          |FROM comp JOIN cs USING (cluster_id)""".stripMargin,
+
+    // the evolved-history read recomputed from generation membership
+    // (doc_id % 3): nulls exactly where the generation's schema lacked
+    // the column
+    "ing_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+        |  CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     // anchor-diagonal replay: the oracle joins on the shingle STRING
     // where the engine joins on its xxhash64 (the ngram-Jaccard
