@@ -678,6 +678,9 @@ object SparkEntry {
     "cur_weighted_sample" -> ((s, dir) => graft.text.Curation.weightedSample(s, dir)),
     // context-window chunking: 64-token chunks every 48 tokens (narrow
     // map + explode; the tail chunk is kept, every doc yields >=1 chunk)
+    // per-language winsorization: clip n_chars to exact [p05, p95]
+    // quantile bounds (broadcast back — the corpus never shuffles)
+    "cur_winsorize" -> ((s, dir) => graft.text.Curation.winsorize(s, dir)),
     "cur_chunk_docs" -> ((s, dir) => graft.text.Curation.chunkDocs(s, dir)),
     // benchmark decontamination: flag train docs sharing any word 5-gram
     // with the hash-split eval set (eval n-grams broadcast — the corpus
@@ -1917,6 +1920,18 @@ object SparkEntry {
 
     // chunk starts = range(0, n_tokens, 48), identical to Spark's
     // sequence(0, n−1, 48); list_slice is 1-based-inclusive = slice
+    "cur_winsorize" ->
+      """WITH b AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo_b,
+        |    quantile_cont(n_chars, 0.95) AS hi_b
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  greatest(least(CAST(d.n_chars AS DOUBLE), b.hi_b), b.lo_b)
+        |    AS clipped,
+        |  d.n_chars < b.lo_b OR d.n_chars > b.hi_b AS is_outlier
+        |FROM documents d JOIN b USING (lang)""".stripMargin,
+
     "cur_chunk_docs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk

@@ -182,6 +182,37 @@ object Curation {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k)
 
+  /** Per-language WINSORIZATION of a document statistic: clip to the
+    * exact [lo, hi] within-language quantiles and flag the clipped rows —
+    * the robust-outlier step that keeps a handful of pathological
+    * documents (megabyte pastes, empty shells) from dominating
+    * length-normalized scores downstream. Exact (sort-based) percentiles,
+    * not a sketch, so the bounds are reproducible across engines and
+    * re-shards.
+    *
+    * Shape at 100 TB: the bounds relation is one row per language —
+    * broadcast back, so the corpus itself never shuffles: one exact
+    * percentile aggregation (per-group sort of the STATISTIC column
+    * only) + one broadcast-join map pass. If even the per-group value
+    * sort is too hot, swap `percentile` for `approx_percentile` and keep
+    * the identical plan shape — exactness of the BOUNDS is the only
+    * thing traded.
+    */
+  def winsorize(s: SparkSession, dir: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val bounds = d.groupBy(col("lang")).agg(
+      percentile(col("n_chars"), lit(lo)).as("lo_b"),
+      percentile(col("n_chars"), lit(hi)).as("hi_b"))
+    d.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        greatest(least(col("n_chars").cast("double"), col("hi_b")),
+          col("lo_b")).as("clipped"),
+        (col("n_chars") < col("lo_b") || col("n_chars") > col("hi_b"))
+          .as("is_outlier"))
+  }
+
   /** Context-window chunking: split each document's token stream into
     * `window`-token chunks that start every `stride` tokens (overlap =
     * window − stride), the standard pre-tokenization step that turns

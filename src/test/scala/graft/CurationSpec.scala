@@ -198,6 +198,30 @@ class CurationSpec extends SparkSuite {
     assert(joined.where(col("top_word_frac") =!= col("expect_frac")).count() == 0)
   }
 
+  test("winsorize: clipped within per-lang bounds, outlier flag consistent, corpus broadcast-joined") {
+    val w = Curation.winsorize(spark, dir)
+    val rows = w.collect()
+    assert(rows.nonEmpty)
+    // flag is exactly "clipping changed the value"
+    rows.foreach { r =>
+      val (n, clipped, out) = (r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(out == (clipped != n.toDouble))
+    }
+    // some but not all rows clip at p05/p95 bounds
+    val nOut = rows.count(_.getBoolean(4))
+    assert(nOut > 0 && nOut < rows.length)
+    // per-lang: clipping stays inside the observed value range, and the
+    // outliers collapse onto at most two clip points (lo_b / hi_b)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val lo = rs.map(_.getLong(2)).min.toDouble
+      val hi = rs.map(_.getLong(2)).max.toDouble
+      assert(rs.forall(r => r.getDouble(3) >= lo && r.getDouble(3) <= hi))
+      assert(rs.filter(_.getBoolean(4)).map(_.getDouble(3)).distinct.size <= 2)
+    }
+    // the bounds side is broadcast — the corpus never shuffles
+    assert(w.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("near-dup clusters: edges never straddle clusters; label = min member") {
     val clusters = NearDup.nearDupClusters(spark, dir, threshold = 0.5)
     val c = clusters.collect()
