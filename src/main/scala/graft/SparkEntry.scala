@@ -646,6 +646,12 @@ object SparkEntry {
     // graph via hash-min label propagation; oracle replays it with a
     // recursive CTE (min over the transitive closure)
     "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(s, dir)),
+    // fuzzy key join (record linkage): customer-name pairs at edit
+    // distance <= 1 via FastSS deletion-neighborhood blocking + exact
+    // levenshtein verify -- one variant equi-join, never O(n^2)
+    "dedup_fuzzy_keys" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.edit1Pairs(
+        Tables.customer(s, dir), "c_custkey", "c_name")),
     // schema-evolved feed read: three parquet generations with different
     // schemas merged into ONE scan (mergeSchema), nulls where a
     // generation predates a column
@@ -1827,6 +1833,23 @@ object SparkEntry {
          |)
          |SELECT comp.id AS doc_id, comp.cluster_id, cs.cluster_size
          |FROM comp JOIN cs USING (cluster_id)""".stripMargin,
+
+    // deletion-neighborhood replay + INDEPENDENT levenshtein verify (the
+    // blocking's ED<=1 completeness is a theorem — substitution: both
+    // sides drop position i; indel: the shorter IS a variant of the
+    // longer — and is additionally brute-force-pinned in FuzzyJoinSpec)
+    "dedup_fuzzy_keys" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |v AS (
+        |  SELECT id, name, unnest(list_prepend(name,
+        |    list_transform(range(1, length(name) + 1),
+        |      i -> substr(name, 1, i - 1) ||
+        |           substr(name, i + 1, length(name))))) AS var
+        |  FROM c
+        |)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
 
     // the evolved-history read recomputed from generation membership
     // (doc_id % 3): nulls exactly where the generation's schema lacked
