@@ -739,6 +739,10 @@ object SparkEntry {
     // loop is replayed in DuckDB (hex-pair byte extraction + HUGEINT
     // mod-2^64 fold), so the whole decode path is hash-checked
     "mm_features" -> graft.multimodal.Multimodal.featureTable _,
+    // frame sampling on the opaque video payloads: every 2nd stub-codec
+    // frame window fingerprinted BEFORE any decode (sample-then-decode)
+    "mm_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Multimodal.frameSamples(s, dir)),
     // per-label centroids: distributed vector aggregation (IVF training
     // step). Emitted as (label, pos, c) scalar rows — one row per centroid
     // component, 1-based pos — because the oracle gate cannot sort/hash
@@ -2323,6 +2327,35 @@ object SparkEntry {
         |  round(list_reduce(list_prepend(0.0, list_transform(feats, x -> CAST(x AS DOUBLE))),
         |        (a, x) -> a + x), 6) AS feature_sum
         |FROM f""".stripMargin,
+
+    // the frame-window arithmetic + wrapping 31h+b fold replayed from the
+    // hex payload; the HUGEINT hash folds back to Spark's signed long
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), fr AS (
+        |  SELECT doc_id, len, hx, len // (1 + len % 8) AS stride,
+        |    unnest(range(0, 1 + len % 8, 2)) AS i
+        |  FROM m
+        |), h AS (
+        |  SELECT doc_id, i, i * stride AS off,
+        |    least(i * stride + stride, len) - i * stride AS flen,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(range(i * stride, least(i * stride + stride, len)),
+        |        j -> CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |                  + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |             AS HUGEINT))),
+        |      (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT) AS hh
+        |  FROM fr
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(off AS INTEGER) AS frame_off, CAST(flen AS INTEGER) AS frame_len,
+        |  CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+        |            THEN hh - 18446744073709551616::HUGEINT ELSE hh END
+        |       AS BIGINT) AS frame_hash
+        |FROM h""".stripMargin,
 
     "sim_label_centroid" ->
       """WITH un AS (

@@ -78,6 +78,42 @@ object Multimodal {
       .select(col("doc_id"), col("kind"), col("byte_len"),
         col("width"), col("height"), col("frames"))
 
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_off: Int,
+      frame_len: Int, frame_hash: Long)
+
+  /** Deterministic FRAME SAMPLING over the video payloads: the stub
+    * codec's frame count (1 + len % 8) partitions the payload into
+    * equal byte windows (stride = len / frames, short tail dropped with
+    * the last partial window — a real demuxer has true frame boundaries
+    * here), and every `every`-th frame is kept and fingerprinted with
+    * the wrapping 31·h+b fold over its window. This is the
+    * sample-then-decode shape of video curation: frame selection happens
+    * on the OPAQUE payload before any expensive decode, so the decoder
+    * downstream touches `1/every` of the frames.
+    *
+    * Pure narrow flatMap — fan-out is per-record, no shuffle at any
+    * corpus size. The oracle replays the window arithmetic and the
+    * mod-2^64 fold byte-for-byte from the hex payload.
+    */
+  def frameSamples(spark: SparkSession, dir: String, every: Int = 2): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter((r: MediaRecord) => r.kind == "video")
+      .flatMap { r =>
+        val len = r.bytes.length
+        val frames = 1 + len % 8
+        val stride = len / frames
+        (0 until frames by every).iterator.map { i =>
+          val off = i * stride
+          val end = math.min(off + stride, len)
+          var h = 1125899906842597L
+          var j = off
+          while (j < end) { h = 31 * h + (r.bytes(j) & 0xFF); j += 1 }
+          FrameSample(r.doc_id, i, off, end - off, h)
+        }
+      }.toDF()
+  }
+
   /** The FEATURE path surfaced as a query: the batched decode's 8-float
     * vector reduced to a deterministic scalar (sequential-fold sum in
     * double, rounded) — so the machinery the Dataset hop exists for

@@ -77,6 +77,34 @@ class FunctionsSpec extends SparkSuite {
       .forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
+  test("frame sampling: every-2nd frame, window arithmetic, driver-recomputed hash") {
+    val dir = sf("sf0.001")
+    val fs = Multimodal.frameSamples(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4)))
+    assert(fs.nonEmpty)
+    // only video docs (doc_id % 3 == 2), frame_idx even, offsets = idx*stride
+    assert(fs.forall { case (id, i, off, flen, _) =>
+      id % 3 == 2 && i % 2 == 0 && flen > 0 && (i == 0 || off % i == 0) })
+    // driver-side recompute for one document
+    val docId = fs.head._1
+    val text = graft.model.Tables.documents(spark, dir)
+      .where(col("doc_id") === docId).select(col("text"))
+      .collect().head.getString(0)
+    val bytes = text.getBytes("UTF-8")
+    val frames = 1 + bytes.length % 8
+    val stride = bytes.length / frames
+    val mine = fs.filter(_._1 == docId).sortBy(_._2)
+    assert(mine.map(_._2).toSeq == (0 until frames by 2).toSeq)
+    mine.foreach { case (_, i, off, flen, h) =>
+      assert(off == i * stride)
+      var hh = 1125899906842597L
+      (off until math.min(off + stride, bytes.length)).foreach(j =>
+        hh = 31 * hh + (bytes(j) & 0xFF))
+      assert(h == hh && flen == math.min(off + stride, bytes.length) - off)
+    }
+  }
+
   test("mm_features pins the decoded feature vector to a driver-side stub run") {
     val dir = sf("sf0.001")
     val row = Multimodal.featureTable(spark, dir)
