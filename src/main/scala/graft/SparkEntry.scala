@@ -229,6 +229,23 @@ object SparkEntry {
           unix_micros(col("valid_to")).as("valid_to_us"),
           col("is_current"))),
 
+    // point-in-time AS OF over the SCD2 history: the version live at the
+    // cutoff instant per key (valid_from <= t < valid_to) — the temporal
+    // query the history exists to answer. On the bucketed incremental
+    // history this is a partition-pruned scan + interval filter.
+    "fx_scd2_asof" -> ((s, dir) => {
+      val asOfUs = 1705300000000000L // 2024-01-15T05:46:40Z, mid-corpus
+      graft.operators.Scd2.history(rates(s, dir), Seq("ccy_couple", "date"),
+          "timestamp", col("event_id"))
+        .select(col("ccy_couple"), col("date"), col("rate"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"))
+        .where(col("valid_from_us") <= asOfUs &&
+          (col("valid_to_us").isNull || col("valid_to_us") > asOfUs))
+        .select(col("ccy_couple"), col("date"), col("rate"),
+          col("valid_from_us"))
+    }),
+
     // §2.10 streaming replay: rates driven through the real Structured
     // Streaming file source + foreachBatch partition-scoped LWW merge;
     // must converge to the one-shot batch upsert (batching-order
@@ -413,6 +430,24 @@ object SparkEntry {
       Tables.events(s, dir).groupBy(col("event_type")).agg(
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))),
+
+    // footer-only aggregation: COUNT/MIN/MAX answered from parquet
+    // row-group metadata via the v2 scan's aggregate pushdown — zero
+    // data pages read however large the table (the isolated session
+    // keeps the v2-reader switch from leaking into other queries' plans)
+    "q_agg_pushdown" -> ((s, dir) => {
+      val v2 = s.newSession()
+      v2.conf.set("spark.sql.sources.useV1SourceList", "")
+      v2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // long/double columns: parquet stats cover them (timestamp min/max
+      // is NOT pushable — one unsupported aggregate disables the whole
+      // pushdown)
+      v2.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
 
     // single-pass data-quality profile (one aggregate, all rules)
     "dq_lineitem_profile" -> ((s, dir) =>
@@ -1077,6 +1112,20 @@ object SparkEntry {
     // SCD2 — identical oracle to fx_scd2_history
     "stream_scd2_incremental" -> Scd2OracleSql,
 
+    // AS OF = the interval containing the cutoff instant
+    "fx_scd2_asof" ->
+      s"""WITH $RatesCte, h AS (
+         |  SELECT ccy_couple, date, rate,
+         |    epoch_us("timestamp") AS valid_from_us,
+         |    epoch_us(lead("timestamp") OVER (PARTITION BY ccy_couple, date
+         |      ORDER BY "timestamp" ASC, event_id ASC)) AS valid_to_us
+         |  FROM rates
+         |)
+         |SELECT ccy_couple, date, rate, valid_from_us
+         |FROM h
+         |WHERE valid_from_us <= 1705300000000000
+         |  AND (valid_to_us IS NULL OR valid_to_us > 1705300000000000)""".stripMargin,
+
     // streamed enrichment emissions = the batch dimension join,
     // aggregated per segment (decimal sum for cross-engine determinism)
     "stream_static_join" ->
@@ -1523,6 +1572,11 @@ object SparkEntry {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS min_okey,
+        |  max(l_orderkey) AS max_okey, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
 
     "dq_lineitem_profile" ->
       """SELECT count(*) AS n_rows,

@@ -23,6 +23,21 @@ class PartitionPruningSpec extends SparkSuite {
       "p_date must be a partition column, not a data column")
   }
 
+  test("q_agg_pushdown: COUNT/MIN/MAX answered from parquet footers") {
+    val df = SparkEntry.queries("q_agg_pushdown")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)"),
+      s"expected footer-level aggregate pushdown in:\n$plan")
+    assert(plan.contains("MIN(l_orderkey)") && plan.contains("MAX(l_extendedprice)"),
+      s"expected MIN/MAX pushed in:\n$plan")
+    // and the footer answer equals the full-scan answer
+    val full = Tables.lineitem(spark, sf("sf0.001"))
+      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")),
+        max(col("l_extendedprice")))
+      .collect().head
+    assert(df.collect().head == full)
+  }
+
   test("pruned cutoff stats equal the row-filtered formulation") {
     val pruned = PartitionedRates.cutoffStats(spark, sf("sf0.001"))
       .collect().map(_.toSeq).toSet
