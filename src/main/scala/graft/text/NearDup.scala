@@ -179,33 +179,56 @@ object NearDup {
     * only sound when the bucketing key keeps buckets small, and at 100 TB
     * an uncapped bucket is an O(n²) stall, not a result.
     */
+  /** The capped sorted-trigram relation (doc_id, lang, source, g),
+    * staged ONCE per (dir, cap) to scratch parquet and re-read from
+    * there: THREE query families consume it at different Jaccard
+    * thresholds (the 0.15 report, the 0.5 cluster graph, the 0.8 recall
+    * exact-pairs), and the normalize → trigram → sort pipeline is the
+    * expensive half of each — parquet staging computes it once per
+    * suite. Parquet, not `.persist`, for the same reasons as
+    * [[ngramJaccardPairsCached]] (survives `clearCache()` between bench
+    * queries without the InMemoryRelation re-materialization trap).
+    *
+    * TWO build-side cache boundaries, each load-bearing:
+    *  1. nt — the trigram lambda slices a materialized attribute, not an
+    *     inlined normalize regex (which would re-run per element);
+    *  2. the parquet write itself — the trigram HOF is CodegenFallback,
+    *     and ONE non-codegen expression de-codegens its whole stage;
+    *     materializing the arrays keeps every downstream join+intersect
+    *     stage in whole-stage codegen.
+    */
+  private val trigramPaths =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private def cappedTrigrams(s: SparkSession, dir: String,
+      maxBucket: Int): DataFrame = {
+    val path = trigramPaths.computeIfAbsent((dir, maxBucket), _ => {
+      val p = graft.util.Scratch.dir("graft_trigrams").resolve("db").toString
+      val nt = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), norm.as("nt"))
+        .persist(mem)
+      try {
+        val d = nt.select(col("doc_id"), col("lang"), col("source"),
+          array_sort(transform(charTrigrams(col("nt")), t => xxhash64(t)))
+            .as("g"))
+        val okBuckets = d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+          .select(col("lang"), col("source"))
+        d.join(okBuckets, Seq("lang", "source")).write.parquet(p)
+      } finally { nt.unpersist(); () }
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Trigrams are xxhash64'd to longs and kept SORTED so the codegen'd
+    * two-pointer SortedIntersectCount can merge them. Jaccard COUNTS are
+    * preserved (a 64-bit collision inside one doc's ~300-trigram set is
+    * ~1e-15); the oracle intersects the string sets directly and agrees.
+    */
   def ngramJaccardPairs(s: SparkSession, dir: String,
       threshold: Double = 0.15, maxBucket: Int = 500): DataFrame = {
-    // Two-stage with a persist barrier: the canonical text must be a
-    // materialized attribute before the trigram lambda slices it —
-    // inlined, the normalize regex would re-run per trigram element
-    // (~300× per doc). The relation is also reused as both join sides.
-    // Trigrams are xxhash64'd to longs and kept SORTED so the codegen'd
-    // two-pointer SortedIntersectCount can merge them. Jaccard COUNTS are
-    // preserved (a 64-bit collision inside one doc's ~300-trigram set is
-    // ~1e-15); the oracle intersects the string sets directly and agrees.
-    //
-    // TWO cache boundaries, each load-bearing:
-    //  1. nt — the trigram lambda slices an attribute, not an inlined
-    //     normalize regex (which would re-run per element);
-    //  2. g  — the trigram HOF is CodegenFallback, and ONE non-codegen
-    //     expression de-codegens its whole stage; materializing the
-    //     arrays keeps the join+intersect stage in whole-stage codegen.
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"), norm.as("nt"))
-      .persist(mem)
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_sort(transform(charTrigrams(col("nt")), t => xxhash64(t))).as("g"))
-      .persist(mem)
-    val okBuckets = d.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
-      .select(col("lang"), col("source"))
-    val db = d.join(okBuckets, Seq("lang", "source"))
+    val db = cappedTrigrams(s, dir, maxBucket)
     val r = db.select(col("lang"), col("source"),
       col("doc_id").as("nb_id"), col("g").as("nb_g"))
     db.join(r, Seq("lang", "source"))
