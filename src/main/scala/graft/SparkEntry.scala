@@ -431,6 +431,28 @@ object SparkEntry {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))),
 
+    // runtime bloom-filter join pruning: the selective dimension filter
+    // is turned into a bloom filter evaluated on the FACT side's scan,
+    // cutting the big side's shuffle volume before the join — the AQE
+    // runtime-filter shape that matters when neither side broadcasts.
+    // Isolated session: broadcast off (at 100 TB neither side fits) and
+    // the size thresholds opened so the rule fires at test scale.
+    "q_runtime_filter" -> ((s, dir) => {
+      val rf = s.newSession()
+      rf.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      rf.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      rf.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = rf.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > lit(475000.0))
+      rf.read.parquet(s"$dir/lineitem.parquet")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+    }),
+
     // footer-only aggregation: COUNT/MIN/MAX answered from parquet
     // row-group metadata via the v2 scan's aggregate pushdown — zero
     // data pages read however large the table (the isolated session
@@ -1572,6 +1594,15 @@ object SparkEntry {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // result-identical to the plain join: the bloom filter only prunes
+    "q_runtime_filter" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 475000.0
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_agg_pushdown" ->
       """SELECT count(*) AS n_rows, min(l_orderkey) AS min_okey,

@@ -38,6 +38,25 @@ class PartitionPruningSpec extends SparkSuite {
     assert(df.collect().head == full)
   }
 
+  test("q_runtime_filter: bloom filter from the dim filter prunes the fact scan") {
+    val df = SparkEntry.queries("q_runtime_filter")(spark, sf("sf0.001"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain") &&
+      optimized.contains("bloom_filter_agg"),
+      s"expected an injected runtime bloom filter in:\n$optimized")
+    // and pruning is result-neutral vs the plain session's join
+    val plain = Tables.lineitem(spark, sf("sf0.001"))
+      .join(Tables.orders(spark, sf("sf0.001"))
+        .where(col("o_totalprice") > lit(475000.0)),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == plain)
+  }
+
   test("pruned cutoff stats equal the row-filtered formulation") {
     val pruned = PartitionedRates.cutoffStats(spark, sf("sf0.001"))
       .collect().map(_.toSeq).toSet
