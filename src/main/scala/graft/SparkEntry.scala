@@ -320,6 +320,11 @@ object SparkEntry {
     // buckets / supports) at O(batch) cost — never a corpus recompute;
     // the report from the maintained index must equal the one-shot
     // dedup_minhash_lsh (same oracle)
+    // incremental vocabulary: per-batch partial-count appends (LSM
+    // shape, O(batch)/batch) folded at report time — must equal the
+    // one-shot cur_top_tokens
+    "stream_vocab_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayTopTokensIncremental(s, dir)),
     "stream_neardup_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayNearDupIncremental(s, dir)),
 
@@ -430,6 +435,23 @@ object SparkEntry {
       Tables.events(s, dir).groupBy(col("event_type")).agg(
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))),
+
+    // semi-structured VARIANT path (Spark 4): parse once into the binary
+    // variant encoding, then typed path extraction — the modern engine
+    // shape for schema-on-read JSON (no per-field re-parse, no rigid
+    // from_json schema declared up front)
+    "q_variant_extract" -> ((s, dir) => {
+      val js = concat(lit("{\"id\":"), col("doc_id"),
+        lit(",\"lang\":\""), col("lang"),
+        lit("\",\"meta\":{\"src\":\""), col("source"),
+        lit("\",\"n\":"), col("n_chars"), lit("}}"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), parse_json(js).as("v"))
+        .select(col("doc_id"),
+          variant_get(col("v"), "$.lang", "string").as("v_lang"),
+          variant_get(col("v"), "$.meta.src", "string").as("v_src"),
+          variant_get(col("v"), "$.meta.n", "bigint").as("v_n"))
+    }),
 
     // runtime bloom-filter join pruning: the selective dimension filter
     // is turned into a bloom filter evaluated on the FACT side's scan,
@@ -1595,6 +1617,21 @@ object SparkEntry {
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // same JSON built from the same columns, extracted with DuckDB's
+    // JSON path functions
+    "q_variant_extract" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    '{"id":' || doc_id || ',"lang":"' || lang ||
+        |    '","meta":{"src":"' || source || '","n":' || n_chars || '}}'
+        |      AS js
+        |  FROM documents
+        |)
+        |SELECT doc_id, json_extract_string(js, '$.lang') AS v_lang,
+        |  json_extract_string(js, '$.meta.src') AS v_src,
+        |  CAST(json_extract(js, '$.meta.n') AS BIGINT) AS v_n
+        |FROM j""".stripMargin,
+
     // result-identical to the plain join: the bloom filter only prunes
     "q_runtime_filter" ->
       """SELECT l_returnflag, count(*) AS n,
@@ -1899,6 +1936,14 @@ object SparkEntry {
     // the incrementally-maintained index must converge to the one-shot
     // batch report — identical oracle to dedup_minhash_lsh
     "stream_neardup_incremental" -> graft.oracle.XxhOracleSql.minhashLsh(),
+
+    // the maintained vocabulary must equal the one-shot top-k
+    "stream_vocab_incremental" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
     "dedup_simhash" -> graft.oracle.XxhOracleSql.simhashReport(),
 
     // connected components of the 0.5-Jaccard pair graph, replayed with

@@ -573,6 +573,40 @@ object StreamReplay {
       Tables.documents(s, dir).select(col("doc_id")))
   }
 
+  /** Replay of INCREMENTAL VOCABULARY maintenance: the documents table
+    * streams in micro-batches, each batch appending its token-count
+    * PARTIAL aggregate (log-structured merge shape, O(batch) per batch —
+    * Curation.appendTokenCountBatch), and the folded report must equal
+    * the one-shot cur_top_tokens — which is exactly the oracle. Counts
+    * are mergeable, so batching order cannot matter; batchId markers
+    * make re-delivery a no-op.
+    */
+  def replayTopTokensIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_vocab_replay")
+    val feed = tmp.resolve("feed").toString
+    val countsDir = tmp.resolve("counts").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.text.Curation.appendTokenCountBatch(s, countsDir, batch,
+            batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.text.Curation.topTokensFromPartials(s, countsDir)
+  }
+
   /** Replay of the STREAM-STATIC join: the events stream enriched
     * against the static customer dimension (the no-state streaming join
     * — the dimension is planned fresh per micro-batch, broadcast when

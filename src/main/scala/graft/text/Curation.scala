@@ -182,6 +182,45 @@ object Curation {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k)
 
+  /** INCREMENTAL VOCABULARY maintenance, batch-apply half: one
+    * micro-batch's token counts land as an append-only PARTIAL-aggregate
+    * file set (log-structured merge shape) — O(batch) work per batch,
+    * never a vocabulary-sized read-modify-write. The report half
+    * ([[topTokensFromPartials]]) folds the partials; at warehouse scale a
+    * periodic compaction (the Compaction operator's job) bounds the
+    * partial count, exactly like any LSM level-0.
+    *
+    * `batchId` markers make foreachBatch's at-least-once re-delivery
+    * idempotent (same contract and caveat as
+    * NearDup.applyMinhashIndexBatch: the marker commits after the append;
+    * a crash between the two re-appends on retry — closing that window
+    * needs an atomically-committing table format).
+    */
+  def appendTokenCountBatch(s: SparkSession, countsDir: String,
+      batch: DataFrame, batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$countsDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    batch.select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$countsDir/partials")
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** Report half of the incremental vocabulary: fold the partial counts
+    * and cut the same total-order top-k as [[topTokens]] — to which the
+    * maintained result must be EQUAL (the gate checks exactly that).
+    */
+  def topTokensFromPartials(s: SparkSession, countsDir: String,
+      k: Int = 100): DataFrame =
+    s.read.parquet(s"$countsDir/partials")
+      .groupBy(col("token")).agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+
   /** Per-language WINSORIZATION of a document statistic: clip to the
     * exact [lo, hi] within-language quantiles and flag the clipped rows —
     * the robust-outlier step that keeps a handful of pathological

@@ -222,6 +222,20 @@ class CurationSpec extends SparkSuite {
     assert(w.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("incremental vocabulary: partial folds equal one-shot; re-delivered batch no-ops") {
+    import spark.implicits._
+    val counts = graft.util.Scratch.dir("vocab_inc").resolve("c").toString
+    val b1 = Seq(1L -> "alpha beta beta", 2L -> "beta gamma").toDF("doc_id", "text")
+    val b2 = Seq(3L -> "alpha alpha delta").toDF("doc_id", "text")
+    Curation.appendTokenCountBatch(spark, counts, b1, batchId = Some(0L))
+    Curation.appendTokenCountBatch(spark, counts, b2, batchId = Some(1L))
+    // sink restart re-delivers epoch 1: the marker must make it a no-op
+    Curation.appendTokenCountBatch(spark, counts, b2, batchId = Some(1L))
+    val got = Curation.topTokensFromPartials(spark, counts).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 1L, "delta" -> 1L))
+  }
+
   test("near-dup clusters: edges never straddle clusters; label = min member") {
     val clusters = NearDup.nearDupClusters(spark, dir, threshold = 0.5)
     val c = clusters.collect()
