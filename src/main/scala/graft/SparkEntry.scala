@@ -436,6 +436,22 @@ object SparkEntry {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))),
 
+    // correlated LATERAL subquery (SQL:2016 lateral derived table): the
+    // per-order top-2 line items as a lateral ORDER BY ... LIMIT — the
+    // SQL surface users reach for before they know window functions;
+    // Catalyst decorrelates it to the same shuffle-once ranked shape
+    "q_lateral_topn" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_lat")
+      s.sql("""
+        SELECT o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM orders_lat, LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem_lat
+          WHERE l_orderkey = o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 2) l
+        WHERE o_totalprice > 400000.0""")
+    }),
+
     // semi-structured VARIANT path (Spark 4): parse once into the binary
     // variant encoding, then typed path extraction — the modern engine
     // shape for schema-on-read JSON (no per-field re-parse, no rigid
@@ -1616,6 +1632,14 @@ object SparkEntry {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM orders, LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 2) l
+        |WHERE o_totalprice > 400000.0""".stripMargin,
 
     // same JSON built from the same columns, extracted with DuckDB's
     // JSON path functions

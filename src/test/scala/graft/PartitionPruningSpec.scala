@@ -57,6 +57,28 @@ class PartitionPruningSpec extends SparkSuite {
     assert(df.collect().map(_.toSeq).toSet == plain)
   }
 
+  test("AQE splits a skewed shuffle-join partition (OptimizeSkewedJoin fires)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    // one hot key with ~50k padded rows vs 100 singleton keys
+    val fact = ((0 until 50000).map(i => (0L, s"pad-$i-${"x" * 50}")) ++
+      (1L to 100L).map(k => (k, "tiny"))).toDF("k", "payload")
+    val dim = (0L to 100L).map(k => (k, s"dim-$k")).toDF("k", "name")
+    val joined = fact.join(dim, "k")
+    // execute THIS QueryExecution (count() would plan a different one
+    // and leave joined's own AQE plan unfinalized)
+    assert(joined.collect().length == 50100)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"expected OptimizeSkewedJoin to mark the join skewed in:\n$finalPlan")
+  }
+
   test("pruned cutoff stats equal the row-filtered formulation") {
     val pruned = PartitionedRates.cutoffStats(spark, sf("sf0.001"))
       .collect().map(_.toSeq).toSet
