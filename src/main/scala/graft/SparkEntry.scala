@@ -779,6 +779,11 @@ object SparkEntry {
     "cur_weighted_sample" -> ((s, dir) => graft.text.Curation.weightedSample(s, dir)),
     // context-window chunking: 64-token chunks every 48 tokens (narrow
     // map + explode; the tail chunk is kept, every doc yields >=1 chunk)
+    // bigram-LM quality score (the CCNet/Gopher LM-filter stage) in
+    // probability space: mean P(w2|w1) over the doc's bigram sequence,
+    // position-ordered sequential fold — transcendental-free, so the
+    // oracle replays it bitwise
+    "cur_lm_score" -> ((s, dir) => graft.text.Curation.lmScore(s, dir)),
     // per-language winsorization: clip n_chars to exact [p05, p95]
     // quantile bounds (broadcast back — the corpus never shuffles)
     "cur_winsorize" -> ((s, dir) => graft.text.Curation.winsorize(s, dir)),
@@ -2101,6 +2106,29 @@ object SparkEntry {
 
     // chunk starts = range(0, n_tokens, 48), identical to Spark's
     // sequence(0, n−1, 48); list_slice is 1-based-inclusive = slice
+    "cur_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 2
+        |), b AS (
+        |  SELECT doc_id, unnest(range(0, len(tk) - 1)) AS pos, tk FROM t
+        |), bg AS (
+        |  SELECT doc_id, pos, tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM b
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+        |), pr AS (
+        |  SELECT doc_id, pos, CAST(n2 AS DOUBLE) / n1 AS p
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |), l AS (
+        |  SELECT doc_id, list(p ORDER BY pos) AS ps FROM pr GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+        |  round(list_reduce(list_prepend(0.0, ps), (a, x) -> a + x)
+        |        / len(ps), 6) AS lm_score
+        |FROM l""".stripMargin,
+
     "cur_winsorize" ->
       """WITH b AS (
         |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo_b,

@@ -35,17 +35,22 @@ object FuzzyJoin {
     * distance 1. Input ids must be unique per key row.
     */
   def edit1Pairs(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    val vars = df
-      .select(col(idCol).as("id"), col(keyCol).as("name"))
-      .select(col("id"), col("name"),
-        explode(deletionNeighborhood(col("name"))).as("v"))
-      .select(col("id"), col("name"), xxhash64(col("v")).as("vh"))
-    vars.join(vars.select(col("vh"), col("id").as("id_b"),
-        col("name").as("name_b")), Seq("vh"))
+    // candidates travel as BARE id pairs — the key strings would widen
+    // the variant explode and the distinct's shuffle ~10×; they rejoin
+    // from the base relation only for the final verify
+    val base = df.select(col(idCol).as("id"), col(keyCol).as("name"))
+    val vars = base
+      .select(col("id"), explode(deletionNeighborhood(col("name"))).as("v"))
+      .select(col("id"), xxhash64(col("v")).as("vh"))
+    val cand = vars
+      .join(vars.select(col("vh"), col("id").as("id_b")), Seq("vh"))
       .where(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        col("name").as("name_a"), col("name_b"))
-      .distinct()
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("name").as("name_a")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("name").as("name_b")),
+        Seq("id_b"))
       .where(levenshtein(col("name_a"), col("name_b")) <= 1)
       .select(col("id_a"), col("id_b"))
   }

@@ -182,6 +182,47 @@ object Curation {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k)
 
+  /** N-gram LANGUAGE-MODEL quality score — the LM-filter stage of a
+    * curation pipeline (CCNet/Gopher filter corpora by LM score; public
+    * method), kept engine-exact: a corpus-trained word-bigram model
+    * scores each document by its mean transition probability
+    * P(w2|w1) = c(w1 w2) / c(w1 ·), averaged over the document's bigram
+    * sequence IN POSITION ORDER with a sequential double fold — staying
+    * in probability space (count ratios) rather than log space keeps the
+    * arithmetic free of transcendentals, so DuckDB replays it bitwise
+    * (ln() is correctly-rounded on neither engine). Fluent text scores
+    * high; out-of-distribution token soup scores near the unigram floor.
+    *
+    * Shape at 100 TB: bigram/prefix counts are two map-side-combined
+    * aggregations bounded by vocabulary (not corpus) size; scoring is
+    * two hash joins on the n-gram key + one per-doc sort-fold. No
+    * all-pairs anything; the model "training" IS the count aggregation.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .where(size(col("t")) >= 2)
+    val bi = toks
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("t")) - 2)).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        element_at(col("t"), col("pos") + 1).as("w1"),
+        element_at(col("t"), col("pos") + 2).as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val p = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), col("pos"),
+        (col("n2").cast("double") / col("n1")).as("p"))
+    // position-ordered sequential fold: struct sort is by (pos, p), pos
+    // unique — both engines fold the identical sequence
+    p.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).cast("long").as("n_bigrams"),
+        round(aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("p")) / size(col("ps")), 6)
+          .as("lm_score"))
+  }
+
   /** INCREMENTAL VOCABULARY maintenance, batch-apply half: one
     * micro-batch's token counts land as an append-only PARTIAL-aggregate
     * file set (log-structured merge shape) — O(batch) work per batch,
