@@ -381,6 +381,51 @@ class StreamingSpec extends SparkSuite {
     assert(table(("AUD/CAD", "2024-01-16")) == 0.93)
   }
 
+  test("checkpoint restart: resumed stream reads only new files, exactly-once overall") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("chk_restart")
+    val feed = work.resolve("feed"); Files.createDirectories(feed)
+    val chk = work.resolve("chk").toString
+    val log = work.resolve("seen").toString
+    var n = 0
+    def addFile(ids: Seq[Long]): Unit = {
+      n += 1
+      val tmp = work.resolve(s"stage$n")
+      ids.map(i => (i, s"doc-$i")).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, feed.resolve(s"batch-$n.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("doc_id").write.mode("append").parquet(log); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    addFile(Seq(1L, 2L, 3L)); addFile(Seq(4L, 5L))
+    runOnce()
+    // stream stopped; new data lands; a NEW query resumes the checkpoint
+    addFile(Seq(6L, 7L, 8L))
+    runOnce()
+    val seen = spark.read.parquet(log).collect().map(_.getLong(0)).toSeq
+    // exactly-once overall: the restart must not re-read batches 1-2
+    assert(seen.sorted == (1L to 8L).toSeq, s"got ${seen.sorted.toList}")
+  }
+
   test("entry contract: flagship query returns rows; every oracle key is a query") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
