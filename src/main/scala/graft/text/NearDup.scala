@@ -323,11 +323,15 @@ object NearDup {
     while (!converged && i < maxIters) {
       val nbMin = e.join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // localCheckpoint (eager), not persist: each round's plan would
+      // otherwise nest the previous round's join tree — by round 5 the
+      // optimizer re-plans a 5-deep lineage per action, and planning
+      // time dominates the (tiny) label relation's execution time
       val next = labels
         .join(nbMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(mem)
+        .localCheckpoint(true)
       val s = next.agg(sum(col("label"))).collect().head.getLong(0)
       labels.unpersist()
       labels = next
