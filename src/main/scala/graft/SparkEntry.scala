@@ -436,6 +436,27 @@ object SparkEntry {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))),
 
+    // corrupt-record QUARANTINE: a feed where every 7th payload is
+    // truncated mid-object; malformed rows route to quarantine instead
+    // of failing the job or silently dropping — the tolerance contract
+    // any real ingestion needs (from_json yields null on malformed)
+    "ing_corrupt_quarantine" -> ((s, dir) => {
+      val good = concat(lit("{\"id\":"), col("doc_id"),
+        lit(",\"lang\":\""), col("lang"),
+        lit("\",\"src\":\""), col("source"), lit("\"}"))
+      val js = when(col("doc_id") % 7 === 0,
+        concat(lit("{\"id\":"), col("doc_id"), lit(",\"lang\":\""), col("lang")))
+        .otherwise(good)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          from_json(js, org.apache.spark.sql.types.StructType.fromDDL(
+            "lang STRING, src STRING")).as("r"))
+        .select(col("doc_id"),
+          when(col("r.lang").isNull, lit("quarantined"))
+            .otherwise(lit("ok")).as("status"),
+          col("r.lang").as("v_lang"), col("r.src").as("v_src"))
+    }),
+
     // correlated LATERAL subquery (SQL:2016 lateral derived table): the
     // per-order top-2 line items as a lateral ORDER BY ... LIMIT — the
     // SQL surface users reach for before they know window functions;
@@ -1637,6 +1658,24 @@ object SparkEntry {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // same payloads; json_valid routes, json path functions extract
+    "ing_corrupt_quarantine" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN '{"id":' || doc_id || ',"lang":"' || lang
+        |      ELSE '{"id":' || doc_id || ',"lang":"' || lang ||
+        |           '","src":"' || source || '"}' END AS js
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN json_valid(js) THEN 'ok' ELSE 'quarantined' END AS status,
+        |  CASE WHEN json_valid(js)
+        |       THEN json_extract_string(js, '$.lang') END AS v_lang,
+        |  CASE WHEN json_valid(js)
+        |       THEN json_extract_string(js, '$.src') END AS v_src
+        |FROM j""".stripMargin,
 
     "q_lateral_topn" ->
       """SELECT o_orderkey, l.l_linenumber, l.l_extendedprice
