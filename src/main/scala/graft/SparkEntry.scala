@@ -762,6 +762,10 @@ object SparkEntry {
     // graph via hash-min label propagation; oracle replays it with a
     // recursive CTE (min over the transitive closure)
     "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(s, dir)),
+    // canonical keeper per cluster: highest-quality member wins (ties ->
+    // lowest doc_id); quality scored only for cluster members, argmax is
+    // a WindowGroupLimit top-1 per cluster
+    "dedup_canonical_keeper" -> ((s, dir) => NearDup.canonicalKeepers(s, dir)),
     // fuzzy key join (record linkage): customer-name pairs at edit
     // distance <= 1 via FastSS deletion-neighborhood blocking + exact
     // levenshtein verify -- one variant equi-join, never O(n^2)
@@ -2035,6 +2039,54 @@ object SparkEntry {
          |)
          |SELECT comp.id AS doc_id, comp.cluster_id, cs.cluster_size
          |FROM comp JOIN cs USING (cluster_id)""".stripMargin,
+
+    // the cluster replay above + the text_quality formula, then a
+    // per-cluster argmax (quality DESC, doc_id ASC); nulls pinned last
+    // via coalesce(quality, -1) on BOTH engines
+    "dedup_canonical_keeper" ->
+      (s"""WITH RECURSIVE $NgramCappedCtes, pr AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst FROM db a JOIN db b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+         |), ed AS (
+         |  SELECT src, dst FROM pr UNION SELECT dst, src FROM pr
+         |), reach(id, label) AS (
+         |  SELECT DISTINCT src, src FROM ed
+         |  UNION
+         |  SELECT ed.src, r.label FROM ed JOIN reach r ON ed.dst = r.id
+         |), comp AS (
+         |  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+         |), cs AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+         |), m AS (
+         |  SELECT comp.cluster_id, cs.cluster_size, comp.id AS doc_id,
+         |    documents.text AS text
+         |  FROM comp JOIN cs USING (cluster_id)
+         |       JOIN documents ON documents.doc_id = comp.id
+         |)""".stripMargin +
+      """, q AS (
+        |  SELECT cluster_id, cluster_size, doc_id,
+        |    0.4 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        |             / nullif(length(text), 0))
+        |    + 0.3 * least(CAST(len(string_split_regex(trim(text), '\s+'))
+        |                       AS DOUBLE) / 100.0, 1.0)
+        |    + 0.2 * (1.0 - least(
+        |        CAST(len(regexp_extract_all(text, '[\.,;:!?]')) AS DOUBLE)
+        |          / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE),
+        |        1.0))
+        |    + 0.1 * least(
+        |        (CAST(len(regexp_extract_all(lower(text),
+        |           '\b(the|a|of|and|to|in|is|it|for|on)\b')) AS DOUBLE)
+        |          / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE))
+        |        * 5.0, 1.0) AS quality
+        |  FROM m
+        |)
+        |SELECT cluster_id, doc_id AS keeper_doc_id, quality AS keeper_quality,
+        |  cluster_size, cluster_size - 1 AS n_dropped
+        |FROM q
+        |QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |  ORDER BY coalesce(quality, -1.0) DESC, doc_id ASC) = 1""".stripMargin),
 
     // deletion-neighborhood replay + INDEPENDENT levenshtein verify (the
     // blocking's ED<=1 completeness is a theorem — substitution: both

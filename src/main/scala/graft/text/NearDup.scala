@@ -345,6 +345,43 @@ object NearDup {
         col("cluster_size"))
   }
 
+  /** Canonical-keeper selection — the curation step that CONSUMES
+    * [[nearDupClusters]]: per near-dup cluster keep the single
+    * highest-quality document (ties broken by lowest doc_id), drop the
+    * rest. This is what "dedup" actually means downstream: the cluster
+    * labeling is evidence; the keeper choice is the decision.
+    *
+    * Scale shape: the cluster relation only contains docs with at least
+    * one near-dup edge — a small fraction of any real corpus — so the
+    * corpus is joined down to cluster members BEFORE scoring. Quality is
+    * never computed for the non-duplicated majority, the per-cluster
+    * argmax is a WindowGroupLimit top-1 (no per-cluster sort
+    * materialized), and the only shuffle is on cluster_id over the small
+    * member relation.
+    *
+    * Determinism: quality is a pure double expression evaluated
+    * identically on identical inputs; ordering uses
+    * `coalesce(quality, -1)` so a null score (empty document) ranks last
+    * on BOTH engines — Spark's DESC puts nulls last while DuckDB's
+    * default puts them first, so raw-null ordering would diverge.
+    */
+  def canonicalKeepers(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(s, dir, threshold)
+    val members = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .join(clusters, "doc_id")
+      .select(col("cluster_id"), col("cluster_size"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(coalesce(col("quality"), lit(-1.0)).desc, col("doc_id").asc)
+    members.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"),
+        col("quality").as("keeper_quality"), col("cluster_size"),
+        (col("cluster_size") - lit(1L)).as("n_dropped"))
+  }
+
   /** MinHash-LSH recall vs exact trigram Jaccard ≥ `threshold`. */
   def minhashRecallCheck(s: SparkSession, dir: String,
       threshold: Double = 0.8, maxBucket: Int = 50): DataFrame = {

@@ -253,4 +253,25 @@ class CurationSpec extends SparkSuite {
       assert(ms.values.forall(_._2 == ms.size))
     }
   }
+
+  test("canonical keeper: one per cluster, a member, max quality, ties -> min id") {
+    val clusters = NearDup.nearDupClusters(spark, dir, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.text.TextFunctions.textQuality(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    val keepers = NearDup.canonicalKeepers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // exactly one keeper per cluster
+    assert(keepers.map(_._1).distinct.length == keepers.length)
+    assert(keepers.map(_._1).toSet == clusters.values.toSet)
+    keepers.foreach { case (cid, keep, size, dropped) =>
+      val ms = clusters.collect { case (id, c) if c == cid => id }
+      assert(ms.toSet.contains(keep))
+      assert(size == ms.size && dropped == size - 1)
+      // the keeper is the (quality DESC, id ASC) argmax over members
+      val best = ms.toSeq.map(id => (-quality(id), id)).min._2
+      assert(keep == best)
+    }
+  }
 }
