@@ -156,6 +156,26 @@ object SparkEntry {
           col("avg_7d"), col("max_7d"))
     }),
 
+    // cross-rate triangulation: every pair quotes against the same base,
+    // so cross(a,b) = rate_a / rate_b over the latest active quotes; the
+    // quadratic step runs on the |pairs|-row digest (broadcast NLJ), the
+    // tick corpus is only scanned once for the WindowGroupLimit digest
+    "fx_cross_rates" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.crossRates(rates(s, dir), ActiveWindowSpark)),
+
+    // TWAP: dwell-time-weighted mean price per pair-day (lead window for
+    // the dwell, day-end close-out for the last tick); the weighted sum
+    // is decimal-exact and divides in double only at the boundary
+    "fx_twap" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.twap(rates(s, dir))),
+
+    // co-movement matrix: Pearson correlation of day-over-day close
+    // changes for every unordered currency pair, from EXACT decimal
+    // moments (built-in corr is accumulation-order-dependent in double);
+    // the pair-pair join touches only the daily-close digest
+    "fx_change_corr" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.dailyChangeCorr(rates(s, dir))),
+
     // layout maintenance: rewrite events Z-ORDERED by (user_id, time) —
     // interleaved-bit sort key → every file gets a tight min/max
     // envelope on BOTH dimensions (the multi-dim data-skipping layout);
@@ -1150,6 +1170,70 @@ object SparkEntry {
          |FROM rates
          |WINDOW w AS (PARTITION BY ccy_couple ORDER BY event_time
          |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // one IEEE division of two stored doubles — no representation risk
+    "fx_cross_rates" ->
+      s"""WITH $RatesCte, $ActiveCte, $LatestCte
+         |SELECT a.ccy_couple AS base_ccy, b.ccy_couple AS quote_ccy,
+         |  a.current_rate AS base_rate, b.current_rate AS quote_rate,
+         |  a.current_rate / b.current_rate AS cross_rate
+         |FROM latest a JOIN latest b ON a.ccy_couple <> b.ccy_couple""".stripMargin,
+
+    // dwell weights replayed with the same lead window + day-end
+    // close-out; decimal-exact weighted sum, double only at the boundary
+    "fx_twap" ->
+      s"""WITH $RatesCte, d AS (
+         |  SELECT ccy_couple, date, rate,
+         |    coalesce(lead(event_time) OVER (PARTITION BY ccy_couple, date
+         |        ORDER BY event_time, event_id),
+         |      epoch_us(CAST(date + INTERVAL 1 DAY AS TIMESTAMP)))
+         |      - event_time AS dwell_us
+         |  FROM rates
+         |)
+         |SELECT ccy_couple, date, count(*) AS n_ticks,
+         |  CAST(CAST(sum(CAST(rate AS DECIMAL(18,6))
+         |           * CAST(dwell_us AS DECIMAL(20,0))) AS DECIMAL(38,2))
+         |       AS DOUBLE)
+         |    / CAST(sum(dwell_us) AS DOUBLE) AS twap
+         |FROM d GROUP BY ccy_couple, date""".stripMargin,
+
+    // the five moments accumulate as exact decimals (chg pinned to
+    // DECIMAL(12,3) so every unscaled value stays below 2^53 — the
+    // decimal->double casts are then exact-integer + one rounding on
+    // both engines); the textbook formula runs in double with the same
+    // operation tree as the Spark side; zero-variance pairs -> NULL
+    "fx_change_corr" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT * FROM ch WHERE chg IS NOT NULL
+         |), m AS (
+         |  SELECT a.ccy_couple AS ccy_a, b.ccy_couple AS ccy_b,
+         |    count(*) AS n_days,
+         |    CAST(sum(a.chg) AS DOUBLE) AS sx,
+         |    CAST(sum(b.chg) AS DOUBLE) AS sy,
+         |    CAST(sum(a.chg * b.chg) AS DOUBLE) AS sxy,
+         |    CAST(sum(a.chg * a.chg) AS DOUBLE) AS sxx,
+         |    CAST(sum(b.chg * b.chg) AS DOUBLE) AS syy
+         |  FROM chn a JOIN chn b
+         |    ON a.date = b.date AND a.ccy_couple < b.ccy_couple
+         |  GROUP BY 1, 2
+         |)
+         |SELECT ccy_a, ccy_b, n_days,
+         |  (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+         |    / sqrt(nullif(greatest(
+         |        (CAST(n_days AS DOUBLE) * sxx - sx * sx)
+         |        * (CAST(n_days AS DOUBLE) * syy - sy * sy), 0.0), 0.0))
+         |    AS corr_chg
+         |FROM m""".stripMargin,
 
     // z-ordering must be row-identity: the output is simply the table
     "maint_zorder_events" ->

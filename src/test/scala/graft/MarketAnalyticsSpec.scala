@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.analysis.MarketAnalytics
+import graft.model.Tables
+
+class MarketAnalyticsSpec extends SparkSuite {
+
+  private def rates = Tables.rates(spark, sf("sf0.001"))
+
+  test("cross rates: full off-diagonal matrix, exact ratio, reciprocal") {
+    val pairs = rates.select("ccy_couple").distinct().count()
+    val out = MarketAnalytics.crossRates(rates, "7 DAYS").collect()
+    assert(out.length == pairs * (pairs - 1))
+    val byKey = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    out.foreach { r =>
+      assert(r.getDouble(4) == r.getDouble(2) / r.getDouble(3))
+      // reciprocal symmetry up to one IEEE rounding: a/b vs 1/(b/a)
+      val inv = byKey((r.getString(1), r.getString(0))).getDouble(4)
+      assert(math.abs(r.getDouble(4) * inv - 1.0) < 1e-12)
+    }
+  }
+
+  test("twap: bounded by day range, constant series degenerates to the rate") {
+    val bars = rates.groupBy("ccy_couple", "date")
+      .agg(min("rate").as("lo"), max("rate").as("hi"))
+    val joined = MarketAnalytics.twap(rates)
+      .join(bars, Seq("ccy_couple", "date")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (tw, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(tw >= lo - 1e-9 && tw <= hi + 1e-9)
+      if (lo == hi) assert(math.abs(tw - lo) < 1e-9)
+    }
+    // hand check: two ticks at 10:00 (rate 2) and 18:00 (rate 4) ->
+    // dwell 8h at 2, 6h at 4 -> twap = (16+24)/14
+    import spark.implicits._
+    val fx = Seq(
+      (1L, 36000000000L, "X/Y", 2.0),
+      (2L, 64800000000L, "X/Y", 4.0)
+    ).toDF("event_id", "event_time", "ccy_couple", "rate")
+      .withColumn("date", to_date(timestamp_micros(col("event_time"))))
+      .withColumn("timestamp", timestamp_micros(col("event_time")))
+    val tw = MarketAnalytics.twap(fx).collect().head.getDouble(3)
+    assert(math.abs(tw - (2.0 * 8 + 4.0 * 6) / 14.0) < 1e-12)
+  }
+
+  test("daily-change corr: in [-1,1], NULL on zero variance, +1 on identical movers") {
+    import spark.implicits._
+    // two currencies moving in lockstep (with VARYING changes — constant
+    // changes are zero-variance), one flat, over four days
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    val aPath = Seq(1.0, 1.1, 1.3, 1.6) // changes .1, .2, .3
+    val fx = days.zipWithIndex.flatMap { case (d, i) =>
+      Seq(("A", aPath(i)), ("B", 1.0 + aPath(i)), ("C", 5.0))
+        .map { case (p, v) => (i * 10L + p.head.toLong, p, v, d) }
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.dailyChangeCorr(fx).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // identical changes -> 1 (up to the formula's double roundings)
+    assert(math.abs(out(("A", "B")).get - 1.0) < 1e-12)
+    assert(out(("A", "C")).isEmpty)       // C never moves -> zero variance
+    assert(out(("B", "C")).isEmpty)
+
+    // real data: every emitted corr is a valid Pearson value
+    MarketAnalytics.dailyChangeCorr(rates).collect().foreach { r =>
+      if (!r.isNullAt(3))
+        assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
+}
