@@ -456,6 +456,21 @@ object SparkEntry {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))),
 
+    // ordered conversion funnel view -> click -> purchase: earliest view,
+    // earliest click strictly after it, earliest purchase strictly after
+    // that — conditional-min stage joins, everything keyed on user_id
+    "q_funnel_steps" -> ((s, dir) =>
+      graft.analysis.EventAnalytics.funnel(s, dir)
+        .select(col("user_id"), unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("stage_reached"))),
+
+    // retention-cohort matrix: first-event day x day-offset activity
+    // counts; the (user, day) distinct runs BEFORE the cohort join
+    "q_retention_cohorts" -> ((s, dir) =>
+      graft.analysis.EventAnalytics.retentionCohorts(s, dir)),
+
     // corrupt-record QUARANTINE: a feed where every 7th payload is
     // truncated mid-object; malformed rows route to quarantine instead
     // of failing the job or silently dropping — the tolerance contract
@@ -797,6 +812,18 @@ object SparkEntry {
     // generation predates a column
     "ing_schema_evolution" -> ((s, dir) =>
       graft.sources.SchemaEvolution.evolvedDocsRead(s, dir)),
+    // ORC round-trip: the events feed written to ORC (the other columnar
+    // format a lakehouse ingests) and read back through Spark's native
+    // ORC source; the aggregate must equal the parquet-derived oracle —
+    // format-independence of the engine, decimal-routed sum
+    "ing_orc_roundtrip" -> ((s, dir) => {
+      val tmp = graft.util.Scratch.dir("graft_orc").resolve("events").toString
+      Tables.events(s, dir).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    }),
     // EXACT substring-span dedup (Lee et al. 2022 shape): maximal
     // verbatim token runs >= 12 shared between doc pairs, via anchor
     // diagonals + gaps-and-islands — span-level duplication shingle-set
@@ -1747,6 +1774,42 @@ object SparkEntry {
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // conditional-min stage chain; equal-ts pairs compare strictly on ts
+    // alone (same rule as the Spark side)
+    "q_funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT v.user_id, epoch_us(v.view_ts) AS view_us,
+        |  epoch_us(c.click_ts) AS click_us,
+        |  epoch_us(p.purchase_ts) AS purchase_us,
+        |  CASE WHEN p.user_id IS NOT NULL THEN 3
+        |       WHEN c.user_id IS NOT NULL THEN 2
+        |       ELSE 1 END AS stage_reached
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    // (user, day) distinct before the cohort join, then the offset matrix
+    "q_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id
+        |)
+        |SELECT c.cohort_day, CAST(ev.d - c.cohort_day AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM ev JOIN cohort c ON ev.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
     // same payloads; json_valid routes, json path functions extract
     "ing_corrupt_quarantine" ->
       """WITH j AS (
@@ -2202,6 +2265,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // the round-trip must be lossless: aggregate straight off parquet
+    "ing_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // anchor-diagonal replay: the oracle joins on the shingle STRING
     // where the engine joins on its xxhash64 (the ngram-Jaccard

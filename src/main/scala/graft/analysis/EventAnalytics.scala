@@ -1,0 +1,70 @@
+package graft.analysis
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Event-sequence analytics over the `events` table: conversion funnels
+  * and retention cohorts — the two queries every product/behavior
+  * pipeline runs at scale, absent from the reference (whose analytics
+  * stop at rate reports) but first-class for a 100 TB event store.
+  *
+  * Scale shape: every stage below shuffles on `user_id` and ONLY on
+  * user_id, so the per-user aggregations partial-combine map-side and the
+  * stage joins reuse one consistent partitioning; nothing materializes
+  * per-user event lists (no collect_list), and the outputs are bounded by
+  * |users| (funnel) and |days|² (retention matrix).
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * earliest view, the earliest click STRICTLY after that view, and the
+    * earliest purchase strictly after that click. Stage joins are
+    * conditional-min aggregations (min ts is deterministic regardless of
+    * event_id ties — equal-ts pairs compare strictly on ts alone, same
+    * rule in the oracle).
+    */
+  def funnel(s: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      col("ts"))
+    val first = ev.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("step0_ts"))
+    val chained = steps.zipWithIndex.tail.foldLeft(first) {
+      case (prev, (step, i)) =>
+        val prevTs = col(s"step${i - 1}_ts")
+        val next = ev.where(col("event_type") === step)
+          .join(prev.select(col("user_id"), prevTs), "user_id")
+          .where(col("ts") > prevTs)
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"step${i}_ts"))
+        prev.join(next, Seq("user_id"), "left")
+    }
+    // ascending fold wraps the HIGHEST step's check outermost, so the
+    // deepest stage reached wins the CASE chain
+    val stage = steps.indices
+      .foldLeft(lit(0)) { (acc, i) =>
+        when(col(s"step${i}_ts").isNotNull, lit(i + 1)).otherwise(acc)
+      }
+    chained.select(col("user_id") +:
+      steps.indices.map(i => col(s"step${i}_ts").as(s"${steps(i)}_ts")) :+
+      stage.as("stage_reached"): _*)
+  }
+
+  /** Retention-cohort matrix: cohort day = a user's first-ever event day;
+    * a cell (cohort_day, day_offset) counts the cohort's users active
+    * that many days later. The distinct (user, day) reduction happens
+    * BEFORE the cohort join, so the joined relation is |users|×|days| at
+    * most — never the raw event volume.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.EventAnalytics
+import graft.model.Tables
+
+class EventAnalyticsSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  test("funnel: stage timestamps strictly ordered, stage matches nulls") {
+    val out = EventAnalytics.funnel(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val v = Option(r.getTimestamp(1)).map(_.getTime)
+      val c = Option(r.getTimestamp(2)).map(_.getTime)
+      val p = Option(r.getTimestamp(3)).map(_.getTime)
+      assert(v.isDefined) // base stage always present
+      // a later stage implies the earlier one, strictly after it
+      if (p.isDefined) assert(c.isDefined && p.get > c.get)
+      if (c.isDefined) assert(c.get > v.get)
+      val expected = if (p.isDefined) 3 else if (c.isDefined) 2 else 1
+      assert(r.getInt(4) == expected)
+    }
+  }
+
+  test("funnel: out-of-order events don't count (click before first view)") {
+    import spark.implicits._
+    // user 1 clicks BEFORE its first view -> funnel stops at view;
+    // user 2 converts fully
+    val ev = Seq(
+      (1L, 1L, "click", "2024-01-01 00:00:01"),
+      (2L, 1L, "view", "2024-01-01 00:00:05"),
+      (3L, 2L, "view", "2024-01-01 00:00:01"),
+      (4L, 2L, "click", "2024-01-01 00:00:02"),
+      (5L, 2L, "purchase", "2024-01-01 00:00:03")
+    ).toDF("event_id", "user_id", "event_type", "tss")
+      // Tables.events expects the feed's INT64-nanos ts (it does
+      // `ts div 1000` before timestamp_micros), so stamp raw nanos
+      .withColumn("ts", unix_micros(to_timestamp(col("tss"))) * 1000L)
+      .drop("tss")
+    val tmp = graft.util.Scratch.dir("graft_funnel_fix").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventAnalytics.funnel(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out(1L) == 1)
+    assert(out(2L) == 3)
+  }
+
+  test("retention: offset-0 diagonal equals cohort sizes; matrix mass equals activity") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val matrix = EventAnalytics.retentionCohorts(spark, dir).collect()
+    // every (user,day) activity lands in exactly one cell
+    assert(matrix.map(_.getLong(2)).sum == ev.count())
+    // offset 0 counts each cohort's full membership (first-day activity)
+    val cohortSizes = ev.groupBy("user_id").agg(min(col("d")).as("c"))
+      .groupBy("c").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    matrix.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) == cohortSizes(r.getDate(0).toString))
+    }
+    // offsets are non-negative (cohort day is the min by construction)
+    assert(matrix.forall(_.getLong(1) >= 0L))
+  }
+}
