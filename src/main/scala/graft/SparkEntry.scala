@@ -610,6 +610,15 @@ object SparkEntry {
           Seq("c_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
 
+    // anti join (NOT EXISTS): customers with NO order above 250k — the
+    // complement of q_semi_join, same broadcast-able filtered build side
+    "q_anti_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_totalprice") > 250000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+
     // pivot (wide reshaping): events per day × type matrix
     "q_pivot_daily_types" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -873,6 +882,11 @@ object SparkEntry {
     // idf keeps the score in exact IEEE arithmetic; ranking identical to
     // the ln form)
     "text_tfidf_top_terms" -> ((s, dir) => graft.text.TfIdf.topTerms(s, dir)),
+
+    // BM25 top-k retrieval for a fixed query (lexical candidate search);
+    // rational idf core without the monotone ln wrapper — same libm
+    // dodge as the linear tf-idf — and fixed-order per-term addition
+    "text_bm25_topk" -> ((s, dir) => graft.text.TfIdf.bm25TopK(s, dir)),
 
     // ---- similarity search (embeddings table) ----
 
@@ -1902,6 +1916,11 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin,
 
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin,
+
     "q_pivot_daily_types" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -2526,6 +2545,47 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, token ASC) AS rank FROM scored)
         |WHERE rank <= 5""".stripMargin,
+
+    // same tokenization CTEs; the contribution expression reproduces the
+    // Spark operation tree literal-for-literal (left-assoc A*B/C), and
+    // the total adds c0+c1+c2 in fixed order — no data-ordered sums
+    "text_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM tok WHERE length(token) > 0 GROUP BY doc_id, token
+        |), dfq AS (
+        |  SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('hash', 'join', 'stream') GROUP BY token
+        |), dl AS (
+        |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+        |), tot AS (
+        |  SELECT CAST(sum(tf) AS DOUBLE) / CAST(count(DISTINCT doc_id) AS DOUBLE)
+        |    AS avgdl, count(DISTINCT doc_id) AS n_docs FROM tf
+        |), scored AS (
+        |  SELECT t.doc_id, t.token,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |       / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))
+        |      AS contrib
+        |  FROM tf t JOIN dfq USING (token) JOIN dl ON t.doc_id = dl.doc_id, tot
+        |), agged AS (
+        |  SELECT doc_id,
+        |    max(contrib) FILTER (WHERE token = 'hash') AS c0,
+        |    max(contrib) FILTER (WHERE token = 'join') AS c1,
+        |    max(contrib) FILTER (WHERE token = 'stream') AS c2
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |  coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0) AS score,
+        |  c0, c1, c2
+        |FROM agged
+        |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     "cur_top_tokens" ->
       """SELECT token, count(*) AS n FROM (

@@ -56,6 +56,64 @@ object TfIdf {
     s.read.parquet(path)
   }
 
+  /** BM25 top-k document retrieval for a fixed query-term set — the
+    * ranking function behind every lexical search stage of a data
+    * pipeline (candidate retrieval for decontamination, near-dup triage,
+    * eval-set mining). Standard Robertson parameters k1=1.2, b=0.75.
+    *
+    * Numerics: the idf factor uses BM25's rational core
+    * `(N − df + 0.5) / (df + 0.5)` WITHOUT the ln wrapper — ln is
+    * monotone so every ranking it induces is identical, and dropping it
+    * keeps the whole score inside plain IEEE +,×,÷ of integer-valued
+    * doubles (the same libm dodge as the linear idf above). Per-document
+    * totals add the per-term contributions in FIXED query order (one
+    * conditional-agg column per term), never a data-ordered double sum.
+    *
+    * Shape at scale: tf/df/dl all derive from the memoized tf relation
+    * (one corpus tokenization); the query-term filter cuts tf to
+    * |terms|·|docs| rows BEFORE any join; the global top-k is
+    * TakeOrderedAndProject (bounded heap per partition), never a full
+    * sort.
+    */
+  def bm25TopK(s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("hash", "join", "stream"), k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = tfCached(s, dir)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .where(col("token").isin(terms: _*))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val totals = tf.agg(sum(col("tf")).as("total_tokens"),
+      count_distinct(col("doc_id")).as("n_docs"))
+    val contrib =
+      ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf.where(col("token").isin(terms: _*))
+      .join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .select(col("doc_id"), col("token"), contrib.as("contrib"))
+    // fixed-order total: one conditional-agg column per query term (each
+    // aggregates exactly one row), added left-to-right — no data-ordered
+    // double accumulation anywhere
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("contrib"))).as(s"c$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(Seq(col("doc_id"), total.as("score")) ++
+        terms.indices.map(i => col(s"c$i")): _*)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def topTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tf = tfCached(s, dir)

@@ -38,4 +38,41 @@ class TfIdfSpec extends SparkSuite {
     }.toSet
     assert(got == expected)
   }
+
+  test("bm25 top-k matches a driver recompute, same rational idf and order") {
+    val dir = sf("sf0.001")
+    val terms = Seq("hash", "join", "stream")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val tf: Map[Long, Map[String, Long]] = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase(Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty).groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong }
+    }.toMap
+    val withTokens = tf.filter(_._2.nonEmpty)
+    val nDocs = withTokens.size.toDouble
+    val avgdl = withTokens.values.map(_.values.sum).sum.toDouble / nDocs
+    val df = terms.map(t => t -> tf.values.count(_.contains(t)).toDouble).toMap
+    val expected = tf.toSeq.map { case (id, m) =>
+      val dl = m.values.sum.toDouble
+      val cs = terms.map { t =>
+        m.get(t).map { f =>
+          (nDocs - df(t) + 0.5) / (df(t) + 0.5) *
+            (f.toDouble * (k1 + 1.0)) /
+            (f.toDouble + k1 * ((1.0 - b) + b * dl / avgdl))
+        }
+      }
+      (id, cs.map(_.getOrElse(0.0)).reduceLeft(_ + _), cs)
+    }.filter(_._3.exists(_.isDefined))
+      .sortBy { case (id, score, _) => (-score, id) }.take(50)
+      .map { case (id, score, cs) =>
+        (id, score, cs.map(_.map(Double.box).orNull).toList) }
+    val got = TfIdf.bm25TopK(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getDouble(1),
+        (2 to 4).map(i =>
+          if (r.isNullAt(i)) null else Double.box(r.getDouble(i))).toList)
+    }.toList
+    assert(got == expected.toList)
+  }
 }
