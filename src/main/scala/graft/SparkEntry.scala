@@ -805,7 +805,7 @@ object SparkEntry {
     // near-dup CLUSTERS: connected components of the exact-Jaccard pair
     // graph via hash-min label propagation; oracle replays it with a
     // recursive CTE (min over the transitive closure)
-    "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(s, dir)),
+    "dedup_clusters" -> ((s, dir) => NearDup.nearDupClustersCached(s, dir)),
     // canonical keeper per cluster: highest-quality member wins (ties ->
     // lowest doc_id); quality scored only for cluster members, argmax is
     // a WindowGroupLimit top-1 per cluster

@@ -345,6 +345,27 @@ object NearDup {
         col("cluster_size"))
   }
 
+  /** Scratch-parquet memo of the converged cluster labeling — consumed
+    * by BOTH the dedup_clusters report and canonicalKeepers; without it
+    * the label-propagation loop (the only iterative operator in the
+    * repo) runs twice per gate/bench sweep. Same rationale and lifecycle
+    * as [[ngramJaccardPairsCached]]: deterministic relation, tiny file,
+    * none of the persist-across-clearCache failure modes.
+    */
+  private val clusterPaths =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), String]()
+
+  def nearDupClustersCached(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val path = clusterPaths.computeIfAbsent((dir, threshold), _ => {
+      val p = graft.util.Scratch.dir("graft_clusters").resolve("clusters").toString
+      nearDupClusters(s, dir, threshold)
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Canonical-keeper selection — the curation step that CONSUMES
     * [[nearDupClusters]]: per near-dup cluster keep the single
     * highest-quality document (ties broken by lowest doc_id), drop the
@@ -367,7 +388,7 @@ object NearDup {
     */
   def canonicalKeepers(s: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val clusters = nearDupClusters(s, dir, threshold)
+    val clusters = nearDupClustersCached(s, dir, threshold)
     val members = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .join(clusters, "doc_id")
