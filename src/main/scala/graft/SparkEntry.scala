@@ -345,6 +345,12 @@ object SparkEntry {
     // one-shot cur_top_tokens
     "stream_vocab_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayTopTokensIncremental(s, dir)),
+    // incremental JOIN-view maintenance (delta-merge): per batch, join
+    // ONLY the batch to the broadcast dim and merge mergeable aggregates
+    // into the |groups|-row stored view — must equal the one-shot
+    // join+agg over all facts
+    "stream_mv_join_incremental" -> ((s, dir) =>
+      graft.operators.IncrementalView.revenueBySegmentIncremental(s, dir)),
     "stream_neardup_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayNearDupIncremental(s, dir)),
 
@@ -2182,6 +2188,14 @@ object SparkEntry {
         |  FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+
+    // the maintained join view must equal the one-shot join+aggregate
+    "stream_mv_join_incremental" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "dedup_simhash" -> graft.oracle.XxhOracleSql.simhashReport(),
 
     // connected components of the 0.5-Jaccard pair graph, replayed with

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Incremental maintenance of a materialized JOIN view — the delta-merge
+  * pattern: when fact batches arrive, the view is refreshed by joining
+  * ONLY the batch against the dimension and merging mergeable aggregates
+  * (SUM/COUNT) into the stored view, never by recomputing over the full
+  * fact history. Complements the LSM-partials pattern in
+  * `Curation.appendTokenCountBatch` (append + compact): here each batch
+  * produces the NEW consolidated view generation directly, because the
+  * view is small (|groups| rows — segments, not facts).
+  *
+  * Scale shape per batch: one broadcast join (dimension side), one
+  * map-side-combined partial aggregation of the batch, one |groups|-row
+  * merge. Work is O(batch), state is O(|groups|); the fact table's full
+  * volume is never rescanned. Generations are written to distinct paths
+  * (write-then-advance), so a failed refresh leaves the previous
+  * generation intact — the same staging discipline as
+  * `Compaction`/`MergeOps`.
+  *
+  * Determinism: revenue accumulates as DECIMAL(18,2) (exact for 2-dp
+  * prices) and converts to double only in the final projection, so
+  * neither batch arrival order nor partition order can perturb the
+  * result — which is what lets the oracle be the ONE-SHOT join+agg SQL.
+  */
+object IncrementalView {
+
+  /** Revenue-by-segment view maintained over `nBatches` deterministic
+    * arrival slices of the orders table; returns the final view, which
+    * must equal the one-shot join+aggregate over all orders.
+    */
+  def revenueBySegmentIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val root = graft.util.Scratch.dir("graft_mv_rev")
+    var current: Option[String] = None
+    (0 until nBatches).foreach { b =>
+      val batch = Tables.orders(s, dir)
+        .where(pmod(col("o_orderkey"), lit(nBatches)) === b)
+      val delta = batch
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val merged = current match {
+        case None => delta
+        case Some(prev) =>
+          s.read.parquet(prev).unionByName(delta)
+            .groupBy(col("c_mktsegment"))
+            .agg(sum(col("revenue")).as("revenue"),
+              sum(col("n_orders")).as("n_orders"))
+      }
+      val gen = root.resolve(s"gen_$b").toString
+      // the |groups|-row view compacts to one file; write-then-advance
+      merged.coalesce(1).write.mode("overwrite").parquet(gen)
+      current = Some(gen)
+    }
+    s.read.parquet(current.get)
+      .select(col("c_mktsegment"),
+        col("revenue").cast("double").as("revenue"), col("n_orders"))
+  }
+}
