@@ -280,6 +280,12 @@ object SparkEntry {
     "stream_latest_per_pair" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayLatestPerPair(s, dir)),
 
+    // the SAME stateful semantics on the arbitrary-stateful V2 API
+    // (transformWithState + RocksDB provider, Spark 4) — the two APIs
+    // must converge to the identical batch argmax
+    "stream_latest_tws" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayLatestPerPairTws(s, dir)),
+
     // §2.10 WATERMARKED window replay: tumbling-window aggregation driven
     // through ordered micro-batches; append mode must emit exactly the
     // windows whose end passed the final watermark — watermark semantics
@@ -1415,6 +1421,14 @@ object SparkEntry {
     // the stateful stream's converged state = the batch per-pair argmax
     // under the (event_time, event_id) total order
     "stream_latest_per_pair" ->
+      s"""WITH $RatesCte
+         |SELECT ccy_couple, event_time, rate, event_id
+         |FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple
+         |        ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |WHERE rn = 1""".stripMargin,
+
+    // identical oracle: API version must not change the converged state
+    "stream_latest_tws" ->
       s"""WITH $RatesCte
          |SELECT ccy_couple, event_time, rate, event_id
          |FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple

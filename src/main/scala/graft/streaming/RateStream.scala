@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.ingest.MergeOps
 
@@ -227,5 +229,46 @@ object RateStream {
             case _ => Iterator.empty
           }
       }
+  }
+
+  /** The same latest-per-pair semantics on the arbitrary-stateful V2 API
+    * (`transformWithState`, Spark 4): composable named state instead of
+    * one opaque state value, timers available, RocksDB-backed. Semantics
+    * are IDENTICAL to [[latestPerPair]] by construction (same advance
+    * predicate, same emissions), so the replay gate can check the new
+    * API against the same batch-argmax oracle.
+    */
+  private class LatestPerPairProcessor
+      extends StatefulProcessor[String, RateUpdate, LatestRate] {
+    @transient private var latest: ValueState[LatestRate] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[LatestRate]("latest",
+        Encoders.product[LatestRate], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[RateUpdate],
+        timerValues: TimerValues): Iterator[LatestRate] = {
+      val incoming = rows.maxByOption(r => (r.event_time, r.event_id))
+      val current = if (latest.exists()) Some(latest.get()) else None
+      incoming match {
+        case Some(r) if current.forall(c => c.event_time < r.event_time ||
+            (c.event_time == r.event_time && c.event_id < r.event_id)) =>
+          val next = LatestRate(key, r.event_time, r.rate, r.event_id)
+          latest.update(next)
+          Iterator.single(next)
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  /** [[latestPerPair]] on the transformWithState API. Requires the
+    * RocksDB state store provider (the V2 operator rejects the default
+    * HDFS-backed provider) — see StreamReplay.withRocksDbStateStore.
+    */
+  def latestPerPairTws(updates: Dataset[RateUpdate]): Dataset[LatestRate] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.ccy_couple)
+      .transformWithState(new LatestPerPairProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
@@ -942,7 +942,32 @@ object StreamReplay {
     * repeated bench invocations don't accumulate driver memory.
     */
   def replayLatestPerPair(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame =
+    replayLatestImpl(s, dir, nBatches, RateStream.latestPerPair)
+
+  /** The same replay through the transformWithState (arbitrary-stateful
+    * V2) implementation — same batch-argmax oracle, since the two APIs
+    * implement the identical advance predicate. The V2 operator requires
+    * the RocksDB state store provider; it is scoped to this replay and
+    * restored after, so the V1 operators keep their default provider
+    * (and their existing checkpoints stay compatible).
+    */
+  def replayLatestPerPairTws(s: SparkSession, dir: String,
       nBatches: Int = 3): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try replayLatestImpl(s, dir, nBatches, RateStream.latestPerPairTws)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private def replayLatestImpl(s: SparkSession, dir: String, nBatches: Int,
+      transform: Dataset[RateStream.RateUpdate] => Dataset[RateStream.LatestRate])
+      : DataFrame = {
     import s.implicits._
     val tmp = Scratch.dir("graft_latest_replay")
     val feed = tmp.resolve("feed").toString
@@ -958,7 +983,7 @@ object StreamReplay {
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
       .as[RateStream.RateUpdate]
-    val query = RateStream.latestPerPair(stream)
+    val query = transform(stream)
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update)

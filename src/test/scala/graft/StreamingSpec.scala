@@ -430,4 +430,18 @@ class StreamingSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("transformWithState latest-per-pair converges to the V1 state") {
+    val dir = sf("sf0.001")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    val v1 = asSet(graft.streaming.StreamReplay.replayLatestPerPair(spark, dir))
+    val v2 = asSet(graft.streaming.StreamReplay.replayLatestPerPairTws(spark, dir))
+    assert(v1 == v2 && v1.nonEmpty)
+    // the RocksDB override must not leak into the session
+    assert(spark.conf.getOption(providerKey) == before)
+  }
 }
