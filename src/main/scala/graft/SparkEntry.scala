@@ -941,6 +941,11 @@ object SparkEntry {
     // frame window fingerprinted BEFORE any decode (sample-then-decode)
     "mm_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.frameSamples(s, dir)),
+    // audio windowing on the opaque payloads: 8-bit-PCM windows with
+    // exact-integer energy/peak — the silence/clipping prefilter runs
+    // BEFORE any decode, same sample-then-decode shape as the video path
+    "mm_audio_windows" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioWindows(s, dir)),
     // per-label centroids: distributed vector aggregation (IVF training
     // step). Emitted as (label, pos, c) scalar rows — one row per centroid
     // component, 1-based pos — because the oracle gate cannot sort/hash
@@ -2871,6 +2876,32 @@ object SparkEntry {
         |            THEN hh - 18446744073709551616::HUGEINT ELSE hh END
         |       AS BIGINT) AS frame_hash
         |FROM h""".stripMargin,
+
+    // audio stub replay: same hex-pair byte extraction, plain BIGINT
+    // arithmetic (no wrapping — window energy tops out at 200·128²)
+    "mm_audio_windows" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), w AS (
+        |  SELECT doc_id, hx, unnest(range(0, len // 200)) AS i
+        |  FROM m WHERE len >= 200
+        |), b AS (
+        |  SELECT doc_id, i, i * 200 AS off,
+        |    list_transform(range(i * 200, i * 200 + 200),
+        |      j -> 16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |           + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |           - 128) AS cs
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS win_idx,
+        |  CAST(off AS INTEGER) AS win_off,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(cs, c -> CAST(c * c AS BIGINT))),
+        |    (acc, x) -> acc + x) AS energy,
+        |  CAST(list_max(list_transform(cs, c -> abs(c))) AS INTEGER) AS peak
+        |FROM b""".stripMargin,
 
     "sim_label_centroid" ->
       """WITH un AS (

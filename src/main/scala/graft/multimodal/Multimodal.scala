@@ -114,6 +114,47 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class AudioWindow(doc_id: Long, win_idx: Int, win_off: Int,
+      energy: Long, peak: Int)
+
+  /** Audio windowing over the OPAQUE payload (the audio analog of
+    * [[frameSamples]]): the stub codec treats the bytes as 8-bit PCM
+    * mono and cuts non-overlapping `windowBytes` windows (short tail
+    * dropped — a real resampler pads or drops the same way); per window
+    * it computes the exact-integer signal stats a silence/clipping
+    * filter needs BEFORE any decode: energy = Σ(b−128)² and peak
+    * amplitude = max |b−128|. Integer arithmetic only (max window energy
+    * 200·128² ≈ 3.3e6 — fits BIGINT with no wrapping), so the DuckDB
+    * oracle replays it exactly from the hex payload.
+    *
+    * Pure narrow flatMap — per-record fan-out, no shuffle at any corpus
+    * size; window selection (e.g. top-energy segments for a speech
+    * model) then rides normal relational operators downstream.
+    */
+  def audioWindows(spark: SparkSession, dir: String,
+      windowBytes: Int = 200): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter((r: MediaRecord) => r.kind == "audio")
+      .flatMap { r =>
+        val len = r.bytes.length
+        (0 until len / windowBytes).iterator.map { i =>
+          val off = i * windowBytes
+          var energy = 0L
+          var peak = 0
+          var j = off
+          while (j < off + windowBytes) {
+            val c = (r.bytes(j) & 0xFF) - 128
+            energy += c.toLong * c
+            val a = math.abs(c)
+            if (a > peak) peak = a
+            j += 1
+          }
+          AudioWindow(r.doc_id, i, off, energy, peak)
+        }
+      }.toDF()
+  }
+
   /** The FEATURE path surfaced as a query: the batched decode's 8-float
     * vector reduced to a deterministic scalar (sequential-fold sum in
     * double, rounded) — so the machinery the Dataset hop exists for

@@ -105,6 +105,28 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("audio windows: integer energy/peak match a driver recompute") {
+    val dir = sf("sf0.001")
+    val ws = Multimodal.audioWindows(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getInt(4)))
+    assert(ws.nonEmpty)
+    // only audio docs, contiguous window indexing, exact offsets
+    assert(ws.forall { case (id, i, off, e, p) =>
+      id % 3 == 1 && off == i * 200 && e >= 0 && p >= 0 && p <= 128 })
+    val docId = ws.head._1
+    val bytes = graft.model.Tables.documents(spark, dir)
+      .where(col("doc_id") === docId).select(col("text"))
+      .collect().head.getString(0).getBytes("UTF-8")
+    val mine = ws.filter(_._1 == docId).sortBy(_._2)
+    assert(mine.map(_._2).toSeq == (0 until bytes.length / 200).toSeq)
+    mine.foreach { case (_, i, off, e, p) =>
+      val cs = (off until off + 200).map(j => (bytes(j) & 0xFF) - 128)
+      assert(e == cs.map(c => c.toLong * c).sum)
+      assert(p == cs.map(math.abs).max)
+    }
+  }
+
   test("mm_features pins the decoded feature vector to a driver-side stub run") {
     val dir = sf("sf0.001")
     val row = Multimodal.featureTable(spark, dir)
