@@ -833,6 +833,12 @@ object SparkEntry {
     // generation predates a column
     "ing_schema_evolution" -> ((s, dir) =>
       graft.sources.SchemaEvolution.evolvedDocsRead(s, dir)),
+    // EXTERNAL CDC interop: Debezium-style op/before/after JSON envelopes
+    // parsed schema-first and adapted onto the engine's changelog
+    // contract; Cdc.applyChangelog reconstructs the final state
+    "ing_cdc_envelope" -> ((s, dir) =>
+      graft.ingest.CdcEnvelope.appliedState(s, dir)),
+
     // ORC round-trip: the events feed written to ORC (the other columnar
     // format a lakehouse ingests) and read back through Spark's native
     // ORC source; the aggregate must equal the parquet-derived oracle —
@@ -2317,6 +2323,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // envelope replay collapses to a relational definition: every
+    // non-deleted key survives with the after-image price (+1000 on all
+    // non-deletes — inserts carry the updated image too)
+    "ing_cdc_envelope" ->
+      """SELECT o_orderkey, o_custkey,
+        |  o_totalprice + 1000.0 AS o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin,
 
     // the round-trip must be lossless: aggregate straight off parquet
     "ing_orc_roundtrip" ->
