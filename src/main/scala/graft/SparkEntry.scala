@@ -453,9 +453,8 @@ object SparkEntry {
     // equi + range (band) join
     "q_shipped_within_90d" -> BreadthQueries.shippedWithin90d _,
     // gap-based sessionization (30-minute gap). Session bounds surface as
-    // epoch MICROsecond longs: events.ts is nanosecond-precision parquet,
-    // and raw timestamps hash differently across engines (ns survive in
-    // DuckDB, are truncated to µs in Spark).
+    // epoch MICROsecond longs so the hash compare is timezone- and
+    // engine-representation-independent (DuckDB NTZ vs Spark session-TZ).
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts",
           gapSeconds = 1800L, tiebreak = col("event_id"), valueCol = "value")

@@ -49,20 +49,37 @@ object CdcEnvelope {
       .otherwise(lit("c"))
     o.select(to_json(struct(
       op.as("op"),
-      unix_micros(col("o_orderdate").cast("timestamp")).as("ts_ms"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("ts_ms"),
       when(op =!= "c", rowImage).as("before"),
       when(op =!= "d", updated).otherwise(lit(null).cast(rowSchema))
         .as("after"))).as("payload"))
   }
+
+  /** A parsed envelope is usable iff it carries an op, a version stamp,
+    * and a key in at least one row image. PERMISSIVE `from_json` returns
+    * an all-null struct (not a null struct) for garbage input, so a bare
+    * `env IS NOT NULL` can never fire — the predicate must look inside.
+    */
+  private def wellFormed = col("env.op").isNotNull &&
+    col("env.ts_ms").isNotNull &&
+    coalesce(col("env.after.o_orderkey"), col("env.before.o_orderkey")).isNotNull
+
+  private def parsed(payloads: DataFrame): DataFrame =
+    payloads.select(col("payload"),
+      from_json(col("payload"), envelopeSchema).as("env"))
+
+  /** The quarantine side: raw payloads whose envelope failed the
+    * well-formedness contract, preserved verbatim for replay/inspection.
+    */
+  def quarantined(payloads: DataFrame): DataFrame =
+    parsed(payloads).where(!wellFormed).select(col("payload"))
 
   /** Parse envelopes onto the engine's changelog contract
     * (keys + cdc_batch + change_type + new_*): the key comes from
     * whichever row image the op carries, the version stamp from ts_ms.
     */
   def parseEnvelopes(payloads: DataFrame): DataFrame = {
-    val e = payloads.select(
-      from_json(col("payload"), envelopeSchema).as("env"))
-    e.where(col("env").isNotNull)
+    parsed(payloads).where(wellFormed)
       .select(
         coalesce(col("env.after.o_orderkey"), col("env.before.o_orderkey"))
           .as("o_orderkey"),

@@ -262,7 +262,9 @@ object MergeOps {
       .collect().map(_.getDate(0)).toSeq
     if (touched.isEmpty) return
     val existing = full.where(col("p_date").isin(touched: _*))
-    val survivors = existing.where(!pred)
+    // SQL DELETE semantics: a row is deleted only where pred is TRUE; a
+    // NULL-valued predicate keeps the row (bare `!pred` would drop it)
+    val survivors = existing.where(!coalesce(pred, lit(false)))
     val staging = new org.apache.hadoop.fs.Path(target + "__staging")
     val hPath = new org.apache.hadoop.fs.Path(target)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())

@@ -30,16 +30,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default. Read nanos as long (session-level
-    * legacy conf) and truncate to microsecond timestamps — the same ns→us
-    * truncation DuckDB applies, so oracle comparisons agree. `div` keeps
-    * the arithmetic integral (a double round-trip would lose precision at
-    * 1.7e18 nanos).
+  /** Schema-adaptive `events` read. The driver has shipped `ts` both as
+    * INT64 TIMESTAMP(NANOS) (which Spark only reads as raw longs, via the
+    * legacy conf) and as TIMESTAMP_NTZ microseconds — branch on the dtype
+    * the scan actually produces rather than hard-coding either era:
+    *   - `LongType`  → nanos: truncate integrally to µs (`div` keeps the
+    *     arithmetic exact at 1.7e18; matches DuckDB's ns→µs truncation).
+    *   - `TimestampNTZType` → cast to session-TZ timestamp; the session is
+    *     pinned UTC so the cast is value-stable and oracle-identical.
+    *   - `TimestampType` → already what every downstream operator expects.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -27,6 +27,14 @@ object Scratch {
     p
   }
 
+  /** Number of scratch directories handed out so far this JVM. A caller
+    * timing a query can diff this across the run to learn whether the
+    * query populated a path-memo (first computation) — i.e. whether a
+    * LATER run of the same query would read the memo instead of
+    * computing, and so cannot be compared against this one.
+    */
+  def allocated: Int = registered.synchronized(registered.size)
+
   def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       val s = Files.walk(p)

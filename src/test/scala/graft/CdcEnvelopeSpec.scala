@@ -20,9 +20,25 @@ class CdcEnvelopeSpec extends SparkSuite {
     val got = CdcEnvelope.parseEnvelopes(feed)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .toSet
-    // the malformed line is quarantined (from_json null), never a row
+    // the malformed line is quarantined, never a parsed row
     assert(got == Set((1L, 10L, "insert"), (2L, 20L, "update"),
       (3L, 30L, "delete")))
+    // and it IS routed to the quarantine side, verbatim
+    val q = CdcEnvelope.quarantined(feed).as[String].collect()
+    assert(q.toSeq == Seq("not json at all"))
+  }
+
+  test("quarantine catches structurally-valid JSON missing the contract") {
+    import spark.implicits._
+    val feed = Seq(
+      """{"op":null,"ts_ms":5,"before":null,"after":{"o_orderkey":1}}""",
+      """{"op":"c","ts_ms":null,"after":{"o_orderkey":1}}""",
+      """{"op":"c","ts_ms":6,"before":null,"after":null}""",
+      """{"op":"c","ts_ms":7,"after":{"o_orderkey":9,"o_custkey":1,"o_totalprice":1.0,"o_orderpriority":"X"}}"""
+    ).toDF("payload")
+    assert(CdcEnvelope.quarantined(feed).count() == 3L)
+    val ok = CdcEnvelope.parseEnvelopes(feed).collect()
+    assert(ok.length == 1 && ok(0).getLong(0) == 9L)
   }
 
   test("delete envelopes carry the key from before and null new_* values") {

@@ -189,6 +189,23 @@ class MergeOpsSpec extends SparkSuite {
     assert(jan12.getAs[java.math.BigDecimal]("rate").doubleValue() == 1.125)
   }
 
+  test("deleteWhere keeps rows where the predicate evaluates to NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_delete_null").toFile
+    val target = new java.io.File(dir, "rates").getAbsolutePath
+    MergeOps.mergeIntoDatePartitioned(target, fixture, keys, ordering)
+    val before = spark.read.parquet(target)
+    val total = before.count()
+    val eur = before.where(col("ccy_couple") === "EUR/USD").count()
+    assert(eur > 0 && eur < total)
+    // no `otherwise` → the predicate is NULL for every non-EUR row; SQL
+    // DELETE semantics say those rows SURVIVE (delete only where TRUE)
+    MergeOps.deleteWhere(spark, target,
+      when(col("ccy_couple") === "EUR/USD", lit(true)), keys)
+    val after = spark.read.parquet(target)
+    assert(after.count() == total - eur)
+    assert(after.where(col("ccy_couple") === "EUR/USD").count() == 0)
+  }
+
   test("deleteWhere retires keys, emits delete rows, prunes emptied partitions") {
     val dir = java.nio.file.Files.createTempDirectory("cdc_delete").toFile
     val target = new java.io.File(dir, "rates").getAbsolutePath
