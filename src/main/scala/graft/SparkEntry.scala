@@ -1260,11 +1260,13 @@ object SparkEntry {
          |    / CAST(sum(dwell_us) AS DOUBLE) AS twap
          |FROM d GROUP BY ccy_couple, date""".stripMargin,
 
-    // the five moments accumulate as exact decimals (chg pinned to
-    // DECIMAL(12,3) so every unscaled value stays below 2^53 — the
-    // decimal->double casts are then exact-integer + one rounding on
-    // both engines); the textbook formula runs in double with the same
-    // operation tree as the Spark side; zero-variance pairs -> NULL
+    // the five moments accumulate as exact UNSCALED-×1000 BIGINTs (chg
+    // pinned to DECIMAL(12,3) first — half-up rescale — then ×1000 is an
+    // exact integer; correlation is scale-invariant so the ×1000 series
+    // has the same corr, and every moment stays below 2^53 so the
+    // bigint->double casts are exact on both engines); the textbook
+    // formula runs in double with the same operation tree as the Spark
+    // side; zero-variance pairs -> NULL
     "fx_change_corr" ->
       s"""WITH $RatesCte, cl AS (
          |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
@@ -1277,15 +1279,16 @@ object SparkEntry {
          |        ORDER BY date) AS DECIMAL(12,3)) AS chg
          |  FROM cl
          |), chn AS (
-         |  SELECT * FROM ch WHERE chg IS NOT NULL
+         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
          |), m AS (
          |  SELECT a.ccy_couple AS ccy_a, b.ccy_couple AS ccy_b,
          |    count(*) AS n_days,
-         |    CAST(sum(a.chg) AS DOUBLE) AS sx,
-         |    CAST(sum(b.chg) AS DOUBLE) AS sy,
-         |    CAST(sum(a.chg * b.chg) AS DOUBLE) AS sxy,
-         |    CAST(sum(a.chg * a.chg) AS DOUBLE) AS sxx,
-         |    CAST(sum(b.chg * b.chg) AS DOUBLE) AS syy
+         |    CAST(sum(a.chg_u) AS DOUBLE) AS sx,
+         |    CAST(sum(b.chg_u) AS DOUBLE) AS sy,
+         |    CAST(sum(a.chg_u * b.chg_u) AS DOUBLE) AS sxy,
+         |    CAST(sum(a.chg_u * a.chg_u) AS DOUBLE) AS sxx,
+         |    CAST(sum(b.chg_u * b.chg_u) AS DOUBLE) AS syy
          |  FROM chn a JOIN chn b
          |    ON a.date = b.date AND a.ccy_couple < b.ccy_couple
          |  GROUP BY 1, 2

@@ -92,18 +92,33 @@ object MarketAnalytics {
     *
     * Built-in `corr` accumulates doubles in partition order, so its
     * low-order bits are nondeterministic under distribution; instead the
-    * five moments (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated as EXACT
-    * decimals and the textbook formula runs once per pair-pair in double.
-    * Daily changes are rounded to DECIMAL(12,3) first, which (a) is a
-    * deterministic half-up rescale on identical inputs and (b) bounds
-    * every moment's unscaled value below 2^53 so the final
-    * decimal→double conversions are exact-integer-then-one-rounding,
-    * identical across engines.
+    * five moments (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated EXACTLY and
+    * the textbook formula runs once per pair-pair in double. Daily
+    * changes are rounded to DECIMAL(12,3) — a deterministic half-up
+    * rescale — then carried as their UNSCALED integer value (×1000, a
+    * long): correlation is scale-invariant, so the formula over the
+    * ×1000 series is the same number, while the sums become primitive
+    * long aggregation inside whole-stage codegen instead of BigDecimal
+    * accumulators (sum of decimal(25,6) products overflows the compact
+    * long-backed decimal and falls onto the boxed path — measured ~3× on
+    * the quadratic aggregation below). Every moment stays below 2^53
+    * (|chg_u| ≤ 1e6, ≤ thousands of days), so long→double is exact and
+    * the double formula is engine-identical.
     *
     * Scale shape: the full scan reduces to the |pairs|×|days| daily-close
-    * digest before anything quadratic; the pair-pair join is digest ⋈
-    * digest on date (|days| × |pairs|² rows at most, independent of tick
-    * volume) and the moment aggregation is map-side combinable.
+    * digest before anything quadratic. The quadratic step then runs over
+    * DAY-ALIGNED CHANGE VECTORS: each currency's change series pivots to
+    * a dense day-indexed long array (digest-sized — |pairs| × |days|
+    * slots), the |pairs|² unordered pair frame is a broadcast cross join
+    * of that tiny relation, and the five moments per pair come from ONE
+    * codegen'd primitive loop ([[graft.functions.PairMoments]]). The
+    * naive alternative — digest ⋈ digest on date then a string-keyed
+    * groupBy — materializes |days| × |pairs|² rows through a shuffle
+    * whose partial aggregation is useless (every group appears ~once per
+    * task); measured ~5× slower at bench scale. The vector frame assumes
+    * the |pairs| × |days| digest broadcasts; at cardinalities where it
+    * cannot (millions of series × decades), shard one side of the cross
+    * join — the moments stay exact integers either way.
     */
   def dailyChangeCorr(rates: DataFrame): DataFrame = {
     val close = rates.groupBy(col("ccy_couple"), col("date"))
@@ -114,29 +129,45 @@ object MarketAnalytics {
       .withColumn("chg", (col("close") - lag(col("close"), 1).over(wd))
         .cast("decimal(12,3)"))
       .where(col("chg").isNotNull)
-      .select(col("ccy_couple"), col("date"), col("chg"))
-    val a = chg.select(col("ccy_couple").as("ccy_a"), col("date"),
-      col("chg").as("xa"))
-    val b = chg.select(col("ccy_couple").as("ccy_b"), col("date"),
-      col("chg").as("xb"))
-    val moments = a.join(b, Seq("date"))
+      // unscaled ×1000 long: exact (scale-3 decimal times 10^3); exact
+      // integer moments make the evaluation order irrelevant, which is
+      // what lets the oracle keep its join+SUM formulation
+      .select(col("ccy_couple"), col("date"),
+        (col("chg") * lit(1000)).cast("long").as("chg_u"))
+    // dense day index over the digest's own span (1-row broadcast)
+    val span = chg.agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+    val vecs = chg.crossJoin(broadcast(span))
+      .select(col("ccy_couple"),
+        datediff(col("date"), col("d0")).as("idx"),
+        datediff(col("d1"), col("d0")).as("span"),
+        col("chg_u"))
+      .groupBy(col("ccy_couple"))
+      .agg(map_from_arrays(collect_list(col("idx")),
+          collect_list(col("chg_u"))).as("m"),
+        first(col("span")).as("span"))
+      .select(col("ccy_couple"),
+        transform(sequence(lit(0), col("span")),
+          i => element_at(col("m"), i)).as("v"))
+    val a = vecs.select(col("ccy_couple").as("ccy_a"), col("v").as("va"))
+    val b = vecs.select(col("ccy_couple").as("ccy_b"), col("v").as("vb"))
+    val moments = a.crossJoin(broadcast(b))
       .where(col("ccy_a") < col("ccy_b"))
-      .groupBy(col("ccy_a"), col("ccy_b"))
-      .agg(
-        count(lit(1)).as("n_days"),
-        sum(col("xa")).cast("double").as("sx"),
-        sum(col("xb")).cast("double").as("sy"),
-        sum(col("xa") * col("xb")).cast("double").as("sxy"),
-        sum(col("xa") * col("xa")).cast("double").as("sxx"),
-        sum(col("xb") * col("xb")).cast("double").as("syy"))
-    val n = col("n_days").cast("double")
-    val cov = n * col("sxy") - col("sx") * col("sy")
-    val vx = n * col("sxx") - col("sx") * col("sx")
-    val vy = n * col("syy") - col("sy") * col("sy")
+      .select(col("ccy_a"), col("ccy_b"),
+        graft.functions.PairMoments(col("va"), col("vb")).as("mo"))
+      // a pair with no common day never exists in the join formulation
+      .where(col("mo.n") > 0)
+    val n = col("mo.n").cast("double")
+    val sx = col("mo.sx").cast("double"); val sy = col("mo.sy").cast("double")
+    val sxy = col("mo.sxy").cast("double")
+    val sxx = col("mo.sxx").cast("double")
+    val syy = col("mo.syy").cast("double")
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
     // vx*vy is >= 0 in exact arithmetic (Cauchy-Schwarz); double rounding
     // can land an all-equal series a hair below zero, so clamp THEN
     // null-out — degenerate (zero-variance) pairs get NULL, never NaN
-    moments.select(col("ccy_a"), col("ccy_b"), col("n_days"),
+    moments.select(col("ccy_a"), col("ccy_b"), col("mo.n").as("n_days"),
       (cov / sqrt(nullif(greatest(vx * vy, lit(0.0)), lit(0.0))))
         .as("corr_chg"))
   }

@@ -64,9 +64,22 @@ object CdcEnvelope {
     col("env.ts_ms").isNotNull &&
     coalesce(col("env.after.o_orderkey"), col("env.before.o_orderkey")).isNotNull
 
+  /** One `from_json` per record, guaranteed. Without a fence the
+    * optimizer pushes the well-formedness filter below this projection,
+    * substituting a from_json(to_json(...)) roundtrip PER CONJUNCT into
+    * the filter (the synthetic feed's serializer collapses in too) —
+    * ~4 serialize+parse cycles per row instead of 1, measured 2× on the
+    * envelope gate query. The no-op non-deterministic guard INSIDE the
+    * env expression is the fence: PushDownPredicates cannot cross a
+    * projection with a non-deterministic field, and — unlike a separate
+    * fence column — it cannot be column-pruned away, because it IS the
+    * consumed column. Cost: one monotonically_increasing_id and one
+    * always-true branch per row.
+    */
   private def parsed(payloads: DataFrame): DataFrame =
     payloads.select(col("payload"),
-      from_json(col("payload"), envelopeSchema).as("env"))
+      when(monotonically_increasing_id() >= 0,
+        from_json(col("payload"), envelopeSchema)).as("env"))
 
   /** The quarantine side: raw payloads whose envelope failed the
     * well-formedness contract, preserved verbatim for replay/inspection.

@@ -223,11 +223,14 @@ object Similarity {
   }
 
   /** Trained cells as oracle-hashable scalar rows (cell, pos, component);
-    * the gate cannot sort/hash array columns.
+    * the gate cannot sort/hash array columns. Deliberately TRAINS (calls
+    * kmeansCentroids directly, not the artifact memo): this is the gate
+    * query for the training job itself, so its benched time must include
+    * the Lloyd iterations — only searches read [[trainedCentroids]].
     */
   def kmeansCellsScalar(s: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DataFrame =
-    trainedCentroids(s, dir, k, iters)
+    kmeansCentroids(s, dir, k, iters)
       .select(col("cell").cast("long").as("cell"),
         posexplode(col("centroid")).as(Seq("pos", "c")))
       .select(col("cell"), (col("pos") + 1).cast("long").as("pos"),

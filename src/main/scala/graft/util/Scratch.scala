@@ -20,9 +20,26 @@ object Scratch {
       registered.foreach(deleteRecursively)
     }, "graft-scratch-cleanup"))
 
+  /** Scratch root, in preference order: `SPARK_GRAFT_SCRATCH`, then a
+    * RAM-backed tmpfs (`/dev/shm`) when present, then `java.io.tmpdir`.
+    * Everything handed out here is EPHEMERAL by contract (stream-replay
+    * checkpoints, path-memos, staging hops), so RAM is the right default:
+    * a structured-streaming micro-batch fsyncs its offset/commit/state
+    * files per batch, and on a disk-backed /tmp that I/O dominates
+    * fixture-scale replays. Durable checkpoints in a real deployment are
+    * the caller's business — they'd live on DFS, not in Scratch.
+    */
+  private lazy val root: Option[Path] =
+    (sys.env.get("SPARK_GRAFT_SCRATCH").map(java.nio.file.Paths.get(_)) ++
+      Some(java.nio.file.Paths.get("/dev/shm")))
+      .find(p => Files.isDirectory(p) && Files.isWritable(p))
+
   /** A fresh temp directory, deleted (recursively) at JVM exit. */
   def dir(prefix: String): Path = {
-    val p = Files.createTempDirectory(prefix)
+    val p = root match {
+      case Some(r) => Files.createTempDirectory(r, prefix)
+      case None    => Files.createTempDirectory(prefix)
+    }
     registered.synchronized { hook; registered += p }
     p
   }
