@@ -38,9 +38,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that THROWS must never contribute a wall-clock number: a
+    // fail-fast analysis error "runs" in ~50ms and silently deflates the
+    // committed total (round 12's 53 broken queries made its headline
+    // uninterpretable). Failed queries are reported by name in an
+    // "errors" field and excluded from the total and per-query map.
+    val failed = scala.collection.mutable.Set.empty[String]
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       // clearCache between queries: operators that persist intermediate
       // relations (near-dup signatures) would otherwise accumulate caches
@@ -59,16 +66,16 @@ object Bench {
     val memoBacked = scala.collection.mutable.Set.empty[String]
     val warm = queries.map { case (name, fn) =>
       val before = graft.util.Scratch.allocated
-      val t = timeOnce(fn)
+      val t = timeOnce(name, fn)
       if (graft.util.Scratch.allocated > before) memoBacked += name
       name -> t
     }
     val firstPass = queries.map { case (name, fn) =>
-      val (a, b) = (timeOnce(fn), timeOnce(fn))
+      val (a, b) = (timeOnce(name, fn), timeOnce(name, fn))
       val two = math.min(a, b)
       // disagreement >1.5× means at least one pass was contended; a third
       // sample makes the min robust to noise spanning a whole pass
-      name -> (if (math.max(a, b) > two * 1.5) math.min(two, timeOnce(fn))
+      name -> (if (math.max(a, b) > two * 1.5) math.min(two, timeOnce(name, fn))
                else two)
     }
     // Suite-end de-contention: a co-tenant burst spanning ALL passes of
@@ -80,7 +87,7 @@ object Bench {
     val results = firstPass.map { case (name, v) =>
       val w = warm.getOrElse(name, 0.0)
       name -> (if (w > 0 && v > w * 1.5 && !memoBacked(name))
-                 math.min(v, timeOnce(queries(name)))
+                 math.min(v, timeOnce(name, queries(name)))
                else v)
     }
     // Cross-ROUND anchor: the warmup guard above still commits a bad
@@ -117,7 +124,7 @@ object Bench {
     val anchored = results.map { case (name, v) =>
       priorValues.get(name) match {
         case Some(p) if p > 0 && v > p * 1.5 && !memoBacked(name) =>
-          name -> math.min(v, timeOnce(queries(name)))
+          name -> math.min(v, timeOnce(name, queries(name)))
         case _ => name -> v
       }
     }
@@ -129,11 +136,13 @@ object Bench {
     // would emit comma decimals on e.g. a de_DE JVM — invalid JSON.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = anchored.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val ok = anchored.filterNot { case (k, _) => failed(k) }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (anchored.nonEmpty) anchored.values.sum else 0.0
-    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${anchored.size},"sf":"$sfDir"}""")
+    val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
