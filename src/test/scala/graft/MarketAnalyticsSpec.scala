@@ -75,4 +75,17 @@ class MarketAnalyticsSpec extends SparkSuite {
         assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
     }
   }
+
+  test("daily-change corr plan: broadcast pair frame, no shuffle in the quadratic stage") {
+    val plan = MarketAnalytics.dailyChangeCorr(rates)
+      .queryExecution.executedPlan.toString
+    // the |pairs|^2 frame is a broadcast nested-loop over the tiny vector
+    // relation — the |days| x |pairs|^2 row explosion through an Exchange
+    // (the join-then-groupBy shape) must never come back
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("pair_moments"))
+    // no aggregation after the pair frame: PairMoments IS the aggregation
+    val afterJoin = plan.substring(0, plan.indexOf("BroadcastNestedLoopJoin"))
+    assert(!afterJoin.contains("HashAggregate"))
+  }
 }
