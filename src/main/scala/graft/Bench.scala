@@ -38,31 +38,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
-    // A query that THROWS must never contribute a wall-clock number: a
+    // A sample that THROWS must never contribute a wall-clock number: a
     // fail-fast analysis error "runs" in ~50ms and silently deflates the
     // committed total (round 12's 53 broken queries made its headline
-    // uninterpretable). Failed queries are reported by name in an
-    // "errors" field and excluded from the total and per-query map.
+    // uninterpretable). A failed sample returns MaxValue so min-of-k
+    // keeps any sample that DID succeed; only a query with zero
+    // successful samples is excluded from the map and total, reported by
+    // name in an "errors" field.
     val failed = scala.collection.mutable.Set.empty[String]
+    val succeeded = scala.collection.mutable.Set.empty[String]
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // clearCache between queries: operators that persist intermediate
       // relations (near-dup signatures) would otherwise accumulate caches
       // across the 3×N query executions and skew later measurements
       spark.catalog.clearCache()
-      dt
+      if (ok) { succeeded += name; dt }
+      else { failed += name; Double.MaxValue }
     }
     // The warmup pass is TIMED (it was previously discarded): its value is
     // inflated by codegen/JIT compilation, which makes it a conservative
     // per-query ceiling — a steady-state min should land well UNDER it.
     // It also detects MEMO-BACKED queries (ones that populate a scratch
-    // path-memo on first computation): their later runs read the memo
-    // instead of computing, so a suite-end re-sample of them measures a
-    // different, always-faster regime and must never anchor the
-    // committed number.
+    // path-memo on FIRST computation and read it thereafter): a suite-end
+    // re-sample of those measures a different, always-faster regime and
+    // must never anchor the committed number. Populating alone is not
+    // enough evidence — stream replays and maintenance queries allocate a
+    // FRESH scratch tree on every run (same regime every time, re-samples
+    // valid) — so a query is only memo-backed if the warmup allocated AND
+    // a later pass did not.
     val memoBacked = scala.collection.mutable.Set.empty[String]
     val warm = queries.map { case (name, fn) =>
       val before = graft.util.Scratch.allocated
@@ -71,7 +80,11 @@ object Bench {
       name -> t
     }
     val firstPass = queries.map { case (name, fn) =>
-      val (a, b) = (timeOnce(name, fn), timeOnce(name, fn))
+      val before = graft.util.Scratch.allocated
+      val a = timeOnce(name, fn)
+      // allocated again post-warmup → fresh scratch every run, not a memo
+      if (graft.util.Scratch.allocated > before) memoBacked -= name
+      val b = timeOnce(name, fn)
       val two = math.min(a, b)
       // disagreement >1.5× means at least one pass was contended; a third
       // sample makes the min robust to noise spanning a whole pass
@@ -136,13 +149,14 @@ object Bench {
     // would emit comma decimals on e.g. a de_DE JVM — invalid JSON.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val ok = anchored.filterNot { case (k, _) => failed(k) }
+    val broken = failed.diff(succeeded) // zero successful samples
+    val ok = anchored.filterNot { case (k, _) => broken(k) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = broken.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${broken.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,7 +18,11 @@ import org.apache.spark.sql.types._
   *
   * All accumulation is exact 64-bit integer arithmetic, so the result is
   * bit-identical to any other evaluation order — the DuckDB oracle keeps
-  * its join+SUM formulation and still hash-matches.
+  * its join+SUM formulation and still hash-matches. Accumulation uses
+  * `Math.addExact`/`multiplyExact` (intrinsified, effectively free): a
+  * silent Java wrap on a pathological series would diverge from both
+  * ANSI Spark arithmetic and DuckDB (which raise), turning an overflow
+  * into wrong answers instead of one loud error.
   */
 case class PairMoments(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,8 +41,11 @@ case class PairMoments(left: Expression, right: Expression)
     while (i < len) {
       if (!x.isNullAt(i) && !y.isNullAt(i)) {
         val xi = x.getLong(i); val yi = y.getLong(i)
-        n += 1L; sx += xi; sy += yi
-        sxy += xi * yi; sxx += xi * xi; syy += yi * yi
+        n += 1L
+        sx = Math.addExact(sx, xi); sy = Math.addExact(sy, yi)
+        sxy = Math.addExact(sxy, Math.multiplyExact(xi, yi))
+        sxx = Math.addExact(sxx, Math.multiplyExact(xi, xi))
+        syy = Math.addExact(syy, Math.multiplyExact(yi, yi))
       }
       i += 1
     }
@@ -61,8 +68,12 @@ case class PairMoments(left: Expression, right: Expression)
          |for (int $i = 0; $i < $len; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
          |    long $xi = $a.getLong($i); long $yi = $b.getLong($i);
-         |    $n += 1L; $sx += $xi; $sy += $yi;
-         |    $sxy += $xi * $yi; $sxx += $xi * $xi; $syy += $yi * $yi;
+         |    $n += 1L;
+         |    $sx = java.lang.Math.addExact($sx, $xi);
+         |    $sy = java.lang.Math.addExact($sy, $yi);
+         |    $sxy = java.lang.Math.addExact($sxy, java.lang.Math.multiplyExact($xi, $yi));
+         |    $sxx = java.lang.Math.addExact($sxx, java.lang.Math.multiplyExact($xi, $xi));
+         |    $syy = java.lang.Math.addExact($syy, java.lang.Math.multiplyExact($yi, $yi));
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

@@ -44,9 +44,15 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => df
-      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.parquet ts arrived as $other — the testdata generator " +
+          "shipped a NEW physical type; teach Tables.events this era " +
+          "first (every fx_*/rates/streaming query depends on it). A " +
+          "silent cast here would turn one clear failure into dozens of " +
+          "wrong-value results.")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

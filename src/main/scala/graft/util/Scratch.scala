@@ -29,10 +29,20 @@ object Scratch {
     * fixture-scale replays. Durable checkpoints in a real deployment are
     * the caller's business — they'd live on DFS, not in Scratch.
     */
-  private lazy val root: Option[Path] =
-    (sys.env.get("SPARK_GRAFT_SCRATCH").map(java.nio.file.Paths.get(_)) ++
-      Some(java.nio.file.Paths.get("/dev/shm")))
-      .find(p => Files.isDirectory(p) && Files.isWritable(p))
+  private lazy val root: Option[Path] = {
+    val explicit = sys.env.get("SPARK_GRAFT_SCRATCH").map { d =>
+      val p = java.nio.file.Paths.get(d)
+      Files.createDirectories(p) // an explicit override must be honored
+      p
+    }
+    // /dev/shm only qualifies when it can actually hold replay feeds +
+    // tables + checkpoints: containers often mount a 64 MB shm, where
+    // every streaming query would die with ENOSPC
+    val shm = Some(java.nio.file.Paths.get("/dev/shm")).filter(p =>
+      Files.isDirectory(p) && Files.isWritable(p) &&
+        p.toFile.getUsableSpace > 8L * 1024 * 1024 * 1024)
+    explicit.orElse(shm)
+  }
 
   /** A fresh temp directory, deleted (recursively) at JVM exit. */
   def dir(prefix: String): Path = {

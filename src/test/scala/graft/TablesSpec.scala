@@ -48,6 +48,16 @@ class TablesSpec extends SparkSuite {
     assert(got == base.getEpochSecond * 1000000L + 1L)
   }
 
+  test("an unknown ts era fails loudly instead of casting silently") {
+    import spark.implicits._
+    val tmp = graft.util.Scratch.dir("tables_bad_era").toString
+    Seq((1L, 7L, "view", 0.5, "2024-01-01 00:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val e = intercept[IllegalStateException] { Tables.events(spark, tmp) }
+    assert(e.getMessage.contains("NEW physical type"))
+  }
+
   test("rates view exposes the reference exchange-rates model") {
     val r = Tables.rates(spark, dir)
     assert(r.schema.fieldNames.toSeq ==
