@@ -176,6 +176,22 @@ object SparkEntry {
     "fx_change_corr" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.dailyChangeCorr(rates(s, dir))),
 
+    // per-pair OLS trend over daily closes: slope/intercept/r² from
+    // exact integer moments (one map-side-combinable groupBy over the
+    // daily-close digest — no joins, no windows, nothing quadratic)
+    "fx_trend_ols" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.trendOls(rates(s, dir))),
+
+    // per-pair volatility: sample stddev of daily changes from exact
+    // integer moments (stddev_samp would be accumulation-order-dependent)
+    "fx_volatility" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.volatility(rates(s, dir))),
+
+    // per-pair max drawdown: running-peak window over DECIMAL closes,
+    // exact integer result — no doubles anywhere in the path
+    "fx_drawdown" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.maxDrawdown(rates(s, dir))),
+
     // layout maintenance: rewrite events Z-ORDERED by (user_id, time) —
     // interleaved-bit sort key → every file gets a tight min/max
     // envelope on BOTH dimensions (the multi-dim data-skipping layout);
@@ -1300,6 +1316,93 @@ object SparkEntry {
          |        * (CAST(n_days AS DOUBLE) * syy - sy * sy), 0.0), 0.0))
          |    AS corr_chg
          |FROM m""".stripMargin,
+
+    // OLS on exact unscaled-×1000 integer moments; the closed-form
+    // solution runs on identical double operands in the same operation
+    // tree as the Spark side (slope computed once, reused by intercept);
+    // single-day pairs -> NULL slope/intercept, flat series -> NULL r2
+    "fx_trend_ols" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), d0 AS (SELECT min(date) AS d0 FROM cl),
+         |pts AS (
+         |  SELECT ccy_couple,
+         |    CAST(date_diff('day', d0.d0, cl.date) AS BIGINT) AS x,
+         |    CAST(close * 1000 AS BIGINT) AS y
+         |  FROM cl, d0
+         |), m AS (
+         |  SELECT ccy_couple, count(*) AS n_days,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+         |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |    CAST(sum(y * y) AS DOUBLE) AS syy
+         |  FROM pts GROUP BY 1
+         |), s AS (
+         |  SELECT ccy_couple, n_days, sx, sy,
+         |    CAST(n_days AS DOUBLE) AS nd,
+         |    CAST(n_days AS DOUBLE) * sxy - sx * sy AS num,
+         |    CAST(n_days AS DOUBLE) * sxx - sx * sx AS den,
+         |    CAST(n_days AS DOUBLE) * syy - sy * sy AS vy
+         |  FROM m
+         |), t AS (
+         |  SELECT ccy_couple, n_days, nd, num, den, vy, sx, sy,
+         |    num / nullif(den, 0.0) AS slope_milli
+         |  FROM s
+         |)
+         |SELECT ccy_couple, n_days, slope_milli,
+         |  (sy - slope_milli * sx) / nd AS intercept_milli,
+         |  (num * num) / nullif(den * vy, 0.0) AS r2
+         |FROM t""".stripMargin,
+
+    // sample stddev from exact integer Σ and Σ²; single-change -> NULL
+    "fx_volatility" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
+         |), m AS (
+         |  SELECT ccy_couple, count(*) AS n_days,
+         |    CAST(sum(chg_u) AS DOUBLE) AS s,
+         |    CAST(sum(chg_u * chg_u) AS DOUBLE) AS ss
+         |  FROM chn GROUP BY 1
+         |)
+         |SELECT ccy_couple, n_days,
+         |  sqrt((CAST(n_days AS DOUBLE) * ss - s * s)
+         |    / nullif(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0),
+         |             0.0)) AS vol_milli
+         |FROM m""".stripMargin,
+
+    // running-peak drawdown entirely in DECIMAL, exact integer result
+    "fx_drawdown" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), dd AS (
+         |  SELECT ccy_couple,
+         |    max(close) OVER (PARTITION BY ccy_couple ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - close
+         |      AS dd
+         |  FROM cl
+         |)
+         |SELECT ccy_couple, count(*) AS n_days,
+         |  CAST(max(dd) * 1000 AS BIGINT) AS max_drawdown_milli
+         |FROM dd GROUP BY 1""".stripMargin,
 
     // z-ordering must be row-identity: the output is simply the table
     "maint_zorder_events" ->

@@ -120,20 +120,27 @@ object MarketAnalytics {
     * cannot (millions of series × decades), shard one side of the cross
     * join — the moments stay exact integers either way.
     */
-  def dailyChangeCorr(rates: DataFrame): DataFrame = {
+  /** Day-over-day close changes as UNSCALED ×1000 longs — the shared
+    * digest under the correlation matrix and the volatility report.
+    * Exact integer values make every downstream moment independent of
+    * accumulation order, which is what lets the oracles use whatever
+    * formulation (join+SUM, single GROUP BY) is natural in SQL.
+    */
+  private def dailyChangesU(rates: DataFrame): DataFrame = {
     val close = rates.groupBy(col("ccy_couple"), col("date"))
       .agg(max_by(col("rate"), struct(col("event_time"), col("event_id")))
         .cast("decimal(18,6)").as("close"))
     val wd = Window.partitionBy(col("ccy_couple")).orderBy(col("date"))
-    val chg = close
+    close
       .withColumn("chg", (col("close") - lag(col("close"), 1).over(wd))
         .cast("decimal(12,3)"))
       .where(col("chg").isNotNull)
-      // unscaled ×1000 long: exact (scale-3 decimal times 10^3); exact
-      // integer moments make the evaluation order irrelevant, which is
-      // what lets the oracle keep its join+SUM formulation
       .select(col("ccy_couple"), col("date"),
         (col("chg") * lit(1000)).cast("long").as("chg_u"))
+  }
+
+  def dailyChangeCorr(rates: DataFrame): DataFrame = {
+    val chg = dailyChangesU(rates)
     // dense day index over the digest's own span (1-row broadcast)
     val span = chg.agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
     val vecs = chg.crossJoin(broadcast(span))
@@ -170,5 +177,96 @@ object MarketAnalytics {
     moments.select(col("ccy_a"), col("ccy_b"), col("mo.n").as("n_days"),
       (cov / sqrt(nullif(greatest(vx * vy, lit(0.0)), lit(0.0))))
         .as("corr_chg"))
+  }
+
+  /** Per-currency OLS trend: daily closes regressed on the day index —
+    * slope (milli-units per day), intercept (milli-units, at the digest's
+    * first day), and r² per pair. The trend/drift detector a rates desk
+    * runs over every pair nightly.
+    *
+    * Same determinism recipe as the correlation matrix: closes pin to
+    * DECIMAL(12,3), ride as UNSCALED ×1000 longs, and all five moments
+    * accumulate as exact 64-bit integers (order-independent, so Spark's
+    * partial aggregation and DuckDB's single-pass SUM agree bit-for-bit);
+    * the closed-form OLS solution then runs in double on identical
+    * operands. Spark's ANSI long SUM raises on (astronomically remote)
+    * overflow rather than wrapping.
+    *
+    * Scale shape: one groupBy over the |pairs|×|days| daily-close digest —
+    * map-side combinable, no joins, no window. Nothing quadratic.
+    */
+  def trendOls(rates: DataFrame): DataFrame = {
+    val close = rates.groupBy(col("ccy_couple"), col("date"))
+      .agg(max_by(col("rate"), struct(col("event_time"), col("event_id")))
+        // two-step: double→(18,6) is the validated engine-identical
+        // rounding, (18,6)→(12,3) a deterministic half-up rescale
+        .cast("decimal(18,6)").cast("decimal(12,3)").as("close"))
+    val d0 = close.agg(min(col("date")).as("d0"))
+    val pts = close.crossJoin(broadcast(d0))
+      .select(col("ccy_couple"),
+        datediff(col("date"), col("d0")).cast("long").as("x"),
+        (col("close") * lit(1000)).cast("long").as("y"))
+    val m = pts.groupBy(col("ccy_couple")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x")).as("sxl"), sum(col("y")).as("syl"),
+      sum(col("x") * col("y")).as("sxyl"),
+      sum(col("x") * col("x")).as("sxxl"),
+      sum(col("y") * col("y")).as("syyl"))
+    val n = col("n_days").cast("double")
+    val sx = col("sxl").cast("double"); val sy = col("syl").cast("double")
+    val sxy = col("sxyl").cast("double")
+    val sxx = col("sxxl").cast("double")
+    val syy = col("syyl").cast("double")
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx   // zero iff a single distinct day
+    val vy = n * syy - sy * sy    // zero iff the close never moves
+    val slope = num / nullif(den, lit(0.0))
+    m.select(col("ccy_couple"), col("n_days"),
+      slope.as("slope_milli"),
+      ((sy - slope * sx) / n).as("intercept_milli"),
+      // r² = num² / (den·vy); flat series → NULL (not 0/0 = NaN)
+      ((num * num) / nullif(den * vy, lit(0.0))).as("r2"))
+  }
+
+  /** Per-pair historical volatility: sample standard deviation of the
+    * day-over-day close change, in milli-units. Built-in `stddev_samp`
+    * accumulates doubles in partition order; the exact-integer-moment
+    * recipe makes this deterministic: Σchg and Σchg² are exact longs,
+    * and the one sqrt runs on identical double operands everywhere.
+    * Shape: one map-side-combinable groupBy over the change digest.
+    */
+  def volatility(rates: DataFrame): DataFrame = {
+    val m = dailyChangesU(rates).groupBy(col("ccy_couple")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("chg_u")).as("sl"),
+      sum(col("chg_u") * col("chg_u")).as("ssl"))
+    val n = col("n_days").cast("double")
+    val s = col("sl").cast("double")
+    val ss = col("ssl").cast("double")
+    // sample variance: (nΣx² − (Σx)²) / (n(n−1)); single-change → NULL
+    m.select(col("ccy_couple"), col("n_days"),
+      sqrt((n * ss - s * s) / nullif(n * (n - lit(1.0)), lit(0.0)))
+        .as("vol_milli"))
+  }
+
+  /** Per-pair maximum drawdown over the daily-close path: the deepest
+    * fall from any prior peak, in milli-units (0 for a never-falling
+    * path). Running peak via a rows-unbounded-preceding window max over
+    * DECIMAL closes, drawdown as an exact decimal subtraction, the max
+    * rescaled to an exact integer — no doubles anywhere, so the replay
+    * is bitwise on any engine. Shape: one window + one groupBy, both
+    * partitioned by pair.
+    */
+  def maxDrawdown(rates: DataFrame): DataFrame = {
+    val close = rates.groupBy(col("ccy_couple"), col("date"))
+      .agg(max_by(col("rate"), struct(col("event_time"), col("event_id")))
+        .cast("decimal(18,6)").cast("decimal(12,3)").as("close"))
+    val w = Window.partitionBy(col("ccy_couple")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    close
+      .withColumn("dd", max(col("close")).over(w) - col("close"))
+      .groupBy(col("ccy_couple"))
+      .agg(count(lit(1)).as("n_days"),
+        (max(col("dd")) * lit(1000)).cast("long").as("max_drawdown_milli"))
   }
 }

@@ -76,6 +76,76 @@ class MarketAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("trend OLS: exact slope and r2=1 on a perfect line, NULLs on degenerates") {
+    import spark.implicits._
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    // A: perfect line 2.0 + 0.5/day; B: flat; C: single day
+    val fx = days.zipWithIndex.flatMap { case (d, i) =>
+      Seq(("A", 2.0 + 0.5 * i), ("B", 3.0)).map { case (p, v) =>
+        (i * 10L + p.head.toLong, p, v, d)
+      }
+    } :+ (99L, "C", 7.0, "2024-01-02")
+    val df = fx.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.trendOls(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) == 4L)
+    assert(math.abs(a.getDouble(2) - 500.0) < 1e-9)   // 0.5/day in milli
+    assert(math.abs(a.getDouble(3) - 2000.0) < 1e-9)  // 2.0 at day 0
+    assert(math.abs(a.getDouble(4) - 1.0) < 1e-12)    // perfect fit
+    assert(out("B").isNullAt(4))                      // flat -> r2 NULL
+    assert(out("C").isNullAt(2) && out("C").isNullAt(4)) // one day
+  }
+
+  test("volatility: hand-computed stddev, NULL on a single change") {
+    import spark.implicits._
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    // A: changes +0.1, +0.3, -0.2 → sample stddev of {100, 300, -200} milli
+    val path = Seq(1.0, 1.1, 1.4, 1.2)
+    val fx = days.zipWithIndex.flatMap { case (d, i) =>
+      val rows = Seq(("A", path(i))) ++
+        (if (i < 2) Seq(("B", 2.0 + i)) else Nil) // B: two days, one change
+      rows.map { case (p, v) => (i * 10L + p.head.toLong, p, v, d) }
+    }
+    val df = fx.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.volatility(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val xs = Seq(100.0, 300.0, -200.0)
+    val mean = xs.sum / 3
+    val expect = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / 2)
+    assert(math.abs(out("A").getDouble(2) - expect) < 1e-9)
+    assert(out("B").getLong(1) == 1L && out("B").isNullAt(2))
+  }
+
+  test("max drawdown: deepest peak-to-trough fall, zero for a rising path") {
+    import spark.implicits._
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    // A: 2.0 → 2.5 → 1.8 → 2.1: deepest fall 2.5−1.8 = 0.7 → 700 milli
+    val a = Seq(2.0, 2.5, 1.8, 2.1)
+    val fx = days.zipWithIndex.flatMap { case (d, i) =>
+      Seq(("A", a(i)), ("B", 1.0 + i)).map { case (p, v) =>
+        (i * 10L + p.head.toLong, p, v, d)
+      }
+    }
+    val df = fx.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.maxDrawdown(df).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("A") == 700L)
+    assert(out("B") == 0L) // monotone rise never draws down
+  }
+
   test("daily-change corr plan: broadcast pair frame, no shuffle in the quadratic stage") {
     val plan = MarketAnalytics.dailyChangeCorr(rates)
       .queryExecution.executedPlan.toString
