@@ -187,6 +187,12 @@ object SparkEntry {
     "fx_volatility" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.volatility(rates(s, dir))),
 
+    // lag-1 autocorrelation of daily changes: the change vector zipped
+    // with itself shifted one CALENDAR day (null slots break pairs, as
+    // the date+1 join they replay would) through the PairMoments kernel
+    "fx_autocorr" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.autocorr1d(rates(s, dir))),
+
     // per-pair max drawdown: running-peak window over DECIMAL closes,
     // exact integer result — no doubles anywhere in the path
     "fx_drawdown" -> ((s, dir) =>
@@ -1357,6 +1363,42 @@ object SparkEntry {
          |  (sy - slope_milli * sx) / nd AS intercept_milli,
          |  (num * num) / nullif(den * vy, 0.0) AS r2
          |FROM t""".stripMargin,
+
+    // lag-1 self-join on consecutive calendar days; same clamped corr
+    // formula tree as fx_change_corr on exact integer moments
+    "fx_autocorr" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
+         |), m AS (
+         |  SELECT a.ccy_couple, count(*) AS n_days,
+         |    CAST(sum(a.chg_u) AS DOUBLE) AS sx,
+         |    CAST(sum(b.chg_u) AS DOUBLE) AS sy,
+         |    CAST(sum(a.chg_u * b.chg_u) AS DOUBLE) AS sxy,
+         |    CAST(sum(a.chg_u * a.chg_u) AS DOUBLE) AS sxx,
+         |    CAST(sum(b.chg_u * b.chg_u) AS DOUBLE) AS syy
+         |  FROM chn a JOIN chn b
+         |    ON a.ccy_couple = b.ccy_couple
+         |    AND b.date = a.date + INTERVAL 1 DAY
+         |  GROUP BY 1
+         |)
+         |SELECT ccy_couple, n_days,
+         |  (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+         |    / sqrt(nullif(greatest(
+         |        (CAST(n_days AS DOUBLE) * sxx - sx * sx)
+         |        * (CAST(n_days AS DOUBLE) * syy - sy * sy), 0.0), 0.0))
+         |    AS autocorr_1d
+         |FROM m""".stripMargin,
 
     // sample stddev from exact integer Σ and Σ²; single-change -> NULL
     "fx_volatility" ->

@@ -139,11 +139,18 @@ object MarketAnalytics {
         (col("chg") * lit(1000)).cast("long").as("chg_u"))
   }
 
-  def dailyChangeCorr(rates: DataFrame): DataFrame = {
+  /** Each currency's change series as a dense day-indexed long array
+    * over the digest's global span (null slot = no observation): the
+    * digest-sized relation every pairwise/lagged moment computation
+    * runs on. Slot i ↔ calendar day d0+i, so index arithmetic IS date
+    * arithmetic — what makes both the cross-pair zip and the lag-1
+    * self-zip calendar-correct.
+    */
+  private def dailyChangeVectors(rates: DataFrame): DataFrame = {
     val chg = dailyChangesU(rates)
     // dense day index over the digest's own span (1-row broadcast)
     val span = chg.agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
-    val vecs = chg.crossJoin(broadcast(span))
+    chg.crossJoin(broadcast(span))
       .select(col("ccy_couple"),
         datediff(col("date"), col("d0")).as("idx"),
         datediff(col("d1"), col("d0")).as("span"),
@@ -155,6 +162,10 @@ object MarketAnalytics {
       .select(col("ccy_couple"),
         transform(sequence(lit(0), col("span")),
           i => element_at(col("m"), i)).as("v"))
+  }
+
+  def dailyChangeCorr(rates: DataFrame): DataFrame = {
+    val vecs = dailyChangeVectors(rates)
     val a = vecs.select(col("ccy_couple").as("ccy_a"), col("v").as("va"))
     val b = vecs.select(col("ccy_couple").as("ccy_b"), col("v").as("vb"))
     val moments = a.crossJoin(broadcast(b))
@@ -226,6 +237,36 @@ object MarketAnalytics {
       ((sy - slope * sx) / n).as("intercept_milli"),
       // r² = num² / (den·vy); flat series → NULL (not 0/0 = NaN)
       ((num * num) / nullif(den * vy, lit(0.0))).as("r2"))
+  }
+
+  /** Lag-1 autocorrelation of daily changes per pair — the
+    * momentum/mean-reversion diagnostic (positive: trends persist;
+    * negative: moves revert). The change vector zips with ITSELF shifted
+    * one day slot (consecutive CALENDAR days only — null slots from
+    * missing days break the pairing, exactly like the date+1 join they
+    * replay), and [[graft.functions.PairMoments]] reduces each pair of
+    * slices in one codegen'd pass. Same exact-integer determinism and
+    * digest-bounded cost as the correlation matrix; no joins at all.
+    */
+  def autocorr1d(rates: DataFrame): DataFrame = {
+    val lagged = dailyChangeVectors(rates)
+      .where(size(col("v")) > 1)
+      .select(col("ccy_couple"),
+        graft.functions.PairMoments(
+          slice(col("v"), lit(1), size(col("v")) - 1),
+          slice(col("v"), lit(2), size(col("v")) - 1)).as("mo"))
+      .where(col("mo.n") > 0)
+    val n = col("mo.n").cast("double")
+    val sx = col("mo.sx").cast("double"); val sy = col("mo.sy").cast("double")
+    val sxy = col("mo.sxy").cast("double")
+    val sxx = col("mo.sxx").cast("double")
+    val syy = col("mo.syy").cast("double")
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    lagged.select(col("ccy_couple"), col("mo.n").as("n_days"),
+      (cov / sqrt(nullif(greatest(vx * vy, lit(0.0)), lit(0.0))))
+        .as("autocorr_1d"))
   }
 
   /** Per-pair historical volatility: sample standard deviation of the

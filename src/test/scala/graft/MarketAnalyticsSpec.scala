@@ -101,6 +101,31 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("C").isNullAt(2) && out("C").isNullAt(4)) // one day
   }
 
+  test("autocorr: -1 on a perfectly alternating path, gaps break pairs") {
+    import spark.implicits._
+    // A: 1,2,1,2,1 over consecutive days → changes +1,-1,+1,-1 → lag-1
+    // autocorr exactly -1. B: days 1,2,4,5 → the d2-change has no d3
+    // neighbor, only the (d4,d5) change pair survives → n_days = 1
+    val rows = Seq(
+      ("A", "2024-01-01", 1.0), ("A", "2024-01-02", 2.0),
+      ("A", "2024-01-03", 1.0), ("A", "2024-01-04", 2.0),
+      ("A", "2024-01-05", 1.0),
+      ("B", "2024-01-01", 1.0), ("B", "2024-01-02", 2.0),
+      ("B", "2024-01-04", 4.0), ("B", "2024-01-05", 8.0))
+    val df = rows.zipWithIndex.map { case ((p, d, v), i) => (i.toLong, p, v, d) }
+      .toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.autocorr1d(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(1) == 3L)
+    assert(math.abs(out("A").getDouble(2) + 1.0) < 1e-12)
+    assert(out("B").getLong(1) == 1L)
+    assert(out("B").isNullAt(2)) // one pair → zero variance → NULL
+  }
+
   test("volatility: hand-computed stddev, NULL on a single change") {
     import spark.implicits._
     val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
