@@ -82,9 +82,11 @@ object Bench {
     val firstPass = queries.map { case (name, fn) =>
       val before = graft.util.Scratch.allocated
       val a = timeOnce(name, fn)
-      // allocated again post-warmup → fresh scratch every run, not a memo
-      if (graft.util.Scratch.allocated > before) memoBacked -= name
       val b = timeOnce(name, fn)
+      // allocated again post-warmup (either timed pass — one may have
+      // failed before reaching its allocation) → fresh scratch every
+      // run, not a memo
+      if (graft.util.Scratch.allocated > before) memoBacked -= name
       val two = math.min(a, b)
       // disagreement >1.5× means at least one pass was contended; a third
       // sample makes the min robust to noise spanning a whole pass
@@ -149,7 +151,11 @@ object Bench {
     // would emit comma decimals on e.g. a de_DE JVM — invalid JSON.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val broken = failed.diff(succeeded) // zero successful samples
+    // broken = no successful sample, OR no successful TIMED sample (a
+    // query that ran clean only in warmup still has no honest number:
+    // warmup times anchor, they are never committed)
+    val broken = failed.diff(succeeded) ++
+      anchored.collect { case (k, v) if v == Double.MaxValue => k }
     val ok = anchored.filterNot { case (k, _) => broken(k) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")

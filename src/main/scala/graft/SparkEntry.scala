@@ -1361,7 +1361,7 @@ object SparkEntry {
          |)
          |SELECT ccy_couple, n_days, slope_milli,
          |  (sy - slope_milli * sx) / nd AS intercept_milli,
-         |  (num * num) / nullif(den * vy, 0.0) AS r2
+         |  (num * num) / nullif(greatest(den * vy, 0.0), 0.0) AS r2
          |FROM t""".stripMargin,
 
     // lag-1 self-join on consecutive calendar days; same clamped corr
@@ -1422,7 +1422,7 @@ object SparkEntry {
          |  FROM chn GROUP BY 1
          |)
          |SELECT ccy_couple, n_days,
-         |  sqrt((CAST(n_days AS DOUBLE) * ss - s * s)
+         |  sqrt(greatest(CAST(n_days AS DOUBLE) * ss - s * s, 0.0)
          |    / nullif(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0),
          |             0.0)) AS vol_milli
          |FROM m""".stripMargin,

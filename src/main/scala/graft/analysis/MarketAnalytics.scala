@@ -87,51 +87,33 @@ object MarketAnalytics {
           / sum(col("dwell_us")).cast("double")).as("twap"))
   }
 
-  /** Co-movement: Pearson correlation of day-over-day close changes for
-    * every unordered pair of currencies — the risk/hedging matrix.
-    *
-    * Built-in `corr` accumulates doubles in partition order, so its
-    * low-order bits are nondeterministic under distribution; instead the
-    * five moments (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated EXACTLY and
-    * the textbook formula runs once per pair-pair in double. Daily
-    * changes are rounded to DECIMAL(12,3) — a deterministic half-up
-    * rescale — then carried as their UNSCALED integer value (×1000, a
-    * long): correlation is scale-invariant, so the formula over the
-    * ×1000 series is the same number, while the sums become primitive
-    * long aggregation inside whole-stage codegen instead of BigDecimal
-    * accumulators (sum of decimal(25,6) products overflows the compact
-    * long-backed decimal and falls onto the boxed path — measured ~3× on
-    * the quadratic aggregation below). Every moment stays below 2^53
-    * (|chg_u| ≤ 1e6, ≤ thousands of days), so long→double is exact and
-    * the double formula is engine-identical.
-    *
-    * Scale shape: the full scan reduces to the |pairs|×|days| daily-close
-    * digest before anything quadratic. The quadratic step then runs over
-    * DAY-ALIGNED CHANGE VECTORS: each currency's change series pivots to
-    * a dense day-indexed long array (digest-sized — |pairs| × |days|
-    * slots), the |pairs|² unordered pair frame is a broadcast cross join
-    * of that tiny relation, and the five moments per pair come from ONE
-    * codegen'd primitive loop ([[graft.functions.PairMoments]]). The
-    * naive alternative — digest ⋈ digest on date then a string-keyed
-    * groupBy — materializes |days| × |pairs|² rows through a shuffle
-    * whose partial aggregation is useless (every group appears ~once per
-    * task); measured ~5× slower at bench scale. The vector frame assumes
-    * the |pairs| × |days| digest broadcasts; at cardinalities where it
-    * cannot (millions of series × decades), shard one side of the cross
-    * join — the moments stay exact integers either way.
+  /** Per-pair daily-close digest: the last quote of each (pair, day) as
+    * DECIMAL(18,6) — the validated engine-identical double→decimal
+    * rounding every close-derived metric builds on. One shuffle on
+    * (pair, day), |pairs|×|days| rows however large the tick corpus.
     */
-  /** Day-over-day close changes as UNSCALED ×1000 longs — the shared
-    * digest under the correlation matrix and the volatility report.
-    * Exact integer values make every downstream moment independent of
-    * accumulation order, which is what lets the oracles use whatever
-    * formulation (join+SUM, single GROUP BY) is natural in SQL.
-    */
-  private def dailyChangesU(rates: DataFrame): DataFrame = {
-    val close = rates.groupBy(col("ccy_couple"), col("date"))
+  private def dailyCloses(rates: DataFrame): DataFrame =
+    rates.groupBy(col("ccy_couple"), col("date"))
       .agg(max_by(col("rate"), struct(col("event_time"), col("event_id")))
         .cast("decimal(18,6)").as("close"))
+
+  /** The digest rescaled to DECIMAL(12,3) — the deterministic half-up
+    * precision the trend/drawdown metrics quote in (milli-units).
+    */
+  private def dailyCloses3(rates: DataFrame): DataFrame =
+    dailyCloses(rates)
+      .withColumn("close", col("close").cast("decimal(12,3)"))
+
+  /** Day-over-day close changes as UNSCALED ×1000 longs — the shared
+    * digest under the correlation matrix, autocorrelation, and the
+    * volatility report. Exact integer values make every downstream
+    * moment independent of accumulation order, which is what lets the
+    * oracles use whatever formulation (join+SUM, single GROUP BY) is
+    * natural in SQL.
+    */
+  private def dailyChangesU(rates: DataFrame): DataFrame = {
     val wd = Window.partitionBy(col("ccy_couple")).orderBy(col("date"))
-    close
+    dailyCloses(rates)
       .withColumn("chg", (col("close") - lag(col("close"), 1).over(wd))
         .cast("decimal(12,3)"))
       .where(col("chg").isNotNull)
@@ -164,6 +146,29 @@ object MarketAnalytics {
           i => element_at(col("m"), i)).as("v"))
   }
 
+  /** Co-movement: Pearson correlation of day-over-day close changes for
+    * every unordered pair of currencies — the risk/hedging matrix.
+    *
+    * Built-in `corr` accumulates doubles in partition order, so its
+    * low-order bits are nondeterministic under distribution; instead the
+    * five moments (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated EXACTLY
+    * (see [[dailyChangesU]]) and the textbook formula runs once per
+    * pair-pair in double — engine-identical operands, identical tree.
+    *
+    * Scale shape: the full scan reduces to the |pairs|×|days| daily-close
+    * digest before anything quadratic. The quadratic step then runs over
+    * the DAY-ALIGNED CHANGE VECTORS of [[dailyChangeVectors]]: the
+    * |pairs|² unordered pair frame is a broadcast cross join of that
+    * tiny relation, and the five moments per pair come from ONE
+    * codegen'd primitive loop ([[graft.functions.PairMoments]]). The
+    * naive alternative — digest ⋈ digest on date then a string-keyed
+    * groupBy — materializes |days| × |pairs|² rows through a shuffle
+    * whose partial aggregation is useless (every group appears ~once per
+    * task); measured ~5× slower at bench scale. The vector frame assumes
+    * the |pairs| × |days| digest broadcasts; at cardinalities where it
+    * cannot (millions of series × decades), shard one side of the cross
+    * join — the moments stay exact integers either way.
+    */
   def dailyChangeCorr(rates: DataFrame): DataFrame = {
     val vecs = dailyChangeVectors(rates)
     val a = vecs.select(col("ccy_couple").as("ccy_a"), col("v").as("va"))
@@ -207,11 +212,7 @@ object MarketAnalytics {
     * map-side combinable, no joins, no window. Nothing quadratic.
     */
   def trendOls(rates: DataFrame): DataFrame = {
-    val close = rates.groupBy(col("ccy_couple"), col("date"))
-      .agg(max_by(col("rate"), struct(col("event_time"), col("event_id")))
-        // two-step: double→(18,6) is the validated engine-identical
-        // rounding, (18,6)→(12,3) a deterministic half-up rescale
-        .cast("decimal(18,6)").cast("decimal(12,3)").as("close"))
+    val close = dailyCloses3(rates)
     val d0 = close.agg(min(col("date")).as("d0"))
     val pts = close.crossJoin(broadcast(d0))
       .select(col("ccy_couple"),
@@ -235,8 +236,12 @@ object MarketAnalytics {
     m.select(col("ccy_couple"), col("n_days"),
       slope.as("slope_milli"),
       ((sy - slope * sx) / n).as("intercept_milli"),
-      // r² = num² / (den·vy); flat series → NULL (not 0/0 = NaN)
-      ((num * num) / nullif(den * vy, lit(0.0))).as("r2"))
+      // r² = num² / (den·vy); flat series → NULL (not 0/0 = NaN). den·vy
+      // is ≥ 0 in exact arithmetic, but once the moments cross 2^53 the
+      // double products can round an exact zero a hair negative — clamp
+      // before the nullif (same rationale as the correlation matrix)
+      ((num * num) / nullif(greatest(den * vy, lit(0.0)), lit(0.0)))
+        .as("r2"))
   }
 
   /** Lag-1 autocorrelation of daily changes per pair — the
@@ -284,9 +289,13 @@ object MarketAnalytics {
     val n = col("n_days").cast("double")
     val s = col("sl").cast("double")
     val ss = col("ssl").cast("double")
-    // sample variance: (nΣx² − (Σx)²) / (n(n−1)); single-change → NULL
+    // sample variance: (nΣx² − (Σx)²) / (n(n−1)); single-change → NULL.
+    // nΣx² − (Σx)² is ≥ 0 exactly, but double rounding past 2^53 can
+    // land a flat series a hair below zero → clamp so sqrt never sees a
+    // negative (NaN) where the exact answer is 0
     m.select(col("ccy_couple"), col("n_days"),
-      sqrt((n * ss - s * s) / nullif(n * (n - lit(1.0)), lit(0.0)))
+      sqrt(greatest(n * ss - s * s, lit(0.0))
+          / nullif(n * (n - lit(1.0)), lit(0.0)))
         .as("vol_milli"))
   }
 
@@ -299,9 +308,7 @@ object MarketAnalytics {
     * partitioned by pair.
     */
   def maxDrawdown(rates: DataFrame): DataFrame = {
-    val close = rates.groupBy(col("ccy_couple"), col("date"))
-      .agg(max_by(col("rate"), struct(col("event_time"), col("event_id")))
-        .cast("decimal(18,6)").cast("decimal(12,3)").as("close"))
+    val close = dailyCloses3(rates)
     val w = Window.partitionBy(col("ccy_couple")).orderBy(col("date"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     close

@@ -76,6 +76,9 @@ object ScaleProbe {
       else Seq("q_sessionize", "fx_latest_per_pair", "fx_change_corr",
         "dedup_minhash_lsh", "dedup_exact", "text_stats",
         "sim_ivf_topk", "cur_pipeline_e2e")
+    // validate BEFORE the expensive materialization step
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -96,12 +99,19 @@ object ScaleProbe {
 
     println(f"[probe] src=$srcDir factor=${factor}x")
     names.foreach { name =>
-      // warm both paths once (codegen/JIT), then time
-      timeQuery(spark, base, name)
-      val t1 = timeQuery(spark, base, name)
-      timeQuery(spark, big, name)
-      val tN = timeQuery(spark, big, name)
-      println(f"[probe] $name%-28s 1x=$t1%7.2fs ${factor}x=$tN%7.2fs ratio=${tN / t1}%5.2f")
+      try {
+        // warm both paths once (codegen/JIT), then time
+        timeQuery(spark, base, name)
+        val t1 = timeQuery(spark, base, name)
+        timeQuery(spark, big, name)
+        val tN = timeQuery(spark, big, name)
+        println(f"[probe] $name%-28s 1x=$t1%7.2fs ${factor}x=$tN%7.2fs ratio=${tN / t1}%5.2f")
+      } catch {
+        // one failing query must not abort the remaining measurements
+        case e: Throwable =>
+          println(s"[probe] $name FAILED: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+      }
     }
     spark.stop()
   }
