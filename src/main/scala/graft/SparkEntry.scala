@@ -722,6 +722,14 @@ object SparkEntry {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
         percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))),
 
+    // KMV distinct sketch: the mergeable O(k) cardinality estimator with
+    // a DETERMINISTIC replay — xxhash64 k-min set + (k−1)·2⁶⁴/u_k, every
+    // step value-exact in the DuckDB oracle (unlike HLL++ above, which
+    // only gets a rows-only check)
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.operators.Kmv.distinctEstimate(
+        Tables.events(s, dir), "user_id", k = 256)),
+
     // skew-salted join: hot keys spread across shards (rows-only check —
     // result equals the plain join; the plan shape is the point)
     "q_salted_join" -> ((s, dir) => {
@@ -2138,6 +2146,11 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // the whole KMV sketch replayed value-exactly: xxhash64 chain,
+    // unsigned k-min order, estimator double tree (XxhOracleSql)
+    "q_kmv_distinct" ->
+      graft.oracle.XxhOracleSql.kmvDistinct(k = 256),
 
     "q_asof_join" ->
       """SELECT p.user_id, p.ts, p.event_id, c.value AS last_click_value

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch — the mergeable O(k)
+  * cardinality estimator (Bar-Yossef et al. 2002, public algorithm):
+  * keep the k smallest hash values of the key population; the k-th
+  * smallest, as a fraction u of the hash space, estimates the distinct
+  * count as (k−1)/u.
+  *
+  * Unlike `approx_count_distinct` (HLL++, whose sketch layout and
+  * rounding are engine-private), every step here is DETERMINISTIC and
+  * engine-portable: Spark's `xxhash64` is replayed bit-exactly in the
+  * DuckDB oracle ([[graft.oracle.XxhOracleSql.kmvDistinct]]), the k-min
+  * set is a total order on unsigned hashes, and the one estimator
+  * division runs on identical double operands. The gate can hash-match
+  * an APPROXIMATE algorithm because the algorithm itself is exact about
+  * which approximation it makes.
+  *
+  * Scale shape: hash is a narrow map; distinct-of-hashes shuffles once
+  * on the hash (map-side combined); the k-min set is a
+  * TakeOrderedAndProject (per-partition heaps of k, then a k-row driver
+  * merge — never a global sort). Memory is O(k) everywhere. Fewer than
+  * k distinct keys → the sketch holds the whole population and the
+  * exact count is returned.
+  */
+object Kmv {
+
+  private val Flip = Long.MinValue // XOR maps unsigned order onto signed
+
+  def distinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df.select(xxhash64(col(keyCol)).as("h")).distinct()
+    val topk = hashed
+      .orderBy(col("h").bitwiseXOR(lit(Flip)).asc)
+      .limit(k)
+    val a = topk.agg(count(lit(1)).as("m"),
+      max(col("h").bitwiseXOR(lit(Flip))).as("ukx"))
+    val ukSigned = col("ukx").bitwiseXOR(lit(Flip))
+    // unsigned value as double, same tree as the oracle: cast the signed
+    // form, add 2^64 (exactly representable) back for negatives
+    val uD = when(ukSigned < 0,
+        ukSigned.cast("double") + lit(1.8446744073709552E19))
+      .otherwise(ukSigned.cast("double"))
+    a.select(
+      lit(k.toLong).as("k"),
+      col("m").as("n_kept"),
+      ukSigned.as("kth_hash"),
+      when(col("m") < k, col("m").cast("double"))
+        .otherwise(lit(k - 1.0) * lit(1.8446744073709552E19) / uD)
+        .as("estimate"))
+  }
+}

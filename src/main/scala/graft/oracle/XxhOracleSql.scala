@@ -304,4 +304,32 @@ object XxhOracleSql {
   def simhashRecall(exactCtes: String, exactPairsSelect: String,
       maxBucket: Int = 50): String =
     recallSql(simhashCandidateChain(maxBucket), exactCtes, exactPairsSelect)
+
+  /** Oracle for [[graft.operators.Kmv.distinctEstimate]]: Spark's
+    * `xxhash64` (hashLong, seed 42) over the distinct keys, the k
+    * smallest UNSIGNED hash values, and the (k−1)·2⁶⁴/u_k estimator with
+    * the exact-count fallback when fewer than k keys exist — the whole
+    * sketch replayed value-exactly (hash, unsigned order, and the
+    * double-conversion tree all mirror the Spark side literally).
+    */
+  def kmvDistinct(k: Int, table: String = "events",
+      keyCol: String = "user_id"): String = {
+    val (ctes, last) = chain("kb", hashLongSteps("hin", "42::HUGEINT", "h"), "kc")
+    // unsigned→double through the SAME tree Spark uses on its signed
+    // hash: cast the signed form, add 2^64 back for negatives
+    val ukS = toS("uk")
+    val uD = s"(CASE WHEN $ukS < 0 THEN CAST($ukS AS DOUBLE) + " +
+      s"18446744073709551616.0 ELSE CAST($ukS AS DOUBLE) END)"
+    s"""WITH u AS (SELECT DISTINCT $keyCol AS key FROM $table),
+       |kb AS (SELECT ${toU("key")} AS hin FROM u),
+       |${ctes.mkString(",\n")},
+       |ks AS (SELECT hx FROM $last ORDER BY hx ASC LIMIT $k),
+       |ka AS (SELECT count(*) AS m, max(hx) AS uk FROM ks)
+       |SELECT CAST($k AS BIGINT) AS k, CAST(m AS BIGINT) AS n_kept,
+       |  $ukS AS kth_hash,
+       |  CASE WHEN m < $k THEN CAST(m AS DOUBLE)
+       |       ELSE ($k - 1.0) * 18446744073709551616.0 / $uD END
+       |    AS estimate
+       |FROM ka""".stripMargin
+  }
 }
