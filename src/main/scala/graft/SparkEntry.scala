@@ -730,6 +730,13 @@ object SparkEntry {
       graft.operators.Kmv.distinctEstimate(
         Tables.events(s, dir), "user_id", k = 256)),
 
+    // Count-Min heavy hitters: d×w counter cells via the multi-arg
+    // xxhash64 fold, min-over-rows estimate for the exact top keys —
+    // the sketch (collision errors included) hash-verified in DuckDB
+    "q_cms_heavy_hitters" -> ((s, dir) =>
+      graft.operators.CountMin.heavyHitters(
+        Tables.events(s, dir), "user_id")),
+
     // skew-salted join: hot keys spread across shards (rows-only check —
     // result equals the plain join; the plan shape is the point)
     "q_salted_join" -> ((s, dir) => {
@@ -2151,6 +2158,11 @@ object SparkEntry {
     // unsigned k-min order, estimator double tree (XxhOracleSql)
     "q_kmv_distinct" ->
       graft.oracle.XxhOracleSql.kmvDistinct(k = 256),
+
+    // the whole CMS replayed value-exactly: seeded hash chains, cell
+    // addressing, min-over-rows estimate (XxhOracleSql)
+    "q_cms_heavy_hitters" ->
+      graft.oracle.XxhOracleSql.cmsHeavyHitters(),
 
     "q_asof_join" ->
       """SELECT p.user_id, p.ts, p.event_id, c.value AS last_click_value

@@ -332,4 +332,39 @@ object XxhOracleSql {
        |    AS estimate
        |FROM ka""".stripMargin
   }
+
+  /** Oracle for [[graft.operators.CountMin.heavyHitters]]: the d
+    * sketch hashes are Spark's multi-arg xxhash64 fold — hashInt(row
+    * index, seed 42) feeding hashLong(key, that) as seed — replayed
+    * through the same step chains as the minhash band keys; cells,
+    * probes, and the min-estimate then follow relationally. Hashes are
+    * computed once per DISTINCT key (hash(i, key) is functional) and
+    * joined back for the multiset cell counts.
+    */
+  def cmsHeavyHitters(d: Int = 4, w: Int = 1024, topK: Int = 10,
+      table: String = "events", keyCol: String = "user_id"): String = {
+    val (seedCtes, seedLast) = chain("ki",
+      hashIntSteps("i", s"${Seed}::HUGEINT", "S"), "cs")
+    val (keyCtes, keyLast) = chain("ku",
+      hashLongSteps("uk", "Sx", "H"), "ch")
+    val cell = s"(((${toS("Hx")} % $w) + $w) % $w)"
+    s"""WITH ks AS (SELECT DISTINCT $keyCol AS key FROM $table),
+       |ki AS (SELECT key, i FROM ks CROSS JOIN range(0, $d) t(i)),
+       |${seedCtes.mkString(",\n")},
+       |ku AS (SELECT key, i, Sx, ${toU("key")} AS uk FROM $seedLast),
+       |${keyCtes.mkString(",\n")},
+       |hcell AS (SELECT key, i, $cell AS c FROM $keyLast),
+       |cells AS (SELECT h.i AS r, h.c AS c, count(*) AS cnt
+       |          FROM $table e JOIN hcell h ON e.$keyCol = h.key
+       |          GROUP BY 1, 2),
+       |top AS (SELECT $keyCol AS key, count(*) AS exact_count
+       |        FROM $table GROUP BY 1
+       |        ORDER BY exact_count DESC, key ASC LIMIT $topK)
+       |SELECT t.key AS $keyCol, t.exact_count,
+       |  min(c2.cnt) AS cms_estimate
+       |FROM top t
+       |JOIN hcell h ON h.key = t.key
+       |JOIN cells c2 ON c2.r = h.i AND c2.c = h.c
+       |GROUP BY 1, 2""".stripMargin
+  }
 }
