@@ -737,6 +737,19 @@ object SparkEntry {
       graft.operators.CountMin.heavyHitters(
         Tables.events(s, dir), "user_id")),
 
+    // sampled percentiles: exact interpolated quantiles over the
+    // DETERMINISTIC md5-prefix ~10% sample (the third leg of the
+    // replayable-approximation family: sketch cardinality, sketch
+    // frequency, sampled quantiles) — the sample predicate is a pure
+    // pushed filter, the hash replays in any engine
+    "q_sampled_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(substring(md5(col("event_id").cast("string")), 1, 2) < "1a")
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_sampled"),
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.99)).as("p99"))),
+
     // skew-salted join: hot keys spread across shards (rows-only check —
     // result equals the plain join; the plan shape is the point)
     "q_salted_join" -> ((s, dir) => {
@@ -2163,6 +2176,15 @@ object SparkEntry {
     // addressing, min-over-rows estimate (XxhOracleSql)
     "q_cms_heavy_hitters" ->
       graft.oracle.XxhOracleSql.cmsHeavyHitters(),
+
+    // identical md5-prefix sample + quantile_cont interpolation
+    "q_sampled_percentiles" ->
+      """SELECT event_type, count(*) AS n_sampled,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+        |GROUP BY event_type""".stripMargin,
 
     "q_asof_join" ->
       """SELECT p.user_id, p.ts, p.event_id, c.value AS last_click_value
