@@ -725,17 +725,21 @@ object SparkEntry {
     // KMV distinct sketch: the mergeable O(k) cardinality estimator with
     // a DETERMINISTIC replay — xxhash64 k-min set + (k−1)·2⁶⁴/u_k, every
     // step value-exact in the DuckDB oracle (unlike HLL++ above, which
-    // only gets a rows-only check)
+    // only gets a rows-only check). k=64 < |keys| at gate scale so the
+    // ESTIMATOR branch is what the oracle cross-checks, not the
+    // trivial below-k exact fallback
     "q_kmv_distinct" -> ((s, dir) =>
       graft.operators.Kmv.distinctEstimate(
-        Tables.events(s, dir), "user_id", k = 256)),
+        Tables.events(s, dir), "user_id", k = 64)),
 
     // Count-Min heavy hitters: d×w counter cells via the multi-arg
     // xxhash64 fold, min-over-rows estimate for the exact top keys —
-    // the sketch (collision errors included) hash-verified in DuckDB
+    // the sketch hash-verified in DuckDB. w=64 forces REAL collisions
+    // at gate scale, so the cross-engine check covers the inflated
+    // estimates, not just the collision-free identity
     "q_cms_heavy_hitters" -> ((s, dir) =>
       graft.operators.CountMin.heavyHitters(
-        Tables.events(s, dir), "user_id")),
+        Tables.events(s, dir), "user_id", w = 64)),
 
     // sampled percentiles: exact interpolated quantiles over the
     // DETERMINISTIC md5-prefix ~10% sample (the third leg of the
@@ -2170,12 +2174,12 @@ object SparkEntry {
     // the whole KMV sketch replayed value-exactly: xxhash64 chain,
     // unsigned k-min order, estimator double tree (XxhOracleSql)
     "q_kmv_distinct" ->
-      graft.oracle.XxhOracleSql.kmvDistinct(k = 256),
+      graft.oracle.XxhOracleSql.kmvDistinct(k = 64),
 
     // the whole CMS replayed value-exactly: seeded hash chains, cell
     // addressing, min-over-rows estimate (XxhOracleSql)
     "q_cms_heavy_hitters" ->
-      graft.oracle.XxhOracleSql.cmsHeavyHitters(),
+      graft.oracle.XxhOracleSql.cmsHeavyHitters(w = 64),
 
     // identical md5-prefix sample + quantile_cont interpolation
     "q_sampled_percentiles" ->

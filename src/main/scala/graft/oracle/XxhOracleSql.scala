@@ -311,6 +311,10 @@ object XxhOracleSql {
     * the exact-count fallback when fewer than k keys exist — the whole
     * sketch replayed value-exactly (hash, unsigned order, and the
     * double-conversion tree all mirror the Spark side literally).
+    * DISTINCT applies at the HASH level (not just the key level),
+    * matching Spark's `distinct` on the hashed column — a 64-bit
+    * collision between two keys must waste a k-min slot on neither
+    * engine or on both.
     */
   def kmvDistinct(k: Int, table: String = "events",
       keyCol: String = "user_id"): String = {
@@ -323,7 +327,7 @@ object XxhOracleSql {
     s"""WITH u AS (SELECT DISTINCT $keyCol AS key FROM $table),
        |kb AS (SELECT ${toU("key")} AS hin FROM u),
        |${ctes.mkString(",\n")},
-       |ks AS (SELECT hx FROM $last ORDER BY hx ASC LIMIT $k),
+       |ks AS (SELECT DISTINCT hx FROM $last ORDER BY hx ASC LIMIT $k),
        |ka AS (SELECT count(*) AS m, max(hx) AS uk FROM ks)
        |SELECT CAST($k AS BIGINT) AS k, CAST(m AS BIGINT) AS n_kept,
        |  $ukS AS kth_hash,
