@@ -373,6 +373,11 @@ object SparkEntry {
     // one-shot cur_top_tokens
     "stream_vocab_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayTopTokensIncremental(s, dir)),
+    // incremental KMV sketch: per-batch ≤k-row partial sketches folded
+    // at report time — k-min of unioned k-min sets IS the k-min of the
+    // union, so the result equals the one-shot q_kmv_distinct exactly
+    "stream_kmv_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayKmvIncremental(s, dir)),
     // incremental JOIN-view maintenance (delta-merge): per batch, join
     // ONLY the batch to the broadcast dim and merge mergeable aggregates
     // into the |groups|-row stored view — must equal the one-shot
@@ -2403,6 +2408,10 @@ object SparkEntry {
     // the incrementally-maintained index must converge to the one-shot
     // batch report — identical oracle to dedup_minhash_lsh
     "stream_neardup_incremental" -> graft.oracle.XxhOracleSql.minhashLsh(),
+
+    // the maintained sketch must equal the one-shot sketch, bit for bit
+    "stream_kmv_incremental" ->
+      graft.oracle.XxhOracleSql.kmvDistinct(k = 64),
 
     // the maintained vocabulary must equal the one-shot top-k
     "stream_vocab_incremental" ->

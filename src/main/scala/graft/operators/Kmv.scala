@@ -29,9 +29,30 @@ object Kmv {
 
   private val Flip = Long.MinValue // XOR maps unsigned order onto signed
 
-  def distinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+  def distinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    estimateFromHashes(
+      df.select(xxhash64(col(keyCol)).as("h")).distinct(), k)
+
+  /** One batch's partial sketch: its k smallest distinct key hashes —
+    * ≤ k rows, the unit of sketch merge. Appending partials and folding
+    * them through [[estimateFromHashes]] maintains the sketch
+    * incrementally at O(k) per batch.
+    */
+  def partialSketch(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.select(xxhash64(col(keyCol)).as("h")).distinct()
+      .orderBy(col("h").bitwiseXOR(lit(Flip)).asc).limit(k)
+
+  /** The k-min fold + estimator over an already-hashed relation (column
+    * `h`, signed xxhash64 values, duplicates allowed — they collapse).
+    * Separated from the hashing so MERGED sketches can reuse it: the
+    * k-min of a union of per-batch k-min sets IS the k-min of the union
+    * (the mergeability that makes the sketch distributable), so an
+    * incrementally-maintained sketch folds through this same code path
+    * and must equal the one-shot sketch exactly.
+    */
+  def estimateFromHashes(hashed0: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    val hashed = df.select(xxhash64(col(keyCol)).as("h")).distinct()
+    val hashed = hashed0.select(col("h")).distinct()
     val topk = hashed
       .orderBy(col("h").bitwiseXOR(lit(Flip)).asc)
       .limit(k)

@@ -607,6 +607,44 @@ object StreamReplay {
     graft.text.Curation.topTokensFromPartials(s, countsDir)
   }
 
+  /** Replay of INCREMENTAL KMV-SKETCH maintenance: the events table
+    * streams in micro-batches, each batch appending its ≤ k-row PARTIAL
+    * sketch (its k smallest key hashes — O(k) per batch, O(batches·k)
+    * total state), and the fold over the partials must equal the
+    * one-shot sketch EXACTLY: the k-min of a union of k-min sets is the
+    * k-min of the union, which is the mergeability that makes the
+    * sketch distributable in the first place. Same oracle as
+    * q_kmv_distinct — convergence proof, not an approximation of one.
+    * Re-delivered batches append byte-identical partial rows, which the
+    * fold's hash-level distinct collapses — idempotent with no batch
+    * markers.
+    */
+  def replayKmvIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3, k: Int = 64): DataFrame = {
+    val tmp = Scratch.dir("graft_kmv_replay")
+    val feed = tmp.resolve("feed").toString
+    val partsDir = tmp.resolve("partials").toString
+    val events = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    events.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Kmv.partialSketch(batch, "user_id", k)
+            .write.mode("append").parquet(partsDir)
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.operators.Kmv.estimateFromHashes(s.read.parquet(partsDir), k)
+  }
+
   /** Replay of the STREAM-STATIC join: the events stream enriched
     * against the static customer dimension (the no-state streaming join
     * — the dimension is planned fresh per micro-batch, broadcast when

@@ -39,6 +39,20 @@ class KmvSpec extends SparkSuite {
     assert(a.getDouble(3) == b.getDouble(3))  // estimate
   }
 
+  test("merged partial sketches equal the one-shot sketch exactly") {
+    import spark.implicits._
+    val all = (1L to 8000L).toDF("key")
+    val parts = Seq(
+      all.where($"key" % 3 === 0), all.where($"key" % 3 === 1),
+      all.where($"key" % 3 === 2), all.where($"key" % 5 === 0)) // overlap!
+      .map(Kmv.partialSketch(_, "key", 64))
+      .reduce(_ unionByName _)
+    val merged = Kmv.estimateFromHashes(parts, 64).collect()(0)
+    val oneShot = Kmv.distinctEstimate(all, "key", 64).collect()(0)
+    assert(merged.getLong(2) == oneShot.getLong(2))      // kth_hash
+    assert(merged.getDouble(3) == oneShot.getDouble(3))  // estimate
+  }
+
   test("events gate query returns one plausible row") {
     val exact = graft.model.Tables.events(spark, sf("sf0.001"))
       .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
