@@ -378,6 +378,11 @@ object SparkEntry {
     // union, so the result equals the one-shot q_kmv_distinct exactly
     "stream_kmv_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayKmvIncremental(s, dir)),
+    // incremental Count-Min: per-batch partial CELLS summed at fold —
+    // mergeable counts, batch markers for re-delivery; must equal the
+    // one-shot q_cms_heavy_hitters
+    "stream_cms_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayCmsIncremental(s, dir)),
     // incremental JOIN-view maintenance (delta-merge): per batch, join
     // ONLY the batch to the broadcast dim and merge mergeable aggregates
     // into the |groups|-row stored view — must equal the one-shot
@@ -2412,6 +2417,10 @@ object SparkEntry {
     // the maintained sketch must equal the one-shot sketch, bit for bit
     "stream_kmv_incremental" ->
       graft.oracle.XxhOracleSql.kmvDistinct(k = 64),
+
+    // the maintained cell table must reproduce the one-shot estimates
+    "stream_cms_incremental" ->
+      graft.oracle.XxhOracleSql.cmsHeavyHitters(w = 64),
 
     // the maintained vocabulary must equal the one-shot top-k
     "stream_vocab_incremental" ->

@@ -28,18 +28,28 @@ object CountMin {
   private def cellCol(keyCol: String, i: Int, w: Int) =
     pmod(xxhash64(lit(i), col(keyCol)), lit(w.toLong))
 
-  /** The exact top-`topK` keys by frequency (ties to the smaller key)
-    * with their CMS estimates — estimate ≥ exact always, equal in the
-    * collision-free case. One row per heavy hitter.
+  /** One relation's sketch cells: (r, c, cnt) — at most d·w rows. Cell
+    * counts are mergeable (sum by (r, c)), which is what lets partial
+    * cells from micro-batches fold into the same sketch a one-shot
+    * build produces.
     */
-  def heavyHitters(df: DataFrame, keyCol: String, d: Int = 4,
-      w: Int = 1024, topK: Int = 10): DataFrame = {
+  def cellsOf(df: DataFrame, keyCol: String, d: Int = 4,
+      w: Int = 1024): DataFrame = {
     val rcs = (0 until d).map(i =>
       struct(lit(i).as("r"), cellCol(keyCol, i, w).as("c")))
-    val cells = df
-      .select(explode(array(rcs: _*)).as("rc"))
+    df.select(explode(array(rcs: _*)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Probe the exact top-`topK` keys of `df` against a prebuilt (or
+    * folded) cell table.
+    */
+  def heavyHittersFromCells(cells: DataFrame, df: DataFrame,
+      keyCol: String, d: Int = 4, w: Int = 1024,
+      topK: Int = 10): DataFrame = {
+    val rcs = (0 until d).map(i =>
+      struct(lit(i).as("r"), cellCol(keyCol, i, w).as("c")))
     val top = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col(keyCol).asc)
@@ -52,4 +62,12 @@ object CountMin {
       .groupBy(col(keyCol), col("exact_count"))
       .agg(min(col("cnt")).as("cms_estimate"))
   }
+
+  /** The exact top-`topK` keys by frequency (ties to the smaller key)
+    * with their CMS estimates — estimate ≥ exact always, equal in the
+    * collision-free case. One row per heavy hitter.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, d: Int = 4,
+      w: Int = 1024, topK: Int = 10): DataFrame =
+    heavyHittersFromCells(cellsOf(df, keyCol, d, w), df, keyCol, d, w, topK)
 }

@@ -645,6 +645,51 @@ object StreamReplay {
     graft.operators.Kmv.estimateFromHashes(s.read.parquet(partsDir), k)
   }
 
+  /** Replay of INCREMENTAL COUNT-MIN maintenance: each micro-batch
+    * appends its ≤ d·w-row partial CELL table; the report folds the
+    * partials by summing per cell — counts are mergeable, so the folded
+    * sketch equals the one-shot build and the gate reuses the
+    * q_cms_heavy_hitters oracle verbatim. Unlike the KMV partials
+    * (idempotent by value), re-appended COUNTS would double, so a
+    * marker per applied batch makes foreachBatch's at-least-once
+    * delivery a no-op on retry.
+    */
+  def replayCmsIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3, d: Int = 4, w: Int = 64,
+      topK: Int = 10): DataFrame = {
+    val tmp = Scratch.dir("graft_cms_replay")
+    val feed = tmp.resolve("feed").toString
+    val partsDir = tmp.resolve("partials")
+    val events = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    events.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val marker = partsDir.resolve("_applied").resolve(s"batch-$bid")
+          if (!java.nio.file.Files.exists(marker)) {
+            graft.operators.CountMin.cellsOf(batch, "user_id", d, w)
+              .write.mode("append").parquet(partsDir.resolve("cells").toString)
+            java.nio.file.Files.createDirectories(marker.getParent)
+            java.nio.file.Files.createFile(marker)
+            ()
+          }
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    val cells = s.read.parquet(partsDir.resolve("cells").toString)
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+    graft.operators.CountMin.heavyHittersFromCells(
+      cells, Tables.events(s, dir), "user_id", d, w, topK)
+  }
+
   /** Replay of the STREAM-STATIC join: the events stream enriched
     * against the static customer dimension (the no-state streaming join
     * — the dimension is planned fresh per micro-batch, broadcast when
