@@ -939,6 +939,10 @@ object SparkEntry {
     // the quality score — RNG-free curation under a quality prior, a
     // pure pushed filter at scan speed
     "cur_weighted_sample" -> ((s, dir) => graft.text.Curation.weightedSample(s, dir)),
+    // temperature-scaled (alpha=0.5) language-mixture sampling: keep
+    // rate least(1, c/sqrt(n_lang)) per language, md5-uniform draw —
+    // head languages flattened toward the temperature mixture
+    "cur_temperature_mix" -> ((s, dir) => graft.text.Curation.temperatureMix(s, dir)),
     // context-window chunking: 64-token chunks every 48 tokens (narrow
     // map + explode; the tail chunk is kept, every doc yields >=1 chunk)
     // bigram-LM quality score (the CCNet/Gopher LM-filter stage) in
@@ -992,6 +996,10 @@ object SparkEntry {
     "sim_ivf_kmeans_topk" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
     // embedding-cosine near-dup flags at 0.95 (rows-only check)
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
+    // SemDeDup: k-means-clustered semantic dedup — pairwise cosine ONLY
+    // within a trained cell, keepers are the id-minimal exemplars; the
+    // oracle replays training + assignment + flagging value-exactly
+    "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     // rolling-hash document fingerprint (codegen'd byte loop); the
     // 31·h+b mod-2^64 polynomial is replayed in DuckDB via the same
     // HUGEINT fold as mm_features, so this is hash-checked too
@@ -1015,6 +1023,11 @@ object SparkEntry {
     // BEFORE any decode, same sample-then-decode shape as the video path
     "mm_audio_windows" -> ((s, dir) =>
       graft.multimodal.Multimodal.audioWindows(s, dir)),
+    // perceptual-hash (dHash) image near-dup: byte-chunk blocking makes
+    // candidate recall EXACT at Hamming <= 7 (pigeonhole), bucket-capped;
+    // the oracle replays grid fold + bit extraction + blocking + distance
+    "mm_phash_dedup" -> ((s, dir) =>
+      graft.multimodal.Multimodal.phashNearDup(s, dir)),
     // per-label centroids: distributed vector aggregation (IVF training
     // step). Emitted as (label, pos, c) scalar rows — one row per centroid
     // component, 1-based pos — because the oracle gate cannot sort/hash
@@ -2786,6 +2799,24 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, u, weight FROM t WHERE u < weight""".stripMargin,
 
+    // temperature mixture: per-language count join + the same md5-uniform
+    // draw as cur_weighted_sample; rate arithmetic is one IEEE division
+    // over an exact integer sqrt, so the filter replays bit-for-bit
+    "cur_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT d.doc_id, d.lang, c.n_lang,
+        |    least(1.0, 8.0 / sqrt(CAST(c.n_lang AS DOUBLE))) AS rate,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 8), j ->
+        |        CAST(strpos('0123456789abcdef',
+        |          substring(md5(CAST(d.doc_id AS VARCHAR)), j + 1, 1)) - 1 AS BIGINT))),
+        |      (a, x) -> 16 * a + x) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents d JOIN counts c USING (lang)
+        |)
+        |SELECT doc_id, lang, n_lang, rate, u FROM t WHERE u < rate""".stripMargin,
+
     // tf ties per (doc, token); df reuses the tf relation (one row per
     // doc-token pair); linear idf = tf * N / df in exact IEEE doubles
     "text_tfidf_top_terms" ->
@@ -2993,6 +3024,29 @@ object SparkEntry {
          |WHERE rank <= 5""".stripMargin
     },
 
+    // SemDeDup replayed end-to-end: trained cells (same unrolled
+    // training CTEs), max-cosine assignment, then the within-cell
+    // lower-id max-cosine flag — value-exact because every cosine is
+    // 6-dp-rounded pre-compare and the reduction is MAX
+    "dedup_semantic" -> {
+      val (ctes, centFinal, _) = KmeansCtes(8, 2)
+      s"""WITH $ctes, af AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT e.vec_id, e.emb, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${KmCos("e.emb", "c.centroid")} DESC, c.cell ASC) AS rn
+         |    FROM e CROSS JOIN $centFinal c)
+         |  WHERE rn = 1
+         |), best AS (
+         |  SELECT a.vec_id, max(${KmCos("a.emb", "b.emb")}) AS max_lower_cos
+         |  FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  GROUP BY a.vec_id
+         |)
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, b.max_lower_cos,
+         |       coalesce(b.max_lower_cos >= 0.45, false) AS is_semantic_dup
+         |FROM af a LEFT JOIN best b USING (vec_id)""".stripMargin
+    },
+
     // LSH ANN end-to-end: the oracle recomputes the hyperplane signatures
     // from the literal plane values, applies the same <=50 bucket cap,
     // and reranks exactly in-bucket.
@@ -3051,6 +3105,70 @@ object SparkEntry {
     // shift, 9007199254740992 = 2^53 scale — the same unsigned-shift /
     // scale the Scala stub applies); the float-cast slot values then
     // fold-sum left to right like the Spark `aggregate` lambda
+    // dHash perceptual near-dup, replayed end-to-end: the 72-cell grid is
+    // the same HUGEINT mod-2^64 fold as mm_features (stride 72, per-cell
+    // seed), bits compare the >>11 values, blocking/cap/distance mirror
+    // the engine; Hamming runs on the UNSIGNED hash (xor+bit_count on
+    // HUGEINT < 2^64 equals 64-bit xor), the signed BIGINT is output-only
+    "mm_phash_dedup" ->
+      """WITH img AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |         hex(encode(text)) AS hx
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), gr AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 72), g ->
+        |      list_reduce(
+        |        list_prepend(CAST(1125899906842597 + g AS HUGEINT),
+        |          list_transform(range(g, len, 72), j ->
+        |            CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |                 + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |                 AS HUGEINT))),
+        |        (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT
+        |      ) >> 11) AS grid
+        |  FROM img
+        |), pu AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(0, 64), i ->
+        |        CASE WHEN grid[9 * (i // 8) + (i % 8) + 1]
+        |                  > grid[9 * (i // 8) + (i % 8) + 2]
+        |             THEN CAST(1 AS HUGEINT) << CAST(i AS INT)
+        |             ELSE CAST(0 AS HUGEINT) END)),
+        |      (a, x) -> a | x) AS u
+        |  FROM gr
+        |), ps AS (
+        |  SELECT doc_id, u,
+        |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |              THEN u - 18446744073709551616::HUGEINT
+        |              ELSE u END AS BIGINT) AS phash
+        |  FROM pu
+        |), ch AS (
+        |  SELECT doc_id, i AS chunk, (u >> CAST(8 * i AS INT)) & 255 AS ckey
+        |  FROM ps, range(0, 8) t(i)
+        |), okb AS (
+        |  SELECT chunk, ckey FROM ch GROUP BY chunk, ckey
+        |  HAVING count(*) <= 50
+        |), pruned AS (
+        |  SELECT ch.doc_id, ch.chunk, ch.ckey FROM ch JOIN okb USING (chunk, ckey)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nb_id
+        |  FROM pruned a JOIN pruned b USING (chunk, ckey)
+        |  WHERE a.doc_id <> b.doc_id
+        |), cand AS (
+        |  SELECT p.doc_id, p.nb_id, bit_count(xor(x.u, y.u)) AS hamming
+        |  FROM pairs p JOIN ps x ON p.doc_id = x.doc_id
+        |               JOIN ps y ON p.nb_id = y.doc_id
+        |), best AS (
+        |  SELECT doc_id, nb_id AS nn_id, CAST(hamming AS BIGINT) AS nn_hamming
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY hamming ASC, nb_id ASC) AS rn FROM cand)
+        |  WHERE rn = 1
+        |)
+        |SELECT s.doc_id, s.phash, b.nn_id, b.nn_hamming,
+        |       coalesce(b.nn_hamming <= 7, false) AS is_dup
+        |FROM ps s LEFT JOIN best b USING (doc_id)""".stripMargin,
+
     "mm_features" ->
       """WITH m AS (
         |  SELECT doc_id,

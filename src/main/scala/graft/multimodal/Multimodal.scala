@@ -170,4 +170,84 @@ object Multimodal {
       .select(col("doc_id"), col("kind"),
         round(aggregate(col("feature"), lit(0.0),
           (acc, x) => acc + x.cast("double")), 6).as("feature_sum"))
+
+  /** dHash-style 64-bit PERCEPTUAL hash of an image payload (public
+    * method — difference hash over an 8×9 downsampled luma grid). The
+    * "decode + downsample" half is the stub codec: grid cell g is the
+    * wrapping 31·h+b fold over the payload bytes at stride 72 (a real
+    * decoder produces real luma here — same one-function swap as
+    * [[stubDecode]]); the dHash half is real: bit (8r+c) is set when
+    * grid[9r+c] > grid[9r+c+1] on the unsigned-shifted 53-bit values.
+    * Pure integer arithmetic end to end, so the DuckDB oracle replays
+    * the hash exactly from the hex payload.
+    */
+  def phash(bytes: Array[Byte]): Long = {
+    val grid = Array.tabulate(72) { g =>
+      var h = 1125899906842597L + g
+      var j = g
+      while (j < bytes.length) { h = 31 * h + (bytes(j) & 0xFF); j += 72 }
+      h >>> 11 // < 2^53: exact-integer comparable in any engine
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(9 * r + c) > grid(9 * r + c + 1)) bits |= 1L << (8 * r + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** (doc_id, phash) over the image payloads — narrow per-record map,
+    * no shuffle at any corpus size.
+    */
+  def phashTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter((r: MediaRecord) => r.kind == "image")
+      .map(r => (r.doc_id, phash(r.bytes)))
+      .toDF("doc_id", "phash")
+  }
+
+  /** Perceptual-hash image near-dup: Hamming-distance dedup over the
+    * dHash values with BYTE-chunk blocking — the phash splits into 8
+    * 8-bit chunks and only images colliding on some (chunk, value)
+    * bucket are paired. By pigeonhole a pair within Hamming distance 7
+    * keeps at least one byte intact, so candidate recall is EXACT at the
+    * default threshold — up to the same `maxBucket` cap as every other
+    * blocking family (an oversized bucket means the hash doesn't
+    * separate that region; pairing inside it is quadratic cost, not
+    * signal — dropped whole, mirrored in the oracle).
+    *
+    * Scale shape: self-equi-join on the chunk key (shuffle bounded by
+    * bucket sizes), bit_count(xor) distance, per-image best neighbor via
+    * a bounded window — never O(n²). Every image emits a row.
+    */
+  def phashNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 7, maxBucket: Int = 50): DataFrame = {
+    val ph = phashTable(spark, dir)
+    val chunked = ph.select(col("doc_id"),
+      posexplode(array((0 until 8).map(c =>
+        shiftrightunsigned(col("phash"), c * 8).bitwiseAND(0xFFL)): _*))
+        .as(Seq("chunk", "ckey")))
+    val pairs = graft.text.NearDup.cappedBucketPairs(
+      chunked, Seq("chunk", "ckey"), "doc_id", maxBucket)
+    val cand = pairs
+      .join(ph, Seq("doc_id"))
+      .join(ph.select(col("doc_id").as("nb_id"), col("phash").as("nb_phash")),
+        Seq("nb_id"))
+      .select(col("doc_id"), col("nb_id"),
+        bit_count(col("phash").bitwiseXOR(col("nb_phash"))).as("hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("hamming").asc, col("nb_id").asc)
+    val best = cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("nb_id").as("nn_id"),
+        col("hamming").cast("long").as("nn_hamming"))
+    ph.join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("phash"), col("nn_id"), col("nn_hamming"),
+        coalesce(col("nn_hamming") <= maxHamming, lit(false)).as("is_dup"))
+  }
 }

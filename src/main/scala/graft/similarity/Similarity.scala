@@ -362,4 +362,48 @@ object Similarity {
       .orderBy(col("q_cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    * SEMANTIC deduplication by k-means clustering. The corpus is
+    * clustered with the persisted trained centroids ([[trainedCentroids]]
+    * — the search side never retrains); then WITHIN each cluster a vector
+    * is a semantic duplicate when some lower-id cluster-mate sits at
+    * cosine >= `threshold`. Keepers are the id-minimal representatives of
+    * each within-cluster near-dup neighborhood — exactly the paper's
+    * "keep one exemplar per ε-ball, only ever compared inside a cluster".
+    *
+    * Scale shape: this is the clustered answer to the O(n²) problem —
+    * pairwise cosine happens ONLY inside a cell (a self-equi-join on the
+    * cell key, shuffle bounded by cell population), and cell population
+    * is a DIAL, not a function of corpus size: k grows with the corpus
+    * (k ≈ N / targetCellSize — the paper runs 50k clusters for LAION-440M)
+    * so per-cell work stays constant while cells parallelize across the
+    * cluster. Nothing driver-side but the (k × dim) centroid artifact.
+    *
+    * Determinism: cell assignment and pair cosines round to 6 dp with
+    * the cell-asc / id-asc tiebreaks (same discipline as the IVF path),
+    * and the per-vector reduction is MAX over rounded doubles —
+    * order-free — so the DuckDB oracle replays training + assignment +
+    * flagging value-exactly.
+    */
+  def semanticDedup(s: SparkSession, dir: String, cells: Int = 8,
+      iters: Int = 2, threshold: Double = 0.45): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cent = trainedCentroids(s, dir, cells, iters)
+    val assigned = assignCells(emb, cent)
+    val mates = assigned.select(col("cell"), col("vec_id").as("lo_id"),
+      col("embedding").as("lo_emb"))
+    val best = assigned.join(mates, Seq("cell"))
+      .where(col("lo_id") < col("vec_id"))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("lo_emb")), 6).as("cos_sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos_sim")).as("max_lower_cos"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(best, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("max_lower_cos"),
+        coalesce(col("max_lower_cos") >= threshold, lit(false))
+          .as("is_semantic_dup"))
+  }
 }

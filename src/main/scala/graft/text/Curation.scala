@@ -169,6 +169,36 @@ object Curation {
       .where(col("u") < col("weight"))
   }
 
+  /** Temperature-scaled LANGUAGE-MIXTURE sampling — the multinomial
+    * alpha-sampling of multilingual LM training (XLM-R / mT5 style,
+    * alpha = 0.5; public method): per-language keep rate
+    * `rate_l = least(1, c / sqrt(n_l))`, so the kept mass per language
+    * is ~ c·sqrt(n_l) ∝ n_l^0.5 — head languages are downweighted
+    * toward the temperature-flattened mixture, tail languages ride
+    * (capped) whole. The rate needs NO cross-domain normalization (`c`
+    * is the size dial — at production scale it is set from the token
+    * budget), so there is no cross-row float sum anywhere: the only
+    * aggregate is the exact integer per-language count, and the draw
+    * compares the md5 hash-uniform `u` (same no-RNG discipline as
+    * [[weightedSample]]) against one double division over an IEEE-exact
+    * sqrt of an integer — engine-portable bit-for-bit.
+    *
+    * Shape at 100 TB: one map-side-combined count per language (a
+    * |languages|-row relation), broadcast back, then a pure filter at
+    * scan speed. No corpus shuffle, reproducible across re-shards.
+    */
+  def temperatureMix(s: SparkSession, dir: String, c: Double = 8.0): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val u = conv(substring(hashKey(col("doc_id")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    docs.join(broadcast(counts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_lang"),
+        least(lit(1.0), lit(c) / sqrt(col("n_lang").cast("double"))).as("rate"),
+        u.as("u"))
+      .where(col("u") < col("rate"))
+  }
+
   /** Corpus vocabulary: global top-k tokens by frequency (count desc,
     * token asc — a total order, so the cut is deterministic). The
     * aggregation is map-side partial (token counts combine before the

@@ -59,7 +59,7 @@ object NearDup {
     * whole (an uninformative bucket key, not evidence). Emits distinct
     * (doc_id, nb_id) with doc_id != nb_id; only `idCol` rides the shuffle.
     */
-  private def cappedBucketPairs(bucketed: DataFrame, keys: Seq[String],
+  private[graft] def cappedBucketPairs(bucketed: DataFrame, keys: Seq[String],
       idCol: String, maxBucket: Int): DataFrame = {
     val kc = keys.map(col)
     val okBuckets = bucketed.groupBy(kc: _*)

@@ -274,4 +274,41 @@ class CurationSpec extends SparkSuite {
       assert(keep == best)
     }
   }
+
+  test("temperature mix downweights head languages and keeps capped tails whole") {
+    val kept = Curation.temperatureMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val kept2 = Curation.temperatureMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(kept.sortBy(_._1).sameElements(kept2.sortBy(_._1))) // no RNG
+    val nByLang = Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // emitted rate matches the formula exactly
+    kept.foreach { case (_, lang, n, rate) =>
+      assert(n == nByLang(lang))
+      assert(rate == math.min(1.0, 8.0 / math.sqrt(n.toDouble)))
+    }
+    val keptByLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    nByLang.foreach { case (lang, n) =>
+      val rate = math.min(1.0, 8.0 / math.sqrt(n.toDouble))
+      val k = keptByLang.getOrElse(lang, 0)
+      if (rate == 1.0) assert(k == n, s"$lang rides whole at rate 1.0")
+      else {
+        assert(k < n, s"$lang must be downsampled")
+        // generous binomial slack around the target fraction
+        assert(math.abs(k.toDouble / n - rate) < 0.25)
+      }
+    }
+    // the least(1, ·) cap: at c=10 the tail languages saturate while the
+    // head stays downweighted — both branches live in one run
+    val capped = Curation.temperatureMix(spark, dir, c = 10.0).collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    val cappedRates = capped.map(_._2).toSet
+    assert(cappedRates.contains(1.0) && cappedRates.exists(_ < 1.0))
+    val fullLangs = capped.filter(_._2 == 1.0).groupBy(_._1).view.mapValues(_.length)
+    fullLangs.foreach { case (lang, k) =>
+      assert(k == nByLang(lang), s"$lang rides whole at rate 1.0")
+    }
+  }
 }

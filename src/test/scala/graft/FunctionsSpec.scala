@@ -142,4 +142,42 @@ class FunctionsSpec extends SparkSuite {
     assert(row.getAs[String]("kind") == "image") // doc_id 0 % 3 == 0
     assert(row.getAs[Double]("feature_sum") == expected)
   }
+
+  test("phash: identical payloads collide, near payloads land close, far ones far") {
+    val base = ("the quick brown fox " * 40).getBytes("UTF-8")
+    val near = base.clone(); near(5) = 'X'.toByte // one-byte edit
+    val far = ("completely different payload content! " * 25).getBytes("UTF-8")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (hb, hn, hf) = (Multimodal.phash(base), Multimodal.phash(near),
+      Multimodal.phash(far))
+    assert(ham(hb, hb) == 0)
+    // a one-byte edit perturbs one grid cell -> at most a few dHash bits
+    assert(ham(hb, hn) <= 7)
+    assert(ham(hb, hf) > 7)
+  }
+
+  test("phash near-dup: every image emits a row; recall exact at Hamming <= 7") {
+    val dir = sf("sf0.001")
+    val res = Multimodal.phashNearDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toMap
+    val nImages = graft.model.Tables.documents(spark, dir)
+      .where(col("doc_id") % 3 === 0).count()
+    assert(res.size == nImages)
+    // pigeonhole recall: brute-force every pair on the driver; any pair
+    // within Hamming 7 must be flagged on both endpoints (bucket caps
+    // can only drop degenerate buckets, which a <=7 pair cannot fully
+    // occupy at this corpus size — assert no cap interference outright)
+    val hashes = res.view.mapValues(_._1).toMap
+    for (a <- hashes.keys; b <- hashes.keys if a < b) {
+      val d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if (d <= 7) {
+        assert(res(a)._3, s"$a within $d of $b must be flagged")
+        assert(res(b)._3, s"$b within $d of $a must be flagged")
+        assert(res(a)._2 <= d && res(b)._2 <= d)
+      }
+    }
+    // the flag branch is live in both directions on the fixture
+    assert(res.values.exists(_._3) && res.values.exists(!_._3))
+  }
 }

@@ -73,4 +73,34 @@ class KmeansSpec extends SparkSuite {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("SemDeDup flags within-cell near-copies and keeps id-minimal exemplars") {
+    import spark.implicits._
+    // 4 separated direction clusters; per cluster: a seed (ids 0..3, the
+    // k-means seeds), a near-copy of the seed (ids 4..7 — must be
+    // flagged), and an in-cell but angled member (ids 8..11, cosine to
+    // the seed 10/sqrt(725) ~= 0.371 < 0.45 — must NOT be flagged).
+    val vecs = (0 until 12).map { m =>
+      val c = m % 4
+      val e = Array.fill(64)(0f)
+      e(c) = 10f
+      if (m >= 4 && m < 8) e(10 + c) = 0.01f        // near-copy jitter
+      if (m >= 8) e(32 + c) = 25f                   // angled member
+      (m.toLong, c.toLong, e)
+    }.toDF("vec_id", "label", "embedding")
+    val d = graft.util.Scratch.dir("semdedup_fixture")
+    vecs.write.mode("overwrite").parquet(d.resolve("embeddings.parquet").toString)
+
+    def run() = Similarity.semanticDedup(spark, d.toString, cells = 4,
+        iters = 2, threshold = 0.45).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val flags = run()
+    assert(flags == run()) // deterministic
+    assert(flags.size == 12)
+    (0 until 4).foreach { c =>
+      assert(!flags(c.toLong), s"seed $c is its cell's id-minimal exemplar")
+      assert(flags(c.toLong + 4), s"near-copy ${c + 4} must be flagged")
+      assert(!flags(c.toLong + 8), s"angled member ${c + 8} is below threshold")
+    }
+  }
 }
