@@ -943,6 +943,10 @@ object SparkEntry {
     // rate least(1, c/sqrt(n_lang)) per language, md5-uniform draw —
     // head languages flattened toward the temperature mixture
     "cur_temperature_mix" -> ((s, dir) => graft.text.Curation.temperatureMix(s, dir)),
+    // BPE tokenizer training on the word-type frequency table: 8 merge
+    // steps of integer pair counts + total-order argmax + fold-merge;
+    // the oracle replays every step unrolled
+    "cur_bpe_merges" -> ((s, dir) => graft.text.Bpe.trainMerges(s, dir)),
     // context-window chunking: 64-token chunks every 48 tokens (narrow
     // map + explode; the tail chunk is kept, every doc yields >=1 chunk)
     // bigram-LM quality score (the CCNet/Gopher LM-filter stage) in
@@ -1193,6 +1197,47 @@ object SparkEntry {
            |)""".stripMargin)
     }
     (sb.toString, s"cent$iters", s"cc$iters")
+  }
+
+  /** Unrolled BPE-training CTE chain mirroring Bpe.trainMerges step for
+    * step: word-type table (same tokenizer + filter + deterministic
+    * top cut), then per merge step adjacent-pair integer counts, the
+    * (cnt desc, l asc, r asc) argmax, and the left-to-right
+    * non-overlapping merge fold. DuckDB's list_reduce wants accumulator
+    * and element types equal, so symbols fold as singleton lists.
+    */
+  private def BpeCtes(iters: Int, maxWords: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""wt AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+$$')
+         |  GROUP BY word ORDER BY freq DESC, word ASC LIMIT $maxWords
+         |), st0 AS (
+         |  SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM wt
+         |)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""", pc$i AS (
+           |  SELECT p.l, p.r, sum(p.freq) AS cnt FROM (
+           |    SELECT freq, unnest(syms[1:len(syms) - 1]) AS l,
+           |           unnest(syms[2:len(syms)]) AS r
+           |    FROM st${i - 1}) p
+           |  GROUP BY 1, 2
+           |), b$i AS (
+           |  SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+           |), st$i AS (
+           |  SELECT word, freq,
+           |    list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
+           |      CASE WHEN acc[-1] = b.l AND x[1] = b.r
+           |           THEN list_append(array_pop_back(acc), b.l || b.r)
+           |           ELSE list_append(acc, x[1]) END) AS syms
+           |  FROM st${i - 1}, b$i b
+           |)""".stripMargin)
+    }
+    sb.toString
   }
 
   /** The exact trigram-Jaccard >= 0.8 pair relation (a < b) the recall
@@ -3105,6 +3150,21 @@ object SparkEntry {
     // shift, 9007199254740992 = 2^53 scale — the same unsigned-shift /
     // scale the Scala stub applies); the float-cast slot values then
     // fold-sum left to right like the Spark `aggregate` lambda
+    // BPE training replayed end-to-end: the learned merge table must
+    // match step for step (integer counts, total argmax order, greedy
+    // non-overlapping merge fold)
+    "cur_bpe_merges" -> {
+      val iters = 8
+      val steps = (1 to iters).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, l AS merge_left, " +
+          s"r AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH ${BpeCtes(iters, 2000)}
+         |SELECT * FROM (
+         |  $steps
+         |)""".stripMargin
+    },
+
     // dHash perceptual near-dup, replayed end-to-end: the 72-cell grid is
     // the same HUGEINT mod-2^64 fold as mm_features (stride 72, per-cell
     // seed), bits compare the >>11 values, blocking/cap/distance mirror
