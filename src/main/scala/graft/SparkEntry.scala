@@ -373,6 +373,11 @@ object SparkEntry {
     // one-shot cur_top_tokens
     "stream_vocab_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayTopTokensIncremental(s, dir)),
+    // incremental tokenizer-training state: per-batch word-type partial
+    // counts (LSM shape) folded, then the merge loop retrained from
+    // state — must learn the identical table to cur_bpe_merges
+    "stream_bpe_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayBpeIncremental(s, dir)),
     // incremental KMV sketch: per-batch ≤k-row partial sketches folded
     // at report time — k-min of unioned k-min sets IS the k-min of the
     // union, so the result equals the one-shot q_kmv_distinct exactly
@@ -1238,6 +1243,22 @@ object SparkEntry {
            |)""".stripMargin)
     }
     sb.toString
+  }
+
+  /** The full BPE training replay (8 merges over the top-2000 word
+    * types) — shared by the batch query and the incrementally-maintained
+    * retrain, which must learn the identical merge table.
+    */
+  private val BpeMergesOracleSql: String = {
+    val iters = 8
+    val steps = (1 to iters).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS merge_left, " +
+        s"r AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH ${BpeCtes(iters, 2000)}
+       |SELECT * FROM (
+       |  $steps
+       |)""".stripMargin
   }
 
   /** The exact trigram-Jaccard >= 0.8 pair relation (a < b) the recall
@@ -3153,17 +3174,11 @@ object SparkEntry {
     // BPE training replayed end-to-end: the learned merge table must
     // match step for step (integer counts, total argmax order, greedy
     // non-overlapping merge fold)
-    "cur_bpe_merges" -> {
-      val iters = 8
-      val steps = (1 to iters).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS step, l AS merge_left, " +
-          s"r AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
-        .mkString("\n|  UNION ALL ")
-      s"""WITH ${BpeCtes(iters, 2000)}
-         |SELECT * FROM (
-         |  $steps
-         |)""".stripMargin
-    },
+    "cur_bpe_merges" -> BpeMergesOracleSql,
+
+    // the merges retrained from incrementally-maintained word-type
+    // partials must equal the batch-trained table — same oracle
+    "stream_bpe_incremental" -> BpeMergesOracleSql,
 
     // dHash perceptual near-dup, replayed end-to-end: the 72-cell grid is
     // the same HUGEINT mod-2^64 fold as mm_features (stride 72, per-cell

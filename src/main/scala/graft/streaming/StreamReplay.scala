@@ -607,6 +607,43 @@ object StreamReplay {
     graft.text.Curation.topTokensFromPartials(s, countsDir)
   }
 
+  /** Replay of INCREMENTAL TOKENIZER-TRAINING state: the documents
+    * table streams in micro-batches, each batch appending its word-type
+    * PARTIAL counts (Bpe.appendWordTypeBatch — O(batch), LSM shape,
+    * idempotent via batchId markers), and retraining from the folded
+    * state must learn EXACTLY the batch-trained merge table — the gate
+    * uses the cur_bpe_merges oracle unchanged. This is the production
+    * shape for a growing corpus: the expensive corpus pass is
+    * maintained incrementally; the vocabulary-bounded merge loop reruns
+    * from state whenever a fresh tokenizer is cut.
+    */
+  def replayBpeIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_bpe_replay")
+    val feed = tmp.resolve("feed").toString
+    val countsDir = tmp.resolve("counts").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.text.Bpe.appendWordTypeBatch(s, countsDir, batch,
+            batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.text.Bpe.trainMergesFrom(s,
+      graft.text.Bpe.wordTypesFromPartials(s, countsDir), iters = 8)
+  }
+
   /** Replay of INCREMENTAL KMV-SKETCH maintenance: the events table
     * streams in micro-batches, each batch appending its ≤ k-row PARTIAL
     * sketch (its k smallest key hashes — O(k) per batch, O(batches·k)

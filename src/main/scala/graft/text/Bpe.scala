@@ -71,9 +71,17 @@ object Bpe {
     * tokenizer ships.
     */
   def trainMerges(s: SparkSession, dir: String, iters: Int = 8,
-      maxWords: Int = 2000): DataFrame = {
+      maxWords: Int = 2000): DataFrame =
+    trainMergesFrom(s, wordTypes(s, dir, maxWords), iters)
+
+  /** Training core over ANY (word, freq) relation — the batch path
+    * passes the one-shot word-type table, the incremental path the fold
+    * of maintained partial counts; both must learn the identical table.
+    */
+  def trainMergesFrom(s: SparkSession, types: DataFrame,
+      iters: Int): DataFrame = {
     import s.implicits._
-    var st = wordTypes(s, dir, maxWords)
+    var st = types
       .select(col("word"), col("freq"), chars(col("word")).as("syms"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
@@ -101,6 +109,40 @@ object Bpe {
     }
     merges.result().toDF("step", "merge_left", "merge_right", "pair_count")
   }
+
+  /** INCREMENTAL word-type maintenance, batch-apply half: one
+    * micro-batch's word counts (same tokenizer + alphabetic filter as
+    * [[wordTypes]]) land as an append-only PARTIAL-aggregate file set —
+    * O(batch) per batch, LSM shape, batchId markers for at-least-once
+    * idempotence (same contract as Curation.appendTokenCountBatch).
+    * Counts are mergeable, so retraining from the folded state must
+    * reproduce the batch-trained merges exactly — which is what the
+    * stream_bpe_incremental gate checks against the cur_bpe_merges
+    * oracle.
+    */
+  def appendWordTypeBatch(s: SparkSession, countsDir: String,
+      batch: DataFrame, batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$countsDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    batch.select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .write.mode("append").parquet(s"$countsDir/partials")
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** Fold the maintained partials and apply the SAME deterministic
+    * top-`maxWords` cut as the one-shot [[wordTypes]].
+    */
+  def wordTypesFromPartials(s: SparkSession, countsDir: String,
+      maxWords: Int = 2000): DataFrame =
+    s.read.parquet(s"$countsDir/partials")
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(maxWords)
 
   /** Tokenize words with a learned merge list (the inference side of the
     * artifact): replay the merges in training order over each word's

@@ -64,6 +64,28 @@ class BpeSpec extends SparkSuite {
     assert(toks("aaaa") == List("aa", "aa"))
   }
 
+  test("incremental word-type partials: fold equals one-shot; re-delivery no-ops") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val counts = graft.util.Scratch.dir("bpe_partials").toString
+    val docs = graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val batches = Seq(
+      docs.where(col("doc_id") % 3 === 0),
+      docs.where(col("doc_id") % 3 === 1),
+      docs.where(col("doc_id") % 3 === 2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Bpe.appendWordTypeBatch(spark, counts, b, batchId = Some(i.toLong)) }
+    // at-least-once re-delivery of every batch must change nothing
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Bpe.appendWordTypeBatch(spark, counts, b, batchId = Some(i.toLong)) }
+    val incr = Bpe.trainMergesFrom(spark,
+      Bpe.wordTypesFromPartials(spark, counts), iters = 4).collect().toSeq
+    val oneShot = Bpe.trainMerges(spark, dir, iters = 4).collect().toSeq
+    assert(incr == oneShot)
+    assert(incr.nonEmpty)
+  }
+
   test("corpus that runs out of pairs stops early with the merges it found") {
     import spark.implicits._
     val d = graft.util.Scratch.dir("bpe_tiny")
