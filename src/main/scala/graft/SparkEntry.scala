@@ -198,6 +198,20 @@ object SparkEntry {
     "fx_drawdown" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.maxDrawdown(rates(s, dir))),
 
+    // per-pair EMA of the daily close: the RECURSIVE fold no algebraic
+    // aggregate expresses — exact ×1000-long closes, per-pair sorted
+    // array, sequential codegen'd fold with α = 1/4 (binary-exact), so
+    // DuckDB's list_reduce replays the identical rounding sequence
+    "fx_ema" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.emaDailyClose(rates(s, dir))),
+
+    // Bollinger bands: trailing-20-day mean ± 2 sample σ per pair-day —
+    // the windowed sibling of fx_volatility's exact-integer-moment
+    // recipe (built-in windowed stddev would round differently across
+    // engines); one shuffle, bounded ROWS frame over the close digest
+    "fx_bollinger" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.bollingerBands(rates(s, dir))),
+
     // layout maintenance: rewrite events Z-ORDERED by (user_id, time) —
     // interleaved-bit sort key → every file gets a tight min/max
     // envelope on BOTH dimensions (the multi-dim data-skipping layout);
@@ -463,6 +477,35 @@ object SparkEntry {
           .getField("k").as("k"))),
 
     // ---- relational breadth (SURVEY §2.9: families the reference lacks) ----
+
+    // graph centrality: weighted PageRank over the customer-nation →
+    // supplier-nation trade graph. The scale-dominant step is the edge
+    // aggregation (fact-table shuffle, map-side combinable, dims
+    // broadcast); the damped iteration then runs on the |nations|²-max
+    // digest with per-target source-ordered double folds so the replay
+    // is bitwise (see operators.PageRank)
+    "q_pagerank_trade" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1.0).cast("decimal(4,2)")
+            - col("l_discount").cast("decimal(4,2)"))).as("rev"))
+      val edges = li
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(sum(col("rev")).as("w"))
+      graft.operators.PageRank.weightedPageRank(edges, iters = 5)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+        .select(col("n_name").as("nation"), col("pr"))
+    }),
 
     // wide grouped aggregation with derived expressions (TPC-H Q1 shape)
     "q_pricing_summary" -> BreadthQueries.pricingSummary _,
@@ -1261,6 +1304,49 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** The PageRank iteration unrolled (the k-means/BPE replay pattern):
+    * p0 = 1/N, then per step a source-ordered list_reduce fold of the
+    * in-neighbor contributions — the same left fold (init 0.0, then
+    * + in src order) as the Spark side's sorted aggregate-HOF, so the
+    * double rounding sequence matches bit for bit.
+    */
+  private val PagerankTradeOracleSql: String = {
+    val iters = 5
+    val steps = (1 to iters).map { i =>
+      val prev = s"p${i - 1}"
+      s"""c$i AS (
+         |  SELECT r.dst,
+         |    list_reduce(list_prepend(0.0, list(p.pr * r.ratio ORDER BY r.src)),
+         |                (a, b) -> a + b) AS m
+         |  FROM r JOIN $prev p ON p.node = r.src GROUP BY r.dst
+         |), p$i AS (
+         |  SELECT nodes.node, 0.15 / n + 0.85 * coalesce(c$i.m, 0.0) AS pr
+         |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.node, nn
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |    sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |        * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+       |      AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2
+       |), wo AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+       |r AS (
+       |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(wo.wout AS DOUBLE) AS ratio
+       |  FROM e JOIN wo ON e.src = wo.src
+       |),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |p0 AS (SELECT node, 1.0 / n AS pr FROM nodes, nn),
+       |$steps
+       |SELECT n_name AS nation, pr
+       |FROM p$iters JOIN nation ON n_nationkey = p$iters.node""".stripMargin
+  }
+
   /** The exact trigram-Jaccard >= 0.8 pair relation (a < b) the recall
     * oracles anchor on — spliced into XxhOracleSql's candidate replays,
     * which recompute the TRUE missed-pair count rather than asserting a
@@ -1566,6 +1652,57 @@ object SparkEntry {
          |SELECT ccy_couple, count(*) AS n_days,
          |  CAST(max(dd) * 1000 AS BIGINT) AS max_drawdown_milli
          |FROM dd GROUP BY 1""".stripMargin,
+
+    // the EMA fold replayed operation-for-operation: DuckDB list_reduce
+    // over a date-ordered list is the same left fold (first element =
+    // initial accumulator) as Spark's aggregate-HOF over the sorted
+    // array, and α = 0.25 is binary-exact, so the double rounding
+    // sequence is identical
+    "fx_ema" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) * 1000
+         |         AS BIGINT) AS close_u
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), p AS (
+         |  SELECT ccy_couple,
+         |    list(CAST(close_u AS DOUBLE) ORDER BY date) AS xs
+         |  FROM cl GROUP BY 1
+         |)
+         |SELECT ccy_couple, length(xs) AS n_days,
+         |  xs[length(xs)] AS last_close_milli,
+         |  list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc) AS ema_milli
+         |FROM p""".stripMargin,
+
+    // Bollinger: the trailing frame reduced to exact integer moments,
+    // then the identical double expression tree (s/n, sqrt of the
+    // clamped sample variance, ±2σ) once per row
+    "fx_bollinger" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) * 1000
+         |         AS BIGINT) AS close_u
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), f AS (
+         |  SELECT ccy_couple, date, close_u,
+         |    CAST(count(*) OVER w AS DOUBLE) AS n,
+         |    CAST(sum(close_u) OVER w AS DOUBLE) AS s,
+         |    CAST(sum(close_u * close_u) OVER w AS DOUBLE) AS ss
+         |  FROM cl
+         |  WINDOW w AS (PARTITION BY ccy_couple ORDER BY date
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT ccy_couple, date, CAST(close_u AS DOUBLE) AS close_milli,
+         |  s / n AS mid_milli,
+         |  s / n - 2.0 * sqrt(greatest(n * ss - s * s, 0.0)
+         |    / nullif(n * (n - 1.0), 0.0)) AS lower_milli,
+         |  s / n + 2.0 * sqrt(greatest(n * ss - s * s, 0.0)
+         |    / nullif(n * (n - 1.0), 0.0)) AS upper_milli
+         |FROM f""".stripMargin,
 
     // z-ordering must be row-identity: the output is simply the table
     "maint_zorder_events" ->
@@ -1971,6 +2108,9 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the damped iteration unrolled step for step (see the builder)
+    "q_pagerank_trade" -> PagerankTradeOracleSql,
 
     "q_revenue_by_segment" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -299,6 +299,89 @@ object MarketAnalytics {
         .as("vol_milli"))
   }
 
+  /** Per-pair exponential moving average of the daily close (milli-units)
+    * — the smoothing a rates desk quotes alongside the raw close. EMA is
+    * the canonical "hard for SQL" metric: e_t = α·x_t + (1−α)·e_{t−1} is
+    * a RECURSIVE fold, not an algebraic aggregate, so no shuffle-order-
+    * free formulation exists. The deterministic shape here:
+    *
+    *   - closes pin to DECIMAL(12,3) and ride as exact ×1000 longs
+    *     (the shared digest recipe), so the fold's INPUTS are identical
+    *     on any engine;
+    *   - each pair's series is sorted into an array
+    *     (`sort_array(collect_list(struct(date, close)))` — one shuffle
+    *     on the pair key, array length = |days|, bounded) and the fold
+    *     runs SEQUENTIALLY inside one codegen'd `aggregate` HOF — a
+    *     fixed left-to-right order, so the double rounding sequence is
+    *     the same everywhere (DuckDB's `list_reduce` over a
+    *     `list(x ORDER BY date)` replays it operation-for-operation);
+    *   - α = 1/4 EXACTLY (a binary power, so α·x is an exact scaling
+    *     and only the (1−α)-product and the add round) — the smoothing
+    *     window (α = 2/(n+1) → n = 7 days) chosen so the constant is
+    *     representable rather than approximated.
+    *
+    * Seed: e_1 = x_1 (the standard convention). Output: final EMA per
+    * pair after the whole close path, plus the raw last close for spread
+    * reading. Scale shape: the tick corpus reduces to the daily-close
+    * digest first; the per-pair array is |days| elements however large
+    * the corpus — the same bounded-state argument as the change vectors.
+    */
+  def emaDailyClose(rates: DataFrame): DataFrame = {
+    val closes = dailyCloses3(rates)
+      .select(col("ccy_couple"), col("date"),
+        (col("close") * lit(1000)).cast("long").as("close_u"))
+    closes
+      .groupBy(col("ccy_couple"))
+      .agg(sort_array(collect_list(struct(col("date"), col("close_u"))))
+        .as("path"))
+      .select(col("ccy_couple"), size(col("path")).cast("long").as("n_days"),
+        transform(col("path"), r => r("close_u").cast("double")).as("xs"))
+      .select(col("ccy_couple"), col("n_days"),
+        element_at(col("xs"), -1).as("last_close_milli"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1),
+          (acc, x) => lit(0.25) * x + lit(0.75) * acc)
+          .as("ema_milli"))
+  }
+
+  /** Per-pair-day Bollinger bands: the trailing-20-observation mean of
+    * the daily close ± 2 sample standard deviations — the volatility
+    * envelope behind breakout/squeeze signals. Built-in windowed
+    * avg/stddev accumulate doubles in frame order (deterministic) but
+    * their INTERNAL representation differs across engines; instead the
+    * frame reduces to exact integer moments (Σx, Σx² over ×1000-long
+    * closes — a ROWS frame of ≤ 20 longs cannot overflow) and the
+    * mean/σ/band arithmetic runs once per row in double on identical
+    * operands — the windowed sibling of [[volatility]]'s global recipe.
+    *
+    * Scale shape: one shuffle on the pair key; the window is a bounded
+    * ROWS frame over the |pairs|×|days| daily-close digest, never the
+    * tick corpus. Days before the 2nd observation emit NULL bands
+    * (sample σ undefined), matching the warm-up convention.
+    */
+  def bollingerBands(rates: DataFrame, window: Int = 20): DataFrame = {
+    val closes = dailyCloses3(rates)
+      .select(col("ccy_couple"), col("date"),
+        (col("close") * lit(1000)).cast("long").as("close_u"))
+    val w = Window.partitionBy(col("ccy_couple")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val n = count(lit(1)).over(w).cast("double")
+    val s = sum(col("close_u")).over(w).cast("double")
+    val ss = sum(col("close_u") * col("close_u")).over(w).cast("double")
+    val mean = s / n
+    // sample variance over the frame; one-observation frames → NULL;
+    // the clamp guards the same exact-zero-rounded-negative case as
+    // volatility (all-equal frame)
+    val sd = sqrt(greatest(n * ss - s * s, lit(0.0))
+      / nullif(n * (n - lit(1.0)), lit(0.0)))
+    closes.select(col("ccy_couple"), col("date"),
+      col("close_u").cast("double").as("close_milli"),
+      mean.as("mid_milli"),
+      (mean - lit(2.0) * sd).as("lower_milli"),
+      (mean + lit(2.0) * sd).as("upper_milli"))
+  }
+
   /** Per-pair maximum drawdown over the daily-close path: the deepest
     * fall from any prior peak, in milli-units (0 for a never-falling
     * path). Running peak via a rows-unbounded-preceding window max over

@@ -171,6 +171,56 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("B") == 0L) // monotone rise never draws down
   }
 
+  test("ema: recursive fold hand-replayed, single-day seed, order independence") {
+    import spark.implicits._
+    // A: closes 1, 2, 3 → e1=1000, e2=.25·2000+.75·1000=1250,
+    // e3=.25·3000+.75·1250=1687.5 (milli); B: one day → EMA = close.
+    // Rows arrive date-DESCENDING to prove the sort_array pin.
+    val rows = Seq(
+      ("A", "2024-01-03", 3.0), ("A", "2024-01-02", 2.0),
+      ("A", "2024-01-01", 1.0), ("B", "2024-01-02", 9.5))
+    val df = rows.zipWithIndex.map { case ((p, d, v), i) => (i.toLong, p, v, d) }
+      .toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.emaDailyClose(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(1) == 3L)
+    assert(out("A").getDouble(2) == 3000.0)   // last close
+    assert(out("A").getDouble(3) == 1687.5)   // exact: every step binary-exact
+    assert(out("B").getLong(1) == 1L)
+    assert(out("B").getDouble(3) == 9500.0)   // seed convention e1 = x1
+  }
+
+  test("bollinger: hand-computed band, constant series collapses, warm-up NULL") {
+    import spark.implicits._
+    // A day2 frame = [1000, 2000]: mean 1500, sample var
+    // (2·5e6 − 9e6)/2 = 5e5, σ = √5e5; C constant → σ = 0 exactly
+    val rows = Seq(
+      ("A", "2024-01-01", 1.0), ("A", "2024-01-02", 2.0),
+      ("C", "2024-01-01", 4.0), ("C", "2024-01-02", 4.0))
+    val df = rows.zipWithIndex.map { case ((p, d, v), i) => (i.toLong, p, v, d) }
+      .toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.bollingerBands(df).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r).toMap
+    val a1 = out(("A", "2024-01-01"))
+    assert(a1.isNullAt(4) && a1.isNullAt(5))  // 1-obs frame: σ undefined
+    assert(a1.getDouble(3) == 1000.0)         // mean of the single obs
+    val a2 = out(("A", "2024-01-02"))
+    val sd = math.sqrt(5e5)
+    assert(a2.getDouble(3) == 1500.0)
+    assert(math.abs(a2.getDouble(4) - (1500.0 - 2.0 * sd)) < 1e-9)
+    assert(math.abs(a2.getDouble(5) - (1500.0 + 2.0 * sd)) < 1e-9)
+    val c2 = out(("C", "2024-01-02"))
+    assert(c2.getDouble(4) == 4000.0 && c2.getDouble(5) == 4000.0)
+  }
+
   test("daily-change corr plan: broadcast pair frame, no shuffle in the quadratic stage") {
     val plan = MarketAnalytics.dailyChangeCorr(rates)
       .queryExecution.executedPlan.toString

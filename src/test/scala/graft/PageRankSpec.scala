@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+class PageRankSpec extends SparkSuite {
+
+  private def edges(rows: Seq[(Long, Long, java.math.BigDecimal)]) = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "w")
+      .withColumn("w", col("w").cast("decimal(18,2)"))
+  }
+
+  private def dec(v: String) = new java.math.BigDecimal(v)
+
+  test("symmetric cycle stays uniform; mass is conserved without dangling nodes") {
+    // 1→2→3→1, equal weights: 1/N is the exact fixed point of the
+    // update rule, so every iteration returns (teleport + damping)/N·…
+    // ≈ 1/3 — and with every node having out-edges the total mass stays
+    // teleport + damping = 1 (up to double rounding)
+    val e = edges(Seq((1L, 2L, dec("5.00")), (2L, 3L, dec("5.00")),
+      (3L, 1L, dec("5.00"))))
+    val out = PageRank.weightedPageRank(e, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 3)
+    out.values.foreach(p => assert(math.abs(p - 1.0 / 3.0) < 1e-12))
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
+
+  test("one-step update matches the hand formula, weighted split honored") {
+    // 1 →(3.00)→ 2, 1 →(1.00)→ 3: node 1's mass splits 0.75 / 0.25;
+    // nodes 2 and 3 are dangling (their mass leaks, documented).
+    val e = edges(Seq((1L, 2L, dec("3.00")), (1L, 3L, dec("1.00"))))
+    val out = PageRank.weightedPageRank(e, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = 3.0
+    assert(out(1L) == 0.15 / n)                          // no in-edges
+    assert(out(2L) == 0.15 / n + 0.85 * (1.0 / n * 0.75))
+    assert(out(3L) == 0.15 / n + 0.85 * (1.0 / n * 0.25))
+  }
+
+  test("hub ranks above spokes and ranks are positive and bounded") {
+    // star: 2,3,4 each point at 1 — 1 must outrank the spokes
+    val e = edges(Seq((2L, 1L, dec("1.00")), (3L, 1L, dec("1.00")),
+      (4L, 1L, dec("1.00")), (1L, 2L, dec("1.00"))))
+    val out = PageRank.weightedPageRank(e, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L) && out(2L) > out(3L) - 1e-15)
+    out.values.foreach(p => assert(p > 0.0 && p < 1.0))
+    // 3 and 4 are structurally identical → identical rank, bitwise
+    assert(out(3L) == out(4L))
+  }
+}
