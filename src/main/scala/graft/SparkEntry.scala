@@ -259,6 +259,26 @@ object SparkEntry {
           col("event_type"), col("value"))
     }),
 
+    // bloom-index point lookup: a HASH-clustered layout (the co-located-
+    // join layout) gives every file a full-domain min/max envelope, so
+    // range skipping prunes nothing — the per-file bloom index answers
+    // "can this file hold THIS key" instead; pruned scan ≡ full filter
+    // by the one-sided-error contract (DataSkippingSpec pins that files
+    // are actually skipped and negatives are definitive)
+    "maint_bloom_lookup" -> ((s, dir) => {
+      val tmp = graft.util.Scratch.dir("graft_bloom").resolve("events").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        .repartition(8, col("user_id"))
+        .write.mode("overwrite").parquet(tmp)
+      val bloom = graft.operators.DataSkipping.buildBloom(s, tmp, "user_id")
+      graft.operators.DataSkipping
+        .prunedPointScan(s, tmp, bloom, "user_id", lit(37L))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("value"))
+    }),
+
     // CDC: recover the change set between the as-of-cutoff upsert table
     // and the current one — one null-safe full-outer diff on the key;
     // the complement of MergeOps (which applies changes, this RECOVERS
@@ -1708,6 +1728,11 @@ object SparkEntry {
     "maint_zorder_events" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |FROM events""".stripMargin,
+
+    // the bloom contract: pruned point scan ≡ full-table equality filter
+    "maint_bloom_lookup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events WHERE user_id = 37""".stripMargin,
 
     // the skipping contract: pruned scan ≡ full-table range filter
     "maint_skipping_scan" ->

