@@ -1100,6 +1100,13 @@ object SparkEntry {
     // the oracle replays grid fold + bit extraction + blocking + distance
     "mm_phash_dedup" -> ((s, dir) =>
       graft.multimodal.Multimodal.phashNearDup(s, dir)),
+    // CLIP-shaped cross-modal retrieval: image payloads stub-encoded
+    // into the text-embedding space (64 rolling-hash slots — one-
+    // function swap for a real vision tower), cosine top-3 text vectors
+    // per image through the codegen'd kernel; text side broadcasts,
+    // images stream through a narrow map
+    "mm_crossmodal_topk" -> ((s, dir) =>
+      graft.multimodal.Multimodal.crossModalTopK(s, dir)),
     // per-label centroids: distributed vector aggregation (IVF training
     // step). Emitted as (label, pos, c) scalar rows — one row per centroid
     // component, 1-based pos — because the oracle gate cannot sort/hash
@@ -3435,6 +3442,40 @@ object SparkEntry {
         |  round(list_reduce(list_prepend(0.0, list_transform(feats, x -> CAST(x AS DOUBLE))),
         |        (a, x) -> a + x), 6) AS feature_sum
         |FROM f""".stripMargin,
+
+    // the media-encoder stub replayed (the mm_features fold at 64 slots,
+    // stride 64), then the sim_topk cosine/rank replay against the text
+    // embeddings — both halves already-proven machinery
+    "mm_crossmodal_topk" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), mv AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      CAST(CAST(
+        |        list_reduce(
+        |          list_prepend(CAST(1125899906842597 + i AS HUGEINT),
+        |            list_transform(range(i, len, 64), j ->
+        |              CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |                   + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |                   AS HUGEINT))),
+        |          (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT
+        |        ) // 2048 AS DOUBLE) / 9007199254740992.0 AS FLOAT)) AS v
+        |  FROM m
+        |), scored AS (
+        |  SELECT doc_id, vec_id,
+        |    round(list_dot_product(CAST(v AS DOUBLE[]), ee)
+        |          / sqrt(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[]))
+        |                 * list_dot_product(ee, ee)), 6) AS cos_sim
+        |  FROM (SELECT doc_id, v, vec_id, CAST(embedding AS DOUBLE[]) AS ee
+        |        FROM mv CROSS JOIN embeddings)
+        |)
+        |SELECT doc_id, vec_id, cos_sim, rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+        |WHERE rank <= 3""".stripMargin,
 
     // the frame-window arithmetic + wrapping 31h+b fold replayed from the
     // hex payload; the HUGEINT hash folds back to Spark's signed long

@@ -250,4 +250,56 @@ object Multimodal {
       .select(col("doc_id"), col("phash"), col("nn_id"), col("nn_hamming"),
         coalesce(col("nn_hamming") <= maxHamming, lit(false)).as("is_dup"))
   }
+
+  /** STUB media encoder into the TEXT-embedding space: 64 rolling-hash
+    * slots over the payload bytes at stride 64 — the same wrapping
+    * 31·h+b arithmetic as [[stubDecode]]'s 8-dim feature, widened to
+    * the `embeddings` table's dimensionality so the two modalities
+    * share a vector space (a real CLIP/CLAP image tower produces real
+    * unit vectors here; the swap is this one function). Deterministic,
+    * pure in the bytes, oracle-replayable (hex-pair HUGEINT fold).
+    */
+  def mediaEmbeddingTable(spark: SparkSession, dir: String,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter((r: MediaRecord) => r.kind == "image")
+      .mapPartitions(_.grouped(64).flatMap(_.map { r =>
+        val len = r.bytes.length
+        val v = Array.tabulate(dim) { i =>
+          var h = 1125899906842597L + i
+          var j = i
+          while (j < len) { h = 31 * h + (r.bytes(j) & 0xFF); j += dim }
+          ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        }
+        (r.doc_id, v)
+      }))
+      .toDF("doc_id", "media_vec")
+  }
+
+  /** CLIP-shaped cross-modal retrieval: every image's encoder output is
+    * matched against the text `embeddings` table by cosine, top-k text
+    * vectors per image — the image→caption / audio→transcript retrieval
+    * join of a multimodal training pipeline. The scoring kernel is the
+    * same codegen'd [[graft.functions.CosineSimilarity]] the text-side
+    * search uses; the text side BROADCASTS (the corpus-scale side is the
+    * images, which stream through a narrow map). Brute force here is the
+    * recall baseline — at text-corpus sizes that don't broadcast, route
+    * the probe through the IVF cells (`Similarity.ivfTopK`) unchanged.
+    */
+  def crossModalTopK(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = mediaEmbeddingTable(spark, dir)
+    val emb = graft.model.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    enc.crossJoin(broadcast(emb))
+      .select(col("doc_id"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(
+          col("media_vec"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

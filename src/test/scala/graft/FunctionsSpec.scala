@@ -143,6 +143,43 @@ class FunctionsSpec extends SparkSuite {
     assert(row.getAs[Double]("feature_sum") == expected)
   }
 
+  test("crossmodal: driver-side encoder replay, k rows per image, rank order sound") {
+    val dir = sf("sf0.001")
+    val out = Multimodal.crossModalTopK(spark, dir, k = 3).collect()
+    val images = graft.model.Tables.documents(spark, dir)
+      .where(col("doc_id") % 3 === 0).count()
+    assert(out.length == images * 3) // every image retrieves exactly k
+    // rank 1 must dominate rank 3 within a doc
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.head.getDouble(2) >= sorted.last.getDouble(2))
+    }
+    // driver-side recompute of doc 0's encoder output → cosine vs the
+    // rank-1 vector must equal the engine's score
+    val text = graft.model.Tables.documents(spark, dir)
+      .where(col("doc_id") === 0).select(col("text")).collect().head.getString(0)
+    val bytes = text.getBytes("UTF-8")
+    val v = Array.tabulate(64) { i =>
+      var h = 1125899906842597L + i
+      var j = i
+      while (j < bytes.length) { h = 31 * h + (bytes(j) & 0xFF); j += 64 }
+      ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    }
+    val top = out.filter(r => r.getLong(0) == 0L && r.getInt(3) == 1).head
+    val emb = graft.model.Tables.embeddings(spark, dir)
+      .where(col("vec_id") === top.getLong(1)).select(col("embedding"))
+      .collect().head.getSeq[Float](0)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    v.indices.foreach { i =>
+      val a = v(i).toDouble; val b = emb(i).toDouble
+      dot += a * b; nx += a * a; ny += b * b
+    }
+    val cos = BigDecimal(dot / math.sqrt(nx * ny))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.getDouble(2) == cos)
+  }
+
   test("phash: identical payloads collide, near payloads land close, far ones far") {
     val base = ("the quick brown fox " * 40).getBytes("UTF-8")
     val near = base.clone(); near(5) = 'X'.toByte // one-byte edit
