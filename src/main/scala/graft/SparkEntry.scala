@@ -810,6 +810,22 @@ object SparkEntry {
       graft.operators.Kmv.distinctEstimate(
         Tables.events(s, dir), "user_id", k = 64)),
 
+    // KMV set algebra: click vs purchase (user, day) activity sets
+    // compared from their O(k) sketches alone — union / Jaccard /
+    // intersection estimates without joining the raw populations; the
+    // whole report hash-verified like q_kmv_distinct (the union sketch
+    // IS a KMV sketch — mergeability — and membership is exact set
+    // membership on replayable hashes)
+    "q_kmv_set_algebra" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def keys(t: String) = ev.where(col("event_type") === t)
+        .select((col("user_id") * lit(100000L)
+          + datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long")).as("day_key"))
+      graft.operators.Kmv.setAlgebra(
+        keys("click"), keys("purchase"), "day_key", k = 64)
+    }),
+
     // Count-Min heavy hitters: d×w counter cells via the multi-arg
     // xxhash64 fold, min-over-rows estimate for the exact top keys —
     // the sketch hash-verified in DuckDB. w=64 forces REAL collisions
@@ -2436,6 +2452,17 @@ object SparkEntry {
     // unsigned k-min order, estimator double tree (XxhOracleSql)
     "q_kmv_distinct" ->
       graft.oracle.XxhOracleSql.kmvDistinct(k = 64),
+
+    // both sketches + the union sketch + the set-algebra estimator
+    // trees replayed value-exactly (XxhOracleSql)
+    "q_kmv_set_algebra" ->
+      graft.oracle.XxhOracleSql.kmvSetAlgebra(k = 64,
+        aKeySql = """SELECT user_id * 100000
+                     + datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                     AS key FROM events WHERE event_type = 'click'""",
+        bKeySql = """SELECT user_id * 100000
+                     + datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                     AS key FROM events WHERE event_type = 'purchase'"""),
 
     // the whole CMS replayed value-exactly: seeded hash chains, cell
     // addressing, min-over-rows estimate (XxhOracleSql)

@@ -42,6 +42,58 @@ object Kmv {
     df.select(xxhash64(col(keyCol)).as("h")).distinct()
       .orderBy(col("h").bitwiseXOR(lit(Flip)).asc).limit(k)
 
+  /** KMV SET ALGEBRA (Beyer et al. 2007, public algorithm): union,
+    * intersection, and Jaccard estimates for two key populations from
+    * their O(k) sketches alone — the "how much do these two segments
+    * overlap" question answered without ever joining the raw
+    * populations. L = the k smallest hashes of S_A ∪ S_B is itself the
+    * union's KMV sketch (mergeability), so (k−1)/u_k estimates |A∪B|;
+    * the fraction ρ of L present in BOTH input sketches estimates the
+    * Jaccard index, and ρ · |A∪B|-estimate the intersection.
+    *
+    * Deterministic end to end like [[distinctEstimate]]: the sketches
+    * are exact k-min sets of the replayable hash, membership is set
+    * membership, and the estimator arithmetic runs on identical double
+    * operands — so the DuckDB oracle hash-matches the whole report.
+    * Exactness degrades gracefully: when the union has fewer than k
+    * distinct hashes both sketches are complete and every output is the
+    * exact count.
+    *
+    * Scale shape: each population reduces to its ≤ k-row sketch first
+    * (per-partition heaps, no global sort); everything after is
+    * broadcast joins of k-row relations.
+    */
+  def setAlgebra(a: DataFrame, b: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val ka = partialSketch(a, keyCol, k)
+    val kb = partialSketch(b, keyCol, k)
+    val unionK = ka.union(kb).select(col("h")).distinct()
+      .orderBy(col("h").bitwiseXOR(lit(Flip)).asc).limit(k)
+    val flagged = unionK
+      .join(broadcast(ka.select(col("h"), lit(1).as("ina"))), Seq("h"), "left")
+      .join(broadcast(kb.select(col("h"), lit(1).as("inb"))), Seq("h"), "left")
+    val agg = flagged.agg(
+      count(lit(1)).as("m"),
+      max(col("h").bitwiseXOR(lit(Flip))).as("ukx"),
+      sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+        .as("n_both"))
+    val ukSigned = col("ukx").bitwiseXOR(lit(Flip))
+    val uD = when(ukSigned < 0,
+        ukSigned.cast("double") + lit(1.8446744073709552E19))
+      .otherwise(ukSigned.cast("double"))
+    val unionEst = when(col("m") < k, col("m").cast("double"))
+      .otherwise(lit(k - 1.0) * lit(1.8446744073709552E19) / uD)
+    val rho = col("n_both").cast("double") / col("m").cast("double")
+    agg.select(
+      lit(k.toLong).as("k"),
+      col("m").as("n_union_kept"),
+      col("n_both"),
+      unionEst.as("union_est"),
+      rho.as("jaccard_est"),
+      (rho * unionEst).as("intersect_est"))
+  }
+
   /** The k-min fold + estimator over an already-hashed relation (column
     * `h`, signed xxhash64 values, duplicates allowed — they collapse).
     * Separated from the hashing so MERGED sketches can reuse it: the

@@ -337,6 +337,48 @@ object XxhOracleSql {
        |FROM ka""".stripMargin
   }
 
+  /** Oracle for [[graft.operators.Kmv.setAlgebra]]: both populations'
+    * k-min sketches replayed through the hashLong chain, the union
+    * sketch L as the k smallest of their union, membership flags by
+    * hash equality, and the union/Jaccard/intersection estimator trees
+    * mirrored literally. `aKeySql` / `bKeySql` are subqueries producing
+    * a BIGINT `key` column.
+    */
+  def kmvSetAlgebra(k: Int, aKeySql: String, bKeySql: String): String = {
+    val (ca, la) = chain("ha", hashLongSteps("hin", "42::HUGEINT", "h"), "hac")
+    val (cb, lb) = chain("hb", hashLongSteps("hin", "42::HUGEINT", "h"), "hbc")
+    val ukS = toS("uk")
+    val uD = s"(CASE WHEN $ukS < 0 THEN CAST($ukS AS DOUBLE) + " +
+      s"18446744073709551616.0 ELSE CAST($ukS AS DOUBLE) END)"
+    val est = s"(CASE WHEN m < $k THEN CAST(m AS DOUBLE) " +
+      s"ELSE ($k - 1.0) * 18446744073709551616.0 / $uD END)"
+    val rho = "(CAST(n_both AS DOUBLE) / CAST(m AS DOUBLE))"
+    s"""WITH ua AS (SELECT DISTINCT key FROM ($aKeySql)),
+       |ub AS (SELECT DISTINCT key FROM ($bKeySql)),
+       |ha AS (SELECT ${toU("key")} AS hin FROM ua),
+       |${ca.mkString(",\n")},
+       |sa AS (SELECT DISTINCT hx FROM $la ORDER BY hx ASC LIMIT $k),
+       |hb AS (SELECT ${toU("key")} AS hin FROM ub),
+       |${cb.mkString(",\n")},
+       |sb AS (SELECT DISTINCT hx FROM $lb ORDER BY hx ASC LIMIT $k),
+       |l AS (SELECT DISTINCT hx FROM (SELECT hx FROM sa UNION ALL
+       |        SELECT hx FROM sb) ORDER BY hx ASC LIMIT $k),
+       |fl AS (SELECT l.hx,
+       |    CASE WHEN a2.hx IS NOT NULL THEN 1 ELSE 0 END AS ina,
+       |    CASE WHEN b2.hx IS NOT NULL THEN 1 ELSE 0 END AS inb
+       |  FROM l LEFT JOIN sa a2 ON a2.hx = l.hx
+       |         LEFT JOIN sb b2 ON b2.hx = l.hx),
+       |ag AS (SELECT count(*) AS m, max(hx) AS uk,
+       |    sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS n_both
+       |  FROM fl)
+       |SELECT CAST($k AS BIGINT) AS k, CAST(m AS BIGINT) AS n_union_kept,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  $est AS union_est,
+       |  $rho AS jaccard_est,
+       |  $rho * $est AS intersect_est
+       |FROM ag""".stripMargin
+  }
+
   /** Oracle for [[graft.operators.CountMin.heavyHitters]]: the d
     * sketch hashes are Spark's multi-arg xxhash64 fold — hashInt(row
     * index, seed 42) feeding hashLong(key, that) as seed — replayed

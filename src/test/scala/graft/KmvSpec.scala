@@ -53,6 +53,43 @@ class KmvSpec extends SparkSuite {
     assert(merged.getDouble(3) == oneShot.getDouble(3))  // estimate
   }
 
+  test("set algebra: exact regime (union below k) returns exact set sizes") {
+    import spark.implicits._
+    // A = 1..60, B = 41..100: |A∪B| = 100, |A∩B| = 20, all under k=256
+    val a = (1L to 60L).toDF("key")
+    val b = (41L to 100L).toDF("key")
+    val r = Kmv.setAlgebra(a, b, "key", k = 256).collect()(0)
+    assert(r.getLong(1) == 100L)                        // n_union_kept
+    assert(r.getLong(2) == 20L)                         // n_both
+    assert(r.getDouble(3) == 100.0)                     // union exact
+    assert(r.getDouble(4) == 0.2)                       // jaccard exact
+    assert(r.getDouble(5) == 20.0)                      // intersection exact
+  }
+
+  test("set algebra: disjoint and identical sets sit at the extremes") {
+    import spark.implicits._
+    val a = (1L to 50L).toDF("key")
+    val b = (1001L to 1050L).toDF("key")
+    val disjoint = Kmv.setAlgebra(a, b, "key", k = 128).collect()(0)
+    assert(disjoint.getLong(2) == 0L && disjoint.getDouble(4) == 0.0
+      && disjoint.getDouble(5) == 0.0)
+    val same = Kmv.setAlgebra(a, a, "key", k = 128).collect()(0)
+    assert(same.getDouble(4) == 1.0)                    // jaccard 1
+    assert(same.getDouble(5) == same.getDouble(3))      // inter = union
+  }
+
+  test("set algebra: estimation regime lands in the error envelope") {
+    import spark.implicits._
+    // |A| = |B| = 8000, overlap 4000 → union 12000, jaccard 1/3
+    val a = (1L to 8000L).toDF("key")
+    val b = (4001L to 12000L).toDF("key")
+    val r = Kmv.setAlgebra(a, b, "key", k = 256).collect()(0)
+    val (union, jac, inter) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(math.abs(union - 12000.0) / 12000.0 < 0.25, s"union $union")
+    assert(math.abs(jac - 1.0 / 3.0) < 0.15, s"jaccard $jac")
+    assert(math.abs(inter - 4000.0) / 4000.0 < 0.4, s"intersection $inter")
+  }
+
   test("events gate query returns one plausible row") {
     val exact = graft.model.Tables.events(spark, sf("sf0.001"))
       .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
