@@ -428,6 +428,13 @@ object SparkEntry {
     // join+agg over all facts
     "stream_mv_join_incremental" -> ((s, dir) =>
       graft.operators.IncrementalView.revenueBySegmentIncremental(s, dir)),
+    // incremental GRAPH maintenance: the weighted edge relation merges
+    // exact decimal batch deltas (O(batch)/batch, O(|edges|) state);
+    // the damped iteration reruns over the maintained digest and must
+    // equal the one-shot ranks bit for bit — same oracle as
+    // q_pagerank_trade
+    "stream_pagerank_incremental" -> ((s, dir) =>
+      graft.operators.IncrementalView.pagerankTradeIncremental(s, dir)),
     "stream_neardup_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayNearDupIncremental(s, dir)),
 
@@ -2159,6 +2166,10 @@ object SparkEntry {
 
     // the damped iteration unrolled step for step (see the builder)
     "q_pagerank_trade" -> PagerankTradeOracleSql,
+
+    // the maintained edge relation must reproduce the one-shot ranks
+    // exactly (exact decimal edge merge), so the oracle IS the batch one
+    "stream_pagerank_incremental" -> PagerankTradeOracleSql,
 
     "q_revenue_by_segment" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -29,4 +29,16 @@ class IncrementalViewSpec extends SparkSuite {
       assert(got == expected, s"nBatches=$n diverged")
     }
   }
+
+  test("maintained pagerank equals the one-shot ranks bit for bit, any batching") {
+    def ranks(n: Int): Map[String, Double] =
+      IncrementalView.pagerankTradeIncremental(spark, dir, n).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val oneShot = ranks(1) // a single batch IS the one-shot aggregation
+    assert(oneShot.nonEmpty)
+    Seq(3, 5).foreach { n =>
+      assert(ranks(n) == oneShot, s"nBatches=$n diverged") // == on doubles:
+      // the exact decimal edge merge makes the iteration inputs identical
+    }
+  }
 }
