@@ -752,6 +752,27 @@ object SparkEntry {
     // equi-join on (user, 6h-bucket) with a residual filter — never the
     // nested-loop plan the declarative form degrades to (plan pinned in
     // RangeJoinSpec)
+    // interval × interval overlap join: per-user daily click-activity
+    // spans vs error-activity spans (which clicks happened inside an
+    // incident window) — quantized to an equi-join like q_range_join,
+    // with each pair emitted only in the overlap's CANONICAL first
+    // bucket so no post-join dedup exists; oracle is the naive
+    // inequality join
+    "q_interval_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def spans(t: String, pfx: String) = ev
+        .where(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(col("ts")).as(s"${pfx}_date"))
+        .agg(min(col("ts")).as(s"${pfx}_start"),
+          max(col("ts")).as(s"${pfx}_end"))
+      graft.operators.RangeJoin.intervalOverlap(
+          spans("click", "a"), spans("error", "b"),
+          "a_start", "a_end", "b_start", "b_end", Seq("user_id"),
+          bucketMicros = 3600L * 1000000)
+        .select(col("user_id"), col("a_date"), col("b_date"),
+          col("a_start"), col("a_end"), col("b_start"), col("b_end"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")
@@ -2429,6 +2450,22 @@ object SparkEntry {
         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
 
     // the quantized range join must equal the naive BETWEEN join
+    // the overlap contract: quantized canonical-bucket join ≡ the naive
+    // inequality join, one row per qualifying pair
+    "q_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS a_date,
+        |    min(ts) AS a_start, max(ts) AS a_end
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), b AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS b_date,
+        |    min(ts) AS b_start, max(ts) AS b_end
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        |)
+        |SELECT a.user_id, a_date, b_date, a_start, a_end, b_start, b_end
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |WHERE a_start <= b_end AND b_start <= a_end""".stripMargin,
+
     "q_range_join" ->
       """SELECT p.event_id AS p_event_id, count(*) AS n_clicks,
         |  CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value

@@ -57,4 +57,38 @@ object RangeJoin {
       .where(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
       .drop("__bucket")
   }
+
+  /** INTERVAL-overlap join — the interval × interval sibling of
+    * [[pointInInterval]]: pairs where [aStart, aEnd] ∩ [bStart, bEnd]
+    * is non-empty (inclusive bounds), with the same quantization trick
+    * keeping it an equi-join. Both sides explode onto their buckets; an
+    * overlapping pair shares EVERY bucket of the overlap, so the join
+    * would emit duplicates — instead each pair is emitted only in its
+    * CANONICAL bucket, the bucket of max(aStart, bStart) (the overlap's
+    * first instant, which both sides necessarily cover). No post-join
+    * distinct, no pair ever counted twice.
+    *
+    * Cost: replication = ceil(len/bucket)+1 per interval per side; pick
+    * `bucketMicros` near the typical interval length. One shuffle per
+    * side on (keys, bucket), AQE-skew-splittable. Column names outside
+    * `equiKeys` must be disjoint across the two inputs.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      equiKeys: Seq[String], bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    def bucketed(df: DataFrame, s: String, e: String) =
+      df.where(col(s) <= col(e)).withColumn("__bucket",
+        explode(sequence(
+          floor(unix_micros(col(s)) / lit(bucketMicros.toDouble)).cast("long"),
+          floor(unix_micros(col(e)) / lit(bucketMicros.toDouble)).cast("long"))))
+    val canonicalBucket = floor(
+      greatest(unix_micros(col(aStart)), unix_micros(col(bStart)))
+        / lit(bucketMicros.toDouble)).cast("long")
+    bucketed(a, aStart, aEnd).join(bucketed(b, bStart, bEnd),
+        equiKeys :+ "__bucket")
+      .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd)
+        && col("__bucket") === canonicalBucket)
+      .drop("__bucket")
+  }
 }

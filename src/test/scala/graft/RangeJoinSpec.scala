@@ -69,6 +69,38 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == Seq(100L, 101L, 102L))
   }
 
+  test("interval overlap: exactly-once per pair across bucket widths, bounds inclusive") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // a1 spans many buckets and overlaps b1 over a multi-bucket window
+    // (the duplicate-emission trap the canonical bucket must dodge);
+    // a2 touches b1 at exactly one instant (inclusive bounds); a3 is
+    // disjoint; key 2 must not cross-match
+    val a = Seq(
+      (1L, 11L, t("2024-01-01 00:00:00"), t("2024-01-01 06:00:00")),
+      (1L, 12L, t("2024-01-01 08:00:00"), t("2024-01-01 08:30:00")),
+      (1L, 13L, t("2024-01-02 00:00:00"), t("2024-01-02 01:00:00")),
+      (2L, 14L, t("2024-01-01 01:00:00"), t("2024-01-01 02:00:00")))
+      .toDF("k", "a_id", "a_start", "a_end")
+    val b = Seq(
+      (1L, 21L, t("2024-01-01 02:00:00"), t("2024-01-01 08:00:00")),
+      (1L, 22L, t("2024-01-01 23:00:00"), t("2024-01-01 23:30:00")))
+      .toDF("k", "b_id", "b_start", "b_end")
+    val naive = a.join(b, Seq("k"))
+      .where(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(naive == Seq((11L, 21L), (12L, 21L))) // incl. the touch at 08:00
+    Seq(600000000L, 3600000000L, 24L * 3600000000L).foreach { bucket =>
+      val got = RangeJoin.intervalOverlap(a, b, "a_start", "a_end",
+          "b_start", "b_end", Seq("k"), bucket)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      assert(got == naive, s"bucket=$bucket") // sorted WITH duplicates:
+      // a double emission would differ, not just a wrong set
+    }
+  }
+
   test("plan is a shuffle equi-join on (key, bucket) — no nested loop") {
     val (purchases, clicks) = sides
     val plan = RangeJoin.pointInInterval(clicks, purchases,
