@@ -366,16 +366,23 @@ object MarketAnalytics {
         (col("close") * lit(1000)).cast("long").as("close_u"))
     val w = Window.partitionBy(col("ccy_couple")).orderBy(col("date"))
       .rowsBetween(-(window - 1), Window.currentRow)
-    val n = count(lit(1)).over(w).cast("double")
-    val s = sum(col("close_u")).over(w).cast("double")
-    val ss = sum(col("close_u") * col("close_u")).over(w).cast("double")
+    // materialize each integer frame moment ONCE (a naive inline spelling
+    // re-lists the same sum/count per output column and the Window
+    // operator computes every listed copy)
+    val moments = closes
+      .withColumn("n_l", count(lit(1)).over(w))
+      .withColumn("s_l", sum(col("close_u")).over(w))
+      .withColumn("ss_l", sum(col("close_u") * col("close_u")).over(w))
+    val n = col("n_l").cast("double")
+    val s = col("s_l").cast("double")
+    val ss = col("ss_l").cast("double")
     val mean = s / n
     // sample variance over the frame; one-observation frames → NULL;
     // the clamp guards the same exact-zero-rounded-negative case as
     // volatility (all-equal frame)
     val sd = sqrt(greatest(n * ss - s * s, lit(0.0))
       / nullif(n * (n - lit(1.0)), lit(0.0)))
-    closes.select(col("ccy_couple"), col("date"),
+    moments.select(col("ccy_couple"), col("date"),
       col("close_u").cast("double").as("close_milli"),
       mean.as("mid_milli"),
       (mean - lit(2.0) * sd).as("lower_milli"),
