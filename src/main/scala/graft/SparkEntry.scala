@@ -838,6 +838,20 @@ object SparkEntry {
       graft.operators.Kmv.distinctEstimate(
         Tables.events(s, dir), "user_id", k = 64)),
 
+    // grouped KMV: distinct (user, day) activity per event type from one
+    // O(k)-per-group sketch — the rank filter plans as a WindowGroupLimit
+    // so no group's hash set is ever fully sorted; hash-verified like the
+    // global sketch
+    "q_kmv_grouped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("user_id") * lit(100000L)
+            + datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+              .cast("long")).as("day_key"))
+      graft.operators.Kmv.distinctEstimatePerGroup(
+        ev, "event_type", "day_key", k = 64)
+    }),
+
     // KMV set algebra: click vs purchase (user, day) activity sets
     // compared from their O(k) sketches alone — union / Jaccard /
     // intersection estimates without joining the raw populations; the
@@ -2500,6 +2514,15 @@ object SparkEntry {
     // unsigned k-min order, estimator double tree (XxhOracleSql)
     "q_kmv_distinct" ->
       graft.oracle.XxhOracleSql.kmvDistinct(k = 64),
+
+    // the per-group sketch replay: same hash chain, k-min and estimator
+    // QUALIFYed per group (XxhOracleSql)
+    "q_kmv_grouped" ->
+      graft.oracle.XxhOracleSql.kmvDistinctPerGroup(k = 64,
+        keySql = """SELECT event_type AS grp, user_id * 100000
+                    + datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS key FROM events""",
+        groupOut = "event_type"),
 
     // both sketches + the union sketch + the set-algebra estimator
     // trees replayed value-exactly (XxhOracleSql)

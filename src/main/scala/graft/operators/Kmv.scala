@@ -42,6 +42,38 @@ object Kmv {
     df.select(xxhash64(col(keyCol)).as("h")).distinct()
       .orderBy(col("h").bitwiseXOR(lit(Flip)).asc).limit(k)
 
+  /** GROUPED KMV: one sketch per group — "distinct X per segment" at
+    * O(k) state per group, the grouped sibling of [[distinctEstimate]].
+    * The per-group k-min runs as a rank-filtered window, which Spark
+    * plans as a WindowGroupLimit (per-partition top-k heaps before the
+    * shuffle — the group's full hash set is never sorted); the estimator
+    * then runs once per group on exact operands, so the whole report
+    * hash-matches like the global sketch. Exact below k per group.
+    */
+  def distinctEstimatePerGroup(df: DataFrame, groupCol: String,
+      keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.select(col(groupCol), xxhash64(col(keyCol)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("h").bitwiseXOR(lit(Flip)).asc)
+    val topk = hashed.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+    val a = topk.groupBy(col(groupCol)).agg(count(lit(1)).as("m"),
+      max(col("h").bitwiseXOR(lit(Flip))).as("ukx"))
+    val ukSigned = col("ukx").bitwiseXOR(lit(Flip))
+    val uD = when(ukSigned < 0,
+        ukSigned.cast("double") + lit(1.8446744073709552E19))
+      .otherwise(ukSigned.cast("double"))
+    a.select(col(groupCol),
+      lit(k.toLong).as("k"),
+      col("m").as("n_kept"),
+      when(col("m") < k, col("m").cast("double"))
+        .otherwise(lit(k - 1.0) * lit(1.8446744073709552E19) / uD)
+        .as("estimate"))
+  }
+
   /** KMV SET ALGEBRA (Beyer et al. 2007, public algorithm): union,
     * intersection, and Jaccard estimates for two key populations from
     * their O(k) sketches alone — the "how much do these two segments

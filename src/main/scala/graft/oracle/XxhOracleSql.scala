@@ -337,6 +337,33 @@ object XxhOracleSql {
        |FROM ka""".stripMargin
   }
 
+  /** Oracle for [[graft.operators.Kmv.distinctEstimatePerGroup]]: the
+    * kmvDistinct replay with the k-min and estimator per group (a
+    * row_number QUALIFY stands in for the WindowGroupLimit). `keySql`
+    * is a subquery producing (grp, key) with key BIGINT.
+    */
+  def kmvDistinctPerGroup(k: Int, keySql: String,
+      groupOut: String = "grp"): String = {
+    val (ctes, last) = chain("kb", hashLongSteps("hin", "42::HUGEINT", "h"), "kc")
+    val ukS = toS("uk")
+    val uD = s"(CASE WHEN $ukS < 0 THEN CAST($ukS AS DOUBLE) + " +
+      s"18446744073709551616.0 ELSE CAST($ukS AS DOUBLE) END)"
+    s"""WITH u AS (SELECT DISTINCT grp, key FROM ($keySql)),
+       |kb AS (SELECT grp, ${toU("key")} AS hin FROM u),
+       |${ctes.mkString(",\n")},
+       |kd AS (SELECT DISTINCT grp, hx FROM $last),
+       |ks AS (SELECT grp, hx FROM (
+       |    SELECT grp, hx, row_number() OVER (PARTITION BY grp
+       |      ORDER BY hx ASC) AS rn FROM kd) WHERE rn <= $k),
+       |ka AS (SELECT grp, count(*) AS m, max(hx) AS uk FROM ks GROUP BY 1)
+       |SELECT grp AS $groupOut, CAST($k AS BIGINT) AS k,
+       |  CAST(m AS BIGINT) AS n_kept,
+       |  CASE WHEN m < $k THEN CAST(m AS DOUBLE)
+       |       ELSE ($k - 1.0) * 18446744073709551616.0 / $uD END
+       |    AS estimate
+       |FROM ka""".stripMargin
+  }
+
   /** Oracle for [[graft.operators.Kmv.setAlgebra]]: both populations'
     * k-min sketches replayed through the hashLong chain, the union
     * sketch L as the k smallest of their union, membership flags by

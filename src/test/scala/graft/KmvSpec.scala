@@ -53,6 +53,20 @@ class KmvSpec extends SparkSuite {
     assert(merged.getDouble(3) == oneShot.getDouble(3))  // estimate
   }
 
+  test("grouped sketch: exact below k per group, envelope above, plan is WindowGroupLimit") {
+    import spark.implicits._
+    // group a: 100 keys (< k=256, exact); group b: 20000 keys (envelope)
+    val df = ((1L to 100L).map(("a", _)) ++ (1L to 20000L).map(("b", _)))
+      .toDF("grp", "key")
+    val q = Kmv.distinctEstimatePerGroup(df, "grp", "key", k = 256)
+    val out = q.collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(2) == 100L && out("a").getDouble(3) == 100.0)
+    val est = out("b").getDouble(3)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.25, s"estimate $est")
+    // the rank filter must plan as a group-limit, not a full sort+filter
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("set algebra: exact regime (union below k) returns exact set sizes") {
     import spark.implicits._
     // A = 1..60, B = 41..100: |A∪B| = 100, |A∩B| = 20, all under k=256
