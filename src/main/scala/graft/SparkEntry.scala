@@ -198,6 +198,12 @@ object SparkEntry {
     "fx_drawdown" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.maxDrawdown(rates(s, dir))),
 
+    // per-pair calendar gap report: feed-liveness at day grain — lag
+    // window over the (pair, day) presence digest, one row per maximal
+    // quiet run with bounds and length
+    "fx_gaps" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.quoteGaps(rates(s, dir))),
+
     // per-pair EMA of the daily close: the RECURSIVE fold no algebraic
     // aggregate expresses — exact ×1000-long closes, per-pair sorted
     // array, sequential codegen'd fold with α = 1/4 (binary-exact), so
@@ -1737,6 +1743,20 @@ object SparkEntry {
          |SELECT ccy_couple, count(*) AS n_days,
          |  CAST(max(dd) * 1000 AS BIGINT) AS max_drawdown_milli
          |FROM dd GROUP BY 1""".stripMargin,
+
+    // gap bounds and lengths are pure date arithmetic — exact replay
+    "fx_gaps" ->
+      s"""WITH $RatesCte, d AS (
+         |  SELECT DISTINCT ccy_couple, date FROM rates
+         |), g AS (
+         |  SELECT ccy_couple, date,
+         |    lag(date) OVER (PARTITION BY ccy_couple ORDER BY date) AS pd
+         |  FROM d
+         |)
+         |SELECT ccy_couple, pd + 1 AS gap_start, date - 1 AS gap_end,
+         |  CAST(datediff('day', pd, date) - 1 AS BIGINT) AS gap_days
+         |FROM g
+         |WHERE pd IS NOT NULL AND datediff('day', pd, date) > 1""".stripMargin,
 
     // the EMA fold replayed operation-for-operation: DuckDB list_reduce
     // over a date-ordered list is the same left fold (first element =

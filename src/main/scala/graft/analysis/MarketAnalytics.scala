@@ -299,6 +299,28 @@ object MarketAnalytics {
         .as("vol_milli"))
   }
 
+  /** Per-pair calendar GAP report: maximal runs of days with no quote
+    * between two quoted days — the feed-liveness diagnostic behind the
+    * reference's staleness rule (its 30 s liveness check, SURVEY §2.10,
+    * asked at day grain). One row per gap with its bounds and length.
+    * Runs over the distinct (pair, day) presence digest (one shuffle,
+    * |pairs|×|days| rows max), then a lag window on the pair key — dates
+    * only, no numerics, so the replay is trivially exact.
+    */
+  def quoteGaps(rates: DataFrame): DataFrame = {
+    val days = rates.select(col("ccy_couple"), col("date")).distinct()
+    val w = Window.partitionBy(col("ccy_couple")).orderBy(col("date"))
+    days
+      .withColumn("prev_date", lag(col("date"), 1).over(w))
+      .where(col("prev_date").isNotNull
+        && datediff(col("date"), col("prev_date")) > 1)
+      .select(col("ccy_couple"),
+        date_add(col("prev_date"), 1).as("gap_start"),
+        date_sub(col("date"), 1).as("gap_end"),
+        (datediff(col("date"), col("prev_date")) - 1).cast("long")
+          .as("gap_days"))
+  }
+
   /** Per-pair exponential moving average of the daily close (milli-units)
     * — the smoothing a rates desk quotes alongside the raw close. EMA is
     * the canonical "hard for SQL" metric: e_t = α·x_t + (1−α)·e_{t−1} is

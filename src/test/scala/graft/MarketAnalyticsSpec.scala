@@ -171,6 +171,29 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("B") == 0L) // monotone rise never draws down
   }
 
+  test("gaps: bounds inclusive, adjacent days silent, leading/trailing not gaps") {
+    import spark.implicits._
+    // A quotes on d1, d2, d5, d9 → gaps [d3,d4] (2 days) and [d6,d8]
+    // (3 days); B quotes daily → no rows; no gap is reported before a
+    // pair's first or after its last quote (unknown ≠ missing)
+    val rows = Seq(
+      ("A", "2024-01-01"), ("A", "2024-01-02"), ("A", "2024-01-05"),
+      ("A", "2024-01-09"),
+      ("B", "2024-02-01"), ("B", "2024-02-02"), ("B", "2024-02-03"))
+    val df = rows.zipWithIndex.map { case ((p, d), i) => (i.toLong, p, 1.0, d) }
+      .toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.quoteGaps(df).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDate(2).toString, r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      ("A", "2024-01-03", "2024-01-04", 2L),
+      ("A", "2024-01-06", "2024-01-08", 3L)))
+  }
+
   test("ema: recursive fold hand-replayed, single-day seed, order independence") {
     import spark.implicits._
     // A: closes 1, 2, 3 → e1=1000, e2=.25·2000+.75·1000=1250,
