@@ -204,6 +204,13 @@ object SparkEntry {
     "fx_gaps" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.quoteGaps(rates(s, dir))),
 
+    // per-pair RSI (Wilder smoothing): two recursive folds over the
+    // day-ordered gain/loss split of the change digest, α = 1/16
+    // binary-exact, 100-pinned when no losses — the momentum oscillator
+    // on the EMA fold machinery
+    "fx_rsi" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.rsiWilder(rates(s, dir))),
+
     // per-pair EMA of the daily close: the RECURSIVE fold no algebraic
     // aggregate expresses — exact ×1000-long closes, per-pair sorted
     // array, sequential codegen'd fold with α = 1/4 (binary-exact), so
@@ -1757,6 +1764,42 @@ object SparkEntry {
          |  CAST(datediff('day', pd, date) - 1 AS BIGINT) AS gap_days
          |FROM g
          |WHERE pd IS NOT NULL AND datediff('day', pd, date) > 1""".stripMargin,
+
+    // both Wilder folds replayed via date-ordered list_reduce (the EMA
+    // replay), then the identical RSI expression tree
+    "fx_rsi" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
+         |), p AS (
+         |  SELECT ccy_couple, count(*) AS n_changes,
+         |    list(greatest(CAST(chg_u AS DOUBLE), 0.0) ORDER BY date) AS gs,
+         |    list(greatest(-CAST(chg_u AS DOUBLE), 0.0) ORDER BY date) AS ls
+         |  FROM chn GROUP BY 1
+         |), f AS (
+         |  SELECT ccy_couple, n_changes,
+         |    list_reduce(gs, (acc, x) -> 0.0625 * x + 0.9375 * acc)
+         |      AS avg_gain_milli,
+         |    list_reduce(ls, (acc, x) -> 0.0625 * x + 0.9375 * acc)
+         |      AS avg_loss_milli
+         |  FROM p
+         |)
+         |SELECT ccy_couple, CAST(n_changes AS BIGINT) AS n_changes,
+         |  avg_gain_milli, avg_loss_milli,
+         |  CASE WHEN avg_loss_milli = 0.0 THEN 100.0
+         |       ELSE 100.0 - 100.0 / (1.0 + avg_gain_milli / avg_loss_milli)
+         |  END AS rsi
+         |FROM f""".stripMargin,
 
     // the EMA fold replayed operation-for-operation: DuckDB list_reduce
     // over a date-ordered list is the same left fold (first element =

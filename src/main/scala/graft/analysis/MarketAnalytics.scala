@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -365,6 +365,45 @@ object MarketAnalytics {
           element_at(col("xs"), 1),
           (acc, x) => lit(0.25) * x + lit(0.75) * acc)
           .as("ema_milli"))
+  }
+
+  /** Per-pair RSI under Wilder smoothing — the momentum oscillator:
+    * average gain and average loss each follow the recursive fold
+    * A_t = α·x_t + (1−α)·A_{t−1} over the day-ordered change sequence
+    * (zero slots on the other side's days keep the recursion
+    * calendar-honest), then RSI = 100 − 100/(1 + avgGain/avgLoss),
+    * pinned to 100 when no losses exist. Same determinism recipe as
+    * [[emaDailyClose]]: exact ×1000-long changes, per-pair sorted array,
+    * two sequential codegen'd folds with α = 1/16 (binary-exact — the
+    * Wilder-16 period chosen so the constant is representable), seeded
+    * with the first observation. One shuffle on the pair key; the
+    * per-pair state is the |changes|-element array, digest-bounded.
+    */
+  def rsiWilder(rates: DataFrame): DataFrame = {
+    val a = 0.0625
+    val base = dailyChangesU(rates)
+      .groupBy(col("ccy_couple"))
+      .agg(sort_array(collect_list(struct(col("date"), col("chg_u"))))
+        .as("path"))
+      .select(col("ccy_couple"),
+        size(col("path")).cast("long").as("n_changes"),
+        transform(col("path"),
+          r => greatest(r("chg_u").cast("double"), lit(0.0))).as("gs"),
+        transform(col("path"),
+          r => greatest(-r("chg_u").cast("double"), lit(0.0))).as("ls"))
+    def wilder(c: Column) = aggregate(
+      slice(c, lit(2), greatest(size(c) - 1, lit(0))),
+      element_at(c, 1),
+      (acc, x) => lit(a) * x + lit(1 - a) * acc)
+    val withAvgs = base.select(col("ccy_couple"), col("n_changes"),
+      wilder(col("gs")).as("avg_gain_milli"),
+      wilder(col("ls")).as("avg_loss_milli"))
+    withAvgs.select(col("ccy_couple"), col("n_changes"),
+      col("avg_gain_milli"), col("avg_loss_milli"),
+      when(col("avg_loss_milli") === 0.0, lit(100.0))
+        .otherwise(lit(100.0) - lit(100.0)
+          / (lit(1.0) + col("avg_gain_milli") / col("avg_loss_milli")))
+        .as("rsi"))
   }
 
   /** Per-pair-day Bollinger bands: the trailing-20-observation mean of

@@ -217,6 +217,36 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("B").getDouble(3) == 9500.0)   // seed convention e1 = x1
   }
 
+  test("rsi: all-gain pins 100, hand-computed folds replay exactly") {
+    import spark.implicits._
+    // A rises monotonically (no losses → RSI 100); B alternates ±1
+    // exactly (gain and loss sequences are the same numbers one slot
+    // apart — after the same fold both averages are EQUAL only when the
+    // path is long enough to wash the seed; with changes +1,-1,+1 the
+    // folds differ, so just pin the hand-computed value); C: one rise
+    // one fall of equal size from a hand fold
+    val rows = Seq(
+      ("A", "2024-01-01", 1.0), ("A", "2024-01-02", 2.0),
+      ("A", "2024-01-03", 3.0),
+      ("C", "2024-01-01", 5.0), ("C", "2024-01-02", 6.0),
+      ("C", "2024-01-03", 5.0))
+    val df = rows.zipWithIndex.map { case ((p, d, v), i) => (i.toLong, p, v, d) }
+      .toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.rsiWilder(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(4) == 100.0)
+    // C changes: +1000 then −1000 (milli). Gain fold: seed 1000, then
+    // .0625·0 + .9375·1000 = 937.5; loss fold: seed 0, then
+    // .0625·1000 + .9375·0 = 62.5 → rsi = 100 − 100/(1 + 937.5/62.5)
+    val c = out("C")
+    assert(c.getDouble(2) == 937.5 && c.getDouble(3) == 62.5)
+    assert(c.getDouble(4) == 100.0 - 100.0 / (1.0 + 937.5 / 62.5))
+  }
+
   test("bollinger: hand-computed band, constant series collapses, warm-up NULL") {
     import spark.implicits._
     // A day2 frame = [1000, 2000]: mean 1500, sample var
