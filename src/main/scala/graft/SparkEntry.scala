@@ -335,6 +335,28 @@ object SparkEntry {
           col("valid_from_us"))
     }),
 
+    // TEMPORAL dimension join over the SCD2 history: each purchase
+    // event meets the rate version valid AT ITS OWN instant (not a
+    // global cutoff) — hash equi-join on the entity key with the
+    // interval residual bounded by per-key version counts
+    "fx_scd2_temporal_join" -> ((s, dir) => {
+      val hist = graft.operators.Scd2.history(rates(s, dir),
+          Seq("ccy_couple", "date"), "timestamp", col("event_id"))
+        .select(col("ccy_couple"), col("date"), col("rate"),
+          col("valid_from"), col("valid_to"))
+      val facts = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("fact_id"),
+          col("user_id").cast("string").as("ccy_couple"),
+          to_date(col("ts")).as("date"), col("ts").as("fact_ts"))
+      graft.operators.Scd2.temporalJoin(facts, hist,
+          Seq("ccy_couple", "date"), "fact_ts")
+        .select(col("fact_id"), col("ccy_couple"),
+          unix_micros(col("fact_ts")).as("fact_ts_us"),
+          col("rate").as("rate_then"),
+          unix_micros(col("valid_from")).as("valid_from_us"))
+    }),
+
     // §2.10 streaming replay: rates driven through the real Structured
     // Streaming file source + foreachBatch partition-scoped LWW merge;
     // must converge to the one-shot batch upsert (batching-order
@@ -850,6 +872,26 @@ object SparkEntry {
     "q_kmv_distinct" -> ((s, dir) =>
       graft.operators.Kmv.distinctEstimate(
         Tables.events(s, dir), "user_id", k = 64)),
+
+    // rolling 7-day distinct actives per day (the DAU/WAU family):
+    // windowed COUNT DISTINCT is not window-function-expressible, so
+    // each (user, day) of the distinct-presence digest is fanned onto
+    // the 7 window-end days it serves (bounded 7× replication of the
+    // DIGEST, never the event corpus) and exact distinct counts group
+    // per day — calendar-clipped to the corpus span
+    "q_rolling_dau" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val span = days.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      days
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("w_day"))
+        .groupBy(col("w_day"))
+        .agg(countDistinct(col("user_id")).as("dau_7d"))
+        .crossJoin(broadcast(span))
+        .where(col("w_day").between(col("d0"), col("d1")))
+        .select(col("w_day").as("day"), col("dau_7d"))
+    }),
 
     // grouped KMV: distinct (user, day) activity per event type from one
     // O(k)-per-group sketch — the rank filter plans as a WindowGroupLimit
@@ -1922,6 +1964,25 @@ object SparkEntry {
          |WHERE valid_from_us <= 1705300000000000
          |  AND (valid_to_us IS NULL OR valid_to_us > 1705300000000000)""".stripMargin,
 
+    // per-fact AS OF = the version interval containing each fact's own
+    // instant (open current interval included)
+    "fx_scd2_temporal_join" ->
+      s"""WITH $RatesCte, h AS (
+         |  SELECT ccy_couple, date, rate, "timestamp" AS valid_from,
+         |    lead("timestamp") OVER (PARTITION BY ccy_couple, date
+         |      ORDER BY "timestamp" ASC, event_id ASC) AS valid_to
+         |  FROM rates
+         |), f AS (
+         |  SELECT event_id AS fact_id, CAST(user_id AS VARCHAR) AS ccy_couple,
+         |    CAST(ts AS DATE) AS date, ts AS fact_ts
+         |  FROM events WHERE event_type = 'purchase'
+         |)
+         |SELECT fact_id, f.ccy_couple, epoch_us(fact_ts) AS fact_ts_us,
+         |  rate AS rate_then, epoch_us(valid_from) AS valid_from_us
+         |FROM f JOIN h ON f.ccy_couple = h.ccy_couple AND f.date = h.date
+         |WHERE valid_from <= fact_ts
+         |  AND (valid_to IS NULL OR fact_ts < valid_to)""".stripMargin,
+
     // streamed enrichment emissions = the batch dimension join,
     // aggregated per segment (decimal sum for cross-engine determinism)
     "stream_static_join" ->
@@ -2577,6 +2638,17 @@ object SparkEntry {
     // unsigned k-min order, estimator double tree (XxhOracleSql)
     "q_kmv_distinct" ->
       graft.oracle.XxhOracleSql.kmvDistinct(k = 64),
+
+    // the same digest fan-out + exact distinct count, clipped to span
+    "q_rolling_dau" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), g AS (
+        |  SELECT user_id, day + CAST(i AS INTEGER) AS w_day
+        |  FROM d CROSS JOIN range(0, 7) t(i)
+        |), s AS (SELECT min(day) AS d0, max(day) AS d1 FROM d)
+        |SELECT w_day AS day, count(DISTINCT user_id) AS dau_7d
+        |FROM g, s WHERE w_day BETWEEN d0 AND d1 GROUP BY 1""".stripMargin,
 
     // the per-group sketch replay: same hash chain, k-min and estimator
     // QUALIFYed per group (XxhOracleSql)

@@ -38,6 +38,25 @@ object Scd2 {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** TEMPORAL dimension join — the warehouse join the history exists
+    * for: each fact row meets the ONE dimension version valid at its
+    * own event time (`valid_from <= ts < valid_to`, open current
+    * version included), not at some global cutoff. With the entity key
+    * in the join this is a plain hash equi-join; the interval predicate
+    * is a residual that scans only the fact's key's version list, so
+    * per-fact work is bounded by that key's update count — the same
+    * bound the history itself has. (Keyless or mega-version cases
+    * would reach for RangeJoin's bucket quantization instead.)
+    * Intervals partition the timeline after a key's first version, so
+    * each fact matches at most once; facts predating their key's first
+    * version drop (inner semantics).
+    */
+  def temporalJoin(facts: DataFrame, history: DataFrame, keys: Seq[String],
+      factTs: String): DataFrame =
+    facts.join(history, keys)
+      .where(col("valid_from") <= col(factTs)
+        && (col("valid_to").isNull || col(factTs) < col("valid_to")))
+
   /** INCREMENTAL SCD2 maintenance: apply one batch of new versions to a
     * key-bucketed history table at O(touched buckets) per batch. The
     * history is laid out partitioned by `bucket` = hash(key) % nBuckets,

@@ -89,4 +89,30 @@ class Scd2Spec extends SparkSuite {
     assert(current == upserted)
     assert(hist.count() == RateFixtures.rows.size) // nothing dropped
   }
+
+  test("temporal join: each fact meets exactly its own-instant version") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // key K versions: v1 @10:00 (rate 1.0), v2 @12:00 (2.0), v3 @14:00 (3.0)
+    val versions = Seq(
+      ("K", 1L, t("2024-01-01 10:00:00"), 1.0),
+      ("K", 2L, t("2024-01-01 12:00:00"), 2.0),
+      ("K", 3L, t("2024-01-01 14:00:00"), 3.0))
+      .toDF("k", "event_id", "timestamp", "rate")
+    val hist = Scd2.history(versions, Seq("k"), "timestamp", col("event_id"))
+      .select(col("k"), col("rate"), col("valid_from"), col("valid_to"))
+    val facts = Seq(
+      ("K", 100L, t("2024-01-01 09:00:00")),  // before first version: drops
+      ("K", 101L, t("2024-01-01 10:00:00")),  // ON v1's start → v1
+      ("K", 102L, t("2024-01-01 11:59:59")),  // just before v2 → v1
+      ("K", 103L, t("2024-01-01 12:00:00")),  // ON the boundary → v2 (half-open)
+      ("K", 104L, t("2024-01-01 23:00:00")),  // open current interval → v3
+      ("X", 105L, t("2024-01-01 12:00:00")))  // unknown key: drops
+      .toDF("k", "fact_id", "fact_ts")
+    val got = Scd2.temporalJoin(facts, hist, Seq("k"), "fact_ts")
+      .select(col("fact_id"), col("rate")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sorted
+    assert(got.toSeq == Seq(101L -> 1.0, 102L -> 1.0, 103L -> 2.0,
+      104L -> 3.0))
+  }
 }
