@@ -727,6 +727,19 @@ object SparkEntry {
         graft.operators.DataQuality.Rule("flag_domain",
           col("l_returnflag").isin("A", "N", "R"))))),
 
+    // key-skew diagnostic on the events join key: the numbers that
+    // decide salting vs AQE vs nothing — exact per-key count digest +
+    // 1-row profile, one shuffle total
+    "dq_skew_profile" -> ((s, dir) =>
+      graft.operators.DataQuality.keySkewProfile(
+        Tables.events(s, dir), "user_id")),
+
+    // per-pair 3σ outlier ticks: exact integer moments broadcast onto
+    // the tick stream, one double comparison per row — the fat-finger
+    // detector; σ=0 / single-tick pairs emit nothing
+    "fx_outliers" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.rateOutliers(rates(s, dir))),
+
     // the WRITE-PATH DQ gate: the same rule counters observed IN-FLIGHT
     // (Dataset.observe / CollectMetrics) while the instrumented frame
     // flows to a noop-format write — the zero-extra-scan shape a 100 TB
@@ -2545,8 +2558,45 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     // the in-flight observed counters must equal the second-scan profile
+    // exact count digest + the identical ratio trees; percentile ↔
+    // quantile_cont (the q_exact_percentiles precedent)
+    "dq_skew_profile" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+        |)
+        |SELECT sum(c) AS n_rows, count(*) AS n_keys,
+        |  max(c) AS max_key_rows,
+        |  quantile_cont(c, 0.99) AS p99_key_rows,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_key_share,
+        |  CAST(max(c) AS DOUBLE)
+        |    / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    AS skew_factor
+        |FROM c""".stripMargin,
+
+    // moments + z tree replayed; strict > on identical doubles
+    "fx_outliers" ->
+      s"""WITH $RatesCte, u AS (
+         |  SELECT ccy_couple, event_id,
+         |    CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) * 1000
+         |         AS BIGINT) AS x
+         |  FROM rates
+         |), m AS (
+         |  SELECT ccy_couple, count(*) AS n_ticks,
+         |    CAST(sum(x) AS DOUBLE) AS s, CAST(sum(x * x) AS DOUBLE) AS ss,
+         |    CAST(count(*) AS DOUBLE) AS n
+         |  FROM u GROUP BY 1
+         |), j AS (
+         |  SELECT u.ccy_couple, u.event_id, u.x,
+         |    (CAST(u.x AS DOUBLE) - s / n)
+         |      / nullif(sqrt(greatest(n * ss - s * s, 0.0)
+         |                    / nullif(n * (n - 1.0), 0.0)), 0.0) AS z
+         |  FROM u JOIN m ON u.ccy_couple = m.ccy_couple
+         |)
+         |SELECT ccy_couple, event_id, x AS rate_milli, z AS z_score
+         |FROM j WHERE abs(z) > 3.0""".stripMargin,
+
     "dq_observe_lineitem" ->
-      """SELECT count(*) AS n_rows,
+"""SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_positive,
         |  CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_price_positive,
         |  CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_discount_unit,

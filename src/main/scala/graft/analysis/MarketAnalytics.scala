@@ -367,6 +367,38 @@ object MarketAnalytics {
           .as("ema_milli"))
   }
 
+  /** Per-pair n·σ outlier ticks — the fat-finger / bad-feed detector:
+    * every quote whose milli-quantized rate sits more than `nSigma`
+    * sample deviations from its pair's mean, with its z-score. Exact
+    * integer moments per pair (the volatility recipe: Σx and Σx² as
+    * longs over ×1000 rates — order-free), broadcast back onto the tick
+    * stream, one double comparison per row on identical operands. Pairs
+    * with σ = 0 (or a single tick) emit nothing — z is undefined, not
+    * infinite. Shape: one map-side-combined groupBy to the |pairs|-row
+    * moment digest + one broadcast join; the corpus is scanned twice but
+    * never shuffled.
+    */
+  def rateOutliers(rates: DataFrame, nSigma: Double = 3.0): DataFrame = {
+    // double→(18,6) is exact for the feed's precision; (18,6)→(12,3) is
+    // decimal HALF_UP on both engines — the validated two-step quantize
+    val u = rates.select(col("ccy_couple"), col("event_id"),
+      (col("rate").cast("decimal(18,6)").cast("decimal(12,3)") * lit(1000))
+        .cast("long").as("x"))
+    val m = u.groupBy(col("ccy_couple")).agg(count(lit(1)).as("n_ticks"),
+      sum(col("x")).as("sl"), sum(col("x") * col("x")).as("ssl"))
+    val n = col("n_ticks").cast("double")
+    val s = col("sl").cast("double")
+    val ss = col("ssl").cast("double")
+    val mean = s / n
+    val sd = sqrt(greatest(n * ss - s * s, lit(0.0))
+      / nullif(n * (n - lit(1.0)), lit(0.0)))
+    val z = (col("x").cast("double") - mean) / nullif(sd, lit(0.0))
+    u.join(broadcast(m), "ccy_couple")
+      .where(abs(z) > lit(nSigma))
+      .select(col("ccy_couple"), col("event_id"),
+        col("x").as("rate_milli"), z.as("z_score"))
+  }
+
   /** Per-pair RSI under Wilder smoothing — the momentum oscillator:
     * average gain and average loss each follow the recursive fold
     * A_t = α·x_t + (1−α)·A_{t−1} over the day-ordered change sequence

@@ -60,4 +60,29 @@ object DataQuality {
     require(bad.isEmpty,
       s"data-quality violations: ${bad.map { case (n, c) => s"$n=$c" }.mkString(", ")}")
   }
+
+  /** Key-skew diagnostic — the numbers that decide whether a join/agg on
+    * `keyCol` needs salting, AQE skew handling, or nothing: total rows,
+    * distinct keys, the heaviest key's row count and share, the p99 key
+    * size, and the max/mean skew factor. One groupBy to the per-key
+    * count digest (map-side combinable), then a 1-row aggregate over
+    * |keys| rows — the profile costs one shuffle however large the
+    * corpus. Counts are exact longs; the three derived ratios are single
+    * double divisions on identical operands.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    counts.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_key_rows"),
+      percentile(col("c"), lit(0.99)).as("p99_key_rows"))
+    .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+      col("p99_key_rows"),
+      (col("max_key_rows").cast("double") / col("n_rows").cast("double"))
+        .as("top_key_share"),
+      (col("max_key_rows").cast("double")
+        / (col("n_rows").cast("double") / col("n_keys").cast("double")))
+        .as("skew_factor"))
+  }
 }

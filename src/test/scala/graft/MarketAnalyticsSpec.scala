@@ -217,6 +217,27 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("B").getDouble(3) == 9500.0)   // seed convention e1 = x1
   }
 
+  test("outliers: the spike is flagged with the right z, constant series silent") {
+    import spark.implicits._
+    // A: nineteen ticks at 2.000 and one at 9.000 — a single spike's z
+    // is bounded by (n−1)/√n, so n must be ≥ ~12 for z to clear 3 at
+    // all; at n=20 the spike sits at z ≈ 4.25 and is the ONLY flag.
+    // C constant → σ = 0 → nothing (z undefined, not infinite)
+    val rows = (1 to 19).map(i => ("A", 2.0, i)) ++ Seq(("A", 9.0, 20)) ++
+      (1 to 5).map(i => ("C", 4.0, i))
+    val df = rows.zipWithIndex.map { case ((p, v, _), i) => (i.toLong, p, v) }
+      .toDF("event_id", "ccy_couple", "rate")
+      .withColumn("date", to_date(lit("2024-01-01")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+    val out = MarketAnalytics.rateOutliers(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "A" && out.head.getLong(2) == 9000L)
+    // hand z: mean 2350, sample sd = sqrt((19·350² + 6650²)/19)
+    val sd = math.sqrt((19.0 * 350 * 350 + 6650.0 * 6650) / 19.0)
+    assert(math.abs(out.head.getDouble(3) - 6650.0 / sd) < 1e-9)
+  }
+
   test("rsi: all-gain pins 100, hand-computed folds replay exactly") {
     import spark.implicits._
     // A rises monotonically (no losses → RSI 100); B alternates ±1

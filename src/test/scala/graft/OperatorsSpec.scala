@@ -101,6 +101,19 @@ class OperatorsSpec extends SparkSuite {
     DataQuality.assertAll(df.where(col("v") > 0), rules) // clean subset passes
   }
 
+  test("key-skew profile: hand-built skew reports exact counts and ratios") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    // key 1: 6 rows; keys 2..5: 1 row each → 10 rows, 5 keys, mean 2,
+    // max 6 → share 0.6, skew 3.0
+    val df = (Seq.fill(6)(1) ++ Seq(2, 3, 4, 5)).toDF("k")
+    val r = DataQuality.keySkewProfile(df, "k").collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 5L && r.getLong(2) == 6L)
+    assert(r.getDouble(4) == 0.6)
+    assert(r.getDouble(5) == 3.0)
+    assert(r.getDouble(3) >= 1.0 && r.getDouble(3) <= 6.0) // p99 in range
+  }
+
   test("observe(): in-flight write-path metrics equal the second-scan profile") {
     import graft.operators.DataQuality
     val li = graft.model.Tables.lineitem(spark, sf("sf0.001"))
