@@ -52,6 +52,17 @@ object DataSkipping {
     */
   def refreshStats(spark: SparkSession, path: String, stats: DataFrame,
       cols: Seq[String]): DataFrame = {
+    val (kept, added) = fileDiff(spark, path, stats)
+    if (added.isEmpty) kept
+    else kept.unionByName(statsOf(spark.read.parquet(added: _*), cols))
+  }
+
+  /** The index-vs-disk file diff shared by every index refresh: the
+    * surviving index rows (semi-joined, never an In-literal) and the
+    * unindexed on-disk files still to scan.
+    */
+  private def fileDiff(spark: SparkSession, path: String,
+      index: DataFrame): (DataFrame, Seq[String]) = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
     // compare on the scheme-less path: input_file_name() renders
@@ -69,7 +80,7 @@ object DataSkipping {
         onDisk += f.getPath.toUri.toString
     }
     val onDiskNorm = onDisk.map(norm).toSet
-    val indexed = stats.select(col("file")).collect().map(_.getString(0))
+    val indexed = index.select(col("file")).collect().map(_.getString(0))
     val indexedNorm = indexed.map(norm).toSet
     val added = onDisk.toSeq.filterNot(f => indexedNorm.contains(norm(f))).sorted
     val keptFiles = indexed.filter(f => onDiskNorm.contains(norm(f))).toSeq
@@ -78,10 +89,9 @@ object DataSkipping {
     // the plan (a multi-MB In-expression at the advertised 10^5-file
     // scale); the semi-join keeps the plan O(1) and broadcasts the list
     import spark.implicits._
-    val kept = stats.join(broadcast(keptFiles.toDF("file")),
+    val kept = index.join(broadcast(keptFiles.toDF("file")),
       Seq("file"), "left_semi")
-    if (added.isEmpty) kept
-    else kept.unionByName(statsOf(spark.read.parquet(added: _*), cols))
+    (kept, added)
   }
 
   /** Files whose [min,max] envelope intersects [lo, hi] on `c` —
@@ -111,13 +121,30 @@ object DataSkipping {
     * combinable, never larger than 4096 ints per file however many rows.
     */
   def buildBloom(spark: SparkSession, path: String, c: String,
-      mBits: Int = 4096, k: Int = 3): DataFrame = {
-    val df = spark.read.parquet(path)
+      mBits: Int = 4096, k: Int = 3): DataFrame =
+    bloomOf(spark.read.parquet(path), c, mBits, k)
+
+  private def bloomOf(df: DataFrame, c: String, mBits: Int,
+      k: Int): DataFrame = {
     val probes = array((0 until k).map(s =>
       pmod(xxhash64(lit(s), col(c)), lit(mBits.toLong))): _*)
     df.select(input_file_name().as("file"), explode(probes).as("p"))
       .groupBy(col("file"))
       .agg(sort_array(collect_set(col("p"))).as("bloom"))
+  }
+
+  /** Incremental Bloom-index refresh — [[refreshStats]]' discipline for
+    * the membership index: scan ONLY files missing from the index,
+    * append their position sets, drop rows for deleted files. A file's
+    * bloom is immutable once written (parquet files never mutate), so
+    * O(changed files) per refresh is exact, not approximate.
+    */
+  def refreshBloom(spark: SparkSession, path: String, bloom: DataFrame,
+      c: String, mBits: Int = 4096, k: Int = 3): DataFrame = {
+    val (kept, added) = fileDiff(spark, path, bloom)
+    if (added.isEmpty) kept
+    else kept.unionByName(
+      bloomOf(spark.read.parquet(added: _*), c, mBits, k))
   }
 
   /** Files that may contain `v` on the indexed column: every one of the

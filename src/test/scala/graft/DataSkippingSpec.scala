@@ -152,6 +152,35 @@ class DataSkippingSpec extends SparkSuite {
     }
   }
 
+  test("bloom refresh equals a full rebuild after appends, O(changed files)") {
+    import spark.implicits._
+    val path = graft.util.Scratch.dir("skip_spec_bloom_inc").resolve("ev").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartition(4, col("user_id"))
+      .write.mode("overwrite").parquet(path)
+    val bloom0 = DataSkipping.buildBloom(spark, path, "user_id")
+    // a no-op refresh returns the index unchanged
+    val same = DataSkipping.refreshBloom(spark, path, bloom0, "user_id")
+    assert(same.orderBy("file").collect().toSeq ==
+      bloom0.orderBy("file").collect().toSeq)
+    // append a new key in new files, refresh, and find it through the
+    // refreshed index
+    Seq((900001L, 777000L, 1.0), (900002L, 777000L, 2.0))
+      .toDF("event_id", "user_id", "value")
+      .repartition(1).write.mode("append").parquet(path)
+    val refreshed = DataSkipping.refreshBloom(spark, path, bloom0, "user_id")
+    val rebuilt = DataSkipping.buildBloom(spark, path, "user_id")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (new java.net.URI(r.getString(0)).getPath,
+        r.getSeq[Long](1))).sortBy(_._1).toSeq
+    assert(canon(refreshed) == canon(rebuilt))
+    val hits = DataSkipping
+      .prunedPointScan(spark, path, refreshed, "user_id", lit(777000L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(hits.toSeq == Seq(900001L, 900002L))
+  }
+
   test("unclustered layout degrades to reading everything, never to wrong rows") {
     // round-robin layout: every file spans the whole key range, so the
     // index cannot prune — but correctness must hold regardless
