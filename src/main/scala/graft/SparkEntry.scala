@@ -1141,6 +1141,19 @@ object SparkEntry {
     // steps of integer pair counts + total-order argmax + fold-merge;
     // the oracle replays every step unrolled
     "cur_bpe_merges" -> ((s, dir) => graft.text.Bpe.trainMerges(s, dir)),
+    // the INFERENCE side of the tokenizer artifact: apply the trained
+    // merge list to the word-type table from scratch (a pure narrow
+    // map, embarrassingly parallel — the shape that tokenizes 100 TB);
+    // must equal the training loop's own final symbol state
+    "cur_bpe_tokenize" -> ((s, dir) => {
+      val merges = graft.text.Bpe.trainMerges(s, dir)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.Bpe.tokenizeWith(graft.text.Bpe.wordTypes(s, dir), merges)
+        .select(col("word"), col("freq"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          array_join(col("tokens"), "|").as("tokens_str"))
+    }),
     // context-window chunking: 64-token chunks every 48 tokens (narrow
     // map + explode; the tail chunk is kept, every doc yields >=1 chunk)
     // bigram-LM quality score (the CCNet/Gopher LM-filter stage) in
@@ -3630,6 +3643,14 @@ object SparkEntry {
     // match step for step (integer counts, total argmax order, greedy
     // non-overlapping merge fold)
     "cur_bpe_merges" -> BpeMergesOracleSql,
+
+    // the training replay's own final symbol state IS the tokenization
+    // oracle — st8 after all eight fold-merges
+    "cur_bpe_tokenize" ->
+      s"""WITH ${BpeCtes(8, 2000)}
+         |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_tokens,
+         |  array_to_string(syms, '|') AS tokens_str
+         |FROM st8""".stripMargin,
 
     // the merges retrained from incrementally-maintained word-type
     // partials must equal the batch-trained table — same oracle
