@@ -1140,15 +1140,20 @@ object SparkEntry {
     // BPE tokenizer training on the word-type frequency table: 8 merge
     // steps of integer pair counts + total-order argmax + fold-merge;
     // the oracle replays every step unrolled
-    "cur_bpe_merges" -> ((s, dir) => graft.text.Bpe.trainMerges(s, dir)),
+    // the training loop runs once per JVM (Bpe.trainedMerges memo) and
+    // feeds both the merge-table gate and the tokenizer-inference gate
+    "cur_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Bpe.trainedMerges(s, dir)
+        .toDF("step", "merge_left", "merge_right", "pair_count")
+    }),
     // the INFERENCE side of the tokenizer artifact: apply the trained
     // merge list to the word-type table from scratch (a pure narrow
     // map, embarrassingly parallel — the shape that tokenizes 100 TB);
     // must equal the training loop's own final symbol state
     "cur_bpe_tokenize" -> ((s, dir) => {
-      val merges = graft.text.Bpe.trainMerges(s, dir)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = graft.text.Bpe.trainedMerges(s, dir)
+        .map { case (_, l, r, _) => (l, r) }
       graft.text.Bpe.tokenizeWith(graft.text.Bpe.wordTypes(s, dir), merges)
         .select(col("word"), col("freq"),
           size(col("tokens")).cast("long").as("n_tokens"),

@@ -144,6 +144,24 @@ object Bpe {
       .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
       .orderBy(col("freq").desc, col("word").asc).limit(maxWords)
 
+  /** Per-JVM memo of the trained merge table (collected rows): the
+    * training loop runs once per (dir, iters, maxWords) and is shared
+    * by the merge-table gate and the tokenizer-inference gate — the
+    * same one-training-many-consumers shape as StreamReplay's ordered
+    * feed memo. Values, not a DataFrame, so it survives clearCache().
+    */
+  private val mergeMemo = scala.collection.mutable.Map
+    .empty[(String, Int, Int), Seq[(Long, String, String, Long)]]
+
+  def trainedMerges(s: SparkSession, dir: String, iters: Int = 8,
+      maxWords: Int = 2000): Seq[(Long, String, String, Long)] =
+    mergeMemo.synchronized {
+      mergeMemo.getOrElseUpdate((dir, iters, maxWords),
+        trainMerges(s, dir, iters, maxWords).orderBy(col("step")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSeq)
+    }
+
   /** Tokenize words with a learned merge list (the inference side of the
     * artifact): replay the merges in training order over each word's
     * character sequence — a pure narrow map, embarrassingly parallel.
