@@ -204,6 +204,13 @@ object SparkEntry {
     "fx_gaps" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.quoteGaps(rates(s, dir))),
 
+    // the composed nightly market report: EMA + volatility + drawdown +
+    // RSI + trend slope in ONE plan — AQE exchange reuse dedupes the
+    // branches' shared daily-close digest subtrees at runtime
+    // (ReusedExchange pinned in MarketAnalyticsSpec)
+    "fx_market_report" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.marketReport(rates(s, dir))),
+
     // per-pair RSI (Wilder smoothing): two recursive folds over the
     // day-ordered gain/loss split of the change digest, α = 1/16
     // binary-exact, 100-pinned when no losses — the momentum oscillator
@@ -1837,6 +1844,98 @@ object SparkEntry {
          |  CAST(datediff('day', pd, date) - 1 AS BIGINT) AS gap_days
          |FROM g
          |WHERE pd IS NOT NULL AND datediff('day', pd, date) > 1""".stripMargin,
+
+    // the five metric replays over ONE shared close/change digest,
+    // stitched with the same LEFT joins
+    "fx_market_report" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), cl3 AS (
+         |  SELECT ccy_couple, date, CAST(close AS DECIMAL(12,3)) AS close3,
+         |    CAST(CAST(close AS DECIMAL(12,3)) * 1000 AS BIGINT) AS close_u
+         |  FROM cl
+         |), ep AS (
+         |  SELECT ccy_couple,
+         |    list(CAST(close_u AS DOUBLE) ORDER BY date) AS xs
+         |  FROM cl3 GROUP BY 1
+         |), e AS (
+         |  SELECT ccy_couple, length(xs) AS n_days,
+         |    xs[length(xs)] AS last_close_milli,
+         |    list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc) AS ema_milli
+         |  FROM ep
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
+         |), vm AS (
+         |  SELECT ccy_couple, count(*) AS n,
+         |    CAST(sum(chg_u) AS DOUBLE) AS s,
+         |    CAST(sum(chg_u * chg_u) AS DOUBLE) AS ss
+         |  FROM chn GROUP BY 1
+         |), v AS (
+         |  SELECT ccy_couple,
+         |    sqrt(greatest(CAST(n AS DOUBLE) * ss - s * s, 0.0)
+         |      / nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0))
+         |      AS vol_milli
+         |  FROM vm
+         |), ddw AS (
+         |  SELECT ccy_couple,
+         |    max(close3) OVER (PARTITION BY ccy_couple ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - close3
+         |      AS dd
+         |  FROM cl3
+         |), d AS (
+         |  SELECT ccy_couple, CAST(max(dd) * 1000 AS BIGINT)
+         |    AS max_drawdown_milli
+         |  FROM ddw GROUP BY 1
+         |), rp AS (
+         |  SELECT ccy_couple,
+         |    list(greatest(CAST(chg_u AS DOUBLE), 0.0) ORDER BY date) AS gs,
+         |    list(greatest(-CAST(chg_u AS DOUBLE), 0.0) ORDER BY date) AS ls
+         |  FROM chn GROUP BY 1
+         |), rf AS (
+         |  SELECT ccy_couple,
+         |    list_reduce(gs, (acc, x) -> 0.0625 * x + 0.9375 * acc) AS ag,
+         |    list_reduce(ls, (acc, x) -> 0.0625 * x + 0.9375 * acc) AS al
+         |  FROM rp
+         |), r AS (
+         |  SELECT ccy_couple,
+         |    CASE WHEN al = 0.0 THEN 100.0
+         |         ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi
+         |  FROM rf
+         |), d0 AS (SELECT min(date) AS d0 FROM cl3),
+         |pts AS (
+         |  SELECT ccy_couple,
+         |    CAST(date_diff('day', d0.d0, cl3.date) AS BIGINT) AS x,
+         |    close_u AS y
+         |  FROM cl3, d0
+         |), tm AS (
+         |  SELECT ccy_couple, count(*) AS n_days,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+         |    CAST(sum(x * x) AS DOUBLE) AS sxx
+         |  FROM pts GROUP BY 1
+         |), t AS (
+         |  SELECT ccy_couple,
+         |    (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+         |      / nullif(CAST(n_days AS DOUBLE) * sxx - sx * sx, 0.0)
+         |      AS slope_milli
+         |  FROM tm
+         |)
+         |SELECT e.ccy_couple, e.n_days, e.last_close_milli, e.ema_milli,
+         |  v.vol_milli, d.max_drawdown_milli, r.rsi, t.slope_milli
+         |FROM e
+         |LEFT JOIN v ON v.ccy_couple = e.ccy_couple
+         |LEFT JOIN d ON d.ccy_couple = e.ccy_couple
+         |LEFT JOIN r ON r.ccy_couple = e.ccy_couple
+         |LEFT JOIN t ON t.ccy_couple = e.ccy_couple""".stripMargin,
 
     // both Wilder folds replayed via date-ordered list_reduce (the EMA
     // replay), then the identical RSI expression tree

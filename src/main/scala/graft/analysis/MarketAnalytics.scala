@@ -482,6 +482,35 @@ object MarketAnalytics {
       (mean + lit(2.0) * sd).as("upper_milli"))
   }
 
+  /** The composed per-pair MARKET REPORT: EMA, volatility, max
+    * drawdown, RSI, and OLS slope in ONE DataFrame — the nightly
+    * analytics sheet a rates desk actually reads. Every metric derives
+    * from the same (pair, day) daily-close aggregation; at execution
+    * AQE's exchange reuse recognizes the branches' shared digest
+    * subtrees and replaces them with ReusedExchange nodes (3 of the
+    * branch exchanges reused at measurement — pinned in
+    * `MarketAnalyticsSpec`), so composing the report costs well under
+    * five standalone runs. The joins stitch |pairs|-row digests
+    * (broadcast), LEFT where a metric needs ≥ 2 days.
+    */
+  def marketReport(rates: DataFrame): DataFrame = {
+    val ema = emaDailyClose(rates)
+      .select(col("ccy_couple"), col("n_days"), col("last_close_milli"),
+        col("ema_milli"))
+    val vol = volatility(rates)
+      .select(col("ccy_couple"), col("vol_milli"))
+    val dd = maxDrawdown(rates)
+      .select(col("ccy_couple"), col("max_drawdown_milli"))
+    val rsi = rsiWilder(rates).select(col("ccy_couple"), col("rsi"))
+    val trend = trendOls(rates)
+      .select(col("ccy_couple"), col("slope_milli"))
+    ema
+      .join(broadcast(vol), Seq("ccy_couple"), "left")
+      .join(broadcast(dd), Seq("ccy_couple"), "left")
+      .join(broadcast(rsi), Seq("ccy_couple"), "left")
+      .join(broadcast(trend), Seq("ccy_couple"), "left")
+  }
+
   /** Per-pair maximum drawdown over the daily-close path: the deepest
     * fall from any prior peak, in milli-units (0 for a never-falling
     * path). Running peak via a rows-unbounded-preceding window max over

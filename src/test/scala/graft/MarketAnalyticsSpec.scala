@@ -295,6 +295,30 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(c2.getDouble(4) == 4000.0 && c2.getDouble(5) == 4000.0)
   }
 
+  test("market report: values equal the standalone metrics; exchanges reused at runtime") {
+    val report = MarketAnalytics.marketReport(rates)
+    val rows = report.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.nonEmpty)
+    // spot-agree with the standalone metrics (identical expression
+    // trees — equality must be EXACT, not approximate)
+    val ema = MarketAnalytics.emaDailyClose(rates).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val vol = MarketAnalytics.volatility(rates).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    rows.foreach { case (p, r) =>
+      assert(r.getDouble(3) == ema(p))
+      val v = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      assert(v == vol(p))
+    }
+    // the composed plan must actually share digest subtrees: after
+    // execution, AQE replaces repeated branch exchanges with
+    // ReusedExchange (3 observed; pin that SOME reuse fires so a plan
+    // regression to five independent pipelines cannot land silently)
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan.take(1500))
+  }
+
   test("daily-change corr plan: broadcast pair frame, no shuffle in the quadratic stage") {
     val plan = MarketAnalytics.dailyChangeCorr(rates)
       .queryExecution.executedPlan.toString
