@@ -95,4 +95,55 @@ class PropertiesSpec extends SparkSuite {
       .where(col("z") =!= 0.0).count()
     assert(self == 0)
   }
+
+  test("property: interval overlap equals the naive join on random intervals") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def intervals(n: Int, idBase: Long) = (0 until n).map { i =>
+        val k = rnd.nextInt(4).toLong
+        val s = rnd.nextInt(500000) * 1000000L          // 0..500s in µs
+        val len = rnd.nextInt(60000) * 1000000L         // 0..60s
+        (k, idBase + i, new Timestamp(s / 1000), new Timestamp((s + len) / 1000))
+      }
+      val a = intervals(60, 1000).toDF("k", "a_id", "a_start", "a_end")
+      val b = intervals(60, 2000).toDF("k", "b_id", "b_start", "b_end")
+      val naive = a.join(b, Seq("k"))
+        .where(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // sorted WITH duplicates: a double emission would show
+      Seq(1000000L, 7000000L, 60000000L).foreach { bucket =>
+        val got = graft.operators.RangeJoin.intervalOverlap(a, b,
+            "a_start", "a_end", "b_start", "b_end", Seq("k"), bucket)
+          .select("a_id", "b_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(got == naive, s"seed=$seed bucket=$bucket")
+      }
+    }
+  }
+
+  test("property: pagerank mass conservation and positivity on random graphs") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 8
+      // every node gets at least one out-edge → no dangling leak: the
+      // total mass must stay teleport + damping·1 = 1 (up to rounding)
+      val edges = (0 until n).flatMap { s0 =>
+        (0 until 1 + rnd.nextInt(3)).map { _ =>
+          (s0.toLong, rnd.nextInt(n).toLong,
+            new java.math.BigDecimal(1 + rnd.nextInt(100)).setScale(2))
+        }
+      }.distinct
+      val e = edges.toDF("src", "dst", "w")
+        .groupBy("src", "dst").agg(sum(col("w").cast("decimal(18,2)")).as("w"))
+      val pr = graft.operators.PageRank.weightedPageRank(e, iters = 6)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pr.size == n || pr.size == e.select("src").union(e.select("dst"))
+        .distinct().count().toInt)
+      pr.values.foreach(p => assert(p > 0.0 && p < 1.0))
+      assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"seed=$seed mass=${pr.values.sum}")
+    }
+  }
 }
