@@ -134,6 +134,19 @@ object SparkEntry {
     // §1.4 OHLC extension: daily bars, one hash agg (min_by/max_by)
     "fx_ohlc_bars" -> ((s, dir) => RateAnalysis.ohlcBars(rates(s, dir))),
 
+    // ingest-side quote conflation: last quote per (pair, 6h slot) —
+    // map-side combine shrinks a burst-heavy feed inside the scan,
+    // before any shuffle; deterministic keeper via the (time, id)
+    // tiebreak (grain chosen so the fixture really conflates: ~23%
+    // of its quotes collapse at sf0.01)
+    "fx_conflate" -> ((s, dir) =>
+      RateAnalysis.conflate(rates(s, dir), grainUs = 6L * 3600 * 1000000)),
+
+    // candlestick pattern flags (doji / engulfing) over the OHLC bars:
+    // pure comparisons on the digest, bitwise-replayable
+    "fx_candle_patterns" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.candlePatterns(rates(s, dir))),
+
     // time-RANGE window frame (the VALUE-based sliding frame a rows
     // frame can't express): per tick, the trailing-7-day count / mean /
     // max over the pair's quote history — rangeBetween on event-time
@@ -1627,6 +1640,52 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin,
 
     "fx_ohlc_bars" -> OhlcOracleSql,
+
+    // last-per-slot replay: integer slot division + rn=1 desc keeper
+    "fx_conflate" ->
+      s"""WITH $RatesCte, w AS (
+         |  SELECT ccy_couple, event_time // 21600000000 AS slot, event_id,
+         |    event_time, rate,
+         |    row_number() OVER (PARTITION BY ccy_couple,
+         |        event_time // 21600000000
+         |      ORDER BY event_time DESC, event_id DESC) AS rn
+         |  FROM rates
+         |)
+         |SELECT ccy_couple, slot, event_id, event_time, rate
+         |FROM w WHERE rn = 1""".stripMargin,
+
+    // the OHLC digest + lag window, then the identical comparison trees
+    "fx_candle_patterns" ->
+      s"""WITH $RatesCte, w AS (
+         |  SELECT ccy_couple, date, rate,
+         |    row_number() OVER (PARTITION BY ccy_couple, date
+         |      ORDER BY event_time ASC, event_id ASC) AS rn_a,
+         |    row_number() OVER (PARTITION BY ccy_couple, date
+         |      ORDER BY event_time DESC, event_id DESC) AS rn_d
+         |  FROM rates
+         |), ohlc AS (
+         |  SELECT ccy_couple, date,
+         |    max(CASE WHEN rn_a = 1 THEN rate END) AS open,
+         |    max(rate) AS high, min(rate) AS low,
+         |    max(CASE WHEN rn_d = 1 THEN rate END) AS close
+         |  FROM w GROUP BY ccy_couple, date
+         |), p AS (
+         |  SELECT *,
+         |    lag(open) OVER (PARTITION BY ccy_couple ORDER BY date)
+         |      AS prev_open,
+         |    lag(close) OVER (PARTITION BY ccy_couple ORDER BY date)
+         |      AS prev_close
+         |  FROM ohlc
+         |)
+         |SELECT ccy_couple, date, open, high, low, close,
+         |  abs(close - open) <= 0.1 * (high - low) AS is_doji,
+         |  coalesce(prev_close < prev_open AND close > open
+         |    AND open <= prev_close AND close >= prev_open, false)
+         |    AS bull_engulf,
+         |  coalesce(prev_close > prev_open AND close < open
+         |    AND open >= prev_close AND close <= prev_open, false)
+         |    AS bear_engulf
+         |FROM p""".stripMargin,
 
     // value-based RANGE frame replayed verbatim; the mean divides two
     // exactly-converted doubles (decimal frame sum < 2^53 in 6-dp units)

@@ -482,6 +482,36 @@ object MarketAnalytics {
       (mean + lit(2.0) * sd).as("upper_milli"))
   }
 
+  /** Candlestick pattern flags over the daily OHLC bars — doji
+    * (open≈close relative to the day's range) and bullish/bearish
+    * engulfing (today's body swallows yesterday's, direction flipped).
+    * Pure comparisons and two IEEE subtractions/one multiply on the
+    * stored doubles — no accumulation, so the replay is bitwise; the
+    * first bar's engulfing flags coalesce to false (no predecessor).
+    * Shape: the OHLC aggregation (one shuffle) + a lag window on the
+    * same pair key — the |pairs|×|days| digest, never the ticks.
+    */
+  def candlePatterns(rates: DataFrame): DataFrame = {
+    val bars = RateAnalysis.ohlcBars(rates)
+    val w = Window.partitionBy(col("ccy_couple")).orderBy(col("date"))
+    val body = abs(col("close") - col("open"))
+    val range = col("high") - col("low")
+    bars
+      .withColumn("prev_open", lag(col("open"), 1).over(w))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .select(col("ccy_couple"), col("date"), col("open"), col("high"),
+        col("low"), col("close"),
+        (body <= lit(0.1) * range).as("is_doji"),
+        coalesce(col("prev_close") < col("prev_open")
+          && col("close") > col("open")
+          && col("open") <= col("prev_close")
+          && col("close") >= col("prev_open"), lit(false)).as("bull_engulf"),
+        coalesce(col("prev_close") > col("prev_open")
+          && col("close") < col("open")
+          && col("open") >= col("prev_close")
+          && col("close") <= col("prev_open"), lit(false)).as("bear_engulf"))
+  }
+
   /** The composed per-pair MARKET REPORT: EMA, volatility, max
     * drawdown, RSI, and OLS slope in ONE DataFrame — the nightly
     * analytics sheet a rates desk actually reads. Every metric derives

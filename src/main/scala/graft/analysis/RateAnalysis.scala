@@ -276,4 +276,26 @@ object RateAnalysis {
         min(col("rate")).as("low"),
         max_by(col("rate"), struct(col("event_time"), col("event_id"))).as("close"),
         count(lit(1)).as("n_ticks"))
+
+  /** Quote CONFLATION — the ingest-side data-reduction every real rates
+    * feed applies: keep only the LAST quote per (pair, time slot),
+    * collapsing quote bursts to one row per grain. The shape is the
+    * OHLC bar at a finer grain with only the close kept: ONE hash
+    * aggregation whose max_by carries (value, ordering) pairs through
+    * partial aggregation — map-side combine does the reduction inside
+    * the scan, so a 100 TB burst-heavy feed shrinks before it ever
+    * shuffles. `div` (integer division) keeps the slot arithmetic exact
+    * and oracle-identical; the (event_time, event_id) tiebreak makes
+    * the kept quote deterministic under equal-time bursts.
+    */
+  def conflate(rates: DataFrame, grainUs: Long = 1000000L): DataFrame =
+    rates
+      .withColumn("slot", expr(s"event_time div $grainUs"))
+      .groupBy(col("ccy_couple"), col("slot"))
+      .agg(
+        max_by(col("event_id"), struct(col("event_time"), col("event_id")))
+          .as("event_id"),
+        max(col("event_time")).as("event_time"),
+        max_by(col("rate"), struct(col("event_time"), col("event_id")))
+          .as("rate"))
 }

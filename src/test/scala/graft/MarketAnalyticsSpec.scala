@@ -217,6 +217,51 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("B").getDouble(3) == 9500.0)   // seed convention e1 = x1
   }
 
+  test("candles: doji and engulfing flags on a hand-built two-day tape") {
+    import spark.implicits._
+    // day1: down candle open 2.0 → close 1.5 (range 2.1..1.4);
+    // day2: up candle open 1.45 → close 2.05 engulfing day1's body;
+    // day3: open 2.00, close 2.01 with range 1.5..2.5 → doji
+    val ticks = Seq(
+      ("A", "2024-01-01", 0L, 2.0), ("A", "2024-01-01", 1L, 2.1),
+      ("A", "2024-01-01", 2L, 1.4), ("A", "2024-01-01", 3L, 1.5),
+      ("A", "2024-01-02", 4L, 1.45), ("A", "2024-01-02", 5L, 2.05),
+      ("A", "2024-01-03", 6L, 2.00), ("A", "2024-01-03", 7L, 2.5),
+      ("A", "2024-01-03", 8L, 1.5), ("A", "2024-01-03", 9L, 2.01))
+    val df = ticks.map { case (p, d, i, v) => (i, p, v, d) }
+      .toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp",
+        timestamp_micros(unix_micros(col("date").cast("timestamp")) + col("event_id")))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.candlePatterns(df).collect()
+      .map(r => r.getDate(1).toString -> r).toMap
+    assert(!out("2024-01-01").getBoolean(6)) // body 0.5 > 0.1·range 0.7
+    assert(!out("2024-01-01").getBoolean(7)) // no predecessor → false
+    assert(out("2024-01-02").getBoolean(7))  // bull engulfing
+    assert(!out("2024-01-02").getBoolean(8))
+    assert(out("2024-01-03").getBoolean(6))  // body 0.01 ≤ 0.1·range 1.0
+    assert(!out("2024-01-03").getBoolean(7)) // day2 was up, no bull flip
+  }
+
+  test("conflate: last quote per slot survives, ties broken by event_id") {
+    import spark.implicits._
+    // slot 0 (0..1s): three quotes, the (t=999999, id=3) one wins over
+    // the equal-time id=2; slot 1: single quote passes through
+    val df = Seq(
+      (1L, 500000L, "A", 1.0), (2L, 999999L, "A", 2.0),
+      (3L, 999999L, "A", 3.0), (4L, 1500000L, "A", 4.0))
+      .toDF("event_id", "event_time", "ccy_couple", "rate")
+      .withColumn("date", to_date(lit("2024-01-01")))
+      .withColumn("timestamp", timestamp_micros(col("event_time")))
+    val out = graft.analysis.RateAnalysis.conflate(df, grainUs = 1000000L)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out.size == 2)
+    assert(out(0L).getLong(2) == 3L && out(0L).getDouble(4) == 3.0)
+    assert(out(1L).getLong(2) == 4L && out(1L).getDouble(4) == 4.0)
+  }
+
   test("outliers: the spike is flagged with the right z, constant series silent") {
     import spark.implicits._
     // A: nineteen ticks at 2.000 and one at 9.000 — a single spike's z
