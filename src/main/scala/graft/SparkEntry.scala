@@ -814,12 +814,6 @@ object SparkEntry {
       p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
     }),
 
-    // batch RANGE JOIN via time-axis quantization (operators.RangeJoin):
-    // each purchase opens a 6-hour attribution window; the same user's
-    // clicks inside it are counted. The BETWEEN join runs as a plain
-    // equi-join on (user, 6h-bucket) with a residual filter — never the
-    // nested-loop plan the declarative form degrades to (plan pinned in
-    // RangeJoinSpec)
     // interval × interval overlap join: per-user daily click-activity
     // spans vs error-activity spans (which clicks happened inside an
     // incident window) — quantized to an equi-join like q_range_join,
@@ -841,6 +835,12 @@ object SparkEntry {
           col("a_start"), col("a_end"), col("b_start"), col("b_end"))
     }),
 
+    // batch RANGE JOIN via time-axis quantization (operators.RangeJoin):
+    // each purchase opens a 6-hour attribution window; the same user's
+    // clicks inside it are counted. The BETWEEN join runs as a plain
+    // equi-join on (user, 6h-bucket) with a residual filter — never the
+    // nested-loop plan the declarative form degrades to (plan pinned in
+    // RangeJoinSpec)
     "q_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")
@@ -911,19 +911,23 @@ object SparkEntry {
     // each (user, day) of the distinct-presence digest is fanned onto
     // the 7 window-end days it serves (bounded 7× replication of the
     // DIGEST, never the event corpus) and exact distinct counts group
-    // per day — calendar-clipped to the corpus span
+    // per day; the calendar grid over the corpus span emits EXPLICIT
+    // zeros for fully-quiet windows — a missing row would read as
+    // missing data where the true answer is 0
     "q_rolling_dau" -> ((s, dir) => {
       val days = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       val span = days.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      days
+      val calendar = span
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val counts = days
         .select(col("user_id"),
           explode(sequence(col("day"), date_add(col("day"), 6))).as("w_day"))
         .groupBy(col("w_day"))
-        .agg(countDistinct(col("user_id")).as("dau_7d"))
-        .crossJoin(broadcast(span))
-        .where(col("w_day").between(col("d0"), col("d1")))
-        .select(col("w_day").as("day"), col("dau_7d"))
+        .agg(countDistinct(col("user_id")).as("c"))
+      calendar
+        .join(counts, col("day") === col("w_day"), "left")
+        .select(col("day"), coalesce(col("c"), lit(0L)).as("dau_7d"))
     }),
 
     // grouped KMV: distinct (user, day) activity per event type from one
@@ -2865,16 +2869,24 @@ object SparkEntry {
     "q_kmv_distinct" ->
       graft.oracle.XxhOracleSql.kmvDistinct(k = 64),
 
-    // the same digest fan-out + exact distinct count, clipped to span
+    // the same digest fan-out + exact distinct count over the explicit
+    // calendar grid (quiet windows emit 0, never a missing row)
     "q_rolling_dau" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
         |), g AS (
         |  SELECT user_id, day + CAST(i AS INTEGER) AS w_day
         |  FROM d CROSS JOIN range(0, 7) t(i)
-        |), s AS (SELECT min(day) AS d0, max(day) AS d1 FROM d)
-        |SELECT w_day AS day, count(DISTINCT user_id) AS dau_7d
-        |FROM g, s WHERE w_day BETWEEN d0 AND d1 GROUP BY 1""".stripMargin,
+        |), s AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cnts AS (
+        |  SELECT w_day, count(DISTINCT user_id) AS c FROM g GROUP BY 1
+        |), cal AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS day
+        |  FROM s
+        |)
+        |SELECT day, coalesce(c, 0) AS dau_7d
+        |FROM cal LEFT JOIN cnts ON cnts.w_day = cal.day""".stripMargin,
 
     // the per-group sketch replay: same hash chain, k-min and estimator
     // QUALIFYed per group (XxhOracleSql)

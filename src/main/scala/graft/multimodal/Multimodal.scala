@@ -264,7 +264,7 @@ object Multimodal {
     import spark.implicits._
     mediaFromDocuments(spark, dir)
       .filter((r: MediaRecord) => r.kind == "image")
-      .mapPartitions(_.grouped(64).flatMap(_.map { r =>
+      .map { r =>
         val len = r.bytes.length
         val v = Array.tabulate(dim) { i =>
           var h = 1125899906842597L + i
@@ -273,7 +273,7 @@ object Multimodal {
           ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
         }
         (r.doc_id, v)
-      }))
+      }
       .toDF("doc_id", "media_vec")
   }
 

@@ -83,10 +83,17 @@ object IncrementalView {
       .select(col("c_custkey"), col("c_nationkey")))
     val supp = broadcast(Tables.supplier(s, dir)
       .select(col("s_suppkey"), col("s_nationkey")))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val root = graft.util.Scratch.dir("graft_pr_edges")
     var current: Option[String] = None
     (0 until nBatches).foreach { b =>
+      // the same arrival predicate scopes BOTH fact relations: the join
+      // key is l_orderkey = o_orderkey, so filtering orders by the
+      // batch's pmod slice is exactly equivalent and keeps per-batch
+      // join input O(batch) — joining the full orders table each batch
+      // would cost O(batch + |orders|) and defeat the pattern
+      val ord = Tables.orders(s, dir)
+        .where(pmod(col("o_orderkey"), lit(nBatches)) === b)
+        .select(col("o_orderkey"), col("o_custkey"))
       val batch = Tables.lineitem(s, dir)
         .where(pmod(col("l_orderkey"), lit(nBatches)) === b)
         .select(col("l_orderkey"), col("l_suppkey"),

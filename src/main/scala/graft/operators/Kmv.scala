@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** KMV (k-minimum-values) distinct-count sketch — the mergeable O(k)
@@ -28,6 +28,24 @@ import org.apache.spark.sql.functions._
 object Kmv {
 
   private val Flip = Long.MinValue // XOR maps unsigned order onto signed
+
+  private val TwoPow64 = 1.8446744073709552E19
+
+  /** The shared estimator tree over an aggregate row carrying `m` (kept
+    * count) and `ukx` (flipped k-th hash): the signed k-th hash and the
+    * (k−1)·2⁶⁴/u_k estimate with the exact-below-k fallback. ONE
+    * definition — the global sketch, the grouped sketch, and the set
+    * algebra must never drift from each other (or from the three oracle
+    * builders in XxhOracleSql, which mirror this tree verbatim).
+    */
+  private def estimator(k: Int): (Column, Column) = {
+    val ukSigned = col("ukx").bitwiseXOR(lit(Flip))
+    val uD = when(ukSigned < 0, ukSigned.cast("double") + lit(TwoPow64))
+      .otherwise(ukSigned.cast("double"))
+    val est = when(col("m") < k, col("m").cast("double"))
+      .otherwise(lit(k - 1.0) * lit(TwoPow64) / uD)
+    (ukSigned, est)
+  }
 
   def distinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame =
     estimateFromHashes(
@@ -62,16 +80,11 @@ object Kmv {
       .where(col("rn") <= k)
     val a = topk.groupBy(col(groupCol)).agg(count(lit(1)).as("m"),
       max(col("h").bitwiseXOR(lit(Flip))).as("ukx"))
-    val ukSigned = col("ukx").bitwiseXOR(lit(Flip))
-    val uD = when(ukSigned < 0,
-        ukSigned.cast("double") + lit(1.8446744073709552E19))
-      .otherwise(ukSigned.cast("double"))
+    val (_, est) = estimator(k)
     a.select(col(groupCol),
       lit(k.toLong).as("k"),
       col("m").as("n_kept"),
-      when(col("m") < k, col("m").cast("double"))
-        .otherwise(lit(k - 1.0) * lit(1.8446744073709552E19) / uD)
-        .as("estimate"))
+      est.as("estimate"))
   }
 
   /** KMV SET ALGEBRA (Beyer et al. 2007, public algorithm): union,
@@ -110,12 +123,7 @@ object Kmv {
       max(col("h").bitwiseXOR(lit(Flip))).as("ukx"),
       sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
         .as("n_both"))
-    val ukSigned = col("ukx").bitwiseXOR(lit(Flip))
-    val uD = when(ukSigned < 0,
-        ukSigned.cast("double") + lit(1.8446744073709552E19))
-      .otherwise(ukSigned.cast("double"))
-    val unionEst = when(col("m") < k, col("m").cast("double"))
-      .otherwise(lit(k - 1.0) * lit(1.8446744073709552E19) / uD)
+    val (_, unionEst) = estimator(k)
     val rho = col("n_both").cast("double") / col("m").cast("double")
     agg.select(
       lit(k.toLong).as("k"),
@@ -142,18 +150,11 @@ object Kmv {
       .limit(k)
     val a = topk.agg(count(lit(1)).as("m"),
       max(col("h").bitwiseXOR(lit(Flip))).as("ukx"))
-    val ukSigned = col("ukx").bitwiseXOR(lit(Flip))
-    // unsigned value as double, same tree as the oracle: cast the signed
-    // form, add 2^64 (exactly representable) back for negatives
-    val uD = when(ukSigned < 0,
-        ukSigned.cast("double") + lit(1.8446744073709552E19))
-      .otherwise(ukSigned.cast("double"))
+    val (ukSigned, est) = estimator(k)
     a.select(
       lit(k.toLong).as("k"),
       col("m").as("n_kept"),
       ukSigned.as("kth_hash"),
-      when(col("m") < k, col("m").cast("double"))
-        .otherwise(lit(k - 1.0) * lit(1.8446744073709552E19) / uD)
-        .as("estimate"))
+      est.as("estimate"))
   }
 }

@@ -305,6 +305,21 @@ object XxhOracleSql {
       maxBucket: Int = 50): String =
     recallSql(simhashCandidateChain(maxBucket), exactCtes, exactPairsSelect)
 
+  /** The KMV estimator tree over an aggregate row carrying `m` and the
+    * unsigned k-th hash `uk` — ONE definition mirrored verbatim from
+    * `Kmv.estimator` so the three sketch oracles can never drift from
+    * the engine (or each other).
+    */
+  private def kmvUD: String = {
+    val ukS = toS("uk")
+    s"(CASE WHEN $ukS < 0 THEN CAST($ukS AS DOUBLE) + " +
+      s"18446744073709551616.0 ELSE CAST($ukS AS DOUBLE) END)"
+  }
+
+  private def kmvEst(k: Int): String =
+    s"(CASE WHEN m < $k THEN CAST(m AS DOUBLE) " +
+      s"ELSE ($k - 1.0) * 18446744073709551616.0 / $kmvUD END)"
+
   /** Oracle for [[graft.operators.Kmv.distinctEstimate]]: Spark's
     * `xxhash64` (hashLong, seed 42) over the distinct keys, the k
     * smallest UNSIGNED hash values, and the (k−1)·2⁶⁴/u_k estimator with
@@ -319,21 +334,14 @@ object XxhOracleSql {
   def kmvDistinct(k: Int, table: String = "events",
       keyCol: String = "user_id"): String = {
     val (ctes, last) = chain("kb", hashLongSteps("hin", "42::HUGEINT", "h"), "kc")
-    // unsigned→double through the SAME tree Spark uses on its signed
-    // hash: cast the signed form, add 2^64 back for negatives
-    val ukS = toS("uk")
-    val uD = s"(CASE WHEN $ukS < 0 THEN CAST($ukS AS DOUBLE) + " +
-      s"18446744073709551616.0 ELSE CAST($ukS AS DOUBLE) END)"
     s"""WITH u AS (SELECT DISTINCT $keyCol AS key FROM $table),
        |kb AS (SELECT ${toU("key")} AS hin FROM u),
        |${ctes.mkString(",\n")},
        |ks AS (SELECT DISTINCT hx FROM $last ORDER BY hx ASC LIMIT $k),
        |ka AS (SELECT count(*) AS m, max(hx) AS uk FROM ks)
        |SELECT CAST($k AS BIGINT) AS k, CAST(m AS BIGINT) AS n_kept,
-       |  $ukS AS kth_hash,
-       |  CASE WHEN m < $k THEN CAST(m AS DOUBLE)
-       |       ELSE ($k - 1.0) * 18446744073709551616.0 / $uD END
-       |    AS estimate
+       |  ${toS("uk")} AS kth_hash,
+       |  ${kmvEst(k)} AS estimate
        |FROM ka""".stripMargin
   }
 
@@ -345,9 +353,6 @@ object XxhOracleSql {
   def kmvDistinctPerGroup(k: Int, keySql: String,
       groupOut: String = "grp"): String = {
     val (ctes, last) = chain("kb", hashLongSteps("hin", "42::HUGEINT", "h"), "kc")
-    val ukS = toS("uk")
-    val uD = s"(CASE WHEN $ukS < 0 THEN CAST($ukS AS DOUBLE) + " +
-      s"18446744073709551616.0 ELSE CAST($ukS AS DOUBLE) END)"
     s"""WITH u AS (SELECT DISTINCT grp, key FROM ($keySql)),
        |kb AS (SELECT grp, ${toU("key")} AS hin FROM u),
        |${ctes.mkString(",\n")},
@@ -358,9 +363,7 @@ object XxhOracleSql {
        |ka AS (SELECT grp, count(*) AS m, max(hx) AS uk FROM ks GROUP BY 1)
        |SELECT grp AS $groupOut, CAST($k AS BIGINT) AS k,
        |  CAST(m AS BIGINT) AS n_kept,
-       |  CASE WHEN m < $k THEN CAST(m AS DOUBLE)
-       |       ELSE ($k - 1.0) * 18446744073709551616.0 / $uD END
-       |    AS estimate
+       |  ${kmvEst(k)} AS estimate
        |FROM ka""".stripMargin
   }
 
@@ -374,11 +377,7 @@ object XxhOracleSql {
   def kmvSetAlgebra(k: Int, aKeySql: String, bKeySql: String): String = {
     val (ca, la) = chain("ha", hashLongSteps("hin", "42::HUGEINT", "h"), "hac")
     val (cb, lb) = chain("hb", hashLongSteps("hin", "42::HUGEINT", "h"), "hbc")
-    val ukS = toS("uk")
-    val uD = s"(CASE WHEN $ukS < 0 THEN CAST($ukS AS DOUBLE) + " +
-      s"18446744073709551616.0 ELSE CAST($ukS AS DOUBLE) END)"
-    val est = s"(CASE WHEN m < $k THEN CAST(m AS DOUBLE) " +
-      s"ELSE ($k - 1.0) * 18446744073709551616.0 / $uD END)"
+    val est = kmvEst(k)
     val rho = "(CAST(n_both AS DOUBLE) / CAST(m AS DOUBLE))"
     s"""WITH ua AS (SELECT DISTINCT key FROM ($aKeySql)),
        |ub AS (SELECT DISTINCT key FROM ($bKeySql)),

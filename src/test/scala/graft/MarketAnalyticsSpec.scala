@@ -285,12 +285,9 @@ class MarketAnalyticsSpec extends SparkSuite {
 
   test("rsi: all-gain pins 100, hand-computed folds replay exactly") {
     import spark.implicits._
-    // A rises monotonically (no losses → RSI 100); B alternates ±1
-    // exactly (gain and loss sequences are the same numbers one slot
-    // apart — after the same fold both averages are EQUAL only when the
-    // path is long enough to wash the seed; with changes +1,-1,+1 the
-    // folds differ, so just pin the hand-computed value); C: one rise
-    // one fall of equal size from a hand fold
+    // A rises monotonically (no losses → the RSI=100 pin); C takes one
+    // rise then one equal fall, exercising BOTH fold branches — the
+    // zero slot on each side's off-day — against hand-computed values
     val rows = Seq(
       ("A", "2024-01-01", 1.0), ("A", "2024-01-02", 2.0),
       ("A", "2024-01-03", 3.0),
