@@ -1234,6 +1234,14 @@ object SparkEntry {
     // IVF search over the trained cells (assignment + probe + rerank,
     // end-to-end reproducible)
     "sim_ivf_kmeans_topk" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
+    // PRODUCT QUANTIZATION top-k (Jégou et al. 2011): per-subspace
+    // Euclidean codebooks (the trainer recipe with L2 geometry),
+    // m-byte codes per vector (32× compression — the representation
+    // that keeps a billion-vector index in RAM), asymmetric-distance
+    // scoring against the uncompressed query; every per-subspace
+    // distance 6-dp rounded, parts folded in subspace order → bitwise
+    // replay of the ENTIRE train+encode+search pipeline
+    "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     // embedding-cosine near-dup flags at 0.95 (rows-only check)
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     // SemDeDup: k-means-clustered semantic dedup — pairwise cosine ONLY
@@ -1440,6 +1448,66 @@ object SparkEntry {
            |)""".stripMargin)
     }
     (sb.toString, s"cent$iters", s"cc$iters")
+  }
+
+  /** Squared-L2 replay via three list_dot_products — the exact
+    * left-associated tree Similarity.l2sq builds, 6-dp rounded at every
+    * comparison site.
+    */
+  private def PqL2(a: String, b: String): String =
+    s"round(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b)" +
+      s" + list_dot_product($b, $b), 6)"
+
+  /** Unrolled product-quantization training: per subspace, the
+    * KmeansCtes recipe with Euclidean assignment (argmin 6-dp L2²,
+    * cell-asc tiebreak) over the subvector slices; emits `cb` (the
+    * m-subspace codebook union) and `svall` (every vector's subvector
+    * per subspace) for the encode/ADC chain.
+    */
+  private def PqCtes(m: Int, k: Int, iters: Int, dim: Int = 64): String = {
+    val d = dim / m
+    val sb = new StringBuilder
+    sb.append(
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)")
+    for (sub <- 0 until m) {
+      val lo = sub * d + 1; val hi = sub * d + d
+      sb.append(
+        s""", sv$sub AS (SELECT vec_id, emb[$lo:$hi] AS sv FROM e),
+           |c${sub}_0 AS (
+           |  SELECT CAST(vec_id AS INT) AS cell, sv AS centroid
+           |  FROM sv$sub WHERE vec_id < $k
+           |)""".stripMargin)
+      for (i <- 1 to iters) {
+        sb.append(
+          s""", a${sub}_$i AS (
+             |  SELECT vec_id, sv, cell FROM (
+             |    SELECT s.vec_id, s.sv, c.cell,
+             |      row_number() OVER (PARTITION BY s.vec_id
+             |        ORDER BY ${PqL2("s.sv", "c.centroid")} ASC, c.cell ASC)
+             |        AS rn
+             |    FROM sv$sub s CROSS JOIN c${sub}_${i - 1} c)
+             |  WHERE rn = 1
+             |), cc${sub}_$i AS (
+             |  SELECT cell, pos,
+             |    CAST(round(CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE)
+             |               / count(*), 6) AS FLOAT) AS c
+             |  FROM (SELECT cell, unnest(sv) AS v,
+             |          generate_subscripts(sv, 1) AS pos FROM a${sub}_$i)
+             |  GROUP BY cell, pos
+             |), c${sub}_$i AS (
+             |  SELECT cell, CAST(list(c ORDER BY pos) AS DOUBLE[]) AS centroid
+             |  FROM cc${sub}_$i GROUP BY cell
+             |)""".stripMargin)
+      }
+    }
+    val cbUnion = (0 until m)
+      .map(sub => s"SELECT $sub AS sub, cell, centroid FROM c${sub}_$iters")
+      .mkString("\n  UNION ALL ")
+    val svUnion = (0 until m)
+      .map(sub => s"SELECT vec_id, $sub AS sub, sv FROM sv$sub")
+      .mkString("\n  UNION ALL ")
+    sb.append(s""", cb AS (\n  $cbUnion\n), svall AS (\n  $svUnion\n)""")
+    sb.toString
   }
 
   /** Unrolled BPE-training CTE chain mirroring Bpe.trainMerges step for
@@ -3699,6 +3767,37 @@ object SparkEntry {
          |SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
          |       CAST(c AS DOUBLE) AS c
          |FROM $ccFinal""".stripMargin
+    },
+
+    // the full PQ pipeline replayed: per-subspace training (PqCtes),
+    // argmin-L2² encoding, per-(query, candidate, subspace) ADC parts,
+    // and the subspace-ordered fold — bit for bit
+    "sim_pq_topk" -> {
+      s"""WITH ${PqCtes(8, 8, 2)},
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT s.vec_id, s.sub, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${PqL2("s.sv", "c.centroid")} ASC, c.cell ASC) AS rn
+         |    FROM svall s JOIN cb c ON c.sub = s.sub)
+         |  WHERE rn = 1
+         |), parts AS (
+         |  SELECT q.vec_id AS qid, x.vec_id, x.sub,
+         |    ${PqL2("q.sv", "c.centroid")} AS pd
+         |  FROM codes x
+         |  JOIN cb c ON c.sub = x.sub AND c.cell = x.cell
+         |  JOIN svall q ON q.sub = x.sub
+         |  WHERE q.vec_id < 5 AND q.vec_id <> x.vec_id
+         |), adc AS (
+         |  SELECT qid, vec_id,
+         |    list_reduce(list_prepend(0.0, list(pd ORDER BY sub)),
+         |                (a, b) -> a + b) AS adc_dist
+         |  FROM parts GROUP BY 1, 2
+         |)
+         |SELECT qid, vec_id, adc_dist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_dist ASC, vec_id ASC) AS rank FROM adc)
+         |WHERE rank <= 10""".stripMargin
     },
 
     // IVF over the trained cells: final assignment + probe selection +

@@ -406,4 +406,113 @@ object Similarity {
         coalesce(col("max_lower_cos") >= threshold, lit(false))
           .as("is_semantic_dup"))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid — TPAMI 2011, public
+  // method): the memory-compression layer under billion-scale ANN.
+  // ---------------------------------------------------------------------
+
+  /** Squared L2 distance via three sequential-fold dot products —
+    * ‖a−b‖² = a·a − 2·a·b + b·b, the exact expression tree the DuckDB
+    * replay mirrors with list_dot_product (left-associated, 6-dp rounded
+    * by every caller before any comparison).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    dotDouble(a, a) - lit(2.0) * dotDouble(a, b) + dotDouble(b, b)
+
+  /** The sub'th of `m` subvectors of a dim-`m·d` embedding (1-based
+    * slice, length d).
+    */
+  private def subvec(c: Column, sub: Int, d: Int): Column =
+    slice(c, sub * d + 1, d)
+
+  /** Train the m per-subspace codebooks: each subspace runs its own
+    * Lloyd loop — deterministic seeding (the k lowest-id vectors'
+    * subvectors), argmin-L2² assignment (6-dp rounding, cell-asc
+    * tiebreak), DECIMAL-exact per-dimension means — exactly the
+    * spherical trainer's recipe with Euclidean geometry, so every step
+    * is bit-reproducible and the oracle replays the whole loop. Output:
+    * (sub, cell, centroid[d]). m·k·d floats — bounded however big the
+    * corpus; per iteration each subspace scans the corpus once and
+    * shuffles only (cell, pos) partial sums.
+    */
+  def pqCodebooks(s: SparkSession, dir: String, m: Int = 8, k: Int = 8,
+      iters: Int = 2, dim: Int = DefaultDim): DataFrame = {
+    import s.implicits._
+    val d = dim / m
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    (0 until m).map { sub =>
+      val sv = emb.select(col("vec_id"), subvec(col("embedding"), sub, d).as("sv"))
+      var cent = sv.where(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cell"), col("sv").as("centroid"))
+      for (_ <- 1 to iters) {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("dist").asc, col("cell").asc)
+        val assigned = sv.join(broadcast(cent))
+          .select(col("vec_id"), col("sv"), col("cell"),
+            round(l2sq(col("sv"), col("centroid")), 6).as("dist"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        cent = assigned
+          .select(col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("v").cast("double").cast("decimal(30,15)")).as("sv_sum"),
+            count(lit(1)).as("n"))
+          .select(col("cell"), col("pos"),
+            round(col("sv_sum").cast("double") / col("n"), 6).cast("float")
+              .as("c"))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("centroid"))
+        val local = cent.as[(Int, Array[Float])].collect().toSeq
+        cent = s.createDataset(local).toDF("cell", "centroid")
+      }
+      cent.select(lit(sub).as("sub"), col("cell"), col("centroid"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ top-k search with asymmetric distance (ADC). Every vector
+    * ENCODES as m small codes (here m codebook ids — m bytes at k ≤ 256,
+    * a 32× compression of a 64-float vector: the representation that
+    * keeps a billion-vector index in RAM); the query stays uncompressed
+    * and scores a candidate as Σ_sub ‖q_sub − centroid(code_sub)‖².
+    * Every per-subspace distance is 6-dp rounded and the m parts fold in
+    * subspace order, so the ranking replays bitwise. Scale shape: the
+    * codebooks and the per-query distance table are m·k rows (broadcast;
+    * a real deployment precomputes the q×m×k LUT exactly this way);
+    * candidates stream through one narrow join + a bounded
+    * WindowGroupLimit — and at corpus sizes where even the code table
+    * shouldn't fully scan, the IVF cells prune first (IVFADC).
+    */
+  def pqTopK(s: SparkSession, dir: String, m: Int = 8, k: Int = 8,
+      iters: Int = 2, topK: Int = 10, nQueries: Int = 5,
+      dim: Int = DefaultDim): DataFrame = {
+    val d = dim / m
+    val cb = pqCodebooks(s, dir, m, k, iters, dim)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val sv = emb.select(col("vec_id"),
+      posexplode(array((0 until m).map(i =>
+        subvec(col("embedding"), i, d)): _*)).as(Seq("sub", "sv")))
+    val wEnc = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("dist").asc, col("cell").asc)
+    val codes = sv.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cell"),
+        round(l2sq(col("sv"), col("centroid")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wEnc)).where(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cell"))
+    val q = sv.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sub").as("q_sub"),
+        col("sv").as("qv"))
+    val parts = codes.join(broadcast(cb), Seq("sub", "cell"))
+      .join(broadcast(q), col("sub") === col("q_sub"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("sub"),
+        round(l2sq(col("qv"), col("centroid")), 6).as("pd"))
+    val adc = parts.groupBy(col("qid"), col("vec_id"))
+      .agg(aggregate(sort_array(collect_list(struct(col("sub"), col("pd")))),
+        lit(0.0), (acc, x) => acc + x("pd")).as("adc_dist"))
+    val wr = Window.partitionBy("qid")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(wr)).where(col("rank") <= topK)
+      .select(col("qid"), col("vec_id"), col("adc_dist"), col("rank"))
+  }
 }

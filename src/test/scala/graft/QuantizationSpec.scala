@@ -44,4 +44,32 @@ class QuantizationSpec extends SparkSuite {
         s"q_cos ${r.getDouble(0)} vs exact ${r.getDouble(1)}")
     }
   }
+
+  test("pq: codebook shape, complete top-k, nonnegative ADC, deterministic") {
+    import graft.similarity.Similarity
+    val dir = sf("sf0.001")
+    val (m, k, d) = (8, 8, 8)
+    val cb = Similarity.pqCodebooks(spark, dir, m, k).collect()
+    // every subspace trains ≤ k cells of dimension d (a cell can empty
+    // out mid-training, never grow)
+    val bySub = cb.groupBy(_.getInt(0))
+    assert(bySub.keySet == (0 until m).toSet)
+    bySub.values.foreach { cells =>
+      assert(cells.length <= k && cells.nonEmpty)
+      cells.foreach(r => assert(r.getSeq[Float](2).length == d))
+    }
+    val out = Similarity.pqTopK(spark, dir, m, k).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 10)
+      assert(!rs.exists(_.getLong(1) == qid))         // self excluded
+      rs.foreach(r => assert(r.getDouble(2) >= 0.0))  // ADC is a sum of L2²
+      val ranked = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ranked.zip(ranked.tail).forall { case (a, b) => a <= b })
+    }
+    // deterministic end to end: a second full run reproduces the bytes
+    val again = Similarity.pqTopK(spark, dir, m, k).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
