@@ -669,6 +669,19 @@ object SparkEntry {
     // per-order top-2 line items as a lateral ORDER BY ... LIMIT — the
     // SQL surface users reach for before they know window functions;
     // Catalyst decorrelates it to the same shuffle-once ranked shape
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE surface): bounded-hop
+    // transitive closure over the thresholded trade graph — min hop
+    // count and ≤3-hop walk count from nation 0. The recursion runs on
+    // the |nations|² edge DIGEST (the corpus-scale work is the edge
+    // aggregation); ONE SQL text serves both engines verbatim
+    "q_recursive_closure" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      s.sql(RecursiveClosureSql)
+    }),
+
     "q_lateral_topn" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_lat")
@@ -1449,6 +1462,35 @@ object SparkEntry {
     }
     (sb.toString, s"cent$iters", s"cc$iters")
   }
+
+  /** The recursive-closure SQL — ONE text, dialect-common, run verbatim
+    * by BOTH engines (the strongest possible oracle: not a replay but
+    * the same statement). Anchor: nation 0 at hop 0; step: follow
+    * thresholded trade edges while hop < 3; report min hop + walk count
+    * per reached nation. The threshold keeps the digest graph sparse
+    * enough that the bounded walk count stays far from |V|^hops.
+    */
+  private val RecursiveClosureSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT c_nationkey AS src, s_nationkey AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2
+      |  HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |         > 3000000.00
+      |), reach AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+      |  UNION ALL
+      |  SELECT e.dst AS node, r.hop + 1 AS hop
+      |  FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.hop < 3
+      |)
+      |SELECT node, min(hop) AS min_hops,
+      |  CAST(count(*) AS BIGINT) AS n_walks
+      |FROM reach GROUP BY node""".stripMargin
 
   /** Squared-L2 replay via three list_dot_products — the exact
     * left-associated tree Similarity.l2sq builds, 6-dp rounded at every
@@ -2586,6 +2628,10 @@ object SparkEntry {
 
     // the damped iteration unrolled step for step (see the builder)
     "q_pagerank_trade" -> PagerankTradeOracleSql,
+
+    // the SAME statement text, verbatim — dialect-common SQL is its own
+    // oracle
+    "q_recursive_closure" -> RecursiveClosureSql,
 
     // the maintained edge relation must reproduce the one-shot ranks
     // exactly (exact decimal edge merge), so the oracle IS the batch one

@@ -101,6 +101,16 @@ class OperatorsSpec extends SparkSuite {
     DataQuality.assertAll(df.where(col("v") > 0), rules) // clean subset passes
   }
 
+  test("recursive closure: seed at hop 0, hops bounded, walks positive") {
+    val out = SparkEntry.queries("q_recursive_closure")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out.contains(0L) && out(0L)._1 == 0) // the anchor node
+    out.values.foreach { case (minHops, walks) =>
+      assert(minHops >= 0 && minHops <= 3) // the recursion guard held
+      assert(walks >= 1L)
+    }
+  }
+
   test("key-skew profile: hand-built skew reports exact counts and ratios") {
     import spark.implicits._
     import graft.operators.DataQuality
