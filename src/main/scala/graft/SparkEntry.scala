@@ -1289,6 +1289,44 @@ object SparkEntry {
     // the oracle replays grid fold + bit extraction + blocking + distance
     "mm_phash_dedup" -> ((s, dir) =>
       graft.multimodal.Multimodal.phashNearDup(s, dir)),
+    // word co-occurrence LIFT over the top vocabulary: P(a,b)/(P(a)P(b))
+    // from exact doc-presence counts — the collocation statistic PMI
+    // reduces to once the (engine-unportable) log is dropped; pairs are
+    // bounded by |vocab|² per doc, the corpus contributes only the
+    // presence digest
+    "text_word_lift" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .where(col("word").rlike("^[a-z]+$"))
+        .distinct()
+      val vocab = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("n_w"))
+        .orderBy(col("n_w").desc, col("word").asc).limit(20)
+      val pres = words.join(broadcast(vocab), "word")
+      val nDocs = Tables.documents(s, dir)
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val a = pres.select(col("doc_id"), col("word").as("word_a"),
+        col("n_w").as("n_a"))
+      val b = pres.select(col("doc_id"), col("word").as("word_b"),
+        col("n_w").as("n_b"))
+      a.join(b, Seq("doc_id")).where(col("word_a") < col("word_b"))
+        .groupBy(col("word_a"), col("word_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("word_a"), col("word_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          ((col("n_both") * col("n_docs")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+    }),
+
+    // VAD-style audio segmentation: voiced = energy above the doc's own
+    // mean (exact integer cross-multiplication), maximal voiced runs
+    // merged gaps-and-islands style — the activity-extraction stage of
+    // an audio pipeline, one payload read
+    "mm_audio_segments" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioSegments(s, dir)),
+
     // CLIP-shaped cross-modal retrieval: image payloads stub-encoded
     // into the text-embedding space (64 rolling-hash slots — one-
     // function swap for a real vision tower), cosine top-3 text vectors
@@ -4155,6 +4193,76 @@ object SparkEntry {
         |    (acc, x) -> acc + x) AS energy,
         |  CAST(list_max(list_transform(cs, c -> abs(c))) AS INTEGER) AS peak
         |FROM b""".stripMargin,
+
+    // the same presence digest, vocabulary cut, pair join, and the one
+    // integer-operand double division
+    "text_word_lift" ->
+      """WITH wd AS (
+        |  SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$')
+        |), vocab AS (
+        |  SELECT word, count(*) AS n_w FROM wd GROUP BY 1
+        |  ORDER BY n_w DESC, word ASC LIMIT 20
+        |), p AS (
+        |  SELECT wd.doc_id, wd.word, v.n_w
+        |  FROM wd JOIN vocab v ON v.word = wd.word
+        |), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |pr AS (
+        |  SELECT a.word AS word_a, b.word AS word_b,
+        |    a.n_w AS n_a, b.n_w AS n_b, count(*) AS n_both
+        |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.word < b.word
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT word_a, word_b, n_a, n_b, n_both,
+        |  CAST(n_both * n_docs AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift
+        |FROM pr, nd""".stripMargin,
+
+    // the window-energy replay + the voiced predicate (integer
+    // cross-multiplication) + gaps-and-islands segment merge
+    "mm_audio_segments" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), w AS (
+        |  SELECT doc_id, hx, unnest(range(0, len // 200)) AS i
+        |  FROM m WHERE len >= 200
+        |), b AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_transform(range(i * 200, i * 200 + 200),
+        |          j -> 16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |               + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |               - 128),
+        |        c -> CAST(c * c AS BIGINT))),
+        |      (acc, x) -> acc + x) AS energy,
+        |    CAST(list_max(list_transform(
+        |      list_transform(range(i * 200, i * 200 + 200),
+        |        j -> 16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |             + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |             - 128),
+        |      c -> abs(c))) AS BIGINT) AS peak
+        |  FROM w
+        |), t AS (
+        |  SELECT doc_id, sum(energy) AS tot, count(*) AS cnt
+        |  FROM b GROUP BY 1
+        |), v AS (
+        |  SELECT b.doc_id, b.i, b.energy, b.peak
+        |  FROM b JOIN t ON b.doc_id = t.doc_id
+        |  WHERE b.energy * t.cnt > t.tot
+        |), g AS (
+        |  SELECT *, i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS grp
+        |  FROM v
+        |)
+        |SELECT doc_id, min(i) AS seg_start, max(i) AS seg_end,
+        |  count(*) AS n_windows, CAST(sum(energy) AS BIGINT) AS seg_energy,
+        |  max(peak) AS seg_peak
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
 
     "sim_label_centroid" ->
       """WITH un AS (

@@ -155,6 +155,38 @@ object Multimodal {
       }.toDF()
   }
 
+  /** VAD-style SEGMENTATION over the audio windows — the
+    * speech/activity extraction stage of an audio training pipeline:
+    * a window is VOICED when its energy exceeds the document's own mean
+    * (compared by exact integer cross-multiplication, `energy·cnt >
+    * Σenergy` — no division, no doubles, bitwise on any engine), and
+    * maximal voiced runs merge into segments through the
+    * gaps-and-islands window (the sessionize/substring-span recipe).
+    * Shape: the per-window digest aggregates once per doc (broadcast
+    * back — |docs| rows), islands run on the pair key; the payload
+    * bytes are read exactly once, in [[audioWindows]]' narrow flatMap.
+    */
+  def audioSegments(spark: SparkSession, dir: String,
+      windowBytes: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = audioWindows(spark, dir, windowBytes)
+    val tot = w.groupBy(col("doc_id"))
+      .agg(sum(col("energy")).as("tot"), count(lit(1)).as("cnt"))
+    val voiced = w.join(broadcast(tot), Seq("doc_id"))
+      .where(col("energy") * col("cnt") > col("tot"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    voiced
+      .withColumn("grp", col("win_idx") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("win_idx")).cast("long").as("seg_start"),
+        max(col("win_idx")).cast("long").as("seg_end"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("seg_energy"),
+        max(col("peak")).cast("long").as("seg_peak"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_windows"), col("seg_energy"), col("seg_peak"))
+  }
+
   /** The FEATURE path surfaced as a query: the batched decode's 8-float
     * vector reduced to a deterministic scalar (sequential-fold sum in
     * double, rounded) — so the machinery the Dataset hop exists for

@@ -143,6 +143,34 @@ class FunctionsSpec extends SparkSuite {
     assert(row.getAs[Double]("feature_sum") == expected)
   }
 
+  test("audio segments: contiguous voiced runs, consistent bounds, no overlap") {
+    val segs = Multimodal.audioSegments(spark, sf("sf0.001")).collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val (s0, s1, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(s0 <= s1 && n == s1 - s0 + 1) // a segment IS a contiguous run
+      assert(r.getLong(4) > 0L)            // voiced ⇒ positive energy
+    }
+    // segments of one doc never overlap (islands are maximal)
+    segs.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getLong(2) + 1 < b.getLong(1)) // gap of ≥1 quiet window
+      }
+    }
+  }
+
+  test("word lift: counts consistent, lift positive and bounded by independence") {
+    val out = SparkEntry.queries("text_word_lift")(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (na, nb, nab) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nab >= 1L && nab <= math.min(na, nb)) // co-occurrence bound
+      val lift = r.getDouble(5)
+      assert(lift > 0.0)
+    }
+  }
+
   test("crossmodal: driver-side encoder replay, k rows per image, rank order sound") {
     val dir = sf("sf0.001")
     val out = Multimodal.crossModalTopK(spark, dir, k = 3).collect()
