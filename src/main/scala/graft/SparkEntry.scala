@@ -238,6 +238,13 @@ object SparkEntry {
     "fx_ema" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.emaDailyClose(rates(s, dir))),
 
+    // MACD triple (fast EMA − slow EMA, signal EMA, histogram): three
+    // coupled recursive folds in ONE sequential pass with a struct
+    // accumulator; all α binary powers, so the DuckDB recursive CTE
+    // replays the identical rounding sequence
+    "fx_macd" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.macd(rates(s, dir))),
+
     // Bollinger bands: trailing-20-day mean ± 2 sample σ per pair-day —
     // the windowed sibling of fx_volatility's exact-integer-moment
     // recipe (built-in windowed stddev would round differently across
@@ -767,11 +774,30 @@ object SparkEntry {
       graft.operators.DataQuality.keySkewProfile(
         Tables.events(s, dir), "user_id")),
 
+    // declarative data contract: completeness + range + key-uniqueness +
+    // referential integrity validated into one per-constraint report —
+    // row-level checks share ONE scan, the FK check is one semi-join
+    "dq_constraints" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      validate(Tables.lineitem(s, dir), Seq(
+        Complete("complete_suppkey", "l_suppkey"),
+        Satisfies("qty_range", col("l_quantity").between(1, 50)),
+        Unique("unique_line", Seq("l_orderkey", "l_linenumber")),
+        SubsetOf("fk_orders", "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")))
+    }),
+
     // per-pair 3σ outlier ticks: exact integer moments broadcast onto
     // the tick stream, one double comparison per row — the fat-finger
     // detector; σ=0 / single-tick pairs emit nothing
     "fx_outliers" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.rateOutliers(rates(s, dir))),
+
+    // hour-of-day seasonal profile + per-hour anomaly counts: ticks
+    // judged against their own session-hour's distribution; bounded
+    // |pairs|×24 output, corpus never shuffled
+    "fx_seasonality" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.hourlySeasonality(rates(s, dir))),
 
     // the WRITE-PATH DQ gate: the same rule counters observed IN-FLIGHT
     // (Dataset.observe / CollectMetrics) while the instrumented frame
@@ -1236,6 +1262,12 @@ object SparkEntry {
     "sim_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
     // random-hyperplane LSH bucketed ANN (rows-only check)
     "sim_ann_lsh" -> ((s, dir) => Similarity.lshNearestInBucket(s, dir)),
+
+    // MIPS via norm augmentation: one extra coordinate makes every
+    // database vector the same length, so the cosine LSH index answers
+    // inner-product queries unchanged (dim+1 planes); exact dot rerank
+    // inside the probed bucket only
+    "sim_mips_topk" -> ((s, dir) => Similarity.mipsTopK(s, dir)),
     // IVF search: probe nearest cells, rerank within (rows-only check)
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     // spherical k-means training (REAL trained IVF cells): deterministic
@@ -1378,12 +1410,56 @@ object SparkEntry {
     * representation, so DuckDB parses back bit-identical doubles and the
     * oracle can recompute the exact same signatures the Spark side does.
     */
-  private val LshSigSqlExpr: String =
-    Similarity.planes(Similarity.DefaultNPlanes, Similarity.DefaultDim)
-      .zipWithIndex.map { case (p, j) =>
+  /** Inline a plane set as a literal sign-dot signature expression over
+    * `embExpr` — the oracle-side twin of Similarity.lshSignature.
+    */
+  private def lshSigSqlExprFor(planes: Seq[Seq[Double]],
+      embExpr: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
       val arr = p.map(_.toString).mkString("[", ", ", "]")
-      s"CASE WHEN list_dot_product(emb, $arr) > 0 THEN ${1L << j} ELSE 0 END"
+      s"CASE WHEN list_dot_product($embExpr, $arr) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", "\n     + ", ")")
+
+  private val LshSigSqlExpr: String = lshSigSqlExprFor(
+    Similarity.planes(Similarity.DefaultNPlanes, Similarity.DefaultDim), "emb")
+
+  /** The MIPS reduction's augmented-space signature: dim+1 planes from
+    * the same LCG stream, database vectors carry sqrt(M²−‖x‖²) — through
+    * an explicit FLOAT quantization, mirroring the engine's float array —
+    * and queries carry 0.
+    */
+  private val MipsCtes: String = {
+    val ps = Similarity.planes(
+      Similarity.MipsNPlanes, Similarity.DefaultDim + 1)
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, emb, list_dot_product(emb, emb) AS nsq FROM e
+       |), mx AS (
+       |  SELECT max(nsq) AS m2 FROM n
+       |), a AS (
+       |  SELECT vec_id, emb,
+       |    list_append(emb, CAST(CAST(sqrt(m2 - nsq) AS FLOAT) AS DOUBLE))
+       |      AS aug
+       |  FROM n, mx
+       |), sa AS (
+       |  SELECT vec_id, emb,
+       |    CAST(${lshSigSqlExprFor(ps, "aug")} AS BIGINT) AS bucket
+       |  FROM a
+       |), ok AS (
+       |  SELECT bucket FROM sa GROUP BY bucket HAVING count(*) <= 200
+       |), cand AS (
+       |  SELECT sa.* FROM sa JOIN ok USING (bucket)
+       |), q AS (
+       |  SELECT vec_id AS qid, emb AS qe,
+       |    CAST(${lshSigSqlExprFor(ps,
+              "list_append(emb, CAST(0.0 AS DOUBLE))")} AS BIGINT) AS bucket
+       |  FROM e WHERE vec_id < 5
+       |), mpairs AS (
+       |  SELECT qid, c.vec_id, round(list_dot_product(qe, c.emb), 6) AS ip
+       |  FROM q JOIN cand c USING (bucket) WHERE c.vec_id <> qid
+       |)""".stripMargin
+  }
 
   /** Shared CTE chain for the LSH-bucketed ANN oracles: signature per
     * vector (the literal-planes sign-dot above), buckets capped at 50
@@ -2207,6 +2283,38 @@ object SparkEntry {
          |  list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc) AS ema_milli
          |FROM p""".stripMargin,
 
+    // the three-state fold replayed as a recursive CTE: one step per
+    // day carrying (f, s, sig); the signal expression recomputes the
+    // f/s subtrees — deterministic double ops make that bit-identical
+    "fx_macd" ->
+      s"""WITH RECURSIVE $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) * 1000
+         |         AS BIGINT) AS close_u
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), p AS (
+         |  SELECT ccy_couple,
+         |    list(CAST(close_u AS DOUBLE) ORDER BY date) AS xs
+         |  FROM cl GROUP BY 1
+         |), steps AS (
+         |  SELECT ccy_couple, xs, 1 AS i,
+         |    xs[1] AS f, xs[1] AS s, CAST(0.0 AS DOUBLE) AS sig
+         |  FROM p
+         |  UNION ALL
+         |  SELECT ccy_couple, xs, i + 1,
+         |    0.25 * xs[i + 1] + 0.75 * f,
+         |    0.0625 * xs[i + 1] + 0.9375 * s,
+         |    0.125 * ((0.25 * xs[i + 1] + 0.75 * f)
+         |             - (0.0625 * xs[i + 1] + 0.9375 * s)) + 0.875 * sig
+         |  FROM steps WHERE i < length(xs)
+         |)
+         |SELECT ccy_couple, CAST(length(xs) AS BIGINT) AS n_days,
+         |  f - s AS macd_milli, sig AS signal_milli,
+         |  (f - s) - sig AS hist_milli
+         |FROM steps WHERE i = length(xs)""".stripMargin,
+
     // Bollinger: the trailing frame reduced to exact integer moments,
     // then the identical double expression tree (s/n, sqrt of the
     // clamped sample variance, ±2σ) once per row
@@ -2889,6 +2997,41 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_flag_domain
         |FROM lineitem""".stripMargin,
 
+    // each constraint's good-count replayed as the same exact-long
+    // counts; metric = ratio of identical longs, passed = >= on the
+    // identical double
+    "dq_constraints" ->
+      """WITH t AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS g_complete,
+        |    sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) AS g_range
+        |  FROM lineitem
+        |), uq AS (
+        |  SELECT count(*) AS g FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+        |), fk AS (
+        |  SELECT count(*) AS g FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey IN (SELECT o_orderkey FROM orders)
+        |)
+        |SELECT 'complete_suppkey' AS check_name, n AS n_rows,
+        |  g_complete AS n_good,
+        |  CAST(g_complete AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+        |  CAST(g_complete AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 AS passed
+        |FROM t
+        |UNION ALL
+        |SELECT 'qty_range', n, g_range,
+        |  CAST(g_range AS DOUBLE) / CAST(n AS DOUBLE),
+        |  CAST(g_range AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t
+        |UNION ALL
+        |SELECT 'unique_line', n, uq.g,
+        |  CAST(uq.g AS DOUBLE) / CAST(n AS DOUBLE),
+        |  CAST(uq.g AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t, uq
+        |UNION ALL
+        |SELECT 'fk_orders', n, fk.g,
+        |  CAST(fk.g AS DOUBLE) / CAST(n AS DOUBLE),
+        |  CAST(fk.g AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t, fk""".stripMargin,
+
     // the in-flight observed counters must equal the second-scan profile
     // exact count digest + the identical ratio trees; percentile ↔
     // quantile_cont (the q_exact_percentiles precedent)
@@ -2904,6 +3047,35 @@ object SparkEntry {
         |    / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
         |    AS skew_factor
         |FROM c""".stripMargin,
+
+    // per-(pair,hour) moments + the identical z tree; hour() buckets
+    // match because both sessions are pinned UTC
+    "fx_seasonality" ->
+      s"""WITH $RatesCte, u AS (
+         |  SELECT ccy_couple, CAST(hour(timestamp) AS INT) AS hour_of_day,
+         |    CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) * 1000
+         |         AS BIGINT) AS x
+         |  FROM rates
+         |), m AS (
+         |  SELECT ccy_couple, hour_of_day, count(*) AS n_ticks,
+         |    CAST(sum(x) AS DOUBLE) AS s, CAST(sum(x * x) AS DOUBLE) AS ss,
+         |    CAST(count(*) AS DOUBLE) AS n
+         |  FROM u GROUP BY 1, 2
+         |), p AS (
+         |  SELECT ccy_couple, hour_of_day, n_ticks, s / n AS mean_milli,
+         |    sqrt(greatest(n * ss - s * s, 0.0)
+         |         / nullif(n * (n - 1.0), 0.0)) AS sd_milli
+         |  FROM m
+         |), a AS (
+         |  SELECT u.ccy_couple, u.hour_of_day, count(*) AS n_anomalies
+         |  FROM u JOIN p USING (ccy_couple, hour_of_day)
+         |  WHERE abs((CAST(x AS DOUBLE) - mean_milli)
+         |            / nullif(sd_milli, 0.0)) > 3.0
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.ccy_couple, p.hour_of_day, p.n_ticks, p.mean_milli,
+         |  p.sd_milli, coalesce(a.n_anomalies, 0) AS n_anomalies
+         |FROM p LEFT JOIN a USING (ccy_couple, hour_of_day)""".stripMargin,
 
     // moments + z tree replayed; strict > on identical doubles
     "fx_outliers" ->
@@ -3946,6 +4118,15 @@ object SparkEntry {
       s"""WITH $AnnLshCtes
          |SELECT s.vec_id, s.bucket, b.nn_id, b.nn_cos
          |FROM sig s LEFT JOIN best b ON s.vec_id = b.vec_id""".stripMargin,
+
+    // the augmented-space signatures + in-bucket exact-dot rerank
+    // replayed with literal dim+1 planes; FLOAT-quantized extra coord
+    "sim_mips_topk" ->
+      s"""WITH $MipsCtes
+         |SELECT qid, vec_id, ip, rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY ip DESC, vec_id ASC) AS rank FROM mpairs)
+         |WHERE rank <= 5""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH $AnnLshCtes

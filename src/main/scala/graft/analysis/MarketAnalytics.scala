@@ -367,6 +367,59 @@ object MarketAnalytics {
           .as("ema_milli"))
   }
 
+  /** Per-pair MACD (moving-average convergence/divergence): fast EMA −
+    * slow EMA of the daily close, plus the signal line (an EMA of the
+    * MACD series) and the histogram (MACD − signal) — the momentum
+    * triple a trading desk reads next to RSI. Three coupled RECURSIVE
+    * folds, so all three ride ONE sequential pass with a struct
+    * accumulator (f, s, sig): signal_t needs macd_t which needs both
+    * EMAs at t, so folding them separately would need the intermediate
+    * SERIES materialized; the joint fold keeps per-pair state at three
+    * doubles.
+    *
+    * Determinism recipe shared with [[emaDailyClose]]: exact ×1000-long
+    * closes; α_fast = 1/4, α_slow = 1/16, α_signal = 1/8 — ALL binary
+    * powers (the 7/31/15-day windows nearest the classic 12/26/9 whose
+    * 2/(n+1) constants are exactly representable), so each step's
+    * rounding sequence is fixed and a DuckDB recursive CTE carrying the
+    * same three state columns replays it operation-for-operation
+    * (recomputing f_t/s_t inside the signal expression is safe: double
+    * ops are deterministic functions of operands, so the re-evaluated
+    * subtree is bit-identical). Seeds: f_1 = s_1 = x_1 (hence
+    * macd_1 = 0 exactly) and signal_1 = 0.
+    *
+    * Scale shape: identical to the other fold metrics — one shuffle to
+    * the per-pair sorted close array (|days| elements, digest-bounded),
+    * then a codegen'd left fold.
+    */
+  def macd(rates: DataFrame): DataFrame = {
+    val closes = dailyCloses3(rates)
+      .select(col("ccy_couple"), col("date"),
+        (col("close") * lit(1000)).cast("long").as("close_u"))
+    val folded = closes
+      .groupBy(col("ccy_couple"))
+      .agg(sort_array(collect_list(struct(col("date"), col("close_u"))))
+        .as("path"))
+      .select(col("ccy_couple"), size(col("path")).cast("long").as("n_days"),
+        transform(col("path"), r => r("close_u").cast("double")).as("xs"))
+      .select(col("ccy_couple"), col("n_days"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          struct(element_at(col("xs"), 1).as("f"),
+            element_at(col("xs"), 1).as("s"), lit(0.0).as("sig")),
+          (acc, x) => {
+            val fN = lit(0.25) * x + lit(0.75) * acc("f")
+            val sN = lit(0.0625) * x + lit(0.9375) * acc("s")
+            struct(fN.as("f"), sN.as("s"),
+              (lit(0.125) * (fN - sN) + lit(0.875) * acc("sig")).as("sig"))
+          }).as("acc"))
+    folded.select(col("ccy_couple"), col("n_days"),
+      (col("acc")("f") - col("acc")("s")).as("macd_milli"),
+      col("acc")("sig").as("signal_milli"),
+      ((col("acc")("f") - col("acc")("s")) - col("acc")("sig"))
+        .as("hist_milli"))
+  }
+
   /** Per-pair n·σ outlier ticks — the fat-finger / bad-feed detector:
     * every quote whose milli-quantized rate sits more than `nSigma`
     * sample deviations from its pair's mean, with its z-score. Exact
@@ -397,6 +450,49 @@ object MarketAnalytics {
       .where(abs(z) > lit(nSigma))
       .select(col("ccy_couple"), col("event_id"),
         col("x").as("rate_milli"), z.as("z_score"))
+  }
+
+  /** Per-pair HOUR-OF-DAY seasonal profile with anomaly counts — the
+    * seasonality-aware sibling of [[rateOutliers]]: a quote stream has
+    * session structure (Asia/London/NY hand-offs), so a tick should be
+    * judged against its own hour's distribution, not the pair's global
+    * one. Output: one row per (pair, hour) with the seasonal mean/σ of
+    * the milli-quantized rate and how many ticks broke the ±nσ band of
+    * THEIR hour — |pairs|×24 rows, bounded whatever the corpus.
+    *
+    * Same determinism recipe as the outlier detector: exact integer
+    * moments per (pair, hour) — order-free longs — then the mean/σ/z
+    * trees once per row on identical double operands. Hour-of-day is
+    * extracted in the pinned-UTC session, so both engines bucket
+    * identically. Scale shape: one map-side-combined groupBy to the
+    * 24×|pairs| moment digest, one broadcast join back onto the ticks,
+    * one more map-side-combined count — the corpus shuffles never.
+    */
+  def hourlySeasonality(rates: DataFrame, nSigma: Double = 3.0): DataFrame = {
+    val u = rates.select(col("ccy_couple"),
+      hour(col("timestamp")).as("hour_of_day"),
+      (col("rate").cast("decimal(18,6)").cast("decimal(12,3)") * lit(1000))
+        .cast("long").as("x"))
+    val keys = Seq("ccy_couple", "hour_of_day")
+    val m = u.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_ticks"),
+      sum(col("x")).as("sl"), sum(col("x") * col("x")).as("ssl"))
+    val n = col("n_ticks").cast("double")
+    val s = col("sl").cast("double")
+    val ss = col("ssl").cast("double")
+    val prof = m.select(col("ccy_couple"), col("hour_of_day"),
+      col("n_ticks"), (s / n).as("mean_milli"),
+      sqrt(greatest(n * ss - s * s, lit(0.0))
+        / nullif(n * (n - lit(1.0)), lit(0.0))).as("sd_milli"))
+    val z = (col("x").cast("double") - col("mean_milli")) /
+      nullif(col("sd_milli"), lit(0.0))
+    val anom = u.join(broadcast(prof), keys)
+      .where(abs(z) > lit(nSigma))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_anomalies"))
+    prof.join(anom, keys, "left")
+      .select(col("ccy_couple"), col("hour_of_day"), col("n_ticks"),
+        col("mean_milli"), col("sd_milli"),
+        coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"))
   }
 
   /** Per-pair RSI under Wilder smoothing — the momentum oscillator:

@@ -61,6 +61,98 @@ object DataQuality {
       s"data-quality violations: ${bad.map { case (n, c) => s"$n=$c" }.mkString(", ")}")
   }
 
+  /** A declarative data contract over one table: row-level predicates,
+    * column completeness, key uniqueness, and foreign-key containment,
+    * validated into ONE report frame (`check_name`, `n_rows`, `n_good`,
+    * `metric`, `passed`). The Deequ-shaped surface the reference's ad-hoc
+    * sanity checks (row-count prints after each MySQL write,
+    * update_exchange_rates.py:199-204) grow into at warehouse scale.
+    *
+    * Execution shape at 100 TB: every row-level conjunct (completeness +
+    * predicate rules) folds into a SINGLE aggregate pass; each uniqueness
+    * check adds one exact count-distinct inside that same pass (Catalyst
+    * plans the expand + two-level agg — still one scan); each FK check is
+    * one anti-join counted on the child (broadcast when the parent digest
+    * is small, shuffle-on-key otherwise — Catalyst/AQE decide). Metrics
+    * are ratios of exact longs, so the doubles are engine-identical.
+    */
+  sealed trait Constraint { def name: String }
+  /** Fraction of rows with `column` non-null must reach `atLeast`. */
+  final case class Complete(name: String, column: String,
+      atLeast: Double = 1.0) extends Constraint
+  /** Fraction of rows satisfying `holds` must reach `atLeast`. A row
+    * where the predicate evaluates NULL counts as failing (SQL CHECK
+    * semantics would pass it; a DQ gate must flag it).
+    */
+  final case class Satisfies(name: String, holds: Column,
+      atLeast: Double = 1.0) extends Constraint
+  /** distinct(columns) / count(*) must reach `atLeast` (1.0 = key). */
+  final case class Unique(name: String, columns: Seq[String],
+      atLeast: Double = 1.0) extends Constraint
+  /** Fraction of child rows whose `column` appears in `parent.parentCol`
+    * must reach `atLeast` (referential integrity; NULL child keys are
+    * orphans — a DQ gate counts them against the contract).
+    */
+  final case class SubsetOf(name: String, column: String,
+      parent: DataFrame, parentCol: String,
+      atLeast: Double = 1.0) extends Constraint
+
+  /** Validate a contract: one report row per constraint, constraint
+    * order preserved. All row-level constraints share one scan; each
+    * [[SubsetOf]] adds one anti-join job on the child table.
+    */
+  def validate(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val spark = df.sparkSession
+    // one aggregate pass: n_rows + a good-count per row-level constraint
+    val rowLevel: Seq[(Constraint, Column)] = constraints.collect {
+      case c: Complete  => c -> sum(when(col(c.column).isNotNull, 1L).otherwise(0L))
+      case c: Satisfies => c -> sum(when(coalesce(c.holds, lit(false)), 1L).otherwise(0L))
+      case c: Unique    =>
+        c -> count_distinct(col(c.columns.head), c.columns.tail.map(col): _*)
+    }
+    val aggCols = count(lit(1)).as("n_rows") +:
+      rowLevel.zipWithIndex.map { case ((_, g), i) => g.as(s"g$i") }
+    val base = df.agg(aggCols.head, aggCols.tail: _*).collect().head
+    val nRows = base.getLong(0)
+    val passCount: Map[String, Long] = rowLevel.zipWithIndex.map {
+      case ((c, _), i) => c.name -> base.getLong(i + 1)
+    }.toMap
+    // FK checks: count child rows that survive a semi-join to the parent
+    val fkCount: Map[String, Long] = constraints.collect {
+      case c: SubsetOf =>
+        val matched = df.where(col(c.column).isNotNull)
+          .join(c.parent.select(col(c.parentCol).as(c.column)).distinct(),
+            Seq(c.column), "left_semi")
+          .count()
+        c.name -> matched
+    }.toMap
+    val report = constraints.map { c =>
+      val good = passCount.getOrElse(c.name, fkCount(c.name))
+      val metric =
+        if (nRows == 0L) 1.0 else good.toDouble / nRows.toDouble
+      val atLeast = c match {
+        case x: Complete => x.atLeast
+        case x: Satisfies => x.atLeast
+        case x: Unique => x.atLeast
+        case x: SubsetOf => x.atLeast
+      }
+      org.apache.spark.sql.Row(c.name, nRows, good, metric, metric >= atLeast)
+    }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(report).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("check_name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_good",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("metric",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("passed",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
   /** Key-skew diagnostic — the numbers that decide whether a join/agg on
     * `keyCol` needs salting, AQE skew handling, or nothing: total rows,
     * distinct keys, the heaviest key's row count and share, the p99 key

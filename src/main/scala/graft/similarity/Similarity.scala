@@ -309,6 +309,74 @@ object Similarity {
       .join(best, Seq("vec_id"), "left_outer")
   }
 
+  /** Maximum-inner-product search (MIPS) through the norm-augmentation
+    * reduction (Bachrach et al., RecSys'14): retrieval scores like
+    * user·item are inner products, NOT cosines — a long vector can beat
+    * a well-aligned short one — so cosine machinery can't be pointed at
+    * them directly. Augment each database vector with one extra
+    * coordinate sqrt(M² − ‖x‖²) (M = max corpus norm): every augmented
+    * vector then has IDENTICAL norm M, a query probes as [q, 0] (its dot
+    * with x̂ is exactly q·x), and cosine order on the augmented space IS
+    * inner-product order on the original — the existing random-
+    * hyperplane LSH becomes a MIPS index unchanged, on dim+1 planes.
+    *
+    * Shape: one 1-row max aggregate (broadcast via crossJoin) for M²;
+    * signatures via the codegen'd LshSignature over the augmented float
+    * array; buckets capped like [[lshNearestInBucket]] (a degenerate
+    * bucket is dropped, not exploded quadratically); queries join their
+    * bucket only, exact dot rerank inside, WindowGroupLimit top-k. The
+    * corpus shuffles once on the bucket key however large it is.
+    *
+    * Determinism: ‖x‖² and the rerank dot are sequential per-row folds;
+    * the augmented coordinate goes through an explicit FLOAT cast so
+    * both engines quantize it identically; dots round to 6 dp before
+    * ranking with the (ip desc, id asc) tiebreak.
+    */
+  /** Signature width for the MIPS index: coarser than the near-dup LSH
+    * (6 planes → 64 buckets) because a RETRIEVAL probe wants recall from
+    * its single bucket, where the near-dup pass wants tight buckets and
+    * pair-count control. At corpus scale this dial (and multi-probe over
+    * neighboring signatures) trades scan fraction for recall.
+    */
+  val MipsNPlanes: Int = 6
+
+  def mipsTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nPlanes: Int = MipsNPlanes,
+      maxBucket: Int = 200): DataFrame =
+    mipsTopKFrom(Tables.embeddings(s, dir), nQueries, k, nPlanes, maxBucket)
+
+  /** [[mipsTopK]] over an explicit (vec_id, embedding) frame. `dim` is
+    * declared, not probed — the plane set must be fixed at plan time.
+    */
+  def mipsTopKFrom(emb: DataFrame, nQueries: Int = 5,
+      k: Int = 5, nPlanes: Int = DefaultNPlanes,
+      maxBucket: Int = 200, dim: Int = DefaultDim): DataFrame = {
+    val ps = planes(nPlanes, dim + 1)
+    val n = emb.withColumn("nsq", dotDouble(col("embedding"), col("embedding")))
+    val m2 = n.agg(max(col("nsq")).as("m2"))
+    val aug = n.crossJoin(broadcast(m2))
+      .select(col("vec_id"), col("embedding"),
+        lshSignature(
+          concat(col("embedding"),
+            array(sqrt(col("m2") - col("nsq")).cast("float"))), ps)
+          .as("bucket"))
+    val okBuckets = aug.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+      .select(col("bucket"))
+    val cand = aug.join(okBuckets, Seq("bucket"))
+      .select(col("bucket"), col("vec_id"), col("embedding"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        lshSignature(
+          concat(col("embedding"), array(lit(0.0f))), ps).as("bucket"))
+    val pairs = cand.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dotDouble(col("qe"), col("embedding")), 6).as("ip"))
+    val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("vec_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Symmetric per-vector int8 quantization: scale = 127/max|v|, code_i =
     * floor(v_i·scale + 0.5) ∈ [-127, 127] — the standard 4× memory
     * reduction for corpus-scale vector search (the float corpus never

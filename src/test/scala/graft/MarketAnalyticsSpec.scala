@@ -217,6 +217,59 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("B").getDouble(3) == 9500.0)   // seed convention e1 = x1
   }
 
+  test("macd: hand-replayed three-state fold, single-day degenerates to zeros") {
+    import spark.implicits._
+    // A: closes 1, 2, 3 (milli 1000, 2000, 3000). Seed f=s=1000, sig=0.
+    // day2: f=.25·2000+.75·1000=1250; s=.0625·2000+.9375·1000=1062.5;
+    //       sig=.125·(1250−1062.5)=23.4375
+    // day3: f=.25·3000+.75·1250=1687.5; s=.0625·3000+.9375·1062.5=1183.59375;
+    //       macd=503.90625; sig=.125·503.90625+.875·23.4375=83.49609375
+    val rows = Seq(
+      ("A", "2024-01-03", 3.0), ("A", "2024-01-01", 1.0),
+      ("A", "2024-01-02", 2.0), ("B", "2024-01-02", 9.5))
+    val df = rows.zipWithIndex.map { case ((p, d, v), i) => (i.toLong, p, v, d) }
+      .toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.macd(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(1) == 3L)
+    assert(out("A").getDouble(2) == 1687.5 - 1183.59375)       // macd
+    assert(out("A").getDouble(3) == 83.49609375)               // signal
+    assert(out("A").getDouble(4) == (1687.5 - 1183.59375) - 83.49609375)
+    // single observation: EMAs collapse to the seed → all three zero
+    assert(out("B").getDouble(2) == 0.0)
+    assert(out("B").getDouble(3) == 0.0)
+    assert(out("B").getDouble(4) == 0.0)
+  }
+
+  test("seasonality: per-hour profile isolates the noisy hour, bounded output") {
+    import spark.implicits._
+    // hour 0 constant at 2.0 (σ=0 → no anomalies by convention);
+    // hour 1: 20 ticks at 1.0 plus one 100.0 spike → the spike is >3σ
+    // FOR ITS HOUR and must be counted there and only there
+    val ticks =
+      (0 until 20).map(i => (i.toLong, "A", 2.0, 0)) ++
+      (20 until 40).map(i => (i.toLong, "A", 1.0, 1)) ++
+      Seq((40L, "A", 100.0, 1))
+    val df = ticks.toDF("event_id", "ccy_couple", "rate", "hr")
+      .withColumn("timestamp",
+        to_timestamp(format_string("2024-01-01 %02d:00:00", col("hr"))))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .withColumn("date", to_date(col("timestamp")))
+      .drop("hr")
+    val out = MarketAnalytics.hourlySeasonality(df).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out.size == 2) // one row per observed (pair, hour)
+    val h0 = out(("A", 0))
+    assert(h0.getLong(2) == 20L && h0.getDouble(3) == 2000.0)
+    assert(h0.getDouble(4) == 0.0 && h0.getLong(5) == 0L)
+    val h1 = out(("A", 1))
+    assert(h1.getLong(2) == 21L && h1.getLong(5) == 1L) // only the spike
+  }
+
   test("candles: doji and engulfing flags on a hand-built two-day tape") {
     import spark.implicits._
     // day1: down candle open 2.0 → close 1.5 (range 2.1..1.4);

@@ -101,6 +101,36 @@ class OperatorsSpec extends SparkSuite {
     DataQuality.assertAll(df.where(col("v") > 0), rules) // clean subset passes
   }
 
+  test("constraint suite: completeness, range, uniqueness, FK on hand-built tables") {
+    import spark.implicits._
+    import graft.operators.DataQuality._
+    // 4 child rows: one null fk (orphan + incomplete), one dangling fk,
+    // one duplicate key pair, one value out of range
+    val child = Seq(
+      (1L, 1, java.lang.Long.valueOf(10L), 5.0),
+      (1L, 1, java.lang.Long.valueOf(20L), 60.0), // dup key + out of range
+      (2L, 1, null.asInstanceOf[java.lang.Long], 7.0), // null fk
+      (3L, 1, java.lang.Long.valueOf(99L), 8.0)) // dangling fk
+      .toDF("k1", "k2", "fk", "v")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val rep = validate(child, Seq(
+      Complete("fk_complete", "fk"),
+      Satisfies("v_range", col("v").between(0, 50)),
+      Unique("key_unique", Seq("k1", "k2")),
+      SubsetOf("fk_parent", "fk", parent, "pk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rep("fk_complete") == ((4L, 3L, 0.75, false)))
+    assert(rep("v_range") == ((4L, 3L, 0.75, false)))
+    assert(rep("key_unique") == ((4L, 3L, 0.75, false)))
+    assert(rep("fk_parent") == ((4L, 2L, 0.5, false)))
+    // the clean contract passes
+    val clean = validate(child.where(col("fk") === 10L), Seq(
+      Complete("fk_complete", "fk"),
+      SubsetOf("fk_parent", "fk", parent, "pk")))
+    assert(clean.collect().forall(_.getBoolean(4)))
+  }
+
   test("recursive closure: seed at hop 0, hops bounded, walks positive") {
     val out = SparkEntry.queries("q_recursive_closure")(spark, sf("sf0.001"))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap

@@ -11,6 +11,38 @@ import graft.similarity.Similarity
   */
 class QuantizationSpec extends SparkSuite {
 
+  test("mips: ranks by inner product not cosine; augmented norms all equal M") {
+    import spark.implicits._
+    // q = vec 0. Candidate 1 is PERFECTLY aligned but short (dot 0.5);
+    // candidate 2 is misaligned but long (dot 2.0). Cosine prefers 1,
+    // MIPS must prefer 2. All vectors land in the same probe region for
+    // tiny dims only by luck, so give every vector the same direction
+    // component large enough that one plane can't separate q from the
+    // candidates entirely — then assert on the returned ORDER.
+    val dim = 4
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.5f, 0.0f, 0.0f, 0.0f)), // cos=1, dot=0.5
+      (2L, Array(2.0f, 2.0f, 0.0f, 0.0f)), // cos≈.71, dot=2.0
+      (3L, Array(0.0f, 0.0f, 0.0f, 3.5f))) // orthogonal: dot 0
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.mipsTopKFrom(emb, nQueries = 1, k = 4,
+      nPlanes = 0, maxBucket = 100, dim = dim) // 0 planes → one bucket
+      .orderBy(col("rank")).collect()
+    assert(out.nonEmpty && out.head.getLong(1) == 2L) // the long vector wins
+    val ips = out.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(ips(2L) == 2.0 && ips(1L) == 0.5 && ips(3L) == 0.0)
+    // augmentation invariant on real data: every augmented vector has
+    // norm² = M² (up to the float quantization of the extra coordinate)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .withColumn("nsq", Similarity.dotDouble(col("embedding"), col("embedding")))
+    val m2 = e.agg(max(col("nsq"))).collect().head.getDouble(0)
+    val augNorms = e.select(
+      (col("nsq") + pow(sqrt(lit(m2) - col("nsq")).cast("float"), 2.0))
+        .as("an")).collect().map(_.getDouble(0))
+    augNorms.foreach(an => assert(math.abs(an - m2) / m2 < 1e-6))
+  }
+
   test("codes bounded in [-127,127]; nonzero vectors hit ±127; zero-safe") {
     val q8 = Similarity.withInt8Codes(Tables.embeddings(spark, sf("sf0.001")))
       .select(col("vec_id"), col("q8"))
