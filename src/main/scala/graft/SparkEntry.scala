@@ -484,6 +484,11 @@ object SparkEntry {
     // one-shot q_cms_heavy_hitters
     "stream_cms_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayCmsIncremental(s, dir)),
+    // incremental data-contract maintenance: additive counter partials
+    // (marker-guarded) + idempotent-by-value key state per batch; the
+    // folded report must equal the one-shot dq_constraints exactly
+    "stream_constraints_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayConstraintsIncremental(s, dir)),
     // incremental JOIN-view maintenance (delta-merge): per batch, join
     // ONLY the batch to the broadcast dim and merge mergeable aggregates
     // into the |groups|-row stored view — must equal the one-shot
@@ -1410,6 +1415,42 @@ object SparkEntry {
     * representation, so DuckDB parses back bit-identical doubles and the
     * oracle can recompute the exact same signatures the Spark side does.
     */
+  /** The data-contract report as oracle SQL — shared verbatim by the
+    * one-shot `dq_constraints` gate and the incrementally maintained
+    * `stream_constraints_incremental` replay, which must converge to it.
+    */
+  private val DqConstraintsOracleSql: String =
+    """WITH t AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN l_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS g_complete,
+      |    sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) AS g_range
+      |  FROM lineitem
+      |), uq AS (
+      |  SELECT count(*) AS g FROM
+      |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+      |), fk AS (
+      |  SELECT count(*) AS g FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL
+      |    AND l_orderkey IN (SELECT o_orderkey FROM orders)
+      |)
+      |SELECT 'complete_suppkey' AS check_name, n AS n_rows,
+      |  g_complete AS n_good,
+      |  CAST(g_complete AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+      |  CAST(g_complete AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 AS passed
+      |FROM t
+      |UNION ALL
+      |SELECT 'qty_range', n, g_range,
+      |  CAST(g_range AS DOUBLE) / CAST(n AS DOUBLE),
+      |  CAST(g_range AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t
+      |UNION ALL
+      |SELECT 'unique_line', n, uq.g,
+      |  CAST(uq.g AS DOUBLE) / CAST(n AS DOUBLE),
+      |  CAST(uq.g AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t, uq
+      |UNION ALL
+      |SELECT 'fk_orders', n, fk.g,
+      |  CAST(fk.g AS DOUBLE) / CAST(n AS DOUBLE),
+      |  CAST(fk.g AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t, fk""".stripMargin
+
   /** Inline a plane set as a literal sign-dot signature expression over
     * `embExpr` — the oracle-side twin of Similarity.lshSignature.
     */
@@ -3000,37 +3041,11 @@ object SparkEntry {
     // each constraint's good-count replayed as the same exact-long
     // counts; metric = ratio of identical longs, passed = >= on the
     // identical double
-    "dq_constraints" ->
-      """WITH t AS (
-        |  SELECT count(*) AS n,
-        |    sum(CASE WHEN l_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS g_complete,
-        |    sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) AS g_range
-        |  FROM lineitem
-        |), uq AS (
-        |  SELECT count(*) AS g FROM
-        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
-        |), fk AS (
-        |  SELECT count(*) AS g FROM lineitem
-        |  WHERE l_orderkey IS NOT NULL
-        |    AND l_orderkey IN (SELECT o_orderkey FROM orders)
-        |)
-        |SELECT 'complete_suppkey' AS check_name, n AS n_rows,
-        |  g_complete AS n_good,
-        |  CAST(g_complete AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
-        |  CAST(g_complete AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 AS passed
-        |FROM t
-        |UNION ALL
-        |SELECT 'qty_range', n, g_range,
-        |  CAST(g_range AS DOUBLE) / CAST(n AS DOUBLE),
-        |  CAST(g_range AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t
-        |UNION ALL
-        |SELECT 'unique_line', n, uq.g,
-        |  CAST(uq.g AS DOUBLE) / CAST(n AS DOUBLE),
-        |  CAST(uq.g AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t, uq
-        |UNION ALL
-        |SELECT 'fk_orders', n, fk.g,
-        |  CAST(fk.g AS DOUBLE) / CAST(n AS DOUBLE),
-        |  CAST(fk.g AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t, fk""".stripMargin,
+    "dq_constraints" -> DqConstraintsOracleSql,
+
+    // the incrementally maintained contract report must CONVERGE to the
+    // one-shot validation — same oracle verbatim
+    "stream_constraints_incremental" -> DqConstraintsOracleSql,
 
     // the in-flight observed counters must equal the second-scan profile
     // exact count digest + the identical ratio trees; percentile ↔

@@ -102,7 +102,6 @@ object DataQuality {
     * [[SubsetOf]] adds one anti-join job on the child table.
     */
   def validate(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
-    val spark = df.sparkSession
     // one aggregate pass: n_rows + a good-count per row-level constraint
     val rowLevel: Seq[(Constraint, Column)] = constraints.collect {
       case c: Complete  => c -> sum(when(col(c.column).isNotNull, 1L).otherwise(0L))
@@ -126,17 +125,27 @@ object DataQuality {
           .count()
         c.name -> matched
     }.toMap
+    reportFrom(df.sparkSession, constraints, nRows, passCount ++ fkCount)
+  }
+
+  /** Assemble the per-constraint report frame from counted goods — the
+    * shared tail of the one-shot [[validate]] and the incrementally
+    * maintained path (StreamReplay.replayConstraintsIncremental), which
+    * MUST emit identical frames when their counts agree.
+    */
+  def reportFrom(spark: org.apache.spark.sql.SparkSession,
+      constraints: Seq[Constraint], nRows: Long,
+      good: Map[String, Long]): DataFrame = {
     val report = constraints.map { c =>
-      val good = passCount.getOrElse(c.name, fkCount(c.name))
-      val metric =
-        if (nRows == 0L) 1.0 else good.toDouble / nRows.toDouble
+      val g = good(c.name)
+      val metric = if (nRows == 0L) 1.0 else g.toDouble / nRows.toDouble
       val atLeast = c match {
         case x: Complete => x.atLeast
         case x: Satisfies => x.atLeast
         case x: Unique => x.atLeast
         case x: SubsetOf => x.atLeast
       }
-      org.apache.spark.sql.Row(c.name, nRows, good, metric, metric >= atLeast)
+      org.apache.spark.sql.Row(c.name, nRows, g, metric, metric >= atLeast)
     }
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(report).asJava,
@@ -151,6 +160,37 @@ object DataQuality {
           org.apache.spark.sql.types.DoubleType, nullable = false),
         org.apache.spark.sql.types.StructField("passed",
           org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
+  /** Mergeable one-row PARTIAL counters for a micro-batch:
+    * `n_rows` plus `g_<name>` per [[Complete]]/[[Satisfies]]/[[SubsetOf]]
+    * — all exact longs, so per-batch partials SUM to the one-shot
+    * counts (FK matches are additive because the parent is static and
+    * each child row matches independently). [[Unique]] is deliberately
+    * absent: distinct counts don't merge by addition — the incremental
+    * path maintains the distinct KEY SET as idempotent-by-value state
+    * instead (the KMV-partials argument, exact instead of sketched).
+    * One aggregate job per batch; FK flags ride broadcast left joins of
+    * the deduped parent keys, so the batch is scanned once.
+    */
+  def partialCounters(batch: DataFrame,
+      constraints: Seq[Constraint]): DataFrame = {
+    val fks = constraints.collect { case c: SubsetOf => c }
+    val flagged = fks.zipWithIndex.foldLeft(batch) { case (df, (c, i)) =>
+      df.join(
+        broadcast(c.parent.select(col(c.parentCol).as(c.column)).distinct()
+          .withColumn(s"__fk_$i", lit(1))),
+        Seq(c.column), "left")
+    }
+    val goods: Seq[Column] = constraints.collect {
+      case c: Complete =>
+        sum(when(col(c.column).isNotNull, 1L).otherwise(0L)).as(s"g_${c.name}")
+      case c: Satisfies =>
+        sum(when(coalesce(c.holds, lit(false)), 1L).otherwise(0L)).as(s"g_${c.name}")
+    } ++ fks.zipWithIndex.map { case (c, i) =>
+      sum(when(col(s"__fk_$i").isNotNull, 1L).otherwise(0L)).as(s"g_${c.name}")
+    }
+    flagged.agg(count(lit(1)).as("n_rows"), goods: _*)
   }
 
   /** Key-skew diagnostic — the numbers that decide whether a join/agg on

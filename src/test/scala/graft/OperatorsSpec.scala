@@ -131,6 +131,35 @@ class OperatorsSpec extends SparkSuite {
     assert(clean.collect().forall(_.getBoolean(4)))
   }
 
+  test("constraint partials merge: summed batch counters equal the one-shot counts") {
+    import spark.implicits._
+    import graft.operators.DataQuality._
+    val child = Seq(
+      (1L, 1, java.lang.Long.valueOf(10L), 5.0),
+      (1L, 1, java.lang.Long.valueOf(20L), 60.0),
+      (2L, 1, null.asInstanceOf[java.lang.Long], 7.0),
+      (3L, 1, java.lang.Long.valueOf(99L), 8.0))
+      .toDF("k1", "k2", "fk", "v")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val cs = Seq(
+      Complete("fk_complete", "fk"),
+      Satisfies("v_range", col("v").between(0, 50)),
+      SubsetOf("fk_parent", "fk", parent, "pk"))
+    // two disjoint batches whose summed partials must equal the one-shot
+    val p1 = partialCounters(child.where(col("k1") <= 1), cs).collect().head
+    val p2 = partialCounters(child.where(col("k1") > 1), cs).collect().head
+    val one = partialCounters(child, cs).collect().head
+    (0 until one.length).foreach { i =>
+      assert(p1.getLong(i) + p2.getLong(i) == one.getLong(i))
+    }
+    // and the counter columns agree with validate()'s n_good
+    val rep = validate(child, cs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(one.getLong(1) == rep("fk_complete"))
+    assert(one.getLong(2) == rep("v_range"))
+    assert(one.getLong(3) == rep("fk_parent"))
+  }
+
   test("recursive closure: seed at hop 0, hops bounded, walks positive") {
     val out = SparkEntry.queries("q_recursive_closure")(spark, sf("sf0.001"))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
