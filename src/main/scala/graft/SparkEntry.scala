@@ -1215,6 +1215,16 @@ object SparkEntry {
       graft.text.Bpe.trainedMerges(s, dir)
         .toDF("step", "merge_left", "merge_right", "pair_count")
     }),
+    // in-engine model TRAINING as a query: hashed-bag-of-words linear
+    // classifier, fixed-point full-batch GD with a correctly-rounded
+    // softsign link — every gradient step is replayed by the oracle
+    "cur_classifier_weights" -> ((s, dir) =>
+      graft.text.QualityClassifier.trainedWeights(s, dir)),
+    // the inference side of the trained artifact: exact integer margins
+    // + the float-free decision rule m_u >= 0 (weights memoized per JVM,
+    // not retrained per query)
+    "cur_classifier_scores" -> ((s, dir) =>
+      graft.text.QualityClassifier.scores(s, dir)),
     // the INFERENCE side of the tokenizer artifact: apply the trained
     // merge list to the word-type table from scratch (a pure narrow
     // map, embarrassingly parallel — the shape that tokenizes 100 TB);
@@ -4197,6 +4207,11 @@ object SparkEntry {
     // match step for step (integer counts, total argmax order, greedy
     // non-overlapping merge fold)
     "cur_bpe_merges" -> BpeMergesOracleSql,
+
+    // training replayed end-to-end: token hash → fixed-point features →
+    // 4 unrolled GD steps → weight table / final margins
+    "cur_classifier_weights" -> graft.oracle.ClassifierOracleSql.weights(),
+    "cur_classifier_scores" -> graft.oracle.ClassifierOracleSql.scores(),
 
     // the training replay's own final symbol state IS the tokenization
     // oracle — st8 after all eight fold-merges
