@@ -489,6 +489,11 @@ object SparkEntry {
     // folded report must equal the one-shot dq_constraints exactly
     "stream_constraints_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayConstraintsIncremental(s, dir)),
+    // incremental classifier-training state: per-batch feature/label
+    // partials (disjoint doc sets — fold by union, marker-guarded);
+    // retraining from folded state must learn the identical model
+    "stream_classifier_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayClassifierIncremental(s, dir)),
     // incremental JOIN-view maintenance (delta-merge): per batch, join
     // ONLY the batch to the broadcast dim and merge mergeable aggregates
     // into the |groups|-row stored view — must equal the one-shot
@@ -578,6 +583,16 @@ object SparkEntry {
     // broadcast); the damped iteration then runs on the |nations|²-max
     // digest with per-target source-ordered double folds so the replay
     // is bitwise (see operators.PageRank)
+    // distributed triangle counting: degree-ordered wedge closure
+    // (compact-forward) over the nation trade graph — every triangle
+    // generated once from its lowest-ordered vertex; oriented out-degree
+    // O(sqrt|E|) bounds the wedge join under any skew
+    "q_triangle_count" -> ((s, dir) =>
+      graft.operators.Triangles.triangleCounts(
+        graft.operators.Triangles.tradeGraph(
+          Tables.lineitem(s, dir), Tables.orders(s, dir),
+          Tables.customer(s, dir), Tables.supplier(s, dir)))),
+
     "q_pagerank_trade" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
         col("l_suppkey"),
@@ -2826,6 +2841,41 @@ object SparkEntry {
     // the damped iteration unrolled step for step (see the builder)
     "q_pagerank_trade" -> PagerankTradeOracleSql,
 
+    // the same degree-ordered wedge closure in SQL: orientation key
+    // d*2^32+id, wedges joined on the shared low vertex, closed against
+    // the oriented edge set — pure integers throughout
+    "q_triangle_count" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT
+        |    least(CAST(c_nationkey AS BIGINT), CAST(s_nationkey AS BIGINT)) AS u,
+        |    greatest(CAST(c_nationkey AS BIGINT), CAST(s_nationkey AS BIGINT)) AS v
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE c_nationkey <> s_nationkey
+        |), deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1
+        |), ky AS (
+        |  SELECT node, d * 4294967296 + node AS k FROM deg
+        |), o AS (
+        |  SELECT CASE WHEN ku.k < kv.k THEN e0.u ELSE e0.v END AS src,
+        |         CASE WHEN ku.k < kv.k THEN e0.v ELSE e0.u END AS dst,
+        |         CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS kdst
+        |  FROM e0 JOIN ky ku ON e0.u = ku.node JOIN ky kv ON e0.v = kv.node
+        |), w AS (
+        |  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+        |  FROM o o1 JOIN o o2
+        |    ON o1.src = o2.src AND o1.kdst < o2.kdst
+        |), t AS (
+        |  SELECT a, b, c FROM w JOIN o ON w.b = o.src AND w.c = o.dst
+        |)
+        |SELECT node, count(*) AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS node FROM t)
+        |GROUP BY node""".stripMargin,
+
     // the SAME statement text, verbatim — dialect-common SQL is its own
     // oracle
     "q_recursive_closure" -> RecursiveClosureSql,
@@ -4212,6 +4262,10 @@ object SparkEntry {
     // 4 unrolled GD steps → weight table / final margins
     "cur_classifier_weights" -> graft.oracle.ClassifierOracleSql.weights(),
     "cur_classifier_scores" -> graft.oracle.ClassifierOracleSql.scores(),
+    // the incrementally maintained training state must learn the
+    // identical model — same oracle verbatim
+    "stream_classifier_incremental" ->
+      graft.oracle.ClassifierOracleSql.weights(),
 
     // the training replay's own final symbol state IS the tokenization
     // oracle — st8 after all eight fold-merges

@@ -644,6 +644,67 @@ object StreamReplay {
       graft.text.Bpe.wordTypesFromPartials(s, countsDir), iters = 8)
   }
 
+  /** Replay of INCREMENTAL CLASSIFIER-TRAINING state: documents stream
+    * in micro-batches; each batch appends its FEATURE partial (the
+    * fixed-point hashed rows for ITS docs — docs are atomic per batch,
+    * so partials are disjoint and fold by plain union; batch markers
+    * quarantine re-delivered appends) and its label partial. Retraining
+    * from the folded state must learn the IDENTICAL weight table to the
+    * one-shot `cur_classifier_weights` — gradient sums are exact longs
+    * over the same feature multiset, so the fold's row order is
+    * irrelevant. The BPE-incremental argument applied to model training:
+    * a corpus grows batch by batch, feature extraction is paid once per
+    * batch, and the nightly retrain reads O(features) state, never
+    * re-tokenizing the corpus.
+    */
+  def replayClassifierIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    import graft.text.QualityClassifier
+    val tmp = Scratch.dir("graft_clf_replay")
+    val feed = tmp.resolve("feed").toString
+    val stateDir = tmp.resolve("state")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    docs.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val marker = stateDir.resolve("_applied").resolve(s"batch-$bid")
+          if (!java.nio.file.Files.exists(marker)) {
+            QualityClassifier.features(batch)
+              .write.mode("append").parquet(stateDir.resolve("feats").toString)
+            QualityClassifier.labels(batch, "en")
+              .write.mode("append").parquet(stateDir.resolve("labs").toString)
+            java.nio.file.Files.createDirectories(marker.getParent)
+            java.nio.file.Files.createFile(marker)
+            ()
+          }
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    val w = QualityClassifier.train(
+      s.read.parquet(stateDir.resolve("feats").toString),
+      s.read.parquet(stateDir.resolve("labs").toString))
+    s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        w.toSeq.zipWithIndex.map { case (v, j) =>
+          org.apache.spark.sql.Row(j, v)
+        }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("feature",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("weight_u",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Replay of INCREMENTAL KMV-SKETCH maintenance: the events table
     * streams in micro-batches, each batch appending its ≤ k-row PARTIAL
     * sketch (its k smallest key hashes — O(k) per batch, O(batches·k)

@@ -40,6 +40,23 @@ class PageRankSpec extends SparkSuite {
     assert(out(3L) == 0.15 / n + 0.85 * (1.0 / n * 0.25))
   }
 
+  test("triangles: K4 counts, canonicalization, and triangle-free graphs") {
+    import spark.implicits._
+    import graft.operators.Triangles
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, every node in exactly 3.
+    // Noise: a reversed duplicate, a self-loop, and a pendant path
+    // 5-6-7 that closes nothing.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 3L), (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val out = Triangles.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(out.values.sum == 4L * 3) // each triangle counted at 3 nodes
+    // a pure cycle of length 4 has no triangles at all
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    assert(Triangles.triangleCounts(c4).count() == 0)
+  }
+
   test("hub ranks above spokes and ranks are positive and bounded") {
     // star: 2,3,4 each point at 1 — 1 must outrank the spokes
     val e = edges(Seq((2L, 1L, dec("1.00")), (3L, 1L, dec("1.00")),
