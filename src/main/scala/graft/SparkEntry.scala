@@ -819,6 +819,12 @@ object SparkEntry {
     "fx_seasonality" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.hourlySeasonality(rates(s, dir))),
 
+    // historical VaR95/ES95 per pair: interpolated 5th percentile of
+    // daily changes + the exact mean of the integer-defined worst-k
+    // tail; runs on the change digest, never the tick corpus
+    "fx_var_es" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.valueAtRisk(rates(s, dir))),
+
     // the WRITE-PATH DQ gate: the same rule counters observed IN-FLIGHT
     // (Dataset.observe / CollectMetrics) while the instrumented frame
     // flows to a noop-format write — the zero-extra-scan shape a 100 TB
@@ -1341,6 +1347,11 @@ object SparkEntry {
     // frame window fingerprinted BEFORE any decode (sample-then-decode)
     "mm_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.frameSamples(s, dir)),
+    // shot-boundary detection: frame-difference thresholding on the
+    // stub frame grid — exact byte-sum intensity mass per frame, a cut
+    // when mean abs change > 16 gray levels; narrow flatMap, no shuffle
+    "mm_scene_cuts" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sceneCuts(s, dir)),
     // audio windowing on the opaque payloads: 8-bit-PCM windows with
     // exact-integer energy/peak — the silence/clipping prefilter runs
     // BEFORE any decode, same sample-then-decode shape as the video path
@@ -2164,6 +2175,44 @@ object SparkEntry {
          |    / nullif(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0),
          |             0.0)) AS vol_milli
          |FROM m""".stripMargin,
+
+    // VaR via quantile_cont (the percentile↔quantile_cont precedent);
+    // ES over the rank-defined tail — ratio of exact longs; argmin worst
+    // day under the (chg, date) total order
+    "fx_var_es" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
+         |), st AS (
+         |  SELECT ccy_couple, count(*) AS n_changes,
+         |    quantile_cont(chg_u, 0.05) AS var_milli,
+         |    (count(*) + 19) // 20 AS k
+         |  FROM chn GROUP BY 1
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY ccy_couple
+         |    ORDER BY chg_u ASC, date ASC) AS rn FROM chn
+         |), es AS (
+         |  SELECT r.ccy_couple,
+         |    CAST(sum(r.chg_u) AS DOUBLE) / CAST(max(st.k) AS DOUBLE)
+         |      AS es_milli
+         |  FROM r JOIN st USING (ccy_couple) WHERE rn <= k GROUP BY 1
+         |), w AS (
+         |  SELECT ccy_couple, date AS worst_day, chg_u AS worst_chg_milli
+         |  FROM r WHERE rn = 1
+         |)
+         |SELECT st.ccy_couple, st.n_changes, st.var_milli, es.es_milli,
+         |  w.worst_day, w.worst_chg_milli
+         |FROM st JOIN es USING (ccy_couple) JOIN w USING (ccy_couple)""".stripMargin,
 
     // running-peak drawdown entirely in DECIMAL, exact integer result
     "fx_drawdown" ->
@@ -4432,6 +4481,37 @@ object SparkEntry {
         |            THEN hh - 18446744073709551616::HUGEINT ELSE hh END
         |       AS BIGINT) AS frame_hash
         |FROM h""".stripMargin,
+
+    // frame byte sums replayed as plain BIGINT folds (no wrapping —
+    // stride·255 is tiny); same equal-stride frame grid as the sampler
+    "mm_scene_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), fr AS (
+        |  SELECT doc_id, len, hx, 1 + len % 8 AS frames,
+        |    len // (1 + len % 8) AS stride
+        |  FROM m
+        |), s AS (
+        |  SELECT doc_id, frames, stride,
+        |    list_transform(range(0, frames), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(i * stride, i * stride + stride),
+        |          j -> CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |                    + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |               AS BIGINT))),
+        |        (a, x) -> a + x)) AS sums
+        |  FROM fr
+        |), d AS (
+        |  SELECT doc_id, stride, sums, unnest(range(1, frames)) AS i
+        |  FROM s WHERE frames > 1
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  sums[i + 1] AS frame_sum,
+        |  abs(sums[i + 1] - sums[i]) AS delta,
+        |  abs(sums[i + 1] - sums[i]) > stride * 16 AS is_cut
+        |FROM d""".stripMargin,
 
     // audio stub replay: same hex-pair byte extraction, plain BIGINT
     // arithmetic (no wrapping — window energy tops out at 200·128²)

@@ -452,6 +452,45 @@ object MarketAnalytics {
         col("x").as("rate_milli"), z.as("z_score"))
   }
 
+  /** Per-pair historical VaR and Expected Shortfall at 95% — the risk
+    * numbers a desk quotes from the same daily-change digest the
+    * volatility report uses: VaR = the interpolated 5th percentile of
+    * daily changes (milli-units; Spark `percentile` and DuckDB
+    * `quantile_cont` share the interpolation rule — the
+    * q_exact_percentiles precedent), ES = the mean of the worst
+    * ⌈0.05·n⌉ observed changes. The tail is an INTEGER-DEFINED set —
+    * k = (n+19) div 20, membership by row_number under the (chg, date)
+    * total order — so the mean is a ratio of exact longs, not an
+    * interpolation convention that could diverge between engines at the
+    * tie boundary. Also reports the single worst day (argmin with the
+    * date tiebreak).
+    *
+    * Scale shape: everything runs on the |pairs|×|days| change digest —
+    * one window for ranks, one grouped aggregate, one broadcast of the
+    * |pairs|-row stats; the tick corpus itself is reduced first.
+    */
+  def valueAtRisk(rates: DataFrame): DataFrame = {
+    val chg = dailyChangesU(rates)
+    val wAsc = Window.partitionBy(col("ccy_couple"))
+      .orderBy(col("chg_u").asc, col("date").asc)
+    val ranked = chg.withColumn("rn", row_number().over(wAsc))
+    val st = chg.groupBy(col("ccy_couple")).agg(
+      count(lit(1)).as("n_changes"),
+      percentile(col("chg_u"), lit(0.05)).as("var_milli"))
+      .withColumn("k", expr("(n_changes + 19) div 20"))
+    val es = ranked.join(broadcast(st.select(col("ccy_couple"), col("k"))),
+        "ccy_couple")
+      .where(col("rn") <= col("k"))
+      .groupBy(col("ccy_couple"))
+      .agg((sum(col("chg_u")).cast("double") / max(col("k")).cast("double"))
+        .as("es_milli"))
+    val worst = ranked.where(col("rn") === 1)
+      .select(col("ccy_couple"), col("date").as("worst_day"),
+        col("chg_u").as("worst_chg_milli"))
+    st.select(col("ccy_couple"), col("n_changes"), col("var_milli"))
+      .join(es, "ccy_couple").join(worst, "ccy_couple")
+  }
+
   /** Per-pair HOUR-OF-DAY seasonal profile with anomaly counts — the
     * seasonality-aware sibling of [[rateOutliers]]: a quote stream has
     * session structure (Asia/London/NY hand-offs), so a tick should be

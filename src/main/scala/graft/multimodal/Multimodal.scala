@@ -114,6 +114,49 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class SceneCut(doc_id: Long, frame_idx: Int,
+      frame_sum: Long, delta: Long, is_cut: Boolean)
+
+  /** SCENE-CUT detection over the stub-decoded frame grid: consecutive
+    * frames whose intensity mass jumps are segment boundaries — the
+    * shot-boundary pass a video-curation pipeline runs before sampling
+    * one keyframe per shot (frame-difference thresholding, the classic
+    * first-order detector). The stub codec's equal-stride windows stand
+    * in for real frames; intensity mass per frame is the exact byte sum
+    * (windows are all exactly `stride` long — frames·stride ≤ len — so
+    * raw sums compare without normalization), and a cut fires when
+    * |ΔS| > stride·threshold, i.e. mean absolute change above
+    * `threshold` gray levels. Pure integer arithmetic; single-frame
+    * videos emit nothing (no deltas exist).
+    *
+    * Narrow per-record flatMap like the other stub decoders — the
+    * frame-difference signal never leaves the record, so there is no
+    * shuffle at any corpus size; segment assembly downstream is a
+    * gaps-and-islands window over the cut flags.
+    */
+  def sceneCuts(spark: SparkSession, dir: String,
+      threshold: Int = 16): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter((r: MediaRecord) => r.kind == "video")
+      .flatMap { r =>
+        val len = r.bytes.length
+        val frames = 1 + len % 8
+        val stride = len / frames
+        val sums = Array.tabulate(frames) { i =>
+          var h = 0L
+          var j = i * stride
+          val end = j + stride
+          while (j < end) { h += (r.bytes(j) & 0xFF); j += 1 }
+          h
+        }
+        (1 until frames).iterator.map { i =>
+          val d = math.abs(sums(i) - sums(i - 1))
+          SceneCut(r.doc_id, i, sums(i), d, d > stride.toLong * threshold)
+        }
+      }.toDF()
+  }
+
   final case class AudioWindow(doc_id: Long, win_idx: Int, win_off: Int,
       energy: Long, peak: Int)
 

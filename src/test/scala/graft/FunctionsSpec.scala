@@ -105,6 +105,31 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("scene cuts: deltas match a driver recompute; flags are the threshold rule") {
+    val dir = sf("sf0.001")
+    val sc = Multimodal.sceneCuts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(sc.nonEmpty)
+    assert(sc.forall { case (id, i, _, d, _) => id % 3 == 2 && i >= 1 && d >= 0 })
+    // independent recompute for one video: byte sums per stride window
+    val docId = sc.head._1
+    val bytes = graft.model.Tables.documents(spark, dir)
+      .where(col("doc_id") === docId).select(col("text"))
+      .collect().head.getString(0).getBytes("UTF-8")
+    val frames = 1 + bytes.length % 8
+    val stride = bytes.length / frames
+    val sums = (0 until frames).map(i =>
+      (i * stride until i * stride + stride).map(bytes(_) & 0xFF).map(_.toLong).sum)
+    val mine = sc.filter(_._1 == docId).sortBy(_._2)
+    assert(mine.map(_._2).toSeq == (1 until frames).toSeq)
+    mine.foreach { case (_, i, s, d, cut) =>
+      assert(s == sums(i))
+      assert(d == math.abs(sums(i) - sums(i - 1)))
+      assert(cut == (d > stride.toLong * 16))
+    }
+  }
+
   test("audio windows: integer energy/peak match a driver recompute") {
     val dir = sf("sf0.001")
     val ws = Multimodal.audioWindows(spark, dir)

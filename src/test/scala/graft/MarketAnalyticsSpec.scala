@@ -245,6 +245,33 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("B").getDouble(4) == 0.0)
   }
 
+  test("var/es: interpolated 5th pct, integer-defined tail mean, worst day") {
+    import spark.implicits._
+    // closes walk so that the 21 daily changes (milli) are exactly
+    // -100, -90, ..., +100 (step 10, n=21): var95 interpolates between
+    // the two smallest changes at pos 0.05·20 = 1.0 → exactly -90;
+    // k = (21+19) div 20 = 2 → ES = (-100 + -90)/2 = -95
+    val changes = (-100 to 100 by 10).map(_.toDouble / 1000.0)
+    var close = 5.0
+    val closes = close +: changes.map { c => close += c; close }
+    val rows = closes.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "A", v, f"2024-01-${i + 1}%02d")
+    }
+    val df = rows.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.valueAtRisk(df).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 21L)                  // n_changes
+    assert(r.getDouble(2) == -90.0)              // var95 (interpolated)
+    assert(r.getDouble(3) == -95.0)              // es95 = mean of worst 2
+    assert(r.getDate(4).toString == "2024-01-02") // worst change lands day 2
+    assert(r.getLong(5) == -100L)
+  }
+
   test("seasonality: per-hour profile isolates the noisy hour, bounded output") {
     import spark.implicits._
     // hour 0 constant at 2.0 (σ=0 → no anomalies by convention);
