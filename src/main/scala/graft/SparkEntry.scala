@@ -583,6 +583,16 @@ object SparkEntry {
     // broadcast); the damped iteration then runs on the |nations|²-max
     // digest with per-target source-ordered double folds so the replay
     // is bitwise (see operators.PageRank)
+    // 2-D Pareto frontier (skyline): best price/recency trade-offs via
+    // the chunked two-pass running max — no global window sort; the
+    // oracle is the DEFINITIONAL quadratic NOT-EXISTS, so the scalable
+    // plan must equal the textbook semantics
+    "q_skyline_orders" -> ((s, dir) =>
+      graft.operators.Skyline.skylineMax2D(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate")),
+        col("o_totalprice"), col("o_orderdate"))),
+
     // distributed triangle counting: degree-ordered wedge closure
     // (compact-forward) over the nation trade graph — every triangle
     // generated once from its lowest-ordered vertex; oriented out-degree
@@ -824,6 +834,12 @@ object SparkEntry {
     // tail; runs on the change digest, never the tick corpus
     "fx_var_es" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.valueAtRisk(rates(s, dir))),
+
+    // two-sided CUSUM drift alarms: persistent small moves trip the
+    // detector where z-scores stay silent — an ALL-INTEGER five-state
+    // recursive fold over the change digest, replayed value-exactly
+    "fx_cusum" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.cusum(rates(s, dir))),
 
     // the WRITE-PATH DQ gate: the same rule counters observed IN-FLIGHT
     // (Dataset.observe / CollectMetrics) while the instrumented frame
@@ -2176,6 +2192,44 @@ object SparkEntry {
          |             0.0)) AS vol_milli
          |FROM m""".stripMargin,
 
+    // the integer five-state fold as a recursive CTE — every state
+    // column BIGINT, so equality is exact by construction
+    "fx_cusum" ->
+      s"""WITH RECURSIVE $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), p AS (
+         |  SELECT ccy_couple,
+         |    list(CAST(chg * 1000 AS BIGINT) ORDER BY date) AS xs
+         |  FROM ch WHERE chg IS NOT NULL GROUP BY 1
+         |), st AS (
+         |  SELECT ccy_couple, xs, 0 AS i, CAST(0 AS BIGINT) AS sp,
+         |    CAST(0 AS BIGINT) AS sn, CAST(0 AS BIGINT) AS mp,
+         |    CAST(0 AS BIGINT) AS mn, CAST(0 AS BIGINT) AS al
+         |  FROM p
+         |  UNION ALL
+         |  SELECT ccy_couple, xs, i + 1,
+         |    greatest(0, sp + xs[i + 1] - 5),
+         |    greatest(0, sn - xs[i + 1] - 5),
+         |    greatest(mp, greatest(0, sp + xs[i + 1] - 5)),
+         |    greatest(mn, greatest(0, sn - xs[i + 1] - 5)),
+         |    al + CASE WHEN greatest(0, sp + xs[i + 1] - 5) > 50
+         |               OR greatest(0, sn - xs[i + 1] - 5) > 50
+         |              THEN 1 ELSE 0 END
+         |  FROM st WHERE i < length(xs)
+         |)
+         |SELECT ccy_couple, CAST(length(xs) AS BIGINT) AS n_changes,
+         |  sp AS cusum_pos, sn AS cusum_neg, mp AS max_pos, mn AS max_neg,
+         |  al AS n_alarm_days
+         |FROM st WHERE i = length(xs)""".stripMargin,
+
     // VaR via quantile_cont (the percentile↔quantile_cont precedent);
     // ES over the rank-defined tail — ratio of exact longs; argmin worst
     // day under the (chg, date) total order
@@ -2889,6 +2943,18 @@ object SparkEntry {
 
     // the damped iteration unrolled step for step (see the builder)
     "q_pagerank_trade" -> PagerankTradeOracleSql,
+
+    // the textbook dominance definition — the engine's chunked
+    // two-pass plan must reproduce it exactly
+    "q_skyline_orders" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders q
+        |  WHERE q.o_totalprice >= o.o_totalprice
+        |    AND q.o_orderdate >= o.o_orderdate
+        |    AND (q.o_totalprice > o.o_totalprice
+        |         OR q.o_orderdate > o.o_orderdate))""".stripMargin,
 
     // the same degree-ordered wedge closure in SQL: orientation key
     // d*2^32+id, wedges joined on the shared low vertex, closed against

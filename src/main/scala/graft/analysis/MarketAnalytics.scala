@@ -452,6 +452,48 @@ object MarketAnalytics {
         col("x").as("rate_milli"), z.as("z_score"))
   }
 
+  /** Per-pair two-sided CUSUM drift detector (Page 1954) — the regime-
+    * change alarm a rates desk runs next to the point-anomaly detectors:
+    * S⁺ accumulates positive drift above a slack allowance, S⁻ negative
+    * (S±_t = max(0, S±_{t−1} ± x_t − k)), and a day alarms when either
+    * side crosses the decision threshold h. Small per-day moves that a
+    * z-score never flags still trip CUSUM when they PERSIST — that is
+    * the point of the statistic.
+    *
+    * ALL-INTEGER recursive fold: the day-ordered change digest is exact
+    * ×1000 longs and slack/threshold are integer milli parameters, so
+    * the five-state fold (S⁺, S⁻, their running maxima, alarm count)
+    * never touches a float and the oracle's recursive CTE replays it
+    * value-exactly with no rounding argument needed at all. Same scale
+    * shape as the other fold metrics: one shuffle to the per-pair array,
+    * digest-bounded state.
+    */
+  def cusum(rates: DataFrame, slackMilli: Long = 5L,
+      alarmMilli: Long = 50L): DataFrame = {
+    val folded = dailyChangesU(rates)
+      .groupBy(col("ccy_couple"))
+      .agg(sort_array(collect_list(struct(col("date"), col("chg_u"))))
+        .as("path"))
+      .select(col("ccy_couple"), size(col("path")).cast("long").as("n_changes"),
+        aggregate(
+          transform(col("path"), r => r("chg_u")),
+          struct(lit(0L).as("sp"), lit(0L).as("sn"),
+            lit(0L).as("mp"), lit(0L).as("mn"), lit(0L).as("al")),
+          (acc, x) => {
+            val spN = greatest(lit(0L), acc("sp") + x - lit(slackMilli))
+            val snN = greatest(lit(0L), acc("sn") - x - lit(slackMilli))
+            struct(spN.as("sp"), snN.as("sn"),
+              greatest(acc("mp"), spN).as("mp"),
+              greatest(acc("mn"), snN).as("mn"),
+              (acc("al") + when(spN > lit(alarmMilli) ||
+                snN > lit(alarmMilli), 1L).otherwise(0L)).as("al"))
+          }).as("acc"))
+    folded.select(col("ccy_couple"), col("n_changes"),
+      col("acc")("sp").as("cusum_pos"), col("acc")("sn").as("cusum_neg"),
+      col("acc")("mp").as("max_pos"), col("acc")("mn").as("max_neg"),
+      col("acc")("al").as("n_alarm_days"))
+  }
+
   /** Per-pair historical VaR and Expected Shortfall at 95% — the risk
     * numbers a desk quotes from the same daily-change digest the
     * volatility report uses: VaR = the interpolated 5th percentile of

@@ -245,6 +245,31 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("B").getDouble(4) == 0.0)
   }
 
+  test("cusum: persistent drift alarms, reset on reversal, all-integer replay") {
+    import spark.implicits._
+    // changes (milli): +10, +10, +10, -40 with slack 5, alarm 14:
+    // S+ walks 5, 10, 15 (alarm), then resets to 0 on the big reversal;
+    // S- fires on the -40 day (35 > 14) → 2 alarm days total
+    val deltas = Seq(0.010, 0.010, 0.010, -0.040)
+    var c = 5.0
+    val closes = c +: deltas.map { d => c += d; c }
+    val df = closes.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "A", v, f"2024-01-${i + 1}%02d")
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val r = MarketAnalytics.cusum(df, slackMilli = 5L, alarmMilli = 14L)
+      .collect().head
+    assert(r.getLong(1) == 4L)   // n_changes
+    assert(r.getLong(2) == 0L)   // S+ reset by the reversal
+    assert(r.getLong(3) == 35L)  // S- after the -40 day
+    assert(r.getLong(4) == 15L)  // max S+
+    assert(r.getLong(5) == 35L)  // max S-
+    assert(r.getLong(6) == 2L)   // one alarm per side
+  }
+
   test("var/es: interpolated 5th pct, integer-defined tail mean, worst day") {
     import spark.implicits._
     // closes walk so that the 21 daily changes (milli) are exactly

@@ -160,6 +160,32 @@ class OperatorsSpec extends SparkSuite {
     assert(one.getLong(3) == rep("fk_parent"))
   }
 
+  test("skyline: dominance semantics, duplicate frontier points, chunk boundaries") {
+    import spark.implicits._
+    import graft.operators.Skyline
+    // frontier: (10, d3) twice (exact duplicates both stay) and (5, d5);
+    // dominated: (10, d1) same x lower y; (9, d3) same y lower x;
+    // (8, d2) both lower. chunkW = 3 forces the across-chunk path.
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val pts = Seq(
+      (1L, 10.0, d("2024-01-03")), (2L, 10.0, d("2024-01-03")),
+      (3L, 10.0, d("2024-01-01")), (4L, 9.0, d("2024-01-03")),
+      (5L, 8.0, d("2024-01-02")), (6L, 5.0, d("2024-01-05")))
+      .toDF("id", "price", "day")
+    val out = Skyline.skylineMax2D(pts, col("price"), col("day"), chunkW = 3.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 6L))
+    // invariant vs the quadratic definition on the same frame
+    pts.createOrReplaceTempView("__sky_pts")
+    val naive = spark.sql(
+      """SELECT id FROM __sky_pts o WHERE NOT EXISTS (
+        |  SELECT 1 FROM __sky_pts q
+        |  WHERE q.price >= o.price AND q.day >= o.day
+        |    AND (q.price > o.price OR q.day > o.day))""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == naive)
+  }
+
   test("recursive closure: seed at hop 0, hops bounded, walks positive") {
     val out = SparkEntry.queries("q_recursive_closure")(spark, sf("sf0.001"))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
