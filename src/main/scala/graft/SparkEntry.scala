@@ -841,6 +841,12 @@ object SparkEntry {
     "fx_cusum" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.cusum(rates(s, dir))),
 
+    // MA-crossover backtest: strategy eval as a query — cross-multiplied
+    // integer window sums (no mean ever materialized), lagged signal
+    // (no look-ahead), exact long P&L; O(1) state per pair
+    "fx_backtest_ma" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.backtestMaCrossover(rates(s, dir))),
+
     // the WRITE-PATH DQ gate: the same rule counters observed IN-FLIGHT
     // (Dataset.observe / CollectMetrics) while the instrumented frame
     // flows to a noop-format write — the zero-extra-scan shape a 100 TB
@@ -1252,6 +1258,12 @@ object SparkEntry {
       graft.text.Bpe.trainedMerges(s, dir)
         .toDF("step", "merge_left", "merge_right", "pair_count")
     }),
+    // positional phrase search: the inverted-index primitive TF-IDF/BM25
+    // can't express — postings joined on (doc, offset); the gate carries
+    // its own query (the corpus's top bigram, tiebroken lexically)
+    "text_phrase_search" -> ((s, dir) =>
+      graft.text.PhraseSearch.topBigramMatches(Tables.documents(s, dir))),
+
     // in-engine model TRAINING as a query: hashed-bag-of-words linear
     // classifier, fixed-point full-batch GD with a correctly-rounded
     // softsign link — every gradient step is replayed by the oracle
@@ -2191,6 +2203,45 @@ object SparkEntry {
          |    / nullif(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0),
          |             0.0)) AS vol_milli
          |FROM m""".stripMargin,
+
+    // the same two ROWS frames + lagged signal + long P&L — pure
+    // integer comparisons, exact by construction
+    "fx_backtest_ma" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) * 1000
+         |         AS BIGINT) AS close_u
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), f AS (
+         |  SELECT ccy_couple, date, close_u,
+         |    close_u - lag(close_u) OVER wd AS chg_u,
+         |    sum(close_u) OVER (wd ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |      AS sumF,
+         |    count(*) OVER (wd ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |      AS cntS,
+         |    sum(close_u) OVER (wd ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |      AS sumS
+         |  FROM cl
+         |  WINDOW wd AS (PARTITION BY ccy_couple ORDER BY date)
+         |), g AS (
+         |  SELECT ccy_couple, date, chg_u,
+         |    CASE WHEN cntS = 20 AND sumF * 20 > sumS * 5
+         |         THEN 1 ELSE 0 END AS signal
+         |  FROM f
+         |), h AS (
+         |  SELECT ccy_couple, date, chg_u, signal,
+         |    coalesce(lag(signal) OVER wd, 0) AS pos,
+         |    abs(signal - coalesce(lag(signal) OVER wd, 0)) AS flip
+         |  FROM g
+         |  WINDOW wd AS (PARTITION BY ccy_couple ORDER BY date)
+         |)
+         |SELECT ccy_couple, count(*) AS n_days,
+         |  CAST(sum(flip) AS BIGINT) AS n_trades,
+         |  CAST(sum(pos * coalesce(chg_u, 0)) AS BIGINT) AS pnl_milli,
+         |  CAST(arg_max(pos, date) AS BIGINT) AS final_pos
+         |FROM h GROUP BY ccy_couple""".stripMargin,
 
     // the integer five-state fold as a recursive CTE — every state
     // column BIGINT, so equality is exact by construction
@@ -4372,6 +4423,29 @@ object SparkEntry {
     // match step for step (integer counts, total argmax order, greedy
     // non-overlapping merge fold)
     "cur_bpe_merges" -> BpeMergesOracleSql,
+
+    // raw-array positions (empties keep their slot, then drop) so
+    // adjacency replays string-true; (count desc, w1, w2) total order
+    "text_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS arr
+        |  FROM documents WHERE text IS NOT NULL
+        |), p AS (
+        |  SELECT doc_id, arr[i + 1] AS token, CAST(i AS INT) AS pos
+        |  FROM t, unnest(range(0, length(arr))) AS r(i)
+        |  WHERE length(arr[i + 1]) > 0
+        |), bg AS (
+        |  SELECT a.doc_id, a.token AS w1, b.token AS w2
+        |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), top1 AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1
+        |)
+        |SELECT bg.doc_id, bg.w1, bg.w2, count(*) AS n_matches
+        |FROM bg JOIN top1 USING (w1, w2)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // training replayed end-to-end: token hash → fixed-point features →
     // 4 unrolled GD steps → weight table / final margins

@@ -452,6 +452,51 @@ object MarketAnalytics {
         col("x").as("rate_milli"), z.as("z_score"))
   }
 
+  /** Moving-average-crossover BACKTEST — strategy evaluation as a
+    * query: long one unit while the fast trailing mean of the daily
+    * close sits above the slow one, flat otherwise, entering the day
+    * AFTER the signal (no look-ahead: position = lagged signal), P&L =
+    * Σ position·daily-change. The eval loop a quant desk runs over
+    * decades of ticks, expressed as two window frames and a lag on the
+    * close digest.
+    *
+    * ALL-INTEGER discipline end-to-end: the mean comparison cross-
+    * multiplies exact window SUMS (sumF·nS > sumS·nF — no division, no
+    * doubles, no "mean" ever materialized), the signal needs the slow
+    * frame FULL (warm-up days are flat), and P&L accumulates
+    * long·long products — so the oracle replays the whole backtest
+    * value-exactly. Trades = signal flips (|Δsignal| summed). Scale
+    * shape: everything after the close digest is windows partitioned on
+    * the pair key; state per pair is O(1).
+    */
+  def backtestMaCrossover(rates: DataFrame, fast: Int = 5,
+      slow: Int = 20): DataFrame = {
+    val closes = dailyCloses3(rates)
+      .select(col("ccy_couple"), col("date"),
+        (col("close") * lit(1000)).cast("long").as("close_u"))
+    val wd = Window.partitionBy(col("ccy_couple")).orderBy(col("date"))
+    val wF = wd.rowsBetween(-(fast - 1), 0)
+    val wS = wd.rowsBetween(-(slow - 1), 0)
+    val sig = closes
+      .withColumn("chg_u",
+        col("close_u") - lag(col("close_u"), 1).over(wd))
+      .withColumn("sumF", sum(col("close_u")).over(wF))
+      .withColumn("cntS", count(lit(1)).over(wS))
+      .withColumn("sumS", sum(col("close_u")).over(wS))
+      .withColumn("signal",
+        when(col("cntS") === slow &&
+          col("sumF") * lit(slow.toLong) > col("sumS") * lit(fast.toLong),
+          1L).otherwise(0L))
+      .withColumn("pos", coalesce(lag(col("signal"), 1).over(wd), lit(0L)))
+      .withColumn("flip",
+        abs(col("signal") - coalesce(lag(col("signal"), 1).over(wd), lit(0L))))
+    sig.groupBy(col("ccy_couple")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("flip")).as("n_trades"),
+      sum(col("pos") * coalesce(col("chg_u"), lit(0L))).as("pnl_milli"),
+      max_by(col("pos"), col("date")).as("final_pos"))
+  }
+
   /** Per-pair two-sided CUSUM drift detector (Page 1954) — the regime-
     * change alarm a rates desk runs next to the point-anomaly detectors:
     * S⁺ accumulates positive drift above a slack allowance, S⁻ negative

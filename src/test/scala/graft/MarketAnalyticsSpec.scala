@@ -245,6 +245,27 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("B").getDouble(4) == 0.0)
   }
 
+  test("backtest: warm-up flat, crossover trades next day, exact integer pnl") {
+    import spark.implicits._
+    // closes (milli) 1000,1000,1000,2000,3000 with fast=2, slow=3:
+    // day3 ties (6000 > 6000 false — strict), day4 crosses (9000 > 8000)
+    // → signal from day4, position from day5 → pnl = day5 change = 1000
+    val closes = Seq(1.0, 1.0, 1.0, 2.0, 3.0)
+    val df = closes.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "A", v, f"2024-01-${i + 1}%02d")
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val r = MarketAnalytics.backtestMaCrossover(df, fast = 2, slow = 3)
+      .collect().head
+    assert(r.getLong(1) == 5L)    // n_days
+    assert(r.getLong(2) == 1L)    // one entry, no exit
+    assert(r.getLong(3) == 1000L) // pnl: only day5 rides the position
+    assert(r.getLong(4) == 1L)    // still long at the end
+  }
+
   test("cusum: persistent drift alarms, reset on reversal, all-integer replay") {
     import spark.implicits._
     // changes (milli): +10, +10, +10, -40 with slack 5, alarm 14:

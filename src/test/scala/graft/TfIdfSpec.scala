@@ -75,4 +75,25 @@ class TfIdfSpec extends SparkSuite {
     }.toList
     assert(got == expected.toList)
   }
+
+  test("phrase search: positional adjacency, per-doc occurrence counts") {
+    import spark.implicits._
+    import graft.text.PhraseSearch
+    // "x y" occurs 3 times across the corpus (twice in doc 1, once in
+    // doc 3) and is the top bigram; doc 2 never matches
+    val docs = Seq(
+      (1L, "x y x y z"), (2L, "a b"), (3L, "x y q"))
+      .toDF("doc_id", "text")
+    val out = PhraseSearch.topBigramMatches(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == (("x", "y", 2L)))
+    assert(out(3L) == (("x", "y", 1L)))
+    // postings carry raw-array 0-based positions
+    val p = PhraseSearch.postings(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") === 1L))
+      .collect().map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(p == Map(0 -> "x", 1 -> "y", 2 -> "x", 3 -> "y", 4 -> "z"))
+  }
 }
