@@ -593,6 +593,12 @@ object SparkEntry {
           col("o_totalprice"), col("o_orderdate")),
         col("o_totalprice"), col("o_orderdate"))),
 
+    // incrementally maintained frontier: state IS the skyline —
+    // skyline(A∪B) = skyline(skyline(A)∪B), so each batch folds into
+    // O(|frontier|) state; must equal the one-shot skyline
+    "stream_skyline_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replaySkylineIncremental(s, dir)),
+
     // distributed triangle counting: degree-ordered wedge closure
     // (compact-forward) over the nation trade graph — every triangle
     // generated once from its lowest-ordered vertex; oriented out-degree
@@ -1479,6 +1485,20 @@ object SparkEntry {
     * representation, so DuckDB parses back bit-identical doubles and the
     * oracle can recompute the exact same signatures the Spark side does.
     */
+  /** Textbook skyline dominance as oracle SQL — shared verbatim by the
+    * one-shot `q_skyline_orders` gate and the incrementally maintained
+    * `stream_skyline_incremental` frontier, which must converge to it.
+    */
+  private val SkylineOrdersOracleSql: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate
+      |FROM orders o
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders q
+      |  WHERE q.o_totalprice >= o.o_totalprice
+      |    AND q.o_orderdate >= o.o_orderdate
+      |    AND (q.o_totalprice > o.o_totalprice
+      |         OR q.o_orderdate > o.o_orderdate))""".stripMargin
+
   /** The data-contract report as oracle SQL — shared verbatim by the
     * one-shot `dq_constraints` gate and the incrementally maintained
     * `stream_constraints_incremental` replay, which must converge to it.
@@ -2997,15 +3017,11 @@ object SparkEntry {
 
     // the textbook dominance definition — the engine's chunked
     // two-pass plan must reproduce it exactly
-    "q_skyline_orders" ->
-      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate
-        |FROM orders o
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders q
-        |  WHERE q.o_totalprice >= o.o_totalprice
-        |    AND q.o_orderdate >= o.o_orderdate
-        |    AND (q.o_totalprice > o.o_totalprice
-        |         OR q.o_orderdate > o.o_orderdate))""".stripMargin,
+    "q_skyline_orders" -> SkylineOrdersOracleSql,
+
+    // the maintained frontier must converge to the one-shot skyline —
+    // same oracle verbatim
+    "stream_skyline_incremental" -> SkylineOrdersOracleSql,
 
     // the same degree-ordered wedge closure in SQL: orientation key
     // d*2^32+id, wedges joined on the shared low vertex, closed against

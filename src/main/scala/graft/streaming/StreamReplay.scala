@@ -705,6 +705,73 @@ object StreamReplay {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Replay of an INCREMENTALLY MAINTAINED SKYLINE (Pareto frontier):
+    * the orders stream arrives in micro-batches and the state is the
+    * FRONTIER ITSELF — per batch, the new frontier is the skyline of
+    * (previous frontier ∪ batch), correct because dominance is
+    * monotone: skyline(A ∪ B) = skyline(skyline(A) ∪ B) — a point a
+    * new batch dominates can never return, and a point that survived A
+    * can only be evicted by new points. State is O(|frontier|) however
+    * large the corpus; each step's input is frontier + batch, never a
+    * rescan. Versioned state dirs + batch markers make re-delivery
+    * idempotent (recomputing a version from the same inputs rewrites
+    * identical bytes). Must equal the one-shot skyline — the
+    * q_skyline_orders oracle gates both.
+    */
+  def replaySkylineIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_sky_replay")
+    val feed = tmp.resolve("feed").toString
+    val stateDir = tmp.resolve("state")
+    val proj = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    proj.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    def latestVersion(): Option[java.nio.file.Path] = {
+      if (!java.nio.file.Files.isDirectory(stateDir)) return None
+      val vs = java.nio.file.Files.list(stateDir).iterator()
+      var best: Option[(Long, java.nio.file.Path)] = None
+      while (vs.hasNext) {
+        val p = vs.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("v")) {
+          val id = n.drop(1).toLong
+          if (best.forall(_._1 < id)) best = Some((id, p))
+        }
+      }
+      best.map(_._2)
+    }
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val marker = stateDir.resolve("_applied").resolve(s"batch-$bid")
+          if (!java.nio.file.Files.exists(marker)) {
+            val base = latestVersion()
+              .map(p => s.read.parquet(p.toString))
+              .getOrElse(batch.limit(0))
+            val merged = base.unionByName(batch)
+            graft.operators.Skyline
+              .skylineMax2D(merged, col("o_totalprice"), col("o_orderdate"))
+              .write.mode("overwrite")
+              .parquet(stateDir.resolve(s"v$bid").toString)
+            java.nio.file.Files.createDirectories(marker.getParent)
+            java.nio.file.Files.createFile(marker)
+            ()
+          }
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    s.read.parquet(latestVersion().get.toString)
+  }
+
   /** Replay of INCREMENTAL KMV-SKETCH maintenance: the events table
     * streams in micro-batches, each batch appending its ≤ k-row PARTIAL
     * sketch (its k smallest key hashes — O(k) per batch, O(batches·k)

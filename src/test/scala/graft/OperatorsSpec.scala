@@ -186,6 +186,24 @@ class OperatorsSpec extends SparkSuite {
     assert(out == naive)
   }
 
+  test("skyline merge identity: skyline(skyline(A) ∪ B) = skyline(A ∪ B)") {
+    import spark.implicits._
+    import graft.operators.Skyline
+    // deterministic scattered points (no RNG): the identity is what
+    // makes the incremental frontier state correct
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-01-${1 + (i * 7) % 28}%02d")
+    val pts = (0 until 60).map(i => (i.toLong, ((i * 13) % 41).toDouble, d(i)))
+      .toDF("id", "price", "day")
+    val (a, b) = (pts.where(col("id") < 30), pts.where(col("id") >= 30))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val oneShot = ids(Skyline.skylineMax2D(pts, col("price"), col("day"), 10.0))
+    val incr = ids(Skyline.skylineMax2D(
+      Skyline.skylineMax2D(a, col("price"), col("day"), 10.0).unionByName(b),
+      col("price"), col("day"), 10.0))
+    assert(incr == oneShot && oneShot.nonEmpty)
+  }
+
   test("recursive closure: seed at hop 0, hops bounded, walks positive") {
     val out = SparkEntry.queries("q_recursive_closure")(spark, sf("sf0.001"))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
