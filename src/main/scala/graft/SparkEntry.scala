@@ -999,6 +999,17 @@ object SparkEntry {
       graft.operators.Kmv.distinctEstimate(
         Tables.events(s, dir), "user_id", k = 64)),
 
+    // HyperLogLog register table: the industry-standard distinct
+    // sketch next to KMV — exact integer registers (top-p-bit routing,
+    // clz rank), one narrow map + one map-side-combinable groupBy to a
+    // <= 2^p-row digest; the estimate derives from the registers
+    "q_hll_registers" -> ((s, dir) =>
+      graft.operators.Hll.registers(Tables.events(s, dir), "user_id")),
+    // incremental HLL: per-batch register partials folded by max —
+    // idempotent by value, no batch markers; must equal the one-shot
+    "stream_hll_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayHllIncremental(s, dir)),
+
     // rolling 7-day distinct actives per day (the DAU/WAU family):
     // windowed COUNT DISTINCT is not window-function-expressible, so
     // each (user, day) of the distinct-presence digest is fanned onto
@@ -3449,6 +3460,12 @@ object SparkEntry {
     // unsigned k-min order, estimator double tree (XxhOracleSql)
     "q_kmv_distinct" ->
       graft.oracle.XxhOracleSql.kmvDistinct(k = 64),
+
+    // the register table replayed: hashLong in HUGEINT, top-p routing,
+    // bin()-based clz rank, max per register
+    "q_hll_registers" -> graft.oracle.XxhOracleSql.hllRegisters(p = 8),
+    // the maintained registers must equal the one-shot table
+    "stream_hll_incremental" -> graft.oracle.XxhOracleSql.hllRegisters(p = 8),
 
     // the same digest fan-out + exact distinct count over the explicit
     // calendar grid (quiet windows emit 0, never a missing row)

@@ -345,6 +345,28 @@ object XxhOracleSql {
        |FROM ka""".stripMargin
   }
 
+  /** Oracle for [[graft.operators.Hll.registers]]: Spark's xxhash64
+    * (hashLong, seed 42) replayed in HUGEINT, register = top p bits,
+    * rank = clz of the low 64−p bits + 1 computed via length(bin(w))
+    * (bin() drops leading zeros, so clz = 64 − bitlen; bin(0) = '0'
+    * needs the explicit w = 0 branch), max per register.
+    */
+  def hllRegisters(p: Int, table: String = "events",
+      keyCol: String = "user_id"): String = {
+    val shift = 64 - p
+    val mask = (BigInt(1) << shift) - 1
+    val (ctes, last) = chain("hb", hashLongSteps("hin", "42::HUGEINT", "h"), "hc")
+    s"""WITH hb AS (SELECT ${toU(keyCol)} AS hin FROM $table),
+       |${ctes.mkString(",\n")},
+       |hr AS (
+       |  SELECT CAST(hx >> $shift AS INT) AS register,
+       |    CAST((CASE WHEN (hx & $mask::HUGEINT) = 0::HUGEINT THEN 64
+       |               ELSE 64 - length(bin(hx & $mask::HUGEINT)) END)
+       |         - $p + 1 AS INT) AS rho
+       |  FROM $last)
+       |SELECT register, max(rho) AS rho FROM hr GROUP BY register""".stripMargin
+  }
+
   /** Oracle for [[graft.operators.Kmv.distinctEstimatePerGroup]]: the
     * kmvDistinct replay with the k-min and estimator per group (a
     * row_number QUALIFY stands in for the WindowGroupLimit). `keySql`

@@ -810,6 +810,41 @@ object StreamReplay {
     graft.operators.Kmv.estimateFromHashes(s.read.parquet(partsDir), k)
   }
 
+  /** Replay of INCREMENTAL HYPERLOGLOG maintenance: each micro-batch
+    * appends its ≤ 2^p-row register partial; the fold takes max per
+    * register — union of sketches = sketch of the union, and the
+    * partials are idempotent BY VALUE (re-delivered registers fold to
+    * the same max), so like the KMV replay this needs no batch markers.
+    * Same oracle as q_hll_registers: the maintained register table must
+    * equal the one-shot, exactly.
+    */
+  def replayHllIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3, p: Int = graft.operators.Hll.DefaultP): DataFrame = {
+    val tmp = Scratch.dir("graft_hll_replay")
+    val feed = tmp.resolve("feed").toString
+    val partsDir = tmp.resolve("partials").toString
+    val events = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    events.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Hll.registers(batch, "user_id", p)
+            .write.mode("append").parquet(partsDir)
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    s.read.parquet(partsDir)
+      .groupBy(col("register")).agg(max(col("rho")).as("rho"))
+  }
+
   /** Replay of INCREMENTAL COUNT-MIN maintenance: each micro-batch
     * appends its ≤ d·w-row partial CELL table; the report folds the
     * partials by summing per cell — counts are mergeable, so the folded

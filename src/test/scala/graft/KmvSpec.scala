@@ -104,6 +104,31 @@ class KmvSpec extends SparkSuite {
     assert(math.abs(inter - 4000.0) / 4000.0 < 0.4, s"intersection $inter")
   }
 
+  test("hll: registers merge by max, estimate in envelope, ranks bounded") {
+    import spark.implicits._
+    import graft.operators.Hll
+    val df = (1L to 2000L).flatMap(i => Seq(i, i)).toDF("key")
+    val p = Hll.DefaultP
+    val one = Hll.registers(df, "key", p).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // ranks live in [1, 64-p+1]; registers in [0, 2^p)
+    one.foreach { case (reg, rho) =>
+      assert(reg >= 0 && reg < (1 << p))
+      assert(rho >= 1 && rho <= 64 - p + 1)
+    }
+    // split-and-fold = one-shot (mergeable by per-register max)
+    val a = Hll.registers(df.where(col("key") <= 1000), "key", p)
+    val b = Hll.registers(df.where(col("key") > 1000), "key", p)
+    val merged = a.unionByName(b)
+      .groupBy(col("register")).agg(max(col("rho")).as("rho"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(merged == one)
+    // raw estimate within the ~1.04/sqrt(m) envelope (generous 4 sigma)
+    val est = Hll.estimate(Hll.registers(df, "key", p), p)
+    val err = math.abs(est - 2000.0) / 2000.0
+    assert(err < 4 * 1.04 / math.sqrt((1 << p).toDouble), s"est=$est")
+  }
+
   test("events gate query returns one plausible row") {
     val exact = graft.model.Tables.events(spark, sf("sf0.001"))
       .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
