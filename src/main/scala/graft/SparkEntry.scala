@@ -559,6 +559,12 @@ object SparkEntry {
     "fx_partitioned_cutoff" -> ((s, dir) =>
       graft.ingest.PartitionedRates.cutoffStats(s, dir)),
 
+    // DYNAMIC partition pruning: the days to scan come from a broadcast
+    // filtered dim join (fact⋈calendar) — the scan's PartitionFilters
+    // carry a dynamicpruning InSubquery, pruned at runtime
+    "fx_dpp_days" -> ((s, dir) =>
+      graft.ingest.PartitionedRates.dppDayStats(s, dir)),
+
     // K2: insert-if-absent (left-anti against existing key set)
     "fx_insert_if_absent" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -2993,6 +2999,14 @@ object SparkEntry {
          |SELECT ccy_couple, count(*) AS n_ticks, max(rate) AS max_rate,
          |       max(event_time) AS max_event_time
          |FROM rates WHERE date <= $CutoffSql GROUP BY ccy_couple""".stripMargin,
+
+    // the dim join over distinct filtered days is semantically the
+    // row filter day(date) <= 3 — pruning must not change the answer
+    "fx_dpp_days" ->
+      s"""WITH $RatesCte
+         |SELECT date AS p_date, count(*) AS n_ticks,
+         |       max(rate) AS max_rate, min(rate) AS min_rate
+         |FROM rates WHERE day(date) <= 3 GROUP BY date""".stripMargin,
 
     "fx_insert_if_absent" ->
       """WITH existing AS (

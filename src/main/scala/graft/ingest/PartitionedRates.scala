@@ -46,4 +46,28 @@ object PartitionedRates {
       .agg(count(lit(1)).as("n_ticks"),
         max(col("rate")).as("max_rate"),
         max(col("event_time")).as("max_event_time"))
+
+  /** DYNAMIC partition pruning over the same layout: the days to scan
+    * arrive from a JOIN against a filtered dimension (here: the
+    * month-start days, a stand-in for any trading-calendar dim), not
+    * from a literal — so static pruning can't fire, and Catalyst
+    * instead broadcasts the dim, builds a `dynamicpruning` InSubquery
+    * into the scan's PartitionFilters, and skips every other day's
+    * directories AT RUNTIME (asserted on the plan in
+    * `PartitionPruningSpec`). At 100 TB this is the fact⋈calendar
+    * pattern: the fact scan reads only the partitions the dim selects,
+    * without the query author enumerating them.
+    */
+  def dppDayStats(s: SparkSession, dir: String,
+      maxDayOfMonth: Int = 3): DataFrame = {
+    val fact = s.read.parquet(partitionedPath(s, dir))
+    val dim = Tables.rates(s, dir).select(col("date")).distinct()
+      .where(dayofmonth(col("date")) <= maxDayOfMonth)
+      .select(col("date").as("p_date"))
+    fact.join(dim, "p_date")
+      .groupBy(col("p_date"))
+      .agg(count(lit(1)).as("n_ticks"),
+        max(col("rate")).as("max_rate"),
+        min(col("rate")).as("min_rate"))
+  }
 }

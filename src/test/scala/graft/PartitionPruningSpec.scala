@@ -23,6 +23,27 @@ class PartitionPruningSpec extends SparkSuite {
       "p_date must be a partition column, not a data column")
   }
 
+  test("fx_dpp_days: dynamicpruning InSubquery lands in the fact scan") {
+    val df = PartitionedRates.dppDayStats(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning expression in PartitionFilters of:\n$plan")
+    // and the answer equals the row-filtered formulation
+    val viaDpp = df.collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val plain = graft.model.Tables.rates(spark, sf("sf0.001"))
+      .where(org.apache.spark.sql.functions.dayofmonth(col("date")) <= 3)
+      .groupBy(col("date"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max(col("rate")).as("mx"))
+      .collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(viaDpp == plain)
+  }
+
   test("q_agg_pushdown: COUNT/MIN/MAX answered from parquet footers") {
     val df = SparkEntry.queries("q_agg_pushdown")(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString
