@@ -245,6 +245,11 @@ object SparkEntry {
     "fx_macd" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.macd(rates(s, dir))),
 
+    // Holt linear-trend smoothing + h-step forecast: level and trend
+    // evolve jointly in one struct fold (α=1/4, β=1/8 binary-exact)
+    "fx_holt_forecast" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.holtLinear(rates(s, dir))),
+
     // Bollinger bands: trailing-20-day mean ± 2 sample σ per pair-day —
     // the windowed sibling of fx_volatility's exact-integer-moment
     // recipe (built-in windowed stddev would round differently across
@@ -1015,6 +1020,12 @@ object SparkEntry {
     // idempotent by value, no batch markers; must equal the one-shot
     "stream_hll_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayHllIncremental(s, dir)),
+    // per-segment HLL registers: distinct-users-per-segment dashboards
+    // from one scan; group sketches roll up to the global by the same
+    // max fold (union property)
+    "q_hll_grouped" -> ((s, dir) =>
+      graft.operators.Hll.registersPerGroup(
+        Tables.events(s, dir), "event_type", "user_id")),
 
     // rolling 7-day distinct actives per day (the DAU/WAU family):
     // windowed COUNT DISTINCT is not window-function-expressible, so
@@ -2540,6 +2551,35 @@ object SparkEntry {
          |  list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc) AS ema_milli
          |FROM p""".stripMargin,
 
+    // the two-state Holt fold as a recursive CTE; l_t recomputed inside
+    // the b_t expression is bit-identical (deterministic IEEE ops)
+    "fx_holt_forecast" ->
+      s"""WITH RECURSIVE $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) * 1000
+         |         AS BIGINT) AS close_u
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), p AS (
+         |  SELECT ccy_couple,
+         |    list(CAST(close_u AS DOUBLE) ORDER BY date) AS xs
+         |  FROM cl GROUP BY 1
+         |), steps AS (
+         |  SELECT ccy_couple, xs, 1 AS i,
+         |    xs[1] AS l, CAST(0.0 AS DOUBLE) AS b
+         |  FROM p
+         |  UNION ALL
+         |  SELECT ccy_couple, xs, i + 1,
+         |    0.25 * xs[i + 1] + 0.75 * (l + b),
+         |    0.125 * ((0.25 * xs[i + 1] + 0.75 * (l + b)) - l) + 0.875 * b
+         |  FROM steps WHERE i < length(xs)
+         |)
+         |SELECT ccy_couple, CAST(length(xs) AS BIGINT) AS n_days,
+         |  l AS level_milli, b AS trend_milli,
+         |  l + b AS forecast_1d_milli, l + b * 5.0 AS forecast_5d_milli
+         |FROM steps WHERE i = length(xs)""".stripMargin,
+
     // the three-state fold replayed as a recursive CTE: one step per
     // day carrying (f, s, sig); the signal expression recomputes the
     // f/s subtrees — deterministic double ops make that bit-identical
@@ -3480,6 +3520,7 @@ object SparkEntry {
     "q_hll_registers" -> graft.oracle.XxhOracleSql.hllRegisters(p = 8),
     // the maintained registers must equal the one-shot table
     "stream_hll_incremental" -> graft.oracle.XxhOracleSql.hllRegisters(p = 8),
+    "q_hll_grouped" -> graft.oracle.XxhOracleSql.hllRegistersPerGroup(p = 8),
 
     // the same digest fan-out + exact distinct count over the explicit
     // calendar grid (quiet windows emit 0, never a missing row)

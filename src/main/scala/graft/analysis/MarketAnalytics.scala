@@ -452,6 +452,42 @@ object MarketAnalytics {
         col("x").as("rate_milli"), z.as("z_score"))
   }
 
+  /** Holt's linear-trend exponential smoothing — the FORECASTING member
+    * of the fold family: a level and a trend evolve jointly
+    * (l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1});
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}), and the h-step forecast is
+    * l + h·b — what a desk quotes as "where is this pair heading at
+    * current drift". Same determinism recipe as [[macd]]: exact
+    * ×1000-long closes, α = 1/4 and β = 1/8 binary powers, one struct-
+    * accumulator sequential fold per pair; the oracle's recursive CTE
+    * carries the same two state columns and recomputing l_t inside the
+    * b_t expression is bit-identical because IEEE ops are deterministic
+    * functions of operands. Seeds: l_1 = x_1, b_1 = 0.
+    */
+  def holtLinear(rates: DataFrame): DataFrame = {
+    val folded = dailyCloses3(rates)
+      .select(col("ccy_couple"), col("date"),
+        (col("close") * lit(1000)).cast("long").as("close_u"))
+      .groupBy(col("ccy_couple"))
+      .agg(sort_array(collect_list(struct(col("date"), col("close_u"))))
+        .as("path"))
+      .select(col("ccy_couple"), size(col("path")).cast("long").as("n_days"),
+        transform(col("path"), r => r("close_u").cast("double")).as("xs"))
+      .select(col("ccy_couple"), col("n_days"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          struct(element_at(col("xs"), 1).as("l"), lit(0.0).as("b")),
+          (acc, x) => {
+            val lN = lit(0.25) * x + lit(0.75) * (acc("l") + acc("b"))
+            struct(lN.as("l"),
+              (lit(0.125) * (lN - acc("l")) + lit(0.875) * acc("b")).as("b"))
+          }).as("acc"))
+    folded.select(col("ccy_couple"), col("n_days"),
+      col("acc")("l").as("level_milli"), col("acc")("b").as("trend_milli"),
+      (col("acc")("l") + col("acc")("b")).as("forecast_1d_milli"),
+      (col("acc")("l") + col("acc")("b") * lit(5.0)).as("forecast_5d_milli"))
+  }
+
   /** Moving-average-crossover BACKTEST — strategy evaluation as a
     * query: long one unit while the fast trailing mean of the daily
     * close sits above the slow one, flat otherwise, entering the day

@@ -40,6 +40,24 @@ object Hll {
       .groupBy(col("register")).agg(max(col("rho")).as("rho"))
   }
 
+  /** Per-group register digest — the "distinct users per segment"
+    * dashboard sketch: one row per (group, non-empty register), still
+    * one scan + one map-side-combinable groupBy, state ≤ |groups|·2^p.
+    * Group sketches merge by per-(group, register) max, and a GLOBAL
+    * sketch is just the same fold ACROSS groups — the union property
+    * that lets a daily digest roll up to weekly/monthly for free.
+    */
+  def registersPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      p: Int = DefaultP): DataFrame = {
+    val mask = (1L << (64 - p)) - 1L
+    val h = xxhash64(col(keyCol))
+    df.select(col(groupCol).as("grp"),
+        shiftrightunsigned(h, 64 - p).cast("int").as("register"),
+        (graft.functions.LeadingZeros64(h.bitwiseAND(lit(mask)))
+          - lit(p) + lit(1)).as("rho"))
+      .groupBy(col("grp"), col("register")).agg(max(col("rho")).as("rho"))
+  }
+
   /** The raw HLL estimate from a register digest (for specs/clients;
     * the gate checks the registers themselves). Σ2^(−M_j) is computed
     * as an EXACT integer sum of 2^(64−M_j) in DECIMAL(38,0) scaled back

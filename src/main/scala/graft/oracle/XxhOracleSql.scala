@@ -367,6 +367,26 @@ object XxhOracleSql {
        |SELECT register, max(rho) AS rho FROM hr GROUP BY register""".stripMargin
   }
 
+  /** Oracle for [[graft.operators.Hll.registersPerGroup]]: the register
+    * replay with the group key carried through the hash chain.
+    */
+  def hllRegistersPerGroup(p: Int, table: String = "events",
+      keyCol: String = "user_id", grpCol: String = "event_type"): String = {
+    val shift = 64 - p
+    val mask = (BigInt(1) << shift) - 1
+    val (ctes, last) = chain("gb", hashLongSteps("hin", "42::HUGEINT", "h"), "gc")
+    s"""WITH gb AS (SELECT $grpCol AS grp, ${toU(keyCol)} AS hin FROM $table),
+       |${ctes.mkString(",\n")},
+       |gr AS (
+       |  SELECT grp, CAST(hx >> $shift AS INT) AS register,
+       |    CAST((CASE WHEN (hx & $mask::HUGEINT) = 0::HUGEINT THEN 64
+       |               ELSE 64 - length(bin(hx & $mask::HUGEINT)) END)
+       |         - $p + 1 AS INT) AS rho
+       |  FROM $last)
+       |SELECT grp, register, max(rho) AS rho
+       |FROM gr GROUP BY grp, register""".stripMargin
+  }
+
   /** Oracle for [[graft.operators.Kmv.distinctEstimatePerGroup]]: the
     * kmvDistinct replay with the k-min and estimator per group (a
     * row_number QUALIFY stands in for the WindowGroupLimit). `keySql`

@@ -129,6 +129,21 @@ class KmvSpec extends SparkSuite {
     assert(err < 4 * 1.04 / math.sqrt((1 << p).toDouble), s"est=$est")
   }
 
+  test("hll grouped: group sketches roll up to the global by max") {
+    import spark.implicits._
+    import graft.operators.Hll
+    val df = (1L to 900L).map(i => (s"g${i % 3}", i)).toDF("grp", "key")
+    val grouped = Hll.registersPerGroup(df, "grp", "key")
+    assert(grouped.select("grp").distinct().count() == 3)
+    // fold the per-group registers across groups = the global sketch
+    val rolled = grouped.groupBy(col("register"))
+      .agg(max(col("rho")).as("rho"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val global = Hll.registers(df, "key")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(rolled == global)
+  }
+
   test("events gate query returns one plausible row") {
     val exact = graft.model.Tables.events(spark, sf("sf0.001"))
       .select(countDistinct(col("user_id"))).collect()(0).getLong(0)

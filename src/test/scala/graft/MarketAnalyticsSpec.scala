@@ -318,6 +318,30 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(r.getLong(5) == -100L)
   }
 
+  test("holt: hand-replayed level/trend fold, single-day seeds, forecast line") {
+    import spark.implicits._
+    // closes 1,2,3 (milli 1000,2000,3000), α=1/4, β=1/8:
+    // l2 = 1250, b2 = 31.25; l3 = .25·3000+.75·1281.25 = 1710.9375,
+    // b3 = .125·460.9375 + .875·31.25 = 84.9609375 — all binary-exact
+    val rows = Seq(("A", "2024-01-01", 1.0), ("A", "2024-01-03", 3.0),
+      ("A", "2024-01-02", 2.0), ("B", "2024-01-02", 9.5))
+    val df = rows.zipWithIndex.map { case ((p, d, v), i) => (i.toLong, p, v, d) }
+      .toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.holtLinear(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(2) == 1710.9375)
+    assert(out("A").getDouble(3) == 84.9609375)
+    assert(out("A").getDouble(4) == 1710.9375 + 84.9609375)
+    assert(out("A").getDouble(5) == 1710.9375 + 84.9609375 * 5.0)
+    // single observation: level = close, flat trend, flat forecast
+    assert(out("B").getDouble(2) == 9500.0 && out("B").getDouble(3) == 0.0)
+    assert(out("B").getDouble(4) == 9500.0)
+  }
+
   test("seasonality: per-hour profile isolates the noisy hour, bounded output") {
     import spark.implicits._
     // hour 0 constant at 2.0 (σ=0 → no anomalies by convention);
