@@ -250,6 +250,11 @@ object SparkEntry {
     "fx_holt_forecast" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.holtLinear(rates(s, dir))),
 
+    // longest up/down streaks: gaps-and-islands on the change signs —
+    // dates and integer counts only, (len desc, start asc) tiebreak
+    "fx_streaks" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.streaks(rates(s, dir))),
+
     // Bollinger bands: trailing-20-day mean ± 2 sample σ per pair-day —
     // the windowed sibling of fx_volatility's exact-integer-moment
     // recipe (built-in windowed stddev would round differently across
@@ -820,6 +825,13 @@ object SparkEntry {
     "dq_skew_profile" -> ((s, dir) =>
       graft.operators.DataQuality.keySkewProfile(
         Tables.events(s, dir), "user_id")),
+
+    // k-anonymity audit: every (nation, segment) equivalence class
+    // below k re-identifies its members — one map-side-combinable
+    // groupBy on the quasi-identifier tuple, empty result = anonymous
+    "dq_k_anonymity" -> ((s, dir) =>
+      graft.operators.DataQuality.kAnonymityViolations(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), 10L)),
 
     // declarative data contract: completeness + range + key-uniqueness +
     // referential integrity validated into one per-constraint report —
@@ -2551,6 +2563,39 @@ object SparkEntry {
          |  list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc) AS ema_milli
          |FROM p""".stripMargin,
 
+    // the same row_number-difference island identity in SQL
+    "fx_streaks" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), sg AS (
+         |  SELECT ccy_couple, date,
+         |    CASE WHEN chg > 0 THEN 1 ELSE -1 END AS direction
+         |  FROM ch WHERE chg IS NOT NULL AND chg <> 0
+         |), isl AS (
+         |  SELECT ccy_couple, direction,
+         |    row_number() OVER (PARTITION BY ccy_couple ORDER BY date)
+         |    - row_number() OVER (PARTITION BY ccy_couple, direction
+         |        ORDER BY date) AS grp,
+         |    date
+         |  FROM sg
+         |), agg AS (
+         |  SELECT ccy_couple, direction, grp, count(*) AS streak_days,
+         |    min(date) AS start_date
+         |  FROM isl GROUP BY 1, 2, 3
+         |)
+         |SELECT ccy_couple, direction, streak_days, start_date
+         |FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, direction
+         |        ORDER BY streak_days DESC, start_date ASC) AS rn FROM agg)
+         |WHERE rn = 1""".stripMargin,
+
     // the two-state Holt fold as a recursive CTE; l_t recomputed inside
     // the b_t expression is bit-identical (deterministic IEEE ops)
     "fx_holt_forecast" ->
@@ -3344,6 +3389,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_discount_unit,
         |  CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_flag_domain
         |FROM lineitem""".stripMargin,
+
+    // exact class-size counts, strict < k
+    "dq_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |HAVING count(*) < 10""".stripMargin,
 
     // each constraint's good-count replayed as the same exact-long
     // counts; metric = ratio of identical longs, passed = >= on the

@@ -452,6 +452,36 @@ object MarketAnalytics {
         col("x").as("rate_milli"), z.as("z_score"))
   }
 
+  /** Longest up/down STREAKS per pair — momentum persistence read off
+    * the change digest with the classic gaps-and-islands identity: rows
+    * sorted by date get a global row number and a per-sign row number,
+    * and their difference is constant exactly within a maximal run of
+    * equal sign. One row per (pair, direction): the longest streak's
+    * length and start day, ties broken by earliest start. Dates and
+    * integer counts only — trivially engine-exact; flat days (zero
+    * change) break streaks and emit nothing themselves.
+    */
+  def streaks(rates: DataFrame): DataFrame = {
+    val chg = dailyChangesU(rates)
+      .withColumn("direction",
+        when(col("chg_u") > 0, lit(1)).when(col("chg_u") < 0, lit(-1))
+          .otherwise(lit(0)))
+      .where(col("direction") =!= 0)
+    val wAll = Window.partitionBy(col("ccy_couple")).orderBy(col("date"))
+    val wSign = Window.partitionBy(col("ccy_couple"), col("direction"))
+      .orderBy(col("date"))
+    val islands = chg
+      .withColumn("grp",
+        row_number().over(wAll) - row_number().over(wSign))
+      .groupBy(col("ccy_couple"), col("direction"), col("grp"))
+      .agg(count(lit(1)).as("streak_days"), min(col("date")).as("start_date"))
+    val wBest = Window.partitionBy(col("ccy_couple"), col("direction"))
+      .orderBy(col("streak_days").desc, col("start_date").asc)
+    islands.withColumn("rn", row_number().over(wBest)).where(col("rn") === 1)
+      .select(col("ccy_couple"), col("direction"), col("streak_days"),
+        col("start_date"))
+  }
+
   /** Holt's linear-trend exponential smoothing — the FORECASTING member
     * of the fold family: a level and a trend evolve jointly
     * (l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1});

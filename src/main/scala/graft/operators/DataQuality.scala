@@ -193,6 +193,22 @@ object DataQuality {
     flagged.agg(count(lit(1)).as("n_rows"), goods: _*)
   }
 
+  /** k-ANONYMITY audit (Sweeney 2002) — the governance check a dataset
+    * passes before leaving its trust boundary: every combination of
+    * quasi-identifier values must be shared by at least k rows, or the
+    * rare combination re-identifies its subjects. Output: one row per
+    * VIOLATING equivalence class (its quasi-identifier values and size)
+    * plus the class count makes suppression actionable; an empty result
+    * certifies k-anonymity. One map-side-combinable groupBy on the
+    * quasi-identifier tuple — the same shape as exact dedup, scale-safe
+    * at any corpus size; exact integer counts, trivially replayable.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiIds: Seq[String],
+      k: Long): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .where(col("class_size") < k)
+
   /** Key-skew diagnostic — the numbers that decide whether a join/agg on
     * `keyCol` needs salting, AQE skew handling, or nothing: total rows,
     * distinct keys, the heaviest key's row count and share, the p99 key

@@ -318,6 +318,24 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(r.getLong(5) == -100L)
   }
 
+  test("streaks: islands split on reversals, longest wins with earliest-start tie") {
+    import spark.implicits._
+    // closes 1,2,3,4,3,4,5 → changes +,+,+,−,+,+ : best up = 3 days
+    // starting day 2; only down streak = 1 day at day 5
+    val closes = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 4.0, 5.0)
+    val df = closes.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "A", v, f"2024-01-${i + 1}%02d")
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    val out = MarketAnalytics.streaks(df).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getDate(3).toString))).toMap
+    assert(out(1) == ((3L, "2024-01-02")))
+    assert(out(-1) == ((1L, "2024-01-05")))
+  }
+
   test("holt: hand-replayed level/trend fold, single-day seeds, forecast line") {
     import spark.implicits._
     // closes 1,2,3 (milli 1000,2000,3000), α=1/4, β=1/8:

@@ -186,6 +186,18 @@ class OperatorsSpec extends SparkSuite {
     assert(out == naive)
   }
 
+  test("k-anonymity: small equivalence classes flagged, k=1 certifies anything") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq(("DE", "A"))).toDF("country", "seg")
+    val v = DataQuality.kAnonymityViolations(df, Seq("country", "seg"), 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(v == Map(("US", "B") -> 2L, ("DE", "A") -> 1L))
+    assert(DataQuality.kAnonymityViolations(df, Seq("country", "seg"), 1L)
+      .count() == 0) // every class has >= 1 row by definition
+  }
+
   test("skyline merge identity: skyline(skyline(A) ∪ B) = skyline(A ∪ B)") {
     import spark.implicits._
     import graft.operators.Skyline
