@@ -348,16 +348,24 @@ object MarketAnalytics {
     * digest first; the per-pair array is |days| elements however large
     * the corpus — the same bounded-state argument as the change vectors.
     */
-  def emaDailyClose(rates: DataFrame): DataFrame = {
-    val closes = dailyCloses3(rates)
+  /** (ccy_couple, n_days, xs): each pair's DAY-ORDERED daily-close path
+    * as exact ×1000 values in doubles — the shared digest every
+    * sequential fold metric (EMA, MACD, Holt) runs on. One shuffle to
+    * the per-pair array; any change to the quantization or ordering
+    * lives HERE, so the fold oracles can never desync from each other.
+    */
+  private def closePathU(rates: DataFrame): DataFrame =
+    dailyCloses3(rates)
       .select(col("ccy_couple"), col("date"),
         (col("close") * lit(1000)).cast("long").as("close_u"))
-    closes
       .groupBy(col("ccy_couple"))
       .agg(sort_array(collect_list(struct(col("date"), col("close_u"))))
         .as("path"))
       .select(col("ccy_couple"), size(col("path")).cast("long").as("n_days"),
         transform(col("path"), r => r("close_u").cast("double")).as("xs"))
+
+  def emaDailyClose(rates: DataFrame): DataFrame =
+    closePathU(rates)
       .select(col("ccy_couple"), col("n_days"),
         element_at(col("xs"), -1).as("last_close_milli"),
         aggregate(
@@ -365,7 +373,6 @@ object MarketAnalytics {
           element_at(col("xs"), 1),
           (acc, x) => lit(0.25) * x + lit(0.75) * acc)
           .as("ema_milli"))
-  }
 
   /** Per-pair MACD (moving-average convergence/divergence): fast EMA −
     * slow EMA of the daily close, plus the signal line (an EMA of the
@@ -393,15 +400,7 @@ object MarketAnalytics {
     * then a codegen'd left fold.
     */
   def macd(rates: DataFrame): DataFrame = {
-    val closes = dailyCloses3(rates)
-      .select(col("ccy_couple"), col("date"),
-        (col("close") * lit(1000)).cast("long").as("close_u"))
-    val folded = closes
-      .groupBy(col("ccy_couple"))
-      .agg(sort_array(collect_list(struct(col("date"), col("close_u"))))
-        .as("path"))
-      .select(col("ccy_couple"), size(col("path")).cast("long").as("n_days"),
-        transform(col("path"), r => r("close_u").cast("double")).as("xs"))
+    val folded = closePathU(rates)
       .select(col("ccy_couple"), col("n_days"),
         aggregate(
           slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
@@ -495,14 +494,7 @@ object MarketAnalytics {
     * functions of operands. Seeds: l_1 = x_1, b_1 = 0.
     */
   def holtLinear(rates: DataFrame): DataFrame = {
-    val folded = dailyCloses3(rates)
-      .select(col("ccy_couple"), col("date"),
-        (col("close") * lit(1000)).cast("long").as("close_u"))
-      .groupBy(col("ccy_couple"))
-      .agg(sort_array(collect_list(struct(col("date"), col("close_u"))))
-        .as("path"))
-      .select(col("ccy_couple"), size(col("path")).cast("long").as("n_days"),
-        transform(col("path"), r => r("close_u").cast("double")).as("xs"))
+    val folded = closePathU(rates)
       .select(col("ccy_couple"), col("n_days"),
         aggregate(
           slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),

@@ -76,7 +76,7 @@ object DataQuality {
     * is small, shuffle-on-key otherwise — Catalyst/AQE decide). Metrics
     * are ratios of exact longs, so the doubles are engine-identical.
     */
-  sealed trait Constraint { def name: String }
+  sealed trait Constraint { def name: String; def atLeast: Double }
   /** Fraction of rows with `column` non-null must reach `atLeast`. */
   final case class Complete(name: String, column: String,
       atLeast: Double = 1.0) extends Constraint
@@ -106,8 +106,12 @@ object DataQuality {
     val rowLevel: Seq[(Constraint, Column)] = constraints.collect {
       case c: Complete  => c -> sum(when(col(c.column).isNotNull, 1L).otherwise(0L))
       case c: Satisfies => c -> sum(when(coalesce(c.holds, lit(false)), 1L).otherwise(0L))
+      // struct-wrapped so NULL-bearing tuples COUNT (a struct is never
+      // null): matches the oracle's SELECT DISTINCT and the incremental
+      // path's row-level distinct — multi-arg count_distinct would skip
+      // any tuple with a null component and diverge on nullable keys
       case c: Unique    =>
-        c -> count_distinct(col(c.columns.head), c.columns.tail.map(col): _*)
+        c -> count_distinct(struct(c.columns.map(col): _*))
     }
     val aggCols = count(lit(1)).as("n_rows") +:
       rowLevel.zipWithIndex.map { case ((_, g), i) => g.as(s"g$i") }
@@ -139,13 +143,7 @@ object DataQuality {
     val report = constraints.map { c =>
       val g = good(c.name)
       val metric = if (nRows == 0L) 1.0 else g.toDouble / nRows.toDouble
-      val atLeast = c match {
-        case x: Complete => x.atLeast
-        case x: Satisfies => x.atLeast
-        case x: Unique => x.atLeast
-        case x: SubsetOf => x.atLeast
-      }
-      org.apache.spark.sql.Row(c.name, nRows, g, metric, metric >= atLeast)
+      org.apache.spark.sql.Row(c.name, nRows, g, metric, metric >= c.atLeast)
     }
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(report).asJava,

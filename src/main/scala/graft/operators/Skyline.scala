@@ -53,9 +53,10 @@ object Skyline {
       .withColumn("__acrossHigher", max(col("__cmax")).over(wAcross))
       .select(col("__chunk"), col("__acrossHigher"))
     val digest = inChunk.join(broadcast(across), "__chunk")
+      // greatest() skips NULLs by spec (NULL only when both are), which
+      // is exactly the "no higher point on that side" semantics
       .withColumn("__higher",
-        greatest(coalesce(col("__inHigher"), col("__acrossHigher")),
-          coalesce(col("__acrossHigher"), col("__inHigher"))))
+        greatest(col("__inHigher"), col("__acrossHigher")))
       .select(col("__chunk"), col("__x"), col("__lvlmax"), col("__higher"))
     dims.join(digest, Seq("__chunk", "__x"))
       .where(

@@ -32,10 +32,10 @@ object Triangles {
     val deg = canon.select(col("u").as("node"))
       .unionAll(canon.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    // one sortable orientation key: (degree, id) packed into a long —
-    // ids here are digest-scale (nation/customer keys), far below 2^32
-    val key = deg.select(col("node"),
-      (col("d") * lit(4294967296L) + col("node")).as("k"))
+    // the (degree, id) orientation key as a STRUCT — lexicographic
+    // struct comparison is a total order with no packing, so arbitrary
+    // 64-bit ids and degrees can't collide or overflow a packed long
+    val key = deg.select(col("node"), struct(col("d"), col("node")).as("k"))
     val oriented = canon
       .join(key.select(col("node").as("u"), col("k").as("ku")), "u")
       .join(key.select(col("node").as("v"), col("k").as("kv")), "v")

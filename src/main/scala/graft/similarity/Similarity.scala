@@ -349,7 +349,7 @@ object Similarity {
     * declared, not probed — the plane set must be fixed at plan time.
     */
   def mipsTopKFrom(emb: DataFrame, nQueries: Int = 5,
-      k: Int = 5, nPlanes: Int = DefaultNPlanes,
+      k: Int = 5, nPlanes: Int = MipsNPlanes,
       maxBucket: Int = 200, dim: Int = DefaultDim): DataFrame = {
     val ps = planes(nPlanes, dim + 1)
     val n = emb.withColumn("nsq", dotDouble(col("embedding"), col("embedding")))

@@ -677,10 +677,14 @@ object StreamReplay {
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val marker = stateDir.resolve("_applied").resolve(s"batch-$bid")
           if (!java.nio.file.Files.exists(marker)) {
-            QualityClassifier.features(batch)
-              .write.mode("append").parquet(stateDir.resolve("feats").toString)
-            QualityClassifier.labels(batch, "en")
-              .write.mode("append").parquet(stateDir.resolve("labs").toString)
+            // batch-SCOPED overwrite dirs, not appends: a crash between
+            // the two writes re-delivers the batch, which then rewrites
+            // the same subdirs with the same rows — idempotent without
+            // the marker (the marker only skips recomputation)
+            QualityClassifier.features(batch).write.mode("overwrite")
+              .parquet(stateDir.resolve("feats").resolve(s"b$bid").toString)
+            QualityClassifier.labels(batch, "en").write.mode("overwrite")
+              .parquet(stateDir.resolve("labs").resolve(s"b$bid").toString)
             java.nio.file.Files.createDirectories(marker.getParent)
             java.nio.file.Files.createFile(marker)
             ()
@@ -691,18 +695,9 @@ object StreamReplay {
     }
 
     val w = QualityClassifier.train(
-      s.read.parquet(stateDir.resolve("feats").toString),
-      s.read.parquet(stateDir.resolve("labs").toString))
-    s.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(
-        w.toSeq.zipWithIndex.map { case (v, j) =>
-          org.apache.spark.sql.Row(j, v)
-        }).asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("feature",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("weight_u",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      s.read.parquet(stateDir.resolve("feats").toString + "/*"),
+      s.read.parquet(stateDir.resolve("labs").toString + "/*"))
+    QualityClassifier.weightFrame(s, w)
   }
 
   /** Replay of an INCREMENTALLY MAINTAINED SKYLINE (Pareto frontier):
@@ -727,19 +722,26 @@ object StreamReplay {
       col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
     proj.repartition(nBatches).write.mode("overwrite").parquet(feed)
 
-    def latestVersion(): Option[java.nio.file.Path] = {
+    // newest committed version BELOW the given batch id — a recovering
+    // batch must never select its own (possibly half-written) version
+    // as the base, and it must not read the directory it is about to
+    // replace (Spark's overwrite deletes the target under a lazy read)
+    def latestVersion(below: Long): Option[java.nio.file.Path] = {
       if (!java.nio.file.Files.isDirectory(stateDir)) return None
-      val vs = java.nio.file.Files.list(stateDir).iterator()
-      var best: Option[(Long, java.nio.file.Path)] = None
-      while (vs.hasNext) {
-        val p = vs.next()
-        val n = p.getFileName.toString
-        if (n.startsWith("v")) {
-          val id = n.drop(1).toLong
-          if (best.forall(_._1 < id)) best = Some((id, p))
+      val vs = java.nio.file.Files.list(stateDir)
+      try {
+        val it = vs.iterator()
+        var best: Option[(Long, java.nio.file.Path)] = None
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith("v")) {
+            val id = n.drop(1).toLong
+            if (id < below && best.forall(_._1 < id)) best = Some((id, p))
+          }
         }
-      }
-      best.map(_._2)
+        best.map(_._2)
+      } finally vs.close()
     }
 
     withReplayPartitions(s, 8) {
@@ -752,14 +754,21 @@ object StreamReplay {
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val marker = stateDir.resolve("_applied").resolve(s"batch-$bid")
           if (!java.nio.file.Files.exists(marker)) {
-            val base = latestVersion()
+            val base = latestVersion(below = bid)
               .map(p => s.read.parquet(p.toString))
               .getOrElse(batch.limit(0))
             val merged = base.unionByName(batch)
+            // write-then-move: the new frontier lands complete under a
+            // scratch name, then replaces v$bid — a crash leaves either
+            // the old state or the new, never a directory being read
+            // and deleted at once
+            val tmpOut = stateDir.resolve(s"tmp-$bid")
+            val vOut = stateDir.resolve(s"v$bid")
             graft.operators.Skyline
               .skylineMax2D(merged, col("o_totalprice"), col("o_orderdate"))
-              .write.mode("overwrite")
-              .parquet(stateDir.resolve(s"v$bid").toString)
+              .write.mode("overwrite").parquet(tmpOut.toString)
+            graft.util.Scratch.deleteRecursively(vOut)
+            java.nio.file.Files.move(tmpOut, vOut)
             java.nio.file.Files.createDirectories(marker.getParent)
             java.nio.file.Files.createFile(marker)
             ()
@@ -769,7 +778,7 @@ object StreamReplay {
       query.awaitTermination()
     }
 
-    s.read.parquet(latestVersion().get.toString)
+    s.read.parquet(latestVersion(below = Long.MaxValue).get.toString)
   }
 
   /** Replay of INCREMENTAL KMV-SKETCH maintenance: the events table
@@ -1330,10 +1339,16 @@ object StreamReplay {
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val marker = countersDir.resolve("_applied").resolve(s"batch-$bid")
           if (!java.nio.file.Files.exists(marker)) {
-            partialCounters(batch, additive)
-              .write.mode("append").parquet(countersDir.resolve("rows").toString)
+            // batch-SCOPED overwrite dirs: re-delivery after a crash
+            // between the two writes rewrites identical content instead
+            // of appending a double-counted copy (the counters are
+            // additive, NOT idempotent by value — the keys are, but get
+            // the same treatment for uniformity)
+            partialCounters(batch, additive).write.mode("overwrite")
+              .parquet(countersDir.resolve("rows").resolve(s"b$bid").toString)
             batch.select(col("l_orderkey"), col("l_linenumber")).distinct()
-              .write.mode("append").parquet(keysDir)
+              .write.mode("overwrite")
+              .parquet(java.nio.file.Paths.get(keysDir).resolve(s"b$bid").toString)
             java.nio.file.Files.createDirectories(marker.getParent)
             java.nio.file.Files.createFile(marker)
             ()
@@ -1343,7 +1358,7 @@ object StreamReplay {
       query.awaitTermination()
     }
 
-    val counters = s.read.parquet(countersDir.resolve("rows").toString)
+    val counters = s.read.parquet(countersDir.resolve("rows").toString + "/*")
     val folded = counters.agg(
       sum(col("n_rows")).as("n_rows"),
       additive.map(c => sum(col(s"g_${c.name}")).as(s"g_${c.name}")): _*)
@@ -1352,7 +1367,7 @@ object StreamReplay {
     val goodAdditive = additive.zipWithIndex.map { case (c, i) =>
       c.name -> folded.getLong(i + 1)
     }.toMap
-    val nUnique = s.read.parquet(keysDir).distinct().count()
+    val nUnique = s.read.parquet(keysDir + "/*").distinct().count()
     val good = goodAdditive ++
       constraints.collect { case u: Unique => u.name -> nUnique }
     reportFrom(s, constraints, nRows, good)

@@ -148,18 +148,23 @@ object QualityClassifier {
       train(features(docs), labels(docs, posLang), iters)
     })
 
-  /** The trained weight table (feature, weight_u) for `dir`'s documents
-    * — the gate's replayed-training artifact.
+  /** The canonical (feature, weight_u) frame for a weight vector — the
+    * ONE schema the oracles key on, shared by the one-shot gate and the
+    * incremental replay so the two can never drift.
     */
-  def trainedWeights(s: SparkSession, dir: String,
-      posLang: String = "en", iters: Int = DefaultIters): DataFrame = {
-    val w = trained(s, dir, posLang, iters)
+  def weightFrame(s: SparkSession, w: Array[Long]): DataFrame =
     s.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(
         w.toSeq.zipWithIndex.map { case (v, j) => Row(j, v) }).asJava,
       StructType(Seq(StructField("feature", IntegerType, nullable = false),
         StructField("weight_u", LongType, nullable = false))))
-  }
+
+  /** The trained weight table (feature, weight_u) for `dir`'s documents
+    * — the gate's replayed-training artifact.
+    */
+  def trainedWeights(s: SparkSession, dir: String,
+      posLang: String = "en", iters: Int = DefaultIters): DataFrame =
+    weightFrame(s, trained(s, dir, posLang, iters))
 
   /** Inference over the trained model: exact integer margin per doc and
     * the fixed-point decision p ≥ ½ ⟺ m_u ≥ 0 — no floats in the

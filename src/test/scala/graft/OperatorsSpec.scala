@@ -129,6 +129,12 @@ class OperatorsSpec extends SparkSuite {
       Complete("fk_complete", "fk"),
       SubsetOf("fk_parent", "fk", parent, "pk")))
     assert(clean.collect().forall(_.getBoolean(4)))
+    // Unique must count NULL-bearing tuples like SELECT DISTINCT does
+    // (struct wrap) — 4 rows, distinct (fk, k2) tuples incl. the null
+    // one = 4 → unique even though one key component is NULL
+    val uniq = validate(child, Seq(Unique("u", Seq("fk", "k2"))))
+      .collect().head
+    assert(uniq.getLong(2) == 4L && uniq.getBoolean(4))
   }
 
   test("constraint partials merge: summed batch counters equal the one-shot counts") {
