@@ -123,6 +123,68 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: skyline equals the naive dominance filter on random points") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val pts = (0 until 80).map { i =>
+        (i.toLong, rnd.nextInt(40).toDouble,
+          java.sql.Date.valueOf(f"2024-01-${1 + rnd.nextInt(28)}%02d"))
+      }.toDF("id", "x", "y")
+      val fast = graft.operators.Skyline
+        .skylineMax2D(pts, col("x"), col("y"), chunkW = 7.0)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val rows = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDate(2)))
+      val naive = rows.filter { case (_, x, y) =>
+        !rows.exists { case (_, qx, qy) =>
+          qx >= x && qy.compareTo(y) >= 0 && (qx > x || qy.compareTo(y) > 0)
+        }
+      }.map(_._1).toSet
+      assert(fast == naive, s"seed=$seed")
+    }
+  }
+
+  test("property: triangle counts equal the naive triple scan on random graphs") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 14
+      val edges = (for {
+        u <- 0 until n; v <- (u + 1) until n
+        if rnd.nextDouble() < 0.35
+      } yield (u.toLong, v.toLong))
+      // feed duplicates and reversals too — canonicalization is part of
+      // the contract
+      val noisy = edges ++ edges.take(5).map(_.swap)
+      val out = graft.operators.Triangles
+        .triangleCounts(noisy.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val eset = edges.toSet
+      def adj(a: Long, b: Long) =
+        eset.contains((math.min(a, b), math.max(a, b)))
+      val naive = scala.collection.mutable.Map.empty[Long, Long]
+      for (a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n)
+        if (adj(a, b) && adj(b, c) && adj(a, c))
+          Seq(a, b, c).foreach(v => naive(v) = naive.getOrElse(v.toLong, 0L) + 1)
+      assert(out == naive.toMap, s"seed=$seed")
+    }
+  }
+
+  test("property: hll registers are partitioning- and duplication-invariant") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val keys = (0 until 500).map(_ => rnd.nextLong() % 1000)
+      val df = keys.toDF("key")
+      val dup = (keys ++ keys ++ keys.take(100)).toDF("key").repartition(7)
+      val a = graft.operators.Hll.registers(df, "key").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      val b = graft.operators.Hll.registers(dup, "key").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(a == b, s"seed=$seed")
+    }
+  }
+
   test("property: pagerank mass conservation and positivity on random graphs") {
     import spark.implicits._
     (1L to 3L).foreach { seed =>
