@@ -307,38 +307,13 @@ object NearDup {
     */
   def nearDupClusters(s: SparkSession, dir: String,
       threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
+    // the generic hash-min machinery (operators.ConnectedComponents)
+    // over the capped Jaccard pair graph — extraction, not a rewrite:
+    // same rounds, same convergence probe, same labels
     val pairs = ngramJaccardPairsCached(s, dir, threshold)
       .select(col("doc_id").as("src"), col("nb_id").as("dst"))
-    val e = pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst"))).persist(mem)
-    var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist(mem)
-    // convergence probe: labels only ever DECREASE (min is monotone), so
-    // the label sum strictly decreases iff any label changed — one cheap
-    // scan of the just-persisted relation instead of a join against the
-    // previous generation
-    var prevSum = Long.MaxValue
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nbMin = e.join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      // localCheckpoint (eager), not persist: each round's plan would
-      // otherwise nest the previous round's join tree — by round 5 the
-      // optimizer re-plans a 5-deep lineage per action, and planning
-      // time dominates the (tiny) label relation's execution time
-      val next = labels
-        .join(nbMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val s = next.agg(sum(col("label"))).collect().head.getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = s == prevSum
-      prevSum = s
-      i += 1
-    }
+    val labels =
+      graft.operators.ConnectedComponents.labelPropagation(pairs, maxIters)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -40,6 +40,20 @@ class PageRankSpec extends SparkSuite {
     assert(out(3L) == 0.15 / n + 0.85 * (1.0 / n * 0.25))
   }
 
+  test("connected components: two components, path-graph propagation, min labels") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // component A: path 1-2-3-4-5 (worst case: min crawls the diameter);
+    // component B: triangle 10-11-12; edge direction must not matter
+    val e = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (12L, 11L), (10L, 12L)).toDF("src", "dst")
+    val out = ConnectedComponents.labelPropagation(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(out(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 10L))
+    assert(out.size == 8)
+  }
+
   test("triangles: K4 counts, canonicalization, and triangle-free graphs") {
     import spark.implicits._
     import graft.operators.Triangles
