@@ -504,6 +504,11 @@ object SparkEntry {
     // retraining from folded state must learn the identical model
     "stream_classifier_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayClassifierIncremental(s, dir)),
+    // incremental histogram sketch: additive bin partials in
+    // batch-scoped dirs; the folded digest's percentile estimates must
+    // equal the one-shot sketch
+    "stream_hist_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayHistIncremental(s, dir)),
     // incremental JOIN-view maintenance (delta-merge): per batch, join
     // ONLY the batch to the broadcast dim and merge mergeable aggregates
     // into the |groups|-row stored view — must equal the one-shot
@@ -1022,6 +1027,17 @@ object SparkEntry {
       graft.operators.Kmv.distinctEstimate(
         Tables.events(s, dir), "user_id", k = 64)),
 
+    // histogram quantile sketch: equi-width integer bins (mergeable,
+    // one map-side-combinable groupBy to <= nBins rows) + interpolated
+    // percentile estimates computed on the digest alone — the o(n)
+    // alternative to the exact sort-based percentile
+    "q_hist_percentiles" -> ((s, dir) => {
+      val bins = graft.operators.HistogramSketch.binCounts(
+        Tables.lineitem(s, dir), "l_extendedprice", 0.0, 80000.0, 64)
+      graft.operators.HistogramSketch.percentiles(
+        s, bins, 0.0, 80000.0, 64, Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
     // HyperLogLog register table: the industry-standard distinct
     // sketch next to KMV — exact integer registers (top-p-bit routing,
     // clz rank), one narrow map + one map-side-combinable groupBy to a
@@ -1525,6 +1541,38 @@ object SparkEntry {
     * representation, so DuckDB parses back bit-identical doubles and the
     * oracle can recompute the exact same signatures the Spark side does.
     */
+  /** The histogram-sketch percentile replay — shared by the one-shot
+    * gate and the incremental fold, which must produce identical bins.
+    */
+  private val HistPercentilesOracleSql: String =
+    """WITH b AS (
+      |  SELECT CAST(least(greatest(
+      |      floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 1250.0), 0), 63)
+      |    AS INT) AS bin, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(cnt) AS DOUBLE) AS nd FROM b
+      |), qs AS (
+      |  SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q
+      |), r AS (
+      |  SELECT q, greatest(CAST(ceil(q * (SELECT nd FROM t)) AS BIGINT),
+      |    1) AS rank FROM qs
+      |), c AS (
+      |  SELECT bin, cnt,
+      |    sum(cnt) OVER (ORDER BY bin) AS cum,
+      |    coalesce(sum(cnt) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+      |  FROM b
+      |), sel AS (
+      |  SELECT r.q, r.rank, c.bin, c.cnt, c.cumprev,
+      |    row_number() OVER (PARTITION BY r.q ORDER BY c.bin) AS rn
+      |  FROM r JOIN c ON c.cum >= r.rank
+      |)
+      |SELECT q AS quantile, rank, bin,
+      |  0.0 + 1250.0 * (CAST(bin AS DOUBLE)
+      |    + CAST(rank - cumprev AS DOUBLE) / CAST(cnt AS DOUBLE)) AS estimate
+      |FROM sel WHERE rn = 1""".stripMargin
+
   /** Textbook skyline dominance as oracle SQL — shared verbatim by the
     * one-shot `q_skyline_orders` gate and the incrementally maintained
     * `stream_skyline_incremental` frontier, which must converge to it.
@@ -3566,6 +3614,13 @@ object SparkEntry {
     // unsigned k-min order, estimator double tree (XxhOracleSql)
     "q_kmv_distinct" ->
       graft.oracle.XxhOracleSql.kmvDistinct(k = 64),
+
+    // bins + cumulative walk + the identical interpolation tree; the
+    // `- 0.0` keeps the binning operand tree literally aligned
+    "q_hist_percentiles" -> HistPercentilesOracleSql,
+
+    // the folded incremental bins must estimate identically
+    "stream_hist_incremental" -> HistPercentilesOracleSql,
 
     // the register table replayed: hashLong in HUGEINT, top-p routing,
     // bin()-based clz rank, max per register

@@ -819,6 +819,46 @@ object StreamReplay {
     graft.operators.Kmv.estimateFromHashes(s.read.parquet(partsDir), k)
   }
 
+  /** Replay of INCREMENTAL HISTOGRAM-SKETCH maintenance: each batch
+    * writes its ≤ nBins-row bin-count partial into a batch-scoped
+    * overwrite dir (counts are additive, NOT idempotent by value — the
+    * same discipline as the constraints counters); the report sums per
+    * bin and estimates percentiles from the folded digest. Must equal
+    * the one-shot q_hist_percentiles — same oracle.
+    */
+  def replayHistIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    import graft.operators.HistogramSketch
+    val tmp = Scratch.dir("graft_hist_replay")
+    val feed = tmp.resolve("feed").toString
+    val partsDir = tmp.resolve("bins")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    li.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          HistogramSketch
+            .binCounts(batch, "l_extendedprice", 0.0, 80000.0, 64)
+            .write.mode("overwrite")
+            .parquet(partsDir.resolve(s"b$bid").toString)
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    val folded = s.read.parquet(partsDir.toString + "/*")
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    HistogramSketch.percentiles(s, folded, 0.0, 80000.0, 64,
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+  }
+
   /** Replay of INCREMENTAL HYPERLOGLOG maintenance: each micro-batch
     * appends its ≤ 2^p-row register partial; the fold takes max per
     * register — union of sketches = sketch of the union, and the

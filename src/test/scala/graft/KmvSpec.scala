@@ -144,6 +144,33 @@ class KmvSpec extends SparkSuite {
     assert(rolled == global)
   }
 
+  test("histogram sketch: uniform hand data estimates exactly, bins merge by sum") {
+    import spark.implicits._
+    import graft.operators.HistogramSketch
+    // values 0.5, 1.5, ..., 99.5 over [0,100) with 10 bins: every bin
+    // holds 10; rank(0.5·100)=50 → bin 4, est = 10·(4 + 10/10) = 50
+    val vals = (0 until 100).map(_ + 0.5).toDF("v")
+    val bins = HistogramSketch.binCounts(vals, "v", 0.0, 100.0, 10)
+    assert(bins.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      (0 until 10).map(_ -> 10L).toMap)
+    val est = HistogramSketch
+      .percentiles(spark, bins, 0.0, 100.0, 10, Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(est(0.25) == 25.0 && est(0.5) == 50.0 && est(0.9) == 90.0)
+    // additive merge: two disjoint halves' bins sum to the one-shot
+    val a = HistogramSketch.binCounts(vals.where(col("v") < 50), "v", 0.0, 100.0, 10)
+    val b = HistogramSketch.binCounts(vals.where(col("v") >= 50), "v", 0.0, 100.0, 10)
+    val merged = a.unionByName(b).groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == bins.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    // out-of-domain values clamp to the edge bins, never vanish
+    val clamped = HistogramSketch.binCounts(
+      Seq(-5.0, 500.0).toDF("v"), "v", 0.0, 100.0, 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(clamped == Map(0 -> 1L, 9 -> 1L))
+  }
+
   test("events gate query returns one plausible row") {
     val exact = graft.model.Tables.events(spark, sf("sf0.001"))
       .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
