@@ -46,6 +46,8 @@ object HistogramSketch {
     val counts = bins.collect().map(r => r.getInt(0) -> r.getLong(1))
       .toMap.withDefaultValue(0L)
     val n = counts.values.sum
+    require(n > 0, "histogram digest is empty — percentiles are undefined " +
+      "on an empty corpus (rank 1 would never find a covering bin)")
     val rows = qs.map { q =>
       val rank = math.ceil(q * n.toDouble).toLong.max(1L)
       var cum = 0L
