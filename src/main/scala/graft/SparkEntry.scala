@@ -708,6 +708,18 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, dir) =>
       graft.analysis.EventAnalytics.retentionCohorts(s, dir)),
 
+    // first-order Markov transition matrix: lead() over the per-user
+    // (ts, event_id) total order, counts to a |types|^2 digest, row-
+    // normalized probability as one IEEE division of exact longs
+    "q_event_transitions" -> ((s, dir) =>
+      graft.analysis.EventAnalytics.transitionMatrix(s, dir)),
+
+    // market-basket association rules: DISTINCT baskets self-joined per
+    // order (fanout <= items/order), pair counts >= 2, support/confidence/
+    // lift as fixed double trees over exact longs
+    "q_market_basket" -> ((s, dir) =>
+      graft.analysis.Association.marketBasketRules(s, dir)),
+
     // corrupt-record QUARANTINE: a feed where every 7th payload is
     // truncated mid-object; malformed rows route to quarantine instead
     // of failing the job or silently dropping — the tolerance contract
@@ -3374,6 +3386,50 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM ev JOIN cohort c ON ev.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // the identical lead() window under the (ts, event_id) total order;
+    // prob = exact-long counts through one IEEE division on both engines
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n_transitions
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE) /
+        |    CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    AS prob
+        |FROM c""".stripMargin,
+
+    // DISTINCT baskets, bounded per-order pair expansion, the identical
+    // support/confidence/lift double trees over exact longs
+    "q_market_basket" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+        |  FROM lineitem
+        |), n AS (
+        |  SELECT count(DISTINCT okey) AS n_orders FROM baskets
+        |), ic AS (
+        |  SELECT item, count(*) AS cnt FROM baskets GROUP BY 1
+        |), p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_cnt
+        |  FROM baskets a JOIN baskets b
+        |    ON a.okey = b.okey AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT item_a, item_b, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  CAST(pair_cnt AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+        |  CAST(pair_cnt AS DOUBLE) / CAST(ca.cnt AS DOUBLE) AS conf_a_to_b,
+        |  CAST(pair_cnt AS DOUBLE) / CAST(cb.cnt AS DOUBLE) AS conf_b_to_a,
+        |  CAST(pair_cnt AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+        |    (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) AS lift
+        |FROM p
+        |JOIN ic ca ON ca.item = p.item_a
+        |JOIN ic cb ON cb.item = p.item_b, n""".stripMargin,
 
     // same payloads; json_valid routes, json path functions extract
     "ing_corrupt_quarantine" ->

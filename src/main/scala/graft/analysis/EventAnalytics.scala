@@ -67,4 +67,31 @@ object EventAnalytics {
         datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for every observed (from_type, to_type) step, the exact transition
+    * count and the row-normalized probability — the behavioral model
+    * under next-event prediction, anomaly scoring, and journey analysis.
+    *
+    * One lead() window shuffles the corpus on user_id (the same
+    * partitioning every other per-user stage here uses); the counts
+    * aggregate to a ≤|types|² digest, and the per-from normalization
+    * window runs over that digest, never the ticks. Ordering is the
+    * (ts, event_id) total order, so equal-timestamp steps are
+    * deterministic; `prob` is one IEEE division of exact longs.
+    */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val perFrom = Window.partitionBy(col("from_type"))
+    steps.withColumn("prob", col("n_transitions").cast("double") /
+      sum(col("n_transitions")).over(perFrom).cast("double"))
+  }
 }

@@ -64,4 +64,31 @@ class EventAnalyticsSpec extends SparkSuite {
     // offsets are non-negative (cohort day is the min by construction)
     assert(matrix.forall(_.getLong(1) >= 0L))
   }
+
+  test("transitions: hand tape, row-normalized probs, event_id tiebreak") {
+    import spark.implicits._
+    // user 1: view->click->purchase; user 2: view->view;
+    // user 3: two SAME-ts events — event_id must break the tie (8 then 9)
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:01"),
+      (2L, 1L, "click", "2024-01-01 00:00:02"),
+      (3L, 1L, "purchase", "2024-01-01 00:00:03"),
+      (4L, 2L, "view", "2024-01-01 00:00:01"),
+      (5L, 2L, "view", "2024-01-01 00:00:02"),
+      (8L, 3L, "error", "2024-01-01 00:00:09"),
+      (9L, 3L, "view", "2024-01-01 00:00:09")
+    ).toDF("event_id", "user_id", "event_type", "tss")
+      .withColumn("ts", unix_micros(to_timestamp(col("tss"))) * 1000L)
+      .drop("tss")
+    val tmp = graft.util.Scratch.dir("graft_trans_fix").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventAnalytics.transitionMatrix(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("view", "click")) == (1L, 0.5))
+    assert(out(("view", "view")) == (1L, 0.5))
+    assert(out(("click", "purchase")) == (1L, 1.0))
+    assert(out(("error", "view")) == (1L, 1.0))
+    assert(out.size == 4) // terminal events emit no transition
+  }
 }
