@@ -714,11 +714,17 @@ object SparkEntry {
     "q_event_transitions" -> ((s, dir) =>
       graft.analysis.EventAnalytics.transitionMatrix(s, dir)),
 
-    // market-basket association rules: DISTINCT baskets self-joined per
-    // order (fanout <= items/order), pair counts >= 2, support/confidence/
-    // lift as fixed double trees over exact longs
+    // market-basket association rules: per-order item-set digest, suffix
+    // pair expansion (fanout <= items/order), pair counts >= 2, support/
+    // confidence/lift as fixed double trees over exact longs
     "q_market_basket" -> ((s, dir) =>
       graft.analysis.Association.marketBasketRules(s, dir)),
+
+    // RFM segmentation: quartile boundaries as an exact-percentile AGG
+    // over the customer digest (broadcast back) — never a global ntile
+    // window; raw metrics exact longs, scores pure comparisons
+    "q_rfm_segments" -> ((s, dir) =>
+      graft.analysis.CustomerAnalytics.rfmSegments(s, dir)),
 
     // corrupt-record QUARANTINE: a feed where every 7th payload is
     // truncated mid-object; malformed rows route to quarantine instead
@@ -3430,6 +3436,47 @@ object SparkEntry {
         |FROM p
         |JOIN ic ca ON ca.item = p.item_a
         |JOIN ic cb ON cb.item = p.item_b, n""".stripMargin,
+
+    // identical digest + quantile_cont boundaries + comparison trees;
+    // DuckDB lists are 1-based where Spark arrays are 0-based
+    "q_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1
+        |), g AS (
+        |  SELECT max(last_order) AS maxd FROM cust
+        |), base AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', last_order, maxd) AS BIGINT)
+        |      AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM cust, g
+        |), b AS (
+        |  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+        |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+        |    quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq
+        |  FROM base
+        |), scored AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |    4 - CAST(recency_days > rq[1] AS INT)
+        |      - CAST(recency_days > rq[2] AS INT)
+        |      - CAST(recency_days > rq[3] AS INT) AS r_score,
+        |    1 + CAST(frequency > fq[1] AS INT)
+        |      + CAST(frequency > fq[2] AS INT)
+        |      + CAST(frequency > fq[3] AS INT) AS f_score,
+        |    1 + CAST(monetary_cents > mq[1] AS INT)
+        |      + CAST(monetary_cents > mq[2] AS INT)
+        |      + CAST(monetary_cents > mq[3] AS INT) AS m_score
+        |  FROM base, b
+        |)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM scored""".stripMargin,
 
     // same payloads; json_valid routes, json path functions extract
     "ing_corrupt_quarantine" ->
