@@ -1624,20 +1624,20 @@ object SparkEntry {
       |    AND l_orderkey IN (SELECT o_orderkey FROM orders)
       |)
       |SELECT 'complete_suppkey' AS check_name, n AS n_rows,
-      |  g_complete AS n_good,
+      |  CAST(g_complete AS BIGINT) AS n_good,
       |  CAST(g_complete AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
       |  CAST(g_complete AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 AS passed
       |FROM t
       |UNION ALL
-      |SELECT 'qty_range', n, g_range,
+      |SELECT 'qty_range', n, CAST(g_range AS BIGINT),
       |  CAST(g_range AS DOUBLE) / CAST(n AS DOUBLE),
       |  CAST(g_range AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t
       |UNION ALL
-      |SELECT 'unique_line', n, uq.g,
+      |SELECT 'unique_line', n, CAST(uq.g AS BIGINT),
       |  CAST(uq.g AS DOUBLE) / CAST(n AS DOUBLE),
       |  CAST(uq.g AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t, uq
       |UNION ALL
-      |SELECT 'fk_orders', n, fk.g,
+      |SELECT 'fk_orders', n, CAST(fk.g AS BIGINT),
       |  CAST(fk.g AS DOUBLE) / CAST(n AS DOUBLE),
       |  CAST(fk.g AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t, fk""".stripMargin
 
@@ -3564,7 +3564,7 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT user_id, count(*) AS c FROM events GROUP BY 1
         |)
-        |SELECT sum(c) AS n_rows, count(*) AS n_keys,
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
         |  max(c) AS max_key_rows,
         |  quantile_cont(c, 0.99) AS p99_key_rows,
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_key_share,
