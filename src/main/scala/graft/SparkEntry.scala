@@ -1430,6 +1430,9 @@ object SparkEntry {
     // scoring against the uncompressed query; every per-subspace
     // distance 6-dp rounded, parts folded in subspace order → bitwise
     // replay of the ENTIRE train+encode+search pipeline
+    // the PQ codebook-training job itself (the sim_kmeans_cells shape);
+    // sim_pq_topk then searches against the persisted artifact
+    "sim_pq_codebooks" -> ((s, dir) => Similarity.pqCodebooksScalar(s, dir)),
     "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     // embedding-cosine near-dup flags at 0.95 (rows-only check)
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
@@ -4564,6 +4567,18 @@ object SparkEntry {
          |FROM $ccFinal""".stripMargin
     },
 
+    // the per-subspace codebook training loop replayed: the final
+    // (sub, cell, pos) components must match exactly (the
+    // sim_kmeans_cells precedent for the PQ family)
+    "sim_pq_codebooks" -> {
+      val d = 64 / 8
+      s"""WITH ${PqCtes(8, 8, 2)}
+         |SELECT CAST(sub AS BIGINT) AS sub, CAST(cell AS BIGINT) AS cell,
+         |       CAST(p.pos AS BIGINT) AS pos,
+         |       CAST(centroid[p.pos] AS DOUBLE) AS c
+         |FROM cb CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS pos) p""".stripMargin
+    },
+
     // the full PQ pipeline replayed: per-subspace training (PqCtes),
     // argmin-L2² encoding, per-(query, candidate, subspace) ADC parts,
     // and the subspace-ordered fold — bit for bit
@@ -4585,8 +4600,8 @@ object SparkEntry {
          |  WHERE q.vec_id < 5 AND q.vec_id <> x.vec_id
          |), adc AS (
          |  SELECT qid, vec_id,
-         |    list_reduce(list_prepend(0.0, list(pd ORDER BY sub)),
-         |                (a, b) -> a + b) AS adc_dist
+         |    CAST(sum(CAST(floor(pd * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000 AS adc_dist
          |  FROM parts GROUP BY 1, 2
          |)
          |SELECT qid, vec_id, adc_dist, rank FROM (
