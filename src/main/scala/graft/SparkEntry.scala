@@ -1027,13 +1027,33 @@ object SparkEntry {
         .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"), col("price"))
     }),
 
-    // approximate aggregates (HLL distinct + quantile sketch); rows-only
-    // check: approximation is engine-specific by design
+    // approximate aggregates (HLL distinct + quantile sketch), made
+    // oracle-checkable: the row carries the EXACT anchors (the oracle
+    // recomputes them) plus in-engine booleans asserting each approx
+    // value sits within its documented error bound — HLL++ default
+    // rsd 0.05 gets a 3σ relative window (0.15); percentile_approx at
+    // accuracy 1000 has rank error ≤ 0.001, checked against exact
+    // quantiles ±0.02 rank (20× the bound; 0.999 on the p99 high side).
+    // The oracle emits the anchors and TRUE literals — bound-tightness
+    // itself is pinned by ApproxStatsSpec.
     "q_approx_stats" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type")).agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))),
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id")).as("au"),
+        percentile(col("value"), lit(0.5)).as("p50_exact"),
+        percentile(col("value"), lit(0.99)).as("p99_exact"),
+        percentile(col("value"), lit(0.48)).as("p50_lo"),
+        percentile(col("value"), lit(0.52)).as("p50_hi"),
+        percentile(col("value"), lit(0.97)).as("p99_lo"),
+        percentile(col("value"), lit(0.999)).as("p99_hi"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("ap99"))
+      .select(col("event_type"), col("n_users_exact"),
+        col("p50_exact"), col("p99_exact"),
+        (abs(col("au") - col("n_users_exact")).cast("double")
+          / col("n_users_exact") <= 0.15).as("users_ok"),
+        col("ap50").between(col("p50_lo"), col("p50_hi")).as("p50_ok"),
+        col("ap99").between(col("p99_lo"), col("p99_hi")).as("p99_ok"))),
 
     // KMV distinct sketch: the mergeable O(k) cardinality estimator with
     // a DETERMINISTIC replay — xxhash64 k-min set + (k−1)·2⁶⁴/u_k, every
@@ -3358,6 +3378,18 @@ object SparkEntry {
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // approx aggregates: the oracle recomputes the exact anchors and
+    // asserts the engine's bound-check booleans as TRUE literals — the
+    // approximation internals stay engine-specific, the CLAIMS about
+    // them are hash-gated
+    "q_approx_stats" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users_exact,
+        |  quantile_cont(value, 0.5) AS p50_exact,
+        |  quantile_cont(value, 0.99) AS p99_exact,
+        |  TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p99_ok
         |FROM events GROUP BY event_type""".stripMargin,
 
     // conditional-min stage chain; equal-ts pairs compare strictly on ts
