@@ -1538,6 +1538,11 @@ object SparkEntry {
     // images stream through a narrow map
     "mm_crossmodal_topk" -> ((s, dir) =>
       graft.multimodal.Multimodal.crossModalTopK(s, dir)),
+    // the same retrieval routed through the IVF cells — the 100-TB
+    // serving path: probe the label-cell centroids, rerank within the
+    // nprobe best cells only; the text corpus never fully scans
+    "mm_crossmodal_ivf_topk" -> ((s, dir) =>
+      graft.multimodal.Multimodal.crossModalIvfTopK(s, dir)),
     // per-label centroids: distributed vector aggregation (IVF training
     // step). Emitted as (label, pos, c) scalar rows — one row per centroid
     // component, 1-based pos — because the oracle gate cannot sort/hash
@@ -4935,6 +4940,64 @@ object SparkEntry {
         |)
         |SELECT doc_id, vec_id, cos_sim, rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+        |WHERE rank <= 3""".stripMargin,
+
+    // the encoder replay (the mm_crossmodal_topk mv CTE) fed through the
+    // sim_ivf_topk centroid/probe/rerank replay — no self-exclusion
+    // (doc_ids and vec_ids are different id spaces)
+    "mm_crossmodal_ivf_topk" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), mv AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      CAST(CAST(
+        |        list_reduce(
+        |          list_prepend(CAST(1125899906842597 + i AS HUGEINT),
+        |            list_transform(range(i, len, 64), j ->
+        |              CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |                   + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |                   AS HUGEINT))),
+        |          (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT
+        |        ) // 2048 AS DOUBLE) / 9007199254740992.0 AS FLOAT)) AS v
+        |  FROM m
+        |), un AS (
+        |  SELECT label, unnest(embedding) AS ev,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings
+        |), cc AS (
+        |  SELECT label, pos,
+        |    CAST(round(CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+        |               / count(*), 6) AS FLOAT) AS c
+        |  FROM un GROUP BY label, pos
+        |), cent AS (
+        |  SELECT label, CAST(list(c ORDER BY pos) AS DOUBLE[]) AS centroid
+        |  FROM cc GROUP BY label
+        |), q AS (
+        |  SELECT doc_id AS qid, CAST(v AS DOUBLE[]) AS qe FROM mv
+        |), probes AS (
+        |  SELECT qid, qe, label FROM (
+        |    SELECT qid, qe, label,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        round(list_dot_product(qe, centroid)
+        |              / sqrt(list_dot_product(qe, qe)
+        |                   * list_dot_product(centroid, centroid)), 6) DESC,
+        |        label ASC) AS pr
+        |    FROM q CROSS JOIN cent)
+        |  WHERE pr <= 2
+        |), scored AS (
+        |  SELECT p.qid, p.label, e.vec_id,
+        |    round(list_dot_product(p.qe, CAST(e.embedding AS DOUBLE[]))
+        |          / sqrt(list_dot_product(p.qe, p.qe)
+        |               * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                  CAST(e.embedding AS DOUBLE[]))), 6) AS cos_sim
+        |  FROM probes p JOIN embeddings e USING (label)
+        |)
+        |SELECT qid AS doc_id, label, vec_id, cos_sim, rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
         |WHERE rank <= 3""".stripMargin,
 

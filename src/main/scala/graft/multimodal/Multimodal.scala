@@ -377,4 +377,22 @@ object Multimodal {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Cross-modal retrieval routed through the IVF cells — the scale
+    * path [[crossModalTopK]] documents: image probes rank the text
+    * corpus's label-cell centroids, then rerank exactly within the
+    * nprobe best cells only, so the text side never fully scans per
+    * probe (and never needs to broadcast). No self-exclusion: query ids
+    * are doc_ids, a different id space from the text vec_ids.
+    */
+  def crossModalIvfTopK(spark: SparkSession, dir: String,
+      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val queries = mediaEmbeddingTable(spark, dir)
+      .select(col("doc_id").as("qid"), col("media_vec").as("qe"))
+    val emb = graft.model.Tables.embeddings(spark, dir)
+    graft.similarity.Similarity
+      .ivfSearch(queries, emb, k, nprobe, excludeSelf = false)
+      .select(col("qid").as("doc_id"), col("label"), col("vec_id"),
+        col("cos_sim"), col("rank"))
+  }
 }

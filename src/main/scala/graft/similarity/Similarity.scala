@@ -109,13 +109,20 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 5, nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // Centroids with DECIMAL-exact means, rounded to 6 dp and stored as
-    // float: cross-row double SUM order is engine/partitioning-dependent,
-    // but decimal addition is associative-exact, so the trained centroid
-    // (and therefore probe selection and the whole IVF answer) is
-    // bit-reproducible — which is what lets the external oracle check
-    // this query end-to-end instead of a rows-only smoke test.
-    val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    ivfSearch(queries, emb, k, nprobe, excludeSelf = true)
+  }
+
+  /** Centroids with DECIMAL-exact means, rounded to 6 dp and stored as
+    * float: cross-row double SUM order is engine/partitioning-dependent,
+    * but decimal addition is associative-exact, so the trained centroid
+    * (and therefore probe selection and the whole IVF answer) is
+    * bit-reproducible — which is what lets the external oracle check
+    * IVF queries end-to-end instead of a rows-only smoke test.
+    */
+  private[graft] def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(sum(col("v").cast("double").cast("decimal(30,15)")).as("sv"),
         count(lit(1)).as("n"))
@@ -124,8 +131,20 @@ object Similarity {
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("centroid"))
-    val queries = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  /** IVF probe + in-cell rerank for an ARBITRARY query relation
+    * (qid, qe) against a label-indexed corpus (vec_id, embedding,
+    * label) — shared by same-modality search ([[ivfTopK]], which
+    * excludes the self-match) and cross-modal retrieval
+    * (Multimodal.crossModalIvfTopK, where query ids live in a different
+    * id space so nothing is excluded). The plan shape is the scale
+    * path: a broadcast of (cells × dim) centroids for probe selection,
+    * then a rerank that scans only |probed cells| / |cells| of the
+    * corpus.
+    */
+  private[graft] def ivfSearch(queries: DataFrame, emb: DataFrame,
+      k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
+    val cent = labelCentroids(emb)
     // probe selection: rank cells per query by centroid similarity,
     // rounded to 6 dp BEFORE ranking (with the label tiebreak) so probe
     // choice is total and portable across engines
@@ -137,8 +156,9 @@ object Similarity {
       .select(col("qid"), col("qe"), col("label"))
     // exact rerank within probed cells only
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    probes.join(emb, Seq("label"))
-      .where(col("vec_id") =!= col("qid"))
+    val cand = probes.join(emb.select(col("label"), col("vec_id"),
+      col("embedding")), Seq("label"))
+    (if (excludeSelf) cand.where(col("vec_id") =!= col("qid")) else cand)
       .select(col("qid"), col("label"), col("vec_id"),
         round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
