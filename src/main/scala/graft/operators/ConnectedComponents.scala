@@ -15,10 +15,13 @@ import org.apache.spark.storage.StorageLevel
   * both shuffle on node keys and combine map-side; the label relation
   * is |nodes| rows. Rounds are `localCheckpoint`ed (eager) because each
   * round's plan would otherwise nest the previous round's join tree and
-  * planning time would dominate. Convergence is detected by the label
-  * SUM: min is monotone non-increasing per node, so the sum strictly
-  * decreases iff any label changed — one cheap scan, no generation
-  * diff join. Deterministic: labels are node ids, min is order-free.
+  * planning time would dominate. Convergence is detected by counting
+  * CHANGED labels in the round's own join output (a label changes iff
+  * its neighborhood min undercuts it) — one cheap scan over the
+  * checkpointed round, no generation diff join, and sound for any
+  * 64-bit node-id domain (a label-sum probe can wrap and is NULL on an
+  * empty edge relation). Deterministic: labels are node ids, min is
+  * order-free.
   */
 object ConnectedComponents {
 
@@ -33,7 +36,6 @@ object ConnectedComponents {
       edges.select(col("dst").as("src"), col("src").as("dst"))).persist(mem)
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).persist(mem)
-    var prevSum = Long.MaxValue
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -42,13 +44,13 @@ object ConnectedComponents {
       val next = labels
         .join(nbMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("label"))).collect().head.getLong(0)
+      val nChanged = next.where(col("changed")).count()
       labels.unpersist()
-      labels = next
-      converged = s == prevSum
-      prevSum = s
+      labels = next.select(col("id"), col("label"))
+      converged = nChanged == 0L
       i += 1
     }
     e.unpersist()

@@ -48,6 +48,10 @@ object HistogramSketch {
     val n = counts.values.sum
     require(n > 0, "histogram digest is empty — percentiles are undefined " +
       "on an empty corpus (rank 1 would never find a covering bin)")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got ${qs.mkString(", ")} — a value " +
+        "outside the range would never find a covering bin and the " +
+        "interpolation would divide by zero")
     val rows = qs.map { q =>
       val rank = math.ceil(q * n.toDouble).toLong.max(1L)
       var cum = 0L

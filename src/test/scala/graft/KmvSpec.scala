@@ -169,6 +169,14 @@ class KmvSpec extends SparkSuite {
       Seq(-5.0, 500.0).toDF("v"), "v", 0.0, 100.0, 10)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(clamped == Map(0 -> 1L, 9 -> 1L))
+    // quantiles outside (0, 1] fail fast instead of emitting a
+    // bin -1 / divide-by-zero row
+    intercept[IllegalArgumentException] {
+      HistogramSketch.percentiles(spark, bins, 0.0, 100.0, 10, Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      HistogramSketch.percentiles(spark, bins, 0.0, 100.0, 10, Seq(1.5))
+    }
   }
 
   test("events gate query returns one plausible row") {

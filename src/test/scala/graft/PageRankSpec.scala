@@ -52,6 +52,11 @@ class PageRankSpec extends SparkSuite {
     assert((1L to 5L).forall(out(_) == 1L))
     assert(Seq(10L, 11L, 12L).forall(out(_) == 10L))
     assert(out.size == 8)
+    // empty edge relation → empty labels, no convergence-probe crash
+    val none = ConnectedComponents.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(none.columns.toSeq == Seq("id", "label"))
+    assert(none.count() == 0L)
   }
 
   test("triangles: K4 counts, canonicalization, and triangle-free graphs") {
