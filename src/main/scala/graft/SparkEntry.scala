@@ -761,7 +761,12 @@ object SparkEntry {
       Tables.orders(s, dir).createOrReplaceTempView("orders")
       Tables.customer(s, dir).createOrReplaceTempView("customer")
       Tables.supplier(s, dir).createOrReplaceTempView("supplier")
-      s.sql(RecursiveClosureSql)
+      // materialize the |nations|²-bounded edge digest ONCE; the
+      // recursion re-evaluates its step subtree per hop and must only
+      // rescan the digest, never the 4-table aggregation
+      s.sql(RecursiveClosureEdgesSql).localCheckpoint(true)
+        .createOrReplaceTempView("recursive_closure_edges")
+      s.sql(recursiveClosureOverSql("recursive_closure_edges"))
     }),
 
     "q_lateral_topn" -> ((s, dir) => {
@@ -1836,34 +1841,54 @@ object SparkEntry {
     (sb.toString, s"cent$iters", s"cc$iters")
   }
 
-  /** The recursive-closure SQL — ONE text, dialect-common, run verbatim
-    * by BOTH engines (the strongest possible oracle: not a replay but
-    * the same statement). Anchor: nation 0 at hop 0; step: follow
-    * thresholded trade edges while hop < 3; report min hop + walk count
-    * per reached nation. The threshold keeps the digest graph sparse
-    * enough that the bounded walk count stays far from |V|^hops.
+  /** The recursive-closure SQL, built from two shared fragments: the
+    * corpus-scale edge aggregation and the bounded recursion over the
+    * resulting |nations|² digest. The oracle runs the one-statement
+    * composition; the engine MATERIALIZES the edge digest once
+    * (localCheckpoint + temp view) and recurses over the scan — Spark's
+    * UnionLoop re-evaluates the step subtree every iteration, so an
+    * inlined edges CTE would re-run the 4-table aggregation per hop.
+    * Anchor: nation 0 at hop 0; step: follow thresholded trade edges
+    * while hop < 3; report min hop + walk count per reached nation. The
+    * threshold keeps the digest graph sparse enough that the bounded
+    * walk count stays far from |V|^hops.
     */
+  private val RecursiveClosureEdgesSql: String =
+    """SELECT c_nationkey AS src, s_nationkey AS dst
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1, 2
+      |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |       > 3000000.00""".stripMargin
+
+  private def recursiveClosureOverSql(edgesRelation: String): String =
+    s"""WITH RECURSIVE reach AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+       |  UNION ALL
+       |  SELECT e.dst AS node, r.hop + 1 AS hop
+       |  FROM reach r JOIN $edgesRelation e ON e.src = r.node
+       |  WHERE r.hop < 3
+       |)
+       |SELECT node, min(hop) AS min_hops,
+       |  CAST(count(*) AS BIGINT) AS n_walks
+       |FROM reach GROUP BY node""".stripMargin
+
   private val RecursiveClosureSql: String =
-    """WITH RECURSIVE edges AS (
-      |  SELECT c_nationkey AS src, s_nationkey AS dst
-      |  FROM lineitem
-      |  JOIN orders ON l_orderkey = o_orderkey
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN supplier ON l_suppkey = s_suppkey
-      |  GROUP BY 1, 2
-      |  HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |           * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-      |         > 3000000.00
-      |), reach AS (
-      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
-      |  UNION ALL
-      |  SELECT e.dst AS node, r.hop + 1 AS hop
-      |  FROM reach r JOIN edges e ON e.src = r.node
-      |  WHERE r.hop < 3
-      |)
-      |SELECT node, min(hop) AS min_hops,
-      |  CAST(count(*) AS BIGINT) AS n_walks
-      |FROM reach GROUP BY node""".stripMargin
+    s"""WITH RECURSIVE edges AS (
+       |${RecursiveClosureEdgesSql.linesIterator.map("  " + _).mkString("\n")}
+       |), reach AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+       |  UNION ALL
+       |  SELECT e.dst AS node, r.hop + 1 AS hop
+       |  FROM reach r JOIN edges e ON e.src = r.node
+       |  WHERE r.hop < 3
+       |)
+       |SELECT node, min(hop) AS min_hops,
+       |  CAST(count(*) AS BIGINT) AS n_walks
+       |FROM reach GROUP BY node""".stripMargin
 
   /** Squared-L2 replay via three list_dot_products — the exact
     * left-associated tree Similarity.l2sq builds, 6-dp rounded at every
