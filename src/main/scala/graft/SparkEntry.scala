@@ -1459,6 +1459,9 @@ object SparkEntry {
     // sim_pq_topk then searches against the persisted artifact
     "sim_pq_codebooks" -> ((s, dir) => Similarity.pqCodebooksScalar(s, dir)),
     "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    // IVFADC: IVF cell pruning + PQ asymmetric-distance scoring over the
+    // persisted codes — the billion-vector serving composition
+    "sim_ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // embedding-cosine near-dup flags at 0.95 (rows-only check)
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     // SemDeDup: k-means-clustered semantic dedup — pairwise cosine ONLY
@@ -4639,6 +4642,69 @@ object SparkEntry {
          |       CAST(p.pos AS BIGINT) AS pos,
          |       CAST(centroid[p.pos] AS DOUBLE) AS c
          |FROM cb CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS pos) p""".stripMargin
+    },
+
+    // IVFADC replayed end to end: PQ training + encoding (PqCtes), the
+    // DECIMAL-exact label-cell centroids + probe selection
+    // (sim_ivf_topk's CTEs), candidates restricted to probed cells, and
+    // the micro-scaled-long ADC fold
+    "sim_ivfpq_topk" -> {
+      s"""WITH ${PqCtes(8, 8, 2)},
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT s.vec_id, s.sub, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${PqL2("s.sv", "c.centroid")} ASC, c.cell ASC) AS rn
+         |    FROM svall s JOIN cb c ON c.sub = s.sub)
+         |  WHERE rn = 1
+         |), un AS (
+         |  SELECT label, unnest(embedding) AS ev,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings
+         |), ccl AS (
+         |  SELECT label, pos,
+         |    CAST(round(CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+         |               / count(*), 6) AS FLOAT) AS c
+         |  FROM un GROUP BY label, pos
+         |), cent AS (
+         |  SELECT label, CAST(list(c ORDER BY pos) AS DOUBLE[]) AS centroid
+         |  FROM ccl GROUP BY label
+         |), q AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 5
+         |), probes AS (
+         |  SELECT qid, label FROM (
+         |    SELECT qid, label,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        round(list_dot_product(qe, centroid)
+         |              / sqrt(list_dot_product(qe, qe)
+         |                   * list_dot_product(centroid, centroid)), 6) DESC,
+         |        label ASC) AS pr
+         |    FROM q CROSS JOIN cent)
+         |  WHERE pr <= 2
+         |), cand AS (
+         |  SELECT p.qid, p.label, e.vec_id
+         |  FROM probes p JOIN embeddings e USING (label)
+         |  WHERE e.vec_id <> p.qid
+         |), qsv AS (
+         |  SELECT vec_id AS qid, sub, sv AS qv FROM svall WHERE vec_id < 5
+         |), parts AS (
+         |  SELECT c.qid, c.label, c.vec_id,
+         |    CAST(floor(${PqL2("qs.qv", "b.centroid")} * 1000000 + 0.5)
+         |         AS BIGINT) AS pdm
+         |  FROM cand c
+         |  JOIN codes x ON x.vec_id = c.vec_id
+         |  JOIN cb b ON b.sub = x.sub AND b.cell = x.cell
+         |  JOIN qsv qs ON qs.qid = c.qid AND qs.sub = x.sub
+         |), adc AS (
+         |  SELECT qid, label, vec_id,
+         |    CAST(sum(pdm) AS DOUBLE) / 1000000 AS adc_dist
+         |  FROM parts GROUP BY 1, 2, 3
+         |)
+         |SELECT qid, label, vec_id, adc_dist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_dist ASC, vec_id ASC) AS rank FROM adc)
+         |WHERE rank <= 10""".stripMargin
     },
 
     // the full PQ pipeline replayed: per-subspace training (PqCtes),

@@ -142,18 +142,24 @@ object Similarity {
     * then a rerank that scans only |probed cells| / |cells| of the
     * corpus.
     */
-  private[graft] def ivfSearch(queries: DataFrame, emb: DataFrame,
-      k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
-    val cent = labelCentroids(emb)
-    // probe selection: rank cells per query by centroid similarity,
-    // rounded to 6 dp BEFORE ranking (with the label tiebreak) so probe
-    // choice is total and portable across engines
+  /** Probe selection: rank cells per query by centroid similarity,
+    * rounded to 6 dp BEFORE ranking (with the label tiebreak) so probe
+    * choice is total and portable across engines. One broadcast of the
+    * (cells × dim) centroid table, whatever the corpus size.
+    */
+  private[graft] def ivfProbes(queries: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy("qid").orderBy(col("c_sim").desc, col("label").asc)
-    val probes = queries.join(broadcast(cent))
+    queries.join(broadcast(cent))
       .select(col("qid"), col("qe"), col("label"),
         round(cosine(col("qe"), col("centroid")), 6).as("c_sim"))
       .withColumn("pr", row_number().over(probeW)).where(col("pr") <= nprobe)
       .select(col("qid"), col("qe"), col("label"))
+  }
+
+  private[graft] def ivfSearch(queries: DataFrame, emb: DataFrame,
+      k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
+    val probes = ivfProbes(queries, labelCentroids(emb), nprobe)
     // exact rerank within probed cells only
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     val cand = probes.join(emb.select(col("label"), col("vec_id"),
@@ -678,5 +684,49 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
     adc.withColumn("rank", row_number().over(wr)).where(col("rank") <= topK)
       .select(col("qid"), col("vec_id"), col("adc_dist"), col("rank"))
+  }
+
+  /** IVFADC — the composition that actually serves billion-vector
+    * indexes: IVF cell pruning (probe the nprobe best label cells, so
+    * only |probed|/|cells| of the corpus is CANDIDATE) + PQ
+    * asymmetric-distance scoring over the persisted codes (so each
+    * candidate costs m LUT adds, never a dim-float scan). Both halves
+    * are the already-gated machinery — label-cell centroids with
+    * DECIMAL-exact means, the trainedPqIndex artifacts, the
+    * micro-scaled-long ADC fold — composed without modification, which
+    * is why the whole pipeline stays oracle-replayable. Scale shape:
+    * centroids, codebooks, and query subvectors broadcast; the only
+    * shuffle is candidates⋈codes on vec_id (bucket both by vec_id in a
+    * real deployment and it is co-located).
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+      topK: Int = 10, nprobe: Int = 2, m: Int = 8, k: Int = 8,
+      iters: Int = 2, dim: Int = DefaultDim): DataFrame = {
+    val d = dim / m
+    val emb = Tables.embeddings(s, dir)
+    val cb = trainedPqCodebooks(s, dir, m, k, iters, dim)
+    val codes = trainedPqCodes(s, dir, m, k, iters, dim)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probes = ivfProbes(queries, labelCentroids(emb), nprobe)
+      .select(col("qid"), col("label"))
+    val cand = probes.join(emb.select(col("label"), col("vec_id")), Seq("label"))
+      .where(col("vec_id") =!= col("qid"))
+    val qsub = queries.select(col("qid"),
+      posexplode(array((0 until m).map(i =>
+        subvec(col("qe"), i, d)): _*)).as(Seq("sub", "qv")))
+    val parts = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(cb), Seq("sub", "cell"))
+      .join(broadcast(qsub), Seq("qid", "sub"))
+      .select(col("qid"), col("label"), col("vec_id"),
+        floor(round(l2sq(col("qv"), col("centroid")), 6) * 1e6 + 0.5)
+          .cast("long").as("pd_micro"))
+    val adc = parts.groupBy(col("qid"), col("label"), col("vec_id"))
+      .agg((sum(col("pd_micro")).cast("double") / 1e6).as("adc_dist"))
+    val wr = Window.partitionBy("qid")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(wr)).where(col("rank") <= topK)
+      .select(col("qid"), col("label"), col("vec_id"), col("adc_dist"),
+        col("rank"))
   }
 }

@@ -104,4 +104,34 @@ class QuantizationSpec extends SparkSuite {
     val again = Similarity.pqTopK(spark, dir, m, k).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("ivfpq: candidates confined to probed cells; ADC agrees with pqTopK") {
+    val dir = sf("sf0.001")
+    val out = Similarity.ivfPqTopK(spark, dir).collect()
+    assert(out.nonEmpty)
+    // every returned row's cell is one of its query's nprobe=2 probes
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    val probed = Similarity
+      .ivfProbes(queries, Similarity.labelCentroids(emb), nprobe = 2)
+      .select(col("qid"), col("label")).collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSet
+    out.foreach { r =>
+      assert(probed.contains((lv(r, 0), lv(r, 1))),
+        s"qid ${lv(r, 0)} returned unprobed cell ${lv(r, 1)}")
+      assert(!r.isNullAt(2) && lv(r, 2) != lv(r, 0)) // self excluded
+    }
+    // the ADC score is the SAME function pqTopK computes: for every
+    // (qid, vec_id) the exhaustive run also ranks, distances must match
+    val pqAdc = Similarity.pqTopK(spark, dir, topK = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      val key = (lv(r, 0), lv(r, 2))
+      pqAdc.get(key).foreach(d => assert(d == r.getDouble(3),
+        s"ADC drift for $key: pq $d vs ivfpq ${r.getDouble(3)}"))
+    }
+  }
 }
