@@ -620,6 +620,12 @@ object SparkEntry {
     "stream_skyline_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replaySkylineIncremental(s, dir)),
 
+    // incrementally maintained exact top-k: per-batch <= k-row partials
+    // (top-k of a union of per-batch top-k's IS the global top-k), final
+    // fold over batches*k rows; must equal the one-shot ranking
+    "stream_topk_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayTopKIncremental(s, dir)),
+
     // distributed triangle counting: degree-ordered wedge closure
     // (compact-forward) over the nation trade graph — every triangle
     // generated once from its lowest-ordered vertex; oriented out-degree
@@ -3254,6 +3260,12 @@ object SparkEntry {
     // the maintained frontier must converge to the one-shot skyline —
     // same oracle verbatim
     "stream_skyline_incremental" -> SkylineOrdersOracleSql,
+
+    // the maintained top-k must converge to the one-shot ranking —
+    // the q_top_orders oracle verbatim
+    "stream_topk_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
 
     // the same degree-ordered wedge closure in SQL: orientation key
     // d*2^32+id, wedges joined on the shared low vertex, closed against

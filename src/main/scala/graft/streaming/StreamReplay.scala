@@ -781,6 +781,51 @@ object StreamReplay {
     s.read.parquet(latestVersion(below = Long.MaxValue).get.toString)
   }
 
+  /** Replay of INCREMENTALLY MAINTAINED EXACT TOP-K: each micro-batch
+    * appends its own ≤ k-row top-k PARTIAL (the TopKAggregator
+    * merge argument made a streaming state: top-k of a union of per-set
+    * top-k's is the top-k of the union, because a row outside its own
+    * batch's top k can never enter the global top k). State is
+    * O(batches·k) rows — bounded however large the corpus — and the
+    * final fold re-ranks ≤ batches·k rows. Re-delivered batches rewrite
+    * byte-identical partials into their batch-scoped dir — idempotent
+    * with no markers. Must equal the one-shot ranking: the q_top_orders
+    * oracle gates both. Ordering is total ((o_totalprice desc,
+    * o_orderkey asc)) so both the partial cut and the final cut are
+    * deterministic.
+    */
+  def replayTopKIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3, k: Int = 10): DataFrame = {
+    val tmp = Scratch.dir("graft_topk_replay")
+    val feed = tmp.resolve("feed").toString
+    val partsDir = tmp.resolve("partials")
+    val proj = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    proj.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+            .limit(k)
+            .write.mode("overwrite")
+            .parquet(partsDir.resolve(s"b$bid").toString)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    s.read.parquet(partsDir.toString + "/*")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
   /** Replay of INCREMENTAL KMV-SKETCH maintenance: the events table
     * streams in micro-batches, each batch appending its ≤ k-row PARTIAL
     * sketch (its k smallest key hashes — O(k) per batch, O(batches·k)
