@@ -250,6 +250,11 @@ object SparkEntry {
     "fx_holt_forecast" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.holtLinear(rates(s, dir))),
 
+    // 1-D random-walk Kalman filter: adaptive-gain state estimate +
+    // variance per pair (q=1, r=4 binary-exact; IEEE gain division)
+    "fx_kalman" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.kalmanFilter(rates(s, dir))),
+
     // longest up/down streaks: gaps-and-islands on the change signs —
     // dates and integer counts only, (len desc, start asc) tiebreak
     "fx_streaks" -> ((s, dir) =>
@@ -2751,6 +2756,36 @@ object SparkEntry {
          |SELECT ccy_couple, CAST(length(xs) AS BIGINT) AS n_days,
          |  l AS level_milli, b AS trend_milli,
          |  l + b AS forecast_1d_milli, l + b * 5.0 AS forecast_5d_milli
+         |FROM steps WHERE i = length(xs)""".stripMargin,
+
+    // the Kalman recursion replayed: (xh, pv) per step, the gain
+    // expression recomputed inside both state columns — deterministic
+    // IEEE division makes the re-evaluated subtree bit-identical
+    "fx_kalman" ->
+      s"""WITH RECURSIVE $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) * 1000
+         |         AS BIGINT) AS close_u
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), p AS (
+         |  SELECT ccy_couple,
+         |    list(CAST(close_u AS DOUBLE) ORDER BY date) AS xs
+         |  FROM cl GROUP BY 1
+         |), steps AS (
+         |  SELECT ccy_couple, xs, 1 AS i,
+         |    xs[1] AS xh, CAST(1.0 AS DOUBLE) AS pv
+         |  FROM p
+         |  UNION ALL
+         |  SELECT ccy_couple, xs, i + 1,
+         |    xh + ((pv + 1.0) / ((pv + 1.0) + 4.0)) * (xs[i + 1] - xh),
+         |    (1.0 - ((pv + 1.0) / ((pv + 1.0) + 4.0))) * (pv + 1.0)
+         |  FROM steps WHERE i < length(xs)
+         |)
+         |SELECT ccy_couple, CAST(length(xs) AS BIGINT) AS n_days,
+         |  xh AS estimate_milli, pv AS variance_milli2,
+         |  xs[length(xs)] - xh AS resid_milli
          |FROM steps WHERE i = length(xs)""".stripMargin,
 
     // the three-state fold replayed as a recursive CTE: one step per

@@ -510,6 +510,42 @@ object MarketAnalytics {
       (col("acc")("l") + col("acc")("b") * lit(5.0)).as("forecast_5d_milli"))
   }
 
+  /** 1-D random-walk KALMAN FILTER per pair — the state-space member of
+    * the fold family: a latent level x evolves as a random walk with
+    * process noise q and is observed through measurement noise r; each
+    * day predicts (p_pred = p + q), computes the gain
+    * (k = p_pred / (p_pred + r)), corrects the estimate
+    * (x̂_t = x̂ + k·(z_t − x̂)) and contracts the variance
+    * (p_t = (1−k)·p_pred). Unlike the fixed-α EMAs, the effective
+    * smoothing ADAPTS: early ticks move the estimate a lot (high p),
+    * and p converges to the steady-state Riccati fixed point.
+    *
+    * Determinism recipe shared with [[macd]]/[[holtLinear]]: exact
+    * ×1000-long closes; q = 1 and r = 4 binary-exact; the gain division
+    * is a correctly-rounded IEEE op, so the oracle's recursive CTE
+    * recomputing k inside both state expressions is bit-identical.
+    * Seeds: x̂_1 = z_1, p_1 = 1. Scale shape: one shuffle to the
+    * per-pair close digest, then a codegen'd two-double-state fold.
+    */
+  def kalmanFilter(rates: DataFrame): DataFrame = {
+    val folded = closePathU(rates)
+      .select(col("ccy_couple"), col("n_days"),
+        element_at(col("xs"), -1).as("last_u"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          struct(element_at(col("xs"), 1).as("xh"), lit(1.0).as("p")),
+          (acc, x) => {
+            val pPred = acc("p") + lit(1.0)
+            val k = pPred / (pPred + lit(4.0))
+            struct((acc("xh") + k * (x - acc("xh"))).as("xh"),
+              ((lit(1.0) - k) * pPred).as("p"))
+          }).as("acc"))
+    folded.select(col("ccy_couple"), col("n_days"),
+      col("acc")("xh").as("estimate_milli"),
+      col("acc")("p").as("variance_milli2"),
+      (col("last_u") - col("acc")("xh")).as("resid_milli"))
+  }
+
   /** Moving-average-crossover BACKTEST — strategy evaluation as a
     * query: long one unit while the fast trailing mean of the daily
     * close sits above the slow one, flat otherwise, entering the day

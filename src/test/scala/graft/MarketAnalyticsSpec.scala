@@ -360,6 +360,38 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("B").getDouble(4) == 9500.0)
   }
 
+  test("kalman: hand-replayed gain/variance recursion, single-day seeds") {
+    import spark.implicits._
+    val rows = Seq(("A", "2024-01-01", 1.0), ("A", "2024-01-03", 3.0),
+      ("A", "2024-01-02", 2.0), ("B", "2024-01-02", 9.5))
+    val df = rows.zipWithIndex.map { case ((p, d, v), i) => (i.toLong, p, v, d) }
+      .toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")))
+      .drop("ds")
+    // replay the recursion in plain doubles — the same IEEE op sequence
+    // the fold executes (q=1, r=4; seeds xh=z1, p=1)
+    var (xh, p) = (1000.0, 1.0)
+    for (z <- Seq(2000.0, 3000.0)) {
+      val pPred = p + 1.0
+      val k = pPred / (pPred + 4.0)
+      xh = xh + k * (z - xh)
+      p = (1.0 - k) * pPred
+    }
+    val out = MarketAnalytics.kalmanFilter(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(2) == xh)
+    assert(out("A").getDouble(3) == p)
+    assert(out("A").getDouble(4) == 3000.0 - xh)
+    // variance climbs monotonically from the seed toward the Riccati
+    // fixed point p* = (√17 − 1)/2 ≈ 1.5616 without overshooting
+    assert(p > 1.0 && p < (math.sqrt(17.0) - 1.0) / 2.0)
+    // single observation: estimate = close, seed variance, zero residual
+    assert(out("B").getDouble(2) == 9500.0 && out("B").getDouble(3) == 1.0)
+    assert(out("B").getDouble(4) == 0.0)
+  }
+
   test("seasonality: per-hour profile isolates the noisy hour, bounded output") {
     import spark.implicits._
     // hour 0 constant at 2.0 (σ=0 → no anomalies by convention);
