@@ -1417,6 +1417,10 @@ object SparkEntry {
     // with the hash-split eval set (eval n-grams broadcast — the corpus
     // is never shuffled)
     "cur_decontaminate" -> ((s, dir) => graft.text.Curation.decontaminate(s, dir)),
+    // pairwise benchmark-leakage attribution: (train doc, eval doc,
+    // shared n-grams, containment) via a broadcast inverted-index join
+    "cur_contamination_pairs" -> ((s, dir) =>
+      graft.text.Curation.contaminationPairs(s, dir)),
     // the COMPOSED curation chain (split → quality → dedup keeper →
     // decontaminate → chunk) as ONE lazy plan — the end-to-end run a
     // real training-data pipeline executes; every stage also checked in
@@ -4457,6 +4461,32 @@ object SparkEntry {
         |  coalesce(h.n_shared, 0) > 0 AS contaminated
         |FROM t LEFT JOIN hits h USING (doc_id)
         |WHERE t.nib <= 'd'""".stripMargin,
+
+    // the same gram CTEs as cur_decontaminate, but grouped per
+    // (train, eval) pair with the containment ratio
+    "cur_contamination_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, nib, unnest(list_transform(range(1, len(tk) - 3),
+        |    i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+        |  FROM t
+        |), ev AS (
+        |  SELECT DISTINCT doc_id AS eval_doc_id, g FROM g WHERE nib >= 'e'
+        |), tr AS (
+        |  SELECT DISTINCT doc_id, g FROM g WHERE nib <= 'd'
+        |), tn AS (
+        |  SELECT doc_id, count(*) AS n_train_grams FROM tr GROUP BY 1
+        |), pairs AS (
+        |  SELECT tr.doc_id, ev.eval_doc_id, count(*) AS n_shared
+        |  FROM tr JOIN ev USING (g) GROUP BY 1, 2
+        |)
+        |SELECT p.doc_id, p.eval_doc_id, p.n_shared,
+        |  CAST(p.n_shared AS DOUBLE) / tn.n_train_grams AS containment
+        |FROM pairs p JOIN tn USING (doc_id)
+        |WHERE p.n_shared >= 2""".stripMargin,
 
     // the hash-uniform draw rebuilt by folding the first 8 (lowercase)
     // md5 hex digits to an integer / 2^32; the weight is the text_quality

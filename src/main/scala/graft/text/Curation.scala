@@ -393,6 +393,41 @@ object Curation {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Pairwise contamination ATTRIBUTION: which held-out document leaks
+    * into which train document, scored by CONTAINMENT — the fraction of
+    * the train doc's distinct word n-grams found in that specific eval
+    * doc. [[decontaminate]] answers "is it contaminated"; this is the
+    * audit view a pipeline ships next to the drop list (the n-gram
+    * containment check LLM training runs publish for benchmark
+    * leakage). Output bounded by the n_shared ≥ minShared cut.
+    *
+    * Scale shape: an inverted-index equi-join on the gram — the eval
+    * side is the (small) benchmark suite and BROADCASTS; the train
+    * postings stream through one explode + one map-side-combinable
+    * count. No pairwise doc×doc step ever forms outside gram matches.
+    */
+  def contaminationPairs(s: SparkSession, dir: String, n: Int = 5,
+      minShared: Int = 2): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    val grams = wordGrams(col("tk"), n)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tk.as("tk"),
+        substring(hashKey(col("doc_id")), 1, 1).as("nib"))
+      .select(col("doc_id"), col("nib"), array_distinct(grams).as("grams"))
+    val evalG = docs.where(col("nib") >= "e")
+      .select(col("doc_id").as("eval_doc_id"), explode(col("grams")).as("g"))
+    val trainG = docs.where(col("nib") <= "d")
+      .select(col("doc_id"), size(col("grams")).as("n_train_grams"),
+        explode(col("grams")).as("g"))
+    trainG.join(broadcast(evalG), Seq("g"))
+      .groupBy(col("doc_id"), col("eval_doc_id"), col("n_train_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("eval_doc_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_train_grams"))
+          .as("containment"))
+  }
+
   /** The COMPOSED curation pipeline, end-to-end in one lazy plan — the
     * chain a real training-data run executes, proving the stages compose
     * (each is also oracle-checked in isolation):

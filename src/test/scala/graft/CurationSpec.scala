@@ -164,6 +164,24 @@ class CurationSpec extends SparkSuite {
     assert(out(4L) == (0L, false))
   }
 
+  test("contamination pairs: containment attributes the leak to the right eval doc") {
+    import spark.implicits._
+    // nibbles: 1→c 2→c (train); 3→e 5→e (eval). doc 1 = eval doc 3 plus
+    // two extra tokens: 6 train 5-grams, 4 shared with doc 3, none with 5
+    val shared = "a b c d e f g h"
+    val d = dirFromDf(Seq(
+      (1L, shared + " i j", "en", "s", 0L),
+      (2L, "z y x w v u t s", "en", "s", 0L),
+      (3L, shared, "en", "s", 0L),
+      (5L, "p q r s t u v w", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Curation.contaminationPairs(spark, d, n = 5, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set((1L, 3L)))      // the only leaking pair
+    assert(out((1L, 3L)) == (4L, 4.0 / 6.0)) // 4 of doc 1's 6 grams leak
+  }
+
   test("repetition stats: hand values, null bigram guard, fold = groupBy mode") {
     import spark.implicits._
     val d = dirFromDf(Seq(
