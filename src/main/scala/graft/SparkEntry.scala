@@ -865,6 +865,13 @@ object SparkEntry {
       graft.operators.DataQuality.keySkewProfile(
         Tables.events(s, dir), "user_id")),
 
+    // daily-volume anomaly monitor: each day's row count z-scored
+    // against its trailing-7-day baseline (current day excluded) —
+    // exact integer moments, double z tree (the Bollinger recipe)
+    "dq_volume_anomaly" -> ((s, dir) =>
+      graft.operators.DataQuality.volumeAnomaly(
+        Tables.events(s, dir), "ts")),
+
     // k-anonymity audit: every (nation, segment) equivalence class
     // below k re-identifies its members — one map-side-combinable
     // groupBy on the quasi-identifier tuple, empty result = anonymous
@@ -3679,6 +3686,40 @@ object SparkEntry {
     // the in-flight observed counters must equal the second-scan profile
     // exact count digest + the identical ratio trees; percentile ↔
     // quantile_cont (the q_exact_percentiles precedent)
+    // the trailing-frame integer moments + the identical double z tree;
+    // sums feed straight into DOUBLE casts so no HUGEINT surfaces
+    "dq_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+        |  FROM events GROUP BY 1
+        |), m AS (
+        |  SELECT day, n_rows,
+        |    count(*) OVER w AS n_l,
+        |    sum(n_rows) OVER w AS s_l,
+        |    sum(n_rows * n_rows) OVER w AS ss_l
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |), zc AS (
+        |  SELECT day, n_rows, n_l,
+        |    CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE) AS baseline_mean,
+        |    sqrt(greatest(CAST(n_l AS DOUBLE) * CAST(ss_l AS DOUBLE)
+        |                  - CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE), 0.0)
+        |         / nullif(CAST(n_l AS DOUBLE)
+        |                  * (CAST(n_l AS DOUBLE) - 1.0), 0.0)) AS sd
+        |  FROM m
+        |), zf AS (
+        |  SELECT day, n_rows, n_l, baseline_mean, sd,
+        |    (CAST(n_rows AS DOUBLE) - baseline_mean) / nullif(sd, 0.0)
+        |      AS z_score
+        |  FROM zc
+        |)
+        |SELECT day, n_rows, baseline_mean, z_score,
+        |  CASE WHEN n_l >= 2 THEN
+        |    (sd = 0.0 AND CAST(n_rows AS DOUBLE) <> baseline_mean)
+        |    OR (sd > 0.0 AND abs(z_score) > 3.0)
+        |  END AS is_anomaly
+        |FROM zf""".stripMargin,
+
     "dq_skew_profile" ->
       """WITH c AS (
         |  SELECT user_id, count(*) AS c FROM events GROUP BY 1

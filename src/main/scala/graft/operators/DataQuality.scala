@@ -231,4 +231,42 @@ object DataQuality {
         / (col("n_rows").cast("double") / col("n_keys").cast("double")))
         .as("skew_factor"))
   }
+
+  /** VOLUME anomaly monitor — the "did yesterday's load shrink?" check
+    * a warehouse runs on every ingested table: per-day row counts, each
+    * day z-scored against its TRAILING `window`-day baseline (current
+    * day excluded, so an anomalous day cannot mask itself). The
+    * Bollinger determinism recipe: counts are exact longs, the frame
+    * reduces to exact integer moments (n, Σ, Σ²), and only the final z
+    * tree runs in doubles — identical expression tree in the oracle.
+    * Days with fewer than 2 baseline days emit NULL (an undefined
+    * baseline never alarms); a ZERO-VARIANCE baseline alarms on ANY
+    * deviation from its mean (z is undefined there, but a spike over a
+    * perfectly steady history is the clearest anomaly, not a blind
+    * spot). Scale shape: the corpus reduces to the |days|-row digest in
+    * one map-side-combinable groupBy; the window runs on the digest.
+    */
+  def volumeAnomaly(df: DataFrame, tsCol: String, window: Int = 7,
+      zThreshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("day")).rowsBetween(-window, -1)
+    val moments = daily
+      .withColumn("n_l", count(lit(1)).over(w))
+      .withColumn("s_l", sum(col("n_rows")).over(w))
+      .withColumn("ss_l", sum(col("n_rows") * col("n_rows")).over(w))
+    val n = col("n_l").cast("double")
+    val s = col("s_l").cast("double")
+    val ss = col("ss_l").cast("double")
+    val mean = s / n
+    val sd = sqrt(greatest(n * ss - s * s, lit(0.0))
+      / nullif(n * (n - lit(1.0)), lit(0.0)))
+    val z = (col("n_rows").cast("double") - mean) / nullif(sd, lit(0.0))
+    val isAnom = when(col("n_l") >= 2,
+      (sd === lit(0.0) && col("n_rows").cast("double") =!= mean) ||
+        (sd > lit(0.0) && abs(z) > lit(zThreshold)))
+    moments.select(col("day"), col("n_rows"),
+      mean.as("baseline_mean"), z.as("z_score"), isAnom.as("is_anomaly"))
+  }
 }

@@ -204,6 +204,28 @@ class OperatorsSpec extends SparkSuite {
       .count() == 0) // every class has >= 1 row by definition
   }
 
+  test("volume anomaly: the spike day alarms, steady days and warm-up stay quiet") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    // 9 days at 10 rows/day, day 10 spikes to 100: the zero-variance
+    // baseline alarms on any deviation; steady days are a quiet FALSE;
+    // days 1-2 have an undefined (<2-day) baseline → NULL
+    val rows = (1 to 9).flatMap(d =>
+      Seq.fill(10)(java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"))) ++
+      Seq.fill(100)(java.sql.Timestamp.valueOf("2024-01-10 12:00:00"))
+    val df = rows.toDF("ts")
+    val out = DataQuality.volumeAnomaly(df, "ts").collect()
+      .map(r => r.getDate(0).toString -> r).toMap
+    assert(out.size == 10)
+    assert(out("2024-01-10").getBoolean(4))                 // the spike alarms
+    assert(out("2024-01-10").getDouble(2) == 10.0)          // baseline mean
+    assert(out("2024-01-01").isNullAt(4))                   // no baseline
+    assert(out("2024-01-02").isNullAt(4))                   // 1-day baseline
+    (3 to 9).foreach { d =>
+      assert(!out(f"2024-01-$d%02d").getBoolean(4))         // quiet steady days
+    }
+  }
+
   test("skyline merge identity: skyline(skyline(A) ∪ B) = skyline(A ∪ B)") {
     import spark.implicits._
     import graft.operators.Skyline
