@@ -871,6 +871,10 @@ object SparkEntry {
     "dq_volume_anomaly" -> ((s, dir) =>
       graft.operators.DataQuality.volumeAnomaly(
         Tables.events(s, dir), "ts")),
+    // the incrementally maintained day-count digest must converge to
+    // the one-shot monitor — same oracle verbatim
+    "stream_volume_anomaly_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayVolumeAnomalyIncremental(s, dir)),
 
     // k-anonymity audit: every (nation, segment) equivalence class
     // below k re-identifies its members — one map-side-combinable
@@ -1698,6 +1702,44 @@ object SparkEntry {
       |SELECT 'fk_orders', n, CAST(fk.g AS BIGINT),
       |  CAST(fk.g AS DOUBLE) / CAST(n AS DOUBLE),
       |  CAST(fk.g AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM t, fk""".stripMargin
+
+  /** The volume-anomaly report as oracle SQL — shared verbatim by the
+    * one-shot `dq_volume_anomaly` gate and the incrementally maintained
+    * `stream_volume_anomaly_incremental` replay, which must converge to
+    * it. Trailing-frame integer moments + the identical double z tree;
+    * sums feed straight into DOUBLE casts so no HUGEINT surfaces.
+    */
+  private val DqVolumeAnomalyOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT day, n_rows,
+      |    count(*) OVER w AS n_l,
+      |    sum(n_rows) OVER w AS s_l,
+      |    sum(n_rows * n_rows) OVER w AS ss_l
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |), zc AS (
+      |  SELECT day, n_rows, n_l,
+      |    CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE) AS baseline_mean,
+      |    sqrt(greatest(CAST(n_l AS DOUBLE) * CAST(ss_l AS DOUBLE)
+      |                  - CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE), 0.0)
+      |         / nullif(CAST(n_l AS DOUBLE)
+      |                  * (CAST(n_l AS DOUBLE) - 1.0), 0.0)) AS sd
+      |  FROM m
+      |), zf AS (
+      |  SELECT day, n_rows, n_l, baseline_mean, sd,
+      |    (CAST(n_rows AS DOUBLE) - baseline_mean) / nullif(sd, 0.0)
+      |      AS z_score
+      |  FROM zc
+      |)
+      |SELECT day, n_rows, baseline_mean, z_score,
+      |  CASE WHEN n_l >= 2 THEN
+      |    (sd = 0.0 AND CAST(n_rows AS DOUBLE) <> baseline_mean)
+      |    OR (sd > 0.0 AND abs(z_score) > 3.0)
+      |  END AS is_anomaly
+      |FROM zf""".stripMargin
 
   /** Inline a plane set as a literal sign-dot signature expression over
     * `embExpr` — the oracle-side twin of Similarity.lshSignature.
@@ -3688,37 +3730,11 @@ object SparkEntry {
     // quantile_cont (the q_exact_percentiles precedent)
     // the trailing-frame integer moments + the identical double z tree;
     // sums feed straight into DOUBLE casts so no HUGEINT surfaces
-    "dq_volume_anomaly" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
-        |  FROM events GROUP BY 1
-        |), m AS (
-        |  SELECT day, n_rows,
-        |    count(*) OVER w AS n_l,
-        |    sum(n_rows) OVER w AS s_l,
-        |    sum(n_rows * n_rows) OVER w AS ss_l
-        |  FROM daily
-        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-        |), zc AS (
-        |  SELECT day, n_rows, n_l,
-        |    CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE) AS baseline_mean,
-        |    sqrt(greatest(CAST(n_l AS DOUBLE) * CAST(ss_l AS DOUBLE)
-        |                  - CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE), 0.0)
-        |         / nullif(CAST(n_l AS DOUBLE)
-        |                  * (CAST(n_l AS DOUBLE) - 1.0), 0.0)) AS sd
-        |  FROM m
-        |), zf AS (
-        |  SELECT day, n_rows, n_l, baseline_mean, sd,
-        |    (CAST(n_rows AS DOUBLE) - baseline_mean) / nullif(sd, 0.0)
-        |      AS z_score
-        |  FROM zc
-        |)
-        |SELECT day, n_rows, baseline_mean, z_score,
-        |  CASE WHEN n_l >= 2 THEN
-        |    (sd = 0.0 AND CAST(n_rows AS DOUBLE) <> baseline_mean)
-        |    OR (sd > 0.0 AND abs(z_score) > 3.0)
-        |  END AS is_anomaly
-        |FROM zf""".stripMargin,
+    "dq_volume_anomaly" -> DqVolumeAnomalyOracleSql,
+
+    // the maintained day-count digest must converge to the one-shot
+    // monitor — same oracle verbatim
+    "stream_volume_anomaly_incremental" -> DqVolumeAnomalyOracleSql,
 
     "dq_skew_profile" ->
       """WITH c AS (

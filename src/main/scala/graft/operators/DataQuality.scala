@@ -247,10 +247,20 @@ object DataQuality {
     * one map-side-combinable groupBy; the window runs on the digest.
     */
   def volumeAnomaly(df: DataFrame, tsCol: String, window: Int = 7,
+      zThreshold: Double = 3.0): DataFrame =
+    volumeAnomalyFromDaily(
+      df.groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("n_rows")),
+      window, zThreshold)
+
+  /** The digest→report half of [[volumeAnomaly]]: takes the per-day
+    * (day, n_rows) count digest — however it was maintained (one-shot
+    * groupBy or incrementally folded batch counters) — and computes the
+    * z-scored report. Separated so the incremental path converges to
+    * the one-shot by construction.
+    */
+  def volumeAnomalyFromDaily(daily: DataFrame, window: Int = 7,
       zThreshold: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n_rows"))
     val w = Window.orderBy(col("day")).rowsBetween(-window, -1)
     val moments = daily
       .withColumn("n_l", count(lit(1)).over(w))

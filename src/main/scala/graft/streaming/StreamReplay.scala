@@ -826,6 +826,53 @@ object StreamReplay {
       .limit(k)
   }
 
+  /** Replay of an INCREMENTALLY MAINTAINED VOLUME-ANOMALY monitor: the
+    * events table streams in micro-batches; each batch appends its
+    * per-day partial row counts (marker-guarded batch-scoped dirs —
+    * counts are additive, NOT idempotent by value), the maintained
+    * digest is the summed fold, and the z-scored report recomputes on
+    * the |days|-row digest alone. This is how a warehouse keeps volume
+    * monitors current at 100 TB: O(batch-days) work per batch against
+    * O(|days|) state, never a rescan. Must equal the one-shot
+    * dq_volume_anomaly — the same oracle gates both.
+    */
+  def replayVolumeAnomalyIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_vol_replay")
+    val feed = tmp.resolve("feed").toString
+    val countersDir = tmp.resolve("counters")
+
+    val events = Tables.events(s, dir).select(col("ts"))
+    events.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val marker = countersDir.resolve("_applied").resolve(s"batch-$bid")
+          if (!java.nio.file.Files.exists(marker)) {
+            batch.groupBy(to_date(col("ts")).as("day"))
+              .agg(count(lit(1)).as("n_rows"))
+              .write.mode("overwrite")
+              .parquet(countersDir.resolve("rows").resolve(s"b$bid").toString)
+            java.nio.file.Files.createDirectories(marker.getParent)
+            java.nio.file.Files.createFile(marker)
+            ()
+          }
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    val daily = s.read.parquet(countersDir.resolve("rows").toString + "/*")
+      .groupBy(col("day")).agg(sum(col("n_rows")).as("n_rows"))
+    graft.operators.DataQuality.volumeAnomalyFromDaily(daily)
+  }
+
   /** Replay of INCREMENTAL KMV-SKETCH maintenance: the events table
     * streams in micro-batches, each batch appending its ≤ k-row PARTIAL
     * sketch (its k smallest key hashes — O(k) per batch, O(batches·k)
