@@ -1512,6 +1512,21 @@ object SparkEntry {
     // frame window fingerprinted BEFORE any decode (sample-then-decode)
     "mm_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.frameSamples(s, dir)),
+    // content-defined chunking over the payloads: boundaries where the
+    // rolling 16-byte window sum hits 0 mod 64 (resyncs after edits,
+    // unlike fixed-stride framing), chunks fingerprinted with the
+    // wrapping 31h+b fold — the rsync/backup-dedup primitive
+    "mm_cdc_chunks" -> ((s, dir) =>
+      graft.multimodal.Multimodal.cdcChunks(s, dir)
+        .select(col("doc_id"), col("kind"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_off").cast("long").as("chunk_off"),
+          col("chunk_len").cast("long").as("chunk_len"),
+          col("chunk_hash"))),
+    // near-dup payload pairs by CDC chunk-fingerprint overlap: the
+    // inverted-index join on the chunk hash is the only pairing step
+    "mm_cdc_neardup" -> ((s, dir) =>
+      graft.multimodal.Multimodal.cdcNearDup(s, dir)),
     // shot-boundary detection: frame-difference thresholding on the
     // stub frame grid — exact byte-sum intensity mass per frame, a cut
     // when mean abs change > 16 gray levels; narrow flatMap, no shuffle
@@ -1740,6 +1755,62 @@ object SparkEntry {
       |    OR (sd > 0.0 AND abs(z_score) > 3.0)
       |  END AS is_anomaly
       |FROM zf""".stripMargin
+
+  /** DuckDB CTE chain replaying Multimodal.cdcChunks: payload bytes
+    * from the hex dump, rolling-window byte sums as prefix-sum
+    * arithmetic (lag by the window width), boundary positions where the
+    * window sum hits 0 mod 64, chunk segmentation with the forced final
+    * cut, and the wrapping 31·h+b HUGEINT fold per chunk. Ends at CTE
+    * `cdc_hs` (doc_id, kind, chunk_idx, chunk_off, chunk_len, hh) —
+    * shared by the chunk gate and the near-dup pair gate.
+    */
+  private val CdcChunkCtes: String =
+    """cdc_m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    octet_length(encode(text)) AS len, hex(encode(text)) AS hx
+      |  FROM documents WHERE octet_length(encode(text)) > 0
+      |), cdc_b AS (
+      |  SELECT doc_id, kind, len,
+      |    list_transform(range(0, len), j ->
+      |      16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+      |      + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)) AS bytes
+      |  FROM cdc_m
+      |), cdc_br AS (
+      |  SELECT doc_id, pos,
+      |    sum(bv) OVER (PARTITION BY doc_id ORDER BY pos) AS ps
+      |  FROM (SELECT doc_id, unnest(bytes) AS bv,
+      |          generate_subscripts(bytes, 1) AS pos FROM cdc_b)
+      |), cdc_cut AS (
+      |  SELECT doc_id, pos AS cut
+      |  FROM (SELECT doc_id, pos, ps,
+      |          lag(ps, 16) OVER (PARTITION BY doc_id ORDER BY pos) AS psw
+      |        FROM cdc_br)
+      |  WHERE pos >= 16 AND (ps - coalesce(psw, 0)) % 64 = 0
+      |), cdc_cl AS (
+      |  SELECT doc_id, list(cut ORDER BY cut) AS cuts FROM cdc_cut GROUP BY 1
+      |), cdc_cf AS (
+      |  SELECT b.doc_id, b.kind, b.bytes,
+      |    CASE WHEN cl.cuts IS NULL THEN [b.len]
+      |         WHEN cl.cuts[-1] <> b.len THEN list_append(cl.cuts, b.len)
+      |         ELSE cl.cuts END AS cuts
+      |  FROM cdc_b b LEFT JOIN cdc_cl cl USING (doc_id)
+      |), cdc_cx AS (
+      |  SELECT doc_id, kind, bytes, cuts,
+      |    unnest(generate_series(1, len(cuts))) AS i
+      |  FROM cdc_cf
+      |), cdc_hs AS (
+      |  SELECT doc_id, kind, i - 1 AS chunk_idx,
+      |    CASE WHEN i = 1 THEN 0 ELSE cuts[i - 1] END AS chunk_off,
+      |    cuts[i] - (CASE WHEN i = 1 THEN 0 ELSE cuts[i - 1] END) AS chunk_len,
+      |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |      list_transform(list_slice(bytes,
+      |          (CASE WHEN i = 1 THEN 0 ELSE cuts[i - 1] END) + 1, cuts[i]),
+      |        x -> CAST(x AS HUGEINT))),
+      |      (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT) AS hh
+      |  FROM cdc_cx
+      |)""".stripMargin
 
   /** Inline a plane set as a literal sign-dot signature expression over
     * `embExpr` — the oracle-side twin of Similarity.lshSignature.
@@ -5225,6 +5296,43 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
         |WHERE rank <= 3""".stripMargin,
+
+    // the CDC segmentation + per-chunk HUGEINT fold replayed; the hash
+    // folds back to Spark's signed long
+    "mm_cdc_chunks" ->
+      s"""WITH $CdcChunkCtes
+         |SELECT doc_id, kind, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_off AS BIGINT) AS chunk_off,
+         |  CAST(chunk_len AS BIGINT) AS chunk_len,
+         |  CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+         |            THEN hh - 18446744073709551616::HUGEINT ELSE hh END
+         |       AS BIGINT) AS chunk_hash
+         |FROM cdc_hs""".stripMargin,
+
+    // the same chunk fingerprints grouped per (a, b) pair through the
+    // df-capped inverted index, with the exact-rational Jaccard
+    "mm_cdc_neardup" ->
+      s"""WITH $CdcChunkCtes, cdc_d AS (
+         |  SELECT DISTINCT doc_id, hh FROM cdc_hs
+         |), cdc_cap AS (
+         |  SELECT hh FROM cdc_d GROUP BY hh HAVING count(*) <= 100
+         |), cdc_cd AS (
+         |  SELECT d.doc_id, d.hh FROM cdc_d d JOIN cdc_cap USING (hh)
+         |), cdc_sz AS (
+         |  SELECT doc_id, count(*) AS n FROM cdc_cd GROUP BY 1
+         |), cdc_pr AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    count(*) AS n_shared
+         |  FROM cdc_cd a JOIN cdc_cd b2 USING (hh)
+         |  WHERE a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |)
+         |SELECT p.doc_a, p.doc_b, p.n_shared,
+         |  CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared)
+         |    AS jaccard
+         |FROM cdc_pr p
+         |JOIN cdc_sz sa ON sa.doc_id = p.doc_a
+         |JOIN cdc_sz sb ON sb.doc_id = p.doc_b""".stripMargin,
 
     // the frame-window arithmetic + wrapping 31h+b fold replayed from the
     // hex payload; the HUGEINT hash folds back to Spark's signed long

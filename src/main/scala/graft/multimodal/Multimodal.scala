@@ -114,6 +114,136 @@ object Multimodal {
       }.toDF()
   }
 
+  /** NEAR-DUP VIDEO detection by frame-fingerprint overlap: two videos
+    * are near-duplicates when their (distinct) frame-hash sets overlap
+    * — re-encodes, trims, and concatenations share long frame runs even
+    * when the container bytes differ. Candidate pairs form ONLY through
+    * the inverted-index join on the frame hash (the blocking key), so
+    * no all-pairs step touches the corpus; degenerate hashes shared by
+    * more than `maxDocsPerHash` videos are dropped first (the
+    * oversize-bucket cap of the LSH family — think black frames).
+    * Jaccard is an exact rational of integer counts. This is the video
+    * member of the dedup family next to mm_phash_dedup (images) and
+    * the text near-dup operators.
+    */
+  def videoNearDup(spark: SparkSession, dir: String,
+      maxDocsPerHash: Int = 100, minShared: Int = 2): DataFrame = {
+    val fh = frameSamples(spark, dir, every = 1)
+      .select(col("doc_id"), col("frame_hash")).distinct()
+    val capped = fh.join(
+      fh.groupBy(col("frame_hash")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDocsPerHash).select(col("frame_hash")),
+      Seq("frame_hash"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    val pairs = capped.select(col("doc_id").as("doc_a"), col("frame_hash"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("frame_hash")),
+        Seq("frame_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_frames").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_frames").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("na") + col("nb") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
+  final case class CdcChunk(doc_id: Long, kind: String, chunk_idx: Int,
+      chunk_off: Int, chunk_len: Int, chunk_hash: Long)
+
+  /** CONTENT-DEFINED CHUNKING over the opaque payloads — the
+    * rsync/LBFS/backup-dedup primitive: a boundary falls wherever the
+    * rolling window hash of the LAST `window` bytes hits 0 mod
+    * `divisor`, so boundaries depend only on local content and RESYNC
+    * after any insertion or deletion (fixed-stride framing never
+    * recovers from a one-byte shift). Chunks are fingerprinted with the
+    * wrapping 31·h+b fold. The window hash here is the additive byte
+    * sum — it has the resync property that makes CDC work and replays
+    * as prefix-sum arithmetic in the oracle; a production deployment
+    * swaps in a gear/Rabin hash for boundary uniformity, changing no
+    * plan shape. Pure narrow flatMap, no shuffle at any corpus size;
+    * empty payloads emit nothing.
+    */
+  /** The pure per-payload segmentation: (chunk_idx, off, len, hash)
+    * tuples. Exposed for the spec's resync/reconstruction pins.
+    */
+  private[graft] def cdcSegments(bytes: Array[Byte], window: Int,
+      divisor: Int): Iterator[(Int, Int, Int, Long)] = {
+    val len = bytes.length
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var wsum = 0
+    var i = 0
+    while (i < len) {
+      wsum += bytes(i) & 0xFF
+      if (i >= window) wsum -= bytes(i - window) & 0xFF
+      if (i >= window - 1 && wsum % divisor == 0) cuts += (i + 1)
+      i += 1
+    }
+    if (cuts.isEmpty || cuts.last != len) cuts += len
+    var start = 0
+    cuts.iterator.zipWithIndex.map { case (end, idx) =>
+      var h = 1125899906842597L
+      var j = start
+      while (j < end) { h = 31 * h + (bytes(j) & 0xFF); j += 1 }
+      val c = (idx, start, end - start, h)
+      start = end
+      c
+    }
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String, window: Int = 16,
+      divisor: Int = 64): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter((r: MediaRecord) => r.bytes.nonEmpty)
+      .flatMap { r =>
+        cdcSegments(r.bytes, window, divisor).map { case (idx, off, l, h) =>
+          CdcChunk(r.doc_id, r.kind, idx, off, l, h)
+        }
+      }.toDF()
+  }
+
+  /** NEAR-DUP PAYLOAD detection over the CDC chunks: two payloads are
+    * near-duplicates when their (distinct) chunk-fingerprint sets
+    * overlap — because boundaries are content-defined, re-encodes with
+    * local edits still share the chunks around the edit. Candidate
+    * pairs form ONLY through the inverted-index join on the chunk hash
+    * (the blocking key); degenerate fingerprints shared by more than
+    * `maxDocsPerHash` payloads are dropped first (the oversize-bucket
+    * cap of the LSH family). Jaccard is an exact rational of integer
+    * counts. The payload member of the dedup family, next to
+    * [[videoNearDup]] (frame grid) and mm_phash_dedup (images).
+    */
+  def cdcNearDup(spark: SparkSession, dir: String,
+      maxDocsPerHash: Int = 100, minShared: Int = 2): DataFrame = {
+    val ch = cdcChunks(spark, dir)
+      .select(col("doc_id"), col("chunk_hash")).distinct()
+    val capped = ch.join(
+      ch.groupBy(col("chunk_hash")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDocsPerHash).select(col("chunk_hash")),
+      Seq("chunk_hash"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val pairs = capped.select(col("doc_id").as("doc_a"), col("chunk_hash"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("chunk_hash")),
+        Seq("chunk_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_chunks").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_chunks").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("na") + col("nb") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
   final case class SceneCut(doc_id: Long, frame_idx: Int,
       frame_sum: Long, delta: Long, is_cut: Boolean)
 

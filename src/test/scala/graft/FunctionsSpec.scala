@@ -270,4 +270,60 @@ class FunctionsSpec extends SparkSuite {
     // the flag branch is live in both directions on the fixture
     assert(res.values.exists(_._3) && res.values.exists(!_._3))
   }
+
+  test("cdc: chunks reconstruct the payload; boundaries resync after a prefix edit") {
+    val text = (1 to 400).map(i => s"w${i % 97}").mkString(" ")
+    val base = text.getBytes("UTF-8")
+    val segs = Multimodal.cdcSegments(base, 16, 64).toSeq
+    // contiguous cover of the payload, no gaps or overlaps
+    assert(segs.head._2 == 0)
+    segs.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 + a._3 == b._2)
+      case _ =>
+    }
+    assert(segs.last._2 + segs.last._3 == base.length)
+    // determinism
+    assert(Multimodal.cdcSegments(base, 16, 64).toSeq == segs)
+    // THE CDC property: a prefix insertion shifts every byte, yet the
+    // chunk-hash sets re-converge because boundaries are content-local
+    // (fixed-stride framing shares ~nothing after a 3-byte shift)
+    val edited = ("xy " + text).getBytes("UTF-8")
+    val eSegs = Multimodal.cdcSegments(edited, 16, 64).toSeq
+    // boundaries re-align as a pure +3 shift past the edit
+    val baseCuts = segs.map(s => s._2 + s._3)
+    val eCuts = eSegs.map(s => s._2 + s._3).toSet
+    assert(baseCuts.count(c => eCuts.contains(c + 3)) == baseCuts.size)
+    // the DISTINCT hash sets re-converge: only the chunk spanning the
+    // edit can differ (the periodic fixture collapses repeats, so
+    // compare distinct sets, not positional chunk counts)
+    val baseH = segs.map(_._4).toSet
+    val shared = baseH intersect eSegs.map(_._4).toSet
+    assert(shared.size >= baseH.size - 1 && shared.size >= 3,
+      s"only ${shared.size} of ${baseH.size} distinct chunk hashes survived")
+  }
+
+  test("video near-dup: identical payloads pair at jaccard 1, disjoint never pair") {
+    import spark.implicits._
+    // pad so len % 8 == 7 → the stub demuxer sees 8 frames (a payload
+    // at len % 8 == 0 is a single frame and can never share TWO hashes)
+    def pad(t0: String): String = {
+      var t = t0
+      while (t.getBytes("UTF-8").length % 8 != 7) t += "x"
+      t
+    }
+    val text = pad((1 to 300).map(i => s"v${i % 89}").mkString(" "))
+    // doc_id % 3 == 2 → video kind; 2 and 5 identical, 8 disjoint
+    val docs = Seq(
+      (2L, text, "en", "s", 0L),
+      (5L, text, "en", "s", 0L),
+      (8L, pad((1 to 300).map(i => s"z${i % 83}").mkString(" ")), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = graft.util.Scratch.dir("vnd_fixture")
+    docs.write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val out = Multimodal.videoNearDup(spark, d.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set((2L, 5L)))
+    assert(out((2L, 5L))._2 == 1.0) // identical frame sets
+  }
 }
