@@ -1488,6 +1488,9 @@ object SparkEntry {
     // IVFADC: IVF cell pruning + PQ asymmetric-distance scoring over the
     // persisted codes — the billion-vector serving composition
     "sim_ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
+    // recall@10 of IVFADC vs the exact-cosine brute top-10 — the index
+    // quality dial as a checked query
+    "sim_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     // embedding-cosine near-dup flags at 0.95 (rows-only check)
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     // SemDeDup: k-means-clustered semantic dedup — pairwise cosine ONLY
@@ -2087,6 +2090,68 @@ object SparkEntry {
     sb.append(s""", cb AS (\n  $cbUnion\n), svall AS (\n  $svUnion\n)""")
     sb.toString
   }
+
+  /** The IVFADC replay up to the `adc` CTE (qid, label, vec_id,
+    * adc_dist): PQ training + encoding (PqCtes), DECIMAL-exact
+    * label-cell centroids + probe selection, candidates restricted to
+    * probed cells, the micro-scaled-long ADC fold. Shared by the
+    * sim_ivfpq_topk gate and the sim_ivfpq_recall gate (which joins the
+    * ADC top-k against the brute cosine top-k). Also exposes `q`
+    * (qid, qe) for the brute side.
+    */
+  private lazy val IvfPqAdcCtes: String =
+    s"""${PqCtes(8, 8, 2)},
+       |codes AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT s.vec_id, s.sub, c.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY ${PqL2("s.sv", "c.centroid")} ASC, c.cell ASC) AS rn
+       |    FROM svall s JOIN cb c ON c.sub = s.sub)
+       |  WHERE rn = 1
+       |), un AS (
+       |  SELECT label, unnest(embedding) AS ev,
+       |         generate_subscripts(embedding, 1) AS pos
+       |  FROM embeddings
+       |), ccl AS (
+       |  SELECT label, pos,
+       |    CAST(round(CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+       |               / count(*), 6) AS FLOAT) AS c
+       |  FROM un GROUP BY label, pos
+       |), cent AS (
+       |  SELECT label, CAST(list(c ORDER BY pos) AS DOUBLE[]) AS centroid
+       |  FROM ccl GROUP BY label
+       |), q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < 5
+       |), probes AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        round(list_dot_product(qe, centroid)
+       |              / sqrt(list_dot_product(qe, qe)
+       |                   * list_dot_product(centroid, centroid)), 6) DESC,
+       |        label ASC) AS pr
+       |    FROM q CROSS JOIN cent)
+       |  WHERE pr <= 2
+       |), cand AS (
+       |  SELECT p.qid, p.label, e.vec_id
+       |  FROM probes p JOIN embeddings e USING (label)
+       |  WHERE e.vec_id <> p.qid
+       |), qsv AS (
+       |  SELECT vec_id AS qid, sub, sv AS qv FROM svall WHERE vec_id < 5
+       |), parts AS (
+       |  SELECT c.qid, c.label, c.vec_id,
+       |    CAST(floor(${PqL2("qs.qv", "b.centroid")} * 1000000 + 0.5)
+       |         AS BIGINT) AS pdm
+       |  FROM cand c
+       |  JOIN codes x ON x.vec_id = c.vec_id
+       |  JOIN cb b ON b.sub = x.sub AND b.cell = x.cell
+       |  JOIN qsv qs ON qs.qid = c.qid AND qs.sub = x.sub
+       |), adc AS (
+       |  SELECT qid, label, vec_id,
+       |    CAST(sum(pdm) AS DOUBLE) / 1000000 AS adc_dist
+       |  FROM parts GROUP BY 1, 2, 3
+       |)""".stripMargin
 
   /** Unrolled BPE-training CTE chain mirroring Bpe.trainMerges step for
     * step: word-type table (same tokenizer + filter + deterministic
@@ -4854,62 +4919,43 @@ object SparkEntry {
     // (sim_ivf_topk's CTEs), candidates restricted to probed cells, and
     // the micro-scaled-long ADC fold
     "sim_ivfpq_topk" -> {
-      s"""WITH ${PqCtes(8, 8, 2)},
-         |codes AS (
-         |  SELECT vec_id, sub, cell FROM (
-         |    SELECT s.vec_id, s.sub, c.cell,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
-         |        ORDER BY ${PqL2("s.sv", "c.centroid")} ASC, c.cell ASC) AS rn
-         |    FROM svall s JOIN cb c ON c.sub = s.sub)
-         |  WHERE rn = 1
-         |), un AS (
-         |  SELECT label, unnest(embedding) AS ev,
-         |         generate_subscripts(embedding, 1) AS pos
-         |  FROM embeddings
-         |), ccl AS (
-         |  SELECT label, pos,
-         |    CAST(round(CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
-         |               / count(*), 6) AS FLOAT) AS c
-         |  FROM un GROUP BY label, pos
-         |), cent AS (
-         |  SELECT label, CAST(list(c ORDER BY pos) AS DOUBLE[]) AS centroid
-         |  FROM ccl GROUP BY label
-         |), q AS (
-         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-         |  FROM embeddings WHERE vec_id < 5
-         |), probes AS (
-         |  SELECT qid, label FROM (
-         |    SELECT qid, label,
-         |      row_number() OVER (PARTITION BY qid ORDER BY
-         |        round(list_dot_product(qe, centroid)
-         |              / sqrt(list_dot_product(qe, qe)
-         |                   * list_dot_product(centroid, centroid)), 6) DESC,
-         |        label ASC) AS pr
-         |    FROM q CROSS JOIN cent)
-         |  WHERE pr <= 2
-         |), cand AS (
-         |  SELECT p.qid, p.label, e.vec_id
-         |  FROM probes p JOIN embeddings e USING (label)
-         |  WHERE e.vec_id <> p.qid
-         |), qsv AS (
-         |  SELECT vec_id AS qid, sub, sv AS qv FROM svall WHERE vec_id < 5
-         |), parts AS (
-         |  SELECT c.qid, c.label, c.vec_id,
-         |    CAST(floor(${PqL2("qs.qv", "b.centroid")} * 1000000 + 0.5)
-         |         AS BIGINT) AS pdm
-         |  FROM cand c
-         |  JOIN codes x ON x.vec_id = c.vec_id
-         |  JOIN cb b ON b.sub = x.sub AND b.cell = x.cell
-         |  JOIN qsv qs ON qs.qid = c.qid AND qs.sub = x.sub
-         |), adc AS (
-         |  SELECT qid, label, vec_id,
-         |    CAST(sum(pdm) AS DOUBLE) / 1000000 AS adc_dist
-         |  FROM parts GROUP BY 1, 2, 3
-         |)
+      s"""WITH $IvfPqAdcCtes
          |SELECT qid, label, vec_id, adc_dist, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY adc_dist ASC, vec_id ASC) AS rank FROM adc)
          |WHERE rank <= 10""".stripMargin
+    },
+
+    // recall@10 of IVFADC against the exact-L2 brute top-10 (the same
+    // metric ADC approximates): both pipelines replayed in full,
+    // integer hits + exact-rational recall
+    "sim_ivfpq_recall" -> {
+      s"""WITH $IvfPqAdcCtes, ivfk AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_dist ASC, vec_id ASC) AS rank FROM adc)
+         |  WHERE rank <= 10
+         |), bscored AS (
+         |  SELECT qid, vec_id, ${PqL2("qe", "ee")} AS dist
+         |  FROM (SELECT q.qid, e.vec_id, q.qe,
+         |          CAST(e.embedding AS DOUBLE[]) AS ee
+         |        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+         |), brute AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist ASC, vec_id ASC) AS rank FROM bscored)
+         |  WHERE rank <= 10
+         |), hits AS (
+         |  SELECT qid, count(*) AS n_hits
+         |  FROM ivfk JOIN brute USING (qid, vec_id) GROUP BY 1
+         |), tru AS (
+         |  SELECT qid, count(*) AS n_true FROM brute GROUP BY 1
+         |)
+         |SELECT t.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  t.n_true,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+         |    AS recall
+         |FROM tru t LEFT JOIN hits h USING (qid)""".stripMargin
     },
 
     // the full PQ pipeline replayed: per-subspace training (PqCtes),

@@ -729,4 +729,37 @@ object Similarity {
       .select(col("qid"), col("label"), col("vec_id"), col("adc_dist"),
         col("rank"))
   }
+
+  /** Recall@k of the IVFADC search against the EXACT-L2 brute-force
+    * top-k — the "is the compressed, pruned index any good?" question
+    * as a checked query: per query, how many of the true top-k survive
+    * both the cell pruning AND the PQ distance distortion. The truth
+    * side uses the SAME metric ADC approximates (L2²), so the number
+    * measures pure index loss, not a cosine-vs-L2 ranking mismatch.
+    * Integer hit counts + one exact rational, so the oracle replays
+    * BOTH pipelines and the intersection value-exactly (the
+    * dedup_minhash_recall shape for the ANN family).
+    */
+  def ivfPqRecall(s: SparkSession, dir: String, nQueries: Int = 5,
+      topK: Int = 10): DataFrame = {
+    val approx = ivfPqTopK(s, dir, nQueries = nQueries, topK = topK)
+      .select(col("qid"), col("vec_id"))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wB = Window.partitionBy("qid").orderBy(col("dist").asc, col("vec_id").asc)
+    val brute = emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(l2sq(col("qe"), col("embedding")), 6).as("dist"))
+      .withColumn("rank", row_number().over(wB)).where(col("rank") <= topK)
+      .select(col("qid"), col("vec_id"))
+    val hits = approx.join(brute, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    brute.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_true").cast("double")).as("recall"))
+  }
 }
