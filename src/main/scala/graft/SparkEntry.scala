@@ -1401,6 +1401,11 @@ object SparkEntry {
     // not retrained per query)
     "cur_classifier_scores" -> ((s, dir) =>
       graft.text.QualityClassifier.scores(s, dir)),
+    // calibration: margin deciles (percentile-agg bounds, never a
+    // global ntile) with exact per-bucket positive rates — the eval a
+    // pipeline reads before trusting the learned quality filter
+    "cur_classifier_calibration" -> ((s, dir) =>
+      graft.text.QualityClassifier.calibrationTable(s, dir)),
     // the INFERENCE side of the tokenizer artifact: apply the trained
     // merge list to the word-type table from scratch (a pure narrow
     // map, embarrassingly parallel — the shape that tokenizes 100 TB);
@@ -5143,6 +5148,9 @@ object SparkEntry {
     // 4 unrolled GD steps → weight table / final margins
     "cur_classifier_weights" -> graft.oracle.ClassifierOracleSql.weights(),
     "cur_classifier_scores" -> graft.oracle.ClassifierOracleSql.scores(),
+    // margins → decile bounds → strict-exceed buckets → exact counts
+    "cur_classifier_calibration" ->
+      graft.oracle.ClassifierOracleSql.calibration(),
     // the incrementally maintained training state must learn the
     // identical model — same oracle verbatim
     "stream_classifier_incremental" ->

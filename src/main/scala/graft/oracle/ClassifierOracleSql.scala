@@ -112,4 +112,35 @@ object ClassifierOracleSql {
        |SELECT fm.doc_id, fm.mu AS margin_u, fm.mu >= 0 AS predicted,
        |  CAST(l.y AS INT) AS y
        |FROM fm JOIN lab l USING (doc_id)""".stripMargin
+
+  /** Oracle for cur_classifier_calibration: margins + percentile decile
+    * bounds (quantile_cont ↔ Spark percentile, the q_exact_percentiles
+    * precedent) + strict-exceed bucketing + exact per-bucket counts.
+    */
+  def calibration(posLang: String = "en",
+      iters: Int = QualityClassifier.DefaultIters): String = {
+    val boundCols = (1 to 9)
+      .map(i => s"quantile_cont(mu, 0.${i}) AS b$i").mkString(",\n       |    ")
+    val bucketExpr = (1 to 9)
+      .map(i => s"(CASE WHEN mu > b$i THEN 1 ELSE 0 END)")
+      .mkString("\n       |      + ")
+    s"""WITH ${allCtes(posLang, iters)}, fm AS (
+       |  SELECT f.doc_id, CAST(sum(f.xu * w.wu) AS BIGINT) AS mu
+       |  FROM fx f JOIN w$iters w USING (bucket) GROUP BY 1
+       |), sc AS (
+       |  SELECT fm.doc_id, fm.mu, CAST(l.y AS INT) AS y
+       |  FROM fm JOIN lab l USING (doc_id)
+       |), bnd AS (
+       |  SELECT $boundCols
+       |  FROM sc
+       |), bk AS (
+       |  SELECT doc_id, y,
+       |    $bucketExpr AS bucket
+       |  FROM sc, bnd
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+       |  CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+       |FROM bk GROUP BY 1""".stripMargin
+  }
 }

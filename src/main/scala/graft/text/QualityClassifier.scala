@@ -187,4 +187,33 @@ object QualityClassifier {
     margins(features(docs), w).join(labels(docs, posLang), "doc_id")
       .select(col("doc_id"), col("mu").as("margin_u"),
         (col("mu") >= 0L).as("predicted"), col("y").cast("int").as("y"))
+
+  /** CALIBRATION table over the trained model's margins — the ML-eval
+    * view a curation pipeline reads before trusting a learned quality
+    * filter: documents bucketed into margin deciles, per-bucket positive
+    * rate. Monotone pos_rate across buckets = the margin actually ranks
+    * quality. Decile BOUNDS come from one percentile aggregate over the
+    * exact integer margins (the RFM recipe — never a global ntile sort:
+    * bounds are a 9-number broadcast however large the corpus) and each
+    * doc buckets by counting bounds its margin strictly exceeds; counts
+    * and positives are exact integers, so the oracle replays training,
+    * margins, bounds, and the bucketing end to end.
+    */
+  def calibrationTable(s: SparkSession, dir: String,
+      posLang: String = "en", iters: Int = DefaultIters): DataFrame = {
+    val sc = scores(s, dir, posLang, iters)
+    val bounds = sc.agg(
+      percentile(col("margin_u"),
+        typedlit((1 to 9).map(_ / 10.0))).as("bs"))
+    val bucket = (0 until 9).map(i =>
+      when(col("margin_u").cast("double") > element_at(col("bs"), i + 1),
+        lit(1)).otherwise(lit(0))).reduce(_ + _)
+    sc.crossJoin(broadcast(bounds))
+      .select(bucket.cast("long").as("bucket"), col("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).cast("long").as("n_pos"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("pos_rate"))
+  }
 }

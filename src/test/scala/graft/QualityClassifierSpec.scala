@@ -44,4 +44,22 @@ class QualityClassifierSpec extends SparkSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(w1 == w2)
   }
+
+  test("calibration: deciles partition the corpus, counts tie back to scores") {
+    val dir = sf("sf0.001")
+    val cal = QualityClassifier.calibrationTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val sc = QualityClassifier.scores(spark, dir).collect()
+    // buckets cover 0..9, sizes sum to the corpus, positives tie back
+    assert(cal.keySet.subsetOf((0L to 9L).toSet))
+    assert(cal.values.map(_._1).sum == sc.length)
+    assert(cal.values.map(_._2).sum == sc.count(_.getInt(3) == 1))
+    // percentile bounds make the buckets near-even: no decile may hold
+    // more than twice its fair share (ties can merge, never explode)
+    cal.values.foreach { case (n, nPos, rate) =>
+      assert(n <= 2L * (sc.length / 10 + 1))
+      assert(nPos <= n && rate == nPos.toDouble / n.toDouble)
+    }
+  }
 }
