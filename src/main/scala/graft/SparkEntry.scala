@@ -1535,6 +1535,10 @@ object SparkEntry {
     // inverted-index join on the chunk hash is the only pairing step
     "mm_cdc_neardup" -> ((s, dir) =>
       graft.multimodal.Multimodal.cdcNearDup(s, dir)),
+    // the dedup-store savings number: unique (hash, len) chunk bytes
+    // over total payload bytes
+    "mm_cdc_savings" -> ((s, dir) =>
+      graft.multimodal.Multimodal.cdcSavings(s, dir)),
     // shot-boundary detection: frame-difference thresholding on the
     // stub frame grid — exact byte-sum intensity mass per frame, a cut
     // when mean abs change > 16 gray levels; narrow flatMap, no shuffle
@@ -5362,6 +5366,23 @@ object SparkEntry {
          |            THEN hh - 18446744073709551616::HUGEINT ELSE hh END
          |       AS BIGINT) AS chunk_hash
          |FROM cdc_hs""".stripMargin,
+
+    // unique-(hash, len) chunk bytes over total payload bytes — the
+    // sums feed straight into DOUBLE casts / BIGINT casts, no HUGEINT
+    "mm_cdc_savings" ->
+      s"""WITH $CdcChunkCtes, sv_t AS (
+         |  SELECT CAST(sum(chunk_len) AS BIGINT) AS total_bytes FROM cdc_hs
+         |), sv_u AS (
+         |  SELECT CAST(sum(chunk_len) AS BIGINT) AS stored_bytes,
+         |    count(*) AS n_unique_chunks
+         |  FROM (SELECT DISTINCT hh, chunk_len FROM cdc_hs)
+         |)
+         |SELECT total_bytes, stored_bytes, n_unique_chunks,
+         |  CAST(stored_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE)
+         |    AS stored_ratio,
+         |  CAST(total_bytes AS DOUBLE) / CAST(stored_bytes AS DOUBLE)
+         |    AS dedup_factor
+         |FROM sv_t, sv_u""".stripMargin,
 
     // the same chunk fingerprints grouped per (a, b) pair through the
     // df-capped inverted index, with the exact-rational Jaccard

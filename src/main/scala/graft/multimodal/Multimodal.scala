@@ -244,6 +244,30 @@ object Multimodal {
           .as("jaccard"))
   }
 
+  /** CDC STORAGE-SAVINGS report — the number a dedup store quotes: of
+    * all payload bytes, how many survive as unique chunks (first copy
+    * kept, every repeat free). One row: total bytes, unique-chunk
+    * bytes, stored/total ratio and the dedup factor. Exact integers +
+    * two exact rationals; a chunk is "the same" when (hash, len) match
+    * — the (hash, len) pair is the dedup-store key, so colliding hashes
+    * of different lengths never merge. Scale shape: one
+    * map-side-combinable distinct over the chunk relation, then a
+    * digest-sized aggregate.
+    */
+  def cdcSavings(spark: SparkSession, dir: String): DataFrame = {
+    val ch = cdcChunks(spark, dir)
+    val total = ch.agg(sum(col("chunk_len").cast("long")).as("total_bytes"))
+    val unique = ch.select(col("chunk_hash"), col("chunk_len")).distinct()
+      .agg(sum(col("chunk_len").cast("long")).as("stored_bytes"),
+        count(lit(1)).as("n_unique_chunks"))
+    total.crossJoin(unique)
+      .select(col("total_bytes"), col("stored_bytes"), col("n_unique_chunks"),
+        (col("stored_bytes").cast("double") / col("total_bytes").cast("double"))
+          .as("stored_ratio"),
+        (col("total_bytes").cast("double") / col("stored_bytes").cast("double"))
+          .as("dedup_factor"))
+  }
+
   final case class SceneCut(doc_id: Long, frame_idx: Int,
       frame_sum: Long, delta: Long, is_cut: Boolean)
 
