@@ -1446,6 +1446,10 @@ object SparkEntry {
     // idf keeps the score in exact IEEE arithmetic; ranking identical to
     // the ln form)
     "text_tfidf_top_terms" -> ((s, dir) => graft.text.TfIdf.topTerms(s, dir)),
+    // RAKE phrase keywords: stopword-delimited runs scored by
+    // micro-scaled-integer degree/freq — exact longs end to end
+    "text_rake_keywords" -> ((s, dir) =>
+      graft.text.TextFunctions.textRakeKeywords(s, dir)),
 
     // BM25 top-k retrieval for a fixed query (lexical candidate search);
     // rational idf core without the monotone ln wrapper — same libm
@@ -4735,6 +4739,44 @@ object SparkEntry {
         |  FROM documents d JOIN counts c USING (lang)
         |)
         |SELECT doc_id, lang, n_lang, rate, u FROM t WHERE u < rate""".stripMargin,
+
+    // stopword-delimited runs found by the row_number-difference island
+    // identity; degree·10⁶ // freq integer word scores summed per
+    // phrase — exact longs end to end
+    "text_rake_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents WHERE text IS NOT NULL
+        |), tok AS (
+        |  SELECT doc_id, pos, w FROM (
+        |    SELECT doc_id, unnest(string_split(nt, ' ')) AS w,
+        |           generate_subscripts(string_split(nt, ' '), 1) AS pos
+        |    FROM t)
+        |  WHERE w <> ''
+        |), cand AS (
+        |  SELECT doc_id, pos, w,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM tok
+        |  WHERE w NOT IN ('the','a','of','and','to','in','is','it','for','on')
+        |), mem AS (
+        |  SELECT doc_id, grp, pos, w,
+        |    count(*) OVER (PARTITION BY doc_id, grp) AS plen
+        |  FROM cand
+        |), ws AS (
+        |  SELECT doc_id, w, (sum(plen) * 1000000) // count(*) AS score_u
+        |  FROM mem GROUP BY 1, 2
+        |), ph AS (
+        |  SELECT m.doc_id, m.grp,
+        |    string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+        |    count(*) AS n_words,
+        |    CAST(sum(ws.score_u) AS BIGINT) AS score_u
+        |  FROM mem m JOIN ws ON ws.doc_id = m.doc_id AND ws.w = m.w
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, n_words, score_u
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_u DESC, phrase ASC) AS rank FROM ph)
+        |WHERE rank <= 3""".stripMargin,
 
     // tf ties per (doc, token); df reuses the tf relation (one row per
     // doc-token pair); linear idf = tf * N / df in exact IEEE doubles

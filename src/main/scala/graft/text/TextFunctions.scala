@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -221,6 +222,55 @@ object TextFunctions {
         count(col("__b")).as("n_boiler"))
       .withColumn("boiler_frac",
         col("n_boiler").cast("double") / col("n_shingles"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal runs of non-stopword tokens; a word scores degree/freq
+    * within its document (degree = Σ phrase length over its
+    * occurrences — co-occurrence weight), a phrase scores the sum of
+    * its member-occurrence word scores, top-k phrases per doc win. The
+    * word score is micro-scaled INTEGER division (degree·10⁶ div freq)
+    * so every score is an exact long and the phrase sum is
+    * shuffle-order-proof — RAKE-faithful to 1e-6 and hash-gateable.
+    *
+    * Scale shape: one shuffle to the per-doc token order (the window
+    * that finds the runs), then co-partitioned (doc, word) joins; no
+    * corpus-global state at all — the per-doc work is bounded by doc
+    * length, the classic embarrassingly-parallel text-analysis shape.
+    */
+  def textRakeKeywords(s: SparkSession, dir: String,
+      topK: Int = 3): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it",
+      "for", "on")
+    val toks = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(normText(col("text")), " ")).as(Seq("pos", "w")))
+      .where(col("w") =!= "")
+    val wIsl = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = toks.where(!col("w").isInCollection(stop))
+      .withColumn("grp", col("pos") - row_number().over(wIsl))
+    val members = runs.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+    val wordStats = members.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("score_u", expr("(degree * 1000000) div freq"))
+      .select(col("doc_id"), col("w"), col("score_u"))
+    val phrases = members
+      .join(wordStats, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("score_u")).as("score_u"))
+    val wTop = Window.partitionBy("doc_id")
+      .orderBy(col("score_u").desc, col("phrase").asc)
+    phrases.withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("phrase"), col("n_words"), col("score_u"))
   }
 
   private val shinglePaths =

@@ -182,6 +182,23 @@ class CurationSpec extends SparkSuite {
     assert(out((1L, 3L)) == (4L, 4.0 / 6.0)) // 4 of doc 1's 6 grams leak
   }
 
+  test("rake keywords: degree/freq hand example, stopword split, phrase tiebreak") {
+    import spark.implicits._
+    // runs: [deep learning] | of | [deep models]
+    // deep: freq 2, degree 2+2=4 → 2.0; learning/models: freq 1, degree 2 → 2.0
+    // both phrases score 4.0 (4_000_000 micro) — tie broken phrase-asc
+    val d = dirFromDf(Seq(
+      (1L, "deep learning of deep models", "en", "s", 0L),
+      (2L, "the of and", "en", "s", 0L))  // all stopwords → no phrases
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.text.TextFunctions.textRakeKeywords(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set((1L, 1L), (1L, 2L)))
+    assert(out((1L, 1L)) == (("deep learning", 2L, 4000000L)))
+    assert(out((1L, 2L)) == (("deep models", 2L, 4000000L)))
+  }
+
   test("repetition stats: hand values, null bigram guard, fold = groupBy mode") {
     import spark.implicits._
     val d = dirFromDf(Seq(
