@@ -1543,6 +1543,10 @@ object SparkEntry {
     // over total payload bytes
     "mm_cdc_savings" -> ((s, dir) =>
       graft.multimodal.Multimodal.cdcSavings(s, dir)),
+    // connected components of the thresholded CDC pair graph — the
+    // dedup decision layer over the payload evidence
+    "mm_cdc_clusters" -> ((s, dir) =>
+      graft.multimodal.Multimodal.cdcClusters(s, dir)),
     // shot-boundary detection: frame-difference thresholding on the
     // stub frame grid — exact byte-sum intensity mass per frame, a cut
     // when mean abs change > 16 gray levels; narrow flatMap, no shuffle
@@ -1826,6 +1830,28 @@ object SparkEntry {
       |        x -> CAST(x AS HUGEINT))),
       |      (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT) AS hh
       |  FROM cdc_cx
+      |)""".stripMargin
+
+  /** The CDC near-dup pair CTEs on top of [[CdcChunkCtes]]: distinct
+    * per-doc fingerprints, the df ≤ 100 cap, per-doc sizes, and the
+    * (doc_a, doc_b, n_shared) pair counts — shared by the pair gate
+    * and the cluster gate.
+    */
+  private val CdcPairCtes: String =
+    """cdc_d AS (
+      |  SELECT DISTINCT doc_id, hh FROM cdc_hs
+      |), cdc_cap AS (
+      |  SELECT hh FROM cdc_d GROUP BY hh HAVING count(*) <= 100
+      |), cdc_cd AS (
+      |  SELECT d.doc_id, d.hh FROM cdc_d d JOIN cdc_cap USING (hh)
+      |), cdc_sz AS (
+      |  SELECT doc_id, count(*) AS n FROM cdc_cd GROUP BY 1
+      |), cdc_pr AS (
+      |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |    count(*) AS n_shared
+      |  FROM cdc_cd a JOIN cdc_cd b2 USING (hh)
+      |  WHERE a.doc_id < b2.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
       |)""".stripMargin
 
   /** Inline a plane set as a literal sign-dot signature expression over
@@ -5429,27 +5455,37 @@ object SparkEntry {
     // the same chunk fingerprints grouped per (a, b) pair through the
     // df-capped inverted index, with the exact-rational Jaccard
     "mm_cdc_neardup" ->
-      s"""WITH $CdcChunkCtes, cdc_d AS (
-         |  SELECT DISTINCT doc_id, hh FROM cdc_hs
-         |), cdc_cap AS (
-         |  SELECT hh FROM cdc_d GROUP BY hh HAVING count(*) <= 100
-         |), cdc_cd AS (
-         |  SELECT d.doc_id, d.hh FROM cdc_d d JOIN cdc_cap USING (hh)
-         |), cdc_sz AS (
-         |  SELECT doc_id, count(*) AS n FROM cdc_cd GROUP BY 1
-         |), cdc_pr AS (
-         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         |    count(*) AS n_shared
-         |  FROM cdc_cd a JOIN cdc_cd b2 USING (hh)
-         |  WHERE a.doc_id < b2.doc_id
-         |  GROUP BY 1, 2 HAVING count(*) >= 2
-         |)
+      s"""WITH $CdcChunkCtes, $CdcPairCtes
          |SELECT p.doc_a, p.doc_b, p.n_shared,
          |  CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared)
          |    AS jaccard
          |FROM cdc_pr p
          |JOIN cdc_sz sa ON sa.doc_id = p.doc_a
          |JOIN cdc_sz sb ON sb.doc_id = p.doc_b""".stripMargin,
+
+    // connected components of the thresholded pair graph — the
+    // dedup_clusters recursive-CTE replay over the CDC evidence
+    "mm_cdc_clusters" ->
+      s"""WITH RECURSIVE $CdcChunkCtes, $CdcPairCtes, pj AS (
+         |  SELECT p.doc_a AS src, p.doc_b AS dst
+         |  FROM cdc_pr p
+         |  JOIN cdc_sz sa ON sa.doc_id = p.doc_a
+         |  JOIN cdc_sz sb ON sb.doc_id = p.doc_b
+         |  WHERE CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared)
+         |        >= 0.5
+         |), ed AS (
+         |  SELECT src, dst FROM pj UNION SELECT dst, src FROM pj
+         |), reach(id, label) AS (
+         |  SELECT DISTINCT src, src FROM ed
+         |  UNION
+         |  SELECT ed.src, r.label FROM ed JOIN reach r ON ed.dst = r.id
+         |), comp AS (
+         |  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+         |), cs AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
+         |)
+         |SELECT comp.id AS doc_id, comp.cluster_id, cs.cluster_size
+         |FROM comp JOIN cs USING (cluster_id)""".stripMargin,
 
     // the frame-window arithmetic + wrapping 31h+b fold replayed from the
     // hex payload; the HUGEINT hash folds back to Spark's signed long

@@ -152,6 +152,23 @@ object Multimodal {
           .as("jaccard"))
   }
 
+  /** Payload DEDUP CLUSTERS: weakly-connected components of the CDC
+    * near-dup pair graph at a Jaccard threshold — the decision layer a
+    * dedup store runs on the pair evidence ([[cdcNearDup]]), via the
+    * same generic hash-min machinery as the text near-dup clusters.
+    */
+  def cdcClusters(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = cdcNearDup(spark, dir)
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.operators.ConnectedComponents.labelPropagation(pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   final case class CdcChunk(doc_id: Long, kind: String, chunk_idx: Int,
       chunk_off: Int, chunk_len: Int, chunk_hash: Long)
 

@@ -302,6 +302,33 @@ class FunctionsSpec extends SparkSuite {
       s"only ${shared.size} of ${baseH.size} distinct chunk hashes survived")
   }
 
+  test("cdc clusters: every thresholded pair shares a min-id cluster; sizes agree") {
+    val dir = sf("sf0.001")
+    val pairs = Multimodal.cdcNearDup(spark, dir)
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty, "fixture must yield at least one >=0.5 pair")
+    val rows = Multimodal.cdcClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val label = rows.map(t => t._1 -> t._2).toMap
+    // both endpoints of every surviving pair carry the same label
+    pairs.foreach { case (a, b) => assert(label(a) == label(b)) }
+    // cluster_id is the component's min doc_id, and every member of a
+    // cluster is reachable: hash-min guarantees label <= id, and the
+    // label itself must be a member of its own cluster
+    rows.foreach { case (id, cid, _) => assert(cid <= id) }
+    val members = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    members.foreach { case (cid, ms) => assert(ms.contains(cid)) }
+    // cluster_size matches the actual member count on every row
+    rows.foreach { case (_, cid, sz) => assert(sz == members(cid).size.toLong) }
+    // only docs with at least one surviving pair appear at all
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(rows.map(_._1).toSet == paired)
+    // an unsatisfiable threshold exercises the empty-edge path cleanly
+    assert(Multimodal.cdcClusters(spark, dir, minJaccard = 2.0).count() == 0L)
+  }
+
   test("video near-dup: identical payloads pair at jaccard 1, disjoint never pair") {
     import spark.implicits._
     // pad so len % 8 == 7 → the stub demuxer sees 8 frames (a payload
