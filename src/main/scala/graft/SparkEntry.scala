@@ -1429,6 +1429,10 @@ object SparkEntry {
     // quantile bounds (broadcast back — the corpus never shuffles)
     "cur_winsorize" -> ((s, dir) => graft.text.Curation.winsorize(s, dir)),
     "cur_chunk_docs" -> ((s, dir) => graft.text.Curation.chunkDocs(s, dir)),
+    // RefinedWeb-style line-level dedup: lines recurring across >= 3
+    // docs are cut from every doc and the survivors re-joined in order
+    // — the cleaned-corpus rewrite, not just a boilerplate score
+    "cur_line_dedup" -> ((s, dir) => graft.text.Curation.lineDedup(s, dir)),
     // benchmark decontamination: flag train docs sharing any word 5-gram
     // with the hash-split eval set (eval n-grams broadcast — the corpus
     // is never shuffled)
@@ -4693,6 +4697,30 @@ object SparkEntry {
         |  coalesce(h.n_shared, 0) > 0 AS contaminated
         |FROM t LEFT JOIN hits h USING (doc_id)
         |WHERE t.nib <= 'd'""".stripMargin,
+
+    // the chunk framing of cur_chunk_docs at stride=width=8, document
+    // frequency per line, and the ordered string_agg reassembly of the
+    // surviving lines
+    "cur_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, CAST(start // 8 AS BIGINT) AS line_idx,
+        |    array_to_string(list_slice(tk, start + 1, start + 8), ' ')
+        |      AS line
+        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 8)) AS start
+        |        FROM t)
+        |), f AS (
+        |  SELECT line, 1 AS dup FROM l
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+        |)
+        |SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(f.dup) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN f.dup IS NULL THEN l.line END,
+        |    ' ' ORDER BY l.line_idx), '') AS clean_text
+        |FROM l LEFT JOIN f USING (line)
+        |GROUP BY l.doc_id""".stripMargin,
 
     // the same gram CTEs as cur_decontaminate, but grouped per
     // (train, eval) pair with the containment ratio

@@ -349,6 +349,53 @@ object Curation {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  /** LINE-level corpus dedup (the RefinedWeb/CCNet cleaning pass): a
+    * "line" that recurs across `minDocs`+ DISTINCT documents is
+    * boilerplate (headers, nav bars, license blurbs) and is REMOVED
+    * from every document it appears in — the document survives with
+    * the duplicated lines cut out and the remainder re-joined in
+    * original order. This is the rewrite complement of
+    * [[TextFunctions.textBoilerplate]] (which only scores the
+    * fraction): the output here is the cleaned corpus itself.
+    *
+    * The corpus has no newlines, so the line splitter is a fixed
+    * `lineWords`-token framing (the one-function swap point for a real
+    * newline/sentence splitter) — the dedup semantics are independent
+    * of how lines are drawn.
+    *
+    * Scale shape: one shuffle to count each line's document frequency
+    * (map-side-combinable count over line hashes), an equi-join of the
+    * line stream against the flagged-line dictionary (NOT forced
+    * broadcast — at 100 TB the duplicate-line dictionary is itself
+    * corpus-scale; AQE broadcasts it when it is small), then one
+    * shuffle back to the document to reassemble. Reassembly sorts the
+    * per-doc collected (line_idx, line) pairs, so it is
+    * shuffle-order-proof; no step is quadratic and no driver state.
+    */
+  def lineDedup(s: SparkSession, dir: String,
+      lineWords: Int = 8, minDocs: Int = 3): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    val lines = Tables.documents(s, dir)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), size(col("tk")) - 1, lit(lineWords))))
+      .select(col("doc_id"), col("pos").cast("long").as("line_idx"),
+        concat_ws(" ", slice(col("tk"), col("col") + 1, lit(lineWords)))
+          .as("line"))
+    val dup = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("line"), lit(1).as("__dup"))
+    lines.join(dup, Seq("line"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("__dup")).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("line_idx"), col("line"))))),
+          x => x.getField("line")), " ").as("clean_text"))
+  }
+
   /** Benchmark decontamination: flag every training document that shares
     * at least one word `n`-gram with the held-out eval split (the
     * hash-nibble test split of [[trainValTest]] stands in for the

@@ -346,4 +346,28 @@ class CurationSpec extends SparkSuite {
       assert(k == nByLang(lang), s"$lang rides whole at rate 1.0")
     }
   }
+
+  test("line dedup matches a driver recompute exactly") {
+    val out = Curation.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val allLines = docs.map { case (id, tk) =>
+      id -> tk.grouped(8).map(_.mkString(" ")).toSeq }
+    val df = allLines.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val dup = df.filter(_._2 >= 3).keySet
+    assert(out.keySet == docs.map(_._1).toSet)
+    allLines.foreach { case (id, ls) =>
+      val kept = ls.filterNot(dup)
+      val (nLines, nDropped, clean) = out(id)
+      assert(nLines == ls.size.toLong, s"doc $id n_lines")
+      assert(nDropped == (ls.size - kept.size).toLong, s"doc $id n_dropped")
+      assert(clean == kept.mkString(" "), s"doc $id clean_text")
+    }
+    // both branches are live on the fixture
+    assert(out.values.exists(_._2 > 0) && out.values.exists(_._2 == 0))
+  }
 }
