@@ -1283,6 +1283,10 @@ object SparkEntry {
     "text_stats" -> TextFunctions.textStats _,
     // composite quality score
     "text_quality" -> TextFunctions.textQuality _,
+    // the Gopher per-rule filter breakdown: each published drop rule as
+    // an auditable boolean next to the composite score
+    "text_gopher_rules" -> ((s, dir) =>
+      TextFunctions.textGopherRules(s, dir)),
     // n-gram-heuristic language ID with per-language scores
     "text_langid" -> TextFunctions.textLangId _,
     // Gopher-style repetition stats + keep/drop gate (single codegen'd
@@ -4232,6 +4236,39 @@ object SparkEntry {
         |    + 0.2 * (1.0 - least(punct / toks, 1.0))
         |    + 0.1 * least((stop / toks) * 5.0, 1.0) AS quality
         |FROM t""".stripMargin,
+
+    // integer counts + single integer-ratio divisions, so every rule
+    // boolean is bit-identical across engines
+    "text_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+        |      AS DOUBLE) / len(tk) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |      / len(tk) AS symbol_ratio,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / len(tk) AS alpha_word_frac,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in|is|it|for|on)\b')) AS BIGINT)
+        |      AS n_stopwords
+        |  FROM t
+        |)
+        |SELECT *,
+        |  n_words BETWEEN 50 AND 100000 AS r_words,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+        |  symbol_ratio <= 0.1 AS r_symbol,
+        |  alpha_word_frac >= 0.8 AS r_alpha,
+        |  n_stopwords >= 2 AS r_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND
+        |    (mean_word_len BETWEEN 3.0 AND 10.0) AND
+        |    symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8 AND
+        |    n_stopwords >= 2 AS passes
+        |FROM m""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (

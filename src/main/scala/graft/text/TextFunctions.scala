@@ -96,6 +96,43 @@ object TextFunctions {
     Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       qualityScore(col("text")).as("quality"))
 
+  /** Gopher-style quality-RULE breakdown (Rae et al. 2021 §A1.1): the
+    * published per-document filter rules as individual booleans plus
+    * the conjunction, next to [[qualityScore]]'s composite float — a
+    * pipeline ships the rule breakdown so the drop reasons are
+    * auditable per rule, not folded into one opaque score. Rules:
+    * word count in [minWords, 100000], mean word length in [3, 10],
+    * symbol-to-word ratio (# or ...) <= 0.1, >= 80% of words contain
+    * an alphabetic character, and >= 2 stopword hits. Every metric is
+    * integer counting or a single integer-ratio division, so the
+    * booleans are bit-reproducible; one narrow codegen'd scan except
+    * the per-token alpha filter (a bounded-doc-length lambda).
+    */
+  def textGopherRules(s: SparkSession, dir: String,
+      minWords: Int = 50): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), tk.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        (length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double")
+          / size(col("tk"))).as("mean_word_len"),
+        (regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("double")
+          / size(col("tk"))).as("symbol_ratio"),
+        (size(filter(col("tk"), x => x.rlike("[A-Za-z]"))).cast("double")
+          / size(col("tk"))).as("alpha_word_frac"),
+        stopwordCount(col("text")).cast("long").as("n_stopwords"))
+      .select(col("*"),
+        col("n_words").between(minWords, 100000).as("r_words"),
+        col("mean_word_len").between(3.0, 10.0).as("r_word_len"),
+        (col("symbol_ratio") <= 0.1).as("r_symbol"),
+        (col("alpha_word_frac") >= 0.8).as("r_alpha"),
+        (col("n_stopwords") >= 2).as("r_stopwords"))
+      .withColumn("passes",
+        col("r_words") && col("r_word_len") && col("r_symbol") &&
+          col("r_alpha") && col("r_stopwords"))
+  }
+
   def textLangId(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val scores = langMarkers.map { case (l, _) =>

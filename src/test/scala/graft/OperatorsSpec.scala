@@ -301,4 +301,34 @@ class OperatorsSpec extends SparkSuite {
     assert(out.where(col("predicted_lang").isNull).count() == 0)
     assert(out.where(col("s_en") < 0).count() == 0)
   }
+
+  test("gopher rules match a driver recompute; both pass branches live") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it",
+      "for", "on")
+    val out = TextFunctions.textGopherRules(spark, sf("sf0.001"))
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(4),
+          r.getLong(5), r.getBoolean(11)))
+      }.toMap
+    val docs = graft.model.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val tk = text.trim.split("\\s+").toSeq
+      val (nWords, meanLen, alphaFrac, nStop, passes) = out(id)
+      assert(nWords == tk.size.toLong, s"doc $id n_words")
+      assert(meanLen == tk.map(_.length).sum.toDouble / tk.size,
+        s"doc $id mean_word_len")
+      assert(alphaFrac ==
+        tk.count(_.exists(_.isLetter)).toDouble / tk.size,
+        s"doc $id alpha_word_frac")
+      assert(nStop == tk.count(stop).toLong, s"doc $id n_stopwords")
+      val expect = tk.size >= 50 && tk.size <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 && alphaFrac >= 0.8 &&
+        nStop >= 2
+      assert(passes == expect, s"doc $id passes")
+    }
+    assert(out.values.exists(_._5) && out.values.exists(!_._5))
+  }
 }
