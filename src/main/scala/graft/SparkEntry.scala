@@ -780,6 +780,18 @@ object SparkEntry {
       s.sql(recursiveClosureOverSql("recursive_closure_edges"))
     }),
 
+    // hop-bounded WEIGHTED shortest paths over the same trade digest:
+    // edge cost inverse to trade revenue, Pregel-style min-plus rounds
+    // (the engine RELAXES; only the oracle enumerates walks)
+    "q_shortest_path_trade" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      graft.operators.ShortestPaths.boundedSingleSource(
+        s.sql(ShortestPathEdgesSql), source = 0L, maxHops = 4)
+    }),
+
     "q_lateral_topn" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_lat")
@@ -2051,6 +2063,55 @@ object SparkEntry {
       |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
       |         * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
       |       > 3000000.00""".stripMargin
+
+  /** The closure digest with an integer edge COST inverse to trade
+    * revenue: heavier trade lanes are cheaper hops. The revenue is kept
+    * as an exact scaled integer (×10⁴ — the product's full 4 decimal
+    * places) before the integer division, so no decimal→int cast with
+    * engine-specific rounding ever happens; `div`/`//` on positive
+    * BIGINTs agree across engines.
+    */
+  private val ShortestPathEdgesSql: String =
+    """SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+      |  CAST(100000000000000 AS BIGINT) div CAST(rev * 10000 AS BIGINT)
+      |    AS w
+      |FROM (
+      |  SELECT c_nationkey AS src, s_nationkey AS dst,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |      AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2
+      |  HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |         > 3000000.00
+      |)""".stripMargin
+
+  /** Walk-enumerating oracle twin of ShortestPaths.boundedSingleSource
+    * over [[ShortestPathEdgesSql]]: every ≤4-hop walk from node 0, then
+    * the per-node min cost and the min hop count among cost-ties.
+    */
+  private val ShortestPathTradeSql: String =
+    s"""WITH RECURSIVE edges AS (
+       |${ShortestPathEdgesSql.replace(" div ", " // ")
+            .linesIterator.map("  " + _).mkString("\n")}
+       |), walks AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost,
+       |    0 AS hop
+       |  UNION ALL
+       |  SELECT e.dst, wk.cost + e.w, wk.hop + 1
+       |  FROM walks wk JOIN edges e ON e.src = wk.node
+       |  WHERE wk.hop < 4
+       |), m AS (
+       |  SELECT node, min(cost) AS min_cost FROM walks GROUP BY node
+       |)
+       |SELECT wk.node, m.min_cost, min(wk.hop) AS min_hops
+       |FROM walks wk
+       |JOIN m ON wk.node = m.node AND wk.cost = m.min_cost
+       |GROUP BY wk.node, m.min_cost""".stripMargin
 
   private def recursiveClosureOverSql(edgesRelation: String): String =
     s"""WITH RECURSIVE reach AS (
@@ -3576,6 +3637,7 @@ object SparkEntry {
     // the SAME statement text, verbatim — dialect-common SQL is its own
     // oracle
     "q_recursive_closure" -> RecursiveClosureSql,
+    "q_shortest_path_trade" -> ShortestPathTradeSql,
 
     // the maintained edge relation must reproduce the one-shot ranks
     // exactly (exact decimal edge merge), so the oracle IS the batch one

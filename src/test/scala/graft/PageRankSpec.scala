@@ -59,6 +59,28 @@ class PageRankSpec extends SparkSuite {
     assert(none.count() == 0L)
   }
 
+  test("shortest paths: min cost, min hops on ties, hop bound, cycles") {
+    import spark.implicits._
+    import graft.operators.ShortestPaths
+    // 0→1→2 (20) ties the direct 0→2 (20): min_hops must pick 1.
+    // 2→3 extends both (cost 21, min 2 hops). The unit chain 0→6→…→10
+    // needs 5 hops — node 10 must be ABSENT at maxHops=4. 1→0 closes a
+    // cycle (termination is the round bound, not acyclicity); 99 only
+    // ever appears as a source and must not be emitted.
+    val e = Seq((0L, 1L, 10L), (1L, 2L, 10L), (0L, 2L, 20L), (2L, 3L, 1L),
+      (1L, 0L, 1L), (0L, 6L, 1L), (6L, 7L, 1L), (7L, 8L, 1L),
+      (8L, 9L, 1L), (9L, 10L, 1L), (99L, 0L, 5L)).toDF("src", "dst", "w")
+    val out = ShortestPaths.boundedSingleSource(e, 0L, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map(
+      0L -> ((0L, 0)), 1L -> ((10L, 1)), 2L -> ((20L, 1)),
+      3L -> ((21L, 2)), 6L -> ((1L, 1)), 7L -> ((2L, 2)),
+      8L -> ((3L, 3)), 9L -> ((4L, 4))))
+    // zero hops → just the source row
+    val only = ShortestPaths.boundedSingleSource(e, 0L, 0).collect()
+    assert(only.length == 1 && only.head.getLong(0) == 0L)
+  }
+
   test("triangles: K4 counts, canonicalization, and triangle-free graphs") {
     import spark.implicits._
     import graft.operators.Triangles
