@@ -456,20 +456,32 @@ object Curation {
   def contaminationPairs(s: SparkSession, dir: String, n: Int = 5,
       minShared: Int = 2): DataFrame = {
     val tk = split(trim(col("text")), "\\s+")
-    val grams = wordGrams(col("tk"), n)
-    val docs = Tables.documents(s, dir)
+    val grams = array_distinct(wordGrams(col("tk"), n))
+    // The gram expression stays INLINE in each generator select: an
+    // aliased grams Project makes InferFiltersFromGenerate push a
+    // size()>0 guard that re-inlines the whole non-codegen HOF build
+    // into an interpreted Filter — measured 9× slower at sf0.1. The
+    // same inline shape decontaminate uses.
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"), tk.as("tk"),
         substring(hashKey(col("doc_id")), 1, 1).as("nib"))
-      .select(col("doc_id"), col("nib"), array_distinct(grams).as("grams"))
-    val evalG = docs.where(col("nib") >= "e")
-      .select(col("doc_id").as("eval_doc_id"), explode(col("grams")).as("g"))
-    val trainG = docs.where(col("nib") <= "d")
-      .select(col("doc_id"), size(col("grams")).as("n_train_grams"),
-        explode(col("grams")).as("g"))
-    trainG.join(broadcast(evalG), Seq("g"))
-      .groupBy(col("doc_id"), col("eval_doc_id"), col("n_train_grams"))
+    val evalG = base.where(col("nib") >= "e")
+      .select(col("doc_id").as("eval_doc_id"), explode(grams).as("g"))
+    val trainG = base.where(col("nib") <= "d")
+      .select(col("doc_id"), explode(grams).as("g"))
+    // one pass over the train grams; the containment denominator is
+    // recomputed only for the (few) matched train docs afterwards —
+    // the eager checkpoint keeps the pair digest from re-running the
+    // corpus explode once per downstream reference
+    val pairs = trainG.join(broadcast(evalG), Seq("g"))
+      .groupBy(col("doc_id"), col("eval_doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+      .localCheckpoint(true)
+    val tn = base
+      .join(broadcast(pairs.select(col("doc_id")).distinct()), Seq("doc_id"))
+      .select(col("doc_id"), size(grams).as("n_train_grams"))
+    pairs.join(broadcast(tn), Seq("doc_id"))
       .select(col("doc_id"), col("eval_doc_id"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_train_grams"))
           .as("containment"))
