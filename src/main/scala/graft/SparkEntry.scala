@@ -484,6 +484,11 @@ object SparkEntry {
     // one-shot cur_top_tokens
     "stream_vocab_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayTopTokensIncremental(s, dir)),
+    // incremental line-dedup dictionary: per-batch per-line distinct-doc
+    // partials (LSM shape) folded, then the cleaned corpus cut against
+    // the maintained dictionary — must equal the one-shot cur_line_dedup
+    "stream_linededup_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayLineDedupIncremental(s, dir)),
     // incremental tokenizer-training state: per-batch word-type partial
     // counts (LSM shape) folded, then the merge loop retrained from
     // state — must learn the identical table to cur_bpe_merges
@@ -1873,6 +1878,33 @@ object SparkEntry {
       |  WHERE a.doc_id < b2.doc_id
       |  GROUP BY 1, 2 HAVING count(*) >= 2
       |)""".stripMargin
+
+  /** Line-dedup replay: the chunk framing of cur_chunk_docs at
+    * stride=width=8, document frequency per line, and the ordered
+    * string_agg reassembly of the surviving lines. Shared verbatim by
+    * the one-shot gate and the incremental-dictionary replay, which
+    * must reproduce it bit for bit.
+    */
+  private val LineDedupOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents
+      |), l AS (
+      |  SELECT doc_id, CAST(start // 8 AS BIGINT) AS line_idx,
+      |    array_to_string(list_slice(tk, start + 1, start + 8), ' ')
+      |      AS line
+      |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 8)) AS start
+      |        FROM t)
+      |), f AS (
+      |  SELECT line, 1 AS dup FROM l
+      |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+      |)
+      |SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(f.dup) AS BIGINT) AS n_dropped,
+      |  coalesce(string_agg(CASE WHEN f.dup IS NULL THEN l.line END,
+      |    ' ' ORDER BY l.line_idx), '') AS clean_text
+      |FROM l LEFT JOIN f USING (line)
+      |GROUP BY l.doc_id""".stripMargin
 
   /** Inline a plane set as a literal sign-dot signature expression over
     * `embExpr` — the oracle-side twin of Similarity.lshSignature.
@@ -4800,26 +4832,11 @@ object SparkEntry {
     // the chunk framing of cur_chunk_docs at stride=width=8, document
     // frequency per line, and the ordered string_agg reassembly of the
     // surviving lines
-    "cur_line_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents
-        |), l AS (
-        |  SELECT doc_id, CAST(start // 8 AS BIGINT) AS line_idx,
-        |    array_to_string(list_slice(tk, start + 1, start + 8), ' ')
-        |      AS line
-        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 8)) AS start
-        |        FROM t)
-        |), f AS (
-        |  SELECT line, 1 AS dup FROM l
-        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3
-        |)
-        |SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-        |  CAST(count(f.dup) AS BIGINT) AS n_dropped,
-        |  coalesce(string_agg(CASE WHEN f.dup IS NULL THEN l.line END,
-        |    ' ' ORDER BY l.line_idx), '') AS clean_text
-        |FROM l LEFT JOIN f USING (line)
-        |GROUP BY l.doc_id""".stripMargin,
+    "cur_line_dedup" -> LineDedupOracleSql,
+
+    // the incrementally maintained dictionary must reproduce the
+    // one-shot cleaned corpus bit for bit — the oracle IS cur_line_dedup
+    "stream_linededup_incremental" -> LineDedupOracleSql,
 
     // the same gram CTEs as cur_decontaminate, but grouped per
     // (train, eval) pair with the containment ratio

@@ -607,6 +607,40 @@ object StreamReplay {
     graft.text.Curation.topTokensFromPartials(s, countsDir)
   }
 
+  /** Replay of INCREMENTAL LINE-DEDUP maintenance: the documents table
+    * streams in micro-batches, each appending its per-line
+    * distinct-document partial counts (Curation.appendLineDfBatch —
+    * O(batch), LSM shape, idempotent via batchId markers); the cleaned
+    * corpus cut against the folded dictionary must equal the one-shot
+    * cur_line_dedup — which is exactly the oracle. Distinct-doc counts
+    * are mergeable because a document lives in exactly one batch.
+    */
+  def replayLineDedupIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_linededup_replay")
+    val feed = tmp.resolve("feed").toString
+    val countsDir = tmp.resolve("counts").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.text.Curation.appendLineDfBatch(s, countsDir, batch,
+            batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.text.Curation.lineDedupFromPartials(s, countsDir, dir)
+  }
+
   /** Replay of INCREMENTAL TOKENIZER-TRAINING state: the documents
     * table streams in micro-batches, each batch appending its word-type
     * PARTIAL counts (Bpe.appendWordTypeBatch — O(batch), LSM shape,

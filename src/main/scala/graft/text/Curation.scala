@@ -372,20 +372,27 @@ object Curation {
     * per-doc collected (line_idx, line) pairs, so it is
     * shuffle-order-proof; no step is quadratic and no driver state.
     */
-  def lineDedup(s: SparkSession, dir: String,
-      lineWords: Int = 8, minDocs: Int = 3): DataFrame = {
+  /** The fixed-width line framing of a (doc_id, text) relation —
+    * shared by the one-shot dedup and the incremental line-df
+    * maintenance, which must frame identically or their dictionaries
+    * diverge.
+    */
+  private def linesOf(docs: DataFrame, lineWords: Int): DataFrame = {
     val tk = split(trim(col("text")), "\\s+")
-    val lines = Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), tk.as("tk"))
       .select(col("doc_id"), col("tk"),
         posexplode(sequence(lit(0), size(col("tk")) - 1, lit(lineWords))))
       .select(col("doc_id"), col("pos").cast("long").as("line_idx"),
         concat_ws(" ", slice(col("tk"), col("col") + 1, lit(lineWords)))
           .as("line"))
-    val dup = lines.groupBy(col("line"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .where(col("df") >= minDocs)
-      .select(col("line"), lit(1).as("__dup"))
+  }
+
+  /** Cut every line in `dup` (columns: line, __dup) from every doc and
+    * reassemble the survivors in original order — shuffle-order-proof
+    * via the sorted (line_idx, line) collect.
+    */
+  private def lineDedupAgainst(lines: DataFrame, dup: DataFrame): DataFrame =
     lines.join(dup, Seq("line"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
@@ -394,6 +401,51 @@ object Curation {
           array_sort(collect_list(when(col("__dup").isNull,
             struct(col("line_idx"), col("line"))))),
           x => x.getField("line")), " ").as("clean_text"))
+
+  def lineDedup(s: SparkSession, dir: String,
+      lineWords: Int = 8, minDocs: Int = 3): DataFrame = {
+    val lines = linesOf(Tables.documents(s, dir), lineWords)
+    val dup = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("line"), lit(1).as("__dup"))
+    lineDedupAgainst(lines, dup)
+  }
+
+  /** Batch half of INCREMENTAL line-df maintenance: append this batch's
+    * per-line distinct-document partial counts (LSM shape, O(batch) per
+    * batch). Every document lives in exactly one batch, so the partials
+    * sum to the corpus-wide distinct-doc frequency; batchId markers
+    * make a re-delivered micro-batch a no-op.
+    */
+  def appendLineDfBatch(s: SparkSession, countsDir: String,
+      batch: DataFrame, lineWords: Int = 8,
+      batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$countsDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    linesOf(batch, lineWords)
+      .select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .write.mode("append").parquet(s"$countsDir/partials")
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** Report half: fold the maintained line-df dictionary and run the
+    * same cut-and-reassemble pass as [[lineDedup]] — to which the
+    * result must be EQUAL (the gate reuses the one-shot oracle
+    * verbatim).
+    */
+  def lineDedupFromPartials(s: SparkSession, countsDir: String,
+      dir: String, lineWords: Int = 8, minDocs: Int = 3): DataFrame = {
+    val dup = s.read.parquet(s"$countsDir/partials")
+      .groupBy(col("line")).agg(sum(col("df")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("line"), lit(1).as("__dup"))
+    lineDedupAgainst(linesOf(Tables.documents(s, dir), lineWords), dup)
   }
 
   /** Benchmark decontamination: flag every training document that shares

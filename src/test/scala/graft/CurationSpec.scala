@@ -271,6 +271,27 @@ class CurationSpec extends SparkSuite {
     assert(got == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 1L, "delta" -> 1L))
   }
 
+  test("incremental line-df: partial folds equal one-shot; re-delivered batch no-ops") {
+    import spark.implicits._
+    val counts = graft.util.Scratch.dir("linedf_inc").resolve("c").toString
+    // 4-word docs at lineWords=2 → lines (a b), (c d) etc.; "a b" in 3
+    // distinct docs (one of them twice — distinct-per-doc must not
+    // double-count), "c d" in only 2
+    val b1 = Seq(1L -> "a b c d", 2L -> "a b a b").toDF("doc_id", "text")
+    val b2 = Seq(3L -> "a b c d x", 4L -> "y z").toDF("doc_id", "text")
+    Curation.appendLineDfBatch(spark, counts, b1, lineWords = 2,
+      batchId = Some(0L))
+    Curation.appendLineDfBatch(spark, counts, b2, lineWords = 2,
+      batchId = Some(1L))
+    // sink restart re-delivers epoch 1: the marker must make it a no-op
+    Curation.appendLineDfBatch(spark, counts, b2, lineWords = 2,
+      batchId = Some(1L))
+    val df = spark.read.parquet(s"$counts/partials")
+      .groupBy("line").sum("df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map("a b" -> 3L, "c d" -> 2L, "x" -> 1L, "y z" -> 1L))
+  }
+
   test("near-dup clusters: edges never straddle clusters; label = min member") {
     val clusters = NearDup.nearDupClusters(spark, dir, threshold = 0.5)
     val c = clusters.collect()
