@@ -489,6 +489,12 @@ object SparkEntry {
     // the maintained dictionary — must equal the one-shot cur_line_dedup
     "stream_linededup_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayLineDedupIncremental(s, dir)),
+    // incremental ANN-index ingestion: per-batch assignment to the
+    // frozen trained centroids appended to the (cell, vec_id, embedding)
+    // index; the IVF search over the maintained index must equal the
+    // one-shot sim_ivf_kmeans_topk
+    "stream_annindex_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayAnnIndexIncremental(s, dir)),
     // incremental tokenizer-training state: per-batch word-type partial
     // counts (LSM shape) folded, then the merge loop retrained from
     // state — must learn the identical table to cur_bpe_merges
@@ -2071,6 +2077,41 @@ object SparkEntry {
            |)""".stripMargin)
     }
     (sb.toString, s"cent$iters", s"cc$iters")
+  }
+
+  /** IVF over the trained cells: final assignment + probe selection +
+    * exact in-cell rerank, all replayed from the training CTEs. Shared
+    * verbatim by the train-then-search gate and the maintained
+    * streaming-index replay, which must serve the identical top-k.
+    */
+  private val IvfKmeansTopKOracleSql: String = {
+    val (ctes, centFinal, _) = KmeansCtes(8, 2)
+    s"""WITH $ctes, af AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${KmCos("e.emb", "c.centroid")} DESC, c.cell ASC) AS rn
+       |    FROM e CROSS JOIN $centFinal c)
+       |  WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5
+       |), probes AS (
+       |  SELECT qid, qe, cell FROM (
+       |    SELECT q.qid, q.qe, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${KmCos("q.qe", "c.centroid")} DESC, c.cell ASC) AS pr
+       |    FROM q CROSS JOIN $centFinal c)
+       |  WHERE pr <= 2
+       |), scored AS (
+       |  SELECT p.qid, p.cell, a.vec_id,
+       |    ${KmCos("p.qe", "a.emb")} AS cos_sim
+       |  FROM probes p JOIN af a USING (cell)
+       |  WHERE a.vec_id <> p.qid
+       |)
+       |SELECT qid, CAST(cell AS BIGINT) AS cell, vec_id, cos_sim, rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
   }
 
   /** The recursive-closure SQL, built from two shared fragments: the
@@ -5212,35 +5253,11 @@ object SparkEntry {
 
     // IVF over the trained cells: final assignment + probe selection +
     // exact in-cell rerank, all replayed from the training CTEs
-    "sim_ivf_kmeans_topk" -> {
-      val (ctes, centFinal, _) = KmeansCtes(8, 2)
-      s"""WITH $ctes, af AS (
-         |  SELECT vec_id, emb, cell FROM (
-         |    SELECT e.vec_id, e.emb, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${KmCos("e.emb", "c.centroid")} DESC, c.cell ASC) AS rn
-         |    FROM e CROSS JOIN $centFinal c)
-         |  WHERE rn = 1
-         |), q AS (
-         |  SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5
-         |), probes AS (
-         |  SELECT qid, qe, cell FROM (
-         |    SELECT q.qid, q.qe, c.cell,
-         |      row_number() OVER (PARTITION BY q.qid
-         |        ORDER BY ${KmCos("q.qe", "c.centroid")} DESC, c.cell ASC) AS pr
-         |    FROM q CROSS JOIN $centFinal c)
-         |  WHERE pr <= 2
-         |), scored AS (
-         |  SELECT p.qid, p.cell, a.vec_id,
-         |    ${KmCos("p.qe", "a.emb")} AS cos_sim
-         |  FROM probes p JOIN af a USING (cell)
-         |  WHERE a.vec_id <> p.qid
-         |)
-         |SELECT qid, CAST(cell AS BIGINT) AS cell, vec_id, cos_sim, rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
-         |WHERE rank <= 5""".stripMargin
-    },
+    "sim_ivf_kmeans_topk" -> IvfKmeansTopKOracleSql,
+
+    // the batch-maintained (cell, vec_id, embedding) index must serve
+    // the identical top-k — the oracle IS sim_ivf_kmeans_topk
+    "stream_annindex_incremental" -> IvfKmeansTopKOracleSql,
 
     // SemDeDup replayed end-to-end: trained cells (same unrolled
     // training CTEs), max-cosine assignment, then the within-cell

@@ -269,13 +269,16 @@ object Similarity {
     * persisted training artifact ([[trainedCentroids]]), not an inline
     * retrain — search never pays the training scan.
     */
-  def ivfKmeansTopK(s: SparkSession, dir: String, nQueries: Int = 5,
-      k: Int = 5, nprobe: Int = 2, cells: Int = 8, iters: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cent = trainedCentroids(s, dir, cells, iters)
-    val assigned = assignCells(emb, cent)
-    val queries = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+  /** Probe + in-cell rerank against an ALREADY-ASSIGNED (cell, vec_id,
+    * embedding) index — shared by the train-then-search gate
+    * ([[ivfKmeansTopK]], which assigns on the fly) and the maintained
+    * streaming index ([[ivfTopKFromIndex]], which reads appended
+    * assignments). Probe side is (queries × nprobe) rows — bounded by
+    * the serving batch, so it broadcasts and the corpus never shuffles
+    * for rerank.
+    */
+  private def ivfSearchAssigned(queries: DataFrame, cent: DataFrame,
+      assigned: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy("qid").orderBy(col("c_sim").desc, col("cell").asc)
     val probes = queries.join(broadcast(cent))
       .select(col("qid"), col("qe"), col("cell"),
@@ -283,13 +286,60 @@ object Similarity {
       .withColumn("pr", row_number().over(probeW)).where(col("pr") <= nprobe)
       .select(col("qid"), col("qe"), col("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    // probe side is (queries × nprobe) rows — bounded by the serving
-    // batch, so it broadcasts and the corpus never shuffles for rerank
     broadcast(probes).join(assigned, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("cell").cast("long").as("cell"), col("vec_id"),
         round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  def ivfKmeansTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nprobe: Int = 2, cells: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cent = trainedCentroids(s, dir, cells, iters)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    ivfSearchAssigned(queries, cent, assignCells(emb, cent), k, nprobe)
+  }
+
+  /** Batch half of INCREMENTAL ANN-INDEX maintenance — the streaming
+    * vector-DB ingestion shape: each arriving batch of vectors is
+    * assigned to the FIXED trained centroids (the persisted
+    * [[trainedCentroids]] artifact — ingestion never retrains) and
+    * appended to the (cell, vec_id, embedding) index. Assignment is a
+    * pure per-vector function of the frozen centroids, so the
+    * batch-appended index equals the one-shot assignment of the whole
+    * corpus regardless of batching; batchId markers make re-delivered
+    * micro-batches no-ops. O(batch) per batch, one broadcast of the
+    * (cells × dim) centroid table.
+    */
+  def appendIvfIndexBatch(s: SparkSession, indexDir: String,
+      batch: DataFrame, dir: String, cells: Int = 8, iters: Int = 2,
+      batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    assignCells(batch.select(col("vec_id"), col("embedding")),
+        trainedCentroids(s, dir, cells, iters))
+      .write.mode("append").parquet(s"$indexDir/cells")
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** Search half: the same probe + rerank as [[ivfKmeansTopK]], but
+    * against the maintained index — must return the identical top-k
+    * (the gate reuses the sim_ivf_kmeans_topk oracle verbatim).
+    */
+  def ivfTopKFromIndex(s: SparkSession, indexDir: String, dir: String,
+      nQueries: Int = 5, k: Int = 5, nprobe: Int = 2, cells: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val queries = Tables.embeddings(s, dir)
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    ivfSearchAssigned(queries, trainedCentroids(s, dir, cells, iters),
+      s.read.parquet(s"$indexDir/cells"), k, nprobe)
   }
 
   /** Embedding-cosine near-dup view: each vector flagged against its best

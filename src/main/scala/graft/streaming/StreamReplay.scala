@@ -581,6 +581,41 @@ object StreamReplay {
     * are mergeable, so batching order cannot matter; batchId markers
     * make re-delivery a no-op.
     */
+  /** Replay of INCREMENTAL ANN-INDEX maintenance: the embeddings table
+    * streams in micro-batches, each assigned to the frozen trained
+    * centroids and appended to the (cell, vec_id, embedding) index
+    * (Similarity.appendIvfIndexBatch — O(batch), idempotent via batchId
+    * markers); the IVF search against the maintained index must return
+    * the one-shot sim_ivf_kmeans_topk answer — which is exactly the
+    * oracle. The streaming vector-DB ingestion shape: the index grows
+    * per batch, searches never retrain and never rescan the corpus.
+    */
+  def replayAnnIndexIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_annindex_replay")
+    val feed = tmp.resolve("feed").toString
+    val indexDir = tmp.resolve("index").toString
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    emb.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.similarity.Similarity.appendIvfIndexBatch(s, indexDir,
+            batch, dir, batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.similarity.Similarity.ivfTopKFromIndex(s, indexDir, dir)
+  }
+
   def replayTopTokensIncremental(s: SparkSession, dir: String,
       nBatches: Int = 3): DataFrame = {
     val tmp = Scratch.dir("graft_vocab_replay")

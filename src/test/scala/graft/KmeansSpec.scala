@@ -103,4 +103,42 @@ class KmeansSpec extends SparkSuite {
       assert(!flags(c.toLong + 8), s"angled member ${c + 8} is below threshold")
     }
   }
+
+  test("incremental ANN index: batching-invariant, idempotent, serves one-shot top-k") {
+    val dir = sf("sf0.001")
+    val emb = graft.model.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val half = emb.count() / 2
+    val oneShot = Similarity.ivfKmeansTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    def build(splits: Seq[org.apache.spark.sql.DataFrame],
+        tag: String): String = {
+      val idx = graft.util.Scratch.dir(s"annidx_$tag").toString
+      splits.zipWithIndex.foreach { case (b, i) =>
+        Similarity.appendIvfIndexBatch(spark, idx, b, dir,
+          batchId = Some(i.toLong))
+      }
+      idx
+    }
+    // two different batchings must yield identical index CONTENTS
+    val idxA = build(Seq(emb), "one")
+    val idxB = build(Seq(emb.where(col("vec_id") < half),
+      emb.where(col("vec_id") >= half)), "two")
+    def contents(idx: String) = spark.read.parquet(s"$idx/cells")
+      .select("cell", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(contents(idxA) == contents(idxB))
+    // re-delivered batch is a no-op (row count unchanged)
+    val before = spark.read.parquet(s"$idxA/cells").count()
+    Similarity.appendIvfIndexBatch(spark, idxA, emb, dir,
+      batchId = Some(0L))
+    assert(spark.read.parquet(s"$idxA/cells").count() == before)
+    // the maintained index serves the one-shot answer exactly
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, idxB, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(fromIdx == oneShot)
+    assert(oneShot.nonEmpty)
+  }
 }
