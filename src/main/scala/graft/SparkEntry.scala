@@ -1310,6 +1310,15 @@ object SparkEntry {
     // an auditable boolean next to the composite score
     "text_gopher_rules" -> ((s, dir) =>
       TextFunctions.textGopherRules(s, dir)),
+    // canary-string eval-integrity sweep: exact substring watch-list
+    // hits per (doc, canary) via the replace-length identity — no
+    // regex, no shuffle
+    "text_canary_scan" -> ((s, dir) =>
+      TextFunctions.textCanaryScan(s, dir)),
+    // tokenizer-fertility diagnostic: words/subwords/chars per language
+    // with subwords-per-word and chars-per-subword
+    "cur_token_fertility" -> ((s, dir) =>
+      graft.text.Curation.tokenFertility(s, dir)),
     // n-gram-heuristic language ID with per-language scores
     "text_langid" -> TextFunctions.textLangId _,
     // Gopher-style repetition stats + keep/drop gate (single codegen'd
@@ -4404,6 +4413,45 @@ object SparkEntry {
         |    symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8 AND
         |    n_stopwords >= 2 AS passes
         |FROM m""".stripMargin,
+
+    // the replace-length occurrence identity and 1-based strpos replay
+    // the exact, regex-free substring semantics
+    "text_canary_scan" -> {
+      val canaryRows = graft.text.TextFunctions.DefaultCanaries.zipWithIndex
+        .map { case (c, i) =>
+          val lit = c.replace("'", "''")
+          s"(CAST($i AS BIGINT), '$lit')"
+        }.mkString(", ")
+      s"""WITH c(canary_id, canary) AS (VALUES $canaryRows),
+         |h AS (
+         |  SELECT d.doc_id, c.canary_id, c.canary,
+         |    CAST((length(d.text) - length(replace(d.text, c.canary, '')))
+         |      // length(c.canary) AS BIGINT) AS n_hits,
+         |    CAST(strpos(d.text, c.canary) AS BIGINT) AS first_pos
+         |  FROM documents d CROSS JOIN c
+         |)
+         |SELECT * FROM h WHERE n_hits > 0""".stripMargin
+    },
+
+    // integer word/subword/char sums per language; both ratios are one
+    // IEEE division of exact longs
+    "cur_token_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS w,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |      AS sw,
+        |    length(text) AS ch
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(sw) AS BIGINT) AS n_subwords,
+        |  CAST(sum(ch) AS BIGINT) AS n_chars,
+        |  CAST(sum(sw) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility,
+        |  CAST(sum(ch) AS DOUBLE) / CAST(sum(sw) AS DOUBLE)
+        |    AS chars_per_subword
+        |FROM t GROUP BY lang""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (

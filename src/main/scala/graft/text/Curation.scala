@@ -292,6 +292,27 @@ object Curation {
       .groupBy(col("token")).agg(sum(col("n")).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k)
 
+  /** TOKENIZER-FERTILITY report per language: whitespace words,
+    * BPE-ish subwords, and characters, with subwords-per-word
+    * (fertility) and chars-per-subword — the efficiency diagnostic a
+    * tokenizer retrain is judged on (high-fertility languages pay more
+    * sequence length per sentence). Pure integer sums folded map-side;
+    * one |languages|-row output, a single aggregation shuffle.
+    */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_words"),
+        sum(TextFunctions.subwordCount(col("text")).cast("long"))
+          .as("n_subwords"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        col("n_chars"),
+        (col("n_subwords").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_subwords"))
+          .as("chars_per_subword"))
+
   /** Per-language WINSORIZATION of a document statistic: clip to the
     * exact [lo, hi] within-language quantiles and flag the clipped rows —
     * the robust-outlier step that keeps a handful of pathological

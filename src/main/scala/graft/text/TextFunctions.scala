@@ -133,6 +133,36 @@ object TextFunctions {
           col("r_alpha") && col("r_stopwords"))
   }
 
+  /** Default canary patterns: three phrases that really occur in the
+    * corpus (single- and multi-hit branches both live) plus a
+    * BIG-bench-style GUID that must never match — the zero branch.
+    */
+  val DefaultCanaries: Seq[String] = Seq(
+    "slow slow", "window window", "merge merge merge",
+    "canary-d9c2ba3e-7f1a-guid")
+
+  /** CANARY-STRING scan (eval-integrity sweep): exact substring hits of
+    * a small watch-list — benchmark canary GUIDs, license markers,
+    * known PII seeds — reported per (document, canary) with hit count
+    * and first offset. Occurrence counting is the replace-length
+    * identity (no regex, so patterns need no escaping and the count
+    * semantics — non-overlapping left-to-right — are engine-portable).
+    * One narrow scan with a |canaries|-way per-row expansion; no
+    * shuffle at all, whatever the corpus size.
+    */
+  def textCanaryScan(s: SparkSession, dir: String,
+      canaries: Seq[String] = DefaultCanaries): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        posexplode(array(canaries.map(lit): _*)).as(Seq("canary_id", "canary")))
+      .select(col("doc_id"), col("canary_id").cast("long").as("canary_id"),
+        col("canary"),
+        ((length(col("text"))
+          - length(expr("replace(text, canary, '')")))
+          / length(col("canary"))).cast("long").as("n_hits"),
+        expr("instr(text, canary)").cast("long").as("first_pos"))
+      .where(col("n_hits") > 0)
+
   def textLangId(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val scores = langMarkers.map { case (l, _) =>

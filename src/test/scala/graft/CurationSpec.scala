@@ -271,6 +271,27 @@ class CurationSpec extends SparkSuite {
     assert(got == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 1L, "delta" -> 1L))
   }
 
+  test("token fertility matches a driver recompute per language") {
+    val out = Curation.tokenFertility(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val sub = java.util.regex.Pattern.compile(
+      "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    val docs = Tables.documents(spark, dir)
+      .select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val byLang = docs.groupBy(_._1)
+    assert(out.keySet == byLang.keySet)
+    byLang.foreach { case (lang, ds) =>
+      val w = ds.map(_._2.trim.split("\\s+").length.toLong).sum
+      val sw = ds.map { case (_, t) =>
+        val m = sub.matcher(t); var n = 0L; while (m.find()) n += 1; n }.sum
+      val ch = ds.map(_._2.length.toLong).sum
+      assert(out(lang) == ((ds.length.toLong, w, sw, ch,
+        sw.toDouble / w, ch.toDouble / sw)), lang)
+    }
+  }
+
   test("incremental line-df: partial folds equal one-shot; re-delivered batch no-ops") {
     import spark.implicits._
     val counts = graft.util.Scratch.dir("linedf_inc").resolve("c").toString

@@ -302,6 +302,25 @@ class OperatorsSpec extends SparkSuite {
     assert(out.where(col("s_en") < 0).count() == 0)
   }
 
+  test("canary scan matches a driver recompute; absent canary never fires") {
+    val canaries = TextFunctions.DefaultCanaries
+    val out = TextFunctions.textCanaryScan(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    val docs = graft.model.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = (for {
+      (id, text) <- docs
+      (c, ci) <- canaries.zipWithIndex
+      n = (text.length - text.replace(c, "").length) / c.length if n > 0
+    } yield (id, ci.toLong) -> ((n.toLong, (text.indexOf(c) + 1).toLong))).toMap
+    assert(out == expect)
+    assert(out.nonEmpty)
+    // the GUID canary is the zero branch
+    assert(!out.keySet.exists(_._2 == canaries.length - 1L))
+  }
+
   test("gopher rules match a driver recompute; both pass branches live") {
     val stop = Set("the", "a", "of", "and", "to", "in", "is", "it",
       "for", "on")
