@@ -195,6 +195,12 @@ object SparkEntry {
     "fx_trend_ols" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.trendOls(rates(s, dir))),
 
+    // pairs-trading spread monitor: OLS hedge ratio per couple combo
+    // over common dates + latest-spread z-score and entry signal, all
+    // from exact integer moments over the close digest
+    "fx_pairs_spread" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.pairsSpread(rates(s, dir))),
+
     // per-pair volatility: sample stddev of daily changes from exact
     // integer moments (stddev_samp would be accumulation-order-dependent)
     "fx_volatility" -> ((s, dir) =>
@@ -2712,6 +2718,54 @@ object SparkEntry {
          |  (sy - slope_milli * sx) / nd AS intercept_milli,
          |  (num * num) / nullif(greatest(den * vy, 0.0), 0.0) AS r2
          |FROM t""".stripMargin,
+
+    // the same close digest self-joined on common dates; the identical
+    // double formula tree (beta → mean → clamped variance → z) over the
+    // exact integer moments, so every rounded output is bit-equal
+    "fx_pairs_spread" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), y AS (
+         |  SELECT ccy_couple, date, CAST(close * 1000 AS BIGINT) AS y
+         |  FROM cl
+         |), m AS (
+         |  SELECT a.ccy_couple AS couple_a, b.ccy_couple AS couple_b,
+         |    count(*) AS n_days,
+         |    CAST(count(*) AS DOUBLE) AS nd,
+         |    CAST(sum(a.y) AS DOUBLE) AS sa,
+         |    CAST(sum(b.y) AS DOUBLE) AS sb,
+         |    CAST(sum(a.y * b.y) AS DOUBLE) AS sab,
+         |    CAST(sum(a.y * a.y) AS DOUBLE) AS saa,
+         |    CAST(sum(b.y * b.y) AS DOUBLE) AS sbb,
+         |    CAST(arg_max(a.y, a.date) AS DOUBLE) AS ya_last,
+         |    CAST(arg_max(b.y, b.date) AS DOUBLE) AS yb_last
+         |  FROM y a JOIN y b ON a.date = b.date
+         |  WHERE a.ccy_couple < b.ccy_couple
+         |  GROUP BY 1, 2
+         |), s1 AS (
+         |  SELECT *,
+         |    (nd * sab - sa * sb) / nullif(nd * sbb - sb * sb, 0.0) AS beta
+         |  FROM m
+         |), s2 AS (
+         |  SELECT *, (sa - beta * sb) / nd AS mean_s FROM s1
+         |), s3 AS (
+         |  SELECT *,
+         |    sqrt(greatest((saa - 2.0 * beta * sab + beta * beta * sbb) / nd
+         |      - mean_s * mean_s, 0.0)) AS sd,
+         |    ya_last - beta * yb_last AS spread_last
+         |  FROM s2
+         |), s4 AS (
+         |  SELECT *, (spread_last - mean_s) / nullif(sd, 0.0) AS z FROM s3
+         |)
+         |SELECT couple_a, couple_b, n_days, round(beta, 6) AS beta,
+         |  round(spread_last, 6) AS spread_last, round(z, 6) AS z_last,
+         |  CASE WHEN z IS NULL THEN 'na' WHEN z > 2.0 THEN 'short_a'
+         |       WHEN z < -2.0 THEN 'long_a' ELSE 'flat' END AS signal
+         |FROM s4""".stripMargin,
 
     // lag-1 self-join on consecutive calendar days; same clamped corr
     // formula tree as fx_change_corr on exact integer moments

@@ -244,6 +244,61 @@ object MarketAnalytics {
         .as("r2"))
   }
 
+  /** PAIRS-TRADING spread monitor (relative-value stat-arb): for every
+    * couple combination, the OLS hedge ratio of A's daily close on B's
+    * over their COMMON dates, and the z-score of the latest spread
+    * `yA − β·yB` against the full-window spread distribution — |z| > 2
+    * is the classic entry signal. Every moment is an exact ×1000
+    * integer sum (y ≤ ~5.6e5, squared-sum ≤ ~1e13 — well under 2^53,
+    * so the doubles are exact), and mean/variance of the spread come
+    * ALGEBRAICALLY from those moments rather than a second pass over
+    * per-row doubles, so nothing depends on accumulation order.
+    *
+    * Scale shape: the tick corpus reduces to the |pairs|×|days| close
+    * digest first (one shuffle); the date self-join is quadratic in
+    * PAIRS by design (every combination is the point — fx_change_corr's
+    * shape) and bounded by the digest, never the corpus.
+    */
+  def pairsSpread(rates: DataFrame): DataFrame = {
+    val close = dailyCloses3(rates)
+      .select(col("ccy_couple"), col("date"),
+        (col("close") * lit(1000)).cast("long").as("y"))
+    val j = close.select(col("ccy_couple").as("couple_a"), col("date"),
+        col("y").as("ya"))
+      .join(close.select(col("ccy_couple").as("couple_b"), col("date"),
+        col("y").as("yb")), Seq("date"))
+      .where(col("couple_a") < col("couple_b"))
+    val m = j.groupBy(col("couple_a"), col("couple_b")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("ya")).as("sal"), sum(col("yb")).as("sbl"),
+      sum(col("ya") * col("yb")).as("sabl"),
+      sum(col("ya") * col("ya")).as("saal"),
+      sum(col("yb") * col("yb")).as("sbbl"),
+      max_by(col("ya"), col("date")).as("ya_last"),
+      max_by(col("yb"), col("date")).as("yb_last"))
+    val nd = col("n_days").cast("double")
+    val sa = col("sal").cast("double"); val sb = col("sbl").cast("double")
+    val sab = col("sabl").cast("double")
+    val saa = col("saal").cast("double")
+    val sbb = col("sbbl").cast("double")
+    // β NULL iff B's close never moves over the common window
+    val beta = (nd * sab - sa * sb) / nullif(nd * sbb - sb * sb, lit(0.0))
+    val meanS = (sa - beta * sb) / nd
+    // exact-arithmetic variance is ≥ 0; clamp the double residue
+    val varS = (saa - lit(2.0) * beta * sab + beta * beta * sbb) / nd -
+      meanS * meanS
+    val sd = sqrt(greatest(varS, lit(0.0)))
+    val spreadLast = col("ya_last").cast("double") -
+      beta * col("yb_last").cast("double")
+    val z = (spreadLast - meanS) / nullif(sd, lit(0.0))
+    m.select(col("couple_a"), col("couple_b"), col("n_days"),
+      round(beta, 6).as("beta"),
+      round(spreadLast, 6).as("spread_last"),
+      round(z, 6).as("z_last"),
+      when(z.isNull, lit("na")).when(z > 2.0, lit("short_a"))
+        .when(z < -2.0, lit("long_a")).otherwise(lit("flat")).as("signal"))
+  }
+
   /** Lag-1 autocorrelation of daily changes per pair — the
     * momentum/mean-reversion diagnostic (positive: trends persist;
     * negative: moves revert). The change vector zips with ITSELF shifted

@@ -573,4 +573,48 @@ class MarketAnalyticsSpec extends SparkSuite {
     val afterJoin = plan.substring(0, plan.indexOf("BroadcastNestedLoopJoin"))
     assert(!afterJoin.contains("HashAggregate"))
   }
+
+  test("pairs spread: exact hedge ratio, degenerate betas, z formula") {
+    import spark.implicits._
+    // one close per (couple, day): A = 2·B exactly (beta 2, zero
+    // spread variance → z undefined), C constant (denominator 0 →
+    // beta NULL), D wiggles (a real z)
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    val closes = Map(
+      "A" -> Seq(2.0, 4.0, 6.0, 8.0), "B" -> Seq(1.0, 2.0, 3.0, 4.0),
+      "C" -> Seq(3.0, 3.0, 3.0, 3.0), "D" -> Seq(1.0, 2.0, 1.0, 6.0))
+    val fx = (for {
+      (cpl, cs) <- closes.toSeq
+      (d, i) <- days.zipWithIndex
+    } yield (cpl.hashCode.toLong * 10 + i,
+        (86400000000L * i) + 3600000000L, cpl, cs(i), d))
+      .toDF("event_id", "event_time", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", timestamp_micros(col("event_time")))
+      .drop("ds")
+    val out = MarketAnalytics.pairsSpread(fx).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 6 && out.values.forall(_.getLong(2) == 4L))
+    assert(out(("A", "B")).getDouble(3) == 2.0)        // exact hedge ratio
+    assert(out(("A", "B")).getString(6) == "na")       // zero-variance spread
+    assert(out(("B", "C")).isNullAt(3))                // flat B-side → beta NULL
+    assert(out(("B", "C")).getString(6) == "na")
+    // (A, D): recompute z with the operator's own formula tree
+    val ya = Seq(2000.0, 4000.0, 6000.0, 8000.0)
+    val yd = Seq(1000.0, 2000.0, 1000.0, 6000.0)
+    val n = 4.0
+    val sa = ya.sum; val sd0 = yd.sum
+    val sad = ya.zip(yd).map { case (p, q) => p * q }.sum
+    val saa = ya.map(v => v * v).sum; val sdd = yd.map(v => v * v).sum
+    val beta = (n * sad - sa * sd0) / (n * sdd - sd0 * sd0)
+    val meanS = (sa - beta * sd0) / n
+    val sdev = math.sqrt(math.max(
+      (saa - 2.0 * beta * sad + beta * beta * sdd) / n - meanS * meanS, 0.0))
+    val z = (ya.last - beta * yd.last - meanS) / sdev
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("A", "D")).getDouble(5) == r6(z))
+    assert(out(("A", "D")).getString(6) ==
+      (if (z > 2.0) "short_a" else if (z < -2.0) "long_a" else "flat"))
+  }
 }
