@@ -260,27 +260,42 @@ object MarketAnalytics {
     * shape) and bounded by the digest, never the corpus.
     */
   def pairsSpread(rates: DataFrame): DataFrame = {
-    val close = dailyCloses3(rates)
+    // day-slot close vectors + the PairMoments kernel: one codegen'd
+    // pass per couple combination over a broadcast cross join — the
+    // join-then-groupBy formulation re-shuffles the |pairs|²×|days|
+    // pair frame and probed 18× at 10× keys; this shape probes ~2×
+    // (the fx_change_corr lesson, same kernel)
+    val y = dailyCloses3(rates)
       .select(col("ccy_couple"), col("date"),
         (col("close") * lit(1000)).cast("long").as("y"))
-    val j = close.select(col("ccy_couple").as("couple_a"), col("date"),
-        col("y").as("ya"))
-      .join(close.select(col("ccy_couple").as("couple_b"), col("date"),
-        col("y").as("yb")), Seq("date"))
+    val span = y.agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+    val vecs = y.crossJoin(broadcast(span))
+      .select(col("ccy_couple"),
+        datediff(col("date"), col("d0")).as("idx"),
+        datediff(col("d1"), col("d0")).as("span"), col("y"))
+      .groupBy(col("ccy_couple"))
+      .agg(map_from_arrays(collect_list(col("idx")),
+          collect_list(col("y"))).as("m"),
+        first(col("span")).as("span"))
+      .select(col("ccy_couple"),
+        transform(sequence(lit(0), col("span")),
+          i => element_at(col("m"), i)).as("v"))
+    val m = vecs.select(col("ccy_couple").as("couple_a"), col("v").as("va"))
+      .crossJoin(broadcast(
+        vecs.select(col("ccy_couple").as("couple_b"), col("v").as("vb"))))
       .where(col("couple_a") < col("couple_b"))
-    val m = j.groupBy(col("couple_a"), col("couple_b")).agg(
-      count(lit(1)).as("n_days"),
-      sum(col("ya")).as("sal"), sum(col("yb")).as("sbl"),
-      sum(col("ya") * col("yb")).as("sabl"),
-      sum(col("ya") * col("ya")).as("saal"),
-      sum(col("yb") * col("yb")).as("sbbl"),
-      max_by(col("ya"), col("date")).as("ya_last"),
-      max_by(col("yb"), col("date")).as("yb_last"))
-    val nd = col("n_days").cast("double")
-    val sa = col("sal").cast("double"); val sb = col("sbl").cast("double")
-    val sab = col("sabl").cast("double")
-    val saa = col("saal").cast("double")
-    val sbb = col("sbbl").cast("double")
+      .select(col("couple_a"), col("couple_b"),
+        graft.functions.PairMoments(col("va"), col("vb")).as("mo"))
+      .where(col("mo.n") > 0)
+      .withColumn("n_days", col("mo.n"))
+      .withColumn("ya_last", col("mo.xl"))
+      .withColumn("yb_last", col("mo.yl"))
+    val nd = col("mo.n").cast("double")
+    val sa = col("mo.sx").cast("double")
+    val sb = col("mo.sy").cast("double")
+    val sab = col("mo.sxy").cast("double")
+    val saa = col("mo.sxx").cast("double")
+    val sbb = col("mo.syy").cast("double")
     // β NULL iff B's close never moves over the common window
     val beta = (nd * sab - sa * sb) / nullif(nd * sbb - sb * sb, lit(0.0))
     val meanS = (sa - beta * sb) / nd

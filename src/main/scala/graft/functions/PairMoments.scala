@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
 /** The five Pearson moments of two day-aligned integer change series in
   * one codegen'd pass: given two arrays of UNSCALED (×10^s) long changes
   * indexed by day slot (null = no observation that day), returns
-  * `struct(n, sx, sy, sxy, sxx, syy)` over the slots where BOTH series
-  * have a value — exactly the inner-join-on-date moment aggregation of
+  * `struct(n, sx, sy, sxy, sxx, syy, xl, yl)` over the slots where BOTH
+  * series have a value (`xl`/`yl` are the values at the LAST common
+  * slot — 0 when n = 0, guarded by n downstream) — exactly the inner-join-on-date moment aggregation of
   * the correlation-matrix query, but as a tight primitive loop per pair
   * instead of a |days|×|pairs|² row explosion through a shuffle and a
   * string-keyed hash aggregation (measured ~5× on `fx_change_corr`).
@@ -37,6 +38,7 @@ case class PairMoments(left: Expression, right: Expression)
     val len = math.min(x.numElements(), y.numElements())
     var n = 0L; var sx = 0L; var sy = 0L
     var sxy = 0L; var sxx = 0L; var syy = 0L
+    var xl = 0L; var yl = 0L
     var i = 0
     while (i < len) {
       if (!x.isNullAt(i) && !y.isNullAt(i)) {
@@ -46,10 +48,11 @@ case class PairMoments(left: Expression, right: Expression)
         sxy = Math.addExact(sxy, Math.multiplyExact(xi, yi))
         sxx = Math.addExact(sxx, Math.multiplyExact(xi, xi))
         syy = Math.addExact(syy, Math.multiplyExact(yi, yi))
+        xl = xi; yl = yi
       }
       i += 1
     }
-    new GenericInternalRow(Array[Any](n, sx, sy, sxy, sxx, syy))
+    new GenericInternalRow(Array[Any](n, sx, sy, sxy, sxx, syy, xl, yl))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,10 +64,12 @@ case class PairMoments(left: Expression, right: Expression)
       val sxy = ctx.freshName("sxy")
       val sxx = ctx.freshName("sxx"); val syy = ctx.freshName("syy")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val xl = ctx.freshName("xl"); val yl = ctx.freshName("yl")
       s"""
          |int $len = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $n = 0L; long $sx = 0L; long $sy = 0L;
          |long $sxy = 0L; long $sxx = 0L; long $syy = 0L;
+         |long $xl = 0L; long $yl = 0L;
          |for (int $i = 0; $i < $len; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
          |    long $xi = $a.getLong($i); long $yi = $b.getLong($i);
@@ -74,10 +79,11 @@ case class PairMoments(left: Expression, right: Expression)
          |    $sxy = java.lang.Math.addExact($sxy, java.lang.Math.multiplyExact($xi, $yi));
          |    $sxx = java.lang.Math.addExact($sxx, java.lang.Math.multiplyExact($xi, $xi));
          |    $syy = java.lang.Math.addExact($syy, java.lang.Math.multiplyExact($yi, $yi));
+         |    $xl = $xi; $yl = $yi;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{$n, $sx, $sy, $sxy, $sxx, $syy});
+         |  new Object[]{$n, $sx, $sy, $sxy, $sxx, $syy, $xl, $yl});
        """.stripMargin
     })
 
@@ -93,7 +99,9 @@ object PairMoments {
     StructField("sy", LongType, nullable = false),
     StructField("sxy", LongType, nullable = false),
     StructField("sxx", LongType, nullable = false),
-    StructField("syy", LongType, nullable = false)))
+    StructField("syy", LongType, nullable = false),
+    StructField("xl", LongType, nullable = false),
+    StructField("yl", LongType, nullable = false)))
 
   /** Column-API entry point. */
   def apply(a: Column, b: Column): Column =
