@@ -912,6 +912,14 @@ object SparkEntry {
       graft.operators.DataQuality.kAnonymityViolations(
         Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), 10L)),
 
+    // l-diversity audit: classes whose sensitive attribute (balance
+    // k-bucket) takes < 8 distinct values leak by homogeneity even
+    // when k-anonymous — k-anonymity's complement
+    "dq_l_diversity" -> ((s, dir) =>
+      graft.operators.DataQuality.lDiversityViolations(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal").cast("double") / 1000.0).cast("long"), 8L)),
+
     // declarative data contract: completeness + range + key-uniqueness +
     // referential integrity validated into one per-constraint report —
     // row-level checks share ONE scan, the FK check is one semi-join
@@ -4096,6 +4104,16 @@ object SparkEntry {
         |FROM customer
         |GROUP BY c_nationkey, c_mktsegment
         |HAVING count(*) < 10""".stripMargin,
+
+    // exact class-size + distinct-bucket counts, strict < l
+    "dq_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |  count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0)
+        |    AS BIGINT)) AS l_distinct
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |HAVING count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0)
+        |    AS BIGINT)) < 8""".stripMargin,
 
     // each constraint's good-count replayed as the same exact-long
     // counts; metric = ratio of identical longs, passed = >= on the

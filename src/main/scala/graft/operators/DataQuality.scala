@@ -207,6 +207,21 @@ object DataQuality {
       .agg(count(lit(1)).as("class_size"))
       .where(col("class_size") < k)
 
+  /** l-DIVERSITY audit (Machanavajjhala 2007) — k-anonymity's
+    * complement: a class can be large yet still leak if every member
+    * shares the same SENSITIVE value (homogeneity attack). Output: one
+    * row per class whose sensitive attribute takes fewer than `l`
+    * distinct values, with its size and diversity; empty certifies
+    * l-diversity. Same map-side-combinable groupBy shape as
+    * [[kAnonymityViolations]] with a distinct-count, scale-safe.
+    */
+  def lDiversityViolations(df: DataFrame, quasiIds: Seq[String],
+      sensitive: Column, l: Long): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("l_distinct"))
+      .where(col("l_distinct") < l)
+
   /** Key-skew diagnostic — the numbers that decide whether a join/agg on
     * `keyCol` needs salting, AQE skew handling, or nothing: total rows,
     * distinct keys, the heaviest key's row count and share, the p99 key

@@ -204,6 +204,28 @@ class OperatorsSpec extends SparkSuite {
       .count() == 0) // every class has >= 1 row by definition
   }
 
+  test("l-diversity: homogeneous classes flagged even when k-anonymous") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    // class ("US","A"): 5 rows but only 1 sensitive value — k-anonymous
+    // at k=3 yet l-DIVERSITY fails (the homogeneity attack); ("US","B")
+    // has 3 rows / 3 distinct values and passes at l=2
+    val df = (Seq.fill(5)(("US", "A", "cancer")) ++
+      Seq(("US", "B", "flu"), ("US", "B", "none"), ("US", "B", "cancer")))
+      .toDF("country", "seg", "dx")
+    val v = DataQuality.lDiversityViolations(df, Seq("country", "seg"),
+        col("dx"), 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(v == Map(("US", "A") -> ((5L, 1L))))
+    // yet k-anonymity at k=3 sees nothing wrong with ("US","A")
+    assert(!DataQuality.kAnonymityViolations(df, Seq("country", "seg"), 3L)
+      .collect().exists(r => r.getString(0) == "US" && r.getString(1) == "A"))
+    // l=1 certifies anything non-empty
+    assert(DataQuality.lDiversityViolations(df, Seq("country", "seg"),
+      col("dx"), 1L).count() == 0)
+  }
+
   test("volume anomaly: the spike day alarms, steady days and warm-up stay quiet") {
     import spark.implicits._
     import graft.operators.DataQuality
