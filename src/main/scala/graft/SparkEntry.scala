@@ -721,6 +721,12 @@ object SparkEntry {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))),
 
+    // A/B experiment readout: deterministic parity-bucket arms,
+    // conversion = >= 15 purchases, two-proportion z-test on exact
+    // counts — one per-user digest + a 1-row aggregate
+    "q_ab_test" -> ((s, dir) =>
+      graft.analysis.EventAnalytics.abTest(Tables.events(s, dir))),
+
     // ordered conversion funnel view -> click -> purchase: earliest view,
     // earliest click strictly after it, earliest purchase strictly after
     // that — conditional-min stage joins, everything keyed on user_id
@@ -3916,6 +3922,41 @@ object SparkEntry {
 
     // conditional-min stage chain; equal-ts pairs compare strictly on ts
     // alone (same rule as the Spark side)
+    // the same exact conversion counts; the z statistic is the
+    // identical double formula tree (p1-p0, pooled, sqrt) so every
+    // rounded output is bit-equal
+    "q_ab_test" ->
+      """WITH per AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |                       ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id
+        |), m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM per
+        |), d AS (
+        |  SELECT *, CAST(n0 AS DOUBLE) AS n0d, CAST(n1 AS DOUBLE) AS n1d,
+        |    CAST(c0 AS DOUBLE) AS c0d, CAST(c1 AS DOUBLE) AS c1d
+        |  FROM m
+        |), f AS (
+        |  SELECT *, c0d / n0d AS p0x, c1d / n1d AS p1x,
+        |    (c0d + c1d) / (n0d + n1d) AS pooled
+        |  FROM d
+        |), g AS (
+        |  SELECT *, (p1x - p0x) / nullif(
+        |    sqrt(pooled * (1.0 - pooled) * (1.0 / n0d + 1.0 / n1d)), 0.0)
+        |    AS zx
+        |  FROM f
+        |)
+        |SELECT n0, n1, c0, c1, round(p0x, 6) AS p0, round(p1x, 6) AS p1,
+        |  round(p1x - p0x, 6) AS lift, round(zx, 6) AS z,
+        |  coalesce(abs(zx) > 1.96, false) AS significant
+        |FROM g""".stripMargin,
+
     "q_funnel_steps" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS view_ts FROM events

@@ -25,6 +25,48 @@ object EventAnalytics {
     * event_id ties — equal-ts pairs compare strictly on ts alone, same
     * rule in the oracle).
     */
+  /** A/B EXPERIMENT readout with deterministic hash-bucket assignment:
+    * users split into two arms by a pure function of their id (parity
+    * here; an md5 bucket in production — the same no-RNG discipline as
+    * Curation's sampling, so assignment is stable under recomputation
+    * and re-sharding), conversion = "at least `minPurchases` purchase
+    * events", and the two-proportion z-test on the arms. All counts are
+    * exact longs; the z statistic is one fixed double formula over
+    * identical operands, so the report is bit-reproducible.
+    *
+    * Scale shape: one groupBy to the per-user digest, then a single
+    * map-side-combinable 1-row aggregate — two shuffles total and the
+    * second is over |users| rows.
+    */
+  def abTest(events: DataFrame, minPurchases: Int = 15): DataFrame = {
+    val per = events
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+      .select((col("user_id") % 2).as("arm"),
+        when(col("np") >= minPurchases, 1L).otherwise(0L).as("conv"))
+    val m = per.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+    val n0 = col("n0").cast("double"); val n1 = col("n1").cast("double")
+    val c0 = col("c0").cast("double"); val c1 = col("c1").cast("double")
+    val p0 = c0 / n0
+    val p1 = c1 / n1
+    val pooled = (c0 + c1) / (n0 + n1)
+    // all-convert / none-convert arms have zero pooled variance: the
+    // test is undefined (NULL), not significant — never an ANSI 0/0
+    val z = (p1 - p0) / nullif(
+      sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / n0 + lit(1.0) / n1)),
+      lit(0.0))
+    m.select(col("n0"), col("n1"), col("c0"), col("c1"),
+      round(p0, 6).as("p0"), round(p1, 6).as("p1"),
+      round(p1 - p0, 6).as("lift"),
+      round(z, 6).as("z"),
+      coalesce(abs(z) > 1.96, lit(false)).as("significant"))
+  }
+
   def funnel(s: SparkSession, dir: String,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),

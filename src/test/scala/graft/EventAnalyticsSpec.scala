@@ -91,4 +91,30 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(out(("error", "view")) == (1L, 1.0))
     assert(out.size == 4) // terminal events emit no transition
   }
+
+  test("ab test: hand z-statistic, arms by parity, significance branch") {
+    import spark.implicits._
+    // arm 0 (even ids 0..18): 1 of 10 converts; arm 1 (odd): 9 of 10 —
+    // a lopsided experiment that must read significant
+    val rows = (0 until 20).flatMap { u =>
+      val converts = if (u % 2 == 0) u == 0 else u != 1
+      Seq(u.toLong -> (if (converts) "purchase" else "view"))
+    }
+    val ev = rows.toDF("user_id", "event_type")
+    val r = EventAnalytics.abTest(ev, minPurchases = 1).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 10L, 1L, 9L)))
+    val p0 = 0.1; val p1 = 0.9; val pooled = 0.5
+    val z = (p1 - p0) / math.sqrt(pooled * (1.0 - pooled) * (0.1 + 0.1))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(7) == r6(z))
+    assert(r.getBoolean(8)) // |z| ~= 3.58 > 1.96
+    // all-convert arms: zero pooled variance → z undefined, never
+    // significant (and never an ANSI divide-by-zero)
+    val flat = (0 until 20).map(u => u.toLong -> "purchase")
+      .toDF("user_id", "event_type")
+    val f = EventAnalytics.abTest(flat, minPurchases = 1).collect().head
+    assert(f.isNullAt(7) && !f.getBoolean(8))
+  }
 }
