@@ -918,6 +918,13 @@ object SparkEntry {
       graft.operators.DataQuality.kAnonymityViolations(
         Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), 10L)),
 
+    // chi-square distribution-drift monitor (log-free PSI): current
+    // half of the span tested against the reference half over fixed
+    // value buckets; bucket terms fold in bucket order
+    "dq_drift_chi2" -> ((s, dir) =>
+      graft.operators.DataQuality.driftChi2(
+        Tables.events(s, dir), "value", "ts")),
+
     // l-diversity audit: classes whose sensitive attribute (balance
     // k-bucket) takes < 8 distinct values leak by homogeneity even
     // when k-anonymous — k-anonymity's complement
@@ -4145,6 +4152,61 @@ object SparkEntry {
         |FROM customer
         |GROUP BY c_nationkey, c_mktsegment
         |HAVING count(*) < 10""".stripMargin,
+
+    // same exact bucket counts; the expected-count tree is written out
+    // verbatim and the chi2 fold replays as a recursive CTE in bucket
+    // order — identical left-fold, identical doubles
+    "dq_drift_chi2" ->
+      """WITH RECURSIVE sp AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events
+        |), b AS (
+        |  SELECT CAST(least(floor(value / 50.0), 19) AS INT) AS bucket,
+        |    CAST(ts AS DATE) <
+        |      d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS is_ref
+        |  FROM events, sp
+        |), c AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS refc,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS curc
+        |  FROM b GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(refc) AS BIGINT) AS n_ref,
+        |    CAST(sum(curc) AS BIGINT) AS n_cur
+        |  FROM c
+        |), w AS (
+        |  SELECT c.*, t.n_ref, t.n_cur, coalesce(
+        |    (CAST(curc AS DOUBLE)
+        |       - CAST(n_cur AS DOUBLE) * CAST(refc AS DOUBLE)
+        |         / CAST(n_ref AS DOUBLE))
+        |    * (CAST(curc AS DOUBLE)
+        |       - CAST(n_cur AS DOUBLE) * CAST(refc AS DOUBLE)
+        |         / CAST(n_ref AS DOUBLE))
+        |    / nullif(CAST(n_cur AS DOUBLE) * CAST(refc AS DOUBLE)
+        |         / CAST(n_ref AS DOUBLE), 0.0), 0.0) AS term
+        |  FROM c, t
+        |), o AS (
+        |  SELECT row_number() OVER (ORDER BY bucket) AS rn, term
+        |  FROM w WHERE refc > 0
+        |), f(rn, acc) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT o.rn, f.acc + o.term FROM f JOIN o ON o.rn = f.rn + 1
+        |), chi AS (
+        |  SELECT round(acc, 6) AS chi2
+        |  FROM f ORDER BY rn DESC LIMIT 1
+        |)
+        |SELECT t.n_ref, t.n_cur,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w WHERE refc > 0)
+        |    AS n_buckets,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w
+        |   WHERE refc = 0 AND curc > 0) AS n_new_buckets,
+        |  (SELECT chi2 FROM chi) AS chi2,
+        |  (SELECT chi2 FROM chi) > 30.14
+        |    OR (SELECT count(*) FROM w WHERE refc = 0 AND curc > 0) > 0
+        |    AS drift
+        |FROM t""".stripMargin,
 
     // exact class-size + distinct-bucket counts, strict < l
     "dq_l_diversity" ->

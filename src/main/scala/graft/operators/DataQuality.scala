@@ -222,6 +222,64 @@ object DataQuality {
         countDistinct(sensitive).as("l_distinct"))
       .where(col("l_distinct") < l)
 
+  /** DISTRIBUTION-DRIFT monitor (the chi-square counterpart of the PSI
+    * check an ML serving pipeline runs on every feature): the value
+    * distribution of the CURRENT half of the time span tested against
+    * the REFERENCE first half over fixed value buckets. Chi-square, not
+    * PSI, deliberately — the statistic is pure rational arithmetic on
+    * exact integer counts (PSI's ln() differs across libm
+    * implementations in the last ulp), and the bucket terms fold in
+    * BUCKET ORDER over the ≤`nBuckets`-element digest, so the double
+    * accumulation order is fixed and the report is bit-reproducible.
+    *
+    * Scale shape: one map-side-combinable groupBy to the bucket digest
+    * (≤ nBuckets rows whatever the corpus), a 1-row broadcast of the
+    * span and totals, and a sorted in-row fold. Buckets present only in
+    * the current window ("new buckets") are counted separately — a new
+    * mode appearing is itself drift evidence chi-square can't price.
+    */
+  def driftChi2(df: DataFrame, valueCol: String, tsCol: String,
+      bucketWidth: Double = 50.0, nBuckets: Int = 20,
+      threshold: Double = 30.14): DataFrame = {
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      max(to_date(col(tsCol))).as("d1"))
+    val b = df.crossJoin(broadcast(span))
+      .select(least(floor(col(valueCol) / bucketWidth),
+          lit(nBuckets - 1)).cast("int").as("bucket"),
+        (to_date(col(tsCol)) <
+          date_add(col("d0"), (datediff(col("d1"), col("d0")) / 2)
+            .cast("int"))).as("is_ref"))
+    val counts = b.groupBy(col("bucket")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("refc"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("curc"))
+    val tot = counts.agg(sum(col("refc")).as("n_ref"),
+      sum(col("curc")).as("n_cur"))
+    val withTot = counts.crossJoin(broadcast(tot))
+    val e = col("n_cur").cast("double") * col("refc").cast("double") /
+      col("n_ref").cast("double")
+    val term = coalesce(
+      (col("curc").cast("double") - e) * (col("curc").cast("double") - e)
+        / nullif(e, lit(0.0)),
+      lit(0.0))
+    val digest = withTot
+      .select(col("bucket"), col("refc"), col("curc"),
+        col("n_ref"), col("n_cur"), term.as("term"))
+      .groupBy(col("n_ref"), col("n_cur"))
+      .agg(
+        sum(when(col("refc") > 0, 1L).otherwise(0L)).as("n_buckets"),
+        sum(when(col("refc") === 0 && col("curc") > 0, 1L).otherwise(0L))
+          .as("n_new_buckets"),
+        collect_list(when(col("refc") > 0,
+          struct(col("bucket"), col("term")))).as("terms"))
+    digest.select(col("n_ref"), col("n_cur"), col("n_buckets"),
+      col("n_new_buckets"),
+      round(aggregate(
+        transform(array_sort(col("terms")), x => x.getField("term")),
+        lit(0.0), (acc, x) => acc + x), 6).as("chi2"))
+      .withColumn("drift",
+        col("chi2") > threshold || col("n_new_buckets") > 0)
+  }
+
   /** Key-skew diagnostic — the numbers that decide whether a join/agg on
     * `keyCol` needs salting, AQE skew handling, or nothing: total rows,
     * distinct keys, the heaviest key's row count and share, the p99 key

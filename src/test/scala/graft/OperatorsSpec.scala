@@ -204,6 +204,33 @@ class OperatorsSpec extends SparkSuite {
       .count() == 0) // every class has >= 1 row by definition
   }
 
+  test("drift chi2: hand statistic, thresholds, new-bucket drift") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    // 5-day span → split = d0 + floor(4/2) = day 3; ref = days 1-2,
+    // cur = days 3-5. Ref: 10 rows in bucket 0, 10 in bucket 1.
+    // Cur: 5 / 15 → e = (10, 10), chi2 = 25/10 + 25/10 = 5.0 exactly.
+    def rows(day: Int, v: Double, n: Int) =
+      Seq.fill(n)((v, s"2024-01-0$day 12:00:00"))
+    val df = (rows(1, 10.0, 5) ++ rows(2, 10.0, 5) ++
+      rows(1, 60.0, 5) ++ rows(2, 60.0, 5) ++
+      rows(3, 10.0, 3) ++ rows(5, 10.0, 2) ++
+      rows(3, 60.0, 8) ++ rows(5, 60.0, 7))
+      .toDF("value", "tss").withColumn("ts", to_timestamp(col("tss")))
+    val r = DataQuality.driftChi2(df, "value", "ts").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((20L, 20L, 2L, 0L)))
+    assert(r.getDouble(4) == 5.0)
+    assert(!r.getBoolean(5)) // 5.0 < 30.14, no new buckets
+    assert(DataQuality.driftChi2(df, "value", "ts", threshold = 4.0)
+      .collect().head.getBoolean(5))
+    // a value class unseen in the reference window is drift by itself
+    val withNew = df.unionByName(rows(5, 260.0, 3)
+      .toDF("value", "tss").withColumn("ts", to_timestamp(col("tss"))))
+    val n = DataQuality.driftChi2(withNew, "value", "ts").collect().head
+    assert(n.getLong(3) == 1L && n.getBoolean(5))
+  }
+
   test("l-diversity: homogeneous classes flagged even when k-anonymous") {
     import spark.implicits._
     import graft.operators.DataQuality
