@@ -495,6 +495,11 @@ object SparkEntry {
     // the maintained dictionary — must equal the one-shot cur_line_dedup
     "stream_linededup_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayLineDedupIncremental(s, dir)),
+    // incremental drift monitor: per-batch (date, bucket) partials
+    // folded, split re-derived from the maintained span at report time
+    // — must equal the one-shot dq_drift_chi2
+    "stream_drift_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayDriftIncremental(s, dir)),
     // incremental ANN-index ingestion: per-batch assignment to the
     // frozen trained centroids appended to the (cell, vec_id, embedding)
     // index; the IVF search over the maintained index must equal the
@@ -1947,6 +1952,62 @@ object SparkEntry {
       |    ' ' ORDER BY l.line_idx), '') AS clean_text
       |FROM l LEFT JOIN f USING (line)
       |GROUP BY l.doc_id""".stripMargin
+
+  /** Drift replay: exact bucket counts, the verbatim expected-count
+    * tree, and the chi2 left fold as a recursive CTE in bucket order.
+    * Shared verbatim by the one-shot gate and the incremental replay.
+    */
+  private val DqDriftChi2OracleSql: String =
+      """WITH RECURSIVE sp AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events
+        |), b AS (
+        |  SELECT CAST(least(floor(value / 50.0), 19) AS INT) AS bucket,
+        |    CAST(ts AS DATE) <
+        |      d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS is_ref
+        |  FROM events, sp
+        |), c AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS refc,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS curc
+        |  FROM b GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(refc) AS BIGINT) AS n_ref,
+        |    CAST(sum(curc) AS BIGINT) AS n_cur
+        |  FROM c
+        |), w AS (
+        |  SELECT c.*, t.n_ref, t.n_cur, coalesce(
+        |    (CAST(curc AS DOUBLE)
+        |       - CAST(n_cur AS DOUBLE) * CAST(refc AS DOUBLE)
+        |         / CAST(n_ref AS DOUBLE))
+        |    * (CAST(curc AS DOUBLE)
+        |       - CAST(n_cur AS DOUBLE) * CAST(refc AS DOUBLE)
+        |         / CAST(n_ref AS DOUBLE))
+        |    / nullif(CAST(n_cur AS DOUBLE) * CAST(refc AS DOUBLE)
+        |         / CAST(n_ref AS DOUBLE), 0.0), 0.0) AS term
+        |  FROM c, t
+        |), o AS (
+        |  SELECT row_number() OVER (ORDER BY bucket) AS rn, term
+        |  FROM w WHERE refc > 0
+        |), f(rn, acc) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT o.rn, f.acc + o.term FROM f JOIN o ON o.rn = f.rn + 1
+        |), chi AS (
+        |  SELECT round(acc, 6) AS chi2
+        |  FROM f ORDER BY rn DESC LIMIT 1
+        |)
+        |SELECT t.n_ref, t.n_cur,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w WHERE refc > 0)
+        |    AS n_buckets,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w
+        |   WHERE refc = 0 AND curc > 0) AS n_new_buckets,
+        |  (SELECT chi2 FROM chi) AS chi2,
+        |  (SELECT chi2 FROM chi) > 30.14
+        |    OR (SELECT count(*) FROM w WHERE refc = 0 AND curc > 0) > 0
+        |    AS drift
+        |FROM t""".stripMargin
 
   /** Inline a plane set as a literal sign-dot signature expression over
     * `embExpr` — the oracle-side twin of Similarity.lshSignature.
@@ -4156,57 +4217,12 @@ object SparkEntry {
     // same exact bucket counts; the expected-count tree is written out
     // verbatim and the chi2 fold replays as a recursive CTE in bucket
     // order — identical left-fold, identical doubles
-    "dq_drift_chi2" ->
-      """WITH RECURSIVE sp AS (
-        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-        |  FROM events
-        |), b AS (
-        |  SELECT CAST(least(floor(value / 50.0), 19) AS INT) AS bucket,
-        |    CAST(ts AS DATE) <
-        |      d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS is_ref
-        |  FROM events, sp
-        |), c AS (
-        |  SELECT bucket,
-        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS refc,
-        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS curc
-        |  FROM b GROUP BY 1
-        |), t AS (
-        |  SELECT CAST(sum(refc) AS BIGINT) AS n_ref,
-        |    CAST(sum(curc) AS BIGINT) AS n_cur
-        |  FROM c
-        |), w AS (
-        |  SELECT c.*, t.n_ref, t.n_cur, coalesce(
-        |    (CAST(curc AS DOUBLE)
-        |       - CAST(n_cur AS DOUBLE) * CAST(refc AS DOUBLE)
-        |         / CAST(n_ref AS DOUBLE))
-        |    * (CAST(curc AS DOUBLE)
-        |       - CAST(n_cur AS DOUBLE) * CAST(refc AS DOUBLE)
-        |         / CAST(n_ref AS DOUBLE))
-        |    / nullif(CAST(n_cur AS DOUBLE) * CAST(refc AS DOUBLE)
-        |         / CAST(n_ref AS DOUBLE), 0.0), 0.0) AS term
-        |  FROM c, t
-        |), o AS (
-        |  SELECT row_number() OVER (ORDER BY bucket) AS rn, term
-        |  FROM w WHERE refc > 0
-        |), f(rn, acc) AS (
-        |  SELECT 0, CAST(0.0 AS DOUBLE)
-        |  UNION ALL
-        |  SELECT o.rn, f.acc + o.term FROM f JOIN o ON o.rn = f.rn + 1
-        |), chi AS (
-        |  SELECT round(acc, 6) AS chi2
-        |  FROM f ORDER BY rn DESC LIMIT 1
-        |)
-        |SELECT t.n_ref, t.n_cur,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM w WHERE refc > 0)
-        |    AS n_buckets,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM w
-        |   WHERE refc = 0 AND curc > 0) AS n_new_buckets,
-        |  (SELECT chi2 FROM chi) AS chi2,
-        |  (SELECT chi2 FROM chi) > 30.14
-        |    OR (SELECT count(*) FROM w WHERE refc = 0 AND curc > 0) > 0
-        |    AS drift
-        |FROM t""".stripMargin,
+    "dq_drift_chi2" -> DqDriftChi2OracleSql,
+
+    // the batch-maintained daily digest must reproduce the one-shot
+    // report bit for bit — the oracle IS dq_drift_chi2
+    "stream_drift_incremental" -> DqDriftChi2OracleSql,
+
 
     // exact class-size + distinct-bucket counts, strict < l
     "dq_l_diversity" ->

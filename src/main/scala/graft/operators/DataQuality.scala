@@ -238,20 +238,66 @@ object DataQuality {
     * the current window ("new buckets") are counted separately — a new
     * mode appearing is itself drift evidence chi-square can't price.
     */
+  /** The (date, bucket, n) digest of a raw relation — shared by the
+    * one-shot monitor and the incremental counter maintenance, which
+    * must bucket identically or the maintained report diverges.
+    */
+  private def driftDaily(df: DataFrame, valueCol: String, tsCol: String,
+      bucketWidth: Double, nBuckets: Int): DataFrame =
+    df.select(to_date(col(tsCol)).as("date"),
+        least(floor(col(valueCol) / bucketWidth), lit(nBuckets - 1))
+          .cast("int").as("bucket"))
+      .groupBy(col("date"), col("bucket")).agg(count(lit(1)).as("n"))
+
   def driftChi2(df: DataFrame, valueCol: String, tsCol: String,
       bucketWidth: Double = 50.0, nBuckets: Int = 20,
-      threshold: Double = 30.14): DataFrame = {
-    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
-      max(to_date(col(tsCol))).as("d1"))
-    val b = df.crossJoin(broadcast(span))
-      .select(least(floor(col(valueCol) / bucketWidth),
-          lit(nBuckets - 1)).cast("int").as("bucket"),
-        (to_date(col(tsCol)) <
+      threshold: Double = 30.14): DataFrame =
+    driftFromDaily(driftDaily(df, valueCol, tsCol, bucketWidth, nBuckets),
+      threshold)
+
+  /** Batch half of INCREMENTAL drift maintenance: append this batch's
+    * (date, bucket) partial counts — O(batch)/batch, LSM shape,
+    * batchId-idempotent. The REFERENCE/CURRENT split is derived from
+    * the maintained state at REPORT time (a new batch can extend the
+    * span and move the midpoint), which is why the state is the daily
+    * digest, not pre-split counters.
+    */
+  def appendDriftBatch(s: org.apache.spark.sql.SparkSession,
+      countsDir: String, batch: DataFrame, valueCol: String, tsCol: String,
+      bucketWidth: Double = 50.0, nBuckets: Int = 20,
+      batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$countsDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    driftDaily(batch, valueCol, tsCol, bucketWidth, nBuckets)
+      .write.mode("append").parquet(s"$countsDir/partials")
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** Report half: fold the maintained daily digest and run the same
+    * statistic — must equal the one-shot [[driftChi2]] bit for bit.
+    */
+  def driftChi2FromPartials(s: org.apache.spark.sql.SparkSession,
+      countsDir: String, threshold: Double = 30.14): DataFrame =
+    driftFromDaily(
+      s.read.parquet(s"$countsDir/partials")
+        .groupBy(col("date"), col("bucket")).agg(sum(col("n")).as("n")),
+      threshold)
+
+  private def driftFromDaily(daily: DataFrame,
+      threshold: Double): DataFrame = {
+    val span = daily.agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+    val b = daily.crossJoin(broadcast(span))
+      .select(col("bucket"), col("n"),
+        (col("date") <
           date_add(col("d0"), (datediff(col("d1"), col("d0")) / 2)
             .cast("int"))).as("is_ref"))
     val counts = b.groupBy(col("bucket")).agg(
-      sum(when(col("is_ref"), 1L).otherwise(0L)).as("refc"),
-      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("curc"))
+      sum(when(col("is_ref"), col("n")).otherwise(0L)).as("refc"),
+      sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("curc"))
     val tot = counts.agg(sum(col("refc")).as("n_ref"),
       sum(col("curc")).as("n_cur"))
     val withTot = counts.crossJoin(broadcast(tot))

@@ -581,6 +581,41 @@ object StreamReplay {
     * are mergeable, so batching order cannot matter; batchId markers
     * make re-delivery a no-op.
     */
+  /** Replay of INCREMENTAL DRIFT-MONITOR maintenance: the events table
+    * streams in micro-batches, each appending its (date, bucket)
+    * partial counts (DataQuality.appendDriftBatch — O(batch), LSM
+    * shape, idempotent); the chi-square report over the folded digest
+    * must equal the one-shot dq_drift_chi2 — which is exactly the
+    * oracle. The reference/current split re-derives from the
+    * maintained span at report time, so late batches that extend the
+    * span are handled by construction.
+    */
+  def replayDriftIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_drift_replay")
+    val feed = tmp.resolve("feed").toString
+    val countsDir = tmp.resolve("counts").toString
+    val ev = Tables.events(s, dir).select(col("value"), col("ts"))
+    ev.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.DataQuality.appendDriftBatch(s, countsDir,
+            batch, "value", "ts", batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.operators.DataQuality.driftChi2FromPartials(s, countsDir)
+  }
+
   /** Replay of INCREMENTAL ANN-INDEX maintenance: the embeddings table
     * streams in micro-batches, each assigned to the frozen trained
     * centroids and appended to the (cell, vec_id, embedding) index

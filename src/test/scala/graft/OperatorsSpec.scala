@@ -231,6 +231,35 @@ class OperatorsSpec extends SparkSuite {
     assert(n.getLong(3) == 1L && n.getBoolean(5))
   }
 
+  test("drift chi2 incremental: late span-extending batch; equals one-shot") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    def rows(day: Int, v: Double, n: Int) =
+      Seq.fill(n)((v, s"2024-01-0$day 12:00:00"))
+    def df(rs: Seq[(Double, String)]) = rs.toDF("value", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).select("value", "ts")
+    val all = rows(1, 10.0, 5) ++ rows(2, 10.0, 5) ++ rows(1, 60.0, 5) ++
+      rows(2, 60.0, 5) ++ rows(3, 10.0, 3) ++ rows(5, 10.0, 2) ++
+      rows(3, 60.0, 8) ++ rows(5, 60.0, 7)
+    val counts = graft.util.Scratch.dir("drift_inc").resolve("c").toString
+    // batch 1 covers days 1-3 only; the LATE batch extends the span to
+    // day 5 and must move the midpoint when the report derives it
+    val (b1, b2) = all.partition(_._2 < "2024-01-04")
+    DataQuality.appendDriftBatch(spark, counts, df(b1), "value", "ts",
+      batchId = Some(0L))
+    DataQuality.appendDriftBatch(spark, counts, df(b2), "value", "ts",
+      batchId = Some(1L))
+    // re-delivery is a no-op
+    DataQuality.appendDriftBatch(spark, counts, df(b2), "value", "ts",
+      batchId = Some(1L))
+    val oneShot = DataQuality.driftChi2(df(all), "value", "ts")
+      .collect().head.toSeq
+    val fromState = DataQuality.driftChi2FromPartials(spark, counts)
+      .collect().head.toSeq
+    assert(fromState == oneShot)
+    assert(oneShot(4) == 5.0) // the hand statistic from the base fixture
+  }
+
   test("l-diversity: homogeneous classes flagged even when k-anonymous") {
     import spark.implicits._
     import graft.operators.DataQuality
