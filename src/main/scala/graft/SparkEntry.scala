@@ -1671,6 +1671,11 @@ object SparkEntry {
     // an audio pipeline, one payload read
     "mm_audio_segments" -> ((s, dir) =>
       graft.multimodal.Multimodal.audioSegments(s, dir)),
+    // Shazam-style constellation hashes: energy peaks paired within the
+    // target zone, (anchor, target, dt) packed to one integer — the
+    // audio fingerprint relation the landmark matcher runs on
+    "mm_audio_fingerprints" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioFingerprints(s, dir)),
 
     // CLIP-shaped cross-modal retrieval: image payloads stub-encoded
     // into the text-embedding space (64 rolling-hash slots — one-
@@ -5972,6 +5977,51 @@ object SparkEntry {
         |    (acc, x) -> acc + x) AS energy,
         |  CAST(list_max(list_transform(cs, c -> abs(c))) AS INTEGER) AS peak
         |FROM b""".stripMargin,
+
+    // the same hex-decoded energy series, lag/lead peak test, and
+    // target-zone pair ranking; the hash is pure integer arithmetic
+    "mm_audio_fingerprints" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), w AS (
+        |  SELECT doc_id, hx, unnest(range(0, len // 16)) AS i
+        |  FROM m WHERE len >= 16
+        |), en AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS t,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_transform(range(i * 16, i * 16 + 16),
+        |          j -> 16 * (strpos('0123456789ABCDEF',
+        |                 substring(hx, 2*j + 1, 1)) - 1)
+        |               + (strpos('0123456789ABCDEF',
+        |                 substring(hx, 2*j + 2, 1)) - 1)
+        |               - 128),
+        |        c -> CAST(c * c AS BIGINT))),
+        |      (acc, x) -> acc + x) AS energy
+        |  FROM w
+        |), pk AS (
+        |  SELECT doc_id, t, energy,
+        |    coalesce(lag(energy) OVER (PARTITION BY doc_id ORDER BY t),
+        |      -1) AS pe,
+        |    coalesce(lead(energy) OVER (PARTITION BY doc_id ORDER BY t),
+        |      -1) AS ne
+        |  FROM en
+        |), peaks AS (
+        |  SELECT doc_id, t, energy FROM pk
+        |  WHERE energy > pe AND energy >= ne
+        |), pr AS (
+        |  SELECT a.doc_id, a.t AS t1, b2.t - a.t AS dt,
+        |    a.energy AS e1, b2.energy AS e2,
+        |    row_number() OVER (PARTITION BY a.doc_id, a.t
+        |      ORDER BY b2.t ASC) AS rk
+        |  FROM peaks a JOIN peaks b2 ON a.doc_id = b2.doc_id
+        |    AND b2.t > a.t AND b2.t <= a.t + 32
+        |)
+        |SELECT doc_id, CAST(t1 AS INTEGER) AS t1, CAST(dt AS INTEGER) AS dt,
+        |  (e1 % 64) * 65536 + (e2 % 64) * 256 + dt AS h
+        |FROM pr WHERE rk <= 3""".stripMargin,
 
     // the same presence digest, vocabulary cut, pair join, and the one
     // integer-operand double division

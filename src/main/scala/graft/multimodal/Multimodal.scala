@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -367,6 +368,79 @@ object Multimodal {
           AudioWindow(r.doc_id, i, off, energy, peak)
         }
       }.toDF()
+  }
+
+  /** AUDIO LANDMARK FINGERPRINTS (the constellation-hash scheme of
+    * Shazam, Wang 2003): energy peaks of the window series are anchor
+    * points; each anchor pairs with its next `fanout` peaks within
+    * `maxDt` windows, and the (quantized-anchor, quantized-target,
+    * time-delta) triple packs into one integer hash. Landmarks are
+    * CONTENT-LOCAL — a clipped or concatenated copy keeps most of its
+    * peak constellation, which is what makes the scheme robust where
+    * fixed framing is not. The stub "spectrum" is the byte-window
+    * energy series ([[audioWindows]]); a real frontend would feed FFT
+    * magnitudes through the identical plumbing.
+    *
+    * Shape: one window pass for the peak test (shuffle on doc), then a
+    * per-doc peak self-join bounded by the target zone — peaks per doc
+    * are bounded by windows/2, so nothing is quadratic in the corpus.
+    * All arithmetic is exact integers.
+    */
+  def audioFingerprints(spark: SparkSession, dir: String,
+      windowBytes: Int = 16, maxDt: Int = 32, fanout: Int = 3): DataFrame = {
+    // a fine 16-byte frame (vs the 200-byte analysis window) — the
+    // payloads are short, and a constellation needs tens of frames
+    val en = audioWindows(spark, dir, windowBytes)
+      .select(col("doc_id"), col("win_idx").as("t"), col("energy"))
+    val w = Window.partitionBy("doc_id").orderBy("t")
+    val peaks = en
+      .select(col("doc_id"), col("t"), col("energy"),
+        coalesce(lag(col("energy"), 1).over(w), lit(-1L)).as("pe"),
+        coalesce(lead(col("energy"), 1).over(w), lit(-1L)).as("ne"))
+      .where(col("energy") > col("pe") && col("energy") >= col("ne"))
+      .select(col("doc_id"), col("t"), col("energy"))
+    val rw = Window.partitionBy("doc_id", "t1").orderBy("t2")
+    peaks.select(col("doc_id"), col("t").as("t1"), col("energy").as("e1"))
+      .join(peaks.select(col("doc_id"), col("t").as("t2"),
+        col("energy").as("e2")), Seq("doc_id"))
+      .where(col("t2") > col("t1") && col("t2") <= col("t1") + maxDt)
+      .withColumn("rk", row_number().over(rw)).where(col("rk") <= fanout)
+      .select(col("doc_id"), col("t1"), (col("t2") - col("t1")).as("dt"),
+        ((col("e1") % 64) * 65536 + (col("e2") % 64) * 256
+          + (col("t2") - col("t1"))).as("h"))
+  }
+
+  /** NEAR-DUP AUDIO by landmark overlap: the audio member of the
+    * cross-modal dedup family (text shingles, image pHash, video frame
+    * sets, payload CDC chunks) — distinct landmark-hash sets paired
+    * through the df-capped inverted index, exact-rational Jaccard.
+    * Takes the fingerprint relation so any frontend (stub or FFT)
+    * plugs in; the synthetic corpus has no aligned audio duplicates,
+    * so pair semantics are pinned on a hand fixture (the videoNearDup
+    * precedent) while the fingerprint relation itself is the gate.
+    */
+  def audioNearDup(fingerprints: DataFrame, maxDocsPerHash: Int = 100,
+      minShared: Int = 2): DataFrame = {
+    val fh = fingerprints.select(col("doc_id"), col("h")).distinct()
+    val capped = fh.join(
+      fh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDocsPerHash).select(col("h")),
+      Seq("h"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_marks"))
+    val pairs = capped.select(col("doc_id").as("doc_a"), col("h"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_marks").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_marks").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("na") + col("nb") - col("n_shared")).cast("double"))
+          .as("jaccard"))
   }
 
   /** VAD-style SEGMENTATION over the audio windows — the

@@ -329,6 +329,32 @@ class FunctionsSpec extends SparkSuite {
     assert(Multimodal.cdcClusters(spark, dir, minJaccard = 2.0).count() == 0L)
   }
 
+  test("audio landmarks: identical payloads pair at 1.0, clips survive, disjoint don't") {
+    import spark.implicits._
+    // audio docs are doc_id % 3 == 1; 1 and 4 identical, 7 disjoint,
+    // 10 a 60% CLIP of 1 — the constellation property: the clip keeps
+    // the shared-prefix landmarks where fixed whole-payload hashing
+    // keeps nothing
+    val t = (1 to 400).map(i => s"w${(i * 7) % 97}").mkString(" ")
+    val other = (1 to 400).map(i => s"q${(i * 11) % 89}").mkString(" ")
+    val clip = t.substring(0, (t.length * 6) / 10)
+    val docs = Seq((1L, t), (4L, t), (7L, other), (10L, clip))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val d = graft.util.Scratch.dir("audio_fp_fixture")
+    docs.write.mode("overwrite")
+      .parquet(d.resolve("documents.parquet").toString)
+    val fp = Multimodal.audioFingerprints(spark, d.toString)
+    val pairs = Multimodal.audioNearDup(fp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 4L)) == 1.0, "identical payloads at jaccard 1")
+    assert(pairs.contains((1L, 10L)) && pairs((1L, 10L)) > 0.3,
+      s"clip must keep most of the constellation: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 7L || p._2 == 7L),
+      "disjoint content never pairs")
+  }
+
   test("video near-dup: identical payloads pair at jaccard 1, disjoint never pair") {
     import spark.implicits._
     // pad so len % 8 == 7 → the stub demuxer sees 8 frames (a payload
