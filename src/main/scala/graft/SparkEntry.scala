@@ -1509,6 +1509,10 @@ object SparkEntry {
     // shared n-grams, containment) via a broadcast inverted-index join
     "cur_contamination_pairs" -> ((s, dir) =>
       graft.text.Curation.contaminationPairs(s, dir)),
+    // decontamination by span EXCISION: tokens covered by a matching
+    // eval 5-gram cut out, the document kept — the surgical variant
+    "cur_decontaminate_spans" -> ((s, dir) =>
+      graft.text.Curation.decontaminateSpans(s, dir)),
     // the COMPOSED curation chain (split → quality → dedup keeper →
     // decontaminate → chunk) as ONE lazy plan — the end-to-end run a
     // real training-data pipeline executes; every stage also checked in
@@ -5122,6 +5126,40 @@ object SparkEntry {
     // the incrementally maintained dictionary must reproduce the
     // one-shot cleaned corpus bit for bit — the oracle IS cur_line_dedup
     "stream_linededup_incremental" -> LineDedupOracleSql,
+
+    // zip-unnested gram positions matched against the eval gram set,
+    // expanded to covered token positions, and the ordered string_agg
+    // reassembly of the surviving tokens
+    "cur_decontaminate_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk) - 3),
+        |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+        |    FROM t WHERE nib >= 'e')
+        |), gp AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(tk) - 4, 0))) AS p,
+        |    unnest(list_transform(range(1, len(tk) - 3),
+        |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+        |  FROM t WHERE nib <= 'd'
+        |), cov AS (
+        |  SELECT DISTINCT gp.doc_id, gp.p + d.d AS pos
+        |  FROM gp JOIN ev USING (g), (SELECT unnest(range(0, 5)) AS d) d
+        |), tok AS (
+        |  SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS w
+        |  FROM t WHERE nib <= 'd'
+        |)
+        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(cov.pos) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tok.w END,
+        |    ' ' ORDER BY tok.pos), '') AS clean_text
+        |FROM tok LEFT JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |GROUP BY tok.doc_id""".stripMargin,
 
     // the same gram CTEs as cur_decontaminate, but grouped per
     // (train, eval) pair with the containment ratio

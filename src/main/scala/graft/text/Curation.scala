@@ -513,6 +513,52 @@ object Curation {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Decontamination by SPAN EXCISION — the surgical variant of
+    * [[decontaminate]]: instead of dropping a contaminated training
+    * document whole, every token covered by a matching eval `n`-gram
+    * is cut and the survivors re-join in order. This is the published
+    * "remove the overlapped spans, keep the document" recipe — at
+    * corpus scale, dropping whole documents for one leaked sentence
+    * wastes real data.
+    *
+    * Shape: the gram positions explode inline in the generator select
+    * (the non-negotiable HOF shape — see contaminationPairs), match
+    * against the broadcast eval gram set, expand to covered token
+    * positions, and one anti-flag join + sorted reassembly per doc —
+    * the lineDedup rebuild machinery keyed by token position. The
+    * corpus text is scanned twice (grams, tokens), shuffled once (the
+    * per-doc rebuild).
+    */
+  def decontaminateSpans(s: SparkSession, dir: String,
+      n: Int = 5): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tk.as("tk"),
+        substring(hashKey(col("doc_id")), 1, 1).as("nib"))
+    val evalG = base.where(col("nib") >= "e")
+      .select(explode(array_distinct(wordGrams(col("tk"), n))).as("g"))
+      .distinct()
+    val starts = base.where(col("nib") <= "d")
+      .select(col("doc_id"),
+        posexplode(wordGrams(col("tk"), n)).as(Seq("p", "g")))
+      .join(broadcast(evalG), Seq("g"))
+    val covered = starts
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+      .select(col("doc_id"), col("pos"), lit(1).as("__cut"))
+    base.where(col("nib") <= "d")
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "w")))
+      .join(covered, Seq("doc_id", "pos"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__cut")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__cut").isNull,
+            struct(col("pos"), col("w"))))),
+          x => x.getField("w")), " ").as("clean_text"))
+  }
+
   /** Pairwise contamination ATTRIBUTION: which held-out document leaks
     * into which train document, scored by CONTAINMENT — the fraction of
     * the train doc's distinct word n-grams found in that specific eval

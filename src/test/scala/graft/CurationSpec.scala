@@ -271,6 +271,44 @@ class CurationSpec extends SparkSuite {
     assert(got == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 1L, "delta" -> 1L))
   }
 
+  test("span excision matches a driver recompute and agrees with the drop list") {
+    val out = Curation.decontaminateSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    def nib(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${md(0) & 0xFF}%02x".charAt(0)
+    }
+    def grams(tk: Seq[String]) =
+      if (tk.size < 5) Seq.empty else tk.sliding(5).map(_.mkString(" ")).toSeq
+    val evalG = docs.filter(d => nib(d._1) >= 'e')
+      .flatMap(d => grams(d._2)).toSet
+    val train = docs.filter(d => nib(d._1) <= 'd')
+    assert(out.keySet == train.map(_._1).toSet)
+    var excised = Set.empty[Long]
+    train.foreach { case (id, tk) =>
+      val covered = grams(tk).zipWithIndex.collect {
+        case (g, p) if evalG(g) => p until (p + 5)
+      }.flatten.toSet
+      val kept = tk.zipWithIndex.collect {
+        case (w, p) if !covered(p) => w }
+      val (nTok, nRem, clean) = out(id)
+      assert(nTok == tk.size.toLong, s"doc $id n_tokens")
+      assert(nRem == covered.size.toLong, s"doc $id n_removed")
+      assert(clean == kept.mkString(" "), s"doc $id clean_text")
+      if (covered.nonEmpty) excised += id
+    }
+    // the excision set IS cur_decontaminate's drop list
+    val dropped = Curation.decontaminate(spark, dir).collect()
+      .collect { case r if r.getBoolean(2) => r.getLong(0) }.toSet
+    assert(excised == dropped)
+    assert(excised.nonEmpty)
+  }
+
   test("token fertility matches a driver recompute per language") {
     val out = Curation.tokenFertility(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
