@@ -1576,6 +1576,10 @@ object SparkEntry {
     // recall@10 of IVFADC vs the exact-cosine brute top-10 — the index
     // quality dial as a checked query
     "sim_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
+    // matryoshka truncation recall: search on the 16-component prefix
+    // (prefix-norm cosine), recall@10 vs the full-dim exact top-k
+    "sim_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(s, dir)),
     // embedding-cosine near-dup flags at 0.95 (rows-only check)
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     // SemDeDup: k-means-clustered semantic dedup — pairwise cosine ONLY
@@ -5341,6 +5345,47 @@ object SparkEntry {
         |  FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+
+    // both rankings replayed with the sim_topk cosine tree — the
+    // truncated side on list_slice prefixes — then the exact-integer
+    // intersection and one rational
+    "sim_matryoshka_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5
+        |), pairs AS (
+        |  SELECT qid, vec_id, qe, CAST(embedding AS DOUBLE[]) AS ee
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid
+        |), tr AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(list_dot_product(qe[1:16], ee[1:16])
+        |        / sqrt(list_dot_product(qe[1:16], qe[1:16])
+        |               * list_dot_product(ee[1:16], ee[1:16])), 6) DESC,
+        |        vec_id ASC) AS rank
+        |    FROM pairs)
+        |  WHERE rank <= 10
+        |), br AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(list_dot_product(qe, ee)
+        |        / sqrt(list_dot_product(qe, qe)
+        |               * list_dot_product(ee, ee)), 6) DESC,
+        |        vec_id ASC) AS rank
+        |    FROM pairs)
+        |  WHERE rank <= 10
+        |), h AS (
+        |  SELECT tr.qid, count(*) AS n_hits
+        |  FROM tr JOIN br ON tr.qid = br.qid AND tr.vec_id = br.vec_id
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT qid, CAST(count(*) AS BIGINT) AS n_true FROM br GROUP BY 1
+        |)
+        |SELECT tot.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  tot.n_true,
+        |  CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+        |    / CAST(tot.n_true AS DOUBLE) AS recall
+        |FROM tot LEFT JOIN h ON tot.qid = h.qid""".stripMargin,
 
     "sim_topk" ->
       """WITH q AS (

@@ -790,6 +790,40 @@ object Similarity {
     * BOTH pipelines and the intersection value-exactly (the
     * dedup_minhash_recall shape for the ANN family).
     */
+  /** MATRYOSHKA truncation recall (Kusupati et al. 2022): search with
+    * only the first `prefixDim` embedding components (re-normalized by
+    * the prefix norms — exactly what cosine over the slice computes)
+    * and measure recall@k against the full-dimension exact top-k. MRL
+    * embeddings front-load information so a short prefix retrieves
+    * almost as well at a fraction of the memory/compute; this gate
+    * prices that trade the same way [[ivfPqRecall]] prices IVFADC.
+    * Integer hit counts + one exact rational.
+    */
+  def matryoshkaRecall(s: SparkSession, dir: String, prefixDim: Int = 16,
+      nQueries: Int = 5, topK: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    def topIds(scoreOf: (Column, Column) => Column) =
+      emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(scoreOf(col("qe"), col("embedding")), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+        .select(col("qid"), col("vec_id"))
+    val trunc = topIds((q, e) =>
+      cosine(slice(q, 1, prefixDim), slice(e, 1, prefixDim)))
+    val brute = topIds((q, e) => cosine(q, e))
+    val hits = trunc.join(brute, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    brute.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_true").cast("double")).as("recall"))
+  }
+
   def ivfPqRecall(s: SparkSession, dir: String, nQueries: Int = 5,
       topK: Int = 10): DataFrame = {
     val approx = ivfPqTopK(s, dir, nQueries = nQueries, topK = topK)

@@ -104,6 +104,35 @@ class KmeansSpec extends SparkSuite {
     }
   }
 
+  test("matryoshka recall: prefix-signal 1.0, tail-only signal degrades") {
+    import spark.implicits._
+    // front-loaded: vectors differ only in dims 0..15 (the MRL shape) →
+    // the 16-prefix ranking equals the full ranking, recall 1.0
+    def vecs(offset: Int) = (0 until 12).map { m =>
+      val e = Array.fill(64)(0f)
+      e(offset + (m % 4)) = 10f
+      e(offset + ((m / 4) % 4)) += 3f
+      (m.toLong, (m % 4).toLong, e)
+    }
+    val dF = graft.util.Scratch.dir("mrl_front")
+    vecs(0).toDF("vec_id", "label", "embedding").write.mode("overwrite")
+      .parquet(dF.resolve("embeddings.parquet").toString)
+    val front = Similarity.matryoshkaRecall(spark, dF.toString,
+      nQueries = 3, topK = 5).collect()
+    assert(front.nonEmpty)
+    front.foreach(r => assert(r.getDouble(3) == 1.0,
+      s"front-loaded signal must retrieve perfectly: $r"))
+    // tail-only: all signal in dims 40+; the 16-prefix is all-zero →
+    // prefix cosine degenerates and recall must drop below 1 somewhere
+    val dT = graft.util.Scratch.dir("mrl_tail")
+    vecs(40).toDF("vec_id", "label", "embedding").write.mode("overwrite")
+      .parquet(dT.resolve("embeddings.parquet").toString)
+    val tail = Similarity.matryoshkaRecall(spark, dT.toString,
+      nQueries = 3, topK = 5).collect()
+    assert(tail.exists(_.getDouble(3) < 1.0),
+      "tail-only signal cannot retrieve perfectly from the prefix")
+  }
+
   test("incremental ANN index: batching-invariant, idempotent, serves one-shot top-k") {
     val dir = sf("sf0.001")
     val emb = graft.model.Tables.embeddings(spark, dir)
