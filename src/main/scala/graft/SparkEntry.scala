@@ -663,28 +663,22 @@ object SparkEntry {
           Tables.lineitem(s, dir), Tables.orders(s, dir),
           Tables.customer(s, dir), Tables.supplier(s, dir)))),
 
-    "q_pagerank_trade" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
-        col("l_suppkey"),
-        (col("l_extendedprice").cast("decimal(18,2)")
-          * (lit(1.0).cast("decimal(4,2)")
-            - col("l_discount").cast("decimal(4,2)"))).as("rev"))
-      val edges = li
-        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_nationkey"))),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, dir)
-          .select(col("s_suppkey"), col("s_nationkey"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(sum(col("rev")).as("w"))
-      graft.operators.PageRank.weightedPageRank(edges, iters = 5)
+    "q_pagerank_trade" -> ((s, dir) =>
+      graft.operators.PageRank.weightedPageRank(
+          tradeRevenueEdges(s, dir), iters = 5)
         .join(broadcast(Tables.nation(s, dir)
           .select(col("n_nationkey").as("node"), col("n_name"))), "node")
-        .select(col("n_name").as("nation"), col("pr"))
-    }),
+        .select(col("n_name").as("nation"), col("pr"))),
+
+    // PERSONALIZED PageRank: the same damped iteration with teleport
+    // mass landing on the {0, 1} seed nations — rank as seen FROM the
+    // seeds, the related-entity/trust-propagation primitive
+    "q_ppr_trade" -> ((s, dir) =>
+      graft.operators.PageRank.personalizedPageRank(
+          tradeRevenueEdges(s, dir), seeds = Seq(0L, 1L), iters = 5)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+        .select(col("n_name").as("nation"), col("pr"))),
 
     // wide grouped aggregation with derived expressions (TPC-H Q1 shape)
     "q_pricing_summary" -> BreadthQueries.pricingSummary _,
@@ -2507,6 +2501,74 @@ object SparkEntry {
     * + in src order) as the Spark side's sorted aggregate-HOF, so the
     * double rounding sequence matches bit for bit.
     */
+  /** The nation-level revenue-weighted trade edges — the graph both
+    * PageRank gates run on (exact DECIMAL weights; the corpus-scale
+    * aggregation, shuffled once on the nation pair).
+    */
+  private def tradeRevenueEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_suppkey"),
+      (col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1.0).cast("decimal(4,2)")
+          - col("l_discount").cast("decimal(4,2)"))).as("rev"))
+    li
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(sum(col("rev")).as("w"))
+  }
+
+  /** The personalized variant's oracle: the PagerankTradeOracleSql
+    * CTE chain with seeded initial mass and seeded per-step teleport
+    * (literal fractions written as the same divisions Scala computes).
+    */
+  private val PprTradeOracleSql: String = {
+    val iters = 5
+    val tp = "CASE WHEN nodes.node IN (0, 1) THEN 0.15 / 2 ELSE 0.0 END"
+    val steps = (1 to iters).map { i =>
+      val prev = s"p${i - 1}"
+      s"""c$i AS (
+         |  SELECT r.dst,
+         |    list_reduce(list_prepend(0.0, list(p.pr * r.ratio ORDER BY r.src)),
+         |                (a, b) -> a + b) AS m
+         |  FROM r JOIN $prev p ON p.node = r.src GROUP BY r.dst
+         |), p$i AS (
+         |  SELECT nodes.node, $tp + 0.85 * coalesce(c$i.m, 0.0) AS pr
+         |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |    sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |        * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+       |      AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2
+       |), wo AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+       |r AS (
+       |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(wo.wout AS DOUBLE) AS ratio
+       |  FROM e JOIN wo ON e.src = wo.src
+       |),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |p0 AS (
+       |  SELECT node,
+       |    CASE WHEN node IN (0, 1) THEN 1.0 / 2 ELSE 0.0 END AS pr
+       |  FROM nodes
+       |),
+       |$steps
+       |SELECT n_name AS nation, pr
+       |FROM p$iters JOIN nation ON n_nationkey = p$iters.node""".stripMargin
+  }
+
   private val PagerankTradeOracleSql: String = {
     val iters = 5
     val steps = (1 to iters).map { i =>
@@ -3815,6 +3877,7 @@ object SparkEntry {
 
     // the damped iteration unrolled step for step (see the builder)
     "q_pagerank_trade" -> PagerankTradeOracleSql,
+    "q_ppr_trade" -> PprTradeOracleSql,
 
     // the textbook dominance definition — the engine's chunked
     // two-pass plan must reproduce it exactly

@@ -81,4 +81,46 @@ object PageRank {
     }
     pr
   }
+
+  /** PERSONALIZED PageRank (Haveliwala 2002): identical damped
+    * iteration, but the teleport mass lands on a SEED SET instead of
+    * uniformly — rank becomes "importance AS SEEN FROM the seeds",
+    * the primitive under related-entity recommendation, trust
+    * propagation, and local community scoring. Initial mass and the
+    * per-step teleport both split evenly across the seeds; every
+    * determinism device of [[weightedPageRank]] carries over (ordered
+    * in-neighbor folds, exact decimal edge ratios, literal teleport
+    * fractions computed once).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+      iters: Int = 5, damping: Double = 0.85, teleport: Double = 0.15,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a seed set")
+    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ratio = edges.join(wout, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wout").cast("double")).as("ratio"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val isSeed = col("node").isInCollection(seeds)
+    val tp = when(isSeed, lit(teleport / seeds.size)).otherwise(lit(0.0))
+    var pr = nodes.select(col("node"),
+      when(isSeed, lit(1.0 / seeds.size)).otherwise(lit(0.0)).as("pr"))
+    for (i <- 1 to iters) {
+      val contrib = ratio
+        .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
+        .select(col("dst"), col("src"), (col("pr") * col("ratio")).as("c"))
+        .groupBy(col("dst"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (acc, x) => acc + x("c")).as("m"))
+      pr = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (tp + lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint()
+    }
+    pr
+  }
 }

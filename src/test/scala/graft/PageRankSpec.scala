@@ -40,6 +40,19 @@ class PageRankSpec extends SparkSuite {
     assert(out(3L) == 0.15 / n + 0.85 * (1.0 / n * 0.25))
   }
 
+  test("personalized: mass stays seed-reachable; two-step hand values") {
+    // two disjoint 2-cycles; seeding {1} must leave {3, 4} at exactly
+    // zero forever, and the seed component follows the hand recursion:
+    // p1 = (0.15, 0.85); p2 = (0.15 + 0.85², 0.85·0.15)
+    val e = edges(Seq((1L, 2L, dec("1.00")), (2L, 1L, dec("1.00")),
+      (3L, 4L, dec("1.00")), (4L, 3L, dec("1.00"))))
+    val out = PageRank.personalizedPageRank(e, seeds = Seq(1L), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(3L) == 0.0 && out(4L) == 0.0)
+    assert(out(1L) == 0.15 + 0.85 * 0.85)
+    assert(out(2L) == 0.85 * 0.15)
+  }
+
   test("connected components: two components, path-graph propagation, min labels") {
     import spark.implicits._
     import graft.operators.ConnectedComponents
