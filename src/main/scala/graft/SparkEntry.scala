@@ -720,6 +720,11 @@ object SparkEntry {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))),
 
+    // trending ranking with exact DYADIC time decay (weights are
+    // negative powers of two — order-independent double sums, no libm)
+    "q_trending_events" -> ((s, dir) =>
+      graft.analysis.EventAnalytics.trending(Tables.events(s, dir))),
+
     // A/B experiment readout: deterministic parity-bucket arms,
     // conversion = >= 15 purchases, two-proportion z-test on exact
     // counts — one per-user digest + a 1-row aggregate
@@ -4066,6 +4071,27 @@ object SparkEntry {
 
     // conditional-min stage chain; equal-ts pairs compare strictly on ts
     // alone (same rule as the Spark side)
+    // the same (type, level) digest; weights are 1/(1<<level) — dyadic,
+    // so the double sum is exact and order-free on both engines
+    "q_trending_events" ->
+      """WITH d1 AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', CAST(ts AS DATE), d1.d1) // 7 AS INT)
+        |      AS lvl
+        |  FROM events, d1
+        |), c AS (
+        |  SELECT event_type, lvl, count(*) AS n FROM l GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |    sum(CAST(n AS DOUBLE) / CAST(1 << lvl AS DOUBLE)) AS hot_score
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT event_type, n_events, hot_score,
+        |  CAST(row_number() OVER (ORDER BY hot_score DESC, event_type ASC)
+        |    AS INT) AS rank
+        |FROM s""".stripMargin,
+
     // the same exact conversion counts; the z statistic is the
     // identical double formula tree (p1-p0, pooled, sqrt) so every
     // rounded output is bit-equal

@@ -1,6 +1,7 @@
 package graft.analysis
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -65,6 +66,36 @@ object EventAnalytics {
       round(p1 - p0, 6).as("lift"),
       round(z, 6).as("z"),
       coalesce(abs(z) > 1.96, lit(false)).as("significant"))
+  }
+
+  /** TRENDING ranking with exponential time decay (the HN/Reddit
+    * hotness shape): each event weighs 2^-(age/halflifeDays weeks,
+    * floored) anchored at the corpus's latest day, so recent activity
+    * dominates. The decay base is DYADIC BY DESIGN — every weight is a
+    * negative power of two, so each term and every partial sum is
+    * exactly representable and the double aggregation is
+    * order-independent WITHOUT an ordered fold (libm pow() never runs:
+    * the weight is 1 / (1L << level)).
+    *
+    * Shape: one groupBy to the (type, level) digest — map-side
+    * combinable, ≤ types × levels rows — then a |types|-row ranking.
+    */
+  def trending(events: DataFrame, halflifeDays: Int = 7): DataFrame = {
+    val d1 = events.agg(max(to_date(col("ts"))).as("d1"))
+    val lvl = events.crossJoin(broadcast(d1))
+      .select(col("event_type"),
+        (datediff(col("d1"), to_date(col("ts"))) / halflifeDays)
+          .cast("int").as("lvl"))
+      .groupBy(col("event_type"), col("lvl"))
+      .agg(count(lit(1)).as("n"))
+    val scored = lvl.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("n").cast("double")
+          / expr("shiftleft(CAST(1 AS BIGINT), lvl)").cast("double"))
+          .as("hot_score"))
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("hot_score").desc,
+        col("event_type").asc)))
   }
 
   def funnel(s: SparkSession, dir: String,

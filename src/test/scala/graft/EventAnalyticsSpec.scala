@@ -92,6 +92,21 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(out.size == 4) // terminal events emit no transition
   }
 
+  test("trending: recent-but-smaller beats old-but-bigger, exact dyadic scores") {
+    import spark.implicits._
+    // A: 100 events 3 half-lives old (weight 1/8 → 12.5);
+    // B: 20 events on the anchor day (weight 1 → 20): B must outrank A
+    val rows = Seq.fill(100)("A" -> "2024-01-01 10:00:00") ++
+      Seq.fill(20)("B" -> "2024-01-22 10:00:00")
+    val ev = rows.toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = EventAnalytics.trending(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(out("A") == ((100L, 12.5, 2)))
+    assert(out("B") == ((20L, 20.0, 1)))
+  }
+
   test("ab test: hand z-statistic, arms by parity, significance branch") {
     import spark.implicits._
     // arm 0 (even ids 0..18): 1 of 10 converts; arm 1 (odd): 9 of 10 —
