@@ -500,6 +500,11 @@ object SparkEntry {
     // — must equal the one-shot dq_drift_chi2
     "stream_drift_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayDriftIncremental(s, dir)),
+    // incremental trending: per-batch (type, date) partials folded,
+    // decay levels re-derived from the maintained anchor at report time
+    // — must equal the one-shot q_trending_events
+    "stream_trending_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayTrendingIncremental(s, dir)),
     // incremental ANN-index ingestion: per-batch assignment to the
     // frozen trained centroids appended to the (cell, vec_id, embedding)
     // index; the IVF search over the maintained index must equal the
@@ -1964,6 +1969,29 @@ object SparkEntry {
       |    ' ' ORDER BY l.line_idx), '') AS clean_text
       |FROM l LEFT JOIN f USING (line)
       |GROUP BY l.doc_id""".stripMargin
+
+  /** Trending replay: the (type, level) digest with dyadic 1/(1<<lvl)
+    * weights — exact, order-free double sums on both engines. Shared
+    * verbatim by the one-shot gate and the incremental-digest replay.
+    */
+  private val TrendingOracleSql: String =
+    """WITH d1 AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', CAST(ts AS DATE), d1.d1) // 7 AS INT)
+      |      AS lvl
+      |  FROM events, d1
+      |), c AS (
+      |  SELECT event_type, lvl, count(*) AS n FROM l GROUP BY 1, 2
+      |), s AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+      |    sum(CAST(n AS DOUBLE) / CAST(1 << lvl AS DOUBLE)) AS hot_score
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT event_type, n_events, hot_score,
+      |  CAST(row_number() OVER (ORDER BY hot_score DESC, event_type ASC)
+      |    AS INT) AS rank
+      |FROM s""".stripMargin
 
   /** Drift replay: exact bucket counts, the verbatim expected-count
     * tree, and the chi2 left fold as a recursive CTE in bucket order.
@@ -4073,24 +4101,11 @@ object SparkEntry {
     // alone (same rule as the Spark side)
     // the same (type, level) digest; weights are 1/(1<<level) — dyadic,
     // so the double sum is exact and order-free on both engines
-    "q_trending_events" ->
-      """WITH d1 AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
-        |l AS (
-        |  SELECT event_type,
-        |    CAST(date_diff('day', CAST(ts AS DATE), d1.d1) // 7 AS INT)
-        |      AS lvl
-        |  FROM events, d1
-        |), c AS (
-        |  SELECT event_type, lvl, count(*) AS n FROM l GROUP BY 1, 2
-        |), s AS (
-        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
-        |    sum(CAST(n AS DOUBLE) / CAST(1 << lvl AS DOUBLE)) AS hot_score
-        |  FROM c GROUP BY 1
-        |)
-        |SELECT event_type, n_events, hot_score,
-        |  CAST(row_number() OVER (ORDER BY hot_score DESC, event_type ASC)
-        |    AS INT) AS rank
-        |FROM s""".stripMargin,
+    "q_trending_events" -> TrendingOracleSql,
+
+    // the batch-maintained daily digest must reproduce the one-shot
+    // decayed ranking bit for bit — the oracle IS q_trending_events
+    "stream_trending_incremental" -> TrendingOracleSql,
 
     // the same exact conversion counts; the z statistic is the
     // identical double formula tree (p1-p0, pooled, sqrt) so every

@@ -80,14 +80,52 @@ object EventAnalytics {
     * Shape: one groupBy to the (type, level) digest — map-side
     * combinable, ≤ types × levels rows — then a |types|-row ranking.
     */
-  def trending(events: DataFrame, halflifeDays: Int = 7): DataFrame = {
-    val d1 = events.agg(max(to_date(col("ts"))).as("d1"))
-    val lvl = events.crossJoin(broadcast(d1))
+  def trending(events: DataFrame, halflifeDays: Int = 7): DataFrame =
+    trendingFromDaily(
+      events.select(col("event_type"), to_date(col("ts")).as("date"))
+        .groupBy(col("event_type"), col("date")).agg(count(lit(1)).as("n")),
+      halflifeDays)
+
+  /** Batch half of INCREMENTAL trending maintenance: append this
+    * batch's (event_type, date) partial counts — O(batch)/batch, LSM
+    * shape, batchId-idempotent. Decay LEVELS derive from the maintained
+    * span at report time (the drift-monitor discipline: a late batch
+    * can move the anchor day, so the state is the daily digest, never
+    * pre-decayed scores).
+    */
+  def appendTrendingBatch(s: SparkSession, countsDir: String,
+      batch: DataFrame, batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$countsDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    batch.select(col("event_type"), to_date(col("ts")).as("date"))
+      .groupBy(col("event_type"), col("date")).agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$countsDir/partials")
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** Report half: fold the maintained daily digest and rank — must
+    * equal the one-shot [[trending]] bit for bit.
+    */
+  def trendingFromPartials(s: SparkSession, countsDir: String,
+      halflifeDays: Int = 7): DataFrame =
+    trendingFromDaily(
+      s.read.parquet(s"$countsDir/partials")
+        .groupBy(col("event_type"), col("date")).agg(sum(col("n")).as("n")),
+      halflifeDays)
+
+  private def trendingFromDaily(daily: DataFrame,
+      halflifeDays: Int): DataFrame = {
+    val d1 = daily.agg(max(col("date")).as("d1"))
+    val lvl = daily.crossJoin(broadcast(d1))
       .select(col("event_type"),
-        (datediff(col("d1"), to_date(col("ts"))) / halflifeDays)
-          .cast("int").as("lvl"))
+        (datediff(col("d1"), col("date")) / halflifeDays)
+          .cast("int").as("lvl"), col("n"))
       .groupBy(col("event_type"), col("lvl"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n"))
     val scored = lvl.groupBy(col("event_type"))
       .agg(sum(col("n")).as("n_events"),
         sum(col("n").cast("double")

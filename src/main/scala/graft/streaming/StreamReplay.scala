@@ -616,6 +616,41 @@ object StreamReplay {
     graft.operators.DataQuality.driftChi2FromPartials(s, countsDir)
   }
 
+  /** Replay of INCREMENTAL TRENDING maintenance: the events table
+    * streams in micro-batches, each appending its (event_type, date)
+    * partial counts (EventAnalytics.appendTrendingBatch — O(batch),
+    * LSM shape, idempotent); the decayed ranking over the folded
+    * digest must equal the one-shot q_trending_events — which is
+    * exactly the oracle. Decay levels re-derive from the maintained
+    * anchor day at report time, so late batches that move the anchor
+    * are handled by construction.
+    */
+  def replayTrendingIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_trending_replay")
+    val feed = tmp.resolve("feed").toString
+    val countsDir = tmp.resolve("counts").toString
+    val ev = Tables.events(s, dir).select(col("event_type"), col("ts"))
+    ev.repartition(nBatches).write.mode("overwrite").parquet(feed)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.analysis.EventAnalytics.appendTrendingBatch(s, countsDir,
+            batch, batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.analysis.EventAnalytics.trendingFromPartials(s, countsDir)
+  }
+
   /** Replay of INCREMENTAL ANN-INDEX maintenance: the embeddings table
     * streams in micro-batches, each assigned to the frozen trained
     * centroids and appended to the (cell, vec_id, embedding) index

@@ -107,6 +107,30 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(out("B") == ((20L, 20.0, 1)))
   }
 
+  test("trending incremental: late anchor-moving batch; equals one-shot") {
+    import spark.implicits._
+    def df(rs: Seq[(String, String)]) = rs.toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).select("event_type", "ts")
+    val all = Seq.fill(100)("A" -> "2024-01-01 10:00:00") ++
+      Seq.fill(20)("B" -> "2024-01-22 10:00:00")
+    val counts = graft.util.Scratch.dir("trend_inc").resolve("c").toString
+    // batch 1 sees only the OLD events; the late batch moves the anchor
+    // from Jan 1 to Jan 22 and must re-level everything at report time
+    val (b1, b2) = all.partition(_._2 < "2024-01-10")
+    EventAnalytics.appendTrendingBatch(spark, counts, df(b1),
+      batchId = Some(0L))
+    EventAnalytics.appendTrendingBatch(spark, counts, df(b2),
+      batchId = Some(1L))
+    EventAnalytics.appendTrendingBatch(spark, counts, df(b2),
+      batchId = Some(1L)) // re-delivery no-op
+    val oneShot = EventAnalytics.trending(df(all)).collect()
+      .map(_.toSeq).toSet
+    val fromState = EventAnalytics.trendingFromPartials(spark, counts)
+      .collect().map(_.toSeq).toSet
+    assert(fromState == oneShot)
+    assert(oneShot.exists(r => r(0) == "B" && r(3) == 1))
+  }
+
   test("ab test: hand z-statistic, arms by parity, significance branch") {
     import spark.implicits._
     // arm 0 (even ids 0..18): 1 of 10 converts; arm 1 (odd): 9 of 10 —
