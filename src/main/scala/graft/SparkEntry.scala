@@ -718,6 +718,13 @@ object SparkEntry {
           gapSeconds = 1800L, tiebreak = col("event_id"), valueCol = "value")
         .withColumn("session_start", unix_micros(col("session_start")))
         .withColumn("session_end", unix_micros(col("session_end")))),
+    // path analysis: each session's first-5-event path string, top-10
+    // paths corpus-wide — the per-session reassembly sorts collected
+    // structs, so it is shuffle-order-proof
+    "q_session_paths" -> ((s, dir) =>
+      Sessionize.topSessionPaths(Tables.events(s, dir), "user_id", "ts",
+        gapSeconds = 1800L, tiebreak = col("event_id"),
+        stepCol = "event_type")),
 
     // exact interpolated percentiles per group (sort-based, not sketch)
     "q_exact_percentiles" -> ((s, dir) =>
@@ -4078,6 +4085,40 @@ object SparkEntry {
         |  epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_id""".stripMargin,
+
+    // the same session ids; per-session paths via the ordered
+    // string_agg prefix, then the count ranking
+    "q_session_paths" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |                 THEN 1 ELSE 0 END AS news
+        |  FROM x
+        |), z0 AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM y
+        |), z AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |                               ORDER BY ts, event_id) AS step
+        |  FROM z0
+        |), p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM z WHERE step <= 5 GROUP BY 1, 2
+        |), c AS (
+        |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT path, n_sessions,
+        |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+        |    AS INT) AS rank
+        |FROM c
+        |QUALIFY rank <= 10""".stripMargin,
 
     "q_exact_percentiles" ->
       """SELECT event_type,

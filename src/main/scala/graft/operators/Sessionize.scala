@@ -31,6 +31,28 @@ object Sessionize {
       .drop("__prev_ts", "__new_session")
   }
 
+  /** TOP SESSION PATHS — the path-analysis staple of product analytics:
+    * each session's first `maxSteps` events (in total (ts, tiebreak)
+    * order) joined into a `>`-separated path string, then the `topK`
+    * most frequent paths corpus-wide. The per-session reassembly sorts
+    * the collected (ts, tiebreak, step) structs, so it is
+    * shuffle-order-proof; the path relation is ≤ one row per session
+    * and the final ranking is a digest. Ties rank by path string.
+    */
+  def topSessionPaths(events: DataFrame, key: String, ts: String,
+      gapSeconds: Long, tiebreak: Column, stepCol: String,
+      maxSteps: Int = 5, topK: Int = 10): DataFrame = {
+    val paths = withSessionId(events, key, ts, gapSeconds, tiebreak)
+      .groupBy(col(key), col("session_id"))
+      .agg(array_join(slice(transform(
+          array_sort(collect_list(struct(col(ts), tiebreak, col(stepCol)))),
+          x => x.getField(stepCol)), 1, maxSteps), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)))
+      .where(col("rank") <= topK)
+  }
+
   /** Per-session rollup: bounds, size, and an exact (decimal-summed) value
     * total, so results hash-match any engine regardless of add order.
     */

@@ -27,6 +27,30 @@ class OperatorsSpec extends SparkSuite {
     assert(out(2).getLong(2) == 1 && out(2).getDouble(5) == 8.0) // user 9
   }
 
+  test("session paths: ordered assembly, step cap, gap split, frequency rank") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 7: 6 events in one session (path capped at 5 steps), then a
+    // >30-min gap opens a second session; user 9 contributes a repeat
+    // of the common single-step path
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L, "view"),
+      (2L, t("2024-01-01 10:01:00"), 7L, "click"),
+      (3L, t("2024-01-01 10:02:00"), 7L, "view"),
+      (4L, t("2024-01-01 10:03:00"), 7L, "click"),
+      (5L, t("2024-01-01 10:04:00"), 7L, "purchase"),
+      (6L, t("2024-01-01 10:05:00"), 7L, "error"),   // step 6 — capped off
+      (7L, t("2024-01-01 12:00:00"), 7L, "view"),    // new session
+      (8L, t("2024-01-01 09:00:00"), 9L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessionize.topSessionPaths(ev, "user_id", "ts", 1800L,
+        col("event_id"), "event_type").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map(
+      "view" -> ((2L, 1)),                                // 2 sessions, rank 1
+      "view>click>view>click>purchase" -> ((1L, 2))))     // capped at 5
+  }
+
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {
     import spark.implicits._
     val df = Seq(1).toDF("x").select(
