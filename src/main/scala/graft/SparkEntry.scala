@@ -941,6 +941,16 @@ object SparkEntry {
       graft.operators.DataQuality.driftChi2(
         Tables.events(s, dir), "value", "ts")),
 
+    // functional-dependency profiling: per candidate det→dep, the
+    // violating-key count — o_orderkey→o_custkey HOLDS (it is the key),
+    // the reverse-direction candidates are live violations
+    "dq_functional_deps" -> ((s, dir) =>
+      graft.operators.DataQuality.functionalDependencies(
+        Tables.orders(s, dir), Seq(
+          "o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderstatus",
+          "o_orderpriority" -> "o_orderstatus"))),
+
     // l-diversity audit: classes whose sensitive attribute (balance
     // k-bucket) takes < 8 distinct values leak by homogeneity even
     // when k-anonymous — k-anonymity's complement
@@ -4381,6 +4391,23 @@ object SparkEntry {
     // report bit for bit — the oracle IS dq_drift_chi2
     "stream_drift_incremental" -> DqDriftChi2OracleSql,
 
+
+    // per-candidate distinct-dependent counts over the determinant
+    // groups; NULL-free columns make DISTINCT semantics identical
+    "dq_functional_deps" -> {
+      def one(det: String, dep: String) =
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $det, count(DISTINCT $dep) AS nd
+           |      FROM orders GROUP BY 1)""".stripMargin
+      Seq(one("o_orderkey", "o_custkey"),
+        one("o_custkey", "o_orderstatus"),
+        one("o_orderpriority", "o_orderstatus"))
+        .mkString("", "\nUNION ALL\n", "")
+    },
 
     // exact class-size + distinct-bucket counts, strict < l
     "dq_l_diversity" ->

@@ -207,6 +207,28 @@ object DataQuality {
       .agg(count(lit(1)).as("class_size"))
       .where(col("class_size") < k)
 
+  /** FUNCTIONAL-DEPENDENCY check (the Metanome-style profiling
+    * primitive): for each candidate `det → dep`, does every determinant
+    * value map to exactly one dependent value? Reported per candidate
+    * with the violating-key count — the evidence a schema-inference or
+    * key-discovery pass runs on. NULL dependents count as a value
+    * (two rows (k, NULL), (k, 1) violate). One map-side-combinable
+    * groupBy per candidate on its determinant; exact integer counts.
+    */
+  def functionalDependencies(df: DataFrame,
+      deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "need at least one candidate dependency")
+    deps.map { case (det, dep) =>
+      df.groupBy(col(det))
+        .agg(countDistinct(struct(col(dep))).as("nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_keys"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** l-DIVERSITY audit (Machanavajjhala 2007) — k-anonymity's
     * complement: a class can be large yet still leak if every member
     * shares the same SENSITIVE value (homogeneity attack). Output: one

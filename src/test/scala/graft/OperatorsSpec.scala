@@ -228,6 +228,26 @@ class OperatorsSpec extends SparkSuite {
       .count() == 0) // every class has >= 1 row by definition
   }
 
+  test("functional deps: holds/violations exact, NULL dependent is a value") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    // k→v holds; k→w violated by key 1 (two distinct w) AND by key 2
+    // (NULL + 3 — the struct wrap must count the NULL as a value)
+    val df = Seq(
+      (1L, 10L, java.lang.Long.valueOf(1L)),
+      (1L, 10L, java.lang.Long.valueOf(2L)),
+      (2L, 20L, null.asInstanceOf[java.lang.Long]),
+      (2L, 20L, java.lang.Long.valueOf(3L)),
+      (3L, 30L, java.lang.Long.valueOf(4L)))
+      .toDF("k", "v", "w")
+    val out = DataQuality.functionalDependencies(df,
+        Seq("k" -> "v", "k" -> "w")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("k", "v")) == ((3L, 0L, true)))
+    assert(out(("k", "w")) == ((3L, 2L, false)))
+  }
+
   test("drift chi2: hand statistic, thresholds, new-bucket drift") {
     import spark.implicits._
     import graft.operators.DataQuality
