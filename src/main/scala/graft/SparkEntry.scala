@@ -286,6 +286,18 @@ object SparkEntry {
       s.read.parquet(tmp)
     }),
 
+    // layout maintenance: the same rewrite HILBERT-clustered — the
+    // tighter-locality curve (consecutive codes are always grid
+    // neighbors); rows must be untouched, ZOrderSpec measures both
+    // curves' envelopes
+    "maint_hilbert_events" -> ((s, dir) => {
+      val tmp = graft.util.Scratch.dir("graft_hilbert").resolve("events").toString
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      graft.operators.ZOrder.writeHilbertOrdered(ev, "user_id", "ts_us", tmp)
+      s.read.parquet(tmp)
+    }),
+
     // table maintenance: compact a deliberately fragmented copy of the
     // date-partitioned rates table (8 files/day — the post-ingest sprawl
     // shape) and hash-check that not a single row changed through the
@@ -3490,6 +3502,11 @@ object SparkEntry {
 
     // z-ordering must be row-identity: the output is simply the table
     "maint_zorder_events" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |FROM events""".stripMargin,
+
+    // hilbert clustering must also be row-identity
+    "maint_hilbert_events" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |FROM events""".stripMargin,
 

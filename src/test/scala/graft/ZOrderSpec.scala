@@ -31,6 +31,53 @@ class ZOrderSpec extends SparkSuite {
     assert(ref(5, 5) < ref(5, 6) && ref(5, 6) < ref(8, 8))
   }
 
+  test("hilbert code: consecutive codes are ALWAYS grid neighbors (morton is not)") {
+    import spark.implicits._
+    import graft.functions.HilbertCode16
+    // the defining locality property on a full 8×8 sub-grid (coords
+    // scaled to the top 3 of the 16 levels so the walk stays dense):
+    // sorting cells by code, every consecutive pair must be at
+    // Manhattan distance exactly 1 — the property the Z-curve breaks
+    // at every power-of-two boundary
+    val step = 1 << 13 // 8 cells across the 16-bit range
+    val cells = for (x <- 0 until 8; y <- 0 until 8)
+      yield (x.toLong * step, y.toLong * step)
+    val coded = cells.toDF("a", "b")
+      .select(col("a"), col("b"), HilbertCode16(col("a"), col("b")).as("h"),
+        MortonCode16(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0) / step, r.getLong(1) / step,
+        r.getLong(2), r.getLong(3)))
+    def manhattanBreaks(key: ((Long, Long, Long, Long)) => Long): Int =
+      coded.sortBy(key).sliding(2).count {
+        case Array(p, q) =>
+          (p._1 - q._1).abs + (p._2 - q._2).abs != 1
+        case _ => false
+      }
+    assert(manhattanBreaks(_._3) == 0, "hilbert walk must never jump")
+    assert(manhattanBreaks(_._4) > 0, "the z-curve jumps at boundaries")
+    // codes are a bijection on the grid
+    assert(coded.map(_._3).distinct.length == 64)
+    // codegen path == interpreted reference (the nullSafeEval twin)
+    def ref(a0: Long, b0: Long): Long = {
+      var x = a0 & 0xFFFFL; var y = b0 & 0xFFFFL; var d = 0L
+      var s = 32768L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    coded.foreach { case (xc, yc, h, _) =>
+      assert(h == ref(xc * step, yc * step))
+    }
+  }
+
   test("z-ordered files bound BOTH dimensions; single-dim sort only one") {
     val root = graft.util.Scratch.dir("zorder_spec")
     val ev = Tables.events(spark, sf("sf0.01")).select(col("event_id"),
