@@ -4180,7 +4180,8 @@ object SparkEntry {
     // rounded output is bit-equal
     "q_ab_test" ->
       """WITH per AS (
-        |  SELECT user_id % 2 AS arm,
+        |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |              <= '7' THEN 0 ELSE 1 END AS arm,
         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
         |                       ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS conv
         |  FROM events GROUP BY user_id

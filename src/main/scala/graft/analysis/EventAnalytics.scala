@@ -27,11 +27,13 @@ object EventAnalytics {
     * rule in the oracle).
     */
   /** A/B EXPERIMENT readout with deterministic hash-bucket assignment:
-    * users split into two arms by a pure function of their id (parity
-    * here; an md5 bucket in production — the same no-RNG discipline as
-    * Curation's sampling, so assignment is stable under recomputation
-    * and re-sharding), conversion = "at least `minPurchases` purchase
-    * events", and the two-proportion z-test on the arms. All counts are
+    * users split into two arms on the first md5 nibble of their id's
+    * decimal string (0-7 → arm 0, 8-f → arm 1 — the same no-RNG
+    * discipline as Curation's hashSample). A raw `id % 2` would NOT do:
+    * sequential or sharded id allocation makes parity correlate with
+    * signup time, shard, or migration cohort — exactly the bias hashing
+    * exists to kill. Conversion = "at least `minPurchases` purchase
+    * events", then the two-proportion z-test on the arms. All counts are
     * exact longs; the z statistic is one fixed double formula over
     * identical operands, so the report is bit-reproducible.
     *
@@ -44,7 +46,8 @@ object EventAnalytics {
       .groupBy(col("user_id"))
       .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
         .as("np"))
-      .select((col("user_id") % 2).as("arm"),
+      .select(when(substring(md5(col("user_id").cast("string")), 1, 1) <= "7",
+          0L).otherwise(1L).as("arm"),
         when(col("np") >= minPurchases, 1L).otherwise(0L).as("conv"))
     val m = per.agg(
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),

@@ -34,19 +34,26 @@ object Sessionize {
   /** TOP SESSION PATHS — the path-analysis staple of product analytics:
     * each session's first `maxSteps` events (in total (ts, tiebreak)
     * order) joined into a `>`-separated path string, then the `topK`
-    * most frequent paths corpus-wide. The per-session reassembly sorts
-    * the collected (ts, tiebreak, step) structs, so it is
-    * shuffle-order-proof; the path relation is ≤ one row per session
+    * most frequent paths corpus-wide. A `row_number ≤ maxSteps` filter
+    * (WindowGroupLimit) bounds each session BEFORE the collect, so a
+    * pathological bot session never materializes an unbounded array in
+    * one aggregation buffer; the collected (ts, tiebreak, step) structs
+    * are still sorted in the buffer so reassembly is
+    * shuffle-order-proof. The path relation is ≤ one row per session
     * and the final ranking is a digest. Ties rank by path string.
     */
   def topSessionPaths(events: DataFrame, key: String, ts: String,
       gapSeconds: Long, tiebreak: Column, stepCol: String,
       maxSteps: Int = 5, topK: Int = 10): DataFrame = {
+    val stepW = Window.partitionBy(col(key), col("session_id"))
+      .orderBy(col(ts).asc, tiebreak.asc)
     val paths = withSessionId(events, key, ts, gapSeconds, tiebreak)
+      .withColumn("__rn", row_number().over(stepW))
+      .where(col("__rn") <= maxSteps)
       .groupBy(col(key), col("session_id"))
-      .agg(array_join(slice(transform(
+      .agg(array_join(transform(
           array_sort(collect_list(struct(col(ts), tiebreak, col(stepCol)))),
-          x => x.getField(stepCol)), 1, maxSteps), ">").as("path"))
+          x => x.getField(stepCol)), ">").as("path"))
     paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("path").asc)))

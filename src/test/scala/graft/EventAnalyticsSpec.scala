@@ -131,24 +131,54 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(oneShot.exists(r => r(0) == "B" && r(3) == 1))
   }
 
-  test("ab test: hand z-statistic, arms by parity, significance branch") {
+  /** The arm function the operator promises: first md5 nibble of the
+    * id's decimal string, 0-7 → arm 0, 8-f → arm 1.
+    */
+  private def md5Arm(id: Long): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) <= 7) 0 else 1
+  }
+
+  test("ab test: hand z-statistic, md5-hashed arms, significance branch") {
     import spark.implicits._
-    // arm 0 (even ids 0..18): 1 of 10 converts; arm 1 (odd): 9 of 10 —
-    // a lopsided experiment that must read significant
-    val rows = (0 until 20).flatMap { u =>
-      val converts = if (u % 2 == 0) u == 0 else u != 1
-      Seq(u.toLong -> (if (converts) "purchase" else "view"))
+    // A lopsided experiment that must read significant: in arm 0 only
+    // the lowest-id user converts, in arm 1 everyone but the lowest-id
+    // user converts. Expected arms computed with the same md5-nibble
+    // function the operator promises, NOT parity.
+    val ids = (0 until 20).map(_.toLong)
+    val arm = ids.map(u => u -> md5Arm(u)).toMap
+    val lo0 = ids.filter(arm(_) == 0).min
+    val lo1 = ids.filter(arm(_) == 1).min
+    val rows = ids.map { u =>
+      val converts = if (arm(u) == 0) u == lo0 else u != lo1
+      u -> (if (converts) "purchase" else "view")
     }
     val ev = rows.toDF("user_id", "event_type")
     val r = EventAnalytics.abTest(ev, minPurchases = 1).collect().head
+    val n0 = ids.count(arm(_) == 0).toDouble
+    val n1 = 20.0 - n0
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
-      ((10L, 10L, 1L, 9L)))
-    val p0 = 0.1; val p1 = 0.9; val pooled = 0.5
-    val z = (p1 - p0) / math.sqrt(pooled * (1.0 - pooled) * (0.1 + 0.1))
+      ((n0.toLong, n1.toLong, 1L, n1.toLong - 1L)))
+    val p0 = 1.0 / n0; val p1 = (n1 - 1.0) / n1
+    val pooled = n1 / 20.0
+    val z = (p1 - p0) /
+      math.sqrt(pooled * (1.0 - pooled) * (1.0 / n0 + 1.0 / n1))
     def r6(v: Double) = BigDecimal(v)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(7) == r6(z))
-    assert(r.getBoolean(8)) // |z| ~= 3.58 > 1.96
+    assert(r.getBoolean(8))
+    // THE POINT OF HASHING: sequential id allocation must not skew the
+    // arms — 1000 consecutive ids land near 50/50 (parity would too,
+    // but parity breaks the moment ids carry shard/cohort structure;
+    // the md5 bucket is independent of any id-allocation pattern)
+    val seq = (0L until 1000L).map(u => u -> "view")
+      .toDF("user_id", "event_type")
+    val b = EventAnalytics.abTest(seq, minPurchases = 1).collect().head
+    assert(b.getLong(0) + b.getLong(1) == 1000L)
+    assert(b.getLong(0) > 400L && b.getLong(0) < 600L)
+    // and the Spark-side arm equals the reference md5Arm on every id
+    assert((0L until 1000L).count(md5Arm(_) == 0).toLong == b.getLong(0))
     // all-convert arms: zero pooled variance → z undefined, never
     // significant (and never an ANSI divide-by-zero)
     val flat = (0 until 20).map(u => u.toLong -> "purchase")

@@ -43,12 +43,17 @@ class OperatorsSpec extends SparkSuite {
       (7L, t("2024-01-01 12:00:00"), 7L, "view"),    // new session
       (8L, t("2024-01-01 09:00:00"), 9L, "view")
     ).toDF("event_id", "ts", "user_id", "event_type")
-    val out = Sessionize.topSessionPaths(ev, "user_id", "ts", 1800L,
-        col("event_id"), "event_type").collect()
+    val q = Sessionize.topSessionPaths(ev, "user_id", "ts", 1800L,
+      col("event_id"), "event_type")
+    val out = q.collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     assert(out == Map(
       "view" -> ((2L, 1)),                                // 2 sessions, rank 1
       "view>click>view>click>purchase" -> ((1L, 2))))     // capped at 5
+    // the step cap is enforced BEFORE the collect: the rn<=maxSteps
+    // filter compiles to a WindowGroupLimit, so per-session state in
+    // the aggregation buffer is bounded even for bot sessions
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {
