@@ -1652,6 +1652,12 @@ object SparkEntry {
     // inverted-index join on the chunk hash is the only pairing step
     "mm_cdc_neardup" -> ((s, dir) =>
       graft.multimodal.Multimodal.cdcNearDup(s, dir)),
+    // near-dup VIDEO pairs by frame-fingerprint overlap over the video
+    // corpus with derived re-encodes (frame-0-perturbed, length-stable
+    // copies of even videos): the inverted-index join on the frame
+    // hash is the only pairing step, df-capped
+    "mm_video_neardup" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoNearDup(s, dir)),
     // the dedup-store savings number: unique (hash, len) chunk bytes
     // over total payload bytes
     "mm_cdc_savings" -> ((s, dir) =>
@@ -6112,6 +6118,55 @@ object SparkEntry {
          |            THEN hh - 18446744073709551616::HUGEINT ELSE hh END
          |       AS BIGINT) AS chunk_hash
          |FROM cdc_hs""".stripMargin,
+
+    // the derived-re-encode video corpus (frame-0 bytes +1 mod 256 for
+    // even videos with ≥3 frames), frame-window HUGEINT folds, then
+    // the df-capped inverted-index pair shape of mm_cdc_neardup
+    "mm_video_neardup" ->
+      """WITH vn_m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    hex(encode(text)) AS hx, 0 AS der
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), vn_a AS (
+        |  SELECT doc_id, len, hx, der FROM vn_m
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, len, hx, 1
+        |  FROM vn_m WHERE doc_id % 6 = 2 AND len % 8 >= 2
+        |), vn_fr AS (
+        |  SELECT doc_id, len, hx, der, len // (1 + len % 8) AS stride,
+        |    unnest(range(0, 1 + len % 8)) AS i
+        |  FROM vn_a
+        |), vn_h AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(range(i * stride, i * stride + stride),
+        |        j -> CAST((16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |                   + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |                   + CASE WHEN der = 1 AND i = 0 THEN 1 ELSE 0 END) % 256
+        |             AS HUGEINT))),
+        |      (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT) AS hh
+        |  FROM vn_fr
+        |), vn_d AS (
+        |  SELECT DISTINCT doc_id, hh FROM vn_h
+        |), vn_cap AS (
+        |  SELECT hh FROM vn_d GROUP BY hh HAVING count(*) <= 100
+        |), vn_cd AS (
+        |  SELECT d.doc_id, d.hh FROM vn_d d JOIN vn_cap USING (hh)
+        |), vn_sz AS (
+        |  SELECT doc_id, count(*) AS n FROM vn_cd GROUP BY 1
+        |), vn_pr AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    count(*) AS n_shared
+        |  FROM vn_cd a JOIN vn_cd b2 USING (hh)
+        |  WHERE a.doc_id < b2.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |  CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared)
+        |    AS jaccard
+        |FROM vn_pr p
+        |JOIN vn_sz sa ON sa.doc_id = p.doc_a
+        |JOIN vn_sz sb ON sb.doc_id = p.doc_b""".stripMargin,
 
     // unique-(hash, len) chunk bytes over total payload bytes — the
     // sums feed straight into DOUBLE casts / BIGINT casts, no HUGEINT

@@ -96,9 +96,15 @@ object Multimodal {
     * corpus size. The oracle replays the window arithmetic and the
     * mod-2^64 fold byte-for-byte from the hex payload.
     */
-  def frameSamples(spark: SparkSession, dir: String, every: Int = 2): DataFrame = {
-    import spark.implicits._
-    mediaFromDocuments(spark, dir)
+  def frameSamples(spark: SparkSession, dir: String, every: Int = 2): DataFrame =
+    frameSamplesOf(mediaFromDocuments(spark, dir), every)
+
+  /** [[frameSamples]] over an explicit media relation — the same pure
+    * narrow flatMap, reused by the corpus with derived re-encodes.
+    */
+  def frameSamplesOf(media: Dataset[MediaRecord], every: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media
       .filter((r: MediaRecord) => r.kind == "video")
       .flatMap { r =>
         val len = r.bytes.length
@@ -115,6 +121,41 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Doc-id offset under which [[videoCorpus]] files its derived
+    * re-encoded copies — far above any synthetic corpus id.
+    */
+  val VideoDerivedOffset = 1000000000L
+
+  /** Video corpus WITH derived payloads: the video-kind records plus,
+    * for every even video with at least 3 stub frames, a deterministic
+    * RE-ENCODED copy under `doc_id + VideoDerivedOffset` — same length
+    * (so the stub demuxer's equal-stride frame grid aligns, the
+    * re-encode model: same cut, different encoder), with the bytes of
+    * frame 0 perturbed `(b+1) mod 256` (localized encoder artifacts).
+    * At production scale re-uploads and re-encodes exist naturally in
+    * the corpus; the synthetic documents table has none at the frame
+    * grid's byte alignment, so the corpus generator stands in for
+    * them — the same role [[mediaFromDocuments]] plays for the
+    * payloads themselves. Narrow map, no shuffle.
+    */
+  def videoCorpus(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val base = mediaFromDocuments(spark, dir)
+      .filter((r: MediaRecord) => r.kind == "video")
+    val derived = base
+      .filter((r: MediaRecord) =>
+        r.doc_id % 6 == 2 && r.bytes.length % 8 >= 2)
+      .map { r =>
+        val len = r.bytes.length
+        val stride = len / (1 + len % 8)
+        val out = r.bytes.clone()
+        var j = 0
+        while (j < stride) { out(j) = ((out(j) + 1) & 0xFF).toByte; j += 1 }
+        MediaRecord(r.doc_id + VideoDerivedOffset, r.kind, out)
+      }
+    base.union(derived)
+  }
+
   /** NEAR-DUP VIDEO detection by frame-fingerprint overlap: two videos
     * are near-duplicates when their (distinct) frame-hash sets overlap
     * — re-encodes, trims, and concatenations share long frame runs even
@@ -125,11 +166,13 @@ object Multimodal {
     * oversize-bucket cap of the LSH family — think black frames).
     * Jaccard is an exact rational of integer counts. This is the video
     * member of the dedup family next to mm_phash_dedup (images) and
-    * the text near-dup operators.
+    * the text near-dup operators. Runs over [[videoCorpus]], so the
+    * derived re-encodes pair with their sources at jaccard
+    * (f−1)/(f+1).
     */
   def videoNearDup(spark: SparkSession, dir: String,
       maxDocsPerHash: Int = 100, minShared: Int = 2): DataFrame = {
-    val fh = frameSamples(spark, dir, every = 1)
+    val fh = frameSamplesOf(videoCorpus(spark, dir), every = 1)
       .select(col("doc_id"), col("frame_hash")).distinct()
     val capped = fh.join(
       fh.groupBy(col("frame_hash")).agg(count(lit(1)).as("df"))

@@ -376,7 +376,15 @@ class FunctionsSpec extends SparkSuite {
     val out = Multimodal.videoNearDup(spark, d.toString).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
       .toMap
-    assert(out.keySet == Set((2L, 5L)))
+    // the corpus derives a frame-0-perturbed re-encode for each EVEN
+    // video (ids 2 and 8 → +VideoDerivedOffset); with 8 frames the
+    // copy shares 7 and jaccards at 7/9 with its source — and with
+    // anything identical to its source
+    val d2 = 2L + Multimodal.VideoDerivedOffset
+    val d8 = 8L + Multimodal.VideoDerivedOffset
+    assert(out.keySet == Set((2L, 5L), (2L, d2), (5L, d2), (8L, d8)))
     assert(out((2L, 5L))._2 == 1.0) // identical frame sets
+    assert(out((2L, d2)) == ((7L, 7.0 / 9.0)))
+    assert(out((8L, d8)) == ((7L, 7.0 / 9.0)))
   }
 }
