@@ -523,6 +523,11 @@ object SparkEntry {
     // one-shot sim_ivf_kmeans_topk
     "stream_annindex_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayAnnIndexIncremental(s, dir)),
+    // ANN-index DELETES + re-adds: tombstone batches (LSM, O(batch))
+    // then LWW-resolved reads; the search over the maintained index
+    // must equal the one-shot search over the retained corpus
+    "stream_annindex_delete" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayAnnIndexDeletes(s, dir)),
     // incremental tokenizer-training state: per-batch word-type partial
     // counts (LSM shape) folded, then the merge loop retrained from
     // state — must learn the identical table to cur_bpe_merges
@@ -2256,7 +2261,13 @@ object SparkEntry {
     * verbatim by the train-then-search gate and the maintained
     * streaming-index replay, which must serve the identical top-k.
     */
-  private val IvfKmeansTopKOracleSql: String = {
+  /** The IVF train+search replay, parameterized by an extra rerank-side
+    * predicate on the indexed vectors — `""` for the full corpus;
+    * the delete gate passes the retained-set filter (training always
+    * sees the full corpus: centroids are a frozen artifact, deletes
+    * touch only the index entries).
+    */
+  private def IvfKmeansOracle(rerankAnd: String): String = {
     val (ctes, centFinal, _) = KmeansCtes(8, 2)
     s"""WITH $ctes, af AS (
        |  SELECT vec_id, emb, cell FROM (
@@ -2278,13 +2289,21 @@ object SparkEntry {
        |  SELECT p.qid, p.cell, a.vec_id,
        |    ${KmCos("p.qe", "a.emb")} AS cos_sim
        |  FROM probes p JOIN af a USING (cell)
-       |  WHERE a.vec_id <> p.qid
+       |  WHERE a.vec_id <> p.qid$rerankAnd
        |)
        |SELECT qid, CAST(cell AS BIGINT) AS cell, vec_id, cos_sim, rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
        |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
        |WHERE rank <= 5""".stripMargin
   }
+
+  private val IvfKmeansTopKOracleSql: String = IvfKmeansOracle("")
+
+  /** The delete-gate replay: search over the retained set — everything
+    * except the deleted-and-not-re-added ids (vec_id % 20 = 17).
+    */
+  private val IvfKmeansDeleteOracleSql: String =
+    IvfKmeansOracle(" AND NOT (a.vec_id % 20 = 17)")
 
   /** The recursive-closure SQL, built from two shared fragments: the
     * corpus-scale edge aggregation and the bounded recursion over the
@@ -5781,6 +5800,7 @@ object SparkEntry {
     // the batch-maintained (cell, vec_id, embedding) index must serve
     // the identical top-k — the oracle IS sim_ivf_kmeans_topk
     "stream_annindex_incremental" -> IvfKmeansTopKOracleSql,
+    "stream_annindex_delete" -> IvfKmeansDeleteOracleSql,
 
     // SemDeDup replayed end-to-end: trained cells (same unrolled
     // training CTEs), max-cosine assignment, then the within-cell

@@ -323,9 +323,72 @@ object Similarity {
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
     assignCells(batch.select(col("vec_id"), col("embedding")),
         trainedCentroids(s, dir, cells, iters))
+      .withColumn("seq", lit(batchId.getOrElse(0L)))
       .write.mode("append").parquet(s"$indexDir/cells")
     marker.foreach { case (fs, p) =>
       fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** One-shot IVF search over an explicit corpus subset against the
+    * frozen trained centroids — the comparator the delete gate (and
+    * its spec) checks the maintained index against.
+    */
+  private[graft] def ivfSearchAssignedForTest(s: SparkSession, dir: String,
+      corpus: DataFrame, nQueries: Int = 5, k: Int = 5, nprobe: Int = 2,
+      cells: Int = 8, iters: Int = 2): DataFrame = {
+    val cent = trainedCentroids(s, dir, cells, iters)
+    val queries = Tables.embeddings(s, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    ivfSearchAssigned(queries, cent, assignCells(corpus, cent), k, nprobe)
+  }
+
+  /** DELETE half of incremental ANN-index maintenance: appends
+    * TOMBSTONES (vec_id, seq) for the deleted ids — O(batch) on the
+    * ingest path, no index rewrite (the LSM discipline, the changelog
+    * shape of MergeOps.deleteWhere applied to the vector store).
+    * Readers resolve last-writer-wins on the batch sequence: a
+    * tombstone kills every index entry of its id with `entry.seq <=
+    * tombstone.seq` (delete wins a same-batch tie), so a LATER re-add
+    * of the id lives — upsert = delete + append. Its own batchId
+    * marker namespace keeps re-delivered delete batches no-ops.
+    */
+  def deleteFromIvfIndexBatch(s: SparkSession, indexDir: String,
+      ids: DataFrame, batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/_applied_del/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    ids.select(col("vec_id")).distinct()
+      .withColumn("seq", lit(batchId.getOrElse(0L)))
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** The LIVE view of a maintained index: entries minus tombstoned
+    * versions. One equi-join on vec_id against the max-seq tombstone
+    * digest (map-side-combinable aggregate; broadcasts while the
+    * delete set is small, shuffles on the id key when it isn't — never
+    * a corpus rescan); an index with no tombstones reads back as-is.
+    * Entries written before the seq column existed default to seq 0.
+    */
+  def liveIvfIndex(s: SparkSession, indexDir: String): DataFrame = {
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = cellsPath.getFileSystem(s.sessionState.newHadoopConf())
+    val entries0 = s.read.parquet(cellsPath.toString)
+    val entries =
+      if (entries0.columns.contains("seq")) entries0
+      else entries0.withColumn("seq", lit(0L))
+    if (!fs.exists(tombPath)) entries.drop("seq")
+    else {
+      val tomb = s.read.parquet(tombPath.toString)
+        .groupBy(col("vec_id")).agg(max(col("seq")).as("__del_seq"))
+      entries.join(tomb, Seq("vec_id"), "left_outer")
+        .where(col("__del_seq").isNull || col("seq") > col("__del_seq"))
+        .drop("__del_seq", "seq")
+    }
   }
 
   /** Search half: the same probe + rerank as [[ivfKmeansTopK]], but
@@ -339,7 +402,7 @@ object Similarity {
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     ivfSearchAssigned(queries, trainedCentroids(s, dir, cells, iters),
-      s.read.parquet(s"$indexDir/cells"), k, nprobe)
+      liveIvfIndex(s, indexDir), k, nprobe)
   }
 
   /** Embedding-cosine near-dup view: each vector flagged against its best

@@ -686,6 +686,54 @@ object StreamReplay {
     graft.similarity.Similarity.ivfTopKFromIndex(s, indexDir, dir)
   }
 
+  /** Replay of ANN-INDEX DELETES AND RE-ADDS — the maintenance shape a
+    * production vector store needs beyond append-only ingestion: the
+    * corpus streams in and is indexed (batch seqs 0..n), then a DELETE
+    * stream tombstones every `vec_id % 10 == 7` (seqs 100+), then a
+    * re-add stream upserts back the `vec_id % 20 == 7` half of them
+    * (seqs 200+ — later than the tombstones, so LWW revives exactly
+    * those). Each phase is O(batch), idempotent via its own batchId
+    * marker namespace; nothing rewrites the index on the ingest path.
+    * The IVF search over the maintained index must equal the one-shot
+    * search over the RETAINED corpus (all ids except vec_id % 20 ==
+    * 17) bit for bit — which is exactly the oracle.
+    */
+  def replayAnnIndexDeletes(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_anndel_replay")
+    val indexDir = tmp.resolve("index").toString
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+    def phase(name: String, feed: DataFrame, apply: (DataFrame, Long) => Unit): Unit = {
+      val feedDir = tmp.resolve(s"feed_$name").toString
+      feed.write.mode("overwrite").parquet(feedDir)
+      withReplayPartitions(s, 8) {
+        val query = s.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feedDir)
+          .writeStream
+          .option("checkpointLocation", tmp.resolve(s"chk_$name").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, bid: Long) => apply(batch, bid) }
+          .start()
+        query.awaitTermination()
+      }
+    }
+
+    phase("ingest", emb.repartition(nBatches), (b, bid) =>
+      graft.similarity.Similarity.appendIvfIndexBatch(s, indexDir, b, dir,
+        batchId = Some(bid)))
+    phase("delete", emb.where(col("vec_id") % 10 === 7)
+        .select(col("vec_id")).repartition(1), (b, bid) =>
+      graft.similarity.Similarity.deleteFromIvfIndexBatch(s, indexDir, b,
+        batchId = Some(100L + bid)))
+    phase("readd", emb.where(col("vec_id") % 20 === 7).repartition(1), (b, bid) =>
+      graft.similarity.Similarity.appendIvfIndexBatch(s, indexDir, b, dir,
+        batchId = Some(200L + bid)))
+
+    graft.similarity.Similarity.ivfTopKFromIndex(s, indexDir, dir)
+  }
+
   def replayTopTokensIncremental(s: SparkSession, dir: String,
       nBatches: Int = 3): DataFrame = {
     val tmp = Scratch.dir("graft_vocab_replay")

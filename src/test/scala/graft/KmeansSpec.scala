@@ -170,4 +170,45 @@ class KmeansSpec extends SparkSuite {
     assert(fromIdx == oneShot)
     assert(oneShot.nonEmpty)
   }
+
+  test("ANN index deletes: LWW tombstones, re-adds revive, reads skip dead entries") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val emb = graft.model.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val idx = graft.util.Scratch.dir("annidx_del").toString
+    Similarity.appendIvfIndexBatch(spark, idx, emb, dir, batchId = Some(0L))
+    val all = spark.read.parquet(s"$idx/cells").select("vec_id")
+      .as[Long].collect().toSet
+    // no tombstones yet: live view is the whole index
+    assert(Similarity.liveIvfIndex(spark, idx).select("vec_id")
+      .as[Long].collect().toSet == all)
+    // delete ids % 10 == 7 at seq 100
+    Similarity.deleteFromIvfIndexBatch(spark, idx,
+      emb.where(col("vec_id") % 10 === 7).select(col("vec_id")),
+      batchId = Some(100L))
+    val afterDel = Similarity.liveIvfIndex(spark, idx).select("vec_id")
+      .as[Long].collect().toSet
+    assert(afterDel == all.filterNot(_ % 10 == 7))
+    // re-delivered delete batch is a no-op (marker namespace)
+    val tombBefore = spark.read.parquet(s"$idx/tombstones").count()
+    Similarity.deleteFromIvfIndexBatch(spark, idx,
+      emb.select(col("vec_id")), batchId = Some(100L))
+    assert(spark.read.parquet(s"$idx/tombstones").count() == tombBefore)
+    // re-add half of the deleted at a LATER seq: LWW revives them, and
+    // each revived id has exactly ONE live entry (the old one stays dead)
+    Similarity.appendIvfIndexBatch(spark, idx,
+      emb.where(col("vec_id") % 20 === 7), dir, batchId = Some(200L))
+    val live = Similarity.liveIvfIndex(spark, idx).select("vec_id")
+      .as[Long].collect().toSeq
+    assert(live.toSet == all.filterNot(_ % 20 == 17))
+    assert(live.size == live.toSet.size, "one live entry per id")
+    // the served top-k equals the one-shot search over the retained set
+    val retained = emb.where(!(col("vec_id") % 20 === 17))
+    val expect = Similarity.ivfSearchAssignedForTest(spark, dir, retained)
+      .collect().map(_.toSeq).toSet
+    val got = Similarity.ivfTopKFromIndex(spark, idx, dir)
+      .collect().map(_.toSeq).toSet
+    assert(got == expect && got.nonEmpty)
+  }
 }
