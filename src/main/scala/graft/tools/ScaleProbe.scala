@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private val replicated = Set("events", "documents", "embeddings")
+  private val replicated = Set("events", "documents", "embeddings", "orders")
 
   /** One replica, ids shifted into a disjoint range per k; k = 0 is the
     * identity so 1× output equals the input tables.
@@ -47,6 +47,11 @@ object ScaleProbe {
             if (k == 0) col("embedding")
             else transform(col("embedding"),
               x => (x + lit(k * 1e-3f)).cast("float")))
+      case "orders" =>
+        // order keys shift into disjoint ranges; customer population
+        // grows N× (the per-key direction for FD/RFM/skyline probes)
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(k * 1000000000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * 1000000000L))
       case _ => df
     }
 
