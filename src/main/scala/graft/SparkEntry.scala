@@ -1676,6 +1676,11 @@ object SparkEntry {
     // when mean abs change > 16 gray levels; narrow flatMap, no shuffle
     "mm_scene_cuts" -> ((s, dir) =>
       graft.multimodal.Multimodal.sceneCuts(s, dir)),
+    // keyframe selection per shot: gaps-and-islands over the cut flags,
+    // then a max-intensity argmax per shot (descending row_number) —
+    // the decoder downstream touches one frame per shot, not the grid
+    "mm_video_keyframes" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoKeyframes(s, dir)),
     // audio windowing on the opaque payloads: 8-bit-PCM windows with
     // exact-integer energy/peak — the silence/clipping prefilter runs
     // BEFORE any decode, same sample-then-decode shape as the video path
@@ -1959,6 +1964,41 @@ object SparkEntry {
       |        x -> CAST(x AS HUGEINT))),
       |      (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT) AS hh
       |  FROM cdc_cx
+      |)""".stripMargin
+
+  /** The scene-cut CTEs (the stub frame grid's per-frame byte sums and
+    * frame-difference flags), ending in relation `scc(doc_id,
+    * frame_idx, frame_sum, delta, is_cut)` — shared by the scene-cut
+    * gate and the keyframe-selection gate built on top of it.
+    */
+  private val SceneCutCtes: String =
+    """scc_m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len,
+      |    hex(encode(text)) AS hx
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), scc_fr AS (
+      |  SELECT doc_id, len, hx, 1 + len % 8 AS frames,
+      |    len // (1 + len % 8) AS stride
+      |  FROM scc_m
+      |), scc_s AS (
+      |  SELECT doc_id, frames, stride,
+      |    list_transform(range(0, frames), i ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(i * stride, i * stride + stride),
+      |          j -> CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+      |                    + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+      |               AS BIGINT))),
+      |        (a, x) -> a + x)) AS sums
+      |  FROM scc_fr
+      |), scc_d AS (
+      |  SELECT doc_id, stride, sums, unnest(range(1, frames)) AS i
+      |  FROM scc_s WHERE frames > 1
+      |), scc AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+      |    sums[i + 1] AS frame_sum,
+      |    abs(sums[i + 1] - sums[i]) AS delta,
+      |    abs(sums[i + 1] - sums[i]) > stride * 16 AS is_cut
+      |  FROM scc_d
       |)""".stripMargin
 
   /** The CDC near-dup pair CTEs on top of [[CdcChunkCtes]]: distinct
@@ -6272,33 +6312,33 @@ object SparkEntry {
     // frame byte sums replayed as plain BIGINT folds (no wrapping —
     // stride·255 is tiny); same equal-stride frame grid as the sampler
     "mm_scene_cuts" ->
-      """WITH m AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS len,
-        |    hex(encode(text)) AS hx
-        |  FROM documents WHERE doc_id % 3 = 2
-        |), fr AS (
-        |  SELECT doc_id, len, hx, 1 + len % 8 AS frames,
-        |    len // (1 + len % 8) AS stride
-        |  FROM m
-        |), s AS (
-        |  SELECT doc_id, frames, stride,
-        |    list_transform(range(0, frames), i ->
-        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(range(i * stride, i * stride + stride),
-        |          j -> CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
-        |                    + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
-        |               AS BIGINT))),
-        |        (a, x) -> a + x)) AS sums
-        |  FROM fr
-        |), d AS (
-        |  SELECT doc_id, stride, sums, unnest(range(1, frames)) AS i
-        |  FROM s WHERE frames > 1
-        |)
-        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-        |  sums[i + 1] AS frame_sum,
-        |  abs(sums[i + 1] - sums[i]) AS delta,
-        |  abs(sums[i + 1] - sums[i]) > stride * 16 AS is_cut
-        |FROM d""".stripMargin,
+      s"""WITH $SceneCutCtes
+         |SELECT doc_id, frame_idx, frame_sum, delta, is_cut
+         |FROM scc""".stripMargin,
+
+    // shot assembly + per-shot max-intensity argmax over the scene-cut
+    // relation: running cut count as shot_id, descending row_number for
+    // the keyframe (composite-key arg_max is engine-unportable)
+    "mm_video_keyframes" ->
+      s"""WITH $SceneCutCtes, kf_sh AS (
+         |  SELECT *, CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT)
+         |    AS shot_id
+         |  FROM scc
+         |), kf_r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY doc_id, shot_id
+         |      ORDER BY frame_sum DESC, frame_idx ASC) AS rn,
+         |    count(*) OVER (PARTITION BY doc_id, shot_id) AS n_frames,
+         |    min(frame_idx) OVER (PARTITION BY doc_id, shot_id)
+         |      AS shot_start,
+         |    max(frame_idx) OVER (PARTITION BY doc_id, shot_id)
+         |      AS shot_end
+         |  FROM kf_sh
+         |)
+         |SELECT doc_id, shot_id, frame_idx AS keyframe_idx,
+         |  frame_sum AS key_sum, n_frames, shot_start, shot_end
+         |FROM kf_r WHERE rn = 1""".stripMargin,
 
     // audio stub replay: same hex-pair byte extraction, plain BIGINT
     // arithmetic (no wrapping — window energy tops out at 200·128²)

@@ -372,6 +372,38 @@ object Multimodal {
       }.toDF()
   }
 
+  /** KEYFRAME SELECTION per shot — the sampling decision the scene-cut
+    * pass exists to feed: shots are the gaps-and-islands over the cut
+    * flags (a cut frame STARTS a new shot; shot_id is the running cut
+    * count), and each shot's keyframe is its max-intensity frame
+    * (exact byte-sum argmax, frame_idx-asc tiebreak — a stand-in for
+    * the sharpness/face heuristics a real sampler scores with). The
+    * downstream decoder then touches ONE frame per shot instead of the
+    * grid. All-relational over the [[sceneCuts]] rows: two window
+    * passes on the same (doc, frame) sort — one shuffle on doc_id —
+    * then the rn=1 filter; the argmax uses a descending row_number,
+    * never a composite-key arg_max (engines disagree on those).
+    */
+  def videoKeyframes(spark: SparkSession, dir: String,
+      threshold: Int = 16): DataFrame = {
+    val sc = sceneCuts(spark, dir, threshold)
+    val seqW = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val shots = sc.withColumn("shot_id",
+      sum(when(col("is_cut"), 1L).otherwise(0L)).over(seqW))
+    val shotW = Window.partitionBy("doc_id", "shot_id")
+    val rankW = shotW.orderBy(col("frame_sum").desc, col("frame_idx").asc)
+    shots
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n_frames", count(lit(1)).over(shotW))
+      .withColumn("shot_start", min(col("frame_idx")).over(shotW))
+      .withColumn("shot_end", max(col("frame_idx")).over(shotW))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("shot_id"),
+        col("frame_idx").as("keyframe_idx"),
+        col("frame_sum").as("key_sum"),
+        col("n_frames"), col("shot_start"), col("shot_end"))
+  }
+
   final case class AudioWindow(doc_id: Long, win_idx: Int, win_off: Int,
       energy: Long, peak: Int)
 

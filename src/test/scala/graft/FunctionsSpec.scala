@@ -130,6 +130,32 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("video keyframes: one max-sum frame per shot, shots partition the cut flags") {
+    val dir = sf("sf0.001")
+    val sc = Multimodal.sceneCuts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(4)))
+    val kf = Multimodal.videoKeyframes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4), r.getInt(5), r.getInt(6))))
+      .toMap
+    assert(kf.nonEmpty)
+    // driver recompute: running cut count = shot id; keyframe = max sum,
+    // frame-idx-asc tiebreak; shot extent and size must match
+    sc.groupBy(_._1).foreach { case (doc, rows) =>
+      var shot = 0L
+      val tagged = rows.sortBy(_._2).map { case (_, i, s, cut) =>
+        if (cut) shot += 1
+        (shot, i, s)
+      }
+      tagged.groupBy(_._1).foreach { case (sid, fs) =>
+        val best = fs.minBy { case (_, i, s) => (-s, i) }
+        val (ki, ks, n, lo, hi) = kf((doc, sid))
+        assert((ki, ks) == ((best._2, best._3)))
+        assert(n == fs.length && lo == fs.map(_._2).min && hi == fs.map(_._2).max)
+      }
+    }
+  }
+
   test("audio windows: integer energy/peak match a driver recompute") {
     val dir = sf("sf0.001")
     val ws = Multimodal.audioWindows(spark, dir)
