@@ -1569,6 +1569,15 @@ object SparkEntry {
     // rational idf core without the monotone ln wrapper — same libm
     // dodge as the linear tf-idf — and fixed-order per-term addition
     "text_bm25_topk" -> ((s, dir) => graft.text.TfIdf.bm25TopK(s, dir)),
+    // bigram LM count table: top continuations per frequent context
+    // with exact counts and the single-division conditional — the
+    // counts that back perplexity filters and KenLM-style scoring
+    "text_bigram_lm" -> ((s, dir) =>
+      graft.text.TextFunctions.textBigramLm(s, dir)),
+    // n-gram diversity per language (type-token ratio over word
+    // trigrams) — the self-repetition metric for synthetic-data QA
+    "text_ngram_diversity" -> ((s, dir) =>
+      graft.text.TextFunctions.textNgramDiversity(s, dir)),
 
     // ---- similarity search (embeddings table) ----
 
@@ -5491,6 +5500,57 @@ object SparkEntry {
         |  FROM documents d JOIN counts c USING (lang)
         |)
         |SELECT doc_id, lang, n_lang, rate, u FROM t WHERE u < rate""".stripMargin,
+
+    // the same bigram expansion (1-based list indexing), digest-side
+    // context totals, and both top-k rankings; p_next is one IEEE
+    // division of exact BIGINTs in both engines
+    "text_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), b AS (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)
+        |), bc AS (
+        |  SELECT w1, w2, count(*) AS pair_count FROM b GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT w1, CAST(sum(pair_count) AS BIGINT) AS ctx_count
+        |  FROM bc GROUP BY 1
+        |), topc AS (
+        |  SELECT w1, ctx_count
+        |  FROM (SELECT *, row_number() OVER
+        |          (ORDER BY ctx_count DESC, w1 ASC) AS cr FROM cc)
+        |  WHERE cr <= 50
+        |), r AS (
+        |  SELECT bc.w1, bc.w2, bc.pair_count, tc.ctx_count,
+        |    row_number() OVER (PARTITION BY bc.w1
+        |      ORDER BY bc.pair_count DESC, bc.w2 ASC) AS rank
+        |  FROM bc JOIN topc tc ON bc.w1 = tc.w1
+        |)
+        |SELECT w1, w2, CAST(rank AS BIGINT) AS rank, pair_count,
+        |  ctx_count,
+        |  CAST(pair_count AS DOUBLE) / CAST(ctx_count AS DOUBLE) AS p_next
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // trigram expansion via 1-based list slicing, exact occurrence and
+    // distinct counts per language, one-division type-token ratio
+    "text_ngram_diversity" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), o AS (
+        |  SELECT lang, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS sh
+        |  FROM (SELECT lang, tk, unnest(range(1, len(tk) - 1)) AS i FROM t)
+        |), tot AS (
+        |  SELECT lang, count(*) AS n_trigrams FROM o GROUP BY 1
+        |), dis AS (
+        |  SELECT lang, count(*) AS n_distinct
+        |  FROM (SELECT DISTINCT lang, sh FROM o) GROUP BY 1
+        |)
+        |SELECT t2.lang, t2.n_trigrams, d.n_distinct,
+        |  CAST(d.n_distinct AS DOUBLE) / CAST(t2.n_trigrams AS DOUBLE)
+        |    AS diversity
+        |FROM tot t2 JOIN dis d ON t2.lang = d.lang""".stripMargin,
 
     // stopword-delimited runs found by the row_number-difference island
     // identity; degree·10⁶ // freq integer word scores summed per

@@ -340,6 +340,79 @@ object TextFunctions {
         col("phrase"), col("n_words"), col("score_u"))
   }
 
+  /** BIGRAM LANGUAGE-MODEL table — the count-based n-gram LM that
+    * backs perplexity filters and KenLM-style scoring: for the
+    * `nContexts` most frequent contexts w1 (by continuation
+    * occurrences), the top `k` continuations w2 with exact pair and
+    * context counts and the conditional `p_next = pair/ctx` (a single
+    * IEEE division of exact integers — bit-identical in any engine, no
+    * rounding step needed). Smoothing/backoff ride on these counts
+    * downstream; the counts ARE the model.
+    *
+    * Scale shape: bigram expansion is a narrow Generate (posexplode +
+    * element_at — no per-doc array rebuild, no shuffle); then ONE
+    * map-side-combinable groupBy on (w1, w2). Context totals fold from
+    * the bigram DIGEST (vocabulary², not corpus, and in practice the
+    * seen-bigram count), never re-scanning the corpus; both rankings
+    * are WindowGroupLimit top-k over digests.
+    */
+  def textBigramLm(s: SparkSession, dir: String, nContexts: Int = 50,
+      k: Int = 3): DataFrame = {
+    val tk = split(lower(trim(col("text"))), "\\s+")
+    val pairs = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(tk.as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "w1")), col("tk"))
+      .where(col("pos") < size(col("tk")) - 1)
+      .select(col("w1"), element_at(col("tk"), col("pos") + 2).as("w2"))
+    val bc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val cc = bc.groupBy(col("w1")).agg(sum(col("pair_count")).as("ctx_count"))
+    val topCtx = cc.withColumn("cr", row_number().over(
+        Window.orderBy(col("ctx_count").desc, col("w1").asc)))
+      .where(col("cr") <= nContexts).drop("cr")
+    val rankW = Window.partitionBy("w1")
+      .orderBy(col("pair_count").desc, col("w2").asc)
+    bc.join(topCtx, Seq("w1"))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col("w1"), col("w2"), col("rank").cast("long").as("rank"),
+        col("pair_count"), col("ctx_count"),
+        (col("pair_count").cast("double") / col("ctx_count").cast("double"))
+          .as("p_next"))
+  }
+
+  /** N-GRAM DIVERSITY per language — the self-repetition metric a
+    * synthetic-data pipeline watches (mode-collapsed generations reuse
+    * the same trigrams; diverse corpora don't): per lang, total word-
+    * trigram occurrences, distinct trigrams, and the type-token ratio
+    * over trigrams. Exact integer counts; the ratio is one IEEE
+    * division. Two map-side-combinable aggregations over the trigram
+    * relation (the distinct leg shuffles on (lang, trigram) — the
+    * blocking key, never all-pairs).
+    */
+  def textNgramDiversity(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    val len = greatest(size(col("tk")) - 2, lit(0))
+    val tri = zip_with(
+      slice(col("tk"), lit(1), len),
+      zip_with(slice(col("tk"), lit(2), len), slice(col("tk"), lit(3), len),
+        (b, c) => concat(b, lit(" "), c)),
+      (a, bc) => concat(a, lit(" "), bc))
+    val occ = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("lang"), tk.as("tk"))
+      .select(col("lang"), explode(tri).as("sh"))
+    val totals = occ.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_trigrams"))
+    val distincts = occ.distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_distinct"))
+    totals.join(distincts, Seq("lang"))
+      .select(col("lang"), col("n_trigrams"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_trigrams").cast("double"))
+          .as("diversity"))
+  }
+
   private val shinglePaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -199,6 +199,44 @@ class CurationSpec extends SparkSuite {
     assert(out((1L, 2L)) == (("deep models", 2L, 4000000L)))
   }
 
+  test("bigram LM: hand counts, conditional division, continuation ranking") {
+    import spark.implicits._
+    // pairs: (a b)×2, (b a), (a c), (c b) — context a has 3 continuation
+    // occurrences {b:2, c:1}; b and c have one each (the final b of doc
+    // 1 and doc 2's b never continue — LM denominators count only
+    // occurrences WITH a continuation)
+    val d = dirFromDf(Seq(
+      (1L, "a b a c b", "en", "s", 0L),
+      (2L, "a b", "en", "s", 0L),
+      (3L, "solo", "en", "s", 0L))  // one token → no bigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.text.TextFunctions.textBigramLm(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getString(1), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("a", 1L)) == (("b", 2L, 3L, 2.0 / 3.0)))
+    assert(out(("a", 2L)) == (("c", 1L, 3L, 1.0 / 3.0)))
+    assert(out(("b", 1L)) == (("a", 1L, 1L, 1.0)))
+    assert(out(("c", 1L)) == (("b", 1L, 1L, 1.0)))
+    assert(out.size == 4) // 'solo' never enters: no continuation exists
+  }
+
+  test("ngram diversity: distinct/total trigram ratio per language") {
+    import spark.implicits._
+    // en: doc1 has trigrams [a b a, b a b, a b a] → 3 total, 2 distinct;
+    // doc2 adds [x y z] → 4 total, 3 distinct. de: 1 total, 1 distinct.
+    val d = dirFromDf(Seq(
+      (1L, "a b a b a", "en", "s", 0L),
+      (2L, "x y z", "en", "s", 0L),
+      (3L, "k l m", "de", "s", 0L),
+      (4L, "ab", "de", "s", 0L))  // too short → no trigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.text.TextFunctions.textNgramDiversity(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("en") == ((4L, 3L, 0.75)))
+    assert(out("de") == ((1L, 1L, 1.0)))
+  }
+
   test("repetition stats: hand values, null bigram guard, fold = groupBy mode") {
     import spark.implicits._
     val d = dirFromDf(Seq(
