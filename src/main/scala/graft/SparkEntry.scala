@@ -1556,6 +1556,9 @@ object SparkEntry {
     // real training-data pipeline executes; every stage also checked in
     // isolation by its own gate query
     "cur_pipeline_e2e" -> ((s, dir) => graft.text.Curation.curationPipeline(s, dir)),
+    // DSIR-shaped selection: hashed-unigram linear discriminant between
+    // the target slice and the raw corpus, exact integer margins
+    "cur_dsir_margin" -> ((s, dir) => graft.text.Curation.dsirMargin(s, dir)),
     // tf-idf keyword extraction: per-doc top-5 distinctive terms (linear
     // idf keeps the score in exact IEEE arithmetic; ranking identical to
     // the ln form)
@@ -5390,6 +5393,53 @@ object SparkEntry {
     // frequency per line, and the ordered string_agg reassembly of the
     // surviving lines
     "cur_line_dedup" -> LineDedupOracleSql,
+
+    // per-token rolling-hash buckets (HUGEINT fold, low 8 bits), the
+    // two count digests and totals, HUGEINT product sums folded back
+    // to the BIGINT margin
+    "cur_dsir_margin" ->
+      """WITH dz AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents WHERE text IS NOT NULL
+        |), dt AS (
+        |  SELECT doc_id, lang, unnest(str_split(nt, ' ')) AS tok FROM dz
+        |), dh AS (
+        |  SELECT doc_id, lang, hex(encode(tok)) AS hx,
+        |    octet_length(encode(tok)) AS ln
+        |  FROM dt
+        |), db AS (
+        |  SELECT doc_id, lang,
+        |    CAST((list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(range(0, ln), j ->
+        |        CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |             + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |          AS HUGEINT))),
+        |      (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT)
+        |      & 255) AS BIGINT) AS b
+        |  FROM dh
+        |), dct AS (
+        |  SELECT b, count(*) AS cnt_t FROM db WHERE lang = 'en' GROUP BY 1
+        |), dcr AS (
+        |  SELECT b, count(*) AS cnt_r FROM db GROUP BY 1
+        |), dnt AS (
+        |  SELECT count(*) AS n_t FROM db WHERE lang = 'en'
+        |), dnr AS (
+        |  SELECT count(*) AS n_r FROM db
+        |), dm AS (
+        |  SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+        |    sum(CAST(coalesce(ct.cnt_t, 0) AS HUGEINT)
+        |          * CAST(nr.n_r AS HUGEINT)
+        |        - CAST(cr.cnt_r AS HUGEINT) * CAST(nt2.n_t AS HUGEINT))
+        |      AS mg
+        |  FROM db t
+        |  LEFT JOIN dct ct USING (b)
+        |  JOIN dcr cr USING (b), dnt nt2, dnr nr
+        |  GROUP BY t.doc_id, t.lang
+        |)
+        |SELECT doc_id, lang, n_tokens, CAST(mg AS BIGINT) AS margin,
+        |  mg > 0 AS selected
+        |FROM dm""".stripMargin,
 
     // the incrementally maintained dictionary must reproduce the
     // one-shot cleaned corpus bit for bit — the oracle IS cur_line_dedup

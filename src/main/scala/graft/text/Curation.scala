@@ -656,6 +656,56 @@ object Curation {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  /** DSIR-SHAPED DATA SELECTION (Xie et al. 2023, Data Selection via
+    * Importance Resampling, reduced to exact integers): score each
+    * document by how much its hashed-unigram profile looks like the
+    * TARGET slice (here `lang = targetLang`, standing in for the
+    * high-quality domain) versus the raw corpus. Features are token
+    * buckets `rolling_hash64(token) & (buckets-1)`; the margin is
+    *
+    *   Σ_tokens ( cnt_target(b)·N_raw − cnt_raw(b)·N_target )
+    *
+    * = N_t·N_r · Σ (p̂_t(b) − p̂_r(b)) — the linear discriminant
+    * between the two bucket distributions, the same log-free
+    * exact-integer-margin discipline as the trained quality classifier
+    * (DSIR's log-ratio weights order documents the same way when the
+    * ratios are replaced by differences; the ranking, not the weight
+    * scale, drives selection). `selected = margin > 0`.
+    *
+    * Scale shape: the token relation folds to TWO ≤`buckets`-row count
+    * digests (map-side combinable) + two 1-row totals, all broadcast
+    * back; the corpus then shuffles ONCE on doc_id for the margin sum.
+    * Products and the per-doc sum run in DECIMAL(38,0) (associative-
+    * exact, overflow-proof at corpus scale) and the report emits the
+    * BIGINT cast.
+    */
+  def dsirMargin(s: SparkSession, dir: String, targetLang: String = "en",
+      buckets: Int = 256): DataFrame = {
+    val tb = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(split(TextFunctions.normText(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.RollingHash64(col("tok"))
+          .bitwiseAND(lit(buckets - 1L)).as("b"))
+    val ct = tb.where(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt_t"))
+    val cr = tb.groupBy(col("b")).agg(count(lit(1)).as("cnt_r"))
+    val nT = tb.where(col("lang") === targetLang)
+      .agg(count(lit(1)).as("n_t"))
+    val nR = tb.agg(count(lit(1)).as("n_r"))
+    tb.join(broadcast(ct), Seq("b"), "left_outer")
+      .join(broadcast(cr), Seq("b"))
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("cnt_t"), lit(0L)).cast("decimal(38,0)") * col("n_r")
+          - col("cnt_r").cast("decimal(38,0)") * col("n_t")).as("mg"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("mg").cast("long").as("margin"),
+        (col("mg") > 0).as("selected"))
+  }
+
   private val scoredBasePaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

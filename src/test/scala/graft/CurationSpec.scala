@@ -199,6 +199,40 @@ class CurationSpec extends SparkSuite {
     assert(out((1L, 2L)) == (("deep models", 2L, 4000000L)))
   }
 
+  test("dsir margin: exact discriminant matches a driver recompute, target scores positive") {
+    import spark.implicits._
+    // en docs share vocab {aa cc}; the de doc uses disjoint {xx} — the
+    // discriminant must select the en docs and reject the de doc.
+    // Tokens chosen bucket-collision-free (buckets 197/5/165) so the
+    // sign argument is clean; a collision only blurs the margin, it
+    // never breaks the exact-recompute assert
+    val rows = Seq(
+      (1L, "aa cc aa", "en", "s", 0L),
+      (2L, "cc aa", "en", "s", 0L),
+      (3L, "xx xx xx", "de", "s", 0L))
+    val d = dirFromDf(rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def rh(t: String): Long = {
+      var h = 1125899906842597L
+      t.getBytes("UTF-8").foreach(b => h = 31 * h + (b & 0xFF)); h
+    }
+    val toks = rows.map { case (id, t, lang, _, _) =>
+      (id, lang, t.split(" ").toSeq.map(w => rh(w) & 255L)) }
+    val all = toks.flatMap(_._3)
+    val tgt = toks.filter(_._2 == "en").flatMap(_._3)
+    def cnt(xs: Seq[Long]) = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (cr, ct) = (cnt(all), cnt(tgt))
+    val expect = toks.map { case (id, lang, bs) =>
+      id -> bs.map(b => ct.getOrElse(b, 0L) * all.size - cr(b) * tgt.size).sum
+    }.toMap
+    val out = graft.text.Curation.dsirMargin(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    rows.foreach { case (id, _, lang, _, _) =>
+      assert(out(id)._1 == expect(id), s"doc $id")
+      assert(out(id)._2 == (expect(id) > 0))
+      assert((lang == "en") == (out(id)._1 > 0))
+    }
+  }
+
   test("bigram LM: hand counts, conditional division, continuation ranking") {
     import spark.implicits._
     // pairs: (a b)×2, (b a), (a c), (c b) — context a has 3 continuation
