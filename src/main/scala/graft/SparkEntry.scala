@@ -1572,6 +1572,10 @@ object SparkEntry {
     // rational idf core without the monotone ln wrapper — same libm
     // dodge as the linear tf-idf — and fixed-order per-term addition
     "text_bm25_topk" -> ((s, dir) => graft.text.TfIdf.bm25TopK(s, dir)),
+    // secret/credential scan over the deterministically tainted corpus:
+    // hex-key and AWS-key shaped tokens, portable regex classes only
+    "text_secret_scan" -> ((s, dir) =>
+      graft.text.TextFunctions.textSecretScan(s, dir)),
     // bigram LM count table: top continuations per frequent context
     // with exact counts and the single-division conditional — the
     // counts that back perplexity filters and KenLM-style scoring
@@ -5550,6 +5554,30 @@ object SparkEntry {
         |  FROM documents d JOIN counts c USING (lang)
         |)
         |SELECT doc_id, lang, n_lang, rate, u FROM t WHERE u < rate""".stripMargin,
+
+    // the taint injection is a pure function of doc_id (md5 hex), the
+    // detectors the same regex classes counted with RE2
+    "text_secret_scan" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 3
+        |         THEN ' sk_' || md5(CAST(doc_id AS VARCHAR)) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 5
+        |         THEN ' AKIA' || upper(substring(
+        |           md5('aws' || CAST(doc_id AS VARCHAR)), 1, 16))
+        |         ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[0-9a-f]{32}')) AS BIGINT)
+        |      AS n_hex32,
+        |    CAST(len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}')) AS BIGINT)
+        |      AS n_awskey
+        |  FROM t
+        |)
+        |SELECT doc_id, n_hex32, n_awskey,
+        |  n_hex32 > 0 OR n_awskey > 0 AS has_secret
+        |FROM c""".stripMargin,
 
     // the same bigram expansion (1-based list indexing), digest-side
     // context totals, and both top-k rankings; p_next is one IEEE

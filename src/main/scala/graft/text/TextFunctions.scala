@@ -340,6 +340,40 @@ object TextFunctions {
         col("phrase"), col("n_words"), col("score_u"))
   }
 
+  /** SECRET/CREDENTIAL scan — the leak sweep a training corpus runs
+    * next to the PII scrub: per document, counts of hex-API-key-shaped
+    * tokens (32-hex runs) and AWS-access-key-shaped tokens
+    * (`AKIA` + 16 uppercase alnum), plus the flag. Conservative regex
+    * syntax only (character classes + brace quantifiers — identical
+    * semantics in Java and RE2 engines, non-overlapping counts). The
+    * gate composes the detector with a deterministic TAINT fixture
+    * (the synthetic corpus contains no credential-shaped strings, so a
+    * detector over the raw text has no live positive branch — the same
+    * stand-in role the derived video corpus plays): docs with
+    * `doc_id % 7 == 3` carry an appended `sk_<md5-hex>` key, docs with
+    * `doc_id % 11 == 5` an `AKIA…` key, both pure functions of the id
+    * the oracle replays. One narrow codegen'd scan, no shuffle.
+    */
+  def textSecretScan(s: SparkSession, dir: String): DataFrame = {
+    val tainted = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 7 === 3,
+          concat(lit(" sk_"), md5(col("doc_id").cast("string"))))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 5,
+          concat(lit(" AKIA"), upper(substring(
+            md5(concat(lit("aws"), col("doc_id").cast("string"))), 1, 16))))
+          .otherwise(lit(""))).as("text"))
+    tainted
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[0-9a-f]{32}")).cast("long")
+          .as("n_hex32"),
+        regexp_count(col("text"), lit("AKIA[0-9A-Z]{16}")).cast("long")
+          .as("n_awskey"))
+      .withColumn("has_secret", col("n_hex32") > 0 || col("n_awskey") > 0)
+  }
+
   /** BIGRAM LANGUAGE-MODEL table — the count-based n-gram LM that
     * backs perplexity filters and KenLM-style scoring: for the
     * `nContexts` most frequent contexts w1 (by continuation

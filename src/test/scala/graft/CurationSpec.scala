@@ -199,6 +199,22 @@ class CurationSpec extends SparkSuite {
     assert(out((1L, 2L)) == (("deep models", 2L, 4000000L)))
   }
 
+  test("secret scan: tainted ids fire the right detector, clean docs stay clean") {
+    import spark.implicits._
+    // ids: 3 → hex key; 5 → AWS key; 38 ≡ 3 (mod 7) AND ≡ 5 (mod 11)
+    // → both; 1 → clean
+    val d = dirFromDf(Seq(1L, 3L, 5L, 38L)
+      .map(id => (id, "plain words only", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.text.TextFunctions.textSecretScan(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((0L, 0L, false)))
+    assert(out(3L) == ((1L, 0L, true)))
+    assert(out(5L) == ((0L, 1L, true)))
+    assert(out(38L) == ((1L, 1L, true)))
+  }
+
   test("dsir margin: exact discriminant matches a driver recompute, target scores positive") {
     import spark.implicits._
     // en docs share vocab {aa cc}; the de doc uses disjoint {xx} — the
