@@ -502,6 +502,11 @@ object SparkEntry {
     // one-shot cur_top_tokens
     "stream_vocab_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayTopTokensIncremental(s, dir)),
+    // incremental bigram-LM counts: per-batch (w1, w2) partials (LSM
+    // shape) folded at report time — must equal the one-shot
+    // text_bigram_lm
+    "stream_bigramlm_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayBigramLmIncremental(s, dir)),
     // incremental line-dedup dictionary: per-batch per-line distinct-doc
     // partials (LSM shape) folded, then the cleaned corpus cut against
     // the maintained dictionary — must equal the one-shot cur_line_dedup
@@ -1981,6 +1986,40 @@ object SparkEntry {
       |      (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT) AS hh
       |  FROM cdc_cx
       |)""".stripMargin
+
+  /** Bigram-LM replay — the same bigram expansion (1-based list
+    * indexing), digest-side context totals, and both top-k rankings;
+    * p_next is one IEEE division of exact BIGINTs. Shared verbatim by
+    * the one-shot gate and the incremental-fold replay, which must
+    * reproduce it bit for bit.
+    */
+  private val BigramLmOracleSql: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents WHERE text IS NOT NULL
+      |), b AS (
+      |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)
+      |), bc AS (
+      |  SELECT w1, w2, count(*) AS pair_count FROM b GROUP BY 1, 2
+      |), cc AS (
+      |  SELECT w1, CAST(sum(pair_count) AS BIGINT) AS ctx_count
+      |  FROM bc GROUP BY 1
+      |), topc AS (
+      |  SELECT w1, ctx_count
+      |  FROM (SELECT *, row_number() OVER
+      |          (ORDER BY ctx_count DESC, w1 ASC) AS cr FROM cc)
+      |  WHERE cr <= 50
+      |), r AS (
+      |  SELECT bc.w1, bc.w2, bc.pair_count, tc.ctx_count,
+      |    row_number() OVER (PARTITION BY bc.w1
+      |      ORDER BY bc.pair_count DESC, bc.w2 ASC) AS rank
+      |  FROM bc JOIN topc tc ON bc.w1 = tc.w1
+      |)
+      |SELECT w1, w2, CAST(rank AS BIGINT) AS rank, pair_count,
+      |  ctx_count,
+      |  CAST(pair_count AS DOUBLE) / CAST(ctx_count AS DOUBLE) AS p_next
+      |FROM r WHERE rank <= 3""".stripMargin
 
   /** The scene-cut CTEs (the stub frame grid's per-frame byte sums and
     * frame-difference flags), ending in relation `scc(doc_id,
@@ -5582,33 +5621,11 @@ object SparkEntry {
     // the same bigram expansion (1-based list indexing), digest-side
     // context totals, and both top-k rankings; p_next is one IEEE
     // division of exact BIGINTs in both engines
-    "text_bigram_lm" ->
-      """WITH t AS (
-        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
-        |  FROM documents WHERE text IS NOT NULL
-        |), b AS (
-        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
-        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)
-        |), bc AS (
-        |  SELECT w1, w2, count(*) AS pair_count FROM b GROUP BY 1, 2
-        |), cc AS (
-        |  SELECT w1, CAST(sum(pair_count) AS BIGINT) AS ctx_count
-        |  FROM bc GROUP BY 1
-        |), topc AS (
-        |  SELECT w1, ctx_count
-        |  FROM (SELECT *, row_number() OVER
-        |          (ORDER BY ctx_count DESC, w1 ASC) AS cr FROM cc)
-        |  WHERE cr <= 50
-        |), r AS (
-        |  SELECT bc.w1, bc.w2, bc.pair_count, tc.ctx_count,
-        |    row_number() OVER (PARTITION BY bc.w1
-        |      ORDER BY bc.pair_count DESC, bc.w2 ASC) AS rank
-        |  FROM bc JOIN topc tc ON bc.w1 = tc.w1
-        |)
-        |SELECT w1, w2, CAST(rank AS BIGINT) AS rank, pair_count,
-        |  ctx_count,
-        |  CAST(pair_count AS DOUBLE) / CAST(ctx_count AS DOUBLE) AS p_next
-        |FROM r WHERE rank <= 3""".stripMargin,
+    "text_bigram_lm" -> BigramLmOracleSql,
+
+    // the maintained counts must reproduce the one-shot ranking — the
+    // oracle IS text_bigram_lm
+    "stream_bigramlm_incremental" -> BigramLmOracleSql,
 
     // trigram expansion via 1-based list slicing, exact occurrence and
     // distinct counts per language, one-division type-token ratio

@@ -790,6 +790,41 @@ object StreamReplay {
     graft.text.Curation.topTokensFromPartials(s, countsDir)
   }
 
+  /** Replay of INCREMENTAL BIGRAM-LM maintenance: the documents table
+    * streams in micro-batches, each appending its (w1, w2) partial
+    * counts (TextFunctions.appendBigramBatch — O(batch), LSM shape,
+    * idempotent via batchId markers); the context/continuation ranking
+    * over the folded counts must equal the one-shot text_bigram_lm —
+    * which is exactly the oracle. Counts fold, so the maintained model
+    * is batching-invariant by construction.
+    */
+  def replayBigramLmIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_bigramlm_replay")
+    val countsDir = tmp.resolve("counts").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val feed = memoFeed("bigramlm", dir, nBatches) { p =>
+      docs.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.text.TextFunctions.appendBigramBatch(s, countsDir, batch,
+            batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.text.TextFunctions.bigramLmFromPartials(s, countsDir)
+  }
+
   /** Replay of INCREMENTAL LINE-DEDUP maintenance: the documents table
     * streams in micro-batches, each appending its per-line
     * distinct-document partial counts (Curation.appendLineDfBatch —

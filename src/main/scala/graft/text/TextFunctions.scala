@@ -391,16 +391,28 @@ object TextFunctions {
     * are WindowGroupLimit top-k over digests.
     */
   def textBigramLm(s: SparkSession, dir: String, nContexts: Int = 50,
-      k: Int = 3): DataFrame = {
+      k: Int = 3): DataFrame =
+    bigramLmFromCounts(
+      bigramPairs(Tables.documents(s, dir))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count")),
+      nContexts, k)
+
+  /** The narrow bigram expansion (posexplode + element_at, no shuffle). */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
     val tk = split(lower(trim(col("text"))), "\\s+")
-    val pairs = Tables.documents(s, dir)
-      .where(col("text").isNotNull)
+    docs.where(col("text").isNotNull)
       .select(tk.as("tk"))
       .select(posexplode(col("tk")).as(Seq("pos", "w1")), col("tk"))
       .where(col("pos") < size(col("tk")) - 1)
       .select(col("w1"), element_at(col("tk"), col("pos") + 2).as("w2"))
-    val bc = pairs.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("pair_count"))
+  }
+
+  /** Context ranking + top continuations from a (w1, w2, pair_count)
+    * relation — shared by the one-shot gate and the incremental fold,
+    * which must reproduce it bit for bit.
+    */
+  private def bigramLmFromCounts(bc: DataFrame, nContexts: Int,
+      k: Int): DataFrame = {
     val cc = bc.groupBy(col("w1")).agg(sum(col("pair_count")).as("ctx_count"))
     val topCtx = cc.withColumn("cr", row_number().over(
         Window.orderBy(col("ctx_count").desc, col("w1").asc)))
@@ -415,6 +427,36 @@ object TextFunctions {
         (col("pair_count").cast("double") / col("ctx_count").cast("double"))
           .as("p_next"))
   }
+
+  /** Batch half of INCREMENTAL bigram-LM maintenance: append this
+    * batch's (w1, w2) partial counts — O(batch), LSM shape,
+    * batchId-idempotent. Counts are the model, and counts fold, so the
+    * maintained table equals the one-shot under any batching.
+    */
+  def appendBigramBatch(s: SparkSession, countsDir: String,
+      batch: DataFrame, batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$countsDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    bigramPairs(batch)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
+      .write.mode("append").parquet(s"$countsDir/partials")
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** Report half: fold the partial counts and rank — must equal the
+    * one-shot [[textBigramLm]] bit for bit.
+    */
+  def bigramLmFromPartials(s: SparkSession, countsDir: String,
+      nContexts: Int = 50, k: Int = 3): DataFrame =
+    bigramLmFromCounts(
+      s.read.parquet(s"$countsDir/partials")
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("pair_count")).as("pair_count")),
+      nContexts, k)
 
   /** N-GRAM DIVERSITY per language — the self-repetition metric a
     * synthetic-data pipeline watches (mode-collapsed generations reuse
