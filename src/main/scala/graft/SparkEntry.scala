@@ -1599,6 +1599,11 @@ object SparkEntry {
     // integer norms, one final double division — oracle replays the
     // quantization and ranking value-exactly
     "sim_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
+    // 1-bit sign-pattern retrieval: 8 bytes/vector, xor+popcount
+    // ranking (codegen'd SignBits) — the first-stage binary filter
+    "sim_binary_topk" -> ((s, dir) => Similarity.binaryTopK(s, dir)),
+    // recall@10 of the sign-bit ranking vs the exact brute top-10
+    "sim_binary_recall" -> ((s, dir) => Similarity.binaryRecall(s, dir)),
     // random-hyperplane LSH bucketed ANN (rows-only check)
     "sim_ann_lsh" -> ((s, dir) => Similarity.lshNearestInBucket(s, dir)),
 
@@ -1985,6 +1990,27 @@ object SparkEntry {
       |        x -> CAST(x AS HUGEINT))),
       |      (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT) AS hh
       |  FROM cdc_cx
+      |)""".stripMargin
+
+  /** Sign-bit signature CTE: bit i set when embedding[i] > 0, or-folded
+    * into relation `bsig(vec_id, sig)` — the SignBits replay shared by
+    * the binary top-k and recall gates.
+    */
+  private val BinarySigCtes: String =
+    """bsig0 AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(0, least(len(embedding), 64)), i ->
+      |        CASE WHEN embedding[i + 1] > 0
+      |             THEN CAST(1 AS HUGEINT) << i ELSE CAST(0 AS HUGEINT) END)),
+      |      (a, b) -> a | b) AS u
+      |  FROM embeddings
+      |), bsig AS (
+      |  SELECT vec_id,
+      |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+      |              THEN u - 18446744073709551616::HUGEINT ELSE u END
+      |         AS BIGINT) AS sig
+      |  FROM bsig0
       |)""".stripMargin
 
   /** Bigram-LM replay — the same bigram expansion (1-based list
@@ -5813,6 +5839,59 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
         |WHERE rank <= 10""".stripMargin,
+
+    // the sign fold replayed as an or-reduce of shifted bits; Hamming
+    // is bit_count(xor), all integers
+    "sim_binary_topk" ->
+      s"""WITH $BinarySigCtes, bq AS (
+         |  SELECT vec_id AS qid, sig AS qsig FROM bsig WHERE vec_id < 5
+         |), bsc AS (
+         |  SELECT qid, s.vec_id,
+         |    CAST(bit_count(xor(qsig, s.sig)) AS BIGINT) AS hamming
+         |  FROM bsig s CROSS JOIN bq WHERE s.vec_id <> qid
+         |)
+         |SELECT qid, vec_id, hamming, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY hamming ASC, vec_id ASC) AS rank FROM bsc)
+         |WHERE rank <= 10""".stripMargin,
+
+    // binary top-10 joined against the exact-cosine brute top-10
+    "sim_binary_recall" ->
+      s"""WITH $BinarySigCtes, bq AS (
+         |  SELECT vec_id AS qid, sig AS qsig FROM bsig WHERE vec_id < 5
+         |), bsc AS (
+         |  SELECT qid, s.vec_id,
+         |    CAST(bit_count(xor(qsig, s.sig)) AS BIGINT) AS hamming
+         |  FROM bsig s CROSS JOIN bq WHERE s.vec_id <> qid
+         |), bt AS (
+         |  SELECT qid, vec_id FROM (SELECT *, row_number() OVER
+         |      (PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS rank
+         |    FROM bsc) WHERE rank <= 10
+         |), cq AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 5
+         |), csc AS (
+         |  SELECT qid, vec_id,
+         |    round(list_dot_product(qe, ee)
+         |          / sqrt(list_dot_product(qe, qe) * list_dot_product(ee, ee)),
+         |          6) AS cos_sim
+         |  FROM (SELECT qid, vec_id, qe, CAST(embedding AS DOUBLE[]) AS ee
+         |        FROM embeddings CROSS JOIN cq WHERE vec_id <> qid)
+         |), ct2 AS (
+         |  SELECT qid, vec_id FROM (SELECT *, row_number() OVER
+         |      (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |    FROM csc) WHERE rank <= 10
+         |), h AS (
+         |  SELECT bt.qid, count(*) AS n_hits
+         |  FROM bt JOIN ct2 ON bt.qid = ct2.qid AND bt.vec_id = ct2.vec_id
+         |  GROUP BY 1
+         |), tr AS (
+         |  SELECT qid, count(*) AS n_true FROM ct2 GROUP BY 1
+         |)
+         |SELECT tr.qid, coalesce(h.n_hits, 0) AS n_hits, tr.n_true,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(tr.n_true AS DOUBLE)
+         |    AS recall
+         |FROM tr LEFT JOIN h ON tr.qid = h.qid""".stripMargin,
 
     // int8 quantization replayed exactly: scale = 127/max|v| per vector,
     // codes floor(v·scale + 0.5) (half-up on doubles — engine-portable),

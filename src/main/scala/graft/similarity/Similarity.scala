@@ -67,6 +67,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** BINARY (1-bit) RETRIEVAL — the bottom rung of the quantization
+    * ladder (below int8 and PQ): each vector collapses to its 64-bit
+    * sign pattern (the codegen'd [[graft.functions.SignBits]]) and
+    * search ranks by Hamming distance, xor + popcount per candidate.
+    * At 100 TB this is the first-stage filter that scans 8 bytes per
+    * vector from a column the ANN index ships alongside the ids — the
+    * modern binary-embedding serving trick; exact rerank rides on the
+    * survivors ([[binaryRecall]] measures what survives). Ranking is
+    * total via the (hamming asc, vec_id asc) tiebreak and every value
+    * is an integer — nothing for engines to disagree on.
+    */
+  def binaryTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val sig = Tables.embeddings(s, dir).select(col("vec_id"),
+      graft.functions.SignBits(col("embedding")).as("sig"))
+    val queries = sig.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    sig.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("bit_count(qsig ^ sig)").cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("hamming"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Recall@k of the sign-bit ranking against the exact-cosine brute
+    * top-k — the honesty gate for the 1-bit signature, like its PQ and
+    * matryoshka siblings.
+    */
+  def binaryRecall(s: SparkSession, dir: String, nQueries: Int = 5,
+      topK: Int = 10): DataFrame = {
+    val approx = binaryTopK(s, dir, nQueries, topK)
+      .select(col("qid"), col("vec_id"))
+    val brute = bruteForceTopK(s, dir, nQueries, topK)
+      .select(col("qid"), col("vec_id"))
+    val hits = approx.join(brute, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    brute.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_true").cast("double")).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (no RNG at runtime): a fixed
     * 64-bit LCG stream, one plane per signature bit.
     */

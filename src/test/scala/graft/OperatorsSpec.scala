@@ -88,6 +88,43 @@ class OperatorsSpec extends SparkSuite {
     assert(both.select(col("expr_sig")).distinct().count() > 1)
   }
 
+  test("SignBits: hand patterns, codegen == driver fold, Hamming ranking sane") {
+    import spark.implicits._
+    // hand vectors: alternating signs → 0b101; zeros are NOT positive
+    val hand = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f)),
+      (2L, Seq(0.0f, -0.0f, -3.0f)),
+      (3L, Seq(-1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = hand.select(col("vec_id"),
+      graft.functions.SignBits(col("embedding")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 0L, 3L -> 2L))
+    // real embeddings: the codegen'd expression equals a driver fold
+    val emb = graft.model.Tables.embeddings(spark, sf("sf0.001"))
+    val rows = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.SignBits(col("embedding")).as("s")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val expect = v.take(64).zipWithIndex
+        .foldLeft(0L) { case (a, (x, i)) => if (x > 0f) a | (1L << i) else a }
+      assert(r.getLong(2) == expect)
+    }
+    assert(rows.map(_.getLong(2)).distinct.length > 1)
+    // the binary ranking returns k rows per query, Hamming ascending
+    val bt = Similarity.binaryTopK(spark, sf("sf0.001"), nQueries = 3, k = 5)
+      .collect()
+    assert(bt.length == 15)
+    bt.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val hs = rs.sortBy(_.getLong(3)).map(_.getLong(2)).toSeq
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b })
+    }
+    // recall is defined and in [0, 1] for every query
+    val rc = Similarity.binaryRecall(spark, sf("sf0.001"), nQueries = 3,
+      topK = 5).collect()
+    assert(rc.length == 3)
+    assert(rc.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("minhash signatures: identical texts collide, disjoint texts do not") {
     import spark.implicits._
     val docs = Seq(
