@@ -1577,6 +1577,11 @@ object SparkEntry {
     // rational idf core without the monotone ln wrapper — same libm
     // dodge as the linear tf-idf — and fixed-order per-term addition
     "text_bm25_topk" -> ((s, dir) => graft.text.TfIdf.bm25TopK(s, dir)),
+    // winnowing fingerprints (the MOSS local-dedup primitive): rightmost
+    // window minima of the trigram rolling hashes, bounded-fanout
+    // Generate + one row_number per window
+    "text_winnowing" -> ((s, dir) =>
+      graft.text.TextFunctions.textWinnowing(s, dir)),
     // secret/credential scan over the deterministically tainted corpus:
     // hex-key and AWS-key shaped tokens, portable regex classes only
     "text_secret_scan" -> ((s, dir) =>
@@ -5619,6 +5624,51 @@ object SparkEntry {
         |  FROM documents d JOIN counts c USING (lang)
         |)
         |SELECT doc_id, lang, n_lang, rate, u FROM t WHERE u < rate""".stripMargin,
+
+    // trigram rolling hashes (HUGEINT fold), ≤w member windows per
+    // hash via range, rightmost-argmin row_number, distinct selections
+    "text_winnowing" ->
+      """WITH wn_t AS (
+        |  SELECT doc_id,
+        |    str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        |      AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), wn_g AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    CAST(len(tk) - 2 AS INTEGER) AS nk,
+        |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS sh
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+        |        FROM wn_t)
+        |), wn_x AS (
+        |  SELECT doc_id, pos, nk, hex(encode(sh)) AS hx,
+        |    octet_length(encode(sh)) AS ln
+        |  FROM wn_g
+        |), wn_h AS (
+        |  SELECT doc_id, pos, nk,
+        |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |              THEN u - 18446744073709551616::HUGEINT ELSE u END
+        |         AS BIGINT) AS h
+        |  FROM (SELECT doc_id, pos, nk,
+        |          list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |            list_transform(range(0, ln), j ->
+        |              CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+        |                   + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+        |                AS HUGEINT))),
+        |            (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT)
+        |            AS u
+        |        FROM wn_x)
+        |), wn_e AS (
+        |  SELECT doc_id, pos, h,
+        |    unnest(range(greatest(pos - 3, 0),
+        |      least(pos, greatest(nk - 4, 0)) + 1)) AS j
+        |  FROM wn_h
+        |), wn_r AS (
+        |  SELECT doc_id, pos, h, row_number() OVER (PARTITION BY doc_id, j
+        |    ORDER BY h ASC, pos DESC) AS rn
+        |  FROM wn_e
+        |)
+        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp_hash
+        |FROM wn_r WHERE rn = 1""".stripMargin,
 
     // the taint injection is a pure function of doc_id (md5 hex), the
     // detectors the same regex classes counted with RE2

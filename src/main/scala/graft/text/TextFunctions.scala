@@ -340,6 +340,48 @@ object TextFunctions {
         col("phrase"), col("n_words"), col("score_u"))
   }
 
+  /** WINNOWING FINGERPRINTS (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS primitive): from the rolling hashes of a document's word
+    * trigrams, every window of `w` consecutive hashes contributes its
+    * RIGHTMOST MINIMUM; the distinct selected (pos, hash) pairs are
+    * the fingerprint. The guarantee that makes this the local-dedup
+    * standard: any shared run of ≥ w+2 tokens between two documents
+    * shares at least one fingerprint, while density stays ~2/(w+1).
+    * The rightmost-argmin is genuinely windowed (no prefix-min
+    * shortcut reproduces it — a middle window can select a position
+    * neither edge window does), so each hash expands to its ≤w member
+    * windows (bounded fan-out Generate) and one row_number per (doc,
+    * window) picks the winner — a shuffle on doc_id only. Documents
+    * shorter than w+2 tokens collapse to a single window; documents
+    * under 3 tokens have no trigrams and emit nothing.
+    */
+  def textWinnowing(s: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    val tk = split(normText(col("text")), " ")
+    val len = greatest(size(col("tk")) - 2, lit(0))
+    val tri = zip_with(
+      slice(col("tk"), lit(1), len),
+      zip_with(slice(col("tk"), lit(2), len), slice(col("tk"), lit(3), len),
+        (b, c) => concat(b, lit(" "), c)),
+      (a, bc) => concat(a, lit(" "), bc))
+    val hashed = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), posexplode(tri).as(Seq("pos", "sh")),
+        (size(col("tk")) - 2).as("nk"))
+      .select(col("doc_id"), col("pos"), col("nk"),
+        graft.functions.RollingHash64(col("sh")).as("h"))
+    val expanded = hashed.select(col("doc_id"), col("pos"), col("h"),
+      explode(sequence(
+        greatest(col("pos") - lit(w - 1), lit(0)),
+        least(col("pos"), greatest(col("nk") - lit(w), lit(0))))).as("j"))
+    val rw = Window.partitionBy("doc_id", "j")
+      .orderBy(col("h").asc, col("pos").desc)
+    expanded.withColumn("rn", row_number().over(rw)).where(col("rn") === 1)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("h").as("fp_hash"))
+      .distinct()
+  }
+
   /** SECRET/CREDENTIAL scan — the leak sweep a training corpus runs
     * next to the PII scrub: per document, counts of hex-API-key-shaped
     * tokens (32-hex runs) and AWS-access-key-shaped tokens

@@ -199,6 +199,45 @@ class CurationSpec extends SparkSuite {
     assert(out((1L, 2L)) == (("deep models", 2L, 4000000L)))
   }
 
+  test("winnowing: exact windowed rightmost-argmin, shared runs share a fingerprint") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val b = "intro words then the quick brown fox jumps over the lazy dog tonight"
+    val c = "completely different vocabulary with no overlap at all here"
+    val d = dirFromDf(Seq((1L, a), (2L, b), (3L, c), (4L, "too short"))
+      .map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.text.TextFunctions.textWinnowing(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver recompute: trigram rolling hashes, every window of 4, pick
+    // the rightmost min, dedupe
+    def rh(t: String): Long = {
+      var h = 1125899906842597L
+      t.getBytes("UTF-8").foreach(bb => h = 31 * h + (bb & 0xFF)); h
+    }
+    def winnow(text: String, w: Int = 4): Set[(Long, Long)] = {
+      val tk = text.toLowerCase.trim.split("\\s+").toSeq
+      val hs = tk.sliding(3).filter(_.size == 3).map(g => rh(g.mkString(" "))).toVector
+      if (hs.isEmpty) Set.empty
+      else (0 to math.max(hs.length - w, 0)).flatMap { j =>
+        val win = hs.slice(j, math.min(j + w, hs.length))
+        val m = win.min
+        val p = j + win.lastIndexOf(m)
+        Some((p.toLong, hs(p)))
+      }.toSet
+    }
+    Seq(1L -> a, 2L -> b, 3L -> c).foreach { case (id, t) =>
+      assert(out.filter(_._1 == id).map(r => (r._2, r._3)).toSet == winnow(t),
+        s"doc $id")
+    }
+    assert(!out.exists(_._1 == 4L)) // < 3 tokens → no trigrams
+    // the winnowing guarantee: docs sharing a ≥ w+2-token run share a
+    // fingerprint HASH; the disjoint doc shares none
+    val fp = out.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).toSet }
+    assert((fp(1L) & fp(2L)).nonEmpty)
+    assert((fp(1L) & fp(3L)).isEmpty)
+  }
+
   test("secret scan: tainted ids fire the right detector, clean docs stay clean") {
     import spark.implicits._
     // ids: 3 → hex key; 5 → AWS key; 38 ≡ 3 (mod 7) AND ≡ 5 (mod 11)
