@@ -1582,6 +1582,11 @@ object SparkEntry {
     // Generate + one row_number per window
     "text_winnowing" -> ((s, dir) =>
       graft.text.TextFunctions.textWinnowing(s, dir)),
+    // near-dup pairs over the winnowed fingerprints: LOCAL-overlap
+    // sensitivity (shared passages) next to MinHash's whole-document
+    // resemblance; df-capped inverted index, exact-rational Jaccard
+    "dedup_winnowing" -> ((s, dir) =>
+      graft.text.TextFunctions.winnowingNearDup(s, dir)),
     // secret/credential scan over the deterministically tainted corpus:
     // hex-key and AWS-key shaped tokens, portable regex classes only
     "text_secret_scan" -> ((s, dir) =>
@@ -1995,6 +2000,54 @@ object SparkEntry {
       |        x -> CAST(x AS HUGEINT))),
       |      (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT) AS hh
       |  FROM cdc_cx
+      |)""".stripMargin
+
+  /** Winnowing CTEs ending in the selected-fingerprint relation
+    * `wn(doc_id, pos, fp_hash)` — shared by the fingerprint gate and
+    * the near-dup pair gate built on it.
+    */
+  private val WinnowCtes: String =
+    """wn_t AS (
+      |  SELECT doc_id,
+      |    str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+      |      AS tk
+      |  FROM documents WHERE text IS NOT NULL
+      |), wn_g AS (
+      |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+      |    CAST(len(tk) - 2 AS INTEGER) AS nk,
+      |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS sh
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+      |        FROM wn_t)
+      |), wn_x AS (
+      |  SELECT doc_id, pos, nk, hex(encode(sh)) AS hx,
+      |    octet_length(encode(sh)) AS ln
+      |  FROM wn_g
+      |), wn_h AS (
+      |  SELECT doc_id, pos, nk,
+      |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+      |              THEN u - 18446744073709551616::HUGEINT ELSE u END
+      |         AS BIGINT) AS h
+      |  FROM (SELECT doc_id, pos, nk,
+      |          list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |            list_transform(range(0, ln), j ->
+      |              CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+      |                   + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+      |                AS HUGEINT))),
+      |            (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT)
+      |            AS u
+      |        FROM wn_x)
+      |), wn_e AS (
+      |  SELECT doc_id, pos, h,
+      |    unnest(range(greatest(pos - 3, 0),
+      |      least(pos, greatest(nk - 4, 0)) + 1)) AS j
+      |  FROM wn_h
+      |), wn_r AS (
+      |  SELECT doc_id, pos, h, row_number() OVER (PARTITION BY doc_id, j
+      |    ORDER BY h ASC, pos DESC) AS rn
+      |  FROM wn_e
+      |), wn AS (
+      |  SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp_hash
+      |  FROM wn_r WHERE rn = 1
       |)""".stripMargin
 
   /** Sign-bit signature CTE: bit i set when embedding[i] > 0, or-folded
@@ -5628,47 +5681,33 @@ object SparkEntry {
     // trigram rolling hashes (HUGEINT fold), ≤w member windows per
     // hash via range, rightmost-argmin row_number, distinct selections
     "text_winnowing" ->
-      """WITH wn_t AS (
-        |  SELECT doc_id,
-        |    str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
-        |      AS tk
-        |  FROM documents WHERE text IS NOT NULL
-        |), wn_g AS (
-        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-        |    CAST(len(tk) - 2 AS INTEGER) AS nk,
-        |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS sh
-        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
-        |        FROM wn_t)
-        |), wn_x AS (
-        |  SELECT doc_id, pos, nk, hex(encode(sh)) AS hx,
-        |    octet_length(encode(sh)) AS ln
-        |  FROM wn_g
-        |), wn_h AS (
-        |  SELECT doc_id, pos, nk,
-        |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-        |              THEN u - 18446744073709551616::HUGEINT ELSE u END
-        |         AS BIGINT) AS h
-        |  FROM (SELECT doc_id, pos, nk,
-        |          list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
-        |            list_transform(range(0, ln), j ->
-        |              CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
-        |                   + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
-        |                AS HUGEINT))),
-        |            (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT)
-        |            AS u
-        |        FROM wn_x)
-        |), wn_e AS (
-        |  SELECT doc_id, pos, h,
-        |    unnest(range(greatest(pos - 3, 0),
-        |      least(pos, greatest(nk - 4, 0)) + 1)) AS j
-        |  FROM wn_h
-        |), wn_r AS (
-        |  SELECT doc_id, pos, h, row_number() OVER (PARTITION BY doc_id, j
-        |    ORDER BY h ASC, pos DESC) AS rn
-        |  FROM wn_e
-        |)
-        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp_hash
-        |FROM wn_r WHERE rn = 1""".stripMargin,
+      s"""WITH $WinnowCtes
+         |SELECT doc_id, pos, fp_hash FROM wn""".stripMargin,
+
+    // the same df-capped inverted-index pair shape as every near-dup
+    // sibling, over the winnowed fingerprint sets
+    "dedup_winnowing" ->
+      s"""WITH $WinnowCtes, wd_d AS (
+         |  SELECT DISTINCT doc_id, fp_hash FROM wn
+         |), wd_cap AS (
+         |  SELECT fp_hash FROM wd_d GROUP BY fp_hash HAVING count(*) <= 100
+         |), wd_cd AS (
+         |  SELECT d.doc_id, d.fp_hash FROM wd_d d JOIN wd_cap USING (fp_hash)
+         |), wd_sz AS (
+         |  SELECT doc_id, count(*) AS n FROM wd_cd GROUP BY 1
+         |), wd_pr AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    count(*) AS n_shared
+         |  FROM wd_cd a JOIN wd_cd b2 USING (fp_hash)
+         |  WHERE a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |)
+         |SELECT p.doc_a, p.doc_b, p.n_shared,
+         |  CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared)
+         |    AS jaccard
+         |FROM wd_pr p
+         |JOIN wd_sz sa ON sa.doc_id = p.doc_a
+         |JOIN wd_sz sb ON sb.doc_id = p.doc_b""".stripMargin,
 
     // the taint injection is a pure function of doc_id (md5 hex), the
     // detectors the same regex classes counted with RE2

@@ -382,6 +382,42 @@ object TextFunctions {
       .distinct()
   }
 
+  /** NEAR-DUP pairs over the winnowing fingerprints — what the
+    * fingerprints exist for: two documents sharing ≥ `minShared`
+    * distinct selected hashes share that many winnowed local runs.
+    * Candidate pairs form ONLY through the inverted-index join on the
+    * fingerprint (df-capped like every sibling); Jaccard is the exact
+    * rational over the distinct fingerprint sets. Complements
+    * MinHash (whole-document resemblance) with LOCAL overlap
+    * sensitivity — a long shared passage inside otherwise-different
+    * documents still pairs here.
+    */
+  def winnowingNearDup(s: SparkSession, dir: String,
+      maxDocsPerHash: Int = 100, minShared: Int = 2): DataFrame = {
+    val fh = textWinnowing(s, dir)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val capped = fh.join(
+      fh.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDocsPerHash).select(col("fp_hash")),
+      Seq("fp_hash"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = capped.select(col("doc_id").as("doc_a"), col("fp_hash"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("fp_hash")),
+        Seq("fp_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("na") + col("nb") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** SECRET/CREDENTIAL scan — the leak sweep a training corpus runs
     * next to the PII scrub: per document, counts of hex-API-key-shaped
     * tokens (32-hex runs) and AWS-access-key-shaped tokens
