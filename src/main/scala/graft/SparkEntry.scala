@@ -201,6 +201,11 @@ object SparkEntry {
     "fx_pairs_spread" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.pairsSpread(rates(s, dir))),
 
+    // elastic shape similarity: banded DTW of each pair's change series
+    // vs the anchor pair — all-integer DP, order-free by construction
+    "fx_dtw_pairs" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.dtwToAnchor(rates(s, dir))),
+
     // per-pair volatility: sample stddev of daily changes from exact
     // integer moments (stddev_samp would be accumulation-order-dependent)
     "fx_volatility" -> ((s, dir) =>
@@ -706,6 +711,18 @@ object SparkEntry {
         .join(broadcast(Tables.nation(s, dir)
           .select(col("n_nationkey").as("node"), col("n_name"))), "node")
         .select(col("n_name").as("nation"), col("pr"))),
+
+    // k-core decomposition (iterative peel) of the MUTUAL top-7 trade
+    // partner graph — cohesion, where components give reachability and
+    // triangles give local closure; the mutual-kNN construction is the
+    // standard way to sparsify a near-complete weighted digest into a
+    // graph whose core structure is informative
+    "q_kcore_trade" -> ((s, dir) =>
+      graft.operators.KCore.coreMembers(
+          mutualTopTradeEdges(s, dir, topN = 7), k = 4)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+        .select(col("n_name").as("nation"), col("core_degree"))),
 
     // wide grouped aggregation with derived expressions (TPC-H Q1 shape)
     "q_pricing_summary" -> BreadthQueries.pricingSummary _,
@@ -1556,6 +1573,12 @@ object SparkEntry {
     // eval 5-gram cut out, the document kept — the surgical variant
     "cur_decontaminate_spans" -> ((s, dir) =>
       graft.text.Curation.decontaminateSpans(s, dir)),
+    // exact-substring SELF-dedup (Lee et al. 2022): every 8-token
+    // window occurring >1 time in the corpus is excised everywhere but
+    // its globally-first occurrence — keep-one span dedup, the
+    // boilerplate/mirror killer that runs before near-dup
+    "cur_selfrepeat_spans" -> ((s, dir) =>
+      graft.text.Curation.selfRepeatSpans(s, dir)),
     // the COMPOSED curation chain (split → quality → dedup keeper →
     // decontaminate → chunk) as ONE lazy plan — the end-to-end run a
     // real training-data pipeline executes; every stage also checked in
@@ -2790,6 +2813,29 @@ object SparkEntry {
       .agg(sum(col("rev")).as("w"))
   }
 
+  /** The MUTUAL top-N trade partner graph: keep each nation's top-N
+    * counterparties by revenue (ties broken by dst — a total order on
+    * exact DECIMAL weights), then an edge survives only when BOTH
+    * directions kept it. Mutual-kNN sparsification turns the
+    * near-complete revenue digest into a graph with real core
+    * structure; the output is symmetric by construction (if (a,b) and
+    * (b,a) are both top-ranked, the semi-join keeps both rows), which
+    * is exactly the edge-list shape [[graft.operators.KCore]] expects.
+    * The window runs on the ≤|nations|² digest, never the corpus.
+    */
+  private def mutualTopTradeEdges(s: SparkSession, dir: String,
+      topN: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)
+    val top = tradeRevenueEdges(s, dir)
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), row_number().over(w).as("rn"))
+      .where(col("rn") <= topN)
+      .select(col("src"), col("dst"))
+    top.join(top.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+  }
+
   /** The personalized variant's oracle: the PagerankTradeOracleSql
     * CTE chain with seeded initial mass and seeded per-step teleport
     * (literal fractions written as the same divisions Scala computes).
@@ -2833,6 +2879,53 @@ object SparkEntry {
        |$steps
        |SELECT n_name AS nation, pr
        |FROM p$iters JOIN nation ON n_nationkey = p$iters.node""".stripMargin
+  }
+
+  /** The k-core peel unrolled as chained CTEs (the PageRank-steps
+    * pattern): rN keeps the edges of r(N-1) whose BOTH endpoints still
+    * have degree ≥ k. 26 rounds ≥ |nations|+1 guarantees the fixpoint
+    * at any scale factor — peeling deletes at least one vertex per
+    * non-fixpoint round, so extra rounds are no-ops. The engine
+    * iterates to the same fixpoint with an edge-count early exit; the
+    * results agree because the peel is monotone.
+    */
+  private val KcoreTradeOracleSql: String = {
+    val k = 4
+    val rounds = (1 to 26).map { i =>
+      val prev = s"r${i - 1}"
+      s"""s$i AS MATERIALIZED (
+         |  SELECT src AS node FROM $prev GROUP BY src HAVING count(*) >= $k
+         |), r$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  WHERE e.src IN (SELECT node FROM s$i)
+         |    AND e.dst IN (SELECT node FROM s$i)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |        * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       |      AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey
+       |  GROUP BY 1, 2
+       |), top AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC)
+       |        AS rn
+       |    FROM e0)
+       |  WHERE rn <= 7
+       |), r0 AS MATERIALIZED (
+       |  SELECT a.src, a.dst FROM top a
+       |  JOIN top b ON a.src = b.dst AND a.dst = b.src
+       |), $rounds
+       |SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM r26 JOIN nation ON n_nationkey = src
+       |GROUP BY 1""".stripMargin
   }
 
   private val PagerankTradeOracleSql: String = {
@@ -3189,6 +3282,69 @@ object SparkEntry {
          |  CASE WHEN z IS NULL THEN 'na' WHEN z > 2.0 THEN 'short_a'
          |       WHEN z < -2.0 THEN 'long_a' ELSE 'flat' END AS signal
          |FROM s4""".stripMargin,
+
+    // the DTW recurrence replayed with nested list folds (prepend-init
+    // trick: the fold's first element is the init row / empty row, each
+    // later element a one-int list carrying the loop index) — pure
+    // BIGINT arithmetic, so any evaluation order is exact
+    "fx_dtw_pairs" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
+         |), seq AS (
+         |  SELECT * FROM (
+         |    SELECT ccy_couple,
+         |      list_slice(list(chg_u ORDER BY date), 1, 16) AS v
+         |    FROM chn GROUP BY 1)
+         |  WHERE len(v) >= 2
+         |), anc AS (
+         |  SELECT ccy_couple AS anchor_ccy, v AS a
+         |  FROM seq ORDER BY ccy_couple LIMIT 1
+         |), base AS (
+         |  SELECT s.ccy_couple, anc.anchor_ccy, s.v AS v, anc.a AS a
+         |  FROM seq s, anc
+         |), dp AS (
+         |  SELECT ccy_couple, anchor_ccy, v,
+         |    list_reduce(
+         |      list_prepend(
+         |        list_transform(range(0, len(v)), j -> CASE WHEN j <= 4
+         |          THEN list_aggregate(list_transform(range(0, j + 1),
+         |            t -> abs(a[CAST(1 AS BIGINT)] - v[CAST(t + 1 AS BIGINT)])), 'sum')
+         |          ELSE CAST(1000000000000000 AS BIGINT) END),
+         |        list_transform(range(1, len(a)), i -> [CAST(i AS BIGINT)])),
+         |      (prev, st) -> list_reduce(
+         |        list_prepend(CAST([] AS BIGINT[]),
+         |          list_transform(range(0, len(v)), j -> [CAST(j AS BIGINT)])),
+         |        (acc, js) -> list_append(acc,
+         |          CASE WHEN abs(st[1] - js[1]) > 4
+         |            THEN CAST(1000000000000000 AS BIGINT)
+         |          ELSE abs(a[CAST(st[1] + 1 AS BIGINT)]
+         |                   - v[CAST(js[1] + 1 AS BIGINT)])
+         |            + least(
+         |              prev[CAST(js[1] + 1 AS BIGINT)],
+         |              CASE WHEN js[1] = 0
+         |                THEN CAST(1000000000000000 AS BIGINT)
+         |                ELSE prev[CAST(js[1] AS BIGINT)] END,
+         |              CASE WHEN len(acc) = 0
+         |                THEN CAST(1000000000000000 AS BIGINT)
+         |                ELSE acc[-1] END)
+         |          END))) AS fin
+         |  FROM base
+         |)
+         |SELECT ccy_couple, anchor_ccy, CAST(len(v) AS BIGINT) AS n_changes,
+         |  CASE WHEN fin[CAST(len(v) AS BIGINT)] >= 1000000000000000
+         |    THEN NULL ELSE fin[CAST(len(v) AS BIGINT)] END AS dtw_milli
+         |FROM dp""".stripMargin,
 
     // lag-1 self-join on consecutive calendar days; same clamped corr
     // formula tree as fx_change_corr on exact integer moments
@@ -4149,6 +4305,7 @@ object SparkEntry {
     // the damped iteration unrolled step for step (see the builder)
     "q_pagerank_trade" -> PagerankTradeOracleSql,
     "q_ppr_trade" -> PprTradeOracleSql,
+    "q_kcore_trade" -> KcoreTradeOracleSql,
 
     // the textbook dominance definition — the engine's chunked
     // two-pass plan must reproduce it exactly
@@ -5597,6 +5754,41 @@ object SparkEntry {
         |), tok AS (
         |  SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS w
         |  FROM t WHERE nib <= 'd'
+        |)
+        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(cov.pos) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tok.w END,
+        |    ' ' ORDER BY tok.pos), '') AS clean_text
+        |FROM tok LEFT JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |GROUP BY tok.doc_id""".stripMargin,
+
+    // keep-one exact-substring self-dedup: the keeper of each
+    // duplicated 8-gram is its (doc_id, p)-first occurrence — the
+    // oracle ranks definitionally with a window; the engine's
+    // min-struct aggregate must pick the identical keeper
+    "cur_selfrepeat_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), gp AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(tk) - 7, 0))) AS p,
+        |    unnest(list_transform(range(1, len(tk) - 6),
+        |      i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS g
+        |  FROM t
+        |), rk AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS cnt
+        |  FROM gp
+        |), cov AS (
+        |  SELECT DISTINCT rk.doc_id, rk.p + d.d AS pos
+        |  FROM rk, (SELECT unnest(range(0, 8)) AS d) d
+        |  WHERE rk.cnt > 1 AND rk.rn > 1
+        |), tok AS (
+        |  SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS w
+        |  FROM t
         |)
         |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(count(cov.pos) AS BIGINT) AS n_removed,

@@ -146,6 +146,67 @@ object MarketAnalytics {
           i => element_at(col("m"), i)).as("v"))
   }
 
+  /** Shape similarity vs an anchor series by DYNAMIC TIME WARPING
+    * (Sakoe & Chiba 1978): the minimal total |Δ| alignment cost between
+    * each currency's day-over-day change sequence and the anchor
+    * currency's, under a Sakoe-Chiba band of width `band` — the classic
+    * elastic-match distance that tolerates lead/lag shifts a pointwise
+    * correlation cannot (a pair tracking the anchor two days late still
+    * scores close). Series are the first `maxLen` changes in calendar
+    * order, in exact ×1000 longs ([[dailyChangesU]]), so the whole DP is
+    * INTEGER arithmetic: no accumulation-order or libm concern exists,
+    * and the oracle replays the identical recurrence with nested list
+    * folds. Out-of-band cells pin to a +∞ sentinel; an alignment forced
+    * outside the band (length mismatch > band) reports NULL.
+    *
+    * Scale shape: the corpus reduces to the |pairs|×|days| close digest
+    * first; the O(maxLen²)-per-pair DP then runs as one expression over
+    * the |pairs|-row series relation with the 1-row anchor broadcast —
+    * no join on the time axis, no quadratic step outside a bounded
+    * digest row. The anchor is the smallest currency name: a total
+    * order, so the gate is deterministic.
+    */
+  def dtwToAnchor(rates: DataFrame, maxLen: Int = 16,
+      band: Int = 4): DataFrame = {
+    val INF = 1000000000000000L
+    val ser = dailyChangesU(rates)
+      .groupBy(col("ccy_couple"))
+      .agg(slice(transform(
+        array_sort(collect_list(struct(col("date"), col("chg_u")))),
+        x => x.getField("chg_u")), 1, maxLen).as("v"))
+      .where(size(col("v")) >= 2)
+    val anchor = ser.agg(min(col("ccy_couple")).as("anchor_ccy"),
+      min_by(col("v"), col("ccy_couple")).as("a"))
+    val m = size(col("v"))
+    val n = size(col("a"))
+    def cost(i: Column, j: Column): Column =
+      abs(element_at(col("a"), i + 1) - element_at(col("v"), j + 1))
+    // top row: cumulative cost along j while inside the band
+    val row0 = transform(sequence(lit(0), m - 1), j =>
+      when(j <= band,
+        aggregate(sequence(lit(0), j), lit(0L), (acc, t) => acc + cost(lit(0), t)))
+        .otherwise(lit(INF)))
+    // rolling-row DP: fold rows i = 1..n-1; each row is itself a left
+    // fold in j because D(i,j) needs the freshly computed D(i,j-1)
+    val fin = aggregate(sequence(lit(1), n - 1), row0, (prev, i) =>
+      aggregate(sequence(lit(0), m - 1),
+        array().cast("array<bigint>"),
+        (accRow, j) => {
+          val up = element_at(prev, j + 1)
+          val diag = when(j === 0, lit(INF)).otherwise(element_at(prev, j))
+          val left = when(size(accRow) === 0, lit(INF))
+            .otherwise(element_at(accRow, -1))
+          val cell = when(abs(i - j) > band, lit(INF))
+            .otherwise(cost(i, j) + least(up, diag, left))
+          concat(accRow, array(cell))
+        }))
+    ser.crossJoin(broadcast(anchor))
+      .select(col("ccy_couple"), col("anchor_ccy"),
+        m.cast("long").as("n_changes"),
+        when(element_at(fin, m) >= INF, lit(null).cast("long"))
+          .otherwise(element_at(fin, m)).as("dtw_milli"))
+  }
+
   /** Co-movement: Pearson correlation of day-over-day close changes for
     * every unordered pair of currencies — the risk/hedging matrix.
     *

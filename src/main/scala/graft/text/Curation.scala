@@ -559,6 +559,57 @@ object Curation {
           x => x.getField("w")), " ").as("clean_text"))
   }
 
+  /** CORPUS SELF-REPETITION excision — the exact-substring
+    * deduplication of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed over fixed-width
+    * token windows: any `w`-token window whose text occurs MORE THAN
+    * ONCE anywhere in the corpus is a duplicated span; every occurrence
+    * except the globally first (ordered by (doc_id, position) — a total
+    * order) is cut, and each document's survivors re-join in order.
+    * Where [[decontaminateSpans]] excises overlap with a HELD-OUT set,
+    * this excises the corpus's overlap WITH ITSELF — boilerplate,
+    * mirrored articles, license blocks — while keeping one canonical
+    * copy of every phrase, so no text is lost from the corpus entirely.
+    *
+    * Scale shape: one inline gram posexplode (the non-negotiable HOF
+    * shape — see contaminationPairs), one gram-keyed aggregation whose
+    * per-gram state is a COUNT and a MIN-STRUCT — map-side combinable,
+    * so a boilerplate gram with 10⁸ occurrences still folds to one row
+    * without a per-gram sort (the oracle's row_number window is the
+    * definitional twin; the engine never ranks within a gram) — then
+    * one equi-join back to occurrences and the positional rebuild. The
+    * corpus text is scanned twice (grams, tokens), shuffled on the gram
+    * key once and the doc key once.
+    */
+  def selfRepeatSpans(s: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    val base = Tables.documents(s, dir).select(col("doc_id"), tk.as("tk"))
+    val occ = base
+      .select(col("doc_id"),
+        posexplode(wordGrams(col("tk"), w)).as(Seq("p", "g")))
+    val dupGrams = occ.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("keep"))
+      .where(col("cnt") > 1)
+      .select(col("g"), col("keep"))
+    val covered = occ.join(dupGrams, Seq("g"))
+      .where(!(col("doc_id") === col("keep.doc_id")
+        && col("p") === col("keep.p")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (w - 1))).as("pos"))
+      .distinct()
+      .select(col("doc_id"), col("pos"), lit(1).as("__cut"))
+    base.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "word")))
+      .join(covered, Seq("doc_id", "pos"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__cut")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__cut").isNull,
+            struct(col("pos"), col("word"))))),
+          x => x.getField("word")), " ").as("clean_text"))
+  }
+
   /** Pairwise contamination ATTRIBUTION: which held-out document leaks
     * into which train document, scored by CONTAINMENT — the fraction of
     * the train doc's distinct word n-grams found in that specific eval

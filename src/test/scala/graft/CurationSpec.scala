@@ -436,6 +436,43 @@ class CurationSpec extends SparkSuite {
     assert(excised.nonEmpty)
   }
 
+  test("self-repetition excision keeps exactly the first occurrence of every duplicated 8-gram") {
+    val out = Curation.selfRepeatSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .sortBy(_._1)
+    // driver recompute: global gram occurrence list, keep-first keeper
+    val occ = docs.flatMap { case (id, tk) =>
+      if (tk.size < 8) Seq.empty
+      else tk.sliding(8).zipWithIndex.map { case (g, p) =>
+        (g.mkString(" "), id, p) }
+    }
+    val byGram = occ.groupBy(_._1)
+    val cut = occ.filter { case (g, id, p) =>
+      val os = byGram(g)
+      os.size > 1 && os.minBy(o => (o._2, o._3)) != ((g, id, p))
+    }
+    val coveredByDoc = cut.groupBy(_._2).map { case (id, os) =>
+      id -> os.flatMap(o => o._3 until (o._3 + 8)).toSet }
+    assert(out.keySet == docs.map(_._1).toSet)
+    var totalRemoved = 0L
+    docs.foreach { case (id, tk) =>
+      val covered = coveredByDoc.getOrElse(id, Set.empty)
+      val kept = tk.zipWithIndex.collect {
+        case (w, p) if !covered(p) => w }
+      val (nTok, nRem, clean) = out(id)
+      assert(nTok == tk.size.toLong, s"doc $id n_tokens")
+      assert(nRem == covered.size.toLong, s"doc $id n_removed")
+      assert(clean == kept.mkString(" "), s"doc $id clean_text")
+      totalRemoved += nRem
+    }
+    // the fixture contains exact-dup documents, so spans must be cut
+    assert(totalRemoved > 0)
+  }
+
   test("token fertility matches a driver recompute per language") {
     val out = Curation.tokenFertility(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

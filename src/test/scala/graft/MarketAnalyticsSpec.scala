@@ -47,6 +47,34 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(math.abs(tw - (2.0 * 8 + 4.0 * 6) / 14.0) < 1e-12)
   }
 
+  test("DTW to anchor: hand DP on known change series; identical series scores 0") {
+    import spark.implicits._
+    // anchor A (smallest name) changes ×1000 = [1, 3, 2];
+    // B = [1, 2, 2] → hand DP (cost |Δ|, band 4):
+    // row0 [0,1,2], row1 [2,1,2], row2 [3,1,1] → dtw = 1;
+    // C identical to A → dtw = 0
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    val paths = Map(
+      "A" -> Seq(1.0, 1.001, 1.004, 1.006),
+      "B" -> Seq(2.0, 2.001, 2.003, 2.005),
+      "C" -> Seq(5.0, 5.001, 5.004, 5.006))
+    val fx = days.zipWithIndex.flatMap { case (d, i) =>
+      paths.toSeq.map { case (p, vs) =>
+        (i * 10L + p.head.toLong, p, vs(i), d) }
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+      .drop("ds")
+    val out = MarketAnalytics.dtwToAnchor(fx).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out.keySet == Set("A", "B", "C"))
+    assert(out("A") == (("A", 3L, 0L)))   // anchor vs itself
+    assert(out("B") == (("A", 3L, 1L)))   // the hand DP
+    assert(out("C") == (("A", 3L, 0L)))   // identical shape, offset level
+  }
+
   test("daily-change corr: in [-1,1], NULL on zero variance, +1 on identical movers") {
     import spark.implicits._
     // two currencies moving in lockstep (with VARYING changes — constant
