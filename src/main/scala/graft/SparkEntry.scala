@@ -1600,6 +1600,11 @@ object SparkEntry {
     // rational idf core without the monotone ln wrapper — same libm
     // dodge as the linear tf-idf — and fixed-order per-term addition
     "text_bm25_topk" -> ((s, dir) => graft.text.TfIdf.bm25TopK(s, dir)),
+    // hybrid lexical+dense retrieval fused by reciprocal-rank fusion —
+    // rank-only fusion (no cross-leg score calibration), legs cut to
+    // top-50 before the fusion join ever forms
+    "text_hybrid_rrf" -> ((s, dir) =>
+      graft.text.HybridRetrieval.rrfTopK(s, dir)),
     // winnowing fingerprints (the MOSS local-dedup primitive): rightmost
     // window minima of the trigram rolling hashes, bounded-fanout
     // Generate + one row_number per window
@@ -6055,6 +6060,66 @@ object SparkEntry {
         |  c0, c1, c2
         |FROM agged
         |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // the two legs ranked under the same rounded-score total orders,
+    // fused by 1/(60+rank) sums in fixed leg order
+    "text_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM tok WHERE length(token) > 0 GROUP BY doc_id, token
+        |), dfq AS (
+        |  SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('hash', 'join', 'stream') GROUP BY token
+        |), dl AS (
+        |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+        |), tot AS (
+        |  SELECT CAST(sum(tf) AS DOUBLE) / CAST(count(DISTINCT doc_id) AS DOUBLE)
+        |    AS avgdl, count(DISTINCT doc_id) AS n_docs FROM tf
+        |), scored AS (
+        |  SELECT t.doc_id, t.token,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |       / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))
+        |      AS contrib
+        |  FROM tf t JOIN dfq USING (token) JOIN dl ON t.doc_id = dl.doc_id, tot
+        |), agged AS (
+        |  SELECT doc_id,
+        |    max(contrib) FILTER (WHERE token = 'hash') AS c0,
+        |    max(contrib) FILTER (WHERE token = 'join') AS c1,
+        |    max(contrib) FILTER (WHERE token = 'stream') AS c2
+        |  FROM scored GROUP BY doc_id
+        |), lex AS (
+        |  SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY
+        |      round(coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0), 6)
+        |        DESC, doc_id ASC) AS rn
+        |    FROM agged)
+        |  WHERE rn <= 50
+        |), q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id = 0
+        |), den AS (
+        |  SELECT doc_id, CAST(rn AS BIGINT) AS dense_rank FROM (
+        |    SELECT vec_id AS doc_id, row_number() OVER (ORDER BY
+        |      round(list_dot_product(qe, ee)
+        |            / sqrt(list_dot_product(qe, qe) * list_dot_product(ee, ee)),
+        |            6) DESC, vec_id ASC) AS rn
+        |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
+        |          FROM embeddings WHERE vec_id <> 0), q)
+        |  WHERE rn <= 50
+        |)
+        |SELECT doc_id, lex_rank, dense_rank,
+        |  coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), CAST(0.0 AS DOUBLE))
+        |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + dense_rank),
+        |               CAST(0.0 AS DOUBLE)) AS rrf
+        |FROM lex FULL OUTER JOIN den USING (doc_id)
+        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "cur_top_tokens" ->
       """SELECT token, count(*) AS n FROM (

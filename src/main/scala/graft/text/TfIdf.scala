@@ -77,6 +77,17 @@ object TfIdf {
     */
   def bm25TopK(s: SparkSession, dir: String,
       terms: Seq[String] = Seq("hash", "join", "stream"), k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(s, dir, terms, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** The un-cut BM25 score relation (doc_id, score, c0..cN-1) —
+    * everything [[bm25TopK]] ranks, before its TakeOrdered cut; also
+    * the lexical leg of [[HybridRetrieval.rrfTopK]], which needs its
+    * own (rounded-score, doc_id) rank order rather than the raw cut.
+    */
+  def bm25Scored(s: SparkSession, dir: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = tfCached(s, dir)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -110,8 +121,6 @@ object TfIdf {
       .agg(perTerm.head, perTerm.tail: _*)
       .select(Seq(col("doc_id"), total.as("score")) ++
         terms.indices.map(i => col(s"c$i")): _*)
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
   }
 
   def topTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {

@@ -11,6 +11,37 @@ import graft.text.TfIdf
   */
 class TfIdfSpec extends SparkSuite {
 
+  test("hybrid RRF fuses exactly the two legs' ranks and respects the cut") {
+    val dir = sf("sf0.001")
+    import org.apache.spark.sql.functions._
+    // independent leg recomputes (driver-side fusion of engine legs)
+    val lexRanks = TfIdf.bm25Scored(spark, dir, Seq("hash", "join", "stream"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        BigDecimal(r.getAs[Double]("score"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(50).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val denseRanks = graft.similarity.Similarity
+      .bruteForceTopK(spark, dir, nQueries = 1, k = 50).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("rank").toLong).toMap
+    val expected = (lexRanks.keySet ++ denseRanks.keySet).toSeq.map { id =>
+      val rrf = lexRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        denseRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, lexRanks.get(id), denseRanks.get(id), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(20)
+    val got = graft.text.HybridRetrieval.rrfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+    // fusion is meaningful only if it mixes legs — guard the fixture
+    assert(got.exists(_._2.isEmpty) || got.exists(_._3.isEmpty)
+      || got.exists(g => g._2.nonEmpty && g._3.nonEmpty))
+  }
+
   test("top terms match a driver recompute of linear tf-idf") {
     val dir = sf("sf0.001")
     val got = TfIdf.topTerms(spark, dir).collect()
