@@ -1633,6 +1633,11 @@ object SparkEntry {
 
     // brute-force cosine top-k (oracle-checked; fold-order-exact doubles)
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    // diversified rerank: greedy maximal-marginal-relevance over the
+    // brute top-50 — relevance minus max-similarity-to-selected, the
+    // redundancy killer for RAG context assembly; O(k·legK) after the
+    // candidate cut, corpus never touched past the leg
+    "sim_mmr_topk" -> ((s, dir) => Similarity.mmrTopK(s, dir)),
     // int8-quantized top-k (the 4× memory path): integer code dots over
     // integer norms, one final double division — oracle replays the
     // quantization and ranking value-exactly
@@ -2931,6 +2936,60 @@ object SparkEntry {
        |SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS core_degree
        |FROM r26 JOIN nation ON n_nationkey = src
        |GROUP BY 1""".stripMargin
+  }
+
+  /** The MMR greedy loop unrolled: sel0 is the typed empty relation,
+    * each round excludes the picked set, scores remaining candidates by
+    * λ·qcos − (1−λ)·max-sim-to-selected (empty-set term 0), and picks
+    * the (mmr DESC, vec_id ASC) argmax — identical operands to the
+    * engine's round, so the doubles agree bitwise.
+    */
+  private val SimMmrOracleSql: String = {
+    val steps = (1 to 10).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""m$i AS (
+         |  SELECT c.vec_id,
+         |    CAST(0.5 AS DOUBLE) * c.qcos - CAST(0.5 AS DOUBLE) * coalesce(
+         |      (SELECT max(p.sim) FROM pr p JOIN $prev s ON p.b = s.vec_id
+         |       WHERE p.a = c.vec_id), CAST(0.0 AS DOUBLE)) AS mmr
+         |  FROM cands c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |), p$i AS (
+         |  SELECT vec_id, mmr FROM m$i ORDER BY mmr DESC, vec_id ASC LIMIT 1
+         |), sel$i AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL SELECT vec_id, CAST($i AS BIGINT) AS step, mmr FROM p$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id = 0
+       |), cands AS MATERIALIZED (
+       |  SELECT vec_id, cos_sim AS qcos FROM (
+       |    SELECT vec_id, cos_sim,
+       |      row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+       |    FROM (
+       |      SELECT vec_id,
+       |        round(list_dot_product(qe, ee)
+       |              / sqrt(list_dot_product(qe, qe)
+       |                     * list_dot_product(ee, ee)), 6) AS cos_sim
+       |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
+       |            FROM embeddings WHERE vec_id <> 0), q))
+       |  WHERE rank <= 50
+       |), cv AS MATERIALIZED (
+       |  SELECT c.vec_id, CAST(e.embedding AS DOUBLE[]) AS ee
+       |  FROM cands c JOIN embeddings e USING (vec_id)
+       |), pr AS MATERIALIZED (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    round(list_dot_product(x.ee, y.ee)
+       |          / sqrt(list_dot_product(x.ee, x.ee)
+       |                 * list_dot_product(y.ee, y.ee)), 6) AS sim
+       |  FROM cv x, cv y WHERE x.vec_id <> y.vec_id
+       |), sel0 AS (
+       |  SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS step,
+       |    CAST(NULL AS DOUBLE) AS mmr WHERE 1 = 0
+       |), $steps
+       |SELECT step, vec_id, mmr FROM sel10""".stripMargin
   }
 
   private val PagerankTradeOracleSql: String = {
@@ -6168,6 +6227,11 @@ object SparkEntry {
         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE)
         |    / CAST(tot.n_true AS DOUBLE) AS recall
         |FROM tot LEFT JOIN h ON tot.qid = h.qid""".stripMargin,
+
+    // the greedy MMR selection unrolled as 10 materialized CTE rounds
+    // (the k-core/PageRank pattern): each round one correlated
+    // max-over-selected, one NOT IN cut, one (mmr, vec_id) argmax
+    "sim_mmr_topk" -> SimMmrOracleSql,
 
     "sim_topk" ->
       """WITH q AS (

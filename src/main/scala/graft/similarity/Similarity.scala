@@ -67,6 +67,61 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** DIVERSIFIED top-k by MAXIMAL MARGINAL RELEVANCE (Carbonell &
+    * Goldstein 1998) — the rerank every retrieval stack runs when the
+    * raw top-k is redundant (near-duplicate passages crowding a RAG
+    * context window): greedily pick the candidate maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so each pick is relevant
+    * AND far from everything already picked. λ = 1/2 is binary-exact.
+    *
+    * Determinism: candidate and pairwise cosines are rounded to 6 dp
+    * up front; each greedy step is then ±/× of identical IEEE operands
+    * and an argmax under the (mmr DESC, vec_id ASC) total order — the
+    * oracle unrolls the same k steps as CTE rounds. The empty-set
+    * diversity term is 0 by convention, so the first pick is the
+    * relevance argmax.
+    *
+    * Shape at 100 TB: candidate generation is the scale path (brute
+    * here; the ANN serving rankings produce the same contract) and cuts
+    * to `legK` rows FIRST; the ≤legK² pairwise-cosine digest and the k
+    * greedy rounds (one anti-join + one max-agg + one 1-row TakeOrdered
+    * each, localCheckpointed) never touch the corpus — MMR cost is
+    * O(k·legK) regardless of corpus size.
+    */
+  def mmrTopK(s: SparkSession, dir: String, legK: Int = 50, k: Int = 10,
+      qid: Long = 0L): DataFrame = {
+    val cands = bruteForceTopK(s, dir, nQueries = 1, k = legK)
+      .where(col("qid") === qid)
+      .select(col("vec_id"), col("cos_sim").as("qcos"))
+      .localCheckpoint(true)
+    val cv = cands.join(Tables.embeddings(s, dir), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val pairs = cv.as("x")
+      .join(broadcast(cv.as("y")), col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("sim"))
+      .localCheckpoint(true)
+    var sel = s.range(0)
+      .select(col("id").as("vec_id"), col("id").as("step"),
+        col("id").cast("double").as("mmr"))
+    for (i <- 1 to k) {
+      val simToSel = pairs
+        .join(sel.select(col("vec_id").as("b")), Seq("b"))
+        .groupBy(col("a")).agg(max(col("sim")).as("msim"))
+        .select(col("a").as("vec_id"), col("msim"))
+      val pick = cands
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(simToSel, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          (lit(0.5) * col("qcos")
+            - lit(0.5) * coalesce(col("msim"), lit(0.0))).as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), lit(i.toLong).as("step"), col("mmr"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("step"), col("vec_id"), col("mmr"))
+  }
+
   /** BINARY (1-bit) RETRIEVAL — the bottom rung of the quantization
     * ladder (below int8 and PQ): each vector collapses to its 64-bit
     * sign pattern (the codegen'd [[graft.functions.SignBits]]) and
