@@ -517,6 +517,11 @@ object SparkEntry {
     // the maintained dictionary — must equal the one-shot cur_line_dedup
     "stream_linededup_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayLineDedupIncremental(s, dir)),
+    // incremental self-repeat dictionary: per-batch per-gram partials
+    // (count + batch-local keeper, both mergeable) folded, excision cut
+    // against the maintained state — must equal cur_selfrepeat_spans
+    "stream_selfrepeat_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replaySelfRepeatIncremental(s, dir)),
     // incremental drift monitor: per-batch (date, bucket) partials
     // folded, split re-derived from the maintained span at report time
     // — must equal the one-shot dq_drift_chi2
@@ -2201,6 +2206,40 @@ object SparkEntry {
     * the one-shot gate and the incremental-dictionary replay, which
     * must reproduce it bit for bit.
     */
+  /** Shared by cur_selfrepeat_spans and stream_selfrepeat_incremental
+    * (the maintained dictionary must reproduce the one-shot excision).
+    */
+  private val SelfRepeatOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents
+      |), gp AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, greatest(len(tk) - 7, 0))) AS p,
+      |    unnest(list_transform(range(1, len(tk) - 6),
+      |      i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS g
+      |  FROM t
+      |), rk AS (
+      |  SELECT doc_id, p,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS cnt
+      |  FROM gp
+      |), cov AS (
+      |  SELECT DISTINCT rk.doc_id, rk.p + d.d AS pos
+      |  FROM rk, (SELECT unnest(range(0, 8)) AS d) d
+      |  WHERE rk.cnt > 1 AND rk.rn > 1
+      |), tok AS (
+      |  SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS w
+      |  FROM t
+      |)
+      |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(cov.pos) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tok.w END,
+      |    ' ' ORDER BY tok.pos), '') AS clean_text
+      |FROM tok LEFT JOIN cov
+      |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+      |GROUP BY tok.doc_id""".stripMargin
+
   private val LineDedupOracleSql: String =
     """WITH t AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
@@ -5831,36 +5870,12 @@ object SparkEntry {
     // duplicated 8-gram is its (doc_id, p)-first occurrence — the
     // oracle ranks definitionally with a window; the engine's
     // min-struct aggregate must pick the identical keeper
-    "cur_selfrepeat_spans" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents
-        |), gp AS (
-        |  SELECT doc_id,
-        |    unnest(range(0, greatest(len(tk) - 7, 0))) AS p,
-        |    unnest(list_transform(range(1, len(tk) - 6),
-        |      i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS g
-        |  FROM t
-        |), rk AS (
-        |  SELECT doc_id, p,
-        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
-        |    count(*) OVER (PARTITION BY g) AS cnt
-        |  FROM gp
-        |), cov AS (
-        |  SELECT DISTINCT rk.doc_id, rk.p + d.d AS pos
-        |  FROM rk, (SELECT unnest(range(0, 8)) AS d) d
-        |  WHERE rk.cnt > 1 AND rk.rn > 1
-        |), tok AS (
-        |  SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS w
-        |  FROM t
-        |)
-        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(count(cov.pos) AS BIGINT) AS n_removed,
-        |  coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tok.w END,
-        |    ' ' ORDER BY tok.pos), '') AS clean_text
-        |FROM tok LEFT JOIN cov
-        |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
-        |GROUP BY tok.doc_id""".stripMargin,
+    "cur_selfrepeat_spans" -> SelfRepeatOracleSql,
+
+    // the incrementally maintained gram dictionary (summed counts,
+    // min-folded keepers) must reproduce the one-shot excision bit for
+    // bit — the oracle IS cur_selfrepeat_spans
+    "stream_selfrepeat_incremental" -> SelfRepeatOracleSql,
 
     // the same gram CTEs as cur_decontaminate, but grouped per
     // (train, eval) pair with the containment ratio

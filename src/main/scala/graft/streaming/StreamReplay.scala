@@ -860,6 +860,42 @@ object StreamReplay {
     graft.text.Curation.lineDedupFromPartials(s, countsDir, dir)
   }
 
+  /** Replay of INCREMENTAL SELF-REPEAT dictionary maintenance: the
+    * documents table streams in micro-batches, each appending its
+    * per-gram partial state — occurrence count + batch-local first
+    * occurrence (Curation.appendGramStatsBatch — O(batch), LSM shape,
+    * idempotent via batchId markers). Counts sum and keepers min-fold
+    * exactly, so excision against the folded dictionary must equal the
+    * one-shot cur_selfrepeat_spans — whose oracle the gate reuses
+    * verbatim.
+    */
+  def replaySelfRepeatIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_selfrepeat_replay")
+    val countsDir = tmp.resolve("counts").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val feed = memoFeed("selfrepeat", dir, nBatches) { p =>
+      docs.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.text.Curation.appendGramStatsBatch(s, countsDir, batch,
+            batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.text.Curation.selfRepeatFromPartials(s, countsDir, dir)
+  }
+
   /** Replay of INCREMENTAL TOKENIZER-TRAINING state: the documents
     * table streams in micro-batches, each batch appending its word-type
     * PARTIAL counts (Bpe.appendWordTypeBatch — O(batch), LSM shape,

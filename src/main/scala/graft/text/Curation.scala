@@ -582,24 +582,38 @@ object Curation {
     * key once and the doc key once.
     */
   def selfRepeatSpans(s: SparkSession, dir: String, w: Int = 8): DataFrame = {
-    val tk = split(trim(col("text")), "\\s+")
-    val base = Tables.documents(s, dir).select(col("doc_id"), tk.as("tk"))
-    val occ = base
-      .select(col("doc_id"),
-        posexplode(wordGrams(col("tk"), w)).as(Seq("p", "g")))
+    val occ = gramOccurrences(Tables.documents(s, dir), w)
     val dupGrams = occ.groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("p"))).as("keep"))
       .where(col("cnt") > 1)
       .select(col("g"), col("keep"))
-    val covered = occ.join(dupGrams, Seq("g"))
+    selfRepeatAgainst(Tables.documents(s, dir), dupGrams, w)
+  }
+
+  /** The per-gram position scan shared by the one-shot pass and the
+    * incremental batch half.
+    */
+  private def gramOccurrences(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .select(col("doc_id"),
+        posexplode(wordGrams(col("tk"), w)).as(Seq("p", "g")))
+
+  /** Excision half: cut every occurrence of a `dupGrams` gram except
+    * its keeper, rebuild survivors in order (the decontaminateSpans
+    * machinery with a keeper exemption).
+    */
+  private def selfRepeatAgainst(docs: DataFrame, dupGrams: DataFrame,
+      w: Int): DataFrame = {
+    val covered = gramOccurrences(docs, w).join(dupGrams, Seq("g"))
       .where(!(col("doc_id") === col("keep.doc_id")
         && col("p") === col("keep.p")))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (w - 1))).as("pos"))
       .distinct()
       .select(col("doc_id"), col("pos"), lit(1).as("__cut"))
-    base.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "word")))
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "word")))
       .join(covered, Seq("doc_id", "pos"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -608,6 +622,49 @@ object Curation {
           array_sort(collect_list(when(col("__cut").isNull,
             struct(col("pos"), col("word"))))),
           x => x.getField("word")), " ").as("clean_text"))
+  }
+
+  /** Batch half of INCREMENTAL gram-dictionary maintenance for
+    * [[selfRepeatSpans]]: one micro-batch's per-gram PARTIAL state —
+    * occurrence count plus the batch-local first occurrence — appends
+    * as an LSM partial, O(batch) per batch. Both components merge
+    * exactly (counts sum; keepers min-fold over (doc_id, p) structs),
+    * so the folded dictionary equals the one-shot corpus scan no matter
+    * how documents were batched. batchId markers make re-delivery a
+    * no-op (same commit-window caveat as appendTokenCountBatch).
+    */
+  def appendGramStatsBatch(s: SparkSession, countsDir: String,
+      batch: DataFrame, w: Int = 8, batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$countsDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    gramOccurrences(batch, w)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("keep"))
+      .select(col("g"), col("cnt"),
+        col("keep.doc_id").as("keep_doc"), col("keep.p").as("keep_pos"))
+      .write.mode("append").parquet(s"$countsDir/partials")
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** Report half: fold the gram partials (sum counts, min-fold keepers)
+    * and run the same excision — must EQUAL the one-shot
+    * [[selfRepeatSpans]] (the gate reuses its oracle verbatim).
+    */
+  def selfRepeatFromPartials(s: SparkSession, countsDir: String,
+      dir: String, w: Int = 8): DataFrame = {
+    val dup = s.read.parquet(s"$countsDir/partials")
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("cnt"),
+        min(struct(col("keep_doc").as("doc_id"), col("keep_pos").as("p")))
+          .as("keep"))
+      .where(col("cnt") > 1)
+      .select(col("g"), col("keep"))
+    selfRepeatAgainst(Tables.documents(s, dir), dup, w)
   }
 
   /** Pairwise contamination ATTRIBUTION: which held-out document leaks

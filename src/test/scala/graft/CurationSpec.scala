@@ -473,6 +473,32 @@ class CurationSpec extends SparkSuite {
     assert(totalRemoved > 0)
   }
 
+  test("incremental gram dictionary: cross-batch keeper, fold equals one-shot, re-delivery no-ops") {
+    import spark.implicits._
+    val counts = graft.util.Scratch.dir("selfrepeat_inc").resolve("c").toString
+    val phrase = "a b c d e f g h" // one exact 8-gram
+    // the gram occurs in doc 5 (batch 1) and doc 1 (batch 2): the GLOBAL
+    // keeper is doc 1 even though batch 1 appended first — min-fold
+    // across partials must beat append order
+    val b1 = Seq(5L -> s"$phrase x y z").toDF("doc_id", "text")
+    val b2 = Seq(1L -> s"p q $phrase", 2L -> "unrelated words only here")
+      .toDF("doc_id", "text")
+    Curation.appendGramStatsBatch(spark, counts, b1, batchId = Some(0L))
+    Curation.appendGramStatsBatch(spark, counts, b2, batchId = Some(1L))
+    Curation.appendGramStatsBatch(spark, counts, b2, batchId = Some(1L)) // re-delivery
+    val all = b1.unionByName(b2)
+    val d = dirFromDf(all)
+    val inc = Curation.selfRepeatFromPartials(spark, counts, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val one = Curation.selfRepeatSpans(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(inc == one)
+    // doc 1 keeps the phrase (keeper), doc 5 loses exactly its 8 tokens
+    assert(inc(1L) == ((0L, s"p q $phrase")))
+    assert(inc(5L) == ((8L, "x y z")))
+    assert(inc(2L)._1 == 0L)
+  }
+
   test("token fertility matches a driver recompute per language") {
     val out = Curation.tokenFertility(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
