@@ -1551,6 +1551,17 @@ object SparkEntry {
           size(col("tokens")).cast("long").as("n_tokens"),
           array_join(col("tokens"), "|").as("tokens_str"))
     }),
+    // greedy longest-match (MaxMatch / WordPiece-style) inference over
+    // the SAME trained artifact — the other tokenizer inference
+    // algorithm; vocabulary = base letters + merge concatenations
+    "cur_maxmatch_tokenize" -> ((s, dir) => {
+      val vocab = graft.text.Bpe.maxMatchVocab(
+        graft.text.Bpe.trainedMerges(s, dir))
+      graft.text.Bpe.maxMatchTokenize(graft.text.Bpe.wordTypes(s, dir), vocab)
+        .select(col("word"), col("freq"),
+          size(col("tokens")).cast("long").as("n_pieces"),
+          array_join(col("tokens"), "|").as("pieces_str"))
+    }),
     // context-window chunking: 64-token chunks every 48 tokens (narrow
     // map + explode; the tail chunk is kept, every doc yields >=1 chunk)
     // bigram-LM quality score (the CCNet/Gopher LM-filter stage) in
@@ -6638,6 +6649,56 @@ object SparkEntry {
          |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_tokens,
          |  array_to_string(syms, '|') AS tokens_str
          |FROM st8""".stripMargin,
+
+    // the MaxMatch fold replayed verbatim: vocabulary from the trained
+    // merges (the BpeCtes chain), longest prefix per step as the MAX of
+    // matching candidate lengths, position derived from tokens-so-far
+    "cur_maxmatch_tokenize" ->
+      s"""WITH ${BpeCtes(8, 2000)},
+         |mg AS (
+         |  SELECT l || r AS v FROM b1 UNION ALL SELECT l || r FROM b2
+         |  UNION ALL SELECT l || r FROM b3 UNION ALL SELECT l || r FROM b4
+         |  UNION ALL SELECT l || r FROM b5 UNION ALL SELECT l || r FROM b6
+         |  UNION ALL SELECT l || r FROM b7 UNION ALL SELECT l || r FROM b8
+         |), voc AS (
+         |  SELECT list(DISTINCT v) AS vocab,
+         |    greatest(max(length(v)), 1) AS maxlen
+         |  FROM (SELECT v FROM mg UNION
+         |        SELECT unnest(regexp_extract_all('abcdefghijklmnopqrstuvwxyz',
+         |          '.')) AS v)
+         |), res AS (
+         |  SELECT word, freq,
+         |    list_reduce(
+         |      list_prepend(CAST([] AS VARCHAR[]),
+         |        list_transform(range(1, length(word) + 1),
+         |          i -> [CAST(i AS VARCHAR)])),
+         |      (acc, st) -> CASE
+         |        WHEN coalesce(length(array_to_string(acc, '')), 0) >= length(word)
+         |          THEN acc
+         |        ELSE list_append(acc, CASE
+         |          WHEN list_max(list_filter(range(1, maxlen + 1),
+         |              L -> L <= length(word)
+         |                     - coalesce(length(array_to_string(acc, '')), 0)
+         |                AND list_contains(vocab, substr(word,
+         |                  coalesce(length(array_to_string(acc, '')), 0) + 1,
+         |                  CAST(L AS BIGINT))))) IS NULL
+         |            THEN substr(word,
+         |              coalesce(length(array_to_string(acc, '')), 0) + 1, 1)
+         |          ELSE substr(word,
+         |            coalesce(length(array_to_string(acc, '')), 0) + 1,
+         |            list_max(list_filter(range(1, maxlen + 1),
+         |              L -> L <= length(word)
+         |                     - coalesce(length(array_to_string(acc, '')), 0)
+         |                AND list_contains(vocab, substr(word,
+         |                  coalesce(length(array_to_string(acc, '')), 0) + 1,
+         |                  CAST(L AS BIGINT))))))
+         |          END)
+         |        END) AS pieces
+         |  FROM wt, voc
+         |)
+         |SELECT word, freq, CAST(len(pieces) AS BIGINT) AS n_pieces,
+         |  array_to_string(pieces, '|') AS pieces_str
+         |FROM res""".stripMargin,
 
     // the merges retrained from incrementally-maintained word-type
     // partials must equal the batch-trained table — same oracle

@@ -172,4 +172,52 @@ object Bpe {
       merges.foldLeft(chars(col(wordCol))) { case (syms, (l, r)) =>
         applyMerge(syms, l, r)
       })
+
+  /** GREEDY LONGEST-MATCH (MaxMatch) tokenizer inference — the
+    * WordPiece-family alternative to merge replay: at each position
+    * take the longest vocabulary string prefixing the remainder (the
+    * single character as the unk-fallback), repeat. The vocabulary is
+    * the 26 base letters plus the trained merge concatenations — the
+    * same persisted artifact [[tokenizeWith]] replays, consumed the way
+    * WordPiece consumes it. Both inference algorithms over one trained
+    * state is exactly the production question "does my corpus tokenize
+    * differently under MaxMatch?".
+    *
+    * Mechanics: one fold per word over ≤|word| steps, each step finding
+    * the longest match as the MAX of the matching candidate lengths
+    * (list-filter + max — order-free, no inner loop); the consumed
+    * position is derived from the concatenation of the tokens picked so
+    * far, so the state is just the token list. A pure narrow map with a
+    * literal vocabulary — embarrassingly parallel, no shuffle, no
+    * state; the oracle replays the identical fold with DuckDB list
+    * lambdas. All string/integer ops, nothing for engines to round.
+    */
+  def maxMatchTokenize(words: DataFrame, vocab: Seq[String],
+      wordCol: String = "word"): DataFrame = {
+    val maxLen = math.max(1, vocab.map(_.length).max)
+    val vocabArr = array(vocab.map(lit): _*)
+    val toks = aggregate(
+      sequence(lit(1), length(col(wordCol))),
+      array().cast("array<string>"),
+      (acc, _) => {
+        val pos = length(array_join(acc, ""))
+        val rem = length(col(wordCol)) - pos
+        val bestLen = array_max(filter(sequence(lit(1), lit(maxLen)),
+          L => L <= rem
+            && array_contains(vocabArr,
+              col(wordCol).substr(pos + lit(1), L))))
+        val tok = when(bestLen.isNull,
+          col(wordCol).substr(pos + lit(1), lit(1)))
+          .otherwise(col(wordCol).substr(pos + lit(1), bestLen))
+        when(pos >= length(col(wordCol)), acc)
+          .otherwise(concat(acc, array(tok)))
+      })
+    words.withColumn("tokens", toks)
+  }
+
+  /** The MaxMatch vocabulary from the trained merge artifact: base
+    * letters plus every merge's concatenation.
+    */
+  def maxMatchVocab(merges: Seq[(Long, String, String, Long)]): Seq[String] =
+    (('a' to 'z').map(_.toString) ++ merges.map(m => m._2 + m._3)).distinct
 }

@@ -86,6 +86,20 @@ class BpeSpec extends SparkSuite {
     assert(incr.nonEmpty)
   }
 
+  test("MaxMatch takes the longest prefix greedily and falls back per character") {
+    import spark.implicits._
+    val words = Seq("abcd", "fastest", "x9y").toDF("word")
+    val vocab = ('a' to 'z').map(_.toString) ++ Seq("ab", "abc", "cd", "fast", "st")
+    val got = Bpe.maxMatchTokenize(words, vocab).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // greedy prefers "abc" over the globally nicer ab|cd split —
+    // longest-match semantics, not optimal segmentation
+    assert(got("abcd") == List("abc", "d"))
+    assert(got("fastest") == List("fast", "e", "st"))
+    // '9' is out of vocabulary: single-character fallback keeps going
+    assert(got("x9y") == List("x", "9", "y"))
+  }
+
   test("corpus that runs out of pairs stops early with the merges it found") {
     import spark.implicits._
     val d = graft.util.Scratch.dir("bpe_tiny")
