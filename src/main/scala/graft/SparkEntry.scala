@@ -717,6 +717,13 @@ object SparkEntry {
           .select(col("n_nationkey").as("node"), col("n_name"))), "node")
         .select(col("n_name").as("nation"), col("pr"))),
 
+    // whole-graph topology summary: global clustering coefficient +
+    // degree assortativity over the mutual top-7 trade graph — exact
+    // integer wedge/triangle/moment sums, the oracle counts triangles
+    // definitionally so the oriented-closure algorithm is cross-checked
+    "q_graph_stats_trade" -> ((s, dir) =>
+      graft.operators.GraphStats.summary(mutualTopTradeEdges(s, dir, 7))),
+
     // k-core decomposition (iterative peel) of the MUTUAL top-7 trade
     // partner graph — cohesion, where components give reachability and
     // triangles give local closure; the mutual-kNN construction is the
@@ -2941,6 +2948,76 @@ object SparkEntry {
        |FROM p$iters JOIN nation ON n_nationkey = p$iters.node""".stripMargin
   }
 
+  /** Clustering coefficient + assortativity, with triangles counted
+    * DEFINITIONALLY (ordered triple join over u<v canonical edges) —
+    * the textbook cross-check of the engine's oriented-wedge closure.
+    * cc uses the halving-free integer identity 6T / Σd(d−1); the corr
+    * tree casts the exact integer moments to double in the same order
+    * as the engine.
+    */
+  private val GraphStatsTradeOracleSql: String =
+    """WITH e0 AS MATERIALIZED (
+      |  SELECT c_nationkey AS src, s_nationkey AS dst,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |      AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey <> s_nationkey
+      |  GROUP BY 1, 2
+      |), top AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC)
+      |        AS rn
+      |    FROM e0)
+      |  WHERE rn <= 7
+      |), mut AS MATERIALIZED (
+      |  SELECT a.src, a.dst FROM top a
+      |  JOIN top b ON a.src = b.dst AND a.dst = b.src
+      |), canon AS MATERIALIZED (
+      |  SELECT DISTINCT src AS u, dst AS v FROM mut WHERE src < dst
+      |), deg AS MATERIALIZED (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT u AS node FROM canon UNION ALL SELECT v FROM canon)
+      |  GROUP BY 1
+      |), dstats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(d * (d - 1)) AS BIGINT) AS w2
+      |  FROM deg
+      |), ecnt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM canon
+      |), tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS t
+      |  FROM canon e1
+      |  JOIN canon e2 ON e2.u = e1.v
+      |  JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), mo AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM (
+      |    SELECT du.d AS x, dv.d AS y
+      |    FROM mut JOIN deg du ON du.node = mut.src
+      |    JOIN deg dv ON dv.node = mut.dst)
+      |)
+      |SELECT n_nodes, n_edges, t AS n_triangles, w2 // 2 AS n_wedges,
+      |  CAST(t * 6 AS DOUBLE) / nullif(CAST(w2 AS DOUBLE), 0.0)
+      |    AS clustering_coeff,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt(nullif(greatest(
+      |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 0.0))
+      |    AS assortativity
+      |FROM dstats, ecnt, tri, mo""".stripMargin
+
   /** The k-core peel unrolled as chained CTEs (the PageRank-steps
     * pattern): rN keeps the edges of r(N-1) whose BOTH endpoints still
     * have degree ≥ k. 26 rounds ≥ |nations|+1 guarantees the fixpoint
@@ -4420,6 +4497,7 @@ object SparkEntry {
     "q_pagerank_trade" -> PagerankTradeOracleSql,
     "q_ppr_trade" -> PprTradeOracleSql,
     "q_kcore_trade" -> KcoreTradeOracleSql,
+    "q_graph_stats_trade" -> GraphStatsTradeOracleSql,
 
     // the textbook dominance definition — the engine's chunked
     // two-pass plan must reproduce it exactly

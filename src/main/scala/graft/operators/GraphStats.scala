@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph topology summary — the two numbers a graph pipeline
+  * reports before any algorithm choice: the GLOBAL CLUSTERING
+  * COEFFICIENT (3·triangles / wedges — how much of the neighborhood
+  * structure closes into triangles; Watts-Strogatz's small-world
+  * diagnostic) and DEGREE ASSORTATIVITY (Newman 2002 — the Pearson
+  * correlation of degrees across edge ends: positive means hubs attach
+  * to hubs, negative means hub-and-spoke).
+  *
+  * Exactness: triangles come from the degree-ordered closure
+  * ([[Triangles]] — algorithmic), wedges and the assortativity moments
+  * from exact integer sums; the only doubles are one division (cc) and
+  * the textbook corr tree on identical operands (the fx_change_corr
+  * formula discipline). The oracle counts triangles DEFINITIONALLY
+  * (ordered triple join), so the gate cross-checks the oriented-wedge
+  * algorithm against the textbook semantics.
+  *
+  * Scale shape: one degree aggregation (map-side combinable), the
+  * [[Triangles]] wedge join (out-degree O(√|E|)-bounded), and two
+  * scalar aggregates — everything shuffles on node keys; the 1-row
+  * digests compose via broadcast cross joins. Halvings are avoided in
+  * integer space (cc = 2·Σnode-tri / Σd(d−1), since Σnode-tri = 3T and
+  * Σd(d−1) = 2·wedges), so no fraction ever truncates.
+  */
+object GraphStats {
+
+  /** `edges`: a SYMMETRIC directed edge list (both orientations, no
+    * self-loops). Returns ONE row: n_nodes, n_edges, n_triangles,
+    * n_wedges, clustering_coeff, assortativity.
+    */
+  def summary(edges: DataFrame): DataFrame = {
+    val canon = edges.where(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")).distinct()
+      .localCheckpoint(true)
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("d") * (col("d") - lit(1))).as("w2"))
+    val eAgg = canon.agg(count(lit(1)).as("n_edges"))
+    val triAgg = Triangles.triangleCounts(canon)
+      .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("tsum"))
+    val ends = edges
+      .join(deg.select(col("node").as("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("y")), Seq("dst"))
+    val moAgg = ends.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    degAgg.crossJoin(broadcast(eAgg)).crossJoin(broadcast(triAgg))
+      .crossJoin(broadcast(moAgg))
+      .select(col("n_nodes"), col("n_edges"),
+        expr("tsum div 3").as("n_triangles"),
+        expr("w2 div 2").as("n_wedges"),
+        ((col("tsum") * lit(2)).cast("double")
+          / nullif(col("w2").cast("double"), lit(0.0)))
+          .as("clustering_coeff"),
+        (cov / sqrt(nullif(greatest(vx * vy, lit(0.0)), lit(0.0))))
+          .as("assortativity"))
+  }
+}
