@@ -1628,6 +1628,11 @@ object SparkEntry {
     // top-50 before the fusion join ever forms
     "text_hybrid_rrf" -> ((s, dir) =>
       graft.text.HybridRetrieval.rrfTopK(s, dir)),
+    // the composed RAG serving chain: hybrid fusion → MMR
+    // diversification over the fused candidates → greedy token-budget
+    // context packing; each stage also gated in isolation
+    "cur_rag_context" -> ((s, dir) =>
+      graft.text.HybridRetrieval.ragContext(s, dir)),
     // winnowing fingerprints (the MOSS local-dedup primitive): rightmost
     // window minima of the trigram rolling hashes, bounded-fanout
     // Generate + one row_number per window
@@ -3065,18 +3070,20 @@ object SparkEntry {
        |GROUP BY 1""".stripMargin
   }
 
-  /** The MMR greedy loop unrolled: sel0 is the typed empty relation,
-    * each round excludes the picked set, scores remaining candidates by
-    * λ·qcos − (1−λ)·max-sim-to-selected (empty-set term 0), and picks
+  /** The unrolled MMR greedy rounds over CTEs `cands` (vec_id, rel)
+    * and `pr` (a, b, sim): sel0 is the typed empty relation, each round
+    * excludes the picked set, scores remaining candidates by
+    * λ·rel − (1−λ)·max-sim-to-selected (empty-set term 0), and picks
     * the (mmr DESC, vec_id ASC) argmax — identical operands to the
-    * engine's round, so the doubles agree bitwise.
+    * engine's round, so the doubles agree bitwise. Shared by the
+    * cosine-relevance gate and the RAG composition.
     */
-  private val SimMmrOracleSql: String = {
-    val steps = (1 to 10).map { i =>
+  private def MmrRoundsSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
       val prev = s"sel${i - 1}"
       s"""m$i AS (
          |  SELECT c.vec_id,
-         |    CAST(0.5 AS DOUBLE) * c.qcos - CAST(0.5 AS DOUBLE) * coalesce(
+         |    CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * coalesce(
          |      (SELECT max(p.sim) FROM pr p JOIN $prev s ON p.b = s.vec_id
          |       WHERE p.a = c.vec_id), CAST(0.0 AS DOUBLE)) AS mmr
          |  FROM cands c
@@ -3088,11 +3095,31 @@ object SparkEntry {
          |  UNION ALL SELECT vec_id, CAST($i AS BIGINT) AS step, mmr FROM p$i
          |)""".stripMargin
     }.mkString(", ")
+    s"""sel0 AS (
+       |  SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS step,
+       |    CAST(NULL AS DOUBLE) AS mmr WHERE 1 = 0
+       |), $steps""".stripMargin
+  }
+
+  /** Pairwise candidate cosines CTE (`pr`) over whatever `cands` holds. */
+  private val MmrPairCtes: String =
+    """cv AS MATERIALIZED (
+      |  SELECT c.vec_id, CAST(e.embedding AS DOUBLE[]) AS ee
+      |  FROM cands c JOIN embeddings e USING (vec_id)
+      |), pr AS MATERIALIZED (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |    round(list_dot_product(x.ee, y.ee)
+      |          / sqrt(list_dot_product(x.ee, x.ee)
+      |                 * list_dot_product(y.ee, y.ee)), 6) AS sim
+      |  FROM cv x, cv y WHERE x.vec_id <> y.vec_id
+      |)""".stripMargin
+
+  private val SimMmrOracleSql: String =
     s"""WITH q AS (
        |  SELECT CAST(embedding AS DOUBLE[]) AS qe
        |  FROM embeddings WHERE vec_id = 0
        |), cands AS MATERIALIZED (
-       |  SELECT vec_id, cos_sim AS qcos FROM (
+       |  SELECT vec_id, cos_sim AS rel FROM (
        |    SELECT vec_id, cos_sim,
        |      row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
        |    FROM (
@@ -3103,21 +3130,96 @@ object SparkEntry {
        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
        |            FROM embeddings WHERE vec_id <> 0), q))
        |  WHERE rank <= 50
-       |), cv AS MATERIALIZED (
-       |  SELECT c.vec_id, CAST(e.embedding AS DOUBLE[]) AS ee
-       |  FROM cands c JOIN embeddings e USING (vec_id)
-       |), pr AS MATERIALIZED (
-       |  SELECT x.vec_id AS a, y.vec_id AS b,
-       |    round(list_dot_product(x.ee, y.ee)
-       |          / sqrt(list_dot_product(x.ee, x.ee)
-       |                 * list_dot_product(y.ee, y.ee)), 6) AS sim
-       |  FROM cv x, cv y WHERE x.vec_id <> y.vec_id
-       |), sel0 AS (
-       |  SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS step,
-       |    CAST(NULL AS DOUBLE) AS mmr WHERE 1 = 0
-       |), $steps
+       |), $MmrPairCtes, ${MmrRoundsSql(10)}
        |SELECT step, vec_id, mmr FROM sel10""".stripMargin
-  }
+
+  /** The hybrid-fusion CTE chain ending in `fused` (doc_id, lex_rank,
+    * dense_rank, rrf, rnk) — shared by the fusion gate and the RAG
+    * composition.
+    */
+  private val HybridRrfCtes: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, count(*) AS tf
+      |  FROM tok WHERE length(token) > 0 GROUP BY doc_id, token
+      |), dfq AS (
+      |  SELECT token, count(*) AS df FROM tf
+      |  WHERE token IN ('hash', 'join', 'stream') GROUP BY token
+      |), dl AS (
+      |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+      |), tot AS (
+      |  SELECT CAST(sum(tf) AS DOUBLE) / CAST(count(DISTINCT doc_id) AS DOUBLE)
+      |    AS avgdl, count(DISTINCT doc_id) AS n_docs FROM tf
+      |), scored AS (
+      |  SELECT t.doc_id, t.token,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |       / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(t.tf AS DOUBLE) * 2.2)
+      |      / (CAST(t.tf AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))
+      |      AS contrib
+      |  FROM tf t JOIN dfq USING (token) JOIN dl ON t.doc_id = dl.doc_id, tot
+      |), agged AS (
+      |  SELECT doc_id,
+      |    max(contrib) FILTER (WHERE token = 'hash') AS c0,
+      |    max(contrib) FILTER (WHERE token = 'join') AS c1,
+      |    max(contrib) FILTER (WHERE token = 'stream') AS c2
+      |  FROM scored GROUP BY doc_id
+      |), lex AS (
+      |  SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY
+      |      round(coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0), 6)
+      |        DESC, doc_id ASC) AS rn
+      |    FROM agged)
+      |  WHERE rn <= 50
+      |), q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id = 0
+      |), den AS (
+      |  SELECT doc_id, CAST(rn AS BIGINT) AS dense_rank FROM (
+      |    SELECT vec_id AS doc_id, row_number() OVER (ORDER BY
+      |      round(list_dot_product(qe, ee)
+      |            / sqrt(list_dot_product(qe, qe) * list_dot_product(ee, ee)),
+      |            6) DESC, vec_id ASC) AS rn
+      |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
+      |          FROM embeddings WHERE vec_id <> 0), q)
+      |  WHERE rn <= 50
+      |), fused AS MATERIALIZED (
+      |  SELECT doc_id, lex_rank, dense_rank, rrf,
+      |    row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk
+      |  FROM (
+      |    SELECT doc_id, lex_rank, dense_rank,
+      |      coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank),
+      |               CAST(0.0 AS DOUBLE))
+      |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + dense_rank),
+      |                   CAST(0.0 AS DOUBLE)) AS rrf
+      |    FROM lex FULL OUTER JOIN den USING (doc_id))
+      |)""".stripMargin
+
+  /** The composed RAG oracle: fusion CTEs → MMR rounds over the fused
+    * top-20 (relevance = rrf, so no extra rounding is needed — the
+    * fusion score is already two exact divisions) → running token sum
+    * in pick order with the inclusion cut.
+    */
+  private val CurRagContextOracleSql: String =
+    s"""WITH $HybridRrfCtes, cands AS MATERIALIZED (
+       |  SELECT doc_id AS vec_id, rrf AS rel FROM fused WHERE rnk <= 20
+       |), $MmrPairCtes, ${MmrRoundsSql(8)},
+       |tokc AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT s.vec_id AS doc_id, s.step, s.mmr, tokc.n_tokens,
+       |  CAST(sum(tokc.n_tokens) OVER (ORDER BY s.step) AS BIGINT)
+       |    AS cum_tokens,
+       |  CAST(sum(tokc.n_tokens) OVER (ORDER BY s.step) AS BIGINT) <= 512
+       |    AS included
+       |FROM sel8 s JOIN tokc ON tokc.doc_id = s.vec_id""".stripMargin
 
   private val PagerankTradeOracleSql: String = {
     val iters = 5
@@ -6227,62 +6329,14 @@ object SparkEntry {
     // the two legs ranked under the same rounded-score total orders,
     // fused by 1/(60+rank) sums in fixed leg order
     "text_hybrid_rrf" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, token, count(*) AS tf
-        |  FROM tok WHERE length(token) > 0 GROUP BY doc_id, token
-        |), dfq AS (
-        |  SELECT token, count(*) AS df FROM tf
-        |  WHERE token IN ('hash', 'join', 'stream') GROUP BY token
-        |), dl AS (
-        |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
-        |), tot AS (
-        |  SELECT CAST(sum(tf) AS DOUBLE) / CAST(count(DISTINCT doc_id) AS DOUBLE)
-        |    AS avgdl, count(DISTINCT doc_id) AS n_docs FROM tf
-        |), scored AS (
-        |  SELECT t.doc_id, t.token,
-        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-        |       / (CAST(df AS DOUBLE) + 0.5))
-        |      * (CAST(t.tf AS DOUBLE) * 2.2)
-        |      / (CAST(t.tf AS DOUBLE)
-        |         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))
-        |      AS contrib
-        |  FROM tf t JOIN dfq USING (token) JOIN dl ON t.doc_id = dl.doc_id, tot
-        |), agged AS (
-        |  SELECT doc_id,
-        |    max(contrib) FILTER (WHERE token = 'hash') AS c0,
-        |    max(contrib) FILTER (WHERE token = 'join') AS c1,
-        |    max(contrib) FILTER (WHERE token = 'stream') AS c2
-        |  FROM scored GROUP BY doc_id
-        |), lex AS (
-        |  SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
-        |    SELECT doc_id, row_number() OVER (ORDER BY
-        |      round(coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0), 6)
-        |        DESC, doc_id ASC) AS rn
-        |    FROM agged)
-        |  WHERE rn <= 50
-        |), q AS (
-        |  SELECT CAST(embedding AS DOUBLE[]) AS qe
-        |  FROM embeddings WHERE vec_id = 0
-        |), den AS (
-        |  SELECT doc_id, CAST(rn AS BIGINT) AS dense_rank FROM (
-        |    SELECT vec_id AS doc_id, row_number() OVER (ORDER BY
-        |      round(list_dot_product(qe, ee)
-        |            / sqrt(list_dot_product(qe, qe) * list_dot_product(ee, ee)),
-        |            6) DESC, vec_id ASC) AS rn
-        |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
-        |          FROM embeddings WHERE vec_id <> 0), q)
-        |  WHERE rn <= 50
-        |)
-        |SELECT doc_id, lex_rank, dense_rank,
-        |  coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), CAST(0.0 AS DOUBLE))
-        |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + dense_rank),
-        |               CAST(0.0 AS DOUBLE)) AS rrf
-        |FROM lex FULL OUTER JOIN den USING (doc_id)
-        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
+      s"""WITH $HybridRrfCtes
+         |SELECT doc_id, lex_rank, dense_rank, rrf
+         |FROM fused WHERE rnk <= 20""".stripMargin,
+
+    // the composed RAG context chain: the hybrid fusion CTEs, the MMR
+    // rounds over the fused top-20 (relevance = rrf), and the greedy
+    // token pack as a running sum in pick order
+    "cur_rag_context" -> CurRagContextOracleSql,
 
     "cur_top_tokens" ->
       """SELECT token, count(*) AS n FROM (

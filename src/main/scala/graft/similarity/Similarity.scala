@@ -92,15 +92,32 @@ object Similarity {
       qid: Long = 0L): DataFrame = {
     val cands = bruteForceTopK(s, dir, nQueries = 1, k = legK)
       .where(col("qid") === qid)
-      .select(col("vec_id"), col("cos_sim").as("qcos"))
+      .select(col("vec_id"), col("cos_sim").as("rel"))
       .localCheckpoint(true)
+    mmrSelect(cands, candidatePairSims(s, dir, cands), k)
+  }
+
+  /** Pairwise rounded cosines among a bounded candidate set — the
+    * diversity relation both MMR consumers share.
+    */
+  def candidatePairSims(s: SparkSession, dir: String,
+      cands: DataFrame): DataFrame = {
     val cv = cands.join(Tables.embeddings(s, dir), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"))
-    val pairs = cv.as("x")
+    cv.as("x")
       .join(broadcast(cv.as("y")), col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         round(cosine(col("x.embedding"), col("y.embedding")), 6).as("sim"))
       .localCheckpoint(true)
+  }
+
+  /** The greedy MMR core over ANY (vec_id, rel) candidate relation and
+    * (a, b, sim) pair relation — relevance may be a cosine, an RRF
+    * fusion score, or any calibrated rank signal; the selection
+    * semantics and determinism devices are identical.
+    */
+  def mmrSelect(cands: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    val s = cands.sparkSession
     var sel = s.range(0)
       .select(col("id").as("vec_id"), col("id").as("step"),
         col("id").cast("double").as("mmr"))
@@ -113,7 +130,7 @@ object Similarity {
         .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .join(simToSel, Seq("vec_id"), "left_outer")
         .select(col("vec_id"),
-          (lit(0.5) * col("qcos")
+          (lit(0.5) * col("rel")
             - lit(0.5) * coalesce(col("msim"), lit(0.0))).as("mmr"))
         .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
         .select(col("vec_id"), lit(i.toLong).as("step"), col("mmr"))

@@ -55,4 +55,36 @@ object HybridRetrieval {
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** The COMPOSED retrieval-to-context chain a RAG serving path runs:
+    * hybrid RRF fusion ([[rrfTopK]]) → greedy MMR diversification over
+    * the fused candidates (relevance = the fusion score —
+    * [[graft.similarity.Similarity.mmrSelect]] is relevance-agnostic) →
+    * greedy CONTEXT PACKING: picks enter the context window in MMR
+    * order while the running token total fits `budget`. Every stage is
+    * also gated in isolation; this gate pins the composition.
+    *
+    * Output, one row per MMR pick: doc_id, step, mmr, n_tokens,
+    * cum_tokens, included — the audit record of what made the context
+    * and why ("dropped: over budget at step 6" is a row, not a log
+    * line). The running sum is a window over ≤k rows in step order;
+    * everything upstream keeps its own gate's scale shape.
+    */
+  def ragContext(s: SparkSession, dir: String, k: Int = 8,
+      budget: Long = 512L): DataFrame = {
+    import graft.similarity.Similarity
+    val cands = rrfTopK(s, dir)
+      .select(col("doc_id").as("vec_id"), col("rrf").as("rel"))
+      .localCheckpoint(true)
+    val picks = Similarity.mmrSelect(cands,
+      Similarity.candidatePairSims(s, dir, cands), k)
+    val tokc = graft.model.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    picks.select(col("step"), col("vec_id").as("doc_id"), col("mmr"))
+      .join(tokc, Seq("doc_id"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(Window.orderBy(col("step"))))
+      .withColumn("included", col("cum_tokens") <= budget)
+  }
 }

@@ -42,6 +42,25 @@ class TfIdfSpec extends SparkSuite {
       || got.exists(g => g._2.nonEmpty && g._3.nonEmpty))
   }
 
+  test("RAG context pack: MMR picks in step order, running budget cut exact") {
+    val dir = sf("sf0.001")
+    val rows = graft.text.HybridRetrieval.ragContext(spark, dir, k = 8,
+      budget = 200L).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == (1L to rows.length))
+    assert(rows.map(_._2).distinct.length == rows.length) // no repeats
+    // cum_tokens is the exact running sum; included is the budget cut
+    var run = 0L
+    rows.foreach { case (_, _, nTok, cum, inc) =>
+      run += nTok
+      assert(cum == run)
+      assert(inc == (cum <= 200L))
+    }
+    // the budget actually bites on this fixture
+    assert(rows.exists(!_._5) && rows.exists(_._5))
+  }
+
   test("top terms match a driver recompute of linear tf-idf") {
     val dir = sf("sf0.001")
     val got = TfIdf.topTerms(spark, dir).collect()
