@@ -206,6 +206,16 @@ object SparkEntry {
     "fx_dtw_pairs" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.dtwToAnchor(rates(s, dir))),
 
+    // robust trend: Theil-Sen median-of-pairwise-slopes, median by
+    // SELECTION (no interpolation arithmetic), slopes exact-int ratios
+    "fx_theilsen" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.theilSen(rates(s, dir))),
+
+    // robust outlier digest: median/MAD in pure long arithmetic — the
+    // estimator a wild tick cannot drag, one summary row per pair
+    "fx_outliers_mad" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.madOutliers(rates(s, dir))),
+
     // per-pair volatility: sample stddev of daily changes from exact
     // integer moments (stddev_samp would be accumulation-order-dependent)
     "fx_volatility" -> ((s, dir) =>
@@ -3575,6 +3585,70 @@ object SparkEntry {
          |  CASE WHEN z IS NULL THEN 'na' WHEN z > 2.0 THEN 'short_a'
          |       WHEN z < -2.0 THEN 'long_a' ELSE 'flat' END AS signal
          |FROM s4""".stripMargin,
+
+    // lower-median BY SELECTION under the (slope, d1, d2) total order;
+    // each slope one division of exact scaled integers
+    "fx_theilsen" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) * 1000 AS y
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), sl AS (
+         |  SELECT a.ccy_couple, a.date AS d1, b.date AS d2,
+         |    CAST(b.y - a.y AS DOUBLE) / CAST(b.date - a.date AS DOUBLE)
+         |      AS slope
+         |  FROM cl a JOIN cl b
+         |    ON a.ccy_couple = b.ccy_couple AND a.date < b.date
+         |), rk AS (
+         |  SELECT ccy_couple, slope,
+         |    row_number() OVER (PARTITION BY ccy_couple
+         |      ORDER BY slope ASC, d1 ASC, d2 ASC) AS rn,
+         |    count(*) OVER (PARTITION BY ccy_couple) AS np
+         |  FROM sl
+         |)
+         |SELECT ccy_couple, CAST(np AS BIGINT) AS n_pairs,
+         |  slope AS theilsen_milli_per_day
+         |FROM rk WHERE rn = (np + 1) // 2""".stripMargin,
+
+    // median and MAD both lower-median selections over exact longs;
+    // the outlier flag is pure integer comparison
+    "fx_outliers_mad" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS DECIMAL(12,3)) * 1000
+         |      AS BIGINT) AS y
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), med AS (
+         |  SELECT ccy_couple, y AS med, CAST(nd AS BIGINT) AS n_days FROM (
+         |    SELECT ccy_couple, y,
+         |      row_number() OVER (PARTITION BY ccy_couple
+         |        ORDER BY y ASC, date ASC) AS rn,
+         |      count(*) OVER (PARTITION BY ccy_couple) AS nd
+         |    FROM cl)
+         |  WHERE rn = (nd + 1) // 2
+         |), dev AS (
+         |  SELECT cl.ccy_couple, cl.date, med.n_days, med.med,
+         |    abs(cl.y - med.med) AS ad
+         |  FROM cl JOIN med ON cl.ccy_couple = med.ccy_couple
+         |), mad AS (
+         |  SELECT ccy_couple, ad AS mad FROM (
+         |    SELECT ccy_couple, ad, n_days,
+         |      row_number() OVER (PARTITION BY ccy_couple
+         |        ORDER BY ad ASC, date ASC) AS rn
+         |    FROM dev)
+         |  WHERE rn = (n_days + 1) // 2
+         |)
+         |SELECT dev.ccy_couple, CAST(dev.n_days AS BIGINT) AS n_days,
+         |  CAST(dev.med AS BIGINT) AS med_milli,
+         |  CAST(mad.mad AS BIGINT) AS mad_milli,
+         |  CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM dev JOIN mad ON dev.ccy_couple = mad.ccy_couple
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // the DTW recurrence replayed with nested list folds (prepend-init
     // trick: the fold's first element is the init row / empty row, each

@@ -146,6 +146,84 @@ object MarketAnalytics {
           i => element_at(col("m"), i)).as("v"))
   }
 
+  /** ROBUST trend: the Theil-Sen slope estimator — the median of all
+    * pairwise day-slopes — per pair, the robust-regression sibling of
+    * [[trendOls]] (a single fat-finger tick shifts OLS; Theil-Sen
+    * tolerates ~29% contamination). Exactness device: the median is the
+    * LOWER MEDIAN BY SELECTION — row_number under the (slope, d1, d2)
+    * total order picks element ⌈n/2⌉ — so no interpolation arithmetic
+    * exists to disagree on; each slope itself is one division of exact
+    * scaled integers, identical operands on both engines.
+    *
+    * Scale shape: the corpus reduces to the |pairs|×|days| close digest
+    * FIRST; the pairwise-slope frame is |days|²-bounded per pair (the
+    * digest-confined quadratic, same budget as the correlation matrix)
+    * and shuffles once on the pair key for the rank.
+    */
+  def theilSen(rates: DataFrame): DataFrame = {
+    val cl = dailyCloses3(rates)
+      .select(col("ccy_couple"), col("date"),
+        (col("close") * lit(1000)).cast("long").as("y"))
+    val pairs = cl.as("a").join(cl.as("b"),
+        col("a.ccy_couple") === col("b.ccy_couple")
+          && col("a.date") < col("b.date"))
+      .select(col("a.ccy_couple").as("ccy_couple"),
+        col("a.date").as("d1"), col("b.date").as("d2"),
+        ((col("b.y") - col("a.y")).cast("double")
+          / datediff(col("b.date"), col("a.date")).cast("double"))
+          .as("slope"))
+    val w = Window.partitionBy(col("ccy_couple"))
+      .orderBy(col("slope").asc, col("d1").asc, col("d2").asc)
+    val cw = Window.partitionBy(col("ccy_couple"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(cw))
+      .where(col("rn") === expr("(np + 1) div 2"))
+      .select(col("ccy_couple"), col("np").cast("long").as("n_pairs"),
+        col("slope").as("theilsen_milli_per_day"))
+  }
+
+  /** ROBUST outlier summary per pair: deviation from the MEDIAN close
+    * measured in MAD units (median absolute deviation) — the
+    * break-down-proof alternative to [[rateOutliers]]'s mean ± 3σ (one
+    * wild tick inflates σ and hides itself; the median/MAD pair cannot
+    * be dragged). ALL-INTEGER: both medians are lower-median SELECTIONS
+    * over exact ×1000 longs and the flag is |y − med| > 3·mad in long
+    * arithmetic — nothing to round anywhere. A constant series has
+    * mad = 0 and flags any deviation, the documented MAD edge.
+    *
+    * Output: one row per pair (n_days, med_milli, mad_milli,
+    * n_outliers) — the monitoring digest, not the row dump.
+    */
+  def madOutliers(rates: DataFrame): DataFrame = {
+    val cl = dailyCloses3(rates)
+      .select(col("ccy_couple"), col("date"),
+        (col("close") * lit(1000)).cast("long").as("y"))
+    val cw = Window.partitionBy(col("ccy_couple"))
+    val med = cl
+      .withColumn("rn", row_number().over(
+        cw.orderBy(col("y").asc, col("date").asc)))
+      .withColumn("nd", count(lit(1)).over(cw))
+      .where(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("ccy_couple"), col("y").as("med"),
+        col("nd").cast("long").as("n_days"))
+    val dev = cl.join(med, Seq("ccy_couple"))
+      .select(col("ccy_couple"), col("date"), col("n_days"), col("med"),
+        abs(col("y") - col("med")).as("ad"))
+    val mad = dev
+      .withColumn("rn", row_number().over(
+        cw.orderBy(col("ad").asc, col("date").asc)))
+      .where(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("ccy_couple"), col("ad").as("mad"))
+    dev.join(mad, Seq("ccy_couple"))
+      .groupBy(col("ccy_couple"))
+      .agg(first(col("n_days")).as("n_days"),
+        first(col("med")).as("med_milli"),
+        first(col("mad")).as("mad_milli"),
+        sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Shape similarity vs an anchor series by DYNAMIC TIME WARPING
     * (Sakoe & Chiba 1978): the minimal total |Δ| alignment cost between
     * each currency's day-over-day change sequence and the anchor

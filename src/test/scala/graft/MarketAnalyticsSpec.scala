@@ -47,6 +47,37 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(math.abs(tw - (2.0 * 8 + 4.0 * 6) / 14.0) < 1e-12)
   }
 
+  test("Theil-Sen ignores the fat-finger day; MAD zero-edge flags the lone spike") {
+    import spark.implicits._
+    def fx(path: Map[String, Seq[Double]], days: Seq[String]) =
+      days.zipWithIndex.flatMap { case (d, i) =>
+        path.toSeq.map { case (p, vs) =>
+          (i * 10L + p.head.toLong, p, vs(i), d) }
+      }.toDF("event_id", "ccy_couple", "rate", "ds")
+        .withColumn("date", to_date(col("ds")))
+        .withColumn("timestamp", col("date").cast("timestamp"))
+        .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+        .drop("ds")
+    val days4 = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    // X climbs 1/day then jumps to 10: pairwise milli-slopes
+    // [1000,1000,1000,3000,4000,7000] → lower median (rank 3) = 1000 —
+    // the jump never moves the estimate
+    val ts = MarketAnalytics.theilSen(
+      fx(Map("X" -> Seq(1.0, 2.0, 3.0, 10.0)), days4)).collect().head
+    assert(ts.getLong(1) == 6L)
+    assert(ts.getDouble(2) == 1000.0)
+
+    val days5 = days4 :+ "2024-01-05"
+    val out = MarketAnalytics.madOutliers(fx(Map(
+      "F" -> Seq(1.0, 1.0, 1.0, 1.0, 10.0),   // flat + one spike: mad = 0
+      "L" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0)),   // clean line: no outliers
+      days5)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out("F") == ((5L, 1000L, 0L, 1L))) // med 1.0, mad 0, spike flagged
+    assert(out("L") == ((5L, 3000L, 1000L, 0L)))
+  }
+
   test("DTW to anchor: hand DP on known change series; identical series scores 0") {
     import spark.implicits._
     // anchor A (smallest name) changes ×1000 = [1, 3, 2];
