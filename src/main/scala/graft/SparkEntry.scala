@@ -596,6 +596,15 @@ object SparkEntry {
     // q_pagerank_trade
     "stream_pagerank_incremental" -> ((s, dir) =>
       graft.operators.IncrementalView.pagerankTradeIncremental(s, dir)),
+    // incremental graph-stats: the SAME maintained edge digest, with
+    // the mutual-kNN sparsification + topology summary rerun at report
+    // time — must equal the one-shot q_graph_stats_trade
+    "stream_graphstats_incremental" -> ((s, dir) =>
+      graft.operators.GraphStats.summary(
+        graft.operators.GraphStats.mutualTopK(
+          graft.operators.IncrementalView.tradeEdgeDigestIncremental(
+            s, dir, nBatches = 4, scratchTag = "graft_gs_edges"),
+          topN = 7))),
     "stream_neardup_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayNearDupIncremental(s, dir)),
 
@@ -2906,17 +2915,8 @@ object SparkEntry {
     * The window runs on the ≤|nations|² digest, never the corpus.
     */
   private def mutualTopTradeEdges(s: SparkSession, dir: String,
-      topN: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)
-    val top = tradeRevenueEdges(s, dir)
-      .where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), row_number().over(w).as("rn"))
-      .where(col("rn") <= topN)
-      .select(col("src"), col("dst"))
-    top.join(top.select(col("dst").as("src"), col("src").as("dst")),
-      Seq("src", "dst"), "left_semi")
-  }
+      topN: Int): DataFrame =
+    graft.operators.GraphStats.mutualTopK(tradeRevenueEdges(s, dir), topN)
 
   /** The personalized variant's oracle: the PagerankTradeOracleSql
     * CTE chain with seeded initial mass and seeded per-step teleport
@@ -4674,6 +4674,9 @@ object SparkEntry {
     "q_ppr_trade" -> PprTradeOracleSql,
     "q_kcore_trade" -> KcoreTradeOracleSql,
     "q_graph_stats_trade" -> GraphStatsTradeOracleSql,
+    // the maintained digest must reproduce the one-shot topology
+    // summary bit for bit — the oracle IS q_graph_stats_trade
+    "stream_graphstats_incremental" -> GraphStatsTradeOracleSql,
 
     // the textbook dominance definition — the engine's chunked
     // two-pass plan must reproduce it exactly

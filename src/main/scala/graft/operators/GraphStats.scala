@@ -28,6 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object GraphStats {
 
+  /** Mutual top-N sparsification of a weighted directed digest: keep
+    * each source's top-N counterparties by weight (dst tiebreak — a
+    * total order on exact weights), then an edge survives only when
+    * BOTH directions kept it. Output is symmetric by construction —
+    * the edge-list shape [[summary]] and [[KCore]] expect. The window
+    * runs on the digest, never a corpus.
+    */
+  def mutualTopK(weightedEdges: DataFrame, topN: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)
+    val top = weightedEdges.where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), row_number().over(w).as("rn"))
+      .where(col("rn") <= topN)
+      .select(col("src"), col("dst"))
+    top.join(top.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+  }
+
   /** `edges`: a SYMMETRIC directed edge list (both orientations, no
     * self-loops). Returns ONE row: n_nodes, n_edges, n_triangles,
     * n_wedges, clustering_coeff, assortativity.

@@ -78,12 +78,29 @@ object IncrementalView {
     * q_pagerank_trade's own replay.
     */
   def pagerankTradeIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 4): DataFrame = {
+      nBatches: Int = 4): DataFrame =
+    PageRank.weightedPageRank(
+        tradeEdgeDigestIncremental(s, dir, nBatches, "graft_pr_edges"),
+        iters = 5)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+      .select(col("n_name").as("nation"), col("pr"))
+
+  /** The maintained weighted trade-edge digest shared by the
+    * incremental PageRank and incremental graph-stats gates: per fact
+    * batch, only the batch joins the (broadcast) dimensions and its
+    * exact decimal edge weights merge into the stored |edges|-row view
+    * (O(batch) work, O(|edges|) state, write-then-advance generations).
+    * Exact decimal merge ≡ one-shot aggregation, so anything derived
+    * from the digest equals its one-shot twin bit for bit.
+    */
+  def tradeEdgeDigestIncremental(s: SparkSession, dir: String,
+      nBatches: Int, scratchTag: String): DataFrame = {
     val cust = broadcast(Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey")))
     val supp = broadcast(Tables.supplier(s, dir)
       .select(col("s_suppkey"), col("s_nationkey")))
-    val root = graft.util.Scratch.dir("graft_pr_edges")
+    val root = graft.util.Scratch.dir(scratchTag)
     var current: Option[String] = None
     (0 until nBatches).foreach { b =>
       // the same arrival predicate scopes BOTH fact relations: the join
@@ -116,9 +133,6 @@ object IncrementalView {
       merged.coalesce(1).write.mode("overwrite").parquet(gen)
       current = Some(gen)
     }
-    PageRank.weightedPageRank(s.read.parquet(current.get), iters = 5)
-      .join(broadcast(Tables.nation(s, dir)
-        .select(col("n_nationkey").as("node"), col("n_name"))), "node")
-      .select(col("n_name").as("nation"), col("pr"))
+    s.read.parquet(current.get)
   }
 }

@@ -36,6 +36,23 @@ class GraphStatsSpec extends SparkSuite {
     assert(expected < 0.0) // the pendant hangs a leaf off the hub
   }
 
+  test("mutualTopK keeps an edge only when both directions rank it") {
+    import spark.implicits._
+    import java.math.BigDecimal
+    def d(v: String) = new BigDecimal(v)
+    // 1 ranks {2,3}; 2 ranks {1}; 3 ranks {4} (not 1!); 4 ranks {3}
+    val e = Seq(
+      (1L, 2L, d("9.00")), (1L, 3L, d("8.00")),
+      (2L, 1L, d("9.00")), (2L, 4L, d("1.00")),
+      (3L, 4L, d("7.00")), (3L, 1L, d("2.00")),
+      (4L, 3L, d("7.00")), (1L, 1L, d("99.00"))) // self-loop dropped
+      .toDF("src", "dst", "w")
+    val got = GraphStats.mutualTopK(e, topN = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // top-1 each: 1→2, 2→1 (mutual); 3→4, 4→3 (mutual); 1→3 unreturned
+    assert(got == Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)))
+  }
+
   test("triangle-free regular graph: cc = 0, assortativity NULL on zero variance") {
     // 4-cycle: 2-regular, no triangles; degree variance is zero so the
     // corr denominator vanishes → NULL, not NaN
