@@ -1680,6 +1680,11 @@ object SparkEntry {
 
     // brute-force cosine top-k (oracle-checked; fold-order-exact doubles)
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    // two-stage retrieval: 8-byte Hamming prefilter over the corpus,
+    // exact cosine rerank over the 50 survivors — the binary-embedding
+    // serving pipeline composed and gated end to end
+    "sim_twostage_topk" -> ((s, dir) =>
+      Similarity.twoStageTopK(s, dir)),
     // diversified rerank: greedy maximal-marginal-relevance over the
     // brute top-50 — relevance minus max-similarity-to-selected, the
     // redundancy killer for RAG context assembly; O(k·legK) after the
@@ -6498,6 +6503,37 @@ object SparkEntry {
          |SELECT qid, vec_id, hamming, CAST(rank AS BIGINT) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY hamming ASC, vec_id ASC) AS rank FROM bsc)
+         |WHERE rank <= 10""".stripMargin,
+
+    // the composed two-stage serving path: Hamming top-50 candidates,
+    // exact-cosine rerank over just the survivors
+    "sim_twostage_topk" ->
+      s"""WITH $BinarySigCtes, bq AS (
+         |  SELECT vec_id AS qid, sig AS qsig FROM bsig WHERE vec_id < 5
+         |), bsc AS (
+         |  SELECT qid, s.vec_id,
+         |    CAST(bit_count(xor(qsig, s.sig)) AS BIGINT) AS hamming
+         |  FROM bsig s CROSS JOIN bq WHERE s.vec_id <> qid
+         |), bcand AS (
+         |  SELECT qid, vec_id FROM (SELECT *, row_number() OVER
+         |      (PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS rank
+         |    FROM bsc) WHERE rank <= 50
+         |), cq AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 5
+         |), rr AS (
+         |  SELECT b.qid, b.vec_id,
+         |    round(list_dot_product(cq.qe, CAST(e.embedding AS DOUBLE[]))
+         |          / sqrt(list_dot_product(cq.qe, cq.qe)
+         |                 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |                                    CAST(e.embedding AS DOUBLE[]))),
+         |          6) AS cos_sim
+         |  FROM bcand b JOIN embeddings e ON e.vec_id = b.vec_id
+         |  JOIN cq ON cq.qid = b.qid
+         |)
+         |SELECT qid, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM rr)
          |WHERE rank <= 10""".stripMargin,
 
     // binary top-10 joined against the exact-cosine brute top-10

@@ -166,6 +166,39 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** TWO-STAGE retrieval — the production binary-serving composition:
+    * stage 1 scans 8-byte sign signatures and keeps the `candK`
+    * Hamming-nearest candidates ([[binaryTopK]]); stage 2 reranks ONLY
+    * the survivors by exact cosine. This is the modern
+    * binary-embedding serving shape verbatim (coarse integer filter
+    * over the whole corpus, exact float math over a bounded candidate
+    * set) — [[binaryRecall]] measures stage 1's ceiling; this gate pins
+    * the composed pipeline's output. Rank orders are the established
+    * total orders (hamming/vec_id, rounded-cosine/vec_id).
+    *
+    * At 100 TB stage 1 reads 8 bytes/vector from the signature column
+    * and stage 2 touches candK·dim floats per query — the corpus-width
+    * float scan never happens.
+    */
+  def twoStageTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+      candK: Int = 50, k: Int = 10): DataFrame = {
+    val cand = binaryTopK(s, dir, nQueries, candK)
+      .select(col("qid"), col("vec_id"))
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    cand.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Recall@k of the sign-bit ranking against the exact-cosine brute
     * top-k — the honesty gate for the 1-bit signature, like its PQ and
     * matryoshka siblings.

@@ -7,6 +7,21 @@ import graft.similarity.Similarity
   */
 class MmrSpec extends SparkSuite {
 
+  test("two-stage retrieval with a corpus-wide candidate set equals brute force") {
+    val dir = sf("sf0.001")
+    // candK >= corpus: stage 1 filters nothing, so the exact rerank
+    // must reproduce the brute ranking row for row
+    val two = Similarity.twoStageTopK(spark, dir, nQueries = 3,
+      candK = 100000, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 3, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3).toLong)).toSet
+    assert(two == brute && two.nonEmpty)
+  }
+
   test("greedy MMR skips the duplicate of the first pick") {
     import spark.implicits._
     def vec(xs: (Int, Float)*): Array[Float] = {
