@@ -51,7 +51,11 @@ object GraphStats {
     * n_wedges, clustering_coeff, assortativity.
     */
   def summary(edges: DataFrame): DataFrame = {
-    val canon = edges.where(col("src") < col("dst"))
+    // one materialization of the (possibly corpus-derived) edge digest:
+    // canon/deg AND the assortativity edge-end frame all read this —
+    // without it the upstream aggregation would run twice
+    val sym = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val canon = sym.where(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v")).distinct()
       .localCheckpoint(true)
     val deg = canon.select(col("u").as("node"))
@@ -63,7 +67,7 @@ object GraphStats {
     val eAgg = canon.agg(count(lit(1)).as("n_edges"))
     val triAgg = Triangles.triangleCounts(canon)
       .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("tsum"))
-    val ends = edges
+    val ends = sym
       .join(deg.select(col("node").as("src"), col("d").as("x")), Seq("src"))
       .join(deg.select(col("node").as("dst"), col("d").as("y")), Seq("dst"))
     val moAgg = ends.agg(count(lit(1)).as("n"),
