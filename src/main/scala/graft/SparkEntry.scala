@@ -763,6 +763,10 @@ object SparkEntry {
     "q_revenue_by_nation" -> BreadthQueries.revenueByNation _,
     // global top-k (TakeOrderedAndProject)
     "q_top_orders" -> ((s, dir) => BreadthQueries.topOrders(s, dir)),
+    // revenue concentration (Pareto/ABC): top-100 customers, exact cent
+    // running totals, integer-exact class bands, one double share
+    "q_pareto_customers" -> ((s, dir) =>
+      BreadthQueries.paretoCustomers(s, dir)),
     // analytic windows: lag + rank + exact running total
     "q_customer_order_analytics" -> BreadthQueries.customerOrderAnalytics _,
     // window breadth: ntile/percent_rank/cume_dist/nth_value + sliding
@@ -4759,6 +4763,36 @@ object SparkEntry {
     "q_top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    // exact cent sums, integer cross-multiplied class bands, one
+    // double division for the reported share
+    "q_pareto_customers" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM rev
+        |), top AS (
+        |  SELECT o_custkey, rev_cents FROM rev
+        |  ORDER BY rev_cents DESC, o_custkey ASC LIMIT 100
+        |), rk AS (
+        |  SELECT o_custkey, rev_cents,
+        |    CAST(row_number() OVER
+        |      (ORDER BY rev_cents DESC, o_custkey ASC) AS BIGINT) AS rank,
+        |    CAST(sum(rev_cents) OVER
+        |      (ORDER BY rev_cents DESC, o_custkey ASC) AS BIGINT)
+        |      AS cum_cents
+        |  FROM top
+        |)
+        |SELECT rank, o_custkey, rev_cents, cum_cents,
+        |  CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+        |    AS cum_share,
+        |  CASE WHEN cum_cents * 10 <= total_cents * 7 THEN 'A'
+        |       WHEN cum_cents * 10 <= total_cents * 9 THEN 'B'
+        |       ELSE 'C' END AS abc
+        |FROM rk, tot""".stripMargin,
 
     "q_customer_order_analytics" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,

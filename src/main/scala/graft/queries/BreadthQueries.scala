@@ -61,6 +61,43 @@ object BreadthQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(k)
 
+  /** REVENUE CONCENTRATION (Pareto / ABC analysis): the top-`k`
+    * customers by exact decimal revenue with each one's cumulative
+    * share of the GRAND total and its ABC class — the "20% of
+    * customers drive 80% of revenue" report every commercial pipeline
+    * ships. Exactness: revenue folds as DECIMAL and surfaces as ×100
+    * BIGINT cents (no decimal-precision schema drift across engines);
+    * the running total is a window over the k-row digest; class
+    * boundaries are INTEGER cross-multiplications (cum·10 ≤ total·7 is
+    * "within the A band") so no percentage ever rounds; only the
+    * reported share is one double division.
+    *
+    * Scale shape: one map-side-combinable customer aggregation, a
+    * 1-row grand total broadcast, and a TakeOrderedAndProject cut to k
+    * rows BEFORE the ranking window — the global sort never happens.
+    */
+  def paretoCustomers(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .select(col("o_custkey"),
+        (col("rev") * lit(100)).cast("long").as("rev_cents"))
+    val total = rev.agg(sum(col("rev_cents")).as("total_cents"))
+    val top = rev.orderBy(col("rev_cents").desc, col("o_custkey").asc)
+      .limit(k)
+    val w = Window.orderBy(col("rev_cents").desc, col("o_custkey").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .select(col("rank"), col("o_custkey"), col("rev_cents"),
+        col("cum_cents"),
+        (col("cum_cents").cast("double") / col("total_cents").cast("double"))
+          .as("cum_share"),
+        when(col("cum_cents") * 10 <= col("total_cents") * 7, "A")
+          .when(col("cum_cents") * 10 <= col("total_cents") * 9, "B")
+          .otherwise("C").as("abc"))
+  }
+
   /** Analytic window pack over a customer's order history: lag, rank, and
     * an exact running total in one window sort.
     */

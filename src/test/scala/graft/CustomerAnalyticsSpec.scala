@@ -49,4 +49,28 @@ class CustomerAnalyticsSpec extends SparkSuite {
     val byF = out.groupBy(_.getInt(5)).view.mapValues(_.length)
     assert(byF.size >= 2)
   }
+
+  test("pareto ABC bands flip at exactly 70% and 90% of the grand total") {
+    import spark.implicits._
+    // revenues 70/15/10/5 → cumulative 70, 85, 95, 100 of a 100 total:
+    // 70·10 ≤ 700 → A (boundary inclusive); 85·10 ≤ 900 → B; then C
+    val orders = Seq(
+      (1L, 10L, new java.math.BigDecimal("70.00")),
+      (2L, 20L, new java.math.BigDecimal("15.00")),
+      (3L, 30L, new java.math.BigDecimal("10.00")),
+      (4L, 40L, new java.math.BigDecimal("5.00")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val tmp = graft.util.Scratch.dir("graft_pareto_fix")
+    orders.write.mode("overwrite")
+      .parquet(tmp.resolve("orders.parquet").toString)
+    val got = graft.queries.BreadthQueries
+      .paretoCustomers(spark, tmp.toString, k = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5))).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 10L, 7000L, 7000L, 0.70, "A"),
+      (2L, 20L, 1500L, 8500L, 0.85, "B"),
+      (3L, 30L, 1000L, 9500L, 0.95, "C"),
+      (4L, 40L, 500L, 10000L, 1.00, "C")))
+  }
 }
