@@ -77,6 +77,103 @@ object SparkEntry {
       |     ELSE CAST(ROUND(CAST((l.current_rate - p.previous_rate) / p.previous_rate * 100
       |                          AS DECIMAL(28,10)), 2) AS VARCHAR) || '%' END""".stripMargin
 
+  /** Pad-only %-15s (rpad alone truncates >15-char strings; printf never
+    * does) — the golden-report oracle's padding, mirroring
+    * [[graft.report.ReportSink.lines]].
+    */
+  private def duckPad15(x: String) =
+    s"CASE WHEN length($x) < 15 THEN rpad($x, 15, ' ') ELSE $x END"
+
+  /** The golden report's body-line render in DuckDB: 6-dp rate via the
+    * half-up integer recipe, then pad-only fixed-width columns.
+    */
+  private val GoldenBodySql = {
+    val micro = "CAST(floor(current_rate * 1000000 + 0.5) AS BIGINT)"
+    val rate6 = s"printf('%d.%06d', $micro // 1000000, CAST($micro % 1000000 AS INT))"
+    s"""SELECT CAST(row_number() OVER (ORDER BY ccy_couple) + 1 AS BIGINT) AS line_no,
+       |    ${duckPad15("ccy_couple")} || ' ' ||
+       |    ${duckPad15(rate6)} || '  ' ||
+       |    ${duckPad15("rate_change")} AS line
+       |  FROM rep""".stripMargin
+  }
+
+  /** The close→change→series digest CTEs both DTW oracles start from:
+    * one ≤16-element exact ×1000-long change series per currency
+    * (mirrors MarketAnalytics.changeSeries).
+    */
+  private val DtwSeqCtes =
+    """cl AS (
+      |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+      |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+      |  WHERE rn = 1
+      |), ch AS (
+      |  SELECT ccy_couple, date,
+      |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+      |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+      |  FROM cl
+      |), chn AS (
+      |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+      |  FROM ch WHERE chg IS NOT NULL
+      |), seq AS (
+      |  SELECT * FROM (
+      |    SELECT ccy_couple,
+      |      list_slice(list(chg_u ORDER BY date), 1, 16) AS v
+      |    FROM chn GROUP BY 1)
+      |  WHERE len(v) >= 2
+      |)""".stripMargin
+
+  /** The banded-DTW DP fold over a `base` CTE carrying series columns
+    * `a` and `v` (band 4) — nested list folds with the prepend-init
+    * trick, pure BIGINT (the row-0 sum cast keeps DuckDB off HUGEINT).
+    * `selectCols` carries the edge/anchor key columns through.
+    */
+  private def dtwDpCte(selectCols: String) =
+    s"""dp AS (
+       |  SELECT $selectCols,
+       |    list_reduce(
+       |      list_prepend(
+       |        list_transform(range(0, len(v)), j -> CASE WHEN j <= 4
+       |          THEN CAST(list_aggregate(list_transform(range(0, j + 1),
+       |            t -> abs(a[CAST(1 AS BIGINT)] - v[CAST(t + 1 AS BIGINT)])), 'sum') AS BIGINT)
+       |          ELSE CAST(1000000000000000 AS BIGINT) END),
+       |        list_transform(range(1, len(a)), i -> [CAST(i AS BIGINT)])),
+       |      (prev, st) -> list_reduce(
+       |        list_prepend(CAST([] AS BIGINT[]),
+       |          list_transform(range(0, len(v)), j -> [CAST(j AS BIGINT)])),
+       |        (acc, js) -> list_append(acc,
+       |          CASE WHEN abs(st[1] - js[1]) > 4
+       |            THEN CAST(1000000000000000 AS BIGINT)
+       |          ELSE abs(a[CAST(st[1] + 1 AS BIGINT)]
+       |                   - v[CAST(js[1] + 1 AS BIGINT)])
+       |            + least(
+       |              prev[CAST(js[1] + 1 AS BIGINT)],
+       |              CASE WHEN js[1] = 0
+       |                THEN CAST(1000000000000000 AS BIGINT)
+       |                ELSE prev[CAST(js[1] AS BIGINT)] END,
+       |              CASE WHEN len(acc) = 0
+       |                THEN CAST(1000000000000000 AS BIGINT)
+       |                ELSE acc[-1] END)
+       |          END))) AS fin
+       |  FROM base
+       |)""".stripMargin
+
+  /** Final DP cell → dtw_milli (NULL = alignment forced out of band). */
+  private val DtwFinalSql =
+    """CASE WHEN fin[CAST(len(v) AS BIGINT)] >= 1000000000000000
+      |    THEN NULL ELSE fin[CAST(len(v) AS BIGINT)] END""".stripMargin
+
+  private def goldenLinesSql(repCte: String) =
+    s"""$repCte, body AS (
+       |  $GoldenBodySql
+       |)
+       |SELECT CAST(0 AS BIGINT) AS line_no,
+       |       '${graft.report.ReportSink.HeaderLine}' AS line
+       |UNION ALL SELECT CAST(1 AS BIGINT), repeat('=', 60)
+       |UNION ALL SELECT line_no, line FROM body
+       |UNION ALL SELECT (SELECT count(*) FROM rep) + 2,
+       |       '${graft.report.ReportSink.FooterLine}'""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     RateAnalysis.rateChangeReport(
@@ -124,6 +221,20 @@ object SparkEntry {
     // Task A as the reference's single SQL statement (dedup CTEs + LEFT)
     "fx_report_a_sql" -> ((s, dir) =>
       RateAnalysis.taskACompatSql(rates(s, dir), CutoffSql, "7 DAYS")),
+
+    // K3 golden console render, distributed: one row per fixed-width
+    // output line (header/separator/body/footer), byte-identical to
+    // ReportSink.format (ReportSinkSpec ties them) — the last spec-only
+    // §2 surface, now hash-gated
+    "fx_report_golden" -> ((s, dir) =>
+      graft.report.ReportSink.lines(
+        RateAnalysis.rateChangeReport(rates(s, dir), cutoff, ActiveWindowSpark))),
+
+    // K3 golden render of the Task A report (LEFT join — exercises the
+    // 16-char 'No Previous Rate' sentinel the pad-only %-15s keeps whole)
+    "fx_report_golden_a" -> ((s, dir) =>
+      graft.report.ReportSink.lines(
+        RateAnalysis.rateChangeReportTaskA(rates(s, dir), cutoff, ActiveWindowSpark))),
 
     // K1: last-writer-wins upsert on (ccy_couple, date)
     "fx_upsert_latest" -> ((s, dir) =>
@@ -205,6 +316,12 @@ object SparkEntry {
     // vs the anchor pair — all-integer DP, order-free by construction
     "fx_dtw_pairs" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.dtwToAnchor(rates(s, dir))),
+
+    // per-edge DTW on the mutual-top-3 co-sign-agreement graph: the
+    // |pairs|² space is sparsified FIRST (mutualTopK, exact integer
+    // weights), then one bounded integer DP per surviving edge
+    "fx_dtw_graph" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.dtwGraph(rates(s, dir))),
 
     // robust trend: Theil-Sen median-of-pairwise-slopes, median by
     // SELECTION (no interpolation arithmetic), slopes exact-int ratios
@@ -3371,6 +3488,31 @@ object SparkEntry {
          |SELECT l.ccy_couple, l.current_rate, $PctSql AS rate_change
          |FROM latest2 l LEFT JOIN prev2 p USING (ccy_couple)""".stripMargin,
 
+    // the Task B report CTE, then the byte-exact fixed-width render
+    "fx_report_golden" -> goldenLinesSql(
+      s"""WITH $RatesCte, $ActiveCte, $LatestCte, $PrevCte,
+         |rep AS (
+         |  SELECT l.ccy_couple, l.current_rate, $PctSql AS rate_change
+         |  FROM latest l JOIN prev p USING (ccy_couple)
+         |)""".stripMargin),
+
+    "fx_report_golden_a" -> goldenLinesSql(
+      s"""WITH $RatesCte, $ActiveCte, $LatestCte, $PrevCte,
+         |latest2 AS (
+         |  SELECT ccy_couple, max(current_rate) AS current_rate,
+         |         max(current_event_time) AS current_event_time
+         |  FROM latest GROUP BY ccy_couple
+         |),
+         |prev2 AS (
+         |  SELECT ccy_couple, max(previous_rate) AS previous_rate,
+         |         max(previous_event_time) AS previous_event_time
+         |  FROM prev GROUP BY ccy_couple
+         |),
+         |rep AS (
+         |  SELECT l.ccy_couple, l.current_rate, $PctSql AS rate_change
+         |  FROM latest2 l LEFT JOIN prev2 p USING (ccy_couple)
+         |)""".stripMargin),
+
     "fx_upsert_latest" ->
       s"""WITH $RatesCte
          |SELECT ccy_couple, date, rate, event_time
@@ -3664,62 +3806,49 @@ object SparkEntry {
     // later element a one-int list carrying the loop index) — pure
     // BIGINT arithmetic, so any evaluation order is exact
     "fx_dtw_pairs" ->
-      s"""WITH $RatesCte, cl AS (
-         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
-         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
-         |  WHERE rn = 1
-         |), ch AS (
-         |  SELECT ccy_couple, date,
-         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
-         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
-         |  FROM cl
-         |), chn AS (
-         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
-         |  FROM ch WHERE chg IS NOT NULL
-         |), seq AS (
-         |  SELECT * FROM (
-         |    SELECT ccy_couple,
-         |      list_slice(list(chg_u ORDER BY date), 1, 16) AS v
-         |    FROM chn GROUP BY 1)
-         |  WHERE len(v) >= 2
-         |), anc AS (
+      s"""WITH $RatesCte, $DtwSeqCtes, anc AS (
          |  SELECT ccy_couple AS anchor_ccy, v AS a
          |  FROM seq ORDER BY ccy_couple LIMIT 1
          |), base AS (
          |  SELECT s.ccy_couple, anc.anchor_ccy, s.v AS v, anc.a AS a
          |  FROM seq s, anc
-         |), dp AS (
-         |  SELECT ccy_couple, anchor_ccy, v,
-         |    list_reduce(
-         |      list_prepend(
-         |        list_transform(range(0, len(v)), j -> CASE WHEN j <= 4
-         |          THEN list_aggregate(list_transform(range(0, j + 1),
-         |            t -> abs(a[CAST(1 AS BIGINT)] - v[CAST(t + 1 AS BIGINT)])), 'sum')
-         |          ELSE CAST(1000000000000000 AS BIGINT) END),
-         |        list_transform(range(1, len(a)), i -> [CAST(i AS BIGINT)])),
-         |      (prev, st) -> list_reduce(
-         |        list_prepend(CAST([] AS BIGINT[]),
-         |          list_transform(range(0, len(v)), j -> [CAST(j AS BIGINT)])),
-         |        (acc, js) -> list_append(acc,
-         |          CASE WHEN abs(st[1] - js[1]) > 4
-         |            THEN CAST(1000000000000000 AS BIGINT)
-         |          ELSE abs(a[CAST(st[1] + 1 AS BIGINT)]
-         |                   - v[CAST(js[1] + 1 AS BIGINT)])
-         |            + least(
-         |              prev[CAST(js[1] + 1 AS BIGINT)],
-         |              CASE WHEN js[1] = 0
-         |                THEN CAST(1000000000000000 AS BIGINT)
-         |                ELSE prev[CAST(js[1] AS BIGINT)] END,
-         |              CASE WHEN len(acc) = 0
-         |                THEN CAST(1000000000000000 AS BIGINT)
-         |                ELSE acc[-1] END)
-         |          END))) AS fin
-         |  FROM base
-         |)
+         |), ${dtwDpCte("ccy_couple, anchor_ccy, v")}
          |SELECT ccy_couple, anchor_ccy, CAST(len(v) AS BIGINT) AS n_changes,
-         |  CASE WHEN fin[CAST(len(v) AS BIGINT)] >= 1000000000000000
-         |    THEN NULL ELSE fin[CAST(len(v) AS BIGINT)] END AS dtw_milli
+         |  $DtwFinalSql AS dtw_milli
+         |FROM dp""".stripMargin,
+
+    // the same DP replay per SURVIVING EDGE of the mutual-top-3
+    // co-sign-agreement graph (the k-core sparsification recipe) — the
+    // weight join runs on the |pairs|×|days| change digest
+    "fx_dtw_graph" ->
+      s"""WITH $RatesCte, $DtwSeqCtes, sg AS (
+         |  SELECT ccy_couple, date,
+         |    CASE WHEN chg_u > 0 THEN 1 WHEN chg_u < 0 THEN -1 ELSE 0 END AS s
+         |  FROM chn
+         |), wt AS (
+         |  SELECT a.ccy_couple AS src, b.ccy_couple AS dst,
+         |         sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS w
+         |  FROM sg a JOIN sg b ON a.date = b.date
+         |    AND a.ccy_couple <> b.ccy_couple
+         |  GROUP BY 1, 2
+         |), top AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |        ORDER BY w DESC, dst ASC) AS rn
+         |    FROM wt)
+         |  WHERE rn <= 3
+         |), mut AS (
+         |  SELECT t.src, t.dst FROM top t
+         |  JOIN top r ON t.src = r.dst AND t.dst = r.src
+         |  WHERE t.src < t.dst
+         |), base AS (
+         |  SELECT m.src, m.dst, sa.v AS a, sv.v AS v
+         |  FROM mut m JOIN seq sa ON sa.ccy_couple = m.src
+         |             JOIN seq sv ON sv.ccy_couple = m.dst
+         |), ${dtwDpCte("src, dst, a, v")}
+         |SELECT src AS src_ccy, dst AS dst_ccy,
+         |  CAST(len(a) AS BIGINT) AS n_src, CAST(len(v) AS BIGINT) AS n_dst,
+         |  $DtwFinalSql AS dtw_milli
          |FROM dp""".stripMargin,
 
     // lag-1 self-join on consecutive calendar days; same clamped corr

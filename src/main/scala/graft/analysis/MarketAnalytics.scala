@@ -246,19 +246,40 @@ object MarketAnalytics {
     */
   def dtwToAnchor(rates: DataFrame, maxLen: Int = 16,
       band: Int = 4): DataFrame = {
-    val INF = 1000000000000000L
-    val ser = dailyChangesU(rates)
+    val ser = changeSeries(rates, maxLen)
+    val anchor = ser.agg(min(col("ccy_couple")).as("anchor_ccy"),
+      min_by(col("v"), col("ccy_couple")).as("a"))
+    ser.crossJoin(broadcast(anchor))
+      .select(col("ccy_couple"), col("anchor_ccy"),
+        size(col("v")).cast("long").as("n_changes"),
+        dtwMilli(col("a"), col("v"), band).as("dtw_milli"))
+  }
+
+  /** Each currency's first-`maxLen` day-over-day change series in
+    * calendar order, as exact ×1000 longs — the per-row input both DTW
+    * shapes run their integer DP over. One digest-sized row per pair.
+    */
+  private def changeSeries(rates: DataFrame, maxLen: Int): DataFrame =
+    dailyChangesU(rates)
       .groupBy(col("ccy_couple"))
       .agg(slice(transform(
         array_sort(collect_list(struct(col("date"), col("chg_u")))),
         x => x.getField("chg_u")), 1, maxLen).as("v"))
       .where(size(col("v")) >= 2)
-    val anchor = ser.agg(min(col("ccy_couple")).as("anchor_ccy"),
-      min_by(col("v"), col("ccy_couple")).as("a"))
-    val m = size(col("v"))
-    val n = size(col("a"))
+
+  private val DtwInf = 1000000000000000L
+
+  /** The banded integer DTW recurrence between two per-row long-array
+    * columns: minimal total |Δ| alignment cost under a Sakoe-Chiba band.
+    * NULL when the alignment is forced outside the band (length mismatch
+    * > band). Pure BIGINT arithmetic — exact under any evaluation order.
+    */
+  private def dtwMilli(a: Column, v: Column, band: Int): Column = {
+    val INF = DtwInf
+    val m = size(v)
+    val n = size(a)
     def cost(i: Column, j: Column): Column =
-      abs(element_at(col("a"), i + 1) - element_at(col("v"), j + 1))
+      abs(element_at(a, i + 1) - element_at(v, j + 1))
     // top row: cumulative cost along j while inside the band
     val row0 = transform(sequence(lit(0), m - 1), j =>
       when(j <= band,
@@ -278,11 +299,48 @@ object MarketAnalytics {
             .otherwise(cost(i, j) + least(up, diag, left))
           concat(accRow, array(cell))
         }))
-    ser.crossJoin(broadcast(anchor))
-      .select(col("ccy_couple"), col("anchor_ccy"),
-        m.cast("long").as("n_changes"),
-        when(element_at(fin, m) >= INF, lit(null).cast("long"))
-          .otherwise(element_at(fin, m)).as("dtw_milli"))
+    when(element_at(fin, m) >= INF, lit(null).cast("long"))
+      .otherwise(element_at(fin, m))
+  }
+
+  /** Per-EDGE elastic distance on a sparsified pair graph — the
+    * production DTW shape: instead of every pair vs one anchor, the
+    * |pairs|² candidate space is first cut to mutual-top-`topN`
+    * co-movement edges ([[graft.operators.GraphStats.mutualTopK]], the
+    * same sparsification the trade k-core uses), then the banded integer
+    * DP of [[dtwToAnchor]] runs once per surviving edge.
+    *
+    * Edge weight is the CO-SIGN AGREEMENT count — on how many common
+    * days the two currencies' daily changes share a sign — an exact
+    * integer a DuckDB join replays verbatim (a float correlation weight
+    * would put libm inside the ranking).
+    *
+    * Scale shape: weights come from a self-join of the |pairs|×|days|
+    * change digest on date — O(|days|·|pairs|²) DIGEST rows, never the
+    * corpus; mutualTopK bounds surviving edges to ≤ |pairs|·topN; each
+    * edge pays one O(maxLen²) integer DP with both series carried on the
+    * row. No quadratic step ever touches corpus-sized data.
+    */
+  def dtwGraph(rates: DataFrame, topN: Int = 3, maxLen: Int = 16,
+      band: Int = 4): DataFrame = {
+    val chg = dailyChangesU(rates)
+    val sgn = when(col("chg_u") > 0, lit(1)).when(col("chg_u") < 0, lit(-1))
+      .otherwise(lit(0))
+    val s1 = chg.select(col("ccy_couple").as("src"), col("date"), sgn.as("sa"))
+    val s2 = chg.select(col("ccy_couple").as("dst"), col("date"), sgn.as("sb"))
+    val w = s1.join(s2, Seq("date")).where(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("w"))
+    val edges = graft.operators.GraphStats.mutualTopK(w, topN)
+      .where(col("src") < col("dst"))
+    val ser = changeSeries(rates, maxLen)
+    edges
+      .join(ser.select(col("ccy_couple").as("src"), col("v").as("a")), Seq("src"))
+      .join(ser.select(col("ccy_couple").as("dst"), col("v").as("v")), Seq("dst"))
+      .select(col("src").as("src_ccy"), col("dst").as("dst_ccy"),
+        size(col("a")).cast("long").as("n_src"),
+        size(col("v")).cast("long").as("n_dst"),
+        dtwMilli(col("a"), col("v"), band).as("dtw_milli"))
   }
 
   /** Co-movement: Pearson correlation of day-over-day close changes for

@@ -51,11 +51,11 @@ object GraphStats {
     * n_wedges, clustering_coeff, assortativity.
     */
   def summary(edges: DataFrame): DataFrame = {
-    // one materialization of the (possibly corpus-derived) edge digest:
-    // canon/deg AND the assortativity edge-end frame all read this —
-    // without it the upstream aggregation would run twice
-    val sym = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val canon = sym.where(col("src") < col("dst"))
+    // every downstream frame (deg, triangles, assortativity ends) reads
+    // canon, so it is the single materialization of the possibly
+    // corpus-derived edge digest
+    val canon = edges.select(col("src"), col("dst"))
+      .where(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v")).distinct()
       .localCheckpoint(true)
     val deg = canon.select(col("u").as("node"))
@@ -67,7 +67,12 @@ object GraphStats {
     val eAgg = canon.agg(count(lit(1)).as("n_edges"))
     val triAgg = Triangles.triangleCounts(canon)
       .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("tsum"))
-    val ends = sym
+    // edge-end frame from canon's symmetric closure, NOT the raw input:
+    // a caller passing duplicate directed edges would otherwise skew the
+    // assortativity moments while every other stat stays dedup-correct
+    val symDedup = canon.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(canon.select(col("v").as("src"), col("u").as("dst")))
+    val ends = symDedup
       .join(deg.select(col("node").as("src"), col("d").as("x")), Seq("src"))
       .join(deg.select(col("node").as("dst"), col("d").as("y")), Seq("dst"))
     val moAgg = ends.agg(count(lit(1)).as("n"),

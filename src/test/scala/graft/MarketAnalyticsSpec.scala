@@ -106,6 +106,37 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out("C") == (("A", 3L, 0L)))   // identical shape, offset level
   }
 
+  test("DTW graph: mutual top-1 co-sign edges survive, per-edge hand DP") {
+    import spark.implicits._
+    // sign agreement over 4 change days: A≈B (all 4 days), C≈D (all 4),
+    // every cross pair agrees on exactly 1 day → mutual top-1 keeps
+    // exactly {A-B, C-D}. Change series ×1000: A=[1,1,-1,1],
+    // B=[2,2,-2,2], C=[-1,1,1,-1], D=[-2,2,2,-2]; hand DP on |Δ| with
+    // band 4 gives dtw(A,B) = dtw(C,D) = 4.
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+      "2024-01-05")
+    val paths = Map(
+      "A" -> Seq(1.000, 1.001, 1.002, 1.001, 1.002),
+      "B" -> Seq(2.000, 2.002, 2.004, 2.002, 2.004),
+      "C" -> Seq(3.000, 2.999, 3.000, 3.001, 3.000),
+      "D" -> Seq(4.000, 3.998, 4.000, 4.002, 4.000))
+    val fx = days.zipWithIndex.flatMap { case (d, i) =>
+      paths.toSeq.map { case (p, vs) =>
+        (i * 10L + p.head.toLong, p, vs(i), d) }
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+      .drop("ds")
+    val out = MarketAnalytics.dtwGraph(fx, topN = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out.keySet == Set(("A", "B"), ("C", "D")))
+    assert(out(("A", "B")) == ((4L, 4L, 4L)))
+    assert(out(("C", "D")) == ((4L, 4L, 4L)))
+  }
+
   test("daily-change corr: in [-1,1], NULL on zero variance, +1 on identical movers") {
     import spark.implicits._
     // two currencies moving in lockstep (with VARYING changes — constant
