@@ -163,6 +163,52 @@ object SparkEntry {
     """CASE WHEN fin[CAST(len(v) AS BIGINT)] >= 1000000000000000
       |    THEN NULL ELSE fin[CAST(len(v) AS BIGINT)] END""".stripMargin
 
+  /** Shared by dedup_bloom_prefilter and stream_bloom_incremental (the
+    * folded partials are bit-equal to the one-shot bitset).
+    */
+  private val BloomPrefilterOracleSql =
+    """WITH allr AS (
+      |  SELECT doc_id, text, 0 AS role FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, 1 FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' ~' || CAST(doc_id AS VARCHAR), 1
+      |  FROM documents WHERE doc_id % 5 = 1
+      |), f AS (
+      |  SELECT doc_id, role,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM allr
+      |), h AS (
+      |  SELECT doc_id, role,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16), i ->
+      |        CAST(strpos('0123456789abcdef',
+      |          substr(fp, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) AS h1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(16, 31), i ->
+      |        CAST(strpos('0123456789abcdef',
+      |          substr(fp, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) | 1 AS h2
+      |  FROM f
+      |), p AS (
+      |  SELECT doc_id, role, list_distinct(list_transform(range(0, 7),
+      |    i -> (h1 + i * h2) % 65536)) AS pos
+      |  FROM h
+      |), refpos AS (
+      |  SELECT DISTINCT u.bp AS pos
+      |  FROM p, unnest(p.pos) AS u(bp)
+      |  WHERE role = 0
+      |), cand AS (
+      |  SELECT doc_id, u.bp AS pos
+      |  FROM p, unnest(p.pos) AS u(bp)
+      |  WHERE role = 1
+      |)
+      |SELECT c.doc_id, count(*) AS n_probes, count(r.pos) AS n_set,
+      |  count(r.pos) = count(*) AS maybe_dup
+      |FROM cand c LEFT JOIN refpos r ON r.pos = c.pos
+      |GROUP BY 1""".stripMargin
+
   private def goldenLinesSql(repCte: String) =
     s"""$repCte, body AS (
        |  $GoldenBodySql
@@ -639,6 +685,11 @@ object SparkEntry {
     // text_bigram_lm
     "stream_bigramlm_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayBigramLmIncremental(s, dir)),
+    // incremental Bloom maintenance: per-batch (word, bits) partials
+    // (bit_or is associative/commutative/idempotent) folded, then the
+    // incoming half probed — must equal the one-shot prefilter
+    "stream_bloom_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayBloomIncremental(s, dir)),
     // incremental line-dedup dictionary: per-batch per-line distinct-doc
     // partials (LSM shape) folded, then the cleaned corpus cut against
     // the maintained dictionary — must equal the one-shot cur_line_dedup
@@ -1577,6 +1628,10 @@ object SparkEntry {
     "text_fingerprint" -> TextFunctions.textFingerprint _,
     // exact dedup clusters keyed by fingerprint
     "dedup_exact" -> TextFunctions.dedupExact _,
+    // Bloom pre-filter: incoming half probed against the reference
+    // half's broadcast bit digest — zero false negatives by construction
+    "dedup_bloom_prefilter" -> ((s, dir) =>
+      TextFunctions.bloomRefDedup(s, dir)),
     // MinHash + LSH banding near-dup (hash-checked: the XXH64 signature
     // pipeline is replayed in DuckDB by graft.oracle.XxhOracleSql)
     "dedup_minhash_lsh" -> ((s, dir) => NearDup.minhashLsh(s, dir)),
@@ -5840,6 +5895,17 @@ object SparkEntry {
         |)
         |SELECT doc_id, fp, cluster_size, doc_id = keeper_id AS is_keeper
         |FROM f JOIN c USING (fp)""".stripMargin,
+
+    // Bloom membership checked DEFINITIONALLY: a probe hits iff its bit
+    // position appears in the reference half's position set — the bitset
+    // the engine broadcasts is just that membership structure, so no
+    // bit-word replay is needed; hashes are positive-BIGINT hex-slice
+    // double hashing (largest intermediate < 2^63 — nothing wraps)
+    "dedup_bloom_prefilter" -> BloomPrefilterOracleSql,
+
+    // the bit_or-folded partial digest must probe identically to the
+    // one-shot filter — the oracle IS dedup_bloom_prefilter
+    "stream_bloom_incremental" -> BloomPrefilterOracleSql,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramCappedCtes

@@ -128,8 +128,10 @@ object MarketAnalytics {
     * arithmetic — what makes both the cross-pair zip and the lag-1
     * self-zip calendar-correct.
     */
-  private def dailyChangeVectors(rates: DataFrame): DataFrame = {
-    val chg = dailyChangesU(rates)
+  private def dailyChangeVectors(rates: DataFrame): DataFrame =
+    dailyChangeVectorsOf(dailyChangesU(rates))
+
+  private def dailyChangeVectorsOf(chg: DataFrame): DataFrame = {
     // dense day index over the digest's own span (1-row broadcast)
     val span = chg.agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
     chg.crossJoin(broadcast(span))
@@ -260,8 +262,10 @@ object MarketAnalytics {
     * shapes run their integer DP over. One digest-sized row per pair.
     */
   private def changeSeries(rates: DataFrame, maxLen: Int): DataFrame =
-    dailyChangesU(rates)
-      .groupBy(col("ccy_couple"))
+    changeSeriesOf(dailyChangesU(rates), maxLen)
+
+  private def changeSeriesOf(chg: DataFrame, maxLen: Int): DataFrame =
+    chg.groupBy(col("ccy_couple"))
       .agg(slice(transform(
         array_sort(collect_list(struct(col("date"), col("chg_u")))),
         x => x.getField("chg_u")), 1, maxLen).as("v"))
@@ -323,17 +327,26 @@ object MarketAnalytics {
     */
   def dtwGraph(rates: DataFrame, topN: Int = 3, maxLen: Int = 16,
       band: Int = 4): DataFrame = {
-    val chg = dailyChangesU(rates)
-    val sgn = when(col("chg_u") > 0, lit(1)).when(col("chg_u") < 0, lit(-1))
-      .otherwise(lit(0))
-    val s1 = chg.select(col("ccy_couple").as("src"), col("date"), sgn.as("sa"))
-    val s2 = chg.select(col("ccy_couple").as("dst"), col("date"), sgn.as("sb"))
-    val w = s1.join(s2, Seq("date")).where(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("w"))
+    // ONE materialization of the |pairs|×|days| change digest: the
+    // weight vectors and the series digest both read it
+    val chg = dailyChangesU(rates).localCheckpoint(true)
+    // sign weights via the day-aligned vector digest + the codegen'd
+    // SignAgreement kernel: |pairs|² generated rows with an O(|days|)
+    // primitive loop each — NOT the |days|×|pairs|² row explosion of the
+    // equivalent date join (19.8 s → sub-second at sf0.1; the oracle
+    // keeps the definitional join+SUM). Pairs with no common day (n = 0)
+    // are dropped exactly as the join formulation never produces them.
+    val vecs = dailyChangeVectorsOf(chg).localCheckpoint(true)
+    val a = vecs.select(col("ccy_couple").as("src"), col("v").as("va"))
+    val b = vecs.select(col("ccy_couple").as("dst"), col("v").as("vb"))
+    val w = a.crossJoin(broadcast(b)).where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        graft.functions.SignAgreement(col("va"), col("vb")).as("sa"))
+      .where(col("sa.n") > 0)
+      .select(col("src"), col("dst"), col("sa.agree").as("w"))
     val edges = graft.operators.GraphStats.mutualTopK(w, topN)
       .where(col("src") < col("dst"))
-    val ser = changeSeries(rates, maxLen)
+    val ser = changeSeriesOf(chg, maxLen).localCheckpoint(true)
     edges
       .join(ser.select(col("ccy_couple").as("src"), col("v").as("a")), Seq("src"))
       .join(ser.select(col("ccy_couple").as("dst"), col("v").as("v")), Seq("dst"))

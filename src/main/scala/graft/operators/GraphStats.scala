@@ -38,10 +38,14 @@ object GraphStats {
   def mutualTopK(weightedEdges: DataFrame, topN: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)
+    // materialized: ≤ |nodes|·topN rows, and BOTH sides of the mutuality
+    // semi-join read it — without this the (possibly corpus-derived)
+    // weight frame is computed twice
     val top = weightedEdges.where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), row_number().over(w).as("rn"))
       .where(col("rn") <= topN)
       .select(col("src"), col("dst"))
+      .localCheckpoint(true)
     top.join(top.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")
   }

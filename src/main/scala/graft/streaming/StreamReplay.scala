@@ -642,6 +642,46 @@ object StreamReplay {
     graft.operators.DataQuality.driftChi2FromPartials(s, countsDir)
   }
 
+  /** Replay of INCREMENTAL BLOOM maintenance: the reference half of the
+    * corpus streams in micro-batches; each batch appends its own
+    * (word, bits) Bloom partial — O(batch) work, LSM shape — and the
+    * report probes the incoming half against the bit_or-fold of all
+    * partials. `bit_or` is associative/commutative/idempotent, so the
+    * folded digest is BIT-EQUAL to the one-shot filter under any
+    * batching (and any re-delivery) — the gate reuses the one-shot
+    * oracle verbatim.
+    */
+  def replayBloomIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    import graft.text.TextFunctions
+    val tmp = Scratch.dir("graft_bloom_replay")
+    val partialsDir = tmp.resolve("partials").toString
+    val docs = Tables.documents(s, dir)
+    val ref = docs.select(col("doc_id"), col("text"))
+    val feed = memoFeed("bloom", dir, nBatches) { p =>
+      ref.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(ref.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TextFunctions.bloomWordBits(batch, bitsLog2 = 16, k = 7)
+            .write.mode("append").parquet(partialsDir)
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    TextFunctions.bloomProbe(TextFunctions.bloomCandidates(docs),
+      TextFunctions.bloomWordBitsOfPartials(s.read.parquet(partialsDir)),
+      bitsLog2 = 16, k = 7)
+  }
+
   /** Replay of INCREMENTAL TRENDING maintenance: the events table
     * streams in micro-batches, each appending its (event_type, date)
     * partial counts (EventAnalytics.appendTrendingBatch — O(batch),

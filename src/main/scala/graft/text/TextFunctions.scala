@@ -190,6 +190,95 @@ object TextFunctions {
         (col("doc_id") === col("keeper_id")).as("is_keeper"))
   }
 
+  /** Bloom-filter reference-corpus dedup — the pre-filter a pipeline runs
+    * BEFORE any expensive dedup when a new crawl lands against an already
+    * curated corpus: build a Bloom bitset over the reference half's
+    * canonical fingerprints, then probe every incoming doc and flag the
+    * maybe-duplicates (zero false negatives; false positives go to the
+    * exact/near-dup stages).
+    *
+    * All hashing is plain POSITIVE BIGINT arithmetic both engines share:
+    * h1/h2 are disjoint 15-hex-digit slices of the md5 fingerprint
+    * (< 2^60), probe i lands at (h1 + i·(h2|1)) mod 2^bitsLog2
+    * (Kirsch-Mitzenmacher double hashing; |1 keeps the stride odd) — the
+    * largest intermediate is < 2^63, so no wraparound exists to get
+    * wrong, and the oracle can check MEMBERSHIP SEMANTICS definitionally
+    * (a probe hits iff its bit position appears in the reference
+    * position set) without replaying the bitset.
+    *
+    * Scale shape: the filter itself is a ≤ 2^bitsLog2/64-row
+    * (word, bits) digest built by a map-side-combinable `bit_or` — the
+    * mergeable-sketch discipline, same as HLL registers — then BROADCAST
+    * to the probe side: per incoming doc the cost is k codegen'd hashes
+    * and a hash-join against the digest; the reference corpus is
+    * re-read never, shuffled never.
+    */
+  def bloomRefDedup(s: SparkSession, dir: String, bitsLog2: Int = 16,
+      k: Int = 7): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    bloomProbe(bloomCandidates(docs), bloomWordBits(docs, bitsLog2, k),
+      bitsLog2, k)
+  }
+
+  /** The derived incoming batch the prefilter gates on: every fifth doc
+    * re-delivered under a new id (TRUE duplicates — each must flag
+    * maybe_dup, the filter's zero-false-negative contract), plus a
+    * salted near-copy cohort whose fingerprints are novel (flagged only
+    * at the Bloom false-positive rate). The corpus itself has no exact
+    * duplicates, so without this derivation the gate would never
+    * exercise a positive.
+    */
+  def bloomCandidates(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" ~"), col("doc_id")).as("text")))
+
+  /** The k distinct probe positions of a doc's canonical fingerprint. */
+  private def bloomPositions(k: Int, bitsLog2: Int): Column = {
+    val m = 1L << bitsLog2
+    val h1 = expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT)")
+    val h2 = expr("CAST(conv(substring(fp, 16, 15), 16, 10) AS BIGINT) | 1")
+    array_distinct(transform(sequence(lit(0), lit(k - 1)),
+      i => (h1 + i.cast("long") * h2) % m))
+  }
+
+  /** The Bloom bitset as a ≤ 2^bitsLog2/64-row (w, bits) word digest —
+    * built by a map-side-combinable `bit_or`, so partials from any
+    * batching fold to the identical digest (the property the
+    * incremental replay gates).
+    */
+  def bloomWordBits(refDocs: DataFrame, bitsLog2: Int, k: Int): DataFrame =
+    bloomWordBitsOfPartials(
+      refDocs.select(fingerprint(col("text")).as("fp"))
+        .select(explode(bloomPositions(k, bitsLog2)).as("pos"))
+        .select((col("pos") / lit(64)).cast("long").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .as("bits")))
+
+  /** Fold (w, bits) partial rows into the final word digest. */
+  def bloomWordBitsOfPartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+
+  /** Probe each candidate doc's k positions against the broadcast word
+    * digest: (doc_id, n_probes, n_set, maybe_dup).
+    */
+  def bloomProbe(candDocs: DataFrame, wordBits: DataFrame,
+      bitsLog2: Int, k: Int): DataFrame = {
+    val probes = candDocs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), explode(bloomPositions(k, bitsLog2)).as("pos"))
+      .select(col("doc_id"), (col("pos") / lit(64)).cast("long").as("w"),
+        (col("pos") % 64).cast("int").as("b"))
+    probes.join(broadcast(wordBits), Seq("w"), "left")
+      .select(col("doc_id"),
+        coalesce(expr("(bits >> b) & 1"), lit(0L)).as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("hit")).as("n_set"))
+      .withColumn("maybe_dup", col("n_set") === col("n_probes"))
+  }
+
   /** Mode frequency and distinct count of an array in ONE fold over its
     * SORTED form: equal values are adjacent after the sort, so the longest
     * run length IS the most-frequent-element count. A single codegen'd

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Bloom reference-corpus pre-filter. The one guarantee a Bloom filter
+  * makes is ZERO FALSE NEGATIVES: the re-delivered duplicate cohort
+  * (ids +100000 — byte-identical text under a new id) must flag
+  * maybe_dup on every row. The salted cohort (+200000) has novel
+  * fingerprints and may only flag at the false-positive rate — with
+  * 2^16 bits over a few hundred reference keys it must not degenerate
+  * to all-positive.
+  */
+class BloomPrefilterSpec extends SparkSuite {
+
+  test("duplicate cohort always flags; salted cohort stays separable") {
+    val out = TextFunctions.bloomRefDedup(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    val dup = out.filter(r => r.getLong(0) >= 100000L && r.getLong(0) < 200000L)
+    val novel = out.filter(_.getLong(0) >= 200000L)
+    assert(dup.nonEmpty && novel.nonEmpty)
+    // zero false negatives: every true duplicate sets all its probes
+    assert(dup.forall(_.getBoolean(3)))
+    assert(dup.forall(r => r.getLong(2) == r.getLong(1)))
+    // probe counts bounded by k, hits bounded by probes
+    assert(out.forall { r =>
+      val (p, s) = (r.getLong(1), r.getLong(2))
+      p >= 1 && p <= 7 && s >= 0 && s <= p
+    })
+    // the filter separates: not every salted doc comes back positive
+    assert(novel.exists(!_.getBoolean(3)))
+  }
+
+  test("bit_or partial folding is batching-invariant (incremental contract)") {
+    val docs = graft.model.Tables.documents(spark, sf("sf0.001"))
+    val oneShot = TextFunctions.bloomWordBits(docs, 16, 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fold per-slice partials exactly as the streaming replay does
+    val partials = Seq(
+      docs.where(col("doc_id") % 3 === 0),
+      docs.where(col("doc_id") % 3 === 1),
+      docs.where(col("doc_id") % 3 === 2),
+      docs.where(col("doc_id") % 3 === 2)) // re-delivery: idempotent
+      .map(TextFunctions.bloomWordBits(_, 16, 7))
+      .reduce(_ unionAll _)
+    val folded = TextFunctions.bloomWordBitsOfPartials(partials)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == oneShot)
+  }
+}
