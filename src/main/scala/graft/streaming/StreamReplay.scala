@@ -25,6 +25,21 @@ import graft.util.Scratch
   *
   * All scratch trees (feed, table, checkpoint) are Scratch dirs — deleted
   * at JVM exit, so repeated gate/bench invocations don't leak parquet.
+  *
+  * Batch counts: the LSM-maintenance replays (append a mergeable partial
+  * per batch, fold at report time) default to TWO micro-batches — the
+  * minimum that still exercises a cross-batch fold; their partials are
+  * associative/commutative/idempotent, so the folded result is
+  * batch-count-invariant by construction (each docstring states the
+  * property, and the one-shot oracle would fail the hash gate if any
+  * replay leaked its batch count). At fixture scale each extra
+  * micro-batch costs fixed job-scheduling overhead (~0.5-3 s measured at
+  * sf0.1), not data — at production scale batches are large and the same
+  * overhead amortizes to nothing. Replays whose SEMANTICS involve batch
+  * boundaries — watermark eviction (dedup, outer/interval joins,
+  * windows/sessions), CDC version history (one version per batch),
+  * stateful latest-per-key, the multi-phase delete replay, and the
+  * reference-shaped ingest loop — keep three or more.
   */
 object StreamReplay {
 
@@ -269,7 +284,7 @@ object StreamReplay {
     * the batch's day span, not the table.
     */
   def replayOhlcIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_ohlc_replay")
     val ticks = tmp.resolve("ticks").toString
     val bars = tmp.resolve("bars").toString
@@ -569,7 +584,7 @@ object StreamReplay {
     * index kept up across batches without ever recomputing the corpus.
     */
   def replayNearDupIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_neardup_replay")
     val indexDir = tmp.resolve("index").toString
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -616,7 +631,7 @@ object StreamReplay {
     * span are handled by construction.
     */
   def replayDriftIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_drift_replay")
     val countsDir = tmp.resolve("counts").toString
     val ev = Tables.events(s, dir).select(col("value"), col("ts"))
@@ -652,7 +667,7 @@ object StreamReplay {
     * oracle verbatim.
     */
   def replayBloomIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     import graft.text.TextFunctions
     val tmp = Scratch.dir("graft_bloom_replay")
     val partialsDir = tmp.resolve("partials").toString
@@ -692,7 +707,7 @@ object StreamReplay {
     * are handled by construction.
     */
   def replayTrendingIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_trending_replay")
     val countsDir = tmp.resolve("counts").toString
     val ev = Tables.events(s, dir).select(col("event_type"), col("ts"))
@@ -728,7 +743,7 @@ object StreamReplay {
     * per batch, searches never retrain and never rescan the corpus.
     */
   def replayAnnIndexIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_annindex_replay")
     val indexDir = tmp.resolve("index").toString
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -804,7 +819,7 @@ object StreamReplay {
   }
 
   def replayTopTokensIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_vocab_replay")
     val countsDir = tmp.resolve("counts").toString
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -839,7 +854,7 @@ object StreamReplay {
     * is batching-invariant by construction.
     */
   def replayBigramLmIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_bigramlm_replay")
     val countsDir = tmp.resolve("counts").toString
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -874,7 +889,7 @@ object StreamReplay {
     * are mergeable because a document lives in exactly one batch.
     */
   def replayLineDedupIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_linededup_replay")
     val countsDir = tmp.resolve("counts").toString
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -910,7 +925,7 @@ object StreamReplay {
     * verbatim.
     */
   def replaySelfRepeatIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_selfrepeat_replay")
     val countsDir = tmp.resolve("counts").toString
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -947,7 +962,7 @@ object StreamReplay {
     * from state whenever a fresh tokenizer is cut.
     */
   def replayBpeIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_bpe_replay")
     val countsDir = tmp.resolve("counts").toString
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -988,7 +1003,7 @@ object StreamReplay {
     * re-tokenizing the corpus.
     */
   def replayClassifierIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     import graft.text.QualityClassifier
     val tmp = Scratch.dir("graft_clf_replay")
     val stateDir = tmp.resolve("state")
@@ -1045,7 +1060,7 @@ object StreamReplay {
     * q_skyline_orders oracle gates both.
     */
   def replaySkylineIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_sky_replay")
     val stateDir = tmp.resolve("state")
     val proj = Tables.orders(s, dir).select(col("o_orderkey"),
@@ -1127,7 +1142,7 @@ object StreamReplay {
     * deterministic.
     */
   def replayTopKIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3, k: Int = 10): DataFrame = {
+      nBatches: Int = 2, k: Int = 10): DataFrame = {
     val tmp = Scratch.dir("graft_topk_replay")
     val partsDir = tmp.resolve("partials")
     val proj = Tables.orders(s, dir)
@@ -1170,7 +1185,7 @@ object StreamReplay {
     * dq_volume_anomaly — the same oracle gates both.
     */
   def replayVolumeAnomalyIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     val tmp = Scratch.dir("graft_vol_replay")
     val countersDir = tmp.resolve("counters")
 
@@ -1220,7 +1235,7 @@ object StreamReplay {
     * markers.
     */
   def replayKmvIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3, k: Int = 64): DataFrame = {
+      nBatches: Int = 2, k: Int = 64): DataFrame = {
     val tmp = Scratch.dir("graft_kmv_replay")
     val partsDir = tmp.resolve("partials").toString
     val events = Tables.events(s, dir).select(col("event_id"), col("user_id"))
@@ -1254,7 +1269,7 @@ object StreamReplay {
     * the one-shot q_hist_percentiles — same oracle.
     */
   def replayHistIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     import graft.operators.HistogramSketch
     val tmp = Scratch.dir("graft_hist_replay")
     val partsDir = tmp.resolve("bins")
@@ -1296,7 +1311,7 @@ object StreamReplay {
     * equal the one-shot, exactly.
     */
   def replayHllIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3, p: Int = graft.operators.Hll.DefaultP): DataFrame = {
+      nBatches: Int = 2, p: Int = graft.operators.Hll.DefaultP): DataFrame = {
     val tmp = Scratch.dir("graft_hll_replay")
     val partsDir = tmp.resolve("partials").toString
     val events = Tables.events(s, dir).select(col("event_id"), col("user_id"))
@@ -1333,7 +1348,7 @@ object StreamReplay {
     * delivery a no-op on retry.
     */
   def replayCmsIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3, d: Int = 4, w: Int = 64,
+      nBatches: Int = 2, d: Int = 4, w: Int = 64,
       topK: Int = 10): DataFrame = {
     val tmp = Scratch.dir("graft_cms_replay")
     val partsDir = tmp.resolve("partials")
@@ -1783,7 +1798,7 @@ object StreamReplay {
     * uniqueness suffices — both shapes exist in this repo).
     */
   def replayConstraintsIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 2): DataFrame = {
     import graft.operators.DataQuality._
     val tmp = Scratch.dir("graft_dqc_replay")
     val countersDir = tmp.resolve("counters")
