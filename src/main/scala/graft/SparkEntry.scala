@@ -923,6 +923,22 @@ object SparkEntry {
           .select(col("n_nationkey").as("node"), col("n_name"))), "node")
         .select(col("n_name").as("nation"), col("core_degree"))),
 
+    // EDGE-level cohesion on the same graph: the 5-truss — every
+    // surviving tie embedded in ≥3 triangles of the surviving graph (a
+    // hub can hold a k-core together, never a k-truss); per-edge
+    // support peel, one wedge-join aggregation per round
+    "q_ktruss_trade" -> ((s, dir) => {
+      val names = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      graft.operators.KTruss.trussEdges(
+          mutualTopTradeEdges(s, dir, topN = 7), k = 5)
+        .join(broadcast(names.select(col("n_nationkey").as("u"),
+          col("n_name").as("nation_a"))), "u")
+        .join(broadcast(names.select(col("n_nationkey").as("v"),
+          col("n_name").as("nation_b"))), "v")
+        .select(col("nation_a"), col("nation_b"), col("support"))
+    }),
+
     // wide grouped aggregation with derived expressions (TPC-H Q1 shape)
     "q_pricing_summary" -> BreadthQueries.pricingSummary _,
     // broadcast dimension join + aggregation
@@ -3222,6 +3238,61 @@ object SparkEntry {
     * iterates to the same fixpoint with an edge-count early exit; the
     * results agree because the peel is monotone.
     */
+  /** The trade-graph k-truss (k = 5) as 29 unrolled edge-peel rounds —
+    * the |E|-bound (28 canonical mutual-top-7 edges at sf0.01, each
+    * non-final round deletes ≥ 1): adj is the surviving symmetric
+    * closure, support the wedge-join count, and a converged round is a
+    * no-op so extra rounds are harmless. MATERIALIZED everywhere — the
+    * k-core lesson: un-materialized round CTEs inline exponentially.
+    */
+  private val KtrussTradeOracleSql: String = {
+    val k = 5
+    val rounds = (1 to 29).map { i =>
+      val p = s"c${i - 1}"
+      s"""adj${i - 1} AS MATERIALIZED (
+         |  SELECT u AS x, v AS w FROM $p UNION ALL SELECT v, u FROM $p
+         |), sup$i AS MATERIALIZED (
+         |  SELECT e.u, e.v, count(*) AS support
+         |  FROM $p e
+         |  JOIN adj${i - 1} a1 ON a1.x = e.u
+         |  JOIN adj${i - 1} a2 ON a2.x = e.v AND a2.w = a1.w
+         |  GROUP BY 1, 2
+         |), c$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM $p e LEFT JOIN sup$i s ON s.u = e.u AND s.v = e.v
+         |  WHERE coalesce(s.support, 0) >= ${k - 2}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |        * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       |      AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey
+       |  GROUP BY 1, 2
+       |), top AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC)
+       |        AS rn
+       |    FROM e0)
+       |  WHERE rn <= 7
+       |), r0 AS MATERIALIZED (
+       |  SELECT a.src, a.dst FROM top a
+       |  JOIN top b ON a.src = b.dst AND a.dst = b.src
+       |), c0 AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM r0 WHERE src < dst
+       |), $rounds
+       |SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+       |  CAST(s.support AS BIGINT) AS support
+       |FROM c29 e JOIN sup29 s ON s.u = e.u AND s.v = e.v
+       |JOIN nation na ON na.n_nationkey = e.u
+       |JOIN nation nb ON nb.n_nationkey = e.v""".stripMargin
+  }
+
   private val KcoreTradeOracleSql: String = {
     val k = 4
     val rounds = (1 to 26).map { i =>
@@ -4866,6 +4937,11 @@ object SparkEntry {
     "q_pagerank_trade" -> PagerankTradeOracleSql,
     "q_ppr_trade" -> PprTradeOracleSql,
     "q_kcore_trade" -> KcoreTradeOracleSql,
+
+    // edge-support peel unrolled to the |E|-bound round count (a
+    // converged round is a no-op, so the fixed unroll is exact); each
+    // round recomputes supports definitionally on the surviving graph
+    "q_ktruss_trade" -> KtrussTradeOracleSql,
     "q_graph_stats_trade" -> GraphStatsTradeOracleSql,
     // the maintained digest must reproduce the one-shot topology
     // summary bit for bit — the oracle IS q_graph_stats_trade
