@@ -163,6 +163,33 @@ object SparkEntry {
     """CASE WHEN fin[CAST(len(v) AS BIGINT)] >= 1000000000000000
       |    THEN NULL ELSE fin[CAST(len(v) AS BIGINT)] END""".stripMargin
 
+  /** The mutual-top-3 co-sign-agreement graph over `chn` (the
+    * definitional join+SUM the SignAgreement kernel replaces) — yields
+    * `mutall`, the SYMMETRIC mutual edge set (both orientations).
+    * Shared by the DTW pair graph and the Granger screen oracles.
+    */
+  private val CoSignGraphCtes =
+    """sg AS (
+      |  SELECT ccy_couple, date,
+      |    CASE WHEN chg_u > 0 THEN 1 WHEN chg_u < 0 THEN -1 ELSE 0 END AS s
+      |  FROM chn
+      |), wt AS (
+      |  SELECT a.ccy_couple AS src, b.ccy_couple AS dst,
+      |         sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS w
+      |  FROM sg a JOIN sg b ON a.date = b.date
+      |    AND a.ccy_couple <> b.ccy_couple
+      |  GROUP BY 1, 2
+      |), top AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src
+      |        ORDER BY w DESC, dst ASC) AS rn
+      |    FROM wt)
+      |  WHERE rn <= 3
+      |), mutall AS (
+      |  SELECT t.src, t.dst FROM top t
+      |  JOIN top r ON t.src = r.dst AND t.dst = r.src
+      |)""".stripMargin
+
   /** Shared by dedup_bloom_prefilter and stream_bloom_incremental (the
     * folded partials are bit-equal to the one-shot bitset).
     */
@@ -368,6 +395,12 @@ object SparkEntry {
     // weights), then one bounded integer DP per surviving edge
     "fx_dtw_graph" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.dtwGraph(rates(s, dir))),
+
+    // directional lead/lag: lag-1 Granger F per ORDERED mutual edge —
+    // ten exact-long moments from one codegen'd kernel pass, then the
+    // RSS/Cramer trees in double with oracle-identical operand order
+    "fx_granger_pairs" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.grangerPairs(rates(s, dir))),
 
     // robust trend: Theil-Sen median-of-pairwise-slopes, median by
     // SELECTION (no interpolation arithmetic), slopes exact-int ratios
@@ -1709,6 +1742,9 @@ object SparkEntry {
     "cur_hash_sample" -> ((s, dir) => graft.text.Curation.hashSample(s, dir)),
     // 75/12.5/12.5 train/val/test split on the first hash nibble
     "cur_train_val_test" -> ((s, dir) => graft.text.Curation.trainValTest(s, dir)),
+    // group-leakage-safe split: whole sources assigned to one split;
+    // the report contrasts doc-level straddling vs the group guarantee
+    "cur_group_split" -> ((s, dir) => graft.text.Curation.groupSplit(s, dir)),
     // source balancing: <=50 docs per (lang, source) in hash order
     "cur_source_quota" -> ((s, dir) => graft.text.Curation.sourceQuota(s, dir)),
     // PII scrub: email/phone redaction counts + scrubbed-text fingerprint
@@ -3947,26 +3983,8 @@ object SparkEntry {
     // co-sign-agreement graph (the k-core sparsification recipe) — the
     // weight join runs on the |pairs|×|days| change digest
     "fx_dtw_graph" ->
-      s"""WITH $RatesCte, $DtwSeqCtes, sg AS (
-         |  SELECT ccy_couple, date,
-         |    CASE WHEN chg_u > 0 THEN 1 WHEN chg_u < 0 THEN -1 ELSE 0 END AS s
-         |  FROM chn
-         |), wt AS (
-         |  SELECT a.ccy_couple AS src, b.ccy_couple AS dst,
-         |         sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS w
-         |  FROM sg a JOIN sg b ON a.date = b.date
-         |    AND a.ccy_couple <> b.ccy_couple
-         |  GROUP BY 1, 2
-         |), top AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src
-         |        ORDER BY w DESC, dst ASC) AS rn
-         |    FROM wt)
-         |  WHERE rn <= 3
-         |), mut AS (
-         |  SELECT t.src, t.dst FROM top t
-         |  JOIN top r ON t.src = r.dst AND t.dst = r.src
-         |  WHERE t.src < t.dst
+      s"""WITH $RatesCte, $DtwSeqCtes, $CoSignGraphCtes, mut AS (
+         |  SELECT src, dst FROM mutall WHERE src < dst
          |), base AS (
          |  SELECT m.src, m.dst, sa.v AS a, sv.v AS v
          |  FROM mut m JOIN seq sa ON sa.ccy_couple = m.src
@@ -3976,6 +3994,57 @@ object SparkEntry {
          |  CAST(len(a) AS BIGINT) AS n_src, CAST(len(v) AS BIGINT) AS n_dst,
          |  $DtwFinalSql AS dtw_milli
          |FROM dp""".stripMargin,
+
+    // the ten lag-1 moments DEFINITIONALLY (triple join on date and
+    // date−1, HUGEINT sums cast back to BIGINT), then the engine's exact
+    // RSS/Cramer double trees — operand order mirrored term for term
+    "fx_granger_pairs" ->
+      s"""WITH $RatesCte, $DtwSeqCtes, $CoSignGraphCtes, g AS (
+         |  SELECT m.src, m.dst, yt.chg_u AS u, yl.chg_u AS v, xl.chg_u AS w
+         |  FROM mutall m
+         |  JOIN chn yt ON yt.ccy_couple = m.dst
+         |  JOIN chn yl ON yl.ccy_couple = m.dst AND yl.date = yt.date - 1
+         |  JOIN chn xl ON xl.ccy_couple = m.src AND xl.date = yt.date - 1
+         |), mo AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+         |    CAST(sum(w) AS BIGINT) AS sw,
+         |    CAST(sum(u * u) AS BIGINT) AS suu,
+         |    CAST(sum(v * v) AS BIGINT) AS svv,
+         |    CAST(sum(w * w) AS BIGINT) AS sww,
+         |    CAST(sum(u * v) AS BIGINT) AS suv,
+         |    CAST(sum(u * w) AS BIGINT) AS suw,
+         |    CAST(sum(v * w) AS BIGINT) AS svw
+         |  FROM g GROUP BY 1, 2
+         |), cc AS (
+         |  SELECT src, dst, n,
+         |    CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+         |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS cuu,
+         |    CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+         |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) AS cvv,
+         |    CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)
+         |      - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) AS cww,
+         |    CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+         |      - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE) AS cuv,
+         |    CAST(n AS DOUBLE) * CAST(suw AS DOUBLE)
+         |      - CAST(su AS DOUBLE) * CAST(sw AS DOUBLE) AS cuw,
+         |    CAST(n AS DOUBLE) * CAST(svw AS DOUBLE)
+         |      - CAST(sv AS DOUBLE) * CAST(sw AS DOUBLE) AS cvw
+         |  FROM mo
+         |), rr AS (
+         |  SELECT *, cuu - cuv * cuv / cvv AS rss_r,
+         |    cvv * cww - cvw * cvw AS det
+         |  FROM cc
+         |), ru AS (
+         |  SELECT *, cuu - (cww * cuv * cuv - 2.0 * cvw * cuv * cuw
+         |    + cvv * cuw * cuw) / det AS rss_f
+         |  FROM rr
+         |)
+         |SELECT src AS src_ccy, dst AS dst_ccy, n AS n_obs,
+         |  CASE WHEN n < 4 OR cvv <= 0 OR det <= 0 OR rss_f <= 0 THEN NULL
+         |       ELSE (rss_r - rss_f) * (CAST(n AS DOUBLE) - 3.0) / rss_f
+         |  END AS f_stat
+         |FROM ru""".stripMargin,
 
     // lag-1 self-join on consecutive calendar days; same clamped corr
     // formula tree as fx_change_corr on exact integer moments
@@ -6196,6 +6265,23 @@ object SparkEntry {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "cur_group_split" ->
+      """WITH x AS (
+        |  SELECT lang, source,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS doc_split,
+        |    CASE WHEN substring(md5(source), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substring(md5(source), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS group_split
+        |  FROM documents
+        |)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  count(DISTINCT doc_split) AS n_splits_doc_level,
+        |  count(DISTINCT group_split) AS n_splits_group_level,
+        |  min(group_split) AS group_split
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "cur_source_quota" ->
       """SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn FROM (

@@ -325,18 +325,17 @@ object MarketAnalytics {
     * edge pays one O(maxLen²) integer DP with both series carried on the
     * row. No quadratic step ever touches corpus-sized data.
     */
-  def dtwGraph(rates: DataFrame, topN: Int = 3, maxLen: Int = 16,
-      band: Int = 4): DataFrame = {
-    // ONE materialization of the |pairs|×|days| change digest: the
-    // weight vectors and the series digest both read it
-    val chg = dailyChangesU(rates).localCheckpoint(true)
-    // sign weights via the day-aligned vector digest + the codegen'd
-    // SignAgreement kernel: |pairs|² generated rows with an O(|days|)
-    // primitive loop each — NOT the |days|×|pairs|² row explosion of the
-    // equivalent date join (19.8 s → sub-second at sf0.1; the oracle
-    // keeps the definitional join+SUM). Pairs with no common day (n = 0)
-    // are dropped exactly as the join formulation never produces them.
-    val vecs = dailyChangeVectorsOf(chg).localCheckpoint(true)
+  /** The mutual-top-`topN` co-sign-agreement graph (SYMMETRIC — both
+    * orientations) over the day-aligned vector digest: sign weights via
+    * the codegen'd SignAgreement kernel — |pairs|² generated rows with
+    * an O(|days|) primitive loop each, NOT the |days|×|pairs|² row
+    * explosion of the equivalent date join (19.8 s → sub-second at
+    * sf0.1; the oracles keep the definitional join+SUM). Pairs with no
+    * common day (n = 0) are dropped exactly as the join formulation
+    * never produces them. Shared by the DTW pair graph and the Granger
+    * screen.
+    */
+  private def coMovementEdges(vecs: DataFrame, topN: Int): DataFrame = {
     val a = vecs.select(col("ccy_couple").as("src"), col("v").as("va"))
     val b = vecs.select(col("ccy_couple").as("dst"), col("v").as("vb"))
     val w = a.crossJoin(broadcast(b)).where(col("src") =!= col("dst"))
@@ -344,8 +343,16 @@ object MarketAnalytics {
         graft.functions.SignAgreement(col("va"), col("vb")).as("sa"))
       .where(col("sa.n") > 0)
       .select(col("src"), col("dst"), col("sa.agree").as("w"))
-    val edges = graft.operators.GraphStats.mutualTopK(w, topN)
-      .where(col("src") < col("dst"))
+    graft.operators.GraphStats.mutualTopK(w, topN)
+  }
+
+  def dtwGraph(rates: DataFrame, topN: Int = 3, maxLen: Int = 16,
+      band: Int = 4): DataFrame = {
+    // ONE materialization of the |pairs|×|days| change digest: the
+    // weight vectors and the series digest both read it
+    val chg = dailyChangesU(rates).localCheckpoint(true)
+    val vecs = dailyChangeVectorsOf(chg).localCheckpoint(true)
+    val edges = coMovementEdges(vecs, topN).where(col("src") < col("dst"))
     val ser = changeSeriesOf(chg, maxLen).localCheckpoint(true)
     edges
       .join(ser.select(col("ccy_couple").as("src"), col("v").as("a")), Seq("src"))
@@ -354,6 +361,55 @@ object MarketAnalytics {
         size(col("a")).cast("long").as("n_src"),
         size(col("v")).cast("long").as("n_dst"),
         dtwMilli(col("a"), col("v"), band).as("dtw_milli"))
+  }
+
+  /** Lag-1 GRANGER-CAUSALITY screen over the sparsified co-movement
+    * graph: for every ORDERED mutual edge (x → y), does yesterday's x
+    * change improve today's y prediction beyond yesterday's y alone?
+    * F = (RSS_restricted − RSS_full)·(n−3)/RSS_full with 1 and n−3 df,
+    * where restricted is y_t ~ y_{t−1} and full adds x_{t−1} — the
+    * standard lead/lag screen a rates desk runs before building any
+    * pairs model (correlation is symmetric; Granger is directional).
+    *
+    * Exactness discipline: the ten moments over the TRIPLE-common slot
+    * set come from one codegen'd [[graft.functions.LagMoments]] pass in
+    * exact longs; every centered quantity (n·Sab − Sa·Sb ≤ ~1e15) is an
+    * integer-exact double; the RSS/Cramer trees then run in double with
+    * the IDENTICAL operand order in the oracle, so the emitted F is
+    * bit-equal (the fx_change_corr discipline). Degenerate fits
+    * (n < 4, zero variance, singular Gram) emit NULL, never NaN.
+    *
+    * Scale shape: the corpus reduces to the |pairs|×|days| digest; the
+    * |pairs|² weight frame sparsifies to ≤ |pairs|·topN ordered edges;
+    * each edge pays one O(|days|) kernel pass with both vectors on the
+    * row. Nothing quadratic touches corpus-sized data.
+    */
+  def grangerPairs(rates: DataFrame, topN: Int = 3): DataFrame = {
+    val chg = dailyChangesU(rates).localCheckpoint(true)
+    val vecs = dailyChangeVectorsOf(chg).localCheckpoint(true)
+    val edges = coMovementEdges(vecs, topN) // symmetric: ordered pairs
+    val mo = edges
+      .join(vecs.select(col("ccy_couple").as("dst"), col("v").as("vy")), Seq("dst"))
+      .join(vecs.select(col("ccy_couple").as("src"), col("v").as("vx")), Seq("src"))
+      .select(col("src"), col("dst"),
+        graft.functions.LagMoments(col("vy"), col("vx")).as("m"))
+      .where(col("m.n") > 0)
+    val n = col("m.n").cast("double")
+    def c(ab: String, a: String, b: String) =
+      n * col(s"m.$ab").cast("double") -
+        col(s"m.$a").cast("double") * col(s"m.$b").cast("double")
+    val cuu = c("suu", "su", "su"); val cvv = c("svv", "sv", "sv")
+    val cww = c("sww", "sw", "sw"); val cuv = c("suv", "su", "sv")
+    val cuw = c("suw", "su", "sw"); val cvw = c("svw", "sv", "sw")
+    val rssR = cuu - cuv * cuv / cvv
+    val det = cvv * cww - cvw * cvw
+    val rssF = cuu -
+      (cww * cuv * cuv - lit(2.0) * cvw * cuv * cuw + cvv * cuw * cuw) / det
+    val f = (rssR - rssF) * (n - lit(3.0)) / rssF
+    mo.select(col("src").as("src_ccy"), col("dst").as("dst_ccy"),
+      col("m.n").as("n_obs"),
+      when(col("m.n") < 4 || cvv <= 0.0 || det <= 0.0 || rssF <= 0.0,
+        lit(null).cast("double")).otherwise(f).as("f_stat"))
   }
 
   /** Co-movement: Pearson correlation of day-over-day close changes for

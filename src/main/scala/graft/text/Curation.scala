@@ -69,6 +69,32 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** GROUP-leakage-safe split: assign whole SOURCES to train/val/test by
+    * hashing the group key, so correlated documents (same crawl domain,
+    * same provider) can never straddle a split boundary — the leakage
+    * the per-doc split of [[trainValTest]] permits by construction.
+    * Output is the per-(lang, source) contrast report: how many splits
+    * the group's docs land in under the doc-level rule (usually > 1 —
+    * the leak) vs the group-level rule (always exactly 1 — the
+    * guarantee the gate pins), plus the assigned group split.
+    *
+    * Scale shape: one narrow map (two hash nibbles) + one hash
+    * aggregation on the group key — no joins, no windows.
+    */
+  def groupSplit(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(nib: Column) = when(nib <= "b", "train")
+      .when(nib <= "d", "val").otherwise("test")
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        splitOf(substring(hashKey(col("doc_id")), 1, 1)).as("doc_split"),
+        splitOf(substring(hashKey(col("source")), 1, 1)).as("group_split"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_split")).as("n_splits_doc_level"),
+        countDistinct(col("group_split")).as("n_splits_group_level"),
+        min(col("group_split")).as("group_split"))
+  }
+
   /** Source balancing: keep at most `quota` docs per (lang, source),
     * chosen by deterministic hash order (an order-free "random" quota —
     * no bias toward low doc_ids, yet fully reproducible). One shuffle on

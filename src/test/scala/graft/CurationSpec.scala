@@ -31,6 +31,18 @@ class CurationSpec extends SparkSuite {
     assert(frac("train") > 0.6 && frac("train") < 0.9)
   }
 
+  test("group split never straddles; doc-level split demonstrably leaks") {
+    val rep = Curation.groupSplit(spark, dir).collect()
+    assert(rep.nonEmpty)
+    // the guarantee: every (lang, source) group lands in exactly one split
+    assert(rep.forall(_.getLong(4) == 1L))
+    // the leak it prevents: at least one multi-doc group straddles splits
+    // under the per-doc rule
+    assert(rep.exists(r => r.getLong(2) > 1L && r.getLong(3) > 1L))
+    // the group split is one of the three classes
+    assert(rep.forall(r => Set("train", "val", "test")(r.getString(5))))
+  }
+
   test("source quota never exceeds the cap and keeps full small groups") {
     val q = Curation.sourceQuota(spark, dir, quota = 20)
     val byGroup = q.groupBy("lang", "source").count().collect()

@@ -137,6 +137,52 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out(("C", "D")) == ((4L, 4L, 4L)))
   }
 
+  test("Granger screen: the leading series causes, matches brute OLS F") {
+    import spark.implicits._
+    // x's changes lead y's by one day (plus small perturbation);
+    // milli-changes: x = [3,1,-2,4,-1,2,-3,1,2], y_t = x_{t-1} + eps
+    val xChg = Seq(3L, 1L, -2L, 4L, -1L, 2L, -3L, 1L, 2L)
+    val eps = Seq(0L, 1L, 0L, -1L, 0L, 1L, 0L, -1L)
+    val yChg = 5L +: xChg.init.zip(eps).map { case (a, e) => a + e }
+    def closes(chg: Seq[Long]) = chg.scanLeft(1000L)(_ + _) // milli closes
+    val days = (1 to 10).map(d => f"2024-01-$d%02d")
+    val fx = days.zipWithIndex.flatMap { case (d, i) =>
+      Seq(("X", closes(xChg)(i)), ("Y", closes(yChg)(i))).map { case (p, c) =>
+        (i * 10L + p.head.toLong, p, c / 1000.0, d) }
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+      .drop("ds")
+    val out = MarketAnalytics.grangerPairs(fx, topN = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(out.keySet == Set(("X", "Y"), ("Y", "X")))
+    // brute-force reference: OLS RSS via centered sums in plain Scala
+    def bruteF(y: Seq[Long], x: Seq[Long]): Double = {
+      val slots = (1 until y.size)
+      val (u, v, w) = (slots.map(y(_).toDouble), slots.map(t => y(t - 1).toDouble),
+        slots.map(t => x(t - 1).toDouble))
+      val n = u.size.toDouble
+      def c(a: Seq[Double], b: Seq[Double]) =
+        n * a.zip(b).map { case (p, q) => p * q }.sum - a.sum * b.sum
+      val (cuu, cvv, cww) = (c(u, u), c(v, v), c(w, w))
+      val (cuv, cuw, cvw) = (c(u, v), c(u, w), c(v, w))
+      val rssR = cuu - cuv * cuv / cvv
+      val det = cvv * cww - cvw * cvw
+      val rssF = cuu - (cww * cuv * cuv - 2.0 * cvw * cuv * cuw + cvv * cuw * cuw) / det
+      (rssR - rssF) * (n - 3.0) / rssF
+    }
+    val fXY = out(("X", "Y"))._2.get
+    val fYX = out(("Y", "X"))._2.get
+    assert(out(("X", "Y"))._1 == 8L) // 9 change slots -> 8 lag-1 triples
+    assert(math.abs(fXY - bruteF(yChg, xChg)) < 1e-9 * math.max(1.0, fXY))
+    assert(math.abs(fYX - bruteF(xChg, yChg)) < 1e-9 * math.max(1.0, fYX))
+    // the leading direction dominates
+    assert(fXY > 10.0 && fXY > 5.0 * math.max(fYX, 1e-9))
+  }
+
   test("daily-change corr: in [-1,1], NULL on zero variance, +1 on identical movers") {
     import spark.implicits._
     // two currencies moving in lockstep (with VARYING changes — constant
