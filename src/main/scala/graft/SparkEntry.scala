@@ -402,6 +402,17 @@ object SparkEntry {
     "fx_granger_pairs" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.grangerPairs(rates(s, dir))),
 
+    // CCF peak: the |corr|-maximizing lag per ordered mutual edge —
+    // shifted vectors through PairMoments, round-to-6dp |corr| ranking
+    // with the lag tiebreak
+    "fx_leadlag_pairs" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.leadLagPairs(rates(s, dir))),
+
+    // closed-form two-asset minimum-variance basket weight per
+    // unordered mutual edge from exact centered moments
+    "fx_minvar_pairs" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.minVariancePairs(rates(s, dir))),
+
     // robust trend: Theil-Sen median-of-pairwise-slopes, median by
     // SELECTION (no interpolation arithmetic), slopes exact-int ratios
     "fx_theilsen" -> ((s, dir) =>
@@ -4045,6 +4056,67 @@ object SparkEntry {
          |       ELSE (rss_r - rss_f) * (CAST(n AS DOUBLE) - 3.0) / rss_f
          |  END AS f_stat
          |FROM ru""".stripMargin,
+
+    // per-lag date-offset joins (the shifted-vector replay), the
+    // fx_change_corr tree, then the round-to-6dp |corr| argmax
+    "fx_leadlag_pairs" ->
+      s"""WITH $RatesCte, $DtwSeqCtes, $CoSignGraphCtes, lagged AS (
+         |  SELECT m.src, m.dst, l.lag, count(*) AS n,
+         |    CAST(sum(y.chg_u) AS DOUBLE) AS sx,
+         |    CAST(sum(x.chg_u) AS DOUBLE) AS sy,
+         |    CAST(sum(y.chg_u * x.chg_u) AS DOUBLE) AS sxy,
+         |    CAST(sum(y.chg_u * y.chg_u) AS DOUBLE) AS sxx,
+         |    CAST(sum(x.chg_u * x.chg_u) AS DOUBLE) AS syy
+         |  FROM mutall m
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS lag) l
+         |  JOIN chn y ON y.ccy_couple = m.dst
+         |  JOIN chn x ON x.ccy_couple = m.src
+         |    AND x.date = y.date - CAST(l.lag AS INTEGER)
+         |  GROUP BY 1, 2, 3
+         |), cr AS (
+         |  SELECT src, dst, lag, n,
+         |    (CAST(n AS DOUBLE) * sxy - sx * sy)
+         |      / sqrt(nullif(greatest(
+         |          (CAST(n AS DOUBLE) * sxx - sx * sx)
+         |          * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0), 0.0)) AS corr
+         |  FROM lagged
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY src, dst
+         |    ORDER BY round(abs(corr), 6) DESC NULLS LAST, lag ASC) AS rn
+         |  FROM cr
+         |)
+         |SELECT src AS src_ccy, dst AS dst_ccy,
+         |  CAST(lag AS BIGINT) AS best_lag, CAST(n AS BIGINT) AS n_obs,
+         |  corr AS corr_best
+         |FROM rk WHERE rn = 1""".stripMargin,
+
+    // the same centered moments, then the closed-form hedge ratio with
+    // a non-positive-denominator NULL guard
+    "fx_minvar_pairs" ->
+      s"""WITH $RatesCte, $DtwSeqCtes, $CoSignGraphCtes, mutc AS (
+         |  SELECT src, dst FROM mutall WHERE src < dst
+         |), mm AS (
+         |  SELECT c.src, c.dst, count(*) AS n,
+         |    CAST(sum(a.chg_u) AS DOUBLE) AS sx,
+         |    CAST(sum(b.chg_u) AS DOUBLE) AS sy,
+         |    CAST(sum(a.chg_u * b.chg_u) AS DOUBLE) AS sxy,
+         |    CAST(sum(a.chg_u * a.chg_u) AS DOUBLE) AS sxx,
+         |    CAST(sum(b.chg_u * b.chg_u) AS DOUBLE) AS syy
+         |  FROM mutc c
+         |  JOIN chn a ON a.ccy_couple = c.src
+         |  JOIN chn b ON b.ccy_couple = c.dst AND b.date = a.date
+         |  GROUP BY 1, 2
+         |), vv AS (
+         |  SELECT src, dst, n,
+         |    CAST(n AS DOUBLE) * sxx - sx * sx AS va,
+         |    CAST(n AS DOUBLE) * syy - sy * sy AS vb,
+         |    CAST(n AS DOUBLE) * sxy - sx * sy AS cov
+         |  FROM mm
+         |)
+         |SELECT src AS src_ccy, dst AS dst_ccy, CAST(n AS BIGINT) AS n_obs,
+         |  CASE WHEN (va + vb - 2.0 * cov) <= 0 THEN NULL
+         |       ELSE (vb - cov) / (va + vb - 2.0 * cov) END AS w_src
+         |FROM vv""".stripMargin,
 
     // lag-1 self-join on consecutive calendar days; same clamped corr
     // formula tree as fx_change_corr on exact integer moments

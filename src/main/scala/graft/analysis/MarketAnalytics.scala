@@ -412,6 +412,85 @@ object MarketAnalytics {
         lit(null).cast("double")).otherwise(f).as("f_stat"))
   }
 
+  /** Lead/lag CROSS-CORRELATION peak per ordered mutual edge: which lag
+    * ℓ ∈ [0, maxLag] maximizes |corr(y_t, x_{t−ℓ})| — the symmetric
+    * sibling of the Granger screen (Granger asks "does x help beyond
+    * y's own past"; the CCF peak asks "at what offset do they move
+    * together"). Shifted series are the day-aligned vectors with ℓ null
+    * slots prepended, so slot arithmetic IS date arithmetic and the
+    * oracle's per-lag date-offset join replays it exactly.
+    *
+    * Determinism: moments exact longs (PairMoments), the corr tree
+    * operand-identical to fx_change_corr's, and the per-edge argmax
+    * ranks ROUND-TO-6DP |corr| with the lag as tiebreak — the proven
+    * recipe for ranking floats across engines. Lags with no overlap
+    * (n = 0) are dropped exactly as the join formulation never
+    * produces them.
+    */
+  def leadLagPairs(rates: DataFrame, topN: Int = 3,
+      maxLag: Int = 3): DataFrame = {
+    val chg = dailyChangesU(rates).localCheckpoint(true)
+    val vecs = dailyChangeVectorsOf(chg).localCheckpoint(true)
+    val edges = coMovementEdges(vecs, topN) // symmetric: ordered pairs
+    val base = edges
+      .join(vecs.select(col("ccy_couple").as("dst"), col("v").as("vy")), Seq("dst"))
+      .join(vecs.select(col("ccy_couple").as("src"), col("v").as("vx")), Seq("src"))
+    val shifted = concat(
+      array_repeat(lit(null).cast("long"), col("lag")),
+      slice(col("vx"), lit(1), size(col("vx")) - col("lag")))
+    val mo = base
+      .select(col("src"), col("dst"), col("vy"), col("vx"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag"))
+      .select(col("src"), col("dst"), col("lag"),
+        graft.functions.PairMoments(col("vy"), shifted).as("m"))
+      .where(col("m.n") > 0)
+    val n = col("m.n").cast("double")
+    val sx = col("m.sx").cast("double"); val sy = col("m.sy").cast("double")
+    val sxy = col("m.sxy").cast("double")
+    val sxx = col("m.sxx").cast("double"); val syy = col("m.syy").cast("double")
+    val corr = (n * sxy - sx * sy) /
+      sqrt(nullif(greatest((n * sxx - sx * sx) * (n * syy - sy * sy),
+        lit(0.0)), lit(0.0)))
+    val ranked = mo.select(col("src"), col("dst"), col("lag"),
+        col("m.n").as("n_obs"), corr.as("corr"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("src"), col("dst"))
+        .orderBy(round(abs(col("corr")), 6).desc_nulls_last, col("lag").asc)))
+      .where(col("rn") === 1)
+    ranked.select(col("src").as("src_ccy"), col("dst").as("dst_ccy"),
+      col("lag").cast("long").as("best_lag"), col("n_obs"),
+      col("corr").as("corr_best"))
+  }
+
+  /** Two-asset MINIMUM-VARIANCE basket weight per unordered mutual
+    * edge: w_src = (σ²_dst − σ_cov)/(σ²_src + σ²_dst − 2σ_cov) — the
+    * closed-form hedge a pairs desk quotes before any optimizer runs.
+    * Centered second moments are integer-exact doubles from one
+    * PairMoments pass (the n²-scale cancels in the ratio); a
+    * non-positive denominator (degenerate/identical series) emits NULL.
+    */
+  def minVariancePairs(rates: DataFrame, topN: Int = 3): DataFrame = {
+    val chg = dailyChangesU(rates).localCheckpoint(true)
+    val vecs = dailyChangeVectorsOf(chg).localCheckpoint(true)
+    val edges = coMovementEdges(vecs, topN).where(col("src") < col("dst"))
+    val mo = edges
+      .join(vecs.select(col("ccy_couple").as("src"), col("v").as("va")), Seq("src"))
+      .join(vecs.select(col("ccy_couple").as("dst"), col("v").as("vb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        graft.functions.PairMoments(col("va"), col("vb")).as("m"))
+      .where(col("m.n") > 0)
+    val n = col("m.n").cast("double")
+    val sx = col("m.sx").cast("double"); val sy = col("m.sy").cast("double")
+    val va = n * col("m.sxx").cast("double") - sx * sx
+    val vb = n * col("m.syy").cast("double") - sy * sy
+    val cov = n * col("m.sxy").cast("double") - sx * sy
+    val denom = va + vb - lit(2.0) * cov
+    mo.select(col("src").as("src_ccy"), col("dst").as("dst_ccy"),
+      col("m.n").as("n_obs"),
+      when(denom <= 0.0, lit(null).cast("double"))
+        .otherwise((vb - cov) / denom).as("w_src"))
+  }
+
   /** Co-movement: Pearson correlation of day-over-day close changes for
     * every unordered pair of currencies — the risk/hedging matrix.
     *

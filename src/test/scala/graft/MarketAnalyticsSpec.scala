@@ -183,6 +183,47 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(fXY > 10.0 && fXY > 5.0 * math.max(fYX, 1e-9))
   }
 
+  test("lead-lag CCF peak: the 1-day leader peaks at lag 1; min-variance hand weight") {
+    import spark.implicits._
+    // X leads Y by one day (Granger fixture shape)
+    val xChg = Seq(3L, 1L, -2L, 4L, -1L, 2L, -3L, 1L, 2L)
+    val yChg = 5L +: xChg.init
+    def closes(chg: Seq[Long]) = chg.scanLeft(1000L)(_ + _)
+    val days = (1 to 10).map(d => f"2024-01-$d%02d")
+    val fx = days.zipWithIndex.flatMap { case (d, i) =>
+      Seq(("X", closes(xChg)(i)), ("Y", closes(yChg)(i))).map { case (p, c) =>
+        (i * 10L + p.head.toLong, p, c / 1000.0, d) }
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+      .drop("ds")
+    val ll = MarketAnalytics.leadLagPairs(fx, topN = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(4)))).toMap
+    // y_t == x_{t-1} exactly -> |corr| = 1 at lag 1 for X->Y
+    assert(ll(("X", "Y"))._1 == 1L)
+    assert(math.abs(ll(("X", "Y"))._2 - 1.0) < 1e-12)
+
+    // min-variance: a = ±1 milli, b = ±2 milli in lockstep ->
+    // va=64, vb=256, cov=128 (n²-scale), w_src = (256-128)/64 = 2.0
+    val fx2 = days.take(9).zipWithIndex.flatMap { case (d, i) =>
+      val sgn = if (i % 2 == 0) 1L else -1L
+      Seq(("A", 1000L + sgn), ("B", 2000L + 2 * sgn)).map { case (p, c) =>
+        (i * 10L + p.head.toLong, p, c / 1000.0, d) }
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+      .drop("ds")
+    val mv = MarketAnalytics.minVariancePairs(fx2, topN = 1).collect()
+    assert(mv.length == 1)
+    val r = mv.head
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert(r.getLong(2) == 8L)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-12)
+  }
+
   test("daily-change corr: in [-1,1], NULL on zero variance, +1 on identical movers") {
     import spark.implicits._
     // two currencies moving in lockstep (with VARYING changes — constant
