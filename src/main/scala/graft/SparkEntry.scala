@@ -734,6 +734,11 @@ object SparkEntry {
     // incoming half probed — must equal the one-shot prefilter
     "stream_bloom_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayBloomIncremental(s, dir)),
+    // gap sessionization on transformWithState EVENT-TIME TIMERS (the
+    // V2 surface session_window hides): inline gap closes + per-key
+    // timer closes; emission rule pinned empirically by the probe
+    "stream_session_timers" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replaySessionTimers(s, dir)),
     // incremental line-dedup dictionary: per-batch per-line distinct-doc
     // partials (LSM shape) folded, then the cleaned corpus cut against
     // the maintained dictionary — must equal the one-shot cur_line_dedup
@@ -4868,6 +4873,40 @@ object SparkEntry {
          |)
          |SELECT session_start, session_end, ccy_couple, n_events, last_rate
          |FROM ses, wmk WHERE session_end <= wmk.w""".stripMargin,
+
+    // timer sessionization: non-final sessions close INLINE on the gap
+    // (watermark-free — lag/cumsum replays them all); each key's FINAL
+    // session closes iff its ms-floored end ≤ the final watermark
+    // (max event ms − 60 s) — the timer-firing rule the replay probe
+    // pinned (14/15 finals at sf0.001, exact predictor match)
+    "stream_session_timers" ->
+      s"""WITH $RatesCte, x AS (
+         |  SELECT ccy_couple, "timestamp" AS ts, event_id,
+         |    lag("timestamp") OVER (PARTITION BY ccy_couple
+         |      ORDER BY "timestamp", event_id) AS prev_ts
+         |  FROM rates
+         |), y AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+         |                 THEN 1 ELSE 0 END AS news
+         |  FROM x
+         |), z AS (
+         |  SELECT *, CAST(sum(news) OVER (PARTITION BY ccy_couple
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM y
+         |), ses AS (
+         |  SELECT ccy_couple, sid, CAST(count(*) AS BIGINT) AS n_events,
+         |    epoch_us(min(ts)) AS session_start,
+         |    epoch_us(max(ts)) + 1800000000 AS session_end
+         |  FROM z GROUP BY ccy_couple, sid
+         |), lasts AS (
+         |  SELECT ccy_couple, max(sid) AS last_sid FROM ses GROUP BY 1
+         |), wmk AS (
+         |  SELECT epoch_us(max("timestamp")) // 1000 - 60000 AS w FROM rates
+         |)
+         |SELECT s.ccy_couple, s.session_start, s.session_end, s.n_events
+         |FROM ses s JOIN lasts l USING (ccy_couple), wmk
+         |WHERE s.sid < l.last_sid OR s.session_end // 1000 <= wmk.w""".stripMargin,
 
     // the streamed dedup key set = the batch DISTINCT fingerprint set
     "stream_dedup_docs" ->

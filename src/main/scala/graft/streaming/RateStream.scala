@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 import graft.ingest.MergeOps
 
@@ -161,6 +162,95 @@ object RateStream {
       .groupBy(session_window(col(tsCol), gap), col("ccy_couple"))
       .agg(count(lit(1)).as("n_events"),
         max_by(col("rate"), struct(col(tsCol), col("event_id"))).as("last_rate"))
+
+  case class SessionEvent(ccy_couple: String,
+      timestamp: java.sql.Timestamp, event_id: Long)
+  case class SessionAgg(start: Long, last: Long, n: Long) // epoch micros
+  case class SessionOut(ccy_couple: String, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** Gap sessionization on the transformWithState TIMER surface — the
+    * V2 API feature [[sessionWindowStats]]'s built-in operator hides:
+    * explicit per-key EVENT-TIME timers. Within a batch a gap ≥ `gapUs`
+    * closes the running session INLINE (emission is data-driven, no
+    * watermark involved); the key's final open session is closed by its
+    * registered timer at `last + gap` once the watermark passes it
+    * (handleExpiredTimer). Every batch re-arms the single timer —
+    * delete-then-register, so at most one per key lives in the store.
+    *
+    * Semantics are closed-form and deterministic under the ordered
+    * replay: inline closes reproduce the batch lag/cumsum sessionize
+    * exactly; timer closes add each key's LAST session iff its
+    * millisecond-floored end is ≤ the watermark available to the final
+    * batch (pinned empirically by the replay gate, like every other
+    * watermark rule in this repo).
+    */
+  private class SessionTimerProcessor(gapUs: Long)
+      extends StatefulProcessor[String, SessionEvent, SessionOut] {
+    @transient private var st: ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionAgg]("session",
+        Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    override def handleInputRows(key: String, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      // per-key per-batch sort: bounded by the batch's rows for this key
+      val sorted = rows.toSeq.sortBy(r => (micros(r.timestamp), r.event_id))
+      val out = Seq.newBuilder[SessionOut]
+      var cur = if (st.exists()) Some(st.get()) else None
+      sorted.foreach { r =>
+        val ts = micros(r.timestamp)
+        cur match {
+          case Some(c) if ts - c.last >= gapUs =>
+            out += SessionOut(key, c.start, c.last + gapUs, c.n)
+            cur = Some(SessionAgg(ts, ts, 1L))
+          case Some(c) =>
+            cur = Some(SessionAgg(c.start, math.max(c.last, ts), c.n + 1L))
+          case None =>
+            cur = Some(SessionAgg(ts, ts, 1L))
+        }
+      }
+      cur.foreach { c =>
+        st.update(c)
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer((c.last + gapUs) / 1000L)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // a stale timer (state since extended) must neither emit nor clear
+      if (st.exists() &&
+          (st.get().last + gapUs) / 1000L <= expiredTimerInfo.getExpiryTimeInMs()) {
+        val c = st.get()
+        st.clear()
+        Iterator.single(SessionOut(key, c.start, c.last + gapUs, c.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionWindowStats]]'s session set on the timer API. Requires the
+    * RocksDB state store provider (see StreamReplay's scoped swap).
+    */
+  def sessionTimers(parsed: DataFrame, tsCol: String = "timestamp",
+      gapUs: Long = 1800000000L,
+      watermark: String = "1 minute"): Dataset[SessionOut] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.select(col("ccy_couple"), col(tsCol).as("timestamp"),
+        col("event_id"))
+      .withWatermark("timestamp", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.ccy_couple)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Tumbling-window per-pair aggregation with a watermark (the §2.10
     * extension): e.g. 30-second windows of rate activity. Append mode

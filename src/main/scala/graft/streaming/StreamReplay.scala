@@ -269,6 +269,50 @@ object StreamReplay {
         "last_rate")
   }
 
+  /** Replay of the TIMER-based sessionization
+    * (RateStream.sessionTimers — transformWithState with explicit
+    * per-key EVENT-TIME timers, the V2 surface the built-in
+    * session_window operator hides): ordered slices advance the
+    * watermark batch by batch; non-final sessions close INLINE on the
+    * gap (data-driven, watermark-free), each key's final session closes
+    * when its timer fires. Emission set is closed-form under the
+    * ordered feed, so the oracle rebuilds the lag/cumsum sessions and
+    * applies the timer rule the replay pins empirically. RocksDB
+    * provider scoped to this replay (the V2 operator requires it).
+    */
+  def replaySessionTimers(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_sessiontimer_replay")
+    val rates = Tables.rates(s, dir)
+      .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
+    val feed = sharedOrderedFeed(s, dir, nBatches)
+
+    val name = s"graft_sessiontimer_sink_${sinkId.incrementAndGet()}"
+    withRocksDbStateStore(s) {
+      withReplayPartitions(s, 8) {
+        val stream = s.readStream.schema(rates.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.toString + "/*")
+        val query = RateStream.sessionTimers(stream)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", tmp.resolve("chk").toString)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
+    }
+
+    val out = s.table(name)
+      .select(col("ccy_couple"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .as[(String, Long, Long, Long)].collect()
+    s.catalog.dropTempView(name)
+    s.createDataset(out.toSeq)
+      .toDF("ccy_couple", "session_start", "session_end", "n_events")
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE: a daily-OHLC bars table kept up
     * to date by the stream, at O(touched days) per micro-batch. Each
     * batch (1) merges its raw ticks into a date-partitioned tick store
@@ -1730,12 +1774,21 @@ object StreamReplay {
     * (and their existing checkpoints stay compatible).
     */
   def replayLatestPerPairTws(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 3): DataFrame =
+    withRocksDbStateStore(s) {
+      replayLatestImpl(s, dir, nBatches, RateStream.latestPerPairTws)
+    }
+
+  /** Scoped RocksDB state-store provider swap: the transformWithState
+    * V2 operators reject the default HDFS-backed provider; restoring it
+    * after keeps the V1 operators' checkpoints compatible.
+    */
+  private def withRocksDbStateStore[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try replayLatestImpl(s, dir, nBatches, RateStream.latestPerPairTws)
+    try body
     finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)

@@ -326,6 +326,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("timer sessions: inline gap close, timer close boundary pinned") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val parsed = input.toDS().toDF("ccy_couple", "timestamp", "event_id")
+    // gap 10 min (600 s), watermark delay 60 s
+    val q = RateStream.sessionTimers(parsed, gapUs = 600000000L,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sesstimer_spec")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      def emitted() = spark.table("sesstimer_spec").collect()
+        .map(r => (r.getString(0),
+          (r.getLong(1) - 1700000000000000L) / 1000000,
+          (r.getLong(2) - 1700000000000000L) / 1000000,
+          r.getLong(3))).toSet
+
+      // A: two events 0s/30s (one session, timer at 630s), then a
+      // same-batch gap event at 700s — the first session must close
+      // INLINE in this batch, before any watermark movement
+      input.addData(("A", t(0), 1L), ("A", t(30), 2L), ("A", t(700), 3L))
+      q.processAllAvailable()
+      assert(emitted() == Set(("A", 0L, 630L, 2L)))
+
+      // B advances the watermark to 1 s BEFORE A's open-session expiry
+      // (1359 − 60 = 1299 < 700 + 600): the timer must NOT fire yet
+      input.addData(("B", t(1359), 4L))
+      q.processAllAvailable()
+      assert(emitted() == Set(("A", 0L, 630L, 2L)))
+
+      // watermark EXACTLY at the expiry (1360 − 60 = 1300 = 700 + 600):
+      // the timer fires at equality — expiry ≤ watermark, NON-STRICT
+      // (the boundary this spec exists to pin)
+      input.addData(("B", t(1360), 5L))
+      q.processAllAvailable()
+      assert(emitted().contains(("A", 700L, 1300L, 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("left-outer join: null emission sits exactly at wm − window − 1µs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
