@@ -739,6 +739,10 @@ object SparkEntry {
     // timer closes; emission rule pinned empirically by the probe
     "stream_session_timers" -> ((s, dir) =>
       graft.streaming.StreamReplay.replaySessionTimers(s, dir)),
+    // trailing-K buffer on the V2 LIST-STATE surface: keep-K-largest
+    // merge per batch, final digest = the batch top-K aggregate
+    "stream_trailingk_tws" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayTrailingK(s, dir)),
     // incremental line-dedup dictionary: per-batch per-line distinct-doc
     // partials (LSM shape) folded, then the cleaned corpus cut against
     // the maintained dictionary — must equal the one-shot cur_line_dedup
@@ -4907,6 +4911,24 @@ object SparkEntry {
          |SELECT s.ccy_couple, s.session_start, s.session_end, s.n_events
          |FROM ses s JOIN lasts l USING (ccy_couple), wmk
          |WHERE s.sid < l.last_sid OR s.session_end // 1000 <= wmk.w""".stripMargin,
+
+    // the list-state buffer's final digest per pair = the batch top-5
+    // under (event_time, event_id), with the exact half-up micro sum
+    "stream_trailingk_tws" ->
+      s"""WITH $RatesCte, r AS (
+         |  SELECT ccy_couple, event_time, event_id,
+         |    CAST(floor(rate * 1000000 + 0.5) AS BIGINT) AS micro,
+         |    row_number() OVER (PARTITION BY ccy_couple
+         |      ORDER BY event_time DESC, event_id DESC) AS rn
+         |  FROM rates
+         |)
+         |SELECT ccy_couple,
+         |  max(CASE WHEN rn = 1 THEN event_time END) AS last_event_time,
+         |  max(CASE WHEN rn = 1 THEN event_id END) AS last_event_id,
+         |  CAST(count(*) AS BIGINT) AS n_window,
+         |  CAST(sum(micro) AS BIGINT) AS sum_micro
+         |FROM r WHERE rn <= 5
+         |GROUP BY ccy_couple""".stripMargin,
 
     // the streamed dedup key set = the batch DISTINCT fingerprint set
     "stream_dedup_docs" ->

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 import graft.ingest.MergeOps
 
@@ -233,6 +233,51 @@ object RateStream {
         Iterator.single(SessionOut(key, c.start, c.last + gapUs, c.n))
       } else Iterator.empty
     }
+  }
+
+  case class TrailingDigest(ccy_couple: String, last_event_time: Long,
+      last_event_id: Long, n_window: Long, sum_micro: Long)
+
+  /** Trailing-K per-key digest on the V2 LIST-STATE surface: the state
+    * is the key's K most recent events under the (event_time, event_id)
+    * total order — a bounded buffer `ValueState` can't express and the
+    * V1 API could only fake with one opaque blob. Each batch merges its
+    * rows into the buffer (keep-K-largest — deterministic under ANY
+    * batching, the top-k-merge argument) and emits the refreshed digest:
+    * window size, exact half-up ×10⁶ rate sum, and the anchor event.
+    * The per-key digest at the LAST emission equals the batch top-K
+    * aggregate — the gate's argmax fold, same shape as the
+    * latest-per-pair replay.
+    */
+  private class TrailingKProcessor(k: Int)
+      extends StatefulProcessor[String, RateUpdate, TrailingDigest] {
+    @transient private var buf: ListState[RateUpdate] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[RateUpdate]("trailing",
+        Encoders.product[RateUpdate], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[RateUpdate],
+        timerValues: TimerValues): Iterator[TrailingDigest] = {
+      val existing = if (buf.exists()) buf.get().toSeq else Seq.empty
+      val merged = (existing ++ rows)
+        .sortBy(r => (-r.event_time, -r.event_id)).take(k)
+      buf.put(merged.toArray)
+      val head = merged.head
+      // exact half-up micro-units: floor(rate·10⁶ + 0.5), summed as longs
+      val sum = merged.map(r => math.floor(r.rate * 1e6 + 0.5).toLong).sum
+      Iterator.single(TrailingDigest(key, head.event_time, head.event_id,
+        merged.size.toLong, sum))
+    }
+  }
+
+  /** Trailing-5 digest stream; RocksDB provider required (V2). */
+  def trailingKDigest(updates: Dataset[RateUpdate],
+      k: Int = 5): Dataset[TrailingDigest] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.ccy_couple)
+      .transformWithState(new TrailingKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** [[sessionWindowStats]]'s session set on the timer API. Requires the

@@ -313,6 +313,59 @@ object StreamReplay {
       .toDF("ccy_couple", "session_start", "session_end", "n_events")
   }
 
+  /** Replay of the LIST-STATE trailing-K digest
+    * (RateStream.trailingKDigest): the ordered slices guarantee each
+    * batch's rows for a key are strictly newer than its buffered head,
+    * so the head advances on every touch and the per-key argmax over
+    * emissions by (last_event_time, last_event_id) IS the final state —
+    * which equals the batch top-K aggregate, the oracle. RocksDB scoped
+    * as for every V2 replay.
+    */
+  def replayTrailingK(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_trailingk_replay")
+    val feed = sharedOrderedFeed(s, dir, nBatches)
+
+    val name = s"graft_trailingk_sink_${sinkId.incrementAndGet()}"
+    withRocksDbStateStore(s) {
+      withReplayPartitions(s, 8) {
+        val stream = s.readStream
+          .schema(Tables.rates(s, dir)
+            .select(col("ccy_couple"), col("timestamp"), col("rate"),
+              col("event_id")).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.toString + "/*")
+          .select(col("ccy_couple"),
+            unix_micros(col("timestamp")).as("event_time"),
+            col("rate"), col("event_id"))
+          .as[RateStream.RateUpdate]
+        val query = RateStream.trailingKDigest(stream)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", tmp.resolve("chk").toString)
+          .outputMode(OutputMode.Update)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
+    }
+
+    val out = s.table(name)
+      .groupBy(col("ccy_couple"))
+      .agg(max_by(
+        struct(col("last_event_time"), col("last_event_id"),
+          col("n_window"), col("sum_micro")),
+        struct(col("last_event_time"), col("last_event_id"))).as("m"))
+      .select(col("ccy_couple"), col("m.last_event_time").as("last_event_time"),
+        col("m.last_event_id").as("last_event_id"),
+        col("m.n_window").as("n_window"), col("m.sum_micro").as("sum_micro"))
+      .as[(String, Long, Long, Long, Long)].collect() // one row per pair
+    s.catalog.dropTempView(name)
+    s.createDataset(out.toSeq)
+      .toDF("ccy_couple", "last_event_time", "last_event_id", "n_window",
+        "sum_micro")
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE: a daily-OHLC bars table kept up
     * to date by the stream, at O(touched days) per micro-batch. Each
     * batch (1) merges its raw ticks into a date-partitioned tick store

@@ -376,6 +376,44 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("trailing-K list state: keep-K-largest merge survives out-of-order batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[RateUpdate]
+    val q = RateStream.trailingKDigest(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("trailk_spec")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        RateUpdate("A", 100L, 1.0, 1L),
+        RateUpdate("A", 300L, 3.0, 3L))
+      q.processAllAvailable()
+      // an out-of-order batch: 200 enters the buffer, 50 is too old to
+      // matter once full — and 400 displaces 100
+      input.addData(
+        RateUpdate("A", 200L, 2.0, 2L),
+        RateUpdate("A", 50L, 9.0, 0L),
+        RateUpdate("A", 400L, 4.0, 4L))
+      q.processAllAvailable()
+      val last = spark.table("trailk_spec").orderBy(col("last_event_time"))
+        .collect().last
+      // final buffer = {400, 300, 200}: head 400/id 4, sum 9.0 × 10⁶
+      assert(last.getLong(1) == 400L && last.getLong(2) == 4L)
+      assert(last.getLong(3) == 3L)
+      assert(last.getLong(4) == 9000000L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("left-outer join: null emission sits exactly at wm − window − 1µs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
