@@ -743,6 +743,10 @@ object SparkEntry {
     // merge per batch, final digest = the batch top-K aggregate
     "stream_trailingk_tws" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayTrailingK(s, dir)),
+    // per-day counts on the V2 MAP-STATE surface (triad complete):
+    // additive map entries, O(touched days) per batch
+    "stream_daycounts_tws" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayDayCounts(s, dir)),
     // incremental line-dedup dictionary: per-batch per-line distinct-doc
     // partials (LSM shape) folded, then the cleaned corpus cut against
     // the maintained dictionary — must equal the one-shot cur_line_dedup
@@ -4929,6 +4933,24 @@ object SparkEntry {
          |  CAST(sum(micro) AS BIGINT) AS sum_micro
          |FROM r WHERE rn <= 5
          |GROUP BY ccy_couple""".stripMargin,
+
+    // the map-state daily counts' final digest per pair = the batch
+    // per-day aggregate: distinct days, total, busiest day (argmax
+    // count, earliest-day tiebreak), day as epoch-days BIGINT
+    "stream_daycounts_tws" ->
+      s"""WITH $RatesCte, c AS (
+         |  SELECT ccy_couple, date, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM rates GROUP BY 1, 2
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY ccy_couple
+         |    ORDER BY cnt DESC, date ASC) AS rn
+         |  FROM c
+         |)
+         |SELECT ccy_couple, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(cnt) AS BIGINT) AS total_ticks,
+         |  max(CASE WHEN rn = 1 THEN date - DATE '1970-01-01' END) AS busiest_day,
+         |  max(CASE WHEN rn = 1 THEN cnt END) AS busiest_count
+         |FROM r GROUP BY ccy_couple""".stripMargin,
 
     // the streamed dedup key set = the batch DISTINCT fingerprint set
     "stream_dedup_docs" ->

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.ingest.MergeOps
 
@@ -277,6 +277,49 @@ object RateStream {
     import updates.sparkSession.implicits._
     updates.groupByKey(_.ccy_couple)
       .transformWithState(new TrailingKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  case class DayTick(ccy_couple: String, day: Long, event_id: Long)
+  case class DayCountDigest(ccy_couple: String, n_days: Long,
+      total_ticks: Long, busiest_day: Long, busiest_count: Long)
+
+  /** Per-key daily tick counts on the V2 MAP-STATE surface (completing
+    * the state-type triad next to the ValueState latest and ListState
+    * trailing-K): the state is a per-pair map day → count, incremented
+    * per row — additive, so the final map is batching-invariant — and
+    * each batch emits the refreshed digest: distinct days, total ticks,
+    * and the busiest day (argmax count, earliest-day tiebreak — a total
+    * order, so the digest is deterministic). Only the TOUCHED map keys
+    * are read and written per batch — the point of MapState over one
+    * monolithic value: O(batch-touched days), not O(state).
+    */
+  private class DayCountProcessor
+      extends StatefulProcessor[String, DayTick, DayCountDigest] {
+    @transient private var counts: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("daycounts",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DayTick],
+        timerValues: TimerValues): Iterator[DayCountDigest] = {
+      rows.toSeq.groupBy(_.day).foreach { case (day, ts) =>
+        val cur = if (counts.containsKey(day)) counts.getValue(day) else 0L
+        counts.updateValue(day, cur + ts.size)
+      }
+      val all = counts.iterator().toSeq
+      val (bd, bc) = all.minBy { case (d, c) => (-c, d) }
+      Iterator.single(DayCountDigest(key, all.size.toLong,
+        all.map(_._2).sum, bd, bc))
+    }
+  }
+
+  /** Daily-count digest stream; RocksDB provider required (V2). */
+  def dayCountsTws(ticks: Dataset[DayTick]): Dataset[DayCountDigest] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.ccy_couple)
+      .transformWithState(new DayCountProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -366,6 +366,57 @@ object StreamReplay {
         "sum_micro")
   }
 
+  /** Replay of the MAP-STATE daily-count digest
+    * (RateStream.dayCountsTws): counts are additive so the final map is
+    * batching-invariant; the digest's total strictly grows on every
+    * touch, so the per-key argmax over emissions by total IS the final
+    * state — which equals the batch per-day aggregate, the oracle.
+    */
+  def replayDayCounts(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_daycounts_replay")
+    val ticks = Tables.rates(s, dir)
+      .select(col("ccy_couple"),
+        expr("unix_date(date)").cast("long").as("day"), col("event_id"))
+    val feed = memoFeed("daycounts", dir, nBatches) { p =>
+      ticks.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    val name = s"graft_daycounts_sink_${sinkId.incrementAndGet()}"
+    withRocksDbStateStore(s) {
+      withReplayPartitions(s, 8) {
+        val stream = s.readStream.schema(ticks.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed)
+          .as[RateStream.DayTick]
+        val query = RateStream.dayCountsTws(stream)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", tmp.resolve("chk").toString)
+          .outputMode(OutputMode.Update)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
+    }
+
+    val out = s.table(name)
+      .groupBy(col("ccy_couple"))
+      .agg(max_by(
+        struct(col("n_days"), col("total_ticks"), col("busiest_day"),
+          col("busiest_count")),
+        col("total_ticks")).as("m"))
+      .select(col("ccy_couple"), col("m.n_days").as("n_days"),
+        col("m.total_ticks").as("total_ticks"),
+        col("m.busiest_day").as("busiest_day"),
+        col("m.busiest_count").as("busiest_count"))
+      .as[(String, Long, Long, Long, Long)].collect() // one row per pair
+    s.catalog.dropTempView(name)
+    s.createDataset(out.toSeq)
+      .toDF("ccy_couple", "n_days", "total_ticks", "busiest_day",
+        "busiest_count")
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE: a daily-OHLC bars table kept up
     * to date by the stream, at O(touched days) per micro-batch. Each
     * batch (1) merges its raw ticks into a date-partitioned tick store

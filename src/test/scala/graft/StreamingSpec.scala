@@ -414,6 +414,40 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("map-state day counts: entries accumulate across batches, argmax tiebreaks early") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[RateStream.DayTick]
+    val q = RateStream.dayCountsTws(input.toDS())
+      .writeStream.format("memory").queryName("daycnt_spec")
+      .outputMode(OutputMode.Update).start()
+    try {
+      import RateStream.DayTick
+      input.addData(DayTick("A", 10L, 1L), DayTick("A", 10L, 2L),
+        DayTick("A", 11L, 3L))
+      q.processAllAvailable()
+      // second batch: day 11 catches up to day 10's count — the busiest
+      // argmax must tiebreak to the EARLIER day (10)
+      input.addData(DayTick("A", 11L, 4L), DayTick("A", 12L, 5L))
+      q.processAllAvailable()
+      val last = spark.table("daycnt_spec")
+        .orderBy(col("total_ticks")).collect().last
+      assert(last.getLong(1) == 3L) // days {10, 11, 12}
+      assert(last.getLong(2) == 5L) // total ticks
+      assert(last.getLong(3) == 10L && last.getLong(4) == 2L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("left-outer join: null emission sits exactly at wm − window − 1µs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
