@@ -236,6 +236,50 @@ object SparkEntry {
       |FROM cand c LEFT JOIN refpos r ON r.pos = c.pos
       |GROUP BY 1""".stripMargin
 
+  /** The zigzag recurrence as iteration-with-emission. Predicates are
+    * spelled once here and spliced into every CASE, so the state
+    * transition and the emission can never drift apart.
+    */
+  private val ZigzagOracleSql: String = {
+    val T = 100000L
+    val e = "z.s[CAST(r.i + 1 AS BIGINT)].ev"
+    val d = "z.s[CAST(r.i + 1 AS BIGINT)].ed"
+    // kind +1 (swing high): a down-reversal out of an unknown or rising
+    // leg; kind −1 (swing low): an up-reversal out of unknown or falling
+    val k1 = s"(r.dir >= 0 AND $e <= r.ev - $T)"
+    val kM1 = s"((r.dir = 0 OR r.dir = -1) AND $e >= r.ev + $T)"
+    val ext = s"((r.dir = 1 AND $e > r.ev) OR (r.dir = -1 AND $e < r.ev))"
+    s"""WITH RECURSIVE $RatesCte, cl AS MATERIALIZED (
+       |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+       |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+       |  WHERE rn = 1
+       |), sz AS MATERIALIZED (
+       |  SELECT ccy_couple, list(struct_pack(ed := date,
+       |      ev := CAST(CAST(close AS DECIMAL(12,3)) * 1000 AS BIGINT))
+       |    ORDER BY date) AS s
+       |  FROM cl GROUP BY 1
+       |), rec AS (
+       |  SELECT ccy_couple, CAST(1 AS BIGINT) AS i, CAST(0 AS INTEGER) AS dir,
+       |    s[1].ev AS ev, s[1].ed AS ed,
+       |    CAST(NULL AS DATE) AS pd, CAST(NULL AS BIGINT) AS pv,
+       |    CAST(NULL AS INTEGER) AS kind
+       |  FROM sz WHERE len(s) >= 2
+       |  UNION ALL
+       |  SELECT r.ccy_couple, r.i + 1,
+       |    CAST(CASE WHEN $kM1 THEN 1 WHEN $k1 THEN -1 ELSE r.dir END AS INTEGER),
+       |    CASE WHEN $k1 OR $kM1 OR $ext THEN $e ELSE r.ev END,
+       |    CASE WHEN $k1 OR $kM1 OR $ext THEN $d ELSE r.ed END,
+       |    CASE WHEN $k1 OR $kM1 THEN r.ed END,
+       |    CASE WHEN $k1 OR $kM1 THEN r.ev END,
+       |    CAST(CASE WHEN $k1 THEN 1 WHEN $kM1 THEN -1 END AS INTEGER)
+       |  FROM rec r JOIN sz z ON z.ccy_couple = r.ccy_couple
+       |  WHERE r.i < len(z.s)
+       |)
+       |SELECT ccy_couple, pd AS pivot_date, pv AS pivot_milli, kind
+       |FROM rec WHERE pd IS NOT NULL""".stripMargin
+  }
+
   private def goldenLinesSql(repCte: String) =
     s"""$repCte, body AS (
        |  $GoldenBodySql
@@ -412,6 +456,11 @@ object SparkEntry {
     // unordered mutual edge from exact centered moments
     "fx_minvar_pairs" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.minVariancePairs(rates(s, dir))),
+
+    // confirmed zigzag swing pivots: all-integer leg fold per pair,
+    // inline in the generator select; strict-extreme/≥T-retrace rules
+    "fx_zigzag" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.zigzagPivots(rates(s, dir))),
 
     // robust trend: Theil-Sen median-of-pairwise-slopes, median by
     // SELECTION (no interpolation arithmetic), slopes exact-int ratios
@@ -4102,6 +4151,13 @@ object SparkEntry {
          |  CAST(lag AS BIGINT) AS best_lag, CAST(n AS BIGINT) AS n_obs,
          |  corr AS corr_best
          |FROM rk WHERE rn = 1""".stripMargin,
+
+    // the zigzag leg fold replayed as a RECURSIVE CTE: one state row per
+    // (pair, step), each recursion row carrying AT MOST ONE emitted
+    // pivot — a list-valued accumulator inside DuckDB list_reduce
+    // segfaults at ~80 pairs, so the fold-with-collection shape is
+    // replayed as iteration-with-emission instead
+    "fx_zigzag" -> ZigzagOracleSql,
 
     // the same centered moments, then the closed-form hedge ratio with
     // a non-positive-denominator NULL guard

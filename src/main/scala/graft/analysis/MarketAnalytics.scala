@@ -491,6 +491,67 @@ object MarketAnalytics {
         .otherwise((vb - cov) / denom).as("w_src"))
   }
 
+  /** ZIGZAG swing pivots: the alternating sequence of confirmed swing
+    * highs/lows — a pivot is confirmed when price retraces at least
+    * `thresholdMilli` from the running extreme of the current leg (the
+    * technical-analysis primitive under support/resistance, Elliott
+    * counts, and swing backtests; candle patterns are single-day, this
+    * is the multi-day structure). Rule set (deterministic, both engines
+    * verbatim): the first close anchors an UNKNOWN leg; the first ±T
+    * move from the anchor emits it as the opposite-kind pivot and fixes
+    * the direction; within a leg a STRICT new extreme advances it
+    * (earliest date wins ties), a retrace ≥ T emits the extreme
+    * (kind +1 = swing high, −1 = swing low) and reverses. Only
+    * CONFIRMED pivots emit — the open leg's extreme never does.
+    *
+    * All-integer fold over each pair's day-ordered ×1000 closes (one
+    * digest row per pair, |days|-bounded), kept INLINE in the generator
+    * select (the explode-over-HOF discipline). The oracle replays the
+    * identical fold as a DuckDB list_reduce over struct accumulators.
+    */
+  def zigzagPivots(rates: DataFrame,
+      thresholdMilli: Long = 100000L): DataFrame = {
+    val T = thresholdMilli
+    val ser = dailyCloses3(rates)
+      .groupBy(col("ccy_couple"))
+      .agg(array_sort(collect_list(struct(col("date"),
+        (col("close") * lit(1000)).cast("long").as("v")))).as("s"))
+    val pivType = "array<struct<pd:date,pv:bigint,kind:int>>"
+    def pack(dir: Column, ev: Column, ed: Column, piv: Column) =
+      struct(dir.as("dir"), ev.as("ev"), ed.as("ed"), piv.as("piv"))
+    def pivot(acc: Column, kind: Int) =
+      concat(acc.getField("piv"), array(struct(
+        acc.getField("ed").as("pd"), acc.getField("ev").as("pv"),
+        lit(kind).as("kind"))))
+    val init = pack(lit(0),
+      element_at(col("s"), 1).getField("v"),
+      element_at(col("s"), 1).getField("date"),
+      array().cast(pivType))
+    val folded = aggregate(
+      slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))), init,
+      (acc, x) => {
+        val d = x.getField("date"); val v = x.getField("v")
+        val dir = acc.getField("dir")
+        val ev = acc.getField("ev"); val ed = acc.getField("ed")
+        val piv = acc.getField("piv")
+        when(dir === 0,
+          when(v >= ev + T, pack(lit(1), v, d, pivot(acc, -1)))
+            .when(v <= ev - T, pack(lit(-1), v, d, pivot(acc, 1)))
+            .otherwise(acc))
+          .when(dir === 1,
+            when(v > ev, pack(lit(1), v, d, piv))
+              .when(v <= ev - T, pack(lit(-1), v, d, pivot(acc, 1)))
+              .otherwise(acc))
+          .otherwise(
+            when(v < ev, pack(lit(-1), v, d, piv))
+              .when(v >= ev + T, pack(lit(1), v, d, pivot(acc, -1)))
+              .otherwise(acc))
+      })
+    ser.select(col("ccy_couple"), explode(folded.getField("piv")).as("p"))
+      .select(col("ccy_couple"), col("p.pd").as("pivot_date"),
+        col("p.pv").as("pivot_milli"), col("p.kind").as("kind"))
+  }
+
   /** Co-movement: Pearson correlation of day-over-day close changes for
     * every unordered pair of currencies — the risk/hedging matrix.
     *

@@ -224,6 +224,28 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(3) - 2.0) < 1e-12)
   }
 
+  test("zigzag pivots: anchor low, swing high, swing low on a hand path") {
+    import spark.implicits._
+    // closes (milli): 1000000 → 1150000 (+150k: anchor confirms as LOW,
+    // leg up) → 1100000 (−50k: inside band, no-op) → 900000 (−250k:
+    // HIGH at 1150000, leg down) → 1050000 (+150k: LOW at 900000)
+    val closes = Seq(1000.0, 1150.0, 1100.0, 900.0, 1050.0)
+    val days = (1 to 5).map(d => f"2024-01-0$d")
+    val fx = days.zipWithIndex.map { case (d, i) =>
+      (i.toLong, "Z", closes(i), d)
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+      .drop("ds")
+    val out = MarketAnalytics.zigzagPivots(fx).collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getInt(3)))
+    assert(out.toSeq.sortBy(_._1) == Seq(
+      ("2024-01-01", 1000000L, -1),
+      ("2024-01-02", 1150000L, 1),
+      ("2024-01-04", 900000L, -1)))
+  }
+
   test("daily-change corr: in [-1,1], NULL on zero variance, +1 on identical movers") {
     import spark.implicits._
     // two currencies moving in lockstep (with VARYING changes — constant
