@@ -462,6 +462,11 @@ object SparkEntry {
     "fx_zigzag" -> ((s, dir) =>
       graft.analysis.MarketAnalytics.zigzagPivots(rates(s, dir))),
 
+    // incremental zigzag: ORDER-dependent maintenance — buffered
+    // frontier day + chronological fold; must equal one-shot fx_zigzag
+    "stream_zigzag_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayZigzagIncremental(s, dir)),
+
     // robust trend: Theil-Sen median-of-pairwise-slopes, median by
     // SELECTION (no interpolation arithmetic), slopes exact-int ratios
     "fx_theilsen" -> ((s, dir) =>
@@ -4158,6 +4163,9 @@ object SparkEntry {
     // segfaults at ~80 pairs, so the fold-with-collection shape is
     // replayed as iteration-with-emission instead
     "fx_zigzag" -> ZigzagOracleSql,
+
+    // the maintained frontier report must reproduce the one-shot fold
+    "stream_zigzag_incremental" -> ZigzagOracleSql,
 
     // the same centered moments, then the closed-form hedge ratio with
     // a non-positive-denominator NULL guard

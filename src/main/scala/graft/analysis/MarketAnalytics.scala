@@ -511,45 +511,58 @@ object MarketAnalytics {
     */
   def zigzagPivots(rates: DataFrame,
       thresholdMilli: Long = 100000L): DataFrame = {
-    val T = thresholdMilli
     val ser = dailyCloses3(rates)
       .groupBy(col("ccy_couple"))
       .agg(array_sort(collect_list(struct(col("date"),
         (col("close") * lit(1000)).cast("long").as("v")))).as("s"))
-    val pivType = "array<struct<pd:date,pv:bigint,kind:int>>"
-    def pack(dir: Column, ev: Column, ed: Column, piv: Column) =
-      struct(dir.as("dir"), ev.as("ev"), ed.as("ed"), piv.as("piv"))
+    val init = zigzagPack(lit(0),
+      element_at(col("s"), 1).getField("v"),
+      element_at(col("s"), 1).getField("date"),
+      array().cast(ZigzagPivType))
+    val folded = zigzagFold(init,
+      slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+      thresholdMilli)
+    ser.select(col("ccy_couple"), explode(folded.getField("piv")).as("p"))
+      .select(col("ccy_couple"), col("p.pd").as("pivot_date"),
+        col("p.pv").as("pivot_milli"), col("p.kind").as("kind"))
+  }
+
+  private[graft] val ZigzagPivType = "array<struct<pd:date,pv:bigint,kind:int>>"
+
+  private[graft] def zigzagPack(dir: Column, ev: Column, ed: Column,
+      piv: Column): Column =
+    struct(dir.as("dir"), ev.as("ev"), ed.as("ed"), piv.as("piv"))
+
+  /** The zigzag leg recurrence as a reusable fold: `init` the incoming
+    * (dir, ev, ed, piv) state, `days` the day-ordered (date, v) slice to
+    * absorb — returns the advanced state with every pivot this slice
+    * confirmed appended. One definition serves the one-shot operator and
+    * the incremental maintenance path.
+    */
+  private[graft] def zigzagFold(init: Column, days: Column,
+      T: Long): Column = {
     def pivot(acc: Column, kind: Int) =
       concat(acc.getField("piv"), array(struct(
         acc.getField("ed").as("pd"), acc.getField("ev").as("pv"),
         lit(kind).as("kind"))))
-    val init = pack(lit(0),
-      element_at(col("s"), 1).getField("v"),
-      element_at(col("s"), 1).getField("date"),
-      array().cast(pivType))
-    val folded = aggregate(
-      slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))), init,
-      (acc, x) => {
-        val d = x.getField("date"); val v = x.getField("v")
-        val dir = acc.getField("dir")
-        val ev = acc.getField("ev"); val ed = acc.getField("ed")
-        val piv = acc.getField("piv")
-        when(dir === 0,
-          when(v >= ev + T, pack(lit(1), v, d, pivot(acc, -1)))
-            .when(v <= ev - T, pack(lit(-1), v, d, pivot(acc, 1)))
+    aggregate(days, init, (acc, x) => {
+      val d = x.getField("date"); val v = x.getField("v")
+      val dir = acc.getField("dir")
+      val ev = acc.getField("ev"); val ed = acc.getField("ed")
+      val piv = acc.getField("piv")
+      when(dir === 0,
+        when(v >= ev + T, zigzagPack(lit(1), v, d, pivot(acc, -1)))
+          .when(v <= ev - T, zigzagPack(lit(-1), v, d, pivot(acc, 1)))
+          .otherwise(acc))
+        .when(dir === 1,
+          when(v > ev, zigzagPack(lit(1), v, d, piv))
+            .when(v <= ev - T, zigzagPack(lit(-1), v, d, pivot(acc, 1)))
             .otherwise(acc))
-          .when(dir === 1,
-            when(v > ev, pack(lit(1), v, d, piv))
-              .when(v <= ev - T, pack(lit(-1), v, d, pivot(acc, 1)))
-              .otherwise(acc))
-          .otherwise(
-            when(v < ev, pack(lit(-1), v, d, piv))
-              .when(v >= ev + T, pack(lit(1), v, d, pivot(acc, -1)))
-              .otherwise(acc))
-      })
-    ser.select(col("ccy_couple"), explode(folded.getField("piv")).as("p"))
-      .select(col("ccy_couple"), col("p.pd").as("pivot_date"),
-        col("p.pv").as("pivot_milli"), col("p.kind").as("kind"))
+        .otherwise(
+          when(v < ev, zigzagPack(lit(-1), v, d, piv))
+            .when(v >= ev + T, zigzagPack(lit(1), v, d, pivot(acc, -1)))
+            .otherwise(acc))
+    })
   }
 
   /** Co-movement: Pearson correlation of day-over-day close changes for

@@ -417,6 +417,41 @@ object StreamReplay {
         "busiest_count")
   }
 
+  /** Replay of INCREMENTAL ZIGZAG maintenance
+    * (graft.analysis.ZigzagIncremental): unlike the mergeable-partial
+    * incrementals, the zigzag recurrence is ORDER-DEPENDENT, so the
+    * replay uses the chronological ORDERED slices and the maintained
+    * state is a buffered frontier (newest day per pair stays a running
+    * LWW close until a younger day — or stream end — finalizes it).
+    * The report must equal the one-shot fx_zigzag bit for bit — same
+    * oracle.
+    */
+  def replayZigzagIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_zigzag_replay")
+    val root = tmp.resolve("zz").toString
+    val rates = Tables.rates(s, dir)
+      .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
+    val feed = sharedOrderedFeed(s, dir, nBatches)
+
+    withReplayPartitions(s, 8) {
+      val query = s.readStream.schema(rates.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString + "/*")
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.analysis.ZigzagIncremental.applyBatch(s, root, batch,
+            batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.analysis.ZigzagIncremental.report(s, root)
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE: a daily-OHLC bars table kept up
     * to date by the stream, at O(touched days) per micro-batch. Each
     * batch (1) merges its raw ticks into a date-partitioned tick store
