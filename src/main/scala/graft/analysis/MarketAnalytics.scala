@@ -355,8 +355,8 @@ object MarketAnalytics {
     val edges = coMovementEdges(vecs, topN).where(col("src") < col("dst"))
     val ser = changeSeriesOf(chg, maxLen).localCheckpoint(true)
     edges
-      .join(ser.select(col("ccy_couple").as("src"), col("v").as("a")), Seq("src"))
-      .join(ser.select(col("ccy_couple").as("dst"), col("v").as("v")), Seq("dst"))
+      .join(broadcast(ser.select(col("ccy_couple").as("src"), col("v").as("a"))), Seq("src"))
+      .join(broadcast(ser.select(col("ccy_couple").as("dst"), col("v").as("v"))), Seq("dst"))
       .select(col("src").as("src_ccy"), col("dst").as("dst_ccy"),
         size(col("a")).cast("long").as("n_src"),
         size(col("v")).cast("long").as("n_dst"),
@@ -389,8 +389,8 @@ object MarketAnalytics {
     val vecs = dailyChangeVectorsOf(chg).localCheckpoint(true)
     val edges = coMovementEdges(vecs, topN) // symmetric: ordered pairs
     val mo = edges
-      .join(vecs.select(col("ccy_couple").as("dst"), col("v").as("vy")), Seq("dst"))
-      .join(vecs.select(col("ccy_couple").as("src"), col("v").as("vx")), Seq("src"))
+      .join(broadcast(vecs.select(col("ccy_couple").as("dst"), col("v").as("vy"))), Seq("dst"))
+      .join(broadcast(vecs.select(col("ccy_couple").as("src"), col("v").as("vx"))), Seq("src"))
       .select(col("src"), col("dst"),
         graft.functions.LagMoments(col("vy"), col("vx")).as("m"))
       .where(col("m.n") > 0)
@@ -433,8 +433,8 @@ object MarketAnalytics {
     val vecs = dailyChangeVectorsOf(chg).localCheckpoint(true)
     val edges = coMovementEdges(vecs, topN) // symmetric: ordered pairs
     val base = edges
-      .join(vecs.select(col("ccy_couple").as("dst"), col("v").as("vy")), Seq("dst"))
-      .join(vecs.select(col("ccy_couple").as("src"), col("v").as("vx")), Seq("src"))
+      .join(broadcast(vecs.select(col("ccy_couple").as("dst"), col("v").as("vy"))), Seq("dst"))
+      .join(broadcast(vecs.select(col("ccy_couple").as("src"), col("v").as("vx"))), Seq("src"))
     val shifted = concat(
       array_repeat(lit(null).cast("long"), col("lag")),
       slice(col("vx"), lit(1), size(col("vx")) - col("lag")))
@@ -474,8 +474,8 @@ object MarketAnalytics {
     val vecs = dailyChangeVectorsOf(chg).localCheckpoint(true)
     val edges = coMovementEdges(vecs, topN).where(col("src") < col("dst"))
     val mo = edges
-      .join(vecs.select(col("ccy_couple").as("src"), col("v").as("va")), Seq("src"))
-      .join(vecs.select(col("ccy_couple").as("dst"), col("v").as("vb")), Seq("dst"))
+      .join(broadcast(vecs.select(col("ccy_couple").as("src"), col("v").as("va"))), Seq("src"))
+      .join(broadcast(vecs.select(col("ccy_couple").as("dst"), col("v").as("vb"))), Seq("dst"))
       .select(col("src"), col("dst"),
         graft.functions.PairMoments(col("va"), col("vb")).as("m"))
       .where(col("m.n") > 0)

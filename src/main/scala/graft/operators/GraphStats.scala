@@ -46,7 +46,10 @@ object GraphStats {
       .where(col("rn") <= topN)
       .select(col("src"), col("dst"))
       .localCheckpoint(true)
-    top.join(top.select(col("dst").as("src"), col("src").as("dst")),
+    // broadcast the reversed digest: a checkpointed relation loses its
+    // size stats, so the planner would fall back to a sort-merge join
+    // for a ≤|nodes|·topN-row build side
+    top.join(broadcast(top.select(col("dst").as("src"), col("src").as("dst"))),
       Seq("src", "dst"), "left_semi")
   }
 
