@@ -1901,6 +1901,10 @@ object SparkEntry {
     // position-ordered sequential fold — transcendental-free, so the
     // oracle replays it bitwise
     "cur_lm_score" -> ((s, dir) => graft.text.Curation.lmScore(s, dir)),
+    // Stupid Backoff over a held-out half: even docs train, odd docs
+    // score; unseen bigrams back off to 0.4·unigram/N (libm-free)
+    "cur_backoff_lm" -> ((s, dir) =>
+      graft.text.Curation.backoffLmScore(s, dir)),
     // per-language winsorization: clip n_chars to exact [p05, p95]
     // quantile bounds (broadcast back — the corpus never shuffles)
     "cur_winsorize" -> ((s, dir) => graft.text.Curation.winsorize(s, dir)),
@@ -6555,6 +6559,94 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
         |  round(list_reduce(list_prepend(0.0, ps), (a, x) -> a + x)
         |        / len(ps), 6) AS lm_score
+        |FROM l""".stripMargin,
+
+    // train counts on the even half, eval bigrams LEFT-joined so the
+    // CASE takes the backoff arm exactly when the bigram is unseen
+    "cur_backoff_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), bt AS (
+        |  SELECT unnest(range(0, len(tk) - 1)) AS pos, tk
+        |  FROM t WHERE doc_id % 2 = 0 AND len(tk) >= 2
+        |), bgt AS (
+        |  SELECT tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM bt
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bgt GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1 FROM bgt GROUP BY 1
+        |), u1 AS (
+        |  SELECT u.w AS w2, count(*) AS nu
+        |  FROM t, unnest(t.tk) AS u(w) WHERE doc_id % 2 = 0 GROUP BY 1
+        |), nt AS (
+        |  SELECT count(*) AS ntok
+        |  FROM t, unnest(t.tk) AS u(w) WHERE doc_id % 2 = 0
+        |), be AS (
+        |  SELECT doc_id, unnest(range(0, len(tk) - 1)) AS pos, tk
+        |  FROM t WHERE doc_id % 2 = 1 AND len(tk) >= 2
+        |), bge AS (
+        |  SELECT doc_id, pos, tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM be
+        |), pr AS (
+        |  SELECT g.doc_id, g.pos,
+        |    CASE WHEN c2.n2 IS NOT NULL THEN CAST(c2.n2 AS DOUBLE) / c1.n1
+        |         ELSE 0.4 * CAST(coalesce(u1.nu, 0) AS DOUBLE) / nt.ntok
+        |    END AS p
+        |  FROM bge g
+        |  LEFT JOIN c2 ON c2.w1 = g.w1 AND c2.w2 = g.w2
+        |  LEFT JOIN c1 ON c1.w1 = g.w1
+        |  LEFT JOIN u1 ON u1.w2 = g.w2
+        |  CROSS JOIN nt
+        |), l AS (
+        |  SELECT doc_id, list(p ORDER BY pos) AS ps FROM pr GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+        |  round(list_reduce(list_prepend(0.0, ps), (a, x) -> a + x)
+        |        / len(ps), 6) AS backoff_score
+        |FROM l""".stripMargin,
+
+    // train counts on the even half, eval bigrams LEFT-joined so the
+    // CASE takes the backoff arm exactly when the bigram is unseen
+    "cur_backoff_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), bt AS (
+        |  SELECT unnest(range(0, len(tk) - 1)) AS pos, tk
+        |  FROM t WHERE doc_id % 2 = 0 AND len(tk) >= 2
+        |), bgt AS (
+        |  SELECT tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM bt
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bgt GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1 FROM bgt GROUP BY 1
+        |), u1 AS (
+        |  SELECT u.w AS w2, count(*) AS nu
+        |  FROM t, unnest(t.tk) AS u(w) WHERE doc_id % 2 = 0 GROUP BY 1
+        |), nt AS (
+        |  SELECT count(*) AS ntok
+        |  FROM t, unnest(t.tk) AS u(w) WHERE doc_id % 2 = 0
+        |), be AS (
+        |  SELECT doc_id, unnest(range(0, len(tk) - 1)) AS pos, tk
+        |  FROM t WHERE doc_id % 2 = 1 AND len(tk) >= 2
+        |), bge AS (
+        |  SELECT doc_id, pos, tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM be
+        |), pr AS (
+        |  SELECT g.doc_id, g.pos,
+        |    CASE WHEN c2.n2 IS NOT NULL THEN CAST(c2.n2 AS DOUBLE) / c1.n1
+        |         ELSE 0.4 * CAST(coalesce(u1.nu, 0) AS DOUBLE) / nt.ntok
+        |    END AS p
+        |  FROM bge g
+        |  LEFT JOIN c2 ON c2.w1 = g.w1 AND c2.w2 = g.w2
+        |  LEFT JOIN c1 ON c1.w1 = g.w1
+        |  LEFT JOIN u1 ON u1.w2 = g.w2
+        |  CROSS JOIN nt
+        |), l AS (
+        |  SELECT doc_id, list(p ORDER BY pos) AS ps FROM pr GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+        |  round(list_reduce(list_prepend(0.0, ps), (a, x) -> a + x)
+        |        / len(ps), 6) AS backoff_score
         |FROM l""".stripMargin,
 
     "cur_winsorize" ->

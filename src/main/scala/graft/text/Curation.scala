@@ -279,6 +279,55 @@ object Curation {
           .as("lm_score"))
   }
 
+  /** STUPID BACKOFF scoring of a HELD-OUT half (Brants et al. 2007):
+    * the model trains on even doc_ids, the odd half is scored — which
+    * is what makes backoff REAL ([[lmScore]] scores in-corpus, so its
+    * bigrams are never unseen). A seen bigram scores count(w1 w2) /
+    * count-as-context(w1); an unseen one backs off to 0.4 ·
+    * count(w2)/N over the training unigrams; an unseen unigram scores
+    * 0. No logs (libm-free): the per-doc score is the position-ordered
+    * mean of the per-bigram scores, the [[lmScore]] fold discipline.
+    *
+    * Scale shape: counts are map-side-combinable aggregates; scoring
+    * is two equi-joins against count relations (broadcast when the
+    * vocabulary digest is small, shuffled otherwise) + the 1-row N
+    * broadcast. Same plan at 100 TB.
+    */
+  def backoffLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    def bigrams(docs: DataFrame) = docs.where(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("t")) - 2)).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        element_at(col("t"), col("pos") + 1).as("w1"),
+        element_at(col("t"), col("pos") + 2).as("w2"))
+    val train = toks.where(col("doc_id") % 2 === 0)
+    val biT = bigrams(train)
+    val c2 = biT.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val c1 = biT.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val u1 = train.select(explode(col("t")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("nu"))
+    val nTot = train.select(explode(col("t")).as("w"))
+      .agg(count(lit(1)).as("ntok"))
+    val scored = bigrams(toks.where(col("doc_id") % 2 === 1))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(u1, Seq("w2"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"), col("pos"),
+        when(col("n2").isNotNull,
+          col("n2").cast("double") / col("n1"))
+          .otherwise(lit(0.4) * coalesce(col("nu"), lit(0L)).cast("double")
+            / col("ntok")).as("p"))
+    scored.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).cast("long").as("n_bigrams"),
+        round(aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("p")) / size(col("ps")), 6)
+          .as("backoff_score"))
+  }
+
   /** INCREMENTAL VOCABULARY maintenance, batch-apply half: one
     * micro-batch's token counts land as an append-only PARTIAL-aggregate
     * file set (log-structured merge shape) — O(batch) work per batch,

@@ -43,6 +43,32 @@ class CurationSpec extends SparkSuite {
     assert(rep.forall(r => Set("train", "val", "test")(r.getString(5))))
   }
 
+  test("stupid backoff: held-out half scored, backoff arm provably fires") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.backoffLmScore(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val nEval = docs.where(col("doc_id") % 2 === 1 && size(col("t")) >= 2)
+      .count()
+    assert(out.length.toLong == nEval)
+    // a bigram score is a conditional frequency, the backoff arm a
+    // discounted unigram frequency — both in [0, 1]
+    assert(out.forall { r =>
+      val v = r.getDouble(2); v >= 0.0 && v <= 1.0 && r.getLong(1) >= 1L
+    })
+    // non-vacuity: the eval half contains bigrams the train half never
+    // saw, so the backoff arm actually executes
+    def bigrams(d: org.apache.spark.sql.DataFrame) =
+      d.where(size(col("t")) >= 2)
+        .select(explode(sequence(lit(0), size(col("t")) - 2)).as("i"), col("t"))
+        .select(element_at(col("t"), col("i") + 1).as("w1"),
+          element_at(col("t"), col("i") + 2).as("w2"))
+    val unseen = bigrams(docs.where(col("doc_id") % 2 === 1))
+      .join(bigrams(docs.where(col("doc_id") % 2 === 0)).distinct(),
+        Seq("w1", "w2"), "left_anti").count()
+    assert(unseen > 0L)
+  }
+
   test("source quota never exceeds the cap and keeps full small groups") {
     val q = Curation.sourceQuota(spark, dir, quota = 20)
     val byGroup = q.groupBy("lang", "source").count().collect()
