@@ -1285,6 +1285,12 @@ object SparkEntry {
       graft.operators.DataQuality.keySkewProfile(
         Tables.events(s, dir), "user_id")),
 
+    // Benford first-digit audit on the amounts column: exact digit
+    // counts + the log10(1+1/d) expectation and chi-square terms
+    "dq_benford" -> ((s, dir) =>
+      graft.operators.DataQuality.benfordDigits(
+        Tables.lineitem(s, dir), "l_extendedprice")),
+
     // daily-volume anomaly monitor: each day's row count z-scored
     // against its trailing-7-day baseline (current day excluded) —
     // exact integer moments, double z tree (the Bollinger recipe)
@@ -5792,6 +5798,60 @@ object SparkEntry {
         |    / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
         |    AS skew_factor
         |FROM c""".stripMargin,
+
+    // the nine hardcoded Benford literals repeated verbatim, so the
+    // expectation/contribution double trees are operand-identical
+    "dq_benford" ->
+      """WITH o AS (
+        |  SELECT CAST(substr(CAST(l_extendedprice AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit, count(*) AS n_obs
+        |  FROM lineitem
+        |  WHERE CAST(substr(CAST(l_extendedprice AS VARCHAR), 1, 1) AS INTEGER)
+        |    BETWEEN 1 AND 9
+        |  GROUP BY 1
+        |), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM o)
+        |SELECT digit, n_obs,
+        |  CAST(n_total AS DOUBLE) * (CASE digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END) AS expected,
+        |  (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * (CASE digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END))
+        |  * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * (CASE digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END))
+        |  / (CAST(n_total AS DOUBLE) * (CASE digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END)) AS chi2_term
+        |FROM o CROSS JOIN t""".stripMargin,
 
     // per-(pair,hour) moments + the identical z tree; hour() buckets
     // match because both sessions are pinned UTC

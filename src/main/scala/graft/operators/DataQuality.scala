@@ -357,6 +357,43 @@ object DataQuality {
     * corpus. Counts are exact longs; the three derived ratios are single
     * double divisions on identical operands.
     */
+  /** BENFORD first-digit audit (Newcomb 1881 / Benford 1938): real-world
+    * multiplicative amounts lead with digit d at frequency log10(1+1/d);
+    * fabricated or truncated data doesn't — the classic forensic screen
+    * an amounts column gets before anyone trusts it. One row per digit:
+    * exact observed count, the Benford expectation n·p_d, and the
+    * chi-square contribution (obs − n·p_d)²/(n·p_d).
+    *
+    * Determinism: the first digit comes from the decimal's string form
+    * (exact — no float log10 at runtime); the nine p_d constants are
+    * hardcoded double literals the oracle repeats verbatim, so the
+    * expectation/contribution trees are operand-identical. Scale: one
+    * map-side-combinable 9-group aggregate + a broadcast 1-row total —
+    * one shuffle of nine rows regardless of corpus size.
+    */
+  def benfordDigits(df: DataFrame, amountCol: String): DataFrame = {
+    val obs = df
+      .select(substring(col(amountCol).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .where(col("digit").between(1, 9))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(sum(col("n_obs")).as("n_total"))
+    val p = when(col("digit") === 1, lit(0.3010299956639812))
+      .when(col("digit") === 2, lit(0.17609125905568124))
+      .when(col("digit") === 3, lit(0.12493873660829992))
+      .when(col("digit") === 4, lit(0.09691001300805642))
+      .when(col("digit") === 5, lit(0.07918124604762482))
+      .when(col("digit") === 6, lit(0.06694678963061322))
+      .when(col("digit") === 7, lit(0.05799194697768673))
+      .when(col("digit") === 8, lit(0.05115252244738129))
+      .otherwise(lit(0.04575749056067514))
+    val expected = col("n_total").cast("double") * p
+    val dev = col("n_obs").cast("double") - expected
+    obs.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"), expected.as("expected"),
+        (dev * dev / expected).as("chi2_term"))
+  }
+
   def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
     counts.agg(

@@ -514,4 +514,27 @@ class OperatorsSpec extends SparkSuite {
     }
     assert(out.values.exists(_._5) && out.values.exists(!_._5))
   }
+
+  test("benford digits: exact counts, hand-checkable expectation math") {
+    import spark.implicits._
+    // six amounts: first digits 1,1,1,2,9,9 -> counts {1:3, 2:1, 9:2}
+    val df = Seq(BigDecimal("12.50"), BigDecimal("150.00"),
+      BigDecimal("1999.99"), BigDecimal("250.00"), BigDecimal("90.10"),
+      BigDecimal("9.75")).map(Tuple1(_)).toDF("amt")
+      .select(col("amt").cast("decimal(12,2)").as("amt"))
+    val out = graft.operators.DataQuality.benfordDigits(df, "amt")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1, 2, 9))
+    assert(out(1)._1 == 3L && out(2)._1 == 1L && out(9)._1 == 2L)
+    // same arithmetic the operator pins: expected = n * p, term = dev^2/e
+    def check(d: Int, nObs: Long, p: Double): Unit = {
+      val e = 6.0 * p
+      val t = (nObs.toDouble - e) * (nObs.toDouble - e) / e
+      assert(out(d)._2 == e && out(d)._3 == t)
+    }
+    check(1, 3L, 0.3010299956639812)
+    check(2, 1L, 0.17609125905568124)
+    check(9, 2L, 0.04575749056067514)
+  }
 }
