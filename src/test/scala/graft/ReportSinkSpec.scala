@@ -23,6 +23,19 @@ class ReportSinkSpec extends SparkSuite {
     assert(fromLines == ReportSink.format(report))
   }
 
+  test("lines() equals format() on the real sf0.001 Task B report") {
+    // the fixture test can't rule out a divergence between Java's
+    // %-15.6f (exact-binary HALF_UP) and the half-up integer recipe on
+    // arbitrary doubles — the real report's rates exercise it
+    val report = graft.analysis.RateAnalysis.rateChangeReport(
+      graft.model.Tables.rates(spark, sf("sf0.001")),
+      org.apache.spark.sql.functions.expr("TIMESTAMP '2024-01-20 17:00:00'"),
+      "7 DAYS")
+    val fromLines = ReportSink.lines(report)
+      .orderBy(col("line_no")).collect().map(_.getString(1)).mkString("\n")
+    assert(fromLines == ReportSink.format(report))
+  }
+
   test("line numbering: header 0, separator 1, body 2..n+1, footer n+2") {
     import spark.implicits._
     val report = Seq(("EUR/USD", 1.1, "0.10%"), ("AUD/CAD", 0.9, "0.20%"))
