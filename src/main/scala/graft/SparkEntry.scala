@@ -6665,50 +6665,6 @@ object SparkEntry {
         |        / len(ps), 6) AS backoff_score
         |FROM l""".stripMargin,
 
-    // train counts on the even half, eval bigrams LEFT-joined so the
-    // CASE takes the backoff arm exactly when the bigram is unseen
-    "cur_backoff_lm" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents
-        |), bt AS (
-        |  SELECT unnest(range(0, len(tk) - 1)) AS pos, tk
-        |  FROM t WHERE doc_id % 2 = 0 AND len(tk) >= 2
-        |), bgt AS (
-        |  SELECT tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM bt
-        |), c2 AS (
-        |  SELECT w1, w2, count(*) AS n2 FROM bgt GROUP BY 1, 2
-        |), c1 AS (
-        |  SELECT w1, count(*) AS n1 FROM bgt GROUP BY 1
-        |), u1 AS (
-        |  SELECT u.w AS w2, count(*) AS nu
-        |  FROM t, unnest(t.tk) AS u(w) WHERE doc_id % 2 = 0 GROUP BY 1
-        |), nt AS (
-        |  SELECT count(*) AS ntok
-        |  FROM t, unnest(t.tk) AS u(w) WHERE doc_id % 2 = 0
-        |), be AS (
-        |  SELECT doc_id, unnest(range(0, len(tk) - 1)) AS pos, tk
-        |  FROM t WHERE doc_id % 2 = 1 AND len(tk) >= 2
-        |), bge AS (
-        |  SELECT doc_id, pos, tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM be
-        |), pr AS (
-        |  SELECT g.doc_id, g.pos,
-        |    CASE WHEN c2.n2 IS NOT NULL THEN CAST(c2.n2 AS DOUBLE) / c1.n1
-        |         ELSE 0.4 * CAST(coalesce(u1.nu, 0) AS DOUBLE) / nt.ntok
-        |    END AS p
-        |  FROM bge g
-        |  LEFT JOIN c2 ON c2.w1 = g.w1 AND c2.w2 = g.w2
-        |  LEFT JOIN c1 ON c1.w1 = g.w1
-        |  LEFT JOIN u1 ON u1.w2 = g.w2
-        |  CROSS JOIN nt
-        |), l AS (
-        |  SELECT doc_id, list(p ORDER BY pos) AS ps FROM pr GROUP BY 1
-        |)
-        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
-        |  round(list_reduce(list_prepend(0.0, ps), (a, x) -> a + x)
-        |        / len(ps), 6) AS backoff_score
-        |FROM l""".stripMargin,
-
     "cur_winsorize" ->
       """WITH b AS (
         |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo_b,
