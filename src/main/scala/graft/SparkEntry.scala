@@ -197,9 +197,9 @@ object SparkEntry {
     """WITH allr AS (
       |  SELECT doc_id, text, 0 AS role FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, text, 1 FROM documents WHERE doc_id % 5 = 0
+      |  SELECT -doc_id * 2 - 1, text, 1 FROM documents WHERE doc_id % 5 = 0
       |  UNION ALL
-      |  SELECT doc_id + 200000, text || ' ~' || CAST(doc_id AS VARCHAR), 1
+      |  SELECT -doc_id * 2 - 2, text || ' ~' || CAST(doc_id AS VARCHAR), 1
       |  FROM documents WHERE doc_id % 5 = 1
       |), f AS (
       |  SELECT doc_id, role,
@@ -438,24 +438,35 @@ object SparkEntry {
     // |pairs|² space is sparsified FIRST (mutualTopK, exact integer
     // weights), then one bounded integer DP per surviving edge
     "fx_dtw_graph" -> ((s, dir) =>
-      graft.analysis.MarketAnalytics.dtwGraph(rates(s, dir))),
+      graft.analysis.MarketAnalytics.dtwGraph(rates(s, dir),
+        memoKey = Some(dir))),
 
     // directional lead/lag: lag-1 Granger F per ORDERED mutual edge —
     // ten exact-long moments from one codegen'd kernel pass, then the
     // RSS/Cramer trees in double with oracle-identical operand order
     "fx_granger_pairs" -> ((s, dir) =>
-      graft.analysis.MarketAnalytics.grangerPairs(rates(s, dir))),
+      graft.analysis.MarketAnalytics.grangerPairs(rates(s, dir),
+        memoKey = Some(dir))),
 
     // CCF peak: the |corr|-maximizing lag per ordered mutual edge —
     // shifted vectors through PairMoments, round-to-6dp |corr| ranking
     // with the lag tiebreak
     "fx_leadlag_pairs" -> ((s, dir) =>
-      graft.analysis.MarketAnalytics.leadLagPairs(rates(s, dir))),
+      graft.analysis.MarketAnalytics.leadLagPairs(rates(s, dir),
+        memoKey = Some(dir))),
 
     // closed-form two-asset minimum-variance basket weight per
     // unordered mutual edge from exact centered moments
     "fx_minvar_pairs" -> ((s, dir) =>
-      graft.analysis.MarketAnalytics.minVariancePairs(rates(s, dir))),
+      graft.analysis.MarketAnalytics.minVariancePairs(rates(s, dir),
+        memoKey = Some(dir))),
+
+    // OU mean-reversion half-life per unordered mutual edge: AR(1) β on
+    // the cumulative common-day spread (exact-long moment fold), then
+    // the libm-free integer half-life via a running IEEE power chain
+    "fx_ou_halflife" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.ouHalflifePairs(rates(s, dir),
+        memoKey = Some(dir))),
 
     // confirmed zigzag swing pivots: all-integer leg fold per pair,
     // inline in the generator select; strict-extreme/≥T-retrace rules
@@ -4204,6 +4215,57 @@ object SparkEntry {
          |  CASE WHEN (va + vb - 2.0 * cov) <= 0 THEN NULL
          |       ELSE (vb - cov) / (va + vb - 2.0 * cov) END AS w_src
          |FROM vv""".stripMargin,
+
+    // AR(1) β on the cumulative common-day spread via windowed integer
+    // cumsum + lag (order-independent: all moments are exact BIGINT
+    // sums), then the half-life power chain as a recursive CTE whose
+    // running product multiplies left-to-right exactly like the
+    // engine's fold — identical IEEE sequence, identical first k
+    "fx_ou_halflife" ->
+      s"""WITH RECURSIVE $RatesCte, $DtwSeqCtes, $CoSignGraphCtes, mutc AS (
+         |  SELECT src, dst FROM mutall WHERE src < dst
+         |), sd AS (
+         |  SELECT c.src, c.dst, a.date, a.chg_u - b.chg_u AS d
+         |  FROM mutc c
+         |  JOIN chn a ON a.ccy_couple = c.src
+         |  JOIN chn b ON b.ccy_couple = c.dst AND b.date = a.date
+         |), cum AS (
+         |  SELECT src, dst, date, d,
+         |    CAST(sum(d) OVER (PARTITION BY src, dst ORDER BY date
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+         |    row_number() OVER (PARTITION BY src, dst ORDER BY date) AS rn
+         |  FROM sd
+         |), mo AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM (SELECT src, dst, d AS y,
+         |          lag(s) OVER (PARTITION BY src, dst ORDER BY date) AS x,
+         |          rn
+         |        FROM cum) t
+         |  WHERE rn >= 2
+         |  GROUP BY 1, 2
+         |), bb AS (
+         |  SELECT src, dst, n,
+         |    CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+         |         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         |              / CAST(n * sxx - sx * sx AS DOUBLE)
+         |    END AS beta
+         |  FROM mo
+         |), pw AS (
+         |  SELECT src, dst, 1 AS k, (1.0 + beta) AS phi, (1.0 + beta) AS p
+         |  FROM bb WHERE beta < 0 AND beta > -1
+         |  UNION ALL
+         |  SELECT src, dst, k + 1, phi, p * phi FROM pw WHERE k < 64
+         |), hl AS (
+         |  SELECT src, dst, CAST(min(k) AS BIGINT) AS halflife_days
+         |  FROM pw WHERE p <= 0.5 GROUP BY 1, 2
+         |)
+         |SELECT b.src AS src_ccy, b.dst AS dst_ccy, b.n AS n_obs, b.beta,
+         |  h.halflife_days
+         |FROM bb b
+         |LEFT JOIN hl h ON h.src = b.src AND h.dst = b.dst""".stripMargin,
 
     // lag-1 self-join on consecutive calendar days; same clamped corr
     // formula tree as fx_change_corr on exact integer moments

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * Work per batch: one LWW aggregation over the batch's (pair, day)
   * rows, a ≤|pairs|-row state join, one fold expression — O(batch) +
   * O(|pairs|) state, never a rescan. Idempotent via batch-scoped dirs +
-  * markers (re-delivered batches rewrite identical content). The
+  * markers, and crash-safe in the window between the state write and
+  * the marker: a retried batch reads only generations strictly before
+  * its own batch id, so it re-folds from the pre-batch state and
+  * overwrites the orphaned attempt with identical content. The
   * report must equal the one-shot fx_zigzag bit for bit — the gate
   * reuses that oracle verbatim.
   */
@@ -28,11 +31,22 @@ object ZigzagIncremental {
   private val stateSchema = "ccy_couple string, dir int, ev bigint, ed date, " +
     "bday date, bts bigint, bid bigint, bclose double"
 
-  private def latestState(s: SparkSession, stateRoot: String): DataFrame = {
+  /** Latest committed state generation. `below` bounds the read to
+    * generations STRICTLY before the given batch id: a crash after the
+    * state/pivots writes but before the `_applied` marker leaves the
+    * failed attempt's own `state/b{bid}` on disk, and a retried batch
+    * reading the global max would fold its finalized days a second time
+    * through the order-dependent recurrence. Bounding by the batch id
+    * makes the retry re-read the pre-batch state (and harmlessly
+    * overwrite the orphaned attempt).
+    */
+  private def latestState(s: SparkSession, stateRoot: String,
+      below: Option[Long] = None): DataFrame = {
     val dir = new java.io.File(stateRoot)
     val gens = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("b"))
       .map(_.getName.stripPrefix("b").toLong)
+      .filter(g => below.forall(g < _))
     if (gens.isEmpty) s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(stateSchema))
@@ -54,7 +68,7 @@ object ZigzagIncremental {
     if (marker.exists(java.nio.file.Files.exists(_))) return
     val bid = batchId.getOrElse(0L)
 
-    val prev = latestState(s, s"$root/state")
+    val prev = latestState(s, s"$root/state", below = batchId)
     // batch LWW per (pair, day), merged with the buffered frontier rows
     val daily = batch
       .select(col("ccy_couple"), col("timestamp").cast("date").as("day"),

@@ -284,34 +284,51 @@ object RateStream {
   case class DayCountDigest(ccy_couple: String, n_days: Long,
       total_ticks: Long, busiest_day: Long, busiest_count: Long)
 
+  private case class DaySummary(n_days: Long, total_ticks: Long,
+      busiest_day: Long, busiest_count: Long)
+
   /** Per-key daily tick counts on the V2 MAP-STATE surface (completing
     * the state-type triad next to the ValueState latest and ListState
     * trailing-K): the state is a per-pair map day → count, incremented
-    * per row — additive, so the final map is batching-invariant — and
-    * each batch emits the refreshed digest: distinct days, total ticks,
-    * and the busiest day (argmax count, earliest-day tiebreak — a total
-    * order, so the digest is deterministic). Only the TOUCHED map keys
-    * are read and written per batch — the point of MapState over one
-    * monolithic value: O(batch-touched days), not O(state).
+    * per row — additive, so the final map is batching-invariant — plus
+    * a small summary ValueState (distinct days, total ticks, busiest
+    * day) maintained incrementally from the TOUCHED days only. Counts
+    * never decrease, so an untouched day can never overtake the
+    * incumbent busiest — comparing each touched day's refreshed count
+    * against the incumbent under (count desc, day asc) keeps the argmax
+    * exact. Per-batch work is therefore O(batch-touched days), not
+    * O(state) — the point of MapState over one monolithic value.
     */
   private class DayCountProcessor
       extends StatefulProcessor[String, DayTick, DayCountDigest] {
     @transient private var counts: MapState[Long, Long] = _
+    @transient private var summary: ValueState[DaySummary] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       counts = getHandle.getMapState[Long, Long]("daycounts",
         Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      summary = getHandle.getValueState[DaySummary]("daysummary",
+        Encoders.product[DaySummary], TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[DayTick],
         timerValues: TimerValues): Iterator[DayCountDigest] = {
+      var s = if (summary.exists()) summary.get()
+        else DaySummary(0L, 0L, Long.MaxValue, 0L)
       rows.toSeq.groupBy(_.day).foreach { case (day, ts) =>
-        val cur = if (counts.containsKey(day)) counts.getValue(day) else 0L
-        counts.updateValue(day, cur + ts.size)
+        val had = counts.containsKey(day)
+        val next = (if (had) counts.getValue(day) else 0L) + ts.size
+        counts.updateValue(day, next)
+        val beats = next > s.busiest_count ||
+          (next == s.busiest_count && day < s.busiest_day)
+        s = DaySummary(s.n_days + (if (had) 0L else 1L),
+          s.total_ticks + ts.size,
+          if (beats) day else s.busiest_day,
+          if (beats) next else s.busiest_count)
       }
-      val all = counts.iterator().toSeq
-      val (bd, bc) = all.minBy { case (d, c) => (-c, d) }
-      Iterator.single(DayCountDigest(key, all.size.toLong,
-        all.map(_._2).sum, bd, bc))
+      summary.update(s)
+      Iterator.single(DayCountDigest(key, s.n_days, s.total_ticks,
+        s.busiest_day, s.busiest_count))
     }
   }
 

@@ -227,12 +227,18 @@ object TextFunctions {
     * at the Bloom false-positive rate). The corpus itself has no exact
     * duplicates, so without this derivation the gate would never
     * exercise a positive.
+    *
+    * Cohort ids are collision-proof NEGATIVES — dup −(2·id)−1 (odd),
+    * salted −(2·id)−2 (even): injective, mutually disjoint, and
+    * disjoint from every non-negative corpus id at ANY corpus size (an
+    * additive offset would silently conflate probe groups once corpus
+    * ids reach the offset).
     */
   def bloomCandidates(docs: DataFrame): DataFrame =
     docs.where(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .select((-col("doc_id") * 2L - 1L).as("doc_id"), col("text"))
       .unionAll(docs.where(col("doc_id") % 5 === 1)
-        .select((col("doc_id") + 200000L).as("doc_id"),
+        .select((-col("doc_id") * 2L - 2L).as("doc_id"),
           concat(col("text"), lit(" ~"), col("doc_id")).as("text")))
 
   /** The k distinct probe positions of a doc's canonical fingerprint. */

@@ -6,19 +6,22 @@ import graft.text.TextFunctions
 
 /** Bloom reference-corpus pre-filter. The one guarantee a Bloom filter
   * makes is ZERO FALSE NEGATIVES: the re-delivered duplicate cohort
-  * (ids +100000 — byte-identical text under a new id) must flag
-  * maybe_dup on every row. The salted cohort (+200000) has novel
-  * fingerprints and may only flag at the false-positive rate — with
-  * 2^16 bits over a few hundred reference keys it must not degenerate
-  * to all-positive.
+  * (odd negative ids −2·id−1 — byte-identical text under a new id) must
+  * flag maybe_dup on every row. The salted cohort (even negatives
+  * −2·id−2) has novel fingerprints and may only flag at the
+  * false-positive rate — with 2^16 bits over a few hundred reference
+  * keys it must not degenerate to all-positive. Negative cohort ids are
+  * collision-proof against corpus ids of ANY magnitude (an additive
+  * offset conflates probe groups once real ids reach it).
   */
 class BloomPrefilterSpec extends SparkSuite {
 
   test("duplicate cohort always flags; salted cohort stays separable") {
     val out = TextFunctions.bloomRefDedup(spark, sf("sf0.001")).collect()
     assert(out.nonEmpty)
-    val dup = out.filter(r => r.getLong(0) >= 100000L && r.getLong(0) < 200000L)
-    val novel = out.filter(_.getLong(0) >= 200000L)
+    assert(out.forall(_.getLong(0) < 0L)) // every candidate id is negative
+    val dup = out.filter(r => (-r.getLong(0)) % 2 == 1)
+    val novel = out.filter(r => (-r.getLong(0)) % 2 == 0)
     assert(dup.nonEmpty && novel.nonEmpty)
     // zero false negatives: every true duplicate sets all its probes
     assert(dup.forall(_.getBoolean(3)))

@@ -224,6 +224,42 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(3) - 2.0) < 1e-12)
   }
 
+  test("OU half-life: exact AR(1) spread fits β and the power-chain k; divergent spread NULLs") {
+    import spark.implicits._
+    def fx2(chgA: Seq[Long], a: String, b: String) = {
+      // A's milli-closes accumulate the spread diffs; B stays constant,
+      // so d_t = chgA_t exactly
+      val closesA = chgA.scanLeft(1000L)(_ + _)
+      val days = (1 to closesA.size).map(d => f"2024-01-$d%02d")
+      days.zipWithIndex.flatMap { case (d, i) =>
+        Seq((a, closesA(i)), (b, 2000L)).map { case (p, c) =>
+          (i * 10L + p.head.toLong, p, c / 1000.0, d) }
+      }.toDF("event_id", "ccy_couple", "rate", "ds")
+        .withColumn("date", to_date(col("ds")))
+        .withColumn("timestamp", col("date").cast("timestamp"))
+        .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+        .drop("ds")
+    }
+    // spread levels 64, 48, 36, 27 = exact S_t = 0.75·S_{t−1}:
+    // β = −0.25 with zero residual; 0.75^k ≤ ½ first at k = 3
+    // (0.75, 0.5625, 0.421875 — all dyadic-exact products)
+    val rev = MarketAnalytics.ouHalflifePairs(
+      fx2(Seq(64L, -16L, -12L, -9L), "A", "B"), topN = 1).collect()
+    assert(rev.length == 1)
+    assert((rev.head.getString(0), rev.head.getString(1)) == (("A", "B")))
+    assert(rev.head.getLong(2) == 3L) // m = 4 common slots → n = 3
+    assert(rev.head.getDouble(3) == -0.25)
+    assert(rev.head.getLong(4) == 3L)
+
+    // spread levels 1, 2, 4, 8 = exact doubling: β = +1 (divergent) —
+    // β still reported, half-life NULL (outside the mean-reverting domain)
+    val div = MarketAnalytics.ouHalflifePairs(
+      fx2(Seq(1L, 1L, 2L, 4L), "C", "D"), topN = 1).collect()
+    assert(div.length == 1)
+    assert(div.head.getDouble(3) == 1.0)
+    assert(div.head.isNullAt(4))
+  }
+
   test("zigzag pivots: anchor low, swing high, swing low on a hand path") {
     import spark.implicits._
     // closes (milli): 1000000 → 1150000 (+150k: anchor confirms as LOW,

@@ -55,4 +55,35 @@ class ZigzagIncrementalSpec extends SparkSuite {
     val out = ZigzagIncremental.report(spark, root).collect()
     assert(out.length == 1) // the single anchor-low pivot, not doubled
   }
+
+  test("crash-window retry (state written, marker missing) re-folds from the pre-batch state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("zz_spec3").toString
+    def batch(rows: Seq[(String, String, Double, Long)]) =
+      rows.toDF("ccy_couple", "tss", "rate", "event_id")
+        .withColumn("timestamp", to_timestamp(col("tss")))
+        .select(col("ccy_couple"), col("timestamp"), col("rate"),
+          col("event_id"))
+    val b0 = batch(Seq(("Z", "2024-01-01 10:00:00", 1000.0, 1L),
+      ("Z", "2024-01-02 10:00:00", 1200.0, 2L)))
+    // day 3 finalizes day 2; day 4 crashes to become the new frontier
+    val b1 = batch(Seq(("Z", "2024-01-03 10:00:00", 900.0, 3L),
+      ("Z", "2024-01-04 10:00:00", 1400.0, 4L)))
+    ZigzagIncremental.applyBatch(spark, root, b0, batchId = Some(0L))
+    ZigzagIncremental.applyBatch(spark, root, b1, batchId = Some(1L))
+    val clean = ZigzagIncremental.report(spark, root).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getInt(3))).toSet
+
+    // simulate the crash window: state/b1 + pivots/b1 exist, marker gone
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_applied", "batch-1"))
+    ZigzagIncremental.applyBatch(spark, root, b1, batchId = Some(1L))
+    val retried = ZigzagIncremental.report(spark, root).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getInt(3))).toSet
+    // a global-max state read would fold day 2/3 twice and emit
+    // duplicate or phantom pivots; the bounded read keeps it bit-equal
+    assert(retried == clean)
+  }
 }
