@@ -1867,6 +1867,17 @@ object SparkEntry {
       graft.text.Bpe.trainedMerges(s, dir)
         .toDF("step", "merge_left", "merge_right", "pair_count")
     }),
+    // unigram-LM tokenizer training (SentencePiece-style hard EM): seed
+    // substring counts → Viterbi E-step under integer bit-length
+    // surprisals → usage M-step → usage prune, 3 rounds; the oracle
+    // replays the whole loop as unrolled DP chains
+    "cur_unigram_vocab" -> ((s, dir) =>
+      graft.text.UnigramLm.vocabTable(s, dir)),
+    // the inference side of the trained unigram artifact: Viterbi
+    // segmentation of the word-type table under the final costs — a
+    // pure narrow map (the shape that tokenizes 100 TB)
+    "cur_unigram_tokenize" -> ((s, dir) =>
+      graft.text.UnigramLm.tokenizeTable(s, dir)),
     // positional phrase search: the inverted-index primitive TF-IDF/BM25
     // can't express — postings joined on (doc, offset); the gate carries
     // its own query (the corpus's top bigram, tiebroken lexically)
@@ -7631,6 +7642,14 @@ object SparkEntry {
     // match step for step (integer counts, total argmax order, greedy
     // non-overlapping merge fold)
     "cur_bpe_merges" -> BpeMergesOracleSql,
+
+    // the unigram-LM training loop replayed END TO END: seed substring
+    // counts, three Viterbi-EM rounds as unrolled MATERIALIZED DP
+    // chains, usage prunes — the learned artifact must hash-match
+    "cur_unigram_vocab" -> graft.oracle.UnigramOracleSql.vocabSql(),
+
+    // inference = the final round's segmentation under the final costs
+    "cur_unigram_tokenize" -> graft.oracle.UnigramOracleSql.tokenizeSql(),
 
     // raw-array positions (empties keep their slot, then drop) so
     // adjacency replays string-true; (count desc, w1, w2) total order

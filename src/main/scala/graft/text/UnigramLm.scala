@@ -1,0 +1,189 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** UNIGRAM-LM TOKENIZER TRAINING (SentencePiece-style, Kudo 2018,
+  * arXiv:1804.10959; public method) — the other trained-tokenizer
+  * family next to [[Bpe]]: instead of greedily merging pairs, seed a
+  * large candidate vocabulary from substring counts, then alternate
+  * (E) Viterbi-segment every word type under the current piece scores
+  * and (M) re-estimate piece scores from the segmentation usage,
+  * pruning the vocabulary between rounds. This is the HARD-EM variant
+  * (Viterbi counts, not lattice expectations) — the standard
+  * deterministic simplification.
+  *
+  * Exactness discipline (what lets a DuckDB oracle replay TRAINING
+  * ITSELF): piece scores are integer BIT-LENGTH surprisals,
+  * cost(p) = bitlen(Σcnt) − bitlen(cnt_p) + 1 ≈ ⌈−log₂ P(p)⌉ + 1 — the
+  * dyadic no-libm recipe (both engines read bit length off `bin()`),
+  * so the Viterbi DP is ALL-INTEGER with the total tie order
+  * (cost, n_pieces, longest-piece-first) and the learned vocabulary is
+  * hash-comparable. Pruning keeps the highest-USAGE pieces: under hard
+  * EM a piece's loss contribution is usage·cost, so dropping the
+  * lowest-usage pieces is the minimal-loss-increase prune of the
+  * original algorithm restricted to the integer score.
+  *
+  * Per-iteration state is a ≤(26 + KeepMultis)-entry (piece, count)
+  * digest collected to the driver (the BPE best-pair / k-means
+  * centroid pattern); every distributed pass is one narrow map over
+  * the word-TYPE table (vocabulary-bounded — corpus size only costs
+  * the single [[Bpe.wordTypes]] scan). The DP itself is a linear fold
+  * of depth [[MaxWordLen]] whose state carries the best
+  * (cost, n_pieces, segmentation) at the last [[MaxPieceLen]]
+  * positions — exactly the shape the oracle unrolls as chained CTEs.
+  */
+object UnigramLm {
+
+  val MaxWordLen = 16
+  val MaxPieceLen = 4
+  val SeedMultis = 150
+  val KeepMultis = 100
+  val Iters = 3
+  private val Inf = 1000000000000000L
+
+  /** Word types capped to the DP depth — a FIXED depth is what makes
+    * the engine fold and the oracle's unrolled chain the same program.
+    */
+  def trainTypes(s: SparkSession, dir: String,
+      maxWords: Int = 2000): DataFrame =
+    Bpe.wordTypes(s, dir, maxWords)
+      .where(length(col("word")) <= MaxWordLen)
+
+  /** Seed candidate counts: every substring of length 1..MaxPieceLen of
+    * every word type, weighted by type frequency (positions counted
+    * multiply — the standard suffix-count seeding).
+    */
+  def seedCounts(types: DataFrame): DataFrame =
+    types.select(col("freq"), explode(flatten(
+      transform(sequence(lit(1), length(col("word"))), i =>
+        transform(sequence(lit(1),
+          least(lit(MaxPieceLen), length(col("word")) - i + 1)),
+          l => col("word").substr(i, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+
+  private def bitlen(x: Long): Long =
+    64L - java.lang.Long.numberOfLeadingZeros(math.max(x, 1L))
+
+  /** Integer surprisal costs over a (piece, cnt) digest. */
+  private def withCosts(counts: Seq[(String, Long)])
+      : Seq[(String, Long, Long)] = {
+    val total = counts.map(_._2).sum
+    counts.map { case (p, c) => (p, c, bitlen(total) - bitlen(c) + 1L) }
+  }
+
+  private def costMap(vocab: Seq[(String, Long)]): Column =
+    map(vocab.flatMap { case (p, c) => Seq(lit(p), lit(c)) }: _*)
+
+  private def sSt(c: Column, np: Column, seg: Column) =
+    struct(c.as("c"), np.as("np"), seg.as("seg"))
+  private def invalid = sSt(lit(Inf), lit(0L), lit(""))
+
+  /** The Viterbi DP as a linear fold: state (s0..s3) = best
+    * (cost, n_pieces, seg) at positions i, i−1, i−2, i−3. Candidates
+    * are evaluated LONGEST PIECE FIRST with strict-better replacement,
+    * so ties on (cost, n_pieces) deterministically keep the longest
+    * piece — the total order the oracle mirrors CASE for CASE. Steps
+    * past the word's length carry the state unchanged, so s0 after
+    * MaxWordLen steps is the best at the word's end. Single characters
+    * are always in the vocabulary, so the DP is always feasible.
+    */
+  def viterbi(word: Column, costs: Column): Column = {
+    val init = struct(sSt(lit(0L), lit(0L), lit("")).as("s0"),
+      invalid.as("s1"), invalid.as("s2"), invalid.as("s3"))
+    aggregate(sequence(lit(1), lit(MaxWordLen)), init, (acc, i) => {
+      def cand(k: Int): Column = {
+        val prev = acc.getField(s"s$k")
+        val piece = word.substr(i - lit(k), lit(k + 1))
+        val pc = element_at(costs, piece)
+        when(i >= k + 1 && prev.getField("c") < Inf && pc.isNotNull,
+          sSt(prev.getField("c") + pc, prev.getField("np") + lit(1L),
+            when(prev.getField("seg") === "", piece)
+              .otherwise(concat(prev.getField("seg"), lit("|"), piece))))
+          .otherwise(invalid)
+      }
+      def better(a: Column, b: Column) =
+        when(b.getField("c") < a.getField("c") ||
+          (b.getField("c") === a.getField("c") &&
+            b.getField("np") < a.getField("np")), b).otherwise(a)
+      val best = better(better(better(cand(3), cand(2)), cand(1)), cand(0))
+      when(i <= length(word),
+        struct(best.as("s0"), acc.getField("s0").as("s1"),
+          acc.getField("s1").as("s2"), acc.getField("s2").as("s3")))
+        .otherwise(acc)
+    }).getField("s0")
+  }
+
+  /** E-step output: each word type's Viterbi segmentation under the
+    * given (piece, cost) vocabulary — one narrow map, no shuffle.
+    */
+  def segmented(types: DataFrame,
+      vocab: Seq[(String, Long)]): DataFrame = {
+    val v = viterbi(col("word"), costMap(vocab))
+    types.select(col("word"), col("freq"), v.getField("seg").as("seg"),
+      v.getField("np").as("n_tokens"), v.getField("c").as("total_cost"))
+  }
+
+  /** M-step counts: piece usage over the Viterbi segmentations,
+    * weighted by type frequency.
+    */
+  def usageCounts(segs: DataFrame): DataFrame =
+    segs.select(col("freq"), explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+
+  /** Per-JVM memo of the trained artifact: (piece, final usage, final
+    * cost) rows — shared by the vocab gate and the tokenizer gate (the
+    * Bpe.trainedMerges shape).
+    */
+  private val vocabMemo = scala.collection.mutable.Map
+    .empty[String, Seq[(String, Long, Long)]]
+
+  def trainedVocab(s: SparkSession, dir: String)
+      : Seq[(String, Long, Long)] = vocabMemo.synchronized {
+    vocabMemo.getOrElseUpdate(dir, {
+      val types = trainTypes(s, dir).localCheckpoint()
+      val seed = seedCounts(types)
+      val chars0 = seed.where(length(col("piece")) === 1)
+      val mult0 = seed.where(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(SeedMultis)
+      var counts: Seq[(String, Long)] = chars0.unionAll(mult0).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+      var result: Seq[(String, Long, Long)] = Seq.empty
+      for (it <- 1 to Iters) {
+        val vc = withCosts(counts)
+        val usage = usageCounts(segmented(types,
+          vc.map(t => (t._1, t._3)))).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        if (it < Iters) {
+          val chars = counts.collect { case (p, _) if p.length == 1 =>
+            (p, usage.getOrElse(p, 0L)) }
+          val multis = usage.toSeq
+            .filter { case (p, c) => p.length > 1 && c > 0 }
+            .sortBy { case (p, c) => (-c, p) }.take(KeepMultis)
+          counts = chars ++ multis
+        } else {
+          result = vc.map { case (p, _, cost) =>
+            (p, usage.getOrElse(p, 0L), cost) }
+        }
+      }
+      result
+    })
+  }
+
+  /** The learned vocabulary as the gate relation
+    * (piece, n_used, cost).
+    */
+  def vocabTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainedVocab(s, dir).toDF("piece", "n_used", "cost")
+  }
+
+  /** Tokenizer inference under the trained artifact: Viterbi-segment
+    * the (capped) word-type table with the final costs.
+    */
+  def tokenizeTable(s: SparkSession, dir: String): DataFrame = {
+    val vc = trainedVocab(s, dir).map(t => (t._1, t._3))
+    segmented(trainTypes(s, dir), vc).drop("freq")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.UnigramLm
+
+/** The unigram-LM Viterbi rules, pinned on hand-computable fixtures:
+  * minimal total integer cost, then fewest pieces, then the
+  * longest-LAST-piece order the longest-first strict-better chain
+  * produces — plus the coverage property (single chars always in
+  * vocabulary ⇒ every word segments, and the segmentation concatenates
+  * back to the word).
+  */
+class UnigramLmSpec extends SparkSuite {
+
+  private def seg(word: String, vocab: Map[String, Long]): (String, Long, Long) = {
+    import spark.implicits._
+    val costs = map(vocab.toSeq.sortBy(_._1)
+      .flatMap { case (p, c) => Seq(lit(p), lit(c)) }: _*)
+    val r = Seq(word).toDF("word")
+      .select(UnigramLm.viterbi(col("word"), costs).as("s"))
+      .select(col("s.seg"), col("s.np"), col("s.c")).head()
+    (r.getString(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("viterbi picks the min-cost segmentation over a hand vocab") {
+    val vocab = Map[String, Long]("a" -> 5L, "b" -> 5L, "c" -> 5L,
+      "ab" -> 3L, "abc" -> 4L)
+    // abc|ab = 4+3 = 7 beats ab|c|ab = 11 and all-chars = 25
+    assert(seg("abcab", vocab) == (("abc|ab", 2L, 7L)))
+  }
+
+  test("cost tie broken by fewer pieces") {
+    val vocab = Map[String, Long]("a" -> 3L, "b" -> 3L, "ab" -> 6L)
+    // 'ab' (cost 6, 1 piece) vs 'a|b' (cost 6, 2 pieces)
+    assert(seg("ab", vocab) == (("ab", 1L, 6L)))
+  }
+
+  test("full (cost, pieces) tie keeps the longest LAST piece") {
+    val vocab = Map[String, Long]("a" -> 2L, "aa" -> 4L, "aaa" -> 6L)
+    // a|aaa, aa|aa, aaa|a all cost 8 with 2 pieces; the longest-first
+    // strict-better chain at the final position keeps a|aaa
+    assert(seg("aaaa", vocab) == (("a|aaa", 2L, 8L)))
+  }
+
+  test("trained artifact: coverage, char backbone, bounded vocab") {
+    val dir = sf("sf0.001")
+    val vocab = UnigramLm.trainedVocab(spark, dir)
+    val pieces = vocab.map(_._1).toSet
+    assert(vocab.nonEmpty)
+    // every piece distinct, vocabulary bounded by chars + KeepMultis
+    assert(vocab.size == pieces.size)
+    assert(vocab.count(_._1.length > 1) <= UnigramLm.KeepMultis)
+    assert(vocab.forall(_._3 >= 1L)) // costs are positive integers
+    // chars survive pruning: every multi-char piece is buildable
+    val chars = pieces.filter(_.length == 1)
+    assert(pieces.forall(_.forall(ch => chars.contains(ch.toString))))
+
+    // inference: every word reconstructs from its segmentation
+    val toks = UnigramLm.tokenizeTable(spark, dir).collect()
+    assert(toks.nonEmpty)
+    assert(toks.forall(r =>
+      r.getString(1).replace("|", "") == r.getString(0)))
+    // and multi-char pieces actually get used somewhere
+    assert(toks.exists(r => r.getString(1).split('|').exists(_.length > 1)))
+  }
+}
