@@ -804,6 +804,11 @@ object SparkEntry {
     // timer closes; emission rule pinned empirically by the probe
     "stream_session_timers" -> ((s, dir) =>
       graft.streaming.StreamReplay.replaySessionTimers(s, dir)),
+    // the timer-rule BOUNDARY gate: injected keys whose sessions end
+    // exactly on / 1 ms past the final watermark — the non-strict `≤`
+    // close rule is pinned by the hash at gate scale, both arms
+    "stream_session_timers_boundary" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replaySessionTimersBoundary(s, dir)),
     // trailing-K buffer on the V2 LIST-STATE surface: keep-K-largest
     // merge per batch, final digest = the batch top-K aggregate
     "stream_trailingk_tws" -> ((s, dir) =>
@@ -1301,6 +1306,15 @@ object SparkEntry {
     "dq_benford" -> ((s, dir) =>
       graft.operators.DataQuality.benfordDigits(
         Tables.lineitem(s, dir), "l_extendedprice")),
+
+    // the POSITIVE Benford exemplar: the squared event value is
+    // multiplicative (doubled log-spread) and conforms with a small
+    // chi-square sum — pinning the audit's conforming branch
+    "dq_benford_conforming" -> ((s, dir) =>
+      graft.operators.DataQuality.benfordDigits(
+        Tables.events(s, dir).where(col("value") >= 1)
+          .select((col("value") * col("value"))
+            .cast("decimal(18,6)").as("amt")), "amt")),
 
     // daily-volume anomaly monitor: each day's row count z-scored
     // against its trailing-7-day baseline (current day excluded) —
@@ -3168,6 +3182,40 @@ object SparkEntry {
     * non-overlapping merge fold. DuckDB's list_reduce wants accumulator
     * and element types equal, so symbols fold as singleton lists.
     */
+  /** Benford audit oracle over any 1-column (`amt`) relation: the nine
+    * hardcoded log10(1+1/d) literals repeated verbatim so the
+    * expectation/contribution double trees are operand-identical with
+    * the engine — shared by the non-conforming (lineitem prices) and
+    * conforming (squared event values) exemplars.
+    */
+  private def BenfordOracleSql(amtRelation: String): String = {
+    val pcase =
+      """(CASE digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END)""".stripMargin
+    val expected = s"CAST(n_total AS DOUBLE) * $pcase"
+    val dev = s"(CAST(n_obs AS DOUBLE) - $expected)"
+    s"""WITH o AS (
+       |  SELECT CAST(substr(CAST(amt AS VARCHAR), 1, 1) AS INTEGER)
+       |    AS digit, count(*) AS n_obs
+       |  FROM ($amtRelation)
+       |  WHERE CAST(substr(CAST(amt AS VARCHAR), 1, 1) AS INTEGER)
+       |    BETWEEN 1 AND 9
+       |  GROUP BY 1
+       |), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM o)
+       |SELECT digit, n_obs,
+       |  $expected AS expected,
+       |  $dev * $dev / ($expected) AS chi2_term
+       |FROM o CROSS JOIN t""".stripMargin
+  }
+
   private def BpeCtes(iters: Int, maxWords: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -5063,6 +5111,49 @@ object SparkEntry {
          |FROM ses s JOIN lasts l USING (ccy_couple), wmk
          |WHERE s.sid < l.last_sid OR s.session_end // 1000 <= wmk.w""".stripMargin,
 
+    // the boundary gate: the same session/timer chain over the rates
+    // relation augmented with the two injected boundary keys —
+    // ZZZBOUND's end == watermark must emit (non-strict ≤), ZZZOPEN's
+    // end == watermark + 1 ms must not
+    "stream_session_timers_boundary" ->
+      s"""WITH $RatesCte, aug AS (
+         |  SELECT ccy_couple, "timestamp", event_id FROM rates
+         |  UNION ALL
+         |  SELECT 'ZZZBOUND', max("timestamp") - INTERVAL 1860 SECOND, -1
+         |  FROM rates
+         |  UNION ALL
+         |  SELECT 'ZZZOPEN',
+         |    max("timestamp") - INTERVAL 1860 SECOND + INTERVAL 1 MILLISECOND,
+         |    -2
+         |  FROM rates
+         |), x AS (
+         |  SELECT ccy_couple, "timestamp" AS ts, event_id,
+         |    lag("timestamp") OVER (PARTITION BY ccy_couple
+         |      ORDER BY "timestamp", event_id) AS prev_ts
+         |  FROM aug
+         |), y AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+         |                 THEN 1 ELSE 0 END AS news
+         |  FROM x
+         |), z AS (
+         |  SELECT *, CAST(sum(news) OVER (PARTITION BY ccy_couple
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM y
+         |), ses AS (
+         |  SELECT ccy_couple, sid, CAST(count(*) AS BIGINT) AS n_events,
+         |    epoch_us(min(ts)) AS session_start,
+         |    epoch_us(max(ts)) + 1800000000 AS session_end
+         |  FROM z GROUP BY ccy_couple, sid
+         |), lasts AS (
+         |  SELECT ccy_couple, max(sid) AS last_sid FROM ses GROUP BY 1
+         |), wmk AS (
+         |  SELECT epoch_us(max("timestamp")) // 1000 - 60000 AS w FROM aug
+         |)
+         |SELECT s.ccy_couple, s.session_start, s.session_end, s.n_events
+         |FROM ses s JOIN lasts l USING (ccy_couple), wmk
+         |WHERE s.sid < l.last_sid OR s.session_end // 1000 <= wmk.w""".stripMargin,
+
     // the list-state buffer's final digest per pair = the batch top-5
     // under (event_time, event_id), with the exact half-up micro sum
     "stream_trailingk_tws" ->
@@ -5873,58 +5964,18 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
     // the nine hardcoded Benford literals repeated verbatim, so the
-    // expectation/contribution double trees are operand-identical
+    // expectation/contribution double trees are operand-identical —
+    // the NEGATIVE exemplar: linear-ish prices do not conform
     "dq_benford" ->
-      """WITH o AS (
-        |  SELECT CAST(substr(CAST(l_extendedprice AS VARCHAR), 1, 1) AS INTEGER)
-        |    AS digit, count(*) AS n_obs
-        |  FROM lineitem
-        |  WHERE CAST(substr(CAST(l_extendedprice AS VARCHAR), 1, 1) AS INTEGER)
-        |    BETWEEN 1 AND 9
-        |  GROUP BY 1
-        |), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM o)
-        |SELECT digit, n_obs,
-        |  CAST(n_total AS DOUBLE) * (CASE digit
-        |    WHEN 1 THEN 0.3010299956639812
-        |    WHEN 2 THEN 0.17609125905568124
-        |    WHEN 3 THEN 0.12493873660829992
-        |    WHEN 4 THEN 0.09691001300805642
-        |    WHEN 5 THEN 0.07918124604762482
-        |    WHEN 6 THEN 0.06694678963061322
-        |    WHEN 7 THEN 0.05799194697768673
-        |    WHEN 8 THEN 0.05115252244738129
-        |    ELSE 0.04575749056067514 END) AS expected,
-        |  (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * (CASE digit
-        |    WHEN 1 THEN 0.3010299956639812
-        |    WHEN 2 THEN 0.17609125905568124
-        |    WHEN 3 THEN 0.12493873660829992
-        |    WHEN 4 THEN 0.09691001300805642
-        |    WHEN 5 THEN 0.07918124604762482
-        |    WHEN 6 THEN 0.06694678963061322
-        |    WHEN 7 THEN 0.05799194697768673
-        |    WHEN 8 THEN 0.05115252244738129
-        |    ELSE 0.04575749056067514 END))
-        |  * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * (CASE digit
-        |    WHEN 1 THEN 0.3010299956639812
-        |    WHEN 2 THEN 0.17609125905568124
-        |    WHEN 3 THEN 0.12493873660829992
-        |    WHEN 4 THEN 0.09691001300805642
-        |    WHEN 5 THEN 0.07918124604762482
-        |    WHEN 6 THEN 0.06694678963061322
-        |    WHEN 7 THEN 0.05799194697768673
-        |    WHEN 8 THEN 0.05115252244738129
-        |    ELSE 0.04575749056067514 END))
-        |  / (CAST(n_total AS DOUBLE) * (CASE digit
-        |    WHEN 1 THEN 0.3010299956639812
-        |    WHEN 2 THEN 0.17609125905568124
-        |    WHEN 3 THEN 0.12493873660829992
-        |    WHEN 4 THEN 0.09691001300805642
-        |    WHEN 5 THEN 0.07918124604762482
-        |    WHEN 6 THEN 0.06694678963061322
-        |    WHEN 7 THEN 0.05799194697768673
-        |    WHEN 8 THEN 0.05115252244738129
-        |    ELSE 0.04575749056067514 END)) AS chi2_term
-        |FROM o CROSS JOIN t""".stripMargin,
+      BenfordOracleSql("SELECT l_extendedprice AS amt FROM lineitem"),
+
+    // the POSITIVE exemplar: the squared event value is a
+    // multiplicative derived column (squaring doubles the log-spread),
+    // which IS Benford-conforming — the small-chi² branch of the same
+    // machinery (value >= 1 keeps the decimal's leading char a digit)
+    "dq_benford_conforming" ->
+      BenfordOracleSql("SELECT CAST(value * value AS DECIMAL(18,6)) " +
+        "AS amt FROM events WHERE value >= 1"),
 
     // per-(pair,hour) moments + the identical z tree; hour() buckets
     // match because both sessions are pinned UTC

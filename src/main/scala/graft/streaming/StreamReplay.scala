@@ -285,12 +285,50 @@ object StreamReplay {
     * provider scoped to this replay (the V2 operator requires it).
     */
   def replaySessionTimers(s: SparkSession, dir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 3): DataFrame =
+    sessionTimersImpl(s, dir, nBatches, boundary = false)
+
+  /** The BOUNDARY variant: two synthetic single-event keys are injected
+    * so the timer-firing rule's equality arm is exercised AT GATE SCALE
+    * (the MemoryStream spec pins it at fixture scale): ZZZBOUND's
+    * session ends EXACTLY on the final watermark (max ts − 1860 s +
+    * 30 min gap = max ts − 60 s = the watermark) — the non-strict `≤`
+    * rule must CLOSE it; ZZZOPEN ends 1 ms past the watermark and must
+    * stay open. A strict-`<` engine rule (or an oracle off by one ms)
+    * flips ZZZBOUND's row in/out of the result — the hash pins both
+    * arms. Injected rows sit 1860 s before the maximum, so the global
+    * watermark and every real pair's sessions are untouched.
+    */
+  def replaySessionTimersBoundary(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame =
+    sessionTimersImpl(s, dir, nBatches, boundary = true)
+
+  private def sessionTimersImpl(s: SparkSession, dir: String,
+      nBatches: Int, boundary: Boolean): DataFrame = {
     import s.implicits._
     val tmp = Scratch.dir("graft_sessiontimer_replay")
-    val rates = Tables.rates(s, dir)
+    val base = Tables.rates(s, dir)
       .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
-    val feed = sharedOrderedFeed(s, dir, nBatches)
+    val rates =
+      if (!boundary) base
+      else {
+        val m = base.agg(max(col("timestamp")).as("m"))
+        val injected = m.select(
+          lit("ZZZBOUND").as("ccy_couple"),
+          (col("m") - expr("INTERVAL 1860 SECONDS")).as("timestamp"),
+          lit(1.0).as("rate"), lit(-1L).as("event_id"))
+          .unionByName(m.select(
+            lit("ZZZOPEN").as("ccy_couple"),
+            (col("m") - expr("INTERVAL 1860 SECONDS")
+              + expr("INTERVAL 1 MILLISECOND")).as("timestamp"),
+            lit(1.0).as("rate"), lit(-2L).as("event_id")))
+        base.unionByName(injected)
+      }
+    val tag = if (boundary) "rates_boundary" else "rates"
+    val feed = sharedFeed(tag, dir, nBatches) {
+      rates.select(col("ccy_couple"), col("timestamp"), col("rate"),
+        col("event_id"))
+    }
 
     val name = s"graft_sessiontimer_sink_${sinkId.incrementAndGet()}"
     withRocksDbStateStore(s) {
