@@ -1892,6 +1892,11 @@ object SparkEntry {
     // pure narrow map (the shape that tokenizes 100 TB)
     "cur_unigram_tokenize" -> ((s, dir) =>
       graft.text.UnigramLm.tokenizeTable(s, dir)),
+    // incremental unigram retrain: the SAME maintained word-type LSM
+    // partials as stream_bpe_incremental, retrained through the
+    // Viterbi-EM loop — must learn the batch-trained vocabulary
+    "stream_unigram_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayUnigramIncremental(s, dir)),
     // positional phrase search: the inverted-index primitive TF-IDF/BM25
     // can't express — postings joined on (doc, offset); the gate carries
     // its own query (the corpus's top bigram, tiebroken lexically)
@@ -7701,6 +7706,10 @@ object SparkEntry {
 
     // inference = the final round's segmentation under the final costs
     "cur_unigram_tokenize" -> graft.oracle.UnigramOracleSql.tokenizeSql(),
+
+    // the retrained-from-partials vocabulary must equal the
+    // batch-trained one — the convergence proof, same oracle verbatim
+    "stream_unigram_incremental" -> graft.oracle.UnigramOracleSql.vocabSql(),
 
     // raw-array positions (empties keep their slot, then drop) so
     // adjacency replays string-true; (count desc, w1, w2) total order

@@ -1214,6 +1214,44 @@ object StreamReplay {
       graft.text.Bpe.wordTypesFromPartials(s, countsDir), iters = 8)
   }
 
+  /** The unigram-LM sibling of [[replayBpeIncremental]]: the SAME
+    * word-type LSM state (Bpe.appendWordTypeBatch partials — one
+    * maintained corpus pass serves every tokenizer family), retrained
+    * through the Viterbi-EM loop; the learned vocabulary must equal
+    * the batch-trained `cur_unigram_vocab` artifact — same oracle.
+    */
+  def replayUnigramIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    import s.implicits._
+    val tmp = Scratch.dir("graft_unigram_replay")
+    val countsDir = tmp.resolve("counts").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val feed = memoFeed("bpe", dir, nBatches) { p =>
+      docs.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.text.Bpe.appendWordTypeBatch(s, countsDir, batch,
+            batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    val types = graft.text.Bpe.wordTypesFromPartials(s, countsDir)
+      .where(length(col("word")) <= graft.text.UnigramLm.MaxWordLen)
+      .localCheckpoint()
+    graft.text.UnigramLm.trainLoop(types)
+      .toDF("piece", "n_used", "cost")
+  }
+
   /** Replay of INCREMENTAL CLASSIFIER-TRAINING state: documents stream
     * in micro-batches; each batch appends its FEATURE partial (the
     * fixed-point hashed rows for ITS docs — docs are atomic per batch,

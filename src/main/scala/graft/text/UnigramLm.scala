@@ -140,35 +140,42 @@ object UnigramLm {
 
   def trainedVocab(s: SparkSession, dir: String)
       : Seq[(String, Long, Long)] = vocabMemo.synchronized {
-    vocabMemo.getOrElseUpdate(dir, {
-      val types = trainTypes(s, dir).localCheckpoint()
-      val seed = seedCounts(types)
-      val chars0 = seed.where(length(col("piece")) === 1)
-      val mult0 = seed.where(length(col("piece")) > 1)
-        .orderBy(col("cnt").desc, col("piece").asc).limit(SeedMultis)
-      var counts: Seq[(String, Long)] = chars0.unionAll(mult0).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
-        .sortBy { case (p, c) => (-c, p) }
-      var result: Seq[(String, Long, Long)] = Seq.empty
-      for (it <- 1 to Iters) {
-        val vc = withCosts(counts)
-        val usage = usageCounts(segmented(types,
-          vc.map(t => (t._1, t._3)))).collect()
-          .map(r => (r.getString(0), r.getLong(1))).toMap
-        if (it < Iters) {
-          val chars = counts.collect { case (p, _) if p.length == 1 =>
-            (p, usage.getOrElse(p, 0L)) }
-          val multis = usage.toSeq
-            .filter { case (p, c) => p.length > 1 && c > 0 }
-            .sortBy { case (p, c) => (-c, p) }.take(KeepMultis)
-          counts = chars ++ multis
-        } else {
-          result = vc.map { case (p, _, cost) =>
-            (p, usage.getOrElse(p, 0L), cost) }
-        }
+    vocabMemo.getOrElseUpdate(dir,
+      trainLoop(trainTypes(s, dir).localCheckpoint()))
+  }
+
+  /** The EM loop over ANY (word, freq) type relation — the batch path
+    * passes the one-shot table, the incremental path the fold of
+    * maintained partial counts; both must learn the identical
+    * vocabulary (the Bpe.trainMergesFrom contract).
+    */
+  def trainLoop(types: DataFrame): Seq[(String, Long, Long)] = {
+    val seed = seedCounts(types)
+    val chars0 = seed.where(length(col("piece")) === 1)
+    val mult0 = seed.where(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(SeedMultis)
+    var counts: Seq[(String, Long)] = chars0.unionAll(mult0).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+    var result: Seq[(String, Long, Long)] = Seq.empty
+    for (it <- 1 to Iters) {
+      val vc = withCosts(counts)
+      val usage = usageCounts(segmented(types,
+        vc.map(t => (t._1, t._3)))).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      if (it < Iters) {
+        val chars = counts.collect { case (p, _) if p.length == 1 =>
+          (p, usage.getOrElse(p, 0L)) }
+        val multis = usage.toSeq
+          .filter { case (p, c) => p.length > 1 && c > 0 }
+          .sortBy { case (p, c) => (-c, p) }.take(KeepMultis)
+        counts = chars ++ multis
+      } else {
+        result = vc.map { case (p, _, cost) =>
+          (p, usage.getOrElse(p, 0L), cost) }
       }
-      result
-    })
+    }
+    result
   }
 
   /** The learned vocabulary as the gate relation
