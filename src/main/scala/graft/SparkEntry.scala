@@ -1952,6 +1952,12 @@ object SparkEntry {
     // score; unseen bigrams back off to 0.4·unigram/N (libm-free)
     "cur_backoff_lm" -> ((s, dir) =>
       graft.text.Curation.backoffLmScore(s, dir)),
+    // interpolated Kneser-Ney over the same held-out split: discounted
+    // ML mass + interpolation weight × continuation probability
+    // (distinct-context counts) — the KenLM/CCNet smoothing family,
+    // D = 0.75 dyadic so nothing transcendental exists
+    "cur_kneser_ney" -> ((s, dir) =>
+      graft.text.Curation.knLmScore(s, dir)),
     // per-language winsorization: clip n_chars to exact [p05, p95]
     // quantile bounds (broadcast back — the corpus never shuffles)
     "cur_winsorize" -> ((s, dir) => graft.text.Curation.winsorize(s, dir)),
@@ -6792,6 +6798,55 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
         |  round(list_reduce(list_prepend(0.0, ps), (a, x) -> a + x)
         |        / len(ps), 6) AS backoff_score
+        |FROM l""".stripMargin,
+
+    // same held-out split; the KN tree mirrored term for term — the
+    // discounted-ML CASE, then + (D·t1/n1)·(nc/nb); unseen context
+    // takes the continuation probability alone
+    "cur_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), bt AS (
+        |  SELECT unnest(range(0, len(tk) - 1)) AS pos, tk
+        |  FROM t WHERE doc_id % 2 = 0 AND len(tk) >= 2
+        |), bgt AS (
+        |  SELECT tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM bt
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bgt GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1, count(DISTINCT w2) AS t1
+        |  FROM bgt GROUP BY 1
+        |), cont AS (
+        |  SELECT w2, count(DISTINCT w1) AS nc FROM bgt GROUP BY 1
+        |), nb AS (
+        |  SELECT count(*) AS nb FROM (SELECT DISTINCT w1, w2 FROM bgt)
+        |), be AS (
+        |  SELECT doc_id, unnest(range(0, len(tk) - 1)) AS pos, tk
+        |  FROM t WHERE doc_id % 2 = 1 AND len(tk) >= 2
+        |), bge AS (
+        |  SELECT doc_id, pos, tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM be
+        |), pr AS (
+        |  SELECT g.doc_id, g.pos,
+        |    CASE WHEN c1.n1 IS NOT NULL THEN
+        |      CASE WHEN c2.n2 IS NOT NULL
+        |           THEN (CAST(c2.n2 AS DOUBLE) - 0.75) / CAST(c1.n1 AS DOUBLE)
+        |           ELSE 0.0 END
+        |      + (0.75 * CAST(c1.t1 AS DOUBLE) / CAST(c1.n1 AS DOUBLE))
+        |        * (CAST(coalesce(cont.nc, 0) AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+        |    ELSE CAST(coalesce(cont.nc, 0) AS DOUBLE) / CAST(nb.nb AS DOUBLE)
+        |    END AS p
+        |  FROM bge g
+        |  LEFT JOIN c2 ON c2.w1 = g.w1 AND c2.w2 = g.w2
+        |  LEFT JOIN c1 ON c1.w1 = g.w1
+        |  LEFT JOIN cont ON cont.w2 = g.w2
+        |  CROSS JOIN nb
+        |), l AS (
+        |  SELECT doc_id, list(p ORDER BY pos) AS ps FROM pr GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+        |  round(list_reduce(list_prepend(0.0, ps), (a, x) -> a + x)
+        |        / len(ps), 6) AS kn_score
         |FROM l""".stripMargin,
 
     "cur_winsorize" ->

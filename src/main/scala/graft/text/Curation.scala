@@ -328,6 +328,70 @@ object Curation {
           .as("backoff_score"))
   }
 
+  /** INTERPOLATED KNESER-NEY bigram scoring of the held-out half
+    * (Chen & Goodman 1999; the smoothing family KenLM ships and CCNet
+    * filters with — the principled sibling of [[backoffLmScore]]'s
+    * Stupid Backoff): a seen bigram scores the DISCOUNTED maximum-
+    * likelihood mass plus the interpolation weight times the
+    * CONTINUATION probability; the continuation distribution asks "in
+    * how many distinct contexts does w2 appear" (N1+(·,w2)/N1+(·,·)) —
+    * the device that stops "Francisco" outscoring "glasses" after
+    * frequent "San Francisco". Discount D = 0.75 — a DYADIC constant,
+    * so (n2 − D) is exact in doubles and nothing transcendental exists
+    * anywhere (the lmScore fold discipline).
+    *
+    * Unseen-event rules (documented, oracle-mirrored): unseen bigram
+    * under a seen context → the interpolation term alone; unseen
+    * context w1 → the continuation probability alone; w2 never seen as
+    * a continuation → 0. Per-doc score = position-ordered mean.
+    *
+    * Scale shape: four map-side-combinable count digests (two with
+    * exact distinct counts) + one 1-row broadcast; scoring is three
+    * equi-joins against vocabulary-bounded relations. Same plan at
+    * 100 TB.
+    */
+  def knLmScore(s: SparkSession, dir: String): DataFrame =
+    knLmScoreOf(Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t")))
+
+  def knLmScoreOf(toks: DataFrame): DataFrame = {
+    def bigrams(docs: DataFrame) = docs.where(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("t")) - 2)).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        element_at(col("t"), col("pos") + 1).as("w1"),
+        element_at(col("t"), col("pos") + 2).as("w2"))
+    val biT = bigrams(toks.where(col("doc_id") % 2 === 0))
+    val c2 = biT.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val c1 = biT.groupBy(col("w1")).agg(count(lit(1)).as("n1"),
+      count_distinct(col("w2")).as("t1"))
+    val cont = biT.groupBy(col("w2"))
+      .agg(count_distinct(col("w1")).as("nc"))
+    val bTypes = biT.select(col("w1"), col("w2")).distinct()
+      .agg(count(lit(1)).as("nb"))
+    val pcont = coalesce(col("nc"), lit(0L)).cast("double") /
+      col("nb").cast("double")
+    val scored = bigrams(toks.where(col("doc_id") % 2 === 1))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(bTypes))
+      .select(col("doc_id"), col("pos"),
+        when(col("n1").isNotNull,
+          when(col("n2").isNotNull,
+            (col("n2").cast("double") - lit(0.75)) /
+              col("n1").cast("double")).otherwise(lit(0.0)) +
+            (lit(0.75) * col("t1").cast("double") /
+              col("n1").cast("double")) * pcont)
+        .otherwise(pcont).as("p"))
+    scored.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).cast("long").as("n_bigrams"),
+        round(aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("p")) / size(col("ps")), 6)
+          .as("kn_score"))
+  }
+
   /** INCREMENTAL VOCABULARY maintenance, batch-apply half: one
     * micro-batch's token counts land as an append-only PARTIAL-aggregate
     * file set (log-structured merge shape) — O(batch) work per batch,

@@ -72,8 +72,11 @@ object UnigramLm {
     counts.map { case (p, c) => (p, c, bitlen(total) - bitlen(c) + 1L) }
   }
 
+  // a typedlit Map is ONE Literal node; a map(...) of ~600 lit children
+  // would be re-walked by every optimizer pass at each of the 4
+  // per-step references — seconds of driver time per query
   private def costMap(vocab: Seq[(String, Long)]): Column =
-    map(vocab.flatMap { case (p, c) => Seq(lit(p), lit(c)) }: _*)
+    typedlit(vocab.toMap)
 
   private def sSt(c: Column, np: Column, seg: Column) =
     struct(c.as("c"), np.as("np"), seg.as("seg"))

@@ -69,6 +69,27 @@ class CurationSpec extends SparkSuite {
     assert(unseen > 0L)
   }
 
+  test("kneser-ney: hand-computed interpolated scores, unseen rules pinned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // train doc 0: "a b a c" — c2: ab=1 ba=1 ac=1; c1: a(n1=2,t1=2)
+    // b(1,1); cont: a=1 b=1 c=1; nb=3 bigram types
+    val toks = Seq(
+      (0L, Seq("a", "b", "a", "c")),
+      (1L, Seq("a", "b", "d")), // eval: seen (a,b) + unseen-w2 (b,d)
+      (3L, Seq("z", "q")))      // eval: unseen context z, unseen cont q
+      .toDF("doc_id", "t")
+    val out = Curation.knLmScoreOf(toks).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // (a,b): (1−0.75)/2 + (0.75·2/2)·(1/3) = 0.125 + 0.25 = 0.375
+    // (b,d): 0 + (0.75·1/1)·(0/3) = 0 → doc mean = 0.1875
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - 0.1875) < 1e-9)
+    // unseen context falls to the continuation prob alone; q never
+    // continues anything → 0
+    assert(out(3L) == ((1L, 0.0)))
+  }
+
   test("source quota never exceeds the cap and keeps full small groups") {
     val q = Curation.sourceQuota(spark, dir, quota = 20)
     val byGroup = q.groupBy("lang", "source").count().collect()
