@@ -1962,6 +1962,9 @@ object SparkEntry {
     // quantile bounds (broadcast back — the corpus never shuffles)
     "cur_winsorize" -> ((s, dir) => graft.text.Curation.winsorize(s, dir)),
     "cur_chunk_docs" -> ((s, dir) => graft.text.Curation.chunkDocs(s, dir)),
+    // fill-in-the-middle re-serialization (PSM): hash-derived coin and
+    // cut points, the transformed corpus hashed via its fingerprint
+    "cur_fim_split" -> ((s, dir) => graft.text.Curation.fimSplit(s, dir)),
     // RefinedWeb-style line-level dedup: lines recurring across >= 3
     // docs are cut from every doc and the survivors re-joined in order
     // — the cleaned-corpus rewrite, not just a boilerplate score
@@ -6848,6 +6851,45 @@ object SparkEntry {
         |  round(list_reduce(list_prepend(0.0, ps), (a, x) -> a + x)
         |        / len(ps), 6) AS kn_score
         |FROM l""".stripMargin,
+
+    // the hash coin, the two 15-hex cut points (the Bloom slice fold),
+    // and the PSM bytes rebuilt verbatim; fingerprints must match
+    "cur_fim_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS l,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, text, l,
+        |    (CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1
+        |       AS INTEGER) < 8) AS applied,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(2, 17), j ->
+        |        CAST(strpos('0123456789abcdef', substring(h, CAST(j AS INT), 1))
+        |          - 1 AS BIGINT))), (a, x) -> 16 * a + x)
+        |      % (l + 1) AS p1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(17, 32), j ->
+        |        CAST(strpos('0123456789abcdef', substring(h, CAST(j AS INT), 1))
+        |          - 1 AS BIGINT))), (a, x) -> 16 * a + x)
+        |      % (l + 1) AS p2
+        |  FROM d
+        |), s AS (
+        |  SELECT doc_id, text, l, applied,
+        |    CAST(least(p1, p2) AS INTEGER) AS lo,
+        |    CAST(greatest(p1, p2) AS INTEGER) AS hi
+        |  FROM c
+        |)
+        |SELECT doc_id, applied AS fim_applied,
+        |  CAST(CASE WHEN applied THEN lo ELSE l END AS BIGINT) AS n_prefix,
+        |  CAST(CASE WHEN applied THEN hi - lo ELSE 0 END AS BIGINT) AS n_middle,
+        |  CAST(CASE WHEN applied THEN l - hi ELSE 0 END AS BIGINT) AS n_suffix,
+        |  md5(CASE WHEN applied THEN
+        |        '<PRE>' || substr(text, 1, lo)
+        |        || '<SUF>' || substr(text, hi + 1, l - hi)
+        |        || '<MID>' || substr(text, lo + 1, hi - lo)
+        |      ELSE text END) AS psm_fp
+        |FROM s""".stripMargin,
 
     "cur_winsorize" ->
       """WITH b AS (

@@ -392,6 +392,44 @@ object Curation {
           .as("kn_score"))
   }
 
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022,
+    * arXiv:2207.14255; public method) — the code-LLM data-pipeline
+    * stage that teaches infilling: half the corpus (a hash-derived
+    * coin, no RNG — the weightedSample discipline) is re-serialized
+    * PSM-style as <PRE>prefix<SUF>suffix<MID>middle, with the two cut
+    * points drawn uniformly from disjoint 15-hex md5 slices of the
+    * doc id (< 2^60, the Bloom slice trick) mod (len+1). Deterministic
+    * end to end: membership, cut points, and the re-serialized bytes
+    * are pure functions of (doc_id, text), so the gate hashes the
+    * transformed corpus across engines. A narrow map — no shuffle, scan
+    * speed at any corpus size; the gate emits the PSM fingerprint
+    * rather than the transformed text to keep the result digest-sized.
+    */
+  def fimSplit(s: SparkSession, dir: String): DataFrame =
+    fimSplitOf(Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")))
+
+  def fimSplitOf(docs: DataFrame): DataFrame = {
+    val h = hashKey(col("doc_id"))
+    val l = length(col("text"))
+    val applied = conv(substring(h, 1, 1), 16, 10).cast("int") < 8
+    val p1 = conv(substring(h, 2, 15), 16, 10).cast("long") %
+      (l + 1).cast("long")
+    val p2 = conv(substring(h, 17, 15), 16, 10).cast("long") %
+      (l + 1).cast("long")
+    val lo = least(p1, p2).cast("int")
+    val hi = greatest(p1, p2).cast("int")
+    val psm = concat(lit("<PRE>"), col("text").substr(lit(1), lo),
+      lit("<SUF>"), col("text").substr(hi + 1, l - hi),
+      lit("<MID>"), col("text").substr(lo + 1, hi - lo))
+    docs.select(col("doc_id"), applied.as("fim_applied"),
+      when(applied, lo.cast("long")).otherwise(l.cast("long")).as("n_prefix"),
+      when(applied, (hi - lo).cast("long")).otherwise(0L).as("n_middle"),
+      when(applied, (l - hi).cast("long")).otherwise(0L).as("n_suffix"),
+      md5(when(applied, psm).otherwise(col("text"))).as("psm_fp"))
+  }
+
   /** INCREMENTAL VOCABULARY maintenance, batch-apply half: one
     * micro-batch's token counts land as an append-only PARTIAL-aggregate
     * file set (log-structured merge shape) — O(batch) work per batch,

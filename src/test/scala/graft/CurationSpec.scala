@@ -90,6 +90,35 @@ class CurationSpec extends SparkSuite {
     assert(out(3L) == ((1L, 0.0)))
   }
 
+  test("FIM split: cut points, coin, and PSM bytes reproduce an independent recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fixtures = Seq((7L, "hello world infilling"), (8L, "abc"),
+      (9L, ""), (10L, "x"))
+    val out = Curation.fimSplitOf(fixtures.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    fixtures.foreach { case (id, text) =>
+      val h = md5hex(id.toString)
+      val applied = Integer.parseInt(h.substring(0, 1), 16) < 8
+      val l = text.length.toLong
+      val p1 = java.lang.Long.parseLong(h.substring(1, 16), 16) % (l + 1)
+      val p2 = java.lang.Long.parseLong(h.substring(16, 31), 16) % (l + 1)
+      val (lo, hi) = (math.min(p1, p2).toInt, math.max(p1, p2).toInt)
+      val psm = s"<PRE>${text.substring(0, lo)}" +
+        s"<SUF>${text.substring(hi)}<MID>${text.substring(lo, hi)}"
+      val expect =
+        if (applied) (true, lo.toLong, (hi - lo).toLong, l - hi, md5hex(psm))
+        else (false, l, 0L, 0L, md5hex(text))
+      assert(out(id) == expect, s"doc $id")
+    }
+    // both coin arms exercised across the fixture ids
+    assert(out.values.exists(_._1) && out.values.exists(!_._1))
+  }
+
   test("source quota never exceeds the cap and keeps full small groups") {
     val q = Curation.sourceQuota(spark, dir, quota = 20)
     val byGroup = q.groupBy("lang", "source").count().collect()
