@@ -1892,6 +1892,10 @@ object SparkEntry {
     // pure narrow map (the shape that tokenizes 100 TB)
     "cur_unigram_tokenize" -> ((s, dir) =>
       graft.text.UnigramLm.tokenizeTable(s, dir)),
+    // tokenizer eval: frequency-weighted chars-per-token of BOTH
+    // trained families over the shared capped type table
+    "cur_tokenizer_stats" -> ((s, dir) =>
+      graft.text.UnigramLm.tokenizerStats(s, dir)),
     // incremental unigram retrain: the SAME maintained word-type LSM
     // partials as stream_bpe_incremental, retrained through the
     // Viterbi-EM loop — must learn the batch-trained vocabulary
@@ -7807,6 +7811,32 @@ object SparkEntry {
     // the retrained-from-partials vocabulary must equal the
     // batch-trained one — the convergence proof, same oracle verbatim
     "stream_unigram_incremental" -> graft.oracle.UnigramOracleSql.vocabSql(),
+
+    // BOTH tokenizer trainings replayed in one statement (the CTE
+    // namespaces are disjoint); BPE token counts read off the training
+    // loop's final symbol state (= from-scratch inference, the
+    // cur_bpe_tokenize-pinned equivalence), capped to the shared table
+    "cur_tokenizer_stats" ->
+      s"""WITH ${BpeCtes(8, 2000)}, ${graft.oracle.UnigramOracleSql.ctes(2000)},
+         |bpec AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(s.freq * length(s.word)) AS BIGINT) AS n_chars_w,
+         |    CAST(sum(s.freq * len(s.syms)) AS BIGINT) AS n_tokens_w
+         |  FROM st8 s JOIN wtc w ON w.word = s.word
+         |), unic AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(freq * length(word)) AS BIGINT) AS n_chars_w,
+         |    CAST(sum(freq * n_tokens) AS BIGINT) AS n_tokens_w
+         |  FROM seg3
+         |)
+         |SELECT family, n_types, n_chars_w, n_tokens_w,
+         |  CAST(n_chars_w AS DOUBLE) / CAST(n_tokens_w AS DOUBLE)
+         |    AS chars_per_token
+         |FROM (
+         |  SELECT 'bpe' AS family, * FROM bpec
+         |  UNION ALL
+         |  SELECT 'unigram', * FROM unic
+         |)""".stripMargin,
 
     // raw-array positions (empties keep their slot, then drop) so
     // adjacency replays string-true; (count desc, w1, w2) total order

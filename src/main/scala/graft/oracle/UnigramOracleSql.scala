@@ -162,6 +162,12 @@ object UnigramOracleSql {
     sb.toString
   }
 
+  /** The full training chain for composition into other oracles (the
+    * tokenizer-stats gate): exposes `wtc` (capped word types) and
+    * `seg3` (the final round's segmentations).
+    */
+  def ctes(maxWords: Int = 2000): String = trainingCtes(maxWords)
+
   /** cur_unigram_vocab: the learned (piece, n_used, cost) artifact. */
   def vocabSql(maxWords: Int = 2000): String =
     s"""WITH ${trainingCtes(maxWords)}

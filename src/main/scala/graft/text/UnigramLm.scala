@@ -196,4 +196,33 @@ object UnigramLm {
     val vc = trainedVocab(s, dir).map(t => (t._1, t._3))
     segmented(trainTypes(s, dir), vc).drop("freq")
   }
+
+  /** Tokenizer EVAL — the frequency-weighted COMPRESSION RATIO
+    * (chars per token) of both trained families over the shared capped
+    * word-type table: the one number a tokenizer ships with, and the
+    * comparison a pipeline reads before picking a family. Exact integer
+    * weighted sums (freq·chars, freq·tokens), one double division at
+    * the boundary; both inference passes are narrow maps over the
+    * vocabulary-bounded type table.
+    */
+  def tokenizerStats(s: SparkSession, dir: String): DataFrame = {
+    val types = trainTypes(s, dir).localCheckpoint()
+    val merges = Bpe.trainedMerges(s, dir).map { case (_, l, r, _) => (l, r) }
+    val bpeTok = Bpe.tokenizeWith(types, merges)
+      .select(col("freq"), col("word"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+    val uniTok = segmented(types, trainedVocab(s, dir).map(t => (t._1, t._3)))
+      .select(col("freq"), col("word"), col("n_tokens"))
+    def stats(df: DataFrame, family: String) = df
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("freq") * length(col("word"))).cast("long").as("n_chars_w"),
+        sum(col("freq") * col("n_tokens")).cast("long").as("n_tokens_w"))
+      .select(lit(family).as("family"), col("n_types"), col("n_chars_w"),
+        col("n_tokens_w"))
+    stats(bpeTok, "bpe").unionAll(stats(uniTok, "unigram"))
+      .select(col("family"), col("n_types"), col("n_chars_w"),
+        col("n_tokens_w"),
+        (col("n_chars_w").cast("double") / col("n_tokens_w").cast("double"))
+          .as("chars_per_token"))
+  }
 }

@@ -64,4 +64,16 @@ class UnigramLmSpec extends SparkSuite {
     // and multi-char pieces actually get used somewhere
     assert(toks.exists(r => r.getString(1).split('|').exists(_.length > 1)))
   }
+
+  test("tokenizer stats: both families, shared char mass, ratio >= 1") {
+    val out = UnigramLm.tokenizerStats(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set("bpe", "unigram"))
+    // identical type table on both sides: same types, same char mass
+    assert(out("bpe")._1 == out("unigram")._1)
+    assert(out("bpe")._2 == out("unigram")._2)
+    // a token is at least one char, so compression ratio >= 1
+    assert(out.values.forall(v => v._4 >= 1.0 && v._3 >= 1L))
+  }
 }
