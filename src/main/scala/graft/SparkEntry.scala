@@ -296,8 +296,19 @@ object SparkEntry {
     RateAnalysis.rateChangeReport(
       rates(spark, "/root/testdata/sf0.001"), cutoff, ActiveWindowSpark)
 
+  /** A ListMap that REFUSES duplicate keys: a plain Map literal keeps
+    * the last binding silently, which would shadow an existing gate's
+    * query or oracle without any signal (nearly happened in round 17
+    * with a second fx_kalman). Fails fast at first access instead.
+    */
+  private def checkedMap[V](pairs: (String, V)*): ListMap[String, V] = {
+    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate gate keys: ${dups.mkString(", ")}")
+    ListMap(pairs: _*)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = checkedMap(
 
     // S4+P2+A1: scan + ingestion-relative recency filter (scalar subquery)
     "fx_active_rates" -> ((s, dir) =>
@@ -3751,7 +3762,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = ListMap(
+  def oracleSql: Map[String, String] = checkedMap(
 
     "fx_active_rates" ->
       s"""WITH $RatesCte, $ActiveCte
