@@ -260,6 +260,18 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(div.head.isNullAt(4))
   }
 
+  test("pair-graph plan stays broadcast off the memoized digest (no sort-merge joins)") {
+    // localCheckpoint strips size stats, so without explicit broadcast()
+    // hints the planner falls back to sort-merge joins (6 SMJs observed
+    // in round 16 before the fix) — pin the plan shape
+    val plan = MarketAnalytics.ouHalflifePairs(
+      graft.model.Tables.rates(spark, sf("sf0.001")),
+      memoKey = Some(sf("sf0.001") + "#planspec"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("zigzag pivots: anchor low, swing high, swing low on a hand path") {
     import spark.implicits._
     // closes (milli): 1000000 → 1150000 (+150k: anchor confirms as LOW,
