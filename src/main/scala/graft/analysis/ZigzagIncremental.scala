@@ -40,17 +40,26 @@ object ZigzagIncremental {
     * makes the retry re-read the pre-batch state (and harmlessly
     * overwrite the orphaned attempt).
     */
+  /** Generation dirs that finished their write — a crash mid-write
+    * leaves a partial dir with no _SUCCESS marker, which must be
+    * invisible to every reader (the retry overwrites it).
+    */
+  private def committedGens(root: String): Array[(Long, java.io.File)] = {
+    val dir = new java.io.File(root)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(f => f.getName.stripPrefix("b").toLong -> f)
+  }
+
   private def latestState(s: SparkSession, stateRoot: String,
       below: Option[Long] = None): DataFrame = {
-    val dir = new java.io.File(stateRoot)
-    val gens = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .map(_.getName.stripPrefix("b").toLong)
-      .filter(g => below.forall(g < _))
+    val gens = committedGens(stateRoot)
+      .filter { case (g, _) => below.forall(g < _) }
     if (gens.isEmpty) s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(stateSchema))
-    else s.read.parquet(s"$stateRoot/b${gens.max}")
+    else s.read.parquet(gens.maxBy(_._1)._2.getAbsolutePath)
   }
 
   /** The decimal chain the one-shot close digest uses — buffered raw
@@ -162,8 +171,12 @@ object ZigzagIncremental {
           thresholdMilli).getField("piv")).as("p"))
       .select(col("ccy_couple"), col("p.pd").as("pivot_date"),
         col("p.pv").as("pivot_milli"), col("p.kind").as("kind"))
-    val emitted = scala.util.Try(s.read.parquet(s"$root/pivots/*"))
-      .getOrElse(tail.limit(0))
+    // only COMMITTED pivot generations — a crashed attempt's partial
+    // dir has no _SUCCESS and must not leak rows into the report
+    val pivotDirs = committedGens(s"$root/pivots").map(_._2.getAbsolutePath)
+    val emitted =
+      if (pivotDirs.isEmpty) tail.limit(0)
+      else s.read.parquet(pivotDirs: _*)
     emitted.unionByName(tail)
   }
 }
