@@ -103,9 +103,10 @@ object EventAnalytics {
       (p.getFileSystem(s.sessionState.newHadoopConf()), p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    batch.select(col("event_type"), to_date(col("ts")).as("date"))
-      .groupBy(col("event_type"), col("date")).agg(count(lit(1)).as("n"))
-      .write.mode("append").parquet(s"$countsDir/partials")
+    graft.util.BatchAppend.append(
+      batch.select(col("event_type"), to_date(col("ts")).as("date"))
+        .groupBy(col("event_type"), col("date")).agg(count(lit(1)).as("n")),
+      s"$countsDir/partials", batchId)
     marker.foreach { case (fs, p) =>
       fs.mkdirs(p.getParent); fs.create(p, true).close() }
   }

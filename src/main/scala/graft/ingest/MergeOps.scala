@@ -84,6 +84,11 @@ object MergeOps {
     * everything through a single coalesce(1) task. maxRecordsPerFile
     * bounds a skewed day; AQE drops the empty shuffle partitions.
     */
+  // crash-duplicate tolerance: a mid-commit crash + retry can duplicate
+  // changelog rows, but duplicates are BYTE-IDENTICAL full images and
+  // every reader resolves per (key, cdc_batch) top-1 — identical rows
+  // tie to an identical result, so plain append stays sound here
+  // (additive partials use graft.util.BatchAppend instead)
   private def writeChangelog(path: String, diff: DataFrame,
       batchId: Long, dateCol: Option[String] = None): Unit = {
     val stamped = diff.withColumn("cdc_batch", lit(batchId))

@@ -293,8 +293,9 @@ object DataQuality {
       (p.getFileSystem(s.sessionState.newHadoopConf()), p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    driftDaily(batch, valueCol, tsCol, bucketWidth, nBuckets)
-      .write.mode("append").parquet(s"$countsDir/partials")
+    graft.util.BatchAppend.append(
+      driftDaily(batch, valueCol, tsCol, bucketWidth, nBuckets),
+      s"$countsDir/partials", batchId)
     marker.foreach { case (fs, p) =>
       fs.mkdirs(p.getParent); fs.create(p, true).close() }
   }

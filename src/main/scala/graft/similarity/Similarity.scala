@@ -473,10 +473,11 @@ object Similarity {
       (p.getFileSystem(s.sessionState.newHadoopConf()), p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    assignCells(batch.select(col("vec_id"), col("embedding")),
-        trainedCentroids(s, dir, cells, iters))
-      .withColumn("seq", lit(batchId.getOrElse(0L)))
-      .write.mode("append").parquet(s"$indexDir/cells")
+    graft.util.BatchAppend.append(
+      assignCells(batch.select(col("vec_id"), col("embedding")),
+          trainedCentroids(s, dir, cells, iters))
+        .withColumn("seq", lit(batchId.getOrElse(0L))),
+      s"$indexDir/cells", batchId)
     marker.foreach { case (fs, p) =>
       fs.mkdirs(p.getParent); fs.create(p, true).close() }
   }

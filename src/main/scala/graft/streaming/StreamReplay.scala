@@ -1630,8 +1630,9 @@ object StreamReplay {
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val marker = partsDir.resolve("_applied").resolve(s"batch-$bid")
           if (!java.nio.file.Files.exists(marker)) {
-            graft.operators.CountMin.cellsOf(batch, "user_id", d, w)
-              .write.mode("append").parquet(partsDir.resolve("cells").toString)
+            graft.util.BatchAppend.append(
+              graft.operators.CountMin.cellsOf(batch, "user_id", d, w),
+              partsDir.resolve("cells").toString, Some(bid))
             java.nio.file.Files.createDirectories(marker.getParent)
             java.nio.file.Files.createFile(marker)
             ()

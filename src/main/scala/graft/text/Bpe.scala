@@ -127,10 +127,11 @@ object Bpe {
       (p.getFileSystem(s.sessionState.newHadoopConf()), p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    batch.select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-      .where(col("word").rlike("^[a-z]+$"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .write.mode("append").parquet(s"$countsDir/partials")
+    graft.util.BatchAppend.append(
+      batch.select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .where(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")),
+      s"$countsDir/partials", batchId)
     marker.foreach { case (fs, p) =>
       fs.mkdirs(p.getParent); fs.create(p, true).close() }
   }

@@ -451,10 +451,11 @@ object Curation {
       (p.getFileSystem(s.sessionState.newHadoopConf()), p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    batch.select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-      .where(length(col("token")) > 0)
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .write.mode("append").parquet(s"$countsDir/partials")
+    graft.util.BatchAppend.append(
+      batch.select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("n")),
+      s"$countsDir/partials", batchId)
     marker.foreach { case (fs, p) =>
       fs.mkdirs(p.getParent); fs.create(p, true).close() }
   }
@@ -624,10 +625,11 @@ object Curation {
       (p.getFileSystem(s.sessionState.newHadoopConf()), p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    linesOf(batch, lineWords)
-      .select(col("doc_id"), col("line")).distinct()
-      .groupBy(col("line")).agg(count(lit(1)).as("df"))
-      .write.mode("append").parquet(s"$countsDir/partials")
+    graft.util.BatchAppend.append(
+      linesOf(batch, lineWords)
+        .select(col("doc_id"), col("line")).distinct()
+        .groupBy(col("line")).agg(count(lit(1)).as("df")),
+      s"$countsDir/partials", batchId)
     marker.foreach { case (fs, p) =>
       fs.mkdirs(p.getParent); fs.create(p, true).close() }
   }
@@ -817,13 +819,14 @@ object Curation {
       (p.getFileSystem(s.sessionState.newHadoopConf()), p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    gramOccurrences(batch, w)
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("p"))).as("keep"))
-      .select(col("g"), col("cnt"),
-        col("keep.doc_id").as("keep_doc"), col("keep.p").as("keep_pos"))
-      .write.mode("append").parquet(s"$countsDir/partials")
+    graft.util.BatchAppend.append(
+      gramOccurrences(batch, w)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("p"))).as("keep"))
+        .select(col("g"), col("cnt"),
+          col("keep.doc_id").as("keep_doc"), col("keep.p").as("keep_pos")),
+      s"$countsDir/partials", batchId)
     marker.foreach { case (fs, p) =>
       fs.mkdirs(p.getParent); fs.create(p, true).close() }
   }

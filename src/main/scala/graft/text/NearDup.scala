@@ -498,9 +498,9 @@ object NearDup {
         .distinct()
       // supports FIRST (its plan scans the buckets table, which the next
       // write appends to), then buckets, then signatures
-      sup.write.mode("append").parquet(s"$indexDir/supports")
-      banded.write.mode("append").parquet(s"$indexDir/buckets")
-      sigs.write.mode("append").parquet(s"$indexDir/signatures")
+      graft.util.BatchAppend.append(sup, s"$indexDir/supports", batchId)
+      graft.util.BatchAppend.append(banded, s"$indexDir/buckets", batchId)
+      graft.util.BatchAppend.append(sigs, s"$indexDir/signatures", batchId)
       marker.foreach { case (fs, p) =>
         fs.mkdirs(p.getParent); fs.create(p, true).close() }
     } finally {

@@ -613,9 +613,10 @@ object TextFunctions {
       (p.getFileSystem(s.sessionState.newHadoopConf()), p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    bigramPairs(batch)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
-      .write.mode("append").parquet(s"$countsDir/partials")
+    graft.util.BatchAppend.append(
+      bigramPairs(batch)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count")),
+      s"$countsDir/partials", batchId)
     marker.foreach { case (fs, p) =>
       fs.mkdirs(p.getParent); fs.create(p, true).close() }
   }
