@@ -7892,11 +7892,14 @@ object SparkEntry {
          |  array_to_string(syms, '|') AS tokens_str
          |FROM st8""".stripMargin,
 
-    // the MaxMatch fold replayed verbatim: vocabulary from the trained
-    // merges (the BpeCtes chain), longest prefix per step as the MAX of
-    // matching candidate lengths, position derived from tokens-so-far
+    // the MaxMatch rule replayed as a RECURSIVE CTE — one (word, step)
+    // state row per consumed token. The previous list_reduce fold with
+    // correlated lambdas WRONG-RESULTED on one row in a 31-row batch at
+    // sf0.001 (a DuckDB 1.0 vectorization bug: single-row evaluation of
+    // the identical fold was correct) — fold-with-correlated-state
+    // oracles must be iteration-shaped, the fx_zigzag lesson extended
     "cur_maxmatch_tokenize" ->
-      s"""WITH ${BpeCtes(8, 2000)},
+      s"""WITH RECURSIVE ${BpeCtes(8, 2000)},
          |mg AS (
          |  SELECT l || r AS v FROM b1 UNION ALL SELECT l || r FROM b2
          |  UNION ALL SELECT l || r FROM b3 UNION ALL SELECT l || r FROM b4
@@ -7908,39 +7911,27 @@ object SparkEntry {
          |  FROM (SELECT v FROM mg UNION
          |        SELECT unnest(regexp_extract_all('abcdefghijklmnopqrstuvwxyz',
          |          '.')) AS v)
-         |), res AS (
-         |  SELECT word, freq,
-         |    list_reduce(
-         |      list_prepend(CAST([] AS VARCHAR[]),
-         |        list_transform(range(1, length(word) + 1),
-         |          i -> [CAST(i AS VARCHAR)])),
-         |      (acc, st) -> CASE
-         |        WHEN coalesce(length(array_to_string(acc, '')), 0) >= length(word)
-         |          THEN acc
-         |        ELSE list_append(acc, CASE
-         |          WHEN list_max(list_filter(range(1, maxlen + 1),
-         |              L -> L <= length(word)
-         |                     - coalesce(length(array_to_string(acc, '')), 0)
-         |                AND list_contains(vocab, substr(word,
-         |                  coalesce(length(array_to_string(acc, '')), 0) + 1,
-         |                  CAST(L AS BIGINT))))) IS NULL
-         |            THEN substr(word,
-         |              coalesce(length(array_to_string(acc, '')), 0) + 1, 1)
-         |          ELSE substr(word,
-         |            coalesce(length(array_to_string(acc, '')), 0) + 1,
-         |            list_max(list_filter(range(1, maxlen + 1),
-         |              L -> L <= length(word)
-         |                     - coalesce(length(array_to_string(acc, '')), 0)
-         |                AND list_contains(vocab, substr(word,
-         |                  coalesce(length(array_to_string(acc, '')), 0) + 1,
-         |                  CAST(L AS BIGINT))))))
-         |          END)
-         |        END) AS pieces
-         |  FROM wt, voc
+         |), seg AS (
+         |  SELECT word, freq, length(word) AS len, 0 AS pos,
+         |    CAST('' AS VARCHAR) AS pieces, CAST(0 AS BIGINT) AS np
+         |  FROM wt
+         |  UNION ALL
+         |  SELECT word, freq, len, pos + bl AS pos,
+         |    CASE WHEN pieces = '' THEN substr(word, pos + 1, bl)
+         |         ELSE pieces || '|' || substr(word, pos + 1, bl) END,
+         |    np + 1
+         |  FROM (
+         |    SELECT s.word, s.freq, s.len, s.pos, s.pieces, s.np,
+         |      coalesce(list_max(list_filter(range(1, maxlen + 1),
+         |        L -> L <= s.len - s.pos
+         |          AND list_contains(vocab, substr(s.word, s.pos + 1,
+         |            CAST(L AS BIGINT))))), 1) AS bl
+         |    FROM seg s, voc
+         |    WHERE s.pos < s.len
+         |  )
          |)
-         |SELECT word, freq, CAST(len(pieces) AS BIGINT) AS n_pieces,
-         |  array_to_string(pieces, '|') AS pieces_str
-         |FROM res""".stripMargin,
+         |SELECT word, freq, np AS n_pieces, pieces AS pieces_str
+         |FROM seg WHERE pos >= len""".stripMargin,
 
     // the merges retrained from incrementally-maintained word-type
     // partials must equal the batch-trained table — same oracle
