@@ -1077,6 +1077,23 @@ object SparkEntry {
         .select(col("nation_a"), col("nation_b"), col("support"))
     }),
 
+    // community detection on the same graph: deterministic synchronous
+    // label propagation (most-frequent neighbor label + self-vote, ties
+    // -> smallest label, fixed 4 rounds) — the partition the cohesion
+    // family lacks: components say reachable, cores say dense, LPA says
+    // which dense region each node belongs to
+    "q_lpa_communities" -> ((s, dir) => {
+      val names = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      graft.operators.Communities.labelCommunities(
+          mutualTopTradeEdges(s, dir, topN = 7), iters = 4)
+        .join(broadcast(names.select(col("n_nationkey").as("node"),
+          col("n_name").as("nation"))), "node")
+        .join(broadcast(names.select(col("n_nationkey").as("community"),
+          col("n_name").as("community_leader"))), "community")
+        .select(col("nation"), col("community_leader"))
+    }),
+
     // wide grouped aggregation with derived expressions (TPC-H Q1 shape)
     "q_pricing_summary" -> BreadthQueries.pricingSummary _,
     // broadcast dimension join + aggregation
@@ -1808,6 +1825,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => NearDup.simhashReport(s, dir)),
     // exact char-trigram Jaccard in (lang, source) buckets (oracle-checked)
     "dedup_ngram_jaccard" -> ((s, dir) => NearDup.ngramJaccardPairs(s, dir)),
+    // GLOBAL exact-threshold similarity self-join via PPJoin prefix
+    // filtering — lossless (no blocking key, no bucket cap); the oracle
+    // verifies against naive all-pairs, which must agree pair for pair
+    "dedup_ppjoin" -> ((s, dir) => graft.text.PpJoin.pairs(s, dir)),
     // recall property-oracles: every exact trigram-Jaccard>=0.8 pair must
     // be covered by the family's candidate pairs (violations must be 0 —
     // external evidence the LSH candidates are any good)
@@ -1951,6 +1972,24 @@ object SparkEntry {
     "cur_maxmatch_tokenize" -> ((s, dir) => {
       val vocab = graft.text.Bpe.maxMatchVocab(
         graft.text.Bpe.trainedMerges(s, dir))
+      graft.text.Bpe.maxMatchTokenize(graft.text.Bpe.wordTypes(s, dir), vocab)
+        .select(col("word"), col("freq"),
+          size(col("tokens")).cast("long").as("n_pieces"),
+          array_join(col("tokens"), "|").as("pieces_str"))
+    }),
+    // WordPiece training: the THIRD trained tokenizer family — BPE's
+    // greedy merges but likelihood-scored, cnt(lr)/(cnt(l)·cnt(r)),
+    // decided by exact integer cross-multiplication (no division ever
+    // computed; the oracle replays the same NOT EXISTS tournament)
+    "cur_wordpiece_merges" -> ((s, dir) =>
+      graft.text.WordPiece.trainMerges(s, dir)),
+    // WordPiece inference = greedy longest-match over ITS trained
+    // vocabulary — same algorithm as cur_maxmatch_tokenize, different
+    // (likelihood-trained) artifact; the two gates differ exactly where
+    // the trainings diverge
+    "cur_wordpiece_tokenize" -> ((s, dir) => {
+      val vocab = graft.text.WordPiece.vocab(
+        graft.text.WordPiece.trainedMerges(s, dir))
       graft.text.Bpe.maxMatchTokenize(graft.text.Bpe.wordTypes(s, dir), vocab)
         .select(col("word"), col("freq"),
           size(col("tokens")).cast("long").as("n_pieces"),
@@ -3279,6 +3318,70 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The WordPiece training replay: BPE's fold with the likelihood
+    * selection — per step, pair counts AND symbol counts, then the
+    * NOT EXISTS cross-multiplication tournament (exact BIGINT products;
+    * DuckDB errors on overflow rather than wrapping, so a too-large
+    * corpus is loud, not wrong).
+    */
+  private def WpCtes(iters: Int, maxWords: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""wt AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+$$')
+         |  GROUP BY word ORDER BY freq DESC, word ASC LIMIT $maxWords
+         |), wst0 AS (
+         |  SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM wt
+         |)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""", wpc$i AS (
+           |  SELECT p.l, p.r, sum(p.freq) AS cnt FROM (
+           |    SELECT freq, unnest(syms[1:len(syms) - 1]) AS l,
+           |           unnest(syms[2:len(syms)]) AS r
+           |    FROM wst${i - 1}) p
+           |  GROUP BY 1, 2
+           |), wuc$i AS (
+           |  SELECT s, sum(freq) AS ucnt FROM (
+           |    SELECT freq, unnest(syms) AS s FROM wst${i - 1})
+           |  GROUP BY 1
+           |), wcd$i AS MATERIALIZED (
+           |  SELECT p.l, p.r, p.cnt, a.ucnt AS ul, b.ucnt AS ur
+           |  FROM wpc$i p
+           |  JOIN wuc$i a ON a.s = p.l JOIN wuc$i b ON b.s = p.r
+           |), wb$i AS (
+           |  SELECT l, r, cnt, ul, ur FROM wcd$i x
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM wcd$i y
+           |    WHERE y.cnt * x.ul * x.ur > x.cnt * y.ul * y.ur
+           |       OR (y.cnt * x.ul * x.ur = x.cnt * y.ul * y.ur
+           |           AND (y.l < x.l OR (y.l = x.l AND y.r < x.r))))
+           |), wst$i AS (
+           |  SELECT word, freq,
+           |    list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
+           |      CASE WHEN acc[-1] = b.l AND x[1] = b.r
+           |           THEN list_append(array_pop_back(acc), b.l || b.r)
+           |           ELSE list_append(acc, x[1]) END) AS syms
+           |  FROM wst${i - 1}, wb$i b
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private val WordPieceMergesOracleSql: String = {
+    val iters = 8
+    val steps = (1 to iters).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS merge_left, " +
+        s"r AS merge_right, CAST(cnt AS BIGINT) AS pair_count, " +
+        s"CAST(ul AS BIGINT) AS left_count, CAST(ur AS BIGINT) AS right_count " +
+        s"FROM wb$i").mkString(" UNION ALL ")
+    s"""WITH ${WpCtes(iters, 2000)}
+       |$steps""".stripMargin
+  }
+
   /** The full BPE training replay (8 merges over the top-2000 word
     * types) — shared by the batch query and the incrementally-maintained
     * retrain, which must learn the identical merge table.
@@ -3553,6 +3656,58 @@ object SparkEntry {
        |SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS core_degree
        |FROM r26 JOIN nation ON n_nationkey = src
        |GROUP BY 1""".stripMargin
+  }
+
+  /** The LPA replay: the same mutual-top-7 edge chain as the k-core
+    * oracle, then 4 unrolled synchronous rounds — neighbor votes UNION
+    * ALL one self-vote, argmax by (count DESC, label ASC). Every step
+    * is integer counting over a 25-node digest; nothing to round.
+    */
+  private val LpaTradeOracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      val prev = s"l${i - 1}"
+      s"""v$i AS (
+         |  SELECT node, lbl, count(*) AS c FROM (
+         |    SELECT e.dst AS node, l.lbl FROM r0 e JOIN $prev l
+         |      ON l.node = e.src
+         |    UNION ALL SELECT node, lbl FROM $prev
+         |  ) GROUP BY node, lbl
+         |), l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM v$i)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |        * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       |      AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey
+       |  GROUP BY 1, 2
+       |), top AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC)
+       |        AS rn
+       |    FROM e0)
+       |  WHERE rn <= 7
+       |), r0 AS MATERIALIZED (
+       |  SELECT a.src, a.dst FROM top a
+       |  JOIN top b ON a.src = b.dst AND a.dst = b.src
+       |), l0 AS (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM r0
+       |), $rounds
+       |SELECT na.n_name AS nation, nb.n_name AS community_leader
+       |FROM l4
+       |JOIN nation na ON na.n_nationkey = l4.node
+       |JOIN nation nb ON nb.n_nationkey = l4.lbl""".stripMargin
   }
 
   /** The unrolled MMR greedy rounds over CTEs `cands` (vec_id, rel)
@@ -5433,6 +5588,7 @@ object SparkEntry {
     // converged round is a no-op, so the fixed unroll is exact); each
     // round recomputes supports definitionally on the surviving graph
     "q_ktruss_trade" -> KtrussTradeOracleSql,
+    "q_lpa_communities" -> LpaTradeOracleSql,
     "q_graph_stats_trade" -> GraphStatsTradeOracleSql,
     // the maintained digest must reproduce the one-shot topology
     // summary bit for bit — the oracle IS q_graph_stats_trade
@@ -6497,6 +6653,21 @@ object SparkEntry {
          |                   AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.15""".stripMargin,
+
+    // PPJoin is exact and lossless, so the oracle is the naive global
+    // all-pairs join at the same threshold (9i >= 4(a+b) <=> J >= 0.8) —
+    // the prefix/length/positional filters must not lose a single pair
+    "dedup_ppjoin" ->
+      s"""WITH $NgramCappedCtes
+         |SELECT a.doc_id, b.doc_id AS nb_id,
+         |  len(list_intersect(a.g, b.g)) AS n_common,
+         |  len(a.g) AS n_a, len(b.g) AS n_b,
+         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+         |    AS jaccard
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE 9 * len(list_intersect(a.g, b.g))
+         |   >= 4 * (len(a.g) + len(b.g))""".stripMargin,
 
     // recall measurements: the oracle replays the capped candidate
     // generation (XXH64 and all) and counts the exact-Jaccard>=0.8 pairs
@@ -7936,6 +8107,49 @@ object SparkEntry {
     // the merges retrained from incrementally-maintained word-type
     // partials must equal the batch-trained table — same oracle
     "stream_bpe_incremental" -> BpeMergesOracleSql,
+
+    // WordPiece training replayed with the exact cross-multiplication
+    // tournament — the selection rule is the whole difference from BPE,
+    // so the oracle checks it end to end
+    "cur_wordpiece_merges" -> WordPieceMergesOracleSql,
+
+    // greedy longest-match over the WordPiece-trained vocabulary — the
+    // same iteration-shaped RECURSIVE seg as cur_maxmatch_tokenize
+    // (fold-with-correlated-state oracles must be iteration-shaped)
+    "cur_wordpiece_tokenize" ->
+      s"""WITH RECURSIVE ${WpCtes(8, 2000)},
+         |mg AS (
+         |  SELECT l || r AS v FROM wb1 UNION ALL SELECT l || r FROM wb2
+         |  UNION ALL SELECT l || r FROM wb3 UNION ALL SELECT l || r FROM wb4
+         |  UNION ALL SELECT l || r FROM wb5 UNION ALL SELECT l || r FROM wb6
+         |  UNION ALL SELECT l || r FROM wb7 UNION ALL SELECT l || r FROM wb8
+         |), voc AS (
+         |  SELECT list(DISTINCT v) AS vocab,
+         |    greatest(max(length(v)), 1) AS maxlen
+         |  FROM (SELECT v FROM mg UNION
+         |        SELECT unnest(regexp_extract_all('abcdefghijklmnopqrstuvwxyz',
+         |          '.')) AS v)
+         |), seg AS (
+         |  SELECT word, freq, length(word) AS len, 0 AS pos,
+         |    CAST('' AS VARCHAR) AS pieces, CAST(0 AS BIGINT) AS np
+         |  FROM wt
+         |  UNION ALL
+         |  SELECT word, freq, len, pos + bl AS pos,
+         |    CASE WHEN pieces = '' THEN substr(word, pos + 1, bl)
+         |         ELSE pieces || '|' || substr(word, pos + 1, bl) END,
+         |    np + 1
+         |  FROM (
+         |    SELECT s.word, s.freq, s.len, s.pos, s.pieces, s.np,
+         |      coalesce(list_max(list_filter(range(1, maxlen + 1),
+         |        L -> L <= s.len - s.pos
+         |          AND list_contains(vocab, substr(s.word, s.pos + 1,
+         |            CAST(L AS BIGINT))))), 1) AS bl
+         |    FROM seg s, voc
+         |    WHERE s.pos < s.len
+         |  )
+         |)
+         |SELECT word, freq, np AS n_pieces, pieces AS pieces_str
+         |FROM seg WHERE pos >= len""".stripMargin,
 
     // dHash perceptual near-dup, replayed end-to-end: the 72-cell grid is
     // the same HUGEINT mod-2^64 fold as mm_features (stride 72, per-cell

@@ -51,7 +51,7 @@ object Bpe {
     * engine-portable (regex split("") limit semantics differ across
     * engines; this form cannot emit empties).
     */
-  private def chars(c: Column): Column =
+  private[text] def chars(c: Column): Column =
     transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1)))
 
   /** One BPE merge applied as a left-to-right non-overlapping fold:
@@ -59,7 +59,7 @@ object Bpe {
     * the tail/next pair equals the learned merge. ("aaa" under merge
     * (a,a) becomes [aa, a] — the standard greedy semantics.)
     */
-  private def applyMerge(syms: Column, l: String, r: String): Column =
+  private[text] def applyMerge(syms: Column, l: String, r: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) => when(size(acc) > 0 &&
           element_at(acc, -1) === lit(l) && x === lit(r),

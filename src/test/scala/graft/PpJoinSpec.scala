@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{NearDup, PpJoin, TextFunctions}
+
+class PpJoinSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Brute-force exact trigram Jaccard over all pairs — the property the
+    * filter chain must reproduce losslessly.
+    */
+  private def brute(d: org.apache.spark.sql.DataFrame, tNum: Int, tDen: Int) = {
+    val g = d.select(col("doc_id"),
+      array_sort(NearDup.charTrigrams(TextFunctions.normText(col("text"))))
+        .as("g"))
+    val b = g.select(col("doc_id").as("nb_id"), col("g").as("gb"))
+    g.join(b, col("doc_id") < col("nb_id"))
+      .select(col("doc_id"), col("nb_id"),
+        size(array_intersect(col("g"), col("gb"))).cast("long").as("i"),
+        size(col("g")).cast("long").as("na"),
+        size(col("gb")).cast("long").as("nb"))
+      .where(col("i") * (tNum + tDen) >= (col("na") + col("nb")) * tNum)
+      .select(col("doc_id"), col("nb_id"), col("i"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  private def run(d: org.apache.spark.sql.DataFrame, tNum: Int, tDen: Int) =
+    PpJoin.pairsFrom(d, tNum, tDen).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("matches brute-force all-pairs exactly at t=0.8") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "the quick brown fox jumps over the lazy dog",
+      4L -> "a completely different sentence about spark engines",
+      5L -> "a completely different sentence about spark engine",
+      6L -> "nothing in common with anything else here at all")
+    assert(run(d, 4, 5) == brute(d, 4, 5))
+    // and the expected structure: the two near-identical groups match,
+    // the loner matches nothing
+    val keys = run(d, 4, 5).keySet
+    assert(keys.contains((1L, 3L)) && keys.contains((1L, 2L)))
+    assert(!keys.exists { case (a, b) => a == 6L || b == 6L })
+  }
+
+  test("matches brute-force at a looser threshold (t=0.5)") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon eta",
+      3L -> "alpha beta gamma theta iota kappa",
+      4L -> "lambda mu nu xi omicron pi rho sigma")
+    assert(run(d, 1, 2) == brute(d, 1, 2))
+  }
+
+  test("identical docs score jaccard 1.0 and exact counts") {
+    val d = docs(1L -> "same same text", 2L -> "same same text")
+    val out = PpJoin.pairsFrom(d, 4, 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(2) == r.getLong(3) && r.getLong(3) == r.getLong(4))
+    assert(r.getDouble(5) == 1.0)
+  }
+
+  test("short texts (under one trigram) fall back to the whole string") {
+    // charTrigrams keeps length<3 texts as a single token — a 2-char
+    // doc pairs with its duplicate, not with a superstring
+    val d = docs(1L -> "ab", 2L -> "ab", 3L -> "abc")
+    val out = run(d, 4, 5)
+    assert(out.keySet == Set((1L, 2L)))
+  }
+}
