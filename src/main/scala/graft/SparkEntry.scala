@@ -1829,6 +1829,10 @@ object SparkEntry {
     // filtering — lossless (no blocking key, no bucket cap); the oracle
     // verifies against naive all-pairs, which must agree pair for pair
     "dedup_ppjoin" -> ((s, dir) => graft.text.PpJoin.pairs(s, dir)),
+    // DIRECTIONAL containment (quote / near-superset detection) — the
+    // asymmetric measure Jaccard can't express; contained side
+    // prefix-pruned, container side fully indexed, exact verification
+    "dedup_containment" -> ((s, dir) => graft.text.PpJoin.containment(s, dir)),
     // recall property-oracles: every exact trigram-Jaccard>=0.8 pair must
     // be covered by the family's candidate pairs (violations must be 0 —
     // external evidence the LSH candidates are any good)
@@ -1933,6 +1937,10 @@ object SparkEntry {
     // Viterbi-EM loop — must learn the batch-trained vocabulary
     "stream_unigram_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayUnigramIncremental(s, dir)),
+    // incremental WordPiece retrain from the same partials — the third
+    // family off one maintained corpus pass; same oracle as the batch
+    "stream_wordpiece_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayWordPieceIncremental(s, dir)),
     // positional phrase search: the inverted-index primitive TF-IDF/BM25
     // can't express — postings joined on (doc, offset); the gate carries
     // its own query (the corpus's top bigram, tiebroken lexically)
@@ -2100,6 +2108,9 @@ object SparkEntry {
 
     // brute-force cosine top-k (oracle-checked; fold-order-exact doubles)
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    // hard-triplet mining (FaceNet recipe): hardest same-label positive
+    // + hardest different-label negative per anchor, margin = pos − neg
+    "sim_triplet_mining" -> ((s, dir) => Similarity.tripletMining(s, dir)),
     // two-stage retrieval: 8-byte Hamming prefilter over the corpus,
     // exact cosine rerank over the 50 survivors — the binary-embedding
     // serving pipeline composed and gated end to end
@@ -6669,6 +6680,18 @@ object SparkEntry {
          |WHERE 9 * len(list_intersect(a.g, b.g))
          |   >= 4 * (len(a.g) + len(b.g))""".stripMargin,
 
+    // the containment variant: directional naive all-pairs at
+    // 10i >= 9·|a| — again lossless, again pair-for-pair
+    "dedup_containment" ->
+      s"""WITH $NgramCappedCtes
+         |SELECT a.doc_id, b.doc_id AS container_id,
+         |  len(list_intersect(a.g, b.g)) AS n_common,
+         |  len(a.g) AS n_a, len(b.g) AS n_b,
+         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+         |    AS containment
+         |FROM d a JOIN d b ON a.doc_id <> b.doc_id
+         |WHERE 10 * len(list_intersect(a.g, b.g)) >= 9 * len(a.g)""".stripMargin,
+
     // recall measurements: the oracle replays the capped candidate
     // generation (XXH64 and all) and counts the exact-Jaccard>=0.8 pairs
     // it misses — the same number the Spark side reports, at any sf
@@ -7620,6 +7643,38 @@ object SparkEntry {
         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
         |WHERE rank <= 10""".stripMargin,
 
+    // hardest positive / hardest negative argmaxes over the same scored
+    // relation as sim_topk, joined per anchor
+    "sim_triplet_mining" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+        |         label AS qlabel
+        |  FROM embeddings WHERE vec_id < 20
+        |), scored AS (
+        |  SELECT qid, qlabel, vec_id, label,
+        |    round(list_dot_product(qe, ee)
+        |          / sqrt(list_dot_product(qe, qe) * list_dot_product(ee, ee)),
+        |          6) AS cos_sim
+        |  FROM (SELECT qid, qlabel, vec_id, label,
+        |               qe, CAST(embedding AS DOUBLE[]) AS ee
+        |        FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+        |), pos AS (
+        |  SELECT qid, vec_id AS pos_id, cos_sim AS pos_sim
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |        FROM scored WHERE label = qlabel)
+        |  WHERE rn = 1
+        |), neg AS (
+        |  SELECT qid, vec_id AS neg_id, cos_sim AS neg_sim
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |        FROM scored WHERE label <> qlabel)
+        |  WHERE rn = 1
+        |)
+        |SELECT pos.qid, pos_id, pos_sim, neg_id, neg_sim,
+        |  pos_sim - neg_sim AS margin
+        |FROM pos JOIN neg ON pos.qid = neg.qid""".stripMargin,
+
     // the sign fold replayed as an or-reduce of shifted bits; Hamming
     // is bit_count(xor), all integers
     "sim_binary_topk" ->
@@ -8112,6 +8167,9 @@ object SparkEntry {
     // tournament — the selection rule is the whole difference from BPE,
     // so the oracle checks it end to end
     "cur_wordpiece_merges" -> WordPieceMergesOracleSql,
+    // the retrain from maintained partials must learn the identical
+    // table — same oracle
+    "stream_wordpiece_incremental" -> WordPieceMergesOracleSql,
 
     // greedy longest-match over the WordPiece-trained vocabulary — the
     // same iteration-shaped RECURSIVE seg as cur_maxmatch_tokenize

@@ -67,6 +67,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** HARD-TRIPLET MINING for contrastive/metric training (the FaceNet
+    * recipe, Schroff et al. 2015 — public method): per anchor, the
+    * hardest POSITIVE (most-similar same-label vector, i.e. the pair
+    * the model must pull together) and the hardest NEGATIVE
+    * (most-similar different-label vector — the near-but-wrong example
+    * in-batch negatives miss), with margin = pos_sim − neg_sim; rows
+    * with margin ≤ 0 are exactly the active triplets a trainer feeds
+    * first. Brute exact scoring is the recall anchor (the sim_topk
+    * discipline — anchors broadcast, ONE corpus scan); at serving scale
+    * the candidate stage swaps to the IVF/PQ paths gated elsewhere,
+    * same contract. Cosines round to 6 dp before ranking, argmaxes run
+    * under (sim DESC, vec_id ASC) — deterministic both engines.
+    */
+  def tripletMining(s: SparkSession, dir: String,
+      nQueries: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    def top1(part: DataFrame, idc: String, simc: String) = part
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as(idc), col("cos_sim").as(simc))
+    val pos = top1(scored.where(col("label") === col("qlabel")),
+      "pos_id", "pos_sim")
+    val neg = top1(scored.where(col("label") =!= col("qlabel")),
+      "neg_id", "neg_sim")
+    pos.join(neg, "qid")
+      .select(col("qid"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"),
+        (col("pos_sim") - col("neg_sim")).as("margin"))
+  }
+
   /** DIVERSIFIED top-k by MAXIMAL MARGINAL RELEVANCE (Carbonell &
     * Goldstein 1998) — the rerank every retrieval stack runs when the
     * raw top-k is redundant (near-duplicate passages crowding a RAG

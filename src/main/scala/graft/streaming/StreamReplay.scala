@@ -1252,6 +1252,39 @@ object StreamReplay {
       .toDF("piece", "n_used", "cost")
   }
 
+  /** The WordPiece sibling: the SAME maintained word-type LSM partials
+    * (one corpus pass serves all three tokenizer families), retrained
+    * through the likelihood tournament — must learn the identical table
+    * to the batch-trained `cur_wordpiece_merges`, same oracle.
+    */
+  def replayWordPieceIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    val tmp = Scratch.dir("graft_wordpiece_replay")
+    val countsDir = tmp.resolve("counts").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val feed = memoFeed("bpe", dir, nBatches) { p =>
+      docs.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.text.Bpe.appendWordTypeBatch(s, countsDir, batch,
+            batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.text.WordPiece.trainMergesFrom(s,
+      graft.text.Bpe.wordTypesFromPartials(s, countsDir), iters = 8)
+  }
+
   /** Replay of INCREMENTAL CLASSIFIER-TRAINING state: documents stream
     * in micro-batches; each batch appends its FEATURE partial (the
     * fixed-point hashed rows for ITS docs — docs are atomic per batch,

@@ -67,6 +67,44 @@ class PpJoinSpec extends SparkSuite {
     assert(r.getDouble(5) == 1.0)
   }
 
+  private def bruteContain(d: org.apache.spark.sql.DataFrame,
+      tNum: Int, tDen: Int) = {
+    val g = d.select(col("doc_id"),
+      array_sort(NearDup.charTrigrams(TextFunctions.normText(col("text"))))
+        .as("g"))
+    val b = g.select(col("doc_id").as("container_id"), col("g").as("gb"))
+    g.join(b, col("doc_id") =!= col("container_id"))
+      .select(col("doc_id"), col("container_id"),
+        size(array_intersect(col("g"), col("gb"))).cast("long").as("i"),
+        size(col("g")).cast("long").as("na"))
+      .where(col("i") * tDen >= col("na") * tNum)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  test("containment matches brute-force and is directional") {
+    val d = docs(
+      1L -> "the quick brown fox",
+      2L -> "yesterday the quick brown fox jumped the fence again and again",
+      3L -> "entirely unrelated content lives here")
+    val out = graft.text.PpJoin.containmentFrom(d, 9, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == bruteContain(d, 9, 10))
+    // the short doc is inside the long one, never the reverse
+    assert(out.keySet.contains((1L, 2L)))
+    assert(!out.keySet.contains((2L, 1L)))
+  }
+
+  test("full containment scores 1.0 even when jaccard is low") {
+    val d = docs(
+      1L -> "alpha beta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val c = graft.text.PpJoin.containmentFrom(d, 9, 10).collect()
+    assert(c.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getDouble(5) == 1.0))
+    // and the symmetric join at the same bar sees nothing
+    assert(run(d, 9, 10).isEmpty)
+  }
+
   test("short texts (under one trigram) fall back to the whole string") {
     // charTrigrams keeps length<3 texts as a single token — a 2-char
     // doc pairs with its duplicate, not with a superstring
