@@ -479,6 +479,13 @@ object SparkEntry {
       graft.analysis.MarketAnalytics.ouHalflifePairs(rates(s, dir),
         memoKey = Some(dir))),
 
+    // Dickey-Fuller unit-root t² on the same spread — the significance
+    // test that closes the pairs-desk chain (hedge → half-life → is the
+    // reversion real); exact-long moments, double trees operand-identical
+    "fx_adf_spread" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.adfSpreadPairs(rates(s, dir),
+        memoKey = Some(dir))),
+
     // confirmed zigzag swing pivots: all-integer leg fold per pair,
     // inline in the generator select; strict-extreme/≥T-retrace rules
     "fx_zigzag" -> ((s, dir) =>
@@ -4520,6 +4527,58 @@ object SparkEntry {
          |  h.halflife_days
          |FROM bb b
          |LEFT JOIN hl h ON h.src = b.src AND h.dst = b.dst""".stripMargin,
+
+    // the DF replay: the OU moment chain + Σy², then the identical
+    // double trees (num² in DOUBLE on both engines — BIGINT would wrap)
+    "fx_adf_spread" ->
+      s"""WITH $RatesCte, $DtwSeqCtes, $CoSignGraphCtes, mutc AS (
+         |  SELECT src, dst FROM mutall WHERE src < dst
+         |), sd AS (
+         |  SELECT c.src, c.dst, a.date, a.chg_u - b.chg_u AS d
+         |  FROM mutc c
+         |  JOIN chn a ON a.ccy_couple = c.src
+         |  JOIN chn b ON b.ccy_couple = c.dst AND b.date = a.date
+         |), cum AS (
+         |  SELECT src, dst, date, d,
+         |    CAST(sum(d) OVER (PARTITION BY src, dst ORDER BY date
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+         |    row_number() OVER (PARTITION BY src, dst ORDER BY date) AS rn
+         |  FROM sd
+         |), mo AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM (SELECT src, dst, d AS y,
+         |          lag(s) OVER (PARTITION BY src, dst ORDER BY date) AS x,
+         |          rn
+         |        FROM cum) t
+         |  WHERE rn >= 2
+         |  GROUP BY 1, 2
+         |), tt AS (
+         |  SELECT src, dst, n,
+         |    n * sxy - sx * sy AS num,
+         |    n * sxx - sx * sx AS den,
+         |    n * syy - sy * sy AS deny
+         |  FROM mo
+         |), ts AS (
+         |  SELECT src, dst, n,
+         |    CASE WHEN n >= 2 AND den > 0
+         |         THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS beta,
+         |    CASE WHEN n >= 3 AND den > 0
+         |          AND CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)
+         |              - CAST(num AS DOUBLE) * CAST(num AS DOUBLE) > 0.0
+         |         THEN CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+         |              * CAST(n - 2 AS DOUBLE)
+         |              / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)
+         |                 - CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+         |    END AS t_sq
+         |  FROM tt
+         |)
+         |SELECT src AS src_ccy, dst AS dst_ccy, n AS n_obs, beta, t_sq,
+         |  (beta < 0.0 AND t_sq >= 8.1796) AS stationary_5pct
+         |FROM ts""".stripMargin,
 
     // lag-1 self-join on consecutive calendar days; same clamped corr
     // formula tree as fx_change_corr on exact integer moments

@@ -591,6 +591,67 @@ object MarketAnalytics {
         .cast("long").as("halflife_days"))
   }
 
+  /** DICKEY-FULLER unit-root test on the same pair spread — the
+    * SIGNIFICANCE that completes the pairs-desk family:
+    * [[minVariancePairs]] quotes the hedge, [[ouHalflifePairs]] the
+    * holding period, this says whether the mean reversion is
+    * statistically real or a unit-root artifact (Dickey & Fuller 1979;
+    * the Engle-Granger step-2 regression run on the KNOWN equal-weight
+    * spread, so the plain DF critical value applies — −2.86 at 5% with
+    * constant, squared to 8.1796 to stay sqrt-free). Same AR(1)
+    * regression as the half-life (ΔS_t on S_{t−1}, centered), with the
+    * t-statistic emitted SQUARED:
+    * t² = num²·(n−2) / (den·deny − num²), where num = n·Σxy − Σx·Σy,
+    * den = n·Σxx − Σx², deny = n·Σyy − Σy² are exact-long moments and
+    * the double tree is operand-identical in the oracle (num² would
+    * overflow BIGINT, so the squaring happens in double on both
+    * engines). `stationary_5pct` = β < 0 AND t² ≥ 8.1796.
+    */
+  def adfSpreadPairs(rates: DataFrame, topN: Int = 3,
+      memoKey: Option[String] = None): DataFrame = {
+    val (_, vecs, edgesSym) = comovementDigest(rates, topN, memoKey)
+    val edges = edgesSym.where(col("src") < col("dst"))
+    val base = edges
+      .join(broadcast(vecs.select(col("ccy_couple").as("src"),
+        col("v").as("va"))), Seq("src"))
+      .join(broadcast(vecs.select(col("ccy_couple").as("dst"),
+        col("v").as("vb"))), Seq("dst"))
+      .select(col("src"), col("dst"),
+        filter(zip_with(col("va"), col("vb"), (a, b) =>
+          when(a.isNotNull && b.isNotNull, a - b)),
+          x => x.isNotNull).as("d"))
+      .where(size(col("d")) >= 2)
+    val init = struct(element_at(col("d"), 1).as("s"), lit(0L).as("n"),
+      lit(0L).as("sx"), lit(0L).as("sy"), lit(0L).as("sxy"),
+      lit(0L).as("sxx"), lit(0L).as("syy"))
+    val moFold = aggregate(
+      slice(col("d"), lit(2), greatest(size(col("d")) - 1, lit(0))),
+      init,
+      (acc, y) => struct(
+        (acc.getField("s") + y).as("s"),
+        (acc.getField("n") + lit(1L)).as("n"),
+        (acc.getField("sx") + acc.getField("s")).as("sx"),
+        (acc.getField("sy") + y).as("sy"),
+        (acc.getField("sxy") + acc.getField("s") * y).as("sxy"),
+        (acc.getField("sxx") + acc.getField("s") * acc.getField("s"))
+          .as("sxx"),
+        (acc.getField("syy") + y * y).as("syy")))
+    val withMo = base.select(col("src"), col("dst"), moFold.as("m"))
+    val n = col("m.n")
+    val num = n * col("m.sxy") - col("m.sx") * col("m.sy")
+    val den = n * col("m.sxx") - col("m.sx") * col("m.sx")
+    val deny = n * col("m.syy") - col("m.sy") * col("m.sy")
+    val beta = when(n >= 2L && den > 0L,
+      num.cast("double") / den.cast("double"))
+    val numD = num.cast("double")
+    val resid = den.cast("double") * deny.cast("double") - numD * numD
+    val tSq = when(n >= 3L && den > 0L && resid > 0.0,
+      numD * numD * (n - 2L).cast("double") / resid)
+    withMo.select(col("src").as("src_ccy"), col("dst").as("dst_ccy"),
+      n.as("n_obs"), beta.as("beta"), tSq.as("t_sq"),
+      (beta < 0.0 && tSq >= 8.1796).as("stationary_5pct"))
+  }
+
   /** ZIGZAG swing pivots: the alternating sequence of confirmed swing
     * highs/lows — a pivot is confirmed when price retraces at least
     * `thresholdMilli` from the running extreme of the current leg (the

@@ -260,6 +260,41 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(div.head.isNullAt(4))
   }
 
+  test("ADF t² on a hand spread is exactly 27.0; a perfect AR(1) fit NULLs t²") {
+    import spark.implicits._
+    def fx2(chgA: Seq[Long], a: String, b: String) = {
+      val closesA = chgA.scanLeft(1000L)(_ + _)
+      val days = (1 to closesA.size).map(d => f"2024-01-$d%02d")
+      days.zipWithIndex.flatMap { case (d, i) =>
+        Seq((a, closesA(i)), (b, 2000L)).map { case (p, c) =>
+          (i * 10L + p.head.toLong, p, c / 1000.0, d) }
+      }.toDF("event_id", "ccy_couple", "rate", "ds")
+        .withColumn("date", to_date(col("ds")))
+        .withColumn("timestamp", col("date").cast("timestamp"))
+        .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+        .drop("ds")
+    }
+    // spread levels 4, 1, 2, 1: x = (4,1,2), y = (−3,1,−1) →
+    // num = −18, den = 14, deny = 24; β = −9/7;
+    // t² = num²·(n−2)/(den·deny − num²) = 324·1/12 = 27 exactly
+    val out = MarketAnalytics.adfSpreadPairs(
+      fx2(Seq(4L, -3L, 1L, -1L), "A", "B"), topN = 1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) == -18.0 / 14.0)
+    assert(r.getDouble(4) == 27.0)
+    assert(r.getBoolean(5)) // β < 0 and 27 ≥ 8.1796
+    // exact AR(1) (the OU fixture): zero residual → t² NULL (infinite
+    // t is a degenerate fit, not evidence), flag NULL through 3VL
+    val perfect = MarketAnalytics.adfSpreadPairs(
+      fx2(Seq(64L, -16L, -12L, -9L), "C", "D"), topN = 1).collect().head
+    assert(perfect.getDouble(3) == -0.25)
+    assert(perfect.isNullAt(4))
+    assert(perfect.isNullAt(5))
+  }
+
   test("pair-graph plan stays broadcast off the memoized digest (no sort-merge joins)") {
     // localCheckpoint strips size stats, so without explicit broadcast()
     // hints the planner falls back to sort-merge joins (6 SMJs observed
