@@ -1953,6 +1953,10 @@ object SparkEntry {
     // its own query (the corpus's top bigram, tiebroken lexically)
     "text_phrase_search" -> ((s, dir) =>
       graft.text.PhraseSearch.topBigramMatches(Tables.documents(s, dir))),
+    // TextRank extractive summaries: per-doc chunk-graph PageRank, all
+    // docs' graphs advancing in the same five (doc, node)-keyed jobs —
+    // the per-group-graph shape corpus-scale summarization needs
+    "text_textrank" -> ((s, dir) => graft.text.TextRank.topPassages(s, dir)),
 
     // in-engine model TRAINING as a query: hashed-bag-of-words linear
     // classifier, fixed-point full-batch GD with a correctly-rounded
@@ -3681,6 +3685,64 @@ object SparkEntry {
     * ALL one self-vote, argmax by (count DESC, label ASC). Every step
     * is integer counting over a 25-node digest; nothing to round.
     */
+  /** TextRank replay: chunk lists, banded overlap edges, per-doc
+    * teleport, five unrolled rounds with the ordered list_reduce fold —
+    * the PagerankTradeOracleSql devices keyed by (doc_id, node).
+    */
+  private val TextRankOracleSql: String = {
+    val iters = 5
+    val steps = (1 to iters).map { i =>
+      val prev = s"p${i - 1}"
+      s"""c$i AS (
+         |  SELECT r.doc_id, r.dst,
+         |    list_reduce(list_prepend(0.0, list(p.pr * r.ratio ORDER BY r.src)),
+         |                (a, b) -> a + b) AS m
+         |  FROM r JOIN $prev p ON p.doc_id = r.doc_id AND p.node = r.src
+         |  GROUP BY 1, 2
+         |), p$i AS MATERIALIZED (
+         |  SELECT nodes.doc_id, nodes.node,
+         |    0.15 / nodes.n + 0.85 * coalesce(c$i.m, 0.0) AS pr
+         |  FROM nodes LEFT JOIN c$i
+         |    ON c$i.doc_id = nodes.doc_id AND c$i.dst = nodes.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH wd AS (
+       |  SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS p
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+       |            AS ws
+       |        FROM documents)
+       |), ch AS MATERIALIZED (
+       |  SELECT doc_id, CAST(p // 8 AS INT) AS idx,
+       |    list_sort(list_distinct(list(w))) AS ws
+       |  FROM wd GROUP BY 1, 2
+       |), ed AS MATERIALIZED (
+       |  SELECT a.doc_id, a.idx AS src, b.idx AS dst,
+       |    CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS w
+       |  FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND a.idx <> b.idx
+       |    AND abs(a.idx - b.idx) <= 3
+       |  WHERE len(list_intersect(a.ws, b.ws)) > 0
+       |), nd AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY 1
+       |), nodes AS MATERIALIZED (
+       |  SELECT ch.doc_id, ch.idx AS node, nd.n FROM ch JOIN nd USING (doc_id)
+       |), wo AS (
+       |  SELECT doc_id, src, sum(w) AS wout FROM ed GROUP BY 1, 2
+       |), r AS MATERIALIZED (
+       |  SELECT ed.doc_id, ed.src, ed.dst,
+       |    CAST(ed.w AS DOUBLE) / CAST(wo.wout AS DOUBLE) AS ratio
+       |  FROM ed JOIN wo ON wo.doc_id = ed.doc_id AND wo.src = ed.src
+       |), p0 AS (
+       |  SELECT doc_id, node, 1.0 / n AS pr FROM nodes
+       |), $steps
+       |SELECT doc_id, CAST(node AS BIGINT) AS chunk_idx,
+       |  CAST(rn AS BIGINT) AS rank, pr
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY round(pr, 6) DESC, node ASC) AS rn
+       |      FROM p$iters)
+       |WHERE rn <= 2""".stripMargin
+  }
+
   private val LpaTradeOracleSql: String = {
     val rounds = (1 to 4).map { i =>
       val prev = s"l${i - 1}"
@@ -8135,6 +8197,9 @@ object SparkEntry {
          |)""".stripMargin,
 
     // raw-array positions (empties keep their slot, then drop) so
+    // per-doc chunk-graph PageRank replayed round for round
+    "text_textrank" -> TextRankOracleSql,
+
     // adjacency replays string-true; (count desc, w1, w2) total order
     "text_phrase_search" ->
       """WITH t AS (
