@@ -2038,6 +2038,11 @@ object SparkEntry {
     // fill-in-the-middle re-serialization (PSM): hash-derived coin and
     // cut points, the transformed corpus hashed via its fingerprint
     "cur_fim_split" -> ((s, dir) => graft.text.Curation.fimSplit(s, dir)),
+    // T5/UL2 span corruption: RNG-free greedy 3-token masked spans from
+    // per-position md5 coins (order-dependent fold — iteration-shaped
+    // oracle); emits sentinel input/target fingerprints per doc
+    "cur_span_corruption" -> ((s, dir) =>
+      graft.text.Curation.spanCorruption(s, dir)),
     // RefinedWeb-style line-level dedup: lines recurring across >= 3
     // docs are cut from every doc and the survivors re-joined in order
     // — the cleaned-corpus rewrite, not just a boilerplate score
@@ -7181,6 +7186,48 @@ object SparkEntry {
         |  round(list_reduce(list_prepend(0.0, ps), (a, x) -> a + x)
         |        / len(ps), 6) AS kn_score
         |FROM l""".stripMargin,
+
+    // the greedy span fold replayed ITERATION-SHAPED (one recursive-CTE
+    // state row per position — never a list_reduce with correlated
+    // VARCHAR accumulators); coins, sentinels, and both reconstructions
+    // byte-exact
+    "cur_span_corruption" ->
+      """WITH RECURSIVE dw AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS words,
+        |    len(string_split(nt, ' ')) AS n
+        |  FROM (SELECT doc_id,
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(nt) > 0
+        |), seg AS (
+        |  SELECT doc_id, words, n, 0 AS pos, 1 AS nf, 0 AS k, 0 AS m,
+        |    CAST('' AS VARCHAR) AS inp, CAST('' AS VARCHAR) AS tgt
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT doc_id, words, n, pos + 1,
+        |    CASE WHEN pos + 1 < nf THEN nf
+        |         WHEN coin THEN pos + 4 ELSE nf END,
+        |    CASE WHEN pos + 1 < nf THEN k
+        |         WHEN coin THEN k + 1 ELSE k END,
+        |    CASE WHEN pos + 1 < nf OR coin THEN m + 1 ELSE m END,
+        |    CASE WHEN pos + 1 < nf THEN inp
+        |         WHEN coin THEN inp || ' <X' || CAST(k AS VARCHAR) || '>'
+        |         ELSE inp || ' ' || words[pos + 1] END,
+        |    CASE WHEN pos + 1 < nf
+        |           THEN tgt || ' ' || words[pos + 1]
+        |         WHEN coin
+        |           THEN tgt || ' <X' || CAST(k AS VARCHAR) || '> '
+        |                || words[pos + 1]
+        |         ELSE tgt END
+        |  FROM (SELECT *,
+        |          substring(md5(CAST(doc_id AS VARCHAR) || ':'
+        |            || CAST(pos + 1 AS VARCHAR)), 1, 1) = '0' AS coin
+        |        FROM seg WHERE pos < n)
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(k AS BIGINT) AS n_spans, CAST(m AS BIGINT) AS n_masked,
+        |  md5(ltrim(inp)) AS input_fp, md5(ltrim(tgt)) AS target_fp
+        |FROM seg WHERE pos = n""".stripMargin,
 
     // the hash coin, the two 15-hex cut points (the Bloom slice fold),
     // and the PSM bytes rebuilt verbatim; fingerprints must match

@@ -430,6 +430,66 @@ object Curation {
       md5(when(applied, psm).otherwise(col("text"))).as("psm_fp"))
   }
 
+  /** T5-STYLE SPAN CORRUPTION (Raffel et al. 2020; the UL2 denoiser
+    * family, Tay et al. 2022 — public methods): mask short spans of the
+    * token stream, emit the corrupted input with sentinel tokens and
+    * the target sequence that restores them. RNG-free like [[fimSplit]]:
+    * a position starts a 3-token masked span iff its per-position md5
+    * coin (`md5(doc_id || ':' || pos)` first hex digit = '0', 1/16)
+    * fires AND no open span covers it — the greedy occupancy makes the
+    * fold ORDER-DEPENDENT, so the oracle replays it iteration-shaped
+    * (one recursive-CTE state row per position, the maxmatch/zigzag
+    * discipline, never a list_reduce). Effective mask rate ≈ 3/16 minus
+    * span shadowing ≈ 15% — the T5 default's neighborhood.
+    *
+    * A pure narrow map (one fold per doc over its word positions); the
+    * gate emits per-doc span/mask counts plus md5 fingerprints of the
+    * rebuilt <Xk>-sentinel input/target strings, keeping the result
+    * digest-sized while pinning both reconstructions byte-exactly.
+    */
+  def spanCorruption(s: SparkSession, dir: String): DataFrame =
+    spanCorruptionOf(Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")))
+
+  def spanCorruptionOf(docs: DataFrame): DataFrame = {
+    val withWords = docs
+      .select(col("doc_id"), TextFunctions.normText(col("text")).as("nt"))
+      .where(length(col("nt")) > 0)
+      .select(col("doc_id"), split(col("nt"), " ").as("words"))
+    val w = col("words")
+    val init = struct(lit(1).as("nf"), lit(0).as("k"), lit(0).as("m"),
+      lit("").as("inp"), lit("").as("tgt"))
+    val fold = aggregate(sequence(lit(1), size(w)), init, (st, i) => {
+      val tok = element_at(w, i)
+      val coin = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), i.cast("string"))), 1, 1) === "0"
+      val sent = concat(lit(" <X"), st.getField("k").cast("string"),
+        lit(">"))
+      when(i < st.getField("nf"), // inside an open span
+        struct(st.getField("nf").as("nf"), st.getField("k").as("k"),
+          (st.getField("m") + 1).as("m"), st.getField("inp").as("inp"),
+          concat(st.getField("tgt"), lit(" "), tok).as("tgt")))
+        .otherwise(when(coin, // start a new span at i
+          struct((i + 3).as("nf"), (st.getField("k") + 1).as("k"),
+            (st.getField("m") + 1).as("m"),
+            concat(st.getField("inp"), sent).as("inp"),
+            concat(st.getField("tgt"), sent, lit(" "), tok).as("tgt")))
+          .otherwise( // plain visible token
+            struct(st.getField("nf").as("nf"), st.getField("k").as("k"),
+              st.getField("m").as("m"),
+              concat(st.getField("inp"), lit(" "), tok).as("inp"),
+              st.getField("tgt").as("tgt"))))
+    })
+    withWords.select(col("doc_id"), size(w).cast("long").as("n_tokens"),
+        fold.as("z"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("z.k").cast("long").as("n_spans"),
+        col("z.m").cast("long").as("n_masked"),
+        md5(ltrim(col("z.inp"))).as("input_fp"),
+        md5(ltrim(col("z.tgt"))).as("target_fp"))
+  }
+
   /** INCREMENTAL VOCABULARY maintenance, batch-apply half: one
     * micro-batch's token counts land as an append-only PARTIAL-aggregate
     * file set (log-structured merge shape) — O(batch) work per batch,

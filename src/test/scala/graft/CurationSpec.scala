@@ -119,6 +119,39 @@ class CurationSpec extends SparkSuite {
     assert(out.values.exists(_._1) && out.values.exists(!_._1))
   }
 
+  test("span corruption reproduces an independent greedy recompute") {
+    import spark.implicits._
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // enough ids × words that both coin arms and the in-span branch fire
+    val fixtures = (1L to 40L).map(id =>
+      id -> "the quick brown fox jumps over the lazy dog again and again")
+    val out = Curation.spanCorruptionOf(fixtures.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5)))).toMap
+    fixtures.foreach { case (id, text) =>
+      val words = text.toLowerCase.trim.split("\\s+")
+      var nf = 1; var k = 0; var m = 0
+      val inp = new StringBuilder; val tgt = new StringBuilder
+      for (i <- 1 to words.length) {
+        val w = words(i - 1)
+        if (i < nf) { m += 1; tgt.append(" " + w) }
+        else if (md5hex(s"$id:$i").charAt(0) == '0') {
+          inp.append(s" <X$k>"); tgt.append(s" <X$k> $w")
+          k += 1; m += 1; nf = i + 3
+        } else inp.append(" " + w)
+      }
+      val expect = (words.length.toLong, k.toLong, m.toLong,
+        md5hex(inp.toString.dropWhile(_ == ' ')),
+        md5hex(tgt.toString.dropWhile(_ == ' ')))
+      assert(out(id) == expect, s"doc $id")
+    }
+    // the fold's three branches are all live across the fixture
+    assert(out.values.exists(_._2 > 0) && out.values.exists(_._2 == 0))
+    assert(out.values.exists(v => v._3 > v._2)) // in-span continuations
+  }
+
   test("source quota never exceeds the cap and keeps full small groups") {
     val q = Curation.sourceQuota(spark, dir, quota = 20)
     val byGroup = q.groupBy("lang", "source").count().collect()
