@@ -1130,6 +1130,15 @@ object SparkEntry {
     "q_grouping_sets" -> BreadthQueries.groupingSetsEvents _,
     // equi + range (band) join
     "q_shipped_within_90d" -> BreadthQueries.shippedWithin90d _,
+    // Kaplan-Meier churn curve with proper censoring (users active at
+    // the observation edge are censored, not churned): one corpus pass,
+    // then an at-risk reverse cumsum + product fold on the duration digest
+    // censorDays = 1 on the synthetic corpus (users are active to the
+    // edge; gaps are 0-2 days) so BOTH the churn-product and the
+    // censor arm are exercised at every sweep scale
+    "q_survival_km" -> ((s, dir) =>
+      graft.operators.Survival.kaplanMeier(s, dir, censorDays = 1)),
+
     // gap-based sessionization (30-minute gap). Session bounds surface as
     // epoch MICROsecond longs so the hash compare is timezone- and
     // engine-representation-independent (DuckDB NTZ vs Spark session-TZ).
@@ -5907,6 +5916,46 @@ object SparkEntry {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // KM replay: per-user spans, censor rule, at-risk reverse cumsum,
+    // then the product ITERATION-SHAPED (one recursive row per
+    // duration; 1.0·x = x in IEEE so the first row skips the multiply)
+    "q_survival_km" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS f,
+        |         CAST(max(ts) AS DATE) AS l
+        |  FROM events GROUP BY 1
+        |), g AS (SELECT max(l) AS mx FROM u),
+        |du AS (
+        |  SELECT date_diff('day', f, l) AS t,
+        |    CASE WHEN l <= mx - 1 THEN 1 ELSE 0 END AS ev
+        |  FROM u, g
+        |), ag AS (
+        |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(count(*) - sum(ev) AS BIGINT) AS c
+        |  FROM du GROUP BY t
+        |), rk AS (
+        |  SELECT t, d, c,
+        |    CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+        |    row_number() OVER (ORDER BY t ASC) AS rn
+        |  FROM ag
+        |), km AS (
+        |  SELECT rn, t, d, c, n,
+        |    CASE WHEN d > 0
+        |         THEN 1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END AS s
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.rn, rk.t, rk.d, rk.c, rk.n,
+        |    CASE WHEN rk.d > 0
+        |         THEN km.s * (1.0 - CAST(rk.d AS DOUBLE)
+        |                          / CAST(rk.n AS DOUBLE))
+        |         ELSE km.s END
+        |  FROM km JOIN rk ON rk.rn = km.rn + 1
+        |)
+        |SELECT CAST(t AS BIGINT) AS duration_days, n AS n_risk,
+        |  d AS n_events, c AS n_censored, s AS survival
+        |FROM km""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (
