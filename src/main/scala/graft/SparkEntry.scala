@@ -479,6 +479,12 @@ object SparkEntry {
       graft.analysis.MarketAnalytics.ouHalflifePairs(rates(s, dir),
         memoKey = Some(dir))),
 
+    // GARCH(1,1) conditional variance with fixed literal params — the
+    // clustering-aware volatility filter next to the flat sample stddev
+    // and the EWMA; per-pair day-ordered fold, iteration-shaped oracle
+    "fx_garch_vol" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.garchVol(rates(s, dir))),
+
     // Dickey-Fuller unit-root t² on the same spread — the significance
     // test that closes the pairs-desk chain (hedge → half-life → is the
     // reversion real); exact-long moments, double trees operand-identical
@@ -4655,6 +4661,51 @@ object SparkEntry {
          |SELECT src AS src_ccy, dst AS dst_ccy, n AS n_obs, beta, t_sq,
          |  (beta < 0.0 AND t_sq >= 8.1796) AS stationary_5pct
          |FROM ts""".stripMargin,
+
+    // the GARCH recurrence replayed one state row per day; the peak
+    // CASE repeats the s2 subexpression via a wrapping subquery so the
+    // doubles are the identical operands
+    "fx_garch_vol" ->
+      s"""WITH RECURSIVE $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
+         |), g AS (
+         |  SELECT ccy_couple, date, chg_u,
+         |    row_number() OVER (PARTITION BY ccy_couple ORDER BY date) AS rn
+         |  FROM chn
+         |), nn AS (
+         |  SELECT ccy_couple, CAST(max(rn) AS BIGINT) AS n FROM g GROUP BY 1
+         |), rec AS (
+         |  SELECT ccy_couple, 0 AS rn, CAST(20000.0 AS DOUBLE) AS s,
+         |    CAST(NULL AS DOUBLE) AS pk, CAST(NULL AS DATE) AS pd
+         |  FROM nn
+         |  UNION ALL
+         |  SELECT ccy_couple, rn, s2 AS s,
+         |    CASE WHEN pk IS NULL OR s2 > pk THEN s2 ELSE pk END AS pk,
+         |    CASE WHEN pk IS NULL OR s2 > pk THEN date ELSE pd END AS pd
+         |  FROM (
+         |    SELECT rec.ccy_couple, g.rn, g.date, rec.pk, rec.pd,
+         |      1000.0 + 0.1 * (CAST(g.chg_u AS DOUBLE)
+         |                      * CAST(g.chg_u AS DOUBLE))
+         |        + 0.85 * rec.s AS s2
+         |    FROM rec JOIN g ON g.ccy_couple = rec.ccy_couple
+         |                   AND g.rn = rec.rn + 1
+         |  )
+         |)
+         |SELECT r.ccy_couple, nn.n AS n_days, r.s AS sigma2_forecast,
+         |  r.pk AS sigma2_peak, r.pd AS peak_date
+         |FROM rec r JOIN nn ON nn.ccy_couple = r.ccy_couple
+         |WHERE r.rn = nn.n""".stripMargin,
 
     // lag-1 self-join on consecutive calendar days; same clamped corr
     // formula tree as fx_change_corr on exact integer moments

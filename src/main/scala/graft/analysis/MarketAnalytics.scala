@@ -652,6 +652,44 @@ object MarketAnalytics {
       (beta < 0.0 && tSq >= 8.1796).as("stationary_5pct"))
   }
 
+  /** GARCH(1,1) conditional-variance filter (Bollerslev 1986 — public
+    * method) with FIXED literal parameters (ω = 1000 milli², α = 0.1,
+    * β = 0.85 — no MLE; the filter, not the fit):
+    *   σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1},
+    * seeded at the stationary variance ω/(1−α−β) = 20000 exactly. The
+    * volatility-clustering quote [[fx_volatility]]'s flat sample stddev
+    * and the EWMA can't give: variance reverts to a long-run level.
+    * Returns are the exact milli-long daily changes; the recurrence is
+    * a per-pair day-ordered double fold whose operand order the
+    * oracle's recursive CTE replays verbatim (one state row per day —
+    * iteration-shaped, never a list_reduce). Peak tracking rides the
+    * same fold (strict `>` keeps the EARLIEST date on exact ties).
+    * One |pairs|×|days| digest, O(|days|) per pair, nothing corpus-
+    * quadratic.
+    */
+  def garchVol(rates: DataFrame): DataFrame = {
+    val byPair = dailyChangesU(rates)
+      .groupBy(col("ccy_couple"))
+      .agg(sort_array(collect_list(struct(col("date"), col("chg_u"))))
+        .as("seq"))
+    val init = struct(lit(20000.0).as("s"),
+      lit(null).cast("double").as("pk"), lit(null).cast("date").as("pd"))
+    val fold = aggregate(col("seq"), init, (acc, x) => {
+      val r = x.getField("chg_u").cast("double")
+      val s2 = lit(1000.0) + lit(0.1) * (r * r) + lit(0.85) * acc.getField("s")
+      val better = acc.getField("pk").isNull || s2 > acc.getField("pk")
+      struct(s2.as("s"),
+        when(better, s2).otherwise(acc.getField("pk")).as("pk"),
+        when(better, x.getField("date")).otherwise(acc.getField("pd"))
+          .as("pd"))
+    })
+    byPair.select(col("ccy_couple"), size(col("seq")).cast("long")
+        .as("n_days"), fold.as("z"))
+      .select(col("ccy_couple"), col("n_days"),
+        col("z.s").as("sigma2_forecast"), col("z.pk").as("sigma2_peak"),
+        col("z.pd").as("peak_date"))
+  }
+
   /** ZIGZAG swing pivots: the alternating sequence of confirmed swing
     * highs/lows — a pivot is confirmed when price retraces at least
     * `thresholdMilli` from the running extreme of the current leg (the

@@ -295,6 +295,33 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(perfect.isNullAt(5))
   }
 
+  test("GARCH(1,1) recurrence and peak match an independent double-for-double recompute") {
+    import spark.implicits._
+    val chg = Seq(100L, 0L, 200L, -50L)
+    val closes = chg.scanLeft(1000L)(_ + _)
+    val days = (1 to closes.size).map(d => f"2024-01-$d%02d")
+    val fx = days.zipWithIndex.map { case (d, i) =>
+      (i.toLong, "P", closes(i) / 1000.0, d)
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+      .drop("ds")
+    val out = MarketAnalytics.garchVol(fx).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // the identical IEEE operand sequence in plain Scala
+    var s = 20000.0; var pk = Double.NaN; var pd = ""
+    chg.map(_.toDouble).zipWithIndex.foreach { case (c, i) =>
+      s = 1000.0 + 0.1 * (c * c) + 0.85 * s
+      if (pk.isNaN || s > pk) { pk = s; pd = days(i + 1) }
+    }
+    assert(r.getLong(1) == chg.size.toLong)
+    assert(r.getDouble(2) == s)
+    assert(r.getDouble(3) == pk)
+    assert(r.getDate(4).toString == pd)
+  }
+
   test("pair-graph plan stays broadcast off the memoized digest (no sort-merge joins)") {
     // localCheckpoint strips size stats, so without explicit broadcast()
     // hints the planner falls back to sort-merge joins (6 SMJs observed
