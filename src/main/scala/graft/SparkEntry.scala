@@ -1144,6 +1144,11 @@ object SparkEntry {
     // censor arm are exercised at every sweep scale
     "q_survival_km" -> ((s, dir) =>
       graft.operators.Survival.kaplanMeier(s, dir, censorDays = 1)),
+    // incremental KM: per-user (first, last) spans are value-idempotent
+    // mergeable partials (min/max) — maintained LSM-style, folded, and
+    // pushed through the same digest-side product
+    "stream_survival_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replaySurvivalIncremental(s, dir)),
 
     // gap-based sessionization (30-minute gap). Session bounds surface as
     // epoch MICROsecond longs so the hash compare is timezone- and
@@ -3705,6 +3710,49 @@ object SparkEntry {
     * ALL one self-vote, argmax by (count DESC, label ASC). Every step
     * is integer counting over a 25-node digest; nothing to round.
     */
+  /** Kaplan-Meier replay: per-user spans, censor rule, at-risk reverse
+    * cumsum, then the product ITERATION-SHAPED (one recursive row per
+    * duration; 1.0·x = x in IEEE so the first row skips the multiply).
+    * Shared verbatim by the one-shot gate and the incremental fold,
+    * which must converge to it.
+    */
+  private val SurvivalKmOracleSql: String =
+    """WITH RECURSIVE u AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS f,
+      |         CAST(max(ts) AS DATE) AS l
+      |  FROM events GROUP BY 1
+      |), g AS (SELECT max(l) AS mx FROM u),
+      |du AS (
+      |  SELECT date_diff('day', f, l) AS t,
+      |    CASE WHEN l <= mx - 1 THEN 1 ELSE 0 END AS ev
+      |  FROM u, g
+      |), ag AS (
+      |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+      |    CAST(count(*) - sum(ev) AS BIGINT) AS c
+      |  FROM du GROUP BY t
+      |), rk AS (
+      |  SELECT t, d, c,
+      |    CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+      |    row_number() OVER (ORDER BY t ASC) AS rn
+      |  FROM ag
+      |), km AS (
+      |  SELECT rn, t, d, c, n,
+      |    CASE WHEN d > 0
+      |         THEN 1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+      |         ELSE CAST(1.0 AS DOUBLE) END AS s
+      |  FROM rk WHERE rn = 1
+      |  UNION ALL
+      |  SELECT rk.rn, rk.t, rk.d, rk.c, rk.n,
+      |    CASE WHEN rk.d > 0
+      |         THEN km.s * (1.0 - CAST(rk.d AS DOUBLE)
+      |                          / CAST(rk.n AS DOUBLE))
+      |         ELSE km.s END
+      |  FROM km JOIN rk ON rk.rn = km.rn + 1
+      |)
+      |SELECT CAST(t AS BIGINT) AS duration_days, n AS n_risk,
+      |  d AS n_events, c AS n_censored, s AS survival
+      |FROM km""".stripMargin
+
   /** TextRank replay: chunk lists, banded overlap edges, per-doc
     * teleport, five unrolled rounds with the ordered list_reduce fold —
     * the PagerankTradeOracleSql devices keyed by (doc_id, node).
@@ -5971,42 +6019,11 @@ object SparkEntry {
     // KM replay: per-user spans, censor rule, at-risk reverse cumsum,
     // then the product ITERATION-SHAPED (one recursive row per
     // duration; 1.0·x = x in IEEE so the first row skips the multiply)
-    "q_survival_km" ->
-      """WITH RECURSIVE u AS (
-        |  SELECT user_id, CAST(min(ts) AS DATE) AS f,
-        |         CAST(max(ts) AS DATE) AS l
-        |  FROM events GROUP BY 1
-        |), g AS (SELECT max(l) AS mx FROM u),
-        |du AS (
-        |  SELECT date_diff('day', f, l) AS t,
-        |    CASE WHEN l <= mx - 1 THEN 1 ELSE 0 END AS ev
-        |  FROM u, g
-        |), ag AS (
-        |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
-        |    CAST(count(*) - sum(ev) AS BIGINT) AS c
-        |  FROM du GROUP BY t
-        |), rk AS (
-        |  SELECT t, d, c,
-        |    CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n,
-        |    row_number() OVER (ORDER BY t ASC) AS rn
-        |  FROM ag
-        |), km AS (
-        |  SELECT rn, t, d, c, n,
-        |    CASE WHEN d > 0
-        |         THEN 1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
-        |         ELSE CAST(1.0 AS DOUBLE) END AS s
-        |  FROM rk WHERE rn = 1
-        |  UNION ALL
-        |  SELECT rk.rn, rk.t, rk.d, rk.c, rk.n,
-        |    CASE WHEN rk.d > 0
-        |         THEN km.s * (1.0 - CAST(rk.d AS DOUBLE)
-        |                          / CAST(rk.n AS DOUBLE))
-        |         ELSE km.s END
-        |  FROM km JOIN rk ON rk.rn = km.rn + 1
-        |)
-        |SELECT CAST(t AS BIGINT) AS duration_days, n AS n_risk,
-        |  d AS n_events, c AS n_censored, s AS survival
-        |FROM km""".stripMargin,
+    "q_survival_km" -> SurvivalKmOracleSql,
+
+    // the curve from incrementally-maintained span partials must equal
+    // the one-shot curve — identical oracle
+    "stream_survival_incremental" -> SurvivalKmOracleSql,
 
     "q_sessionize" ->
       """WITH x AS (

@@ -34,10 +34,16 @@ object Survival {
     kaplanMeierOf(Tables.events(s, dir)
       .select(col("user_id"), col("ts")), censorDays)
 
-  def kaplanMeierOf(events: DataFrame, censorDays: Int): DataFrame = {
-    val u = events.groupBy(col("user_id"))
+  def kaplanMeierOf(events: DataFrame, censorDays: Int): DataFrame =
+    curveFromSpans(events.groupBy(col("user_id"))
       .agg(min(col("ts").cast("date")).as("f"),
-        max(col("ts").cast("date")).as("l"))
+        max(col("ts").cast("date")).as("l")), censorDays)
+
+  /** The curve from a (user_id, f, l) span relation — the incremental
+    * path folds maintained min/max partials into the same shape.
+    */
+  private[graft] def curveFromSpans(u: DataFrame,
+      censorDays: Int): DataFrame = {
     val mx = u.agg(max(col("l")).as("mx"))
     val durs = u.crossJoin(broadcast(mx))
       .select(datediff(col("l"), col("f")).as("t"),

@@ -1518,6 +1518,49 @@ object StreamReplay {
     graft.operators.DataQuality.volumeAnomalyFromDaily(daily)
   }
 
+  /** Replay of INCREMENTAL SURVIVAL-CURVE maintenance: per-user
+    * (first, last) event-date spans are VALUE-IDEMPOTENT mergeable
+    * partials (min/max fold in any order and survive duplicate
+    * delivery), so each micro-batch appends its per-user span partial
+    * through [[graft.util.BatchAppend]] — O(batch) per batch — and the
+    * report folds the partials and runs the same digest-side
+    * Kaplan-Meier product as the one-shot gate, which it must equal bit
+    * for bit (identical oracle).
+    */
+  def replaySurvivalIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2, censorDays: Int = 1): DataFrame = {
+    val tmp = Scratch.dir("graft_km_replay")
+    val spansDir = tmp.resolve("spans").toString
+
+    val events = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val feed = memoFeed("km", dir, nBatches) { p =>
+      events.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.util.BatchAppend.append(
+            batch.groupBy(col("user_id"))
+              .agg(min(col("ts").cast("date")).as("f"),
+                max(col("ts").cast("date")).as("l")),
+            s"$spansDir/partials", Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    val spans = s.read.parquet(s"$spansDir/partials")
+      .groupBy(col("user_id"))
+      .agg(min(col("f")).as("f"), max(col("l")).as("l"))
+    graft.operators.Survival.curveFromSpans(spans, censorDays)
+  }
+
   /** Replay of INCREMENTAL KMV-SKETCH maintenance: the events table
     * streams in micro-batches, each batch appending its ≤ k-row PARTIAL
     * sketch (its k smallest key hashes — O(k) per batch, O(batches·k)
