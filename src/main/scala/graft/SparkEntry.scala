@@ -1395,6 +1395,16 @@ object SparkEntry {
     "dq_drift_chi2" -> ((s, dir) =>
       graft.operators.DataQuality.driftChi2(
         Tables.events(s, dir), "value", "ts")),
+    // the continuous sibling: two-sample Kolmogorov-Smirnov on the
+    // UNBINNED values — exact integer CDF-gap core, sqrt-free 5% flag
+    "dq_ks_drift" -> ((s, dir) =>
+      graft.operators.DataQuality.ksDrift(
+        Tables.events(s, dir), "value", "ts")),
+    // the alarm arm, pinned by construction (the corpus is stationary):
+    // current half shifted +20 — the flag must fire
+    "dq_ks_drift_shifted" -> ((s, dir) =>
+      graft.operators.DataQuality.ksDriftShifted(
+        Tables.events(s, dir), "value", "ts")),
 
     // functional-dependency profiling: per candidate det→dep, the
     // violating-key count — o_orderkey→o_custkey HOLDS (it is the key),
@@ -1993,6 +2003,11 @@ object SparkEntry {
     // pipeline reads before trusting the learned quality filter
     "cur_classifier_calibration" -> ((s, dir) =>
       graft.text.QualityClassifier.calibrationTable(s, dir)),
+    // exact ROC-AUC via the doubled Mann-Whitney U (tie-correct, all
+    // integers until the one closing division) — the threshold-free
+    // eval completing the classifier family
+    "cur_classifier_auc" -> ((s, dir) =>
+      graft.text.QualityClassifier.aucReport(s, dir)),
     // the INFERENCE side of the tokenizer artifact: apply the trained
     // merge list to the word-type table from scratch (a pure narrow
     // map, embarrassingly parallel — the shape that tokenizes 100 TB);
@@ -6337,6 +6352,88 @@ object SparkEntry {
     // order — identical left-fold, identical doubles
     "dq_drift_chi2" -> DqDriftChi2OracleSql,
 
+    // the unbinned KS sibling: exact integer CDF-gap maximum, one
+    // closing division, the sqrt-free squared threshold
+    "dq_ks_drift" ->
+      """WITH sp AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events
+        |), m AS (
+        |  SELECT value AS v,
+        |    CAST(ts AS DATE) <
+        |      d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS is_ref
+        |  FROM events, sp
+        |), g AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM m GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS n_ref,
+        |    CAST(sum(b) AS BIGINT) AS n_cur FROM g
+        |), w AS (
+        |  SELECT CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |    CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
+        |  FROM g
+        |), dm AS (
+        |  SELECT max(abs(ca * t.n_cur - cb * t.n_ref)) AS d_num
+        |  FROM w, t
+        |), base AS (
+        |  SELECT t.n_ref, t.n_cur, dm.d_num,
+        |    CAST(dm.d_num AS DOUBLE)
+        |      / (CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE)) AS ks_d
+        |  FROM dm, t
+        |)
+        |SELECT n_ref, n_cur, d_num, ks_d,
+        |  ks_d * ks_d * (CAST(n_ref * n_cur AS DOUBLE)
+        |                 / CAST(n_ref + n_cur AS DOUBLE)) AS ks_stat,
+        |  ks_d * ks_d * (CAST(n_ref * n_cur AS DOUBLE)
+        |                 / CAST(n_ref + n_cur AS DOUBLE)) > 1.844164
+        |    AS drift_5pct
+        |FROM base""".stripMargin,
+
+    // the alarm arm: identical machinery over the +20-shifted current
+    // half (x + 0.0 = x in IEEE keeps the reference half bit-untouched)
+    "dq_ks_drift_shifted" ->
+      """WITH sp AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events
+        |), m AS (
+        |  SELECT value + CASE WHEN CAST(ts AS DATE) <
+        |        d0 + CAST(date_diff('day', d0, d1) // 2 AS INT)
+        |      THEN 0.0 ELSE 20.0 END AS v,
+        |    CAST(ts AS DATE) <
+        |      d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS is_ref
+        |  FROM events, sp
+        |), g AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM m GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS n_ref,
+        |    CAST(sum(b) AS BIGINT) AS n_cur FROM g
+        |), w AS (
+        |  SELECT CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |    CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
+        |  FROM g
+        |), dm AS (
+        |  SELECT max(abs(ca * t.n_cur - cb * t.n_ref)) AS d_num
+        |  FROM w, t
+        |), base AS (
+        |  SELECT t.n_ref, t.n_cur, dm.d_num,
+        |    CAST(dm.d_num AS DOUBLE)
+        |      / (CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE)) AS ks_d
+        |  FROM dm, t
+        |)
+        |SELECT n_ref, n_cur, d_num, ks_d,
+        |  ks_d * ks_d * (CAST(n_ref * n_cur AS DOUBLE)
+        |                 / CAST(n_ref + n_cur AS DOUBLE)) AS ks_stat,
+        |  ks_d * ks_d * (CAST(n_ref * n_cur AS DOUBLE)
+        |                 / CAST(n_ref + n_cur AS DOUBLE)) > 1.844164
+        |    AS drift_5pct
+        |FROM base""".stripMargin,
+
     // the batch-maintained daily digest must reproduce the one-shot
     // report bit for bit — the oracle IS dq_drift_chi2
     "stream_drift_incremental" -> DqDriftChi2OracleSql,
@@ -8390,6 +8487,8 @@ object SparkEntry {
     // 4 unrolled GD steps → weight table / final margins
     "cur_classifier_weights" -> graft.oracle.ClassifierOracleSql.weights(),
     "cur_classifier_scores" -> graft.oracle.ClassifierOracleSql.scores(),
+    // the doubled Mann-Whitney U over the replayed margins
+    "cur_classifier_auc" -> graft.oracle.ClassifierOracleSql.auc(),
     // margins → decile bounds → strict-exceed buckets → exact counts
     "cur_classifier_calibration" ->
       graft.oracle.ClassifierOracleSql.calibration(),

@@ -310,6 +310,66 @@ object DataQuality {
         .groupBy(col("date"), col("bucket")).agg(sum(col("n")).as("n")),
       threshold)
 
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV drift test on the UNBINNED values —
+    * the continuous sibling of [[driftChi2]] (binning hides
+    * within-bucket shifts; KS prices the worst CDF gap at full value
+    * resolution). Same reference/current split rule (first calendar
+    * half vs rest). Exact integer core: at each distinct value,
+    * D_num = |cumref·n_cur − cumcur·n_ref| (longs — no float CDFs
+    * compared), KS D = max D_num / (n_ref·n_cur). The 5% flag uses the
+    * squared two-sample threshold c(0.05)² = 1.358² = 1.844164:
+    * D²·n_ref·n_cur/(n_ref+n_cur) > c² — sqrt-free. One grouped count
+    * plus one ordered prefix sum over the distinct-value digest (the
+    * two-pass distributed prefix sum is the warehouse-scale form).
+    */
+  def ksDrift(df: DataFrame, valueCol: String, tsCol: String): DataFrame = {
+    val s0 = df.select(col(valueCol).as("v"), to_date(col(tsCol)).as("d"))
+    val span = s0.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val m = s0.crossJoin(broadcast(span))
+      .select(col("v"),
+        (col("d") < date_add(col("d0"),
+          (datediff(col("d1"), col("d0")) / 2).cast("int"))).as("is_ref"))
+    val g = m.groupBy(col("v")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+    val tot = g.agg(sum(col("a")).as("n_ref"), sum(col("b")).as("n_cur"))
+    val w = g
+      .withColumn("ca", sum(col("a")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+      .withColumn("cb", sum(col("b")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("ca") * col("n_cur") - col("cb") * col("n_ref"))
+        .as("dn"))
+    val ks = col("d_num").cast("double") /
+      (col("n_ref").cast("double") * col("n_cur").cast("double"))
+    w.agg(max(col("dn")).as("d_num")).crossJoin(broadcast(tot))
+      .select(col("n_ref"), col("n_cur"), col("d_num"), ks.as("ks_d"))
+      .withColumn("ks_stat", col("ks_d") * col("ks_d")
+        * ((col("n_ref") * col("n_cur")).cast("double")
+          / (col("n_ref") + col("n_cur")).cast("double")))
+      .withColumn("drift_5pct", col("ks_stat") > 1.844164)
+  }
+
+  /** The POSITIVE exemplar for the KS gate (the Benford-conforming /
+    * secret-scan-taint precedent: the synthetic corpus is stationary,
+    * so the alarm arm needs a constructed drift): the current half's
+    * values shift by a constant before the same test runs — the flag
+    * must fire. x + 0.0 = x in IEEE, so the reference half is
+    * bit-untouched.
+    */
+  def ksDriftShifted(df: DataFrame, valueCol: String, tsCol: String,
+      shift: Double = 20.0): DataFrame = {
+    val s0 = df.select(col(valueCol).as("v0"),
+      to_date(col(tsCol)).as("d"), col(tsCol).as("ts"))
+    val span = s0.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val shifted = s0.crossJoin(broadcast(span))
+      .select((col("v0") + when(col("d") < date_add(col("d0"),
+          (datediff(col("d1"), col("d0")) / 2).cast("int")), 0.0)
+        .otherwise(shift)).as("value"), col("ts"))
+    ksDrift(shifted, "value", "ts")
+  }
+
   private def driftFromDaily(daily: DataFrame,
       threshold: Double): DataFrame = {
     val span = daily.agg(min(col("date")).as("d0"), max(col("date")).as("d1"))

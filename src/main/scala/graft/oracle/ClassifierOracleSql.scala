@@ -113,6 +113,35 @@ object ClassifierOracleSql {
        |  CAST(l.y AS INT) AS y
        |FROM fm JOIN lab l USING (doc_id)""".stripMargin
 
+  /** Oracle for cur_classifier_auc: the doubled Mann-Whitney U over the
+    * replayed margins — per margin group, p·(2·neg-below + neg-equal),
+    * one ordered prefix sum; the single division mirrors the engine's
+    * operand order.
+    */
+  def auc(posLang: String = "en",
+      iters: Int = QualityClassifier.DefaultIters): String =
+    s"""WITH ${allCtes(posLang, iters)}, fm AS (
+       |  SELECT f.doc_id, CAST(sum(f.xu * w.wu) AS BIGINT) AS mu
+       |  FROM fx f JOIN w$iters w USING (bucket) GROUP BY 1
+       |), sc AS (
+       |  SELECT fm.mu AS m, CAST(l.y AS BIGINT) AS y
+       |  FROM fm JOIN lab l USING (doc_id)
+       |), g AS (
+       |  SELECT m, CAST(sum(y) AS BIGINT) AS p,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS q
+       |  FROM sc GROUP BY 1
+       |), wnd AS (
+       |  SELECT m, p, q,
+       |    CAST(sum(q) OVER (ORDER BY m) - q AS BIGINT) AS below
+       |  FROM g
+       |)
+       |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       |  CAST(sum(q) AS BIGINT) AS n_neg,
+       |  CAST(sum(p * (2 * below + q)) AS BIGINT) AS u2,
+       |  CAST(sum(p * (2 * below + q)) AS DOUBLE)
+       |    / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(q) AS DOUBLE)) AS auc
+       |FROM wnd""".stripMargin
+
   /** Oracle for cur_classifier_calibration: margins + percentile decile
     * bounds (quantile_cont ↔ Spark percentile, the q_exact_percentiles
     * precedent) + strict-exceed bucketing + exact per-bucket counts.

@@ -188,6 +188,35 @@ object QualityClassifier {
       .select(col("doc_id"), col("mu").as("margin_u"),
         (col("mu") >= 0L).as("predicted"), col("y").cast("int").as("y"))
 
+  /** EXACT ROC-AUC of the trained margins via the Mann-Whitney rank
+    * form — the threshold-free eval completing the classifier family
+    * (weights → scores → calibration → AUC). Ties handled exactly by
+    * staying in the DOUBLED-U integer space:
+    *   2U = Σ_{pos i, neg j} (2·1{m_i > m_j} + 1{m_i = m_j}),
+    * computed distributively as Σ over margin groups of
+    * p·(2·negatives_strictly_below + negatives_equal) — one grouped
+    * count plus one ordered prefix sum over the ≤|distinct margins|
+    * digest (at warehouse scale the prefix sum swaps to the repo's
+    * two-pass distributed form, the packing recipe; the arithmetic is
+    * unchanged). AUC = 2U / (2·P·N), the one double division.
+    */
+  def aucReport(s: SparkSession, dir: String, posLang: String = "en",
+      iters: Int = DefaultIters): DataFrame = {
+    val sc = scores(s, dir, posLang, iters)
+      .select(col("margin_u").as("m"), col("y").cast("long").as("y"))
+    val g = sc.groupBy(col("m"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
+    val w = g.withColumn("below",
+      sum(col("q")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("m"))) - col("q"))
+    w.agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("below") + col("q"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double")
+          / (lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double"))).as("auc"))
+  }
+
   /** CALIBRATION table over the trained model's margins — the ML-eval
     * view a curation pipeline reads before trusting a learned quality
     * filter: documents bucketed into margin deciles, per-bucket positive

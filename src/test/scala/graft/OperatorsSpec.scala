@@ -537,4 +537,42 @@ class OperatorsSpec extends SparkSuite {
     check(2, 1L, 0.17609125905568124)
     check(9, 2L, 0.04575749056067514)
   }
+
+  test("KS drift: exact integer CDF-gap maximum on a hand split") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // ref = {1,2,3,4} (days 1-4), cur = {3,4,5,5,6,7} (days 9-10;
+    // midpoint = day 1 + 9//2 = day 5). Integer CDF gaps |ca·6 − cb·4|:
+    // v=1:6, v=2:12, v=3:14, v=4:|24−8|=16 ← max, v=5:8, v=6:4, v=7:0
+    val rows = Seq(
+      (1.0, "2024-01-01"), (2.0, "2024-01-02"), (3.0, "2024-01-03"),
+      (4.0, "2024-01-04"),
+      (5.0, "2024-01-09"), (3.0, "2024-01-09"), (4.0, "2024-01-09"),
+      (5.0, "2024-01-10"), (6.0, "2024-01-10"), (7.0, "2024-01-10"))
+      .map { case (v, d) => (v, Timestamp.valueOf(d + " 00:00:00")) }
+      .toDF("value", "ts")
+    val out = graft.operators.DataQuality.ksDrift(rows, "value", "ts")
+      .collect().head
+    // midpoint: d0 + (9/2 → 4) = 2024-01-05 → the four January-1..4
+    // rows are the reference sample
+    assert((out.getLong(0), out.getLong(1)) == ((4L, 6L)))
+    assert(out.getLong(2) == 16L)
+    assert(out.getDouble(3) == 16.0 / 24.0)
+  }
+
+  test("classifier AUC: the doubled-U handles ties exactly") {
+    // directly exercise the rank arithmetic the gate composes: margins
+    // pos {3, 1}, neg {1, 0} → pairs: (3>1)+(3>0)+(1=1 half)+(1>0)
+    // → U = 3.5, 2U = 7, AUC = 7/8
+    import spark.implicits._
+    val sc = Seq((3L, 1L), (1L, 1L), (1L, 0L), (0L, 0L)).toDF("m", "y")
+    val g = sc.groupBy(col("m"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
+    val w = g.withColumn("below",
+      sum(col("q")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("m"))) - col("q"))
+    val r = w.agg(sum(col("p") * (lit(2L) * col("below") + col("q")))
+      .as("u2")).collect().head
+    assert(r.getLong(0) == 7L)
+  }
 }
