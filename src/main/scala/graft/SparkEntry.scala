@@ -479,6 +479,12 @@ object SparkEntry {
       graft.analysis.MarketAnalytics.ouHalflifePairs(rates(s, dir),
         memoKey = Some(dir))),
 
+    // two-state HMM trend-regime labeling by ALL-INTEGER Viterbi (bit
+    // costs, no floats anywhere); per-pair day-ordered fold, the path
+    // pinned whole via md5
+    "fx_regime_viterbi" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.regimeViterbi(rates(s, dir))),
+
     // GARCH(1,1) conditional variance with fixed literal params — the
     // clustering-aware volatility filter next to the flat sample stddev
     // and the EWMA; per-pair day-ordered fold, iteration-shaped oracle
@@ -4724,6 +4730,67 @@ object SparkEntry {
          |SELECT src AS src_ccy, dst AS dst_ccy, n AS n_obs, beta, t_sq,
          |  (beta < 0.0 AND t_sq >= 8.1796) AS stationary_5pct
          |FROM ts""".stripMargin,
+
+    // the Viterbi DP replayed one state row per day — pure integer
+    // minimization and string appends, nothing to round
+    "fx_regime_viterbi" ->
+      s"""WITH RECURSIVE $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
+         |), g AS (
+         |  SELECT ccy_couple, date,
+         |    CASE WHEN chg_u > 0 THEN 1 WHEN chg_u < 0 THEN -1 ELSE 0 END
+         |      AS sg,
+         |    row_number() OVER (PARTITION BY ccy_couple ORDER BY date) AS rn
+         |  FROM chn
+         |), nn AS (
+         |  SELECT ccy_couple, CAST(max(rn) AS BIGINT) AS n FROM g GROUP BY 1
+         |), rec AS (
+         |  SELECT ccy_couple, 0 AS rn, CAST(0 AS BIGINT) AS cu,
+         |    CAST(0 AS BIGINT) AS cd, CAST('' AS VARCHAR) AS pu,
+         |    CAST('' AS VARCHAR) AS pd, CAST(0 AS BIGINT) AS su,
+         |    CAST(0 AS BIGINT) AS sd
+         |  FROM nn
+         |  UNION ALL
+         |  SELECT ccy_couple, rn,
+         |    eu + CASE WHEN stayu THEN cu ELSE cd + 3 END,
+         |    ed + CASE WHEN stayd THEN cd ELSE cu + 3 END,
+         |    (CASE WHEN stayu THEN pu ELSE pd END) || 'U',
+         |    (CASE WHEN stayd THEN pd ELSE pu END) || 'D',
+         |    CASE WHEN stayu OR pu = '' THEN su ELSE sd + 1 END,
+         |    CASE WHEN stayd OR pu = '' THEN sd ELSE su + 1 END
+         |  FROM (
+         |    SELECT r.ccy_couple, g.rn, r.cu, r.cd, r.pu, r.pd, r.su, r.sd,
+         |      CAST(CASE WHEN g.sg = 1 THEN 0 WHEN g.sg = -1 THEN 2
+         |                ELSE 1 END AS BIGINT) AS eu,
+         |      CAST(CASE WHEN g.sg = -1 THEN 0 WHEN g.sg = 1 THEN 2
+         |                ELSE 1 END AS BIGINT) AS ed,
+         |      r.cu <= r.cd + 3 AS stayu,
+         |      r.cd <= r.cu + 3 AS stayd
+         |    FROM rec r JOIN g ON g.ccy_couple = r.ccy_couple
+         |                     AND g.rn = r.rn + 1
+         |  )
+         |)
+         |SELECT r.ccy_couple, nn.n AS n_days,
+         |  CASE WHEN r.cu <= r.cd THEN r.cu ELSE r.cd END AS bit_cost,
+         |  CAST(length(r.p) - length(replace(r.p, 'U', '')) AS BIGINT)
+         |    AS n_up_days,
+         |  CASE WHEN r.cu <= r.cd THEN r.su ELSE r.sd END AS n_switches,
+         |  md5(r.p) AS path_fp
+         |FROM (SELECT *, CASE WHEN cu <= cd THEN pu ELSE pd END AS p
+         |      FROM rec) r
+         |JOIN nn ON nn.ccy_couple = r.ccy_couple
+         |WHERE r.rn = nn.n""".stripMargin,
 
     // the GARCH recurrence replayed one state row per day; the peak
     // CASE repeats the s2 subexpression via a wrapping subquery so the

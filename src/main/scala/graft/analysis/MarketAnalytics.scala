@@ -690,6 +690,76 @@ object MarketAnalytics {
         col("z.pd").as("peak_date"))
   }
 
+  /** HMM TREND-REGIME labeling by Viterbi decoding (Viterbi 1967;
+    * regime-switching per Hamilton 1989 — public methods), made
+    * ALL-INTEGER so the oracle replays it exactly: the two-state
+    * up-trend/down-trend chain is specified directly in BIT COSTS
+    * (−log₂ of dyadic probabilities — the [[graft.text.UnigramLm]]
+    * surprisal discipline): emission cost of a day's change sign is 0
+    * for the agreeing sign, 2 for the opposing, 1 for flat; switching
+    * regime costs 3 bits, staying 0. The Viterbi DP per pair is then
+    * pure integer minimization with a fixed tie order (stay beats
+    * switch, U beats D at the end), and the decoded path is a pure
+    * function of the sign sequence — no floats anywhere in the
+    * operator.
+    *
+    * Output per pair: day count, total bit cost, up-regime day count,
+    * regime-switch count, and the md5 of the full path string (the
+    * digest-sized pin of the entire decode). One |pairs|×|days| digest,
+    * O(|days|) fold per pair; the oracle is an iteration-shaped
+    * recursive CTE carrying (costU, costD, pathU, pathD) per day.
+    */
+  def regimeViterbi(rates: DataFrame): DataFrame = {
+    val byPair = dailyChangesU(rates)
+      .select(col("ccy_couple"), col("date"),
+        signum(col("chg_u")).cast("int").as("sg"))
+      .groupBy(col("ccy_couple"))
+      .agg(sort_array(collect_list(struct(col("date"), col("sg"))))
+        .as("seq"))
+    val init = struct(lit(0L).as("cu"), lit(0L).as("cd"),
+      lit("").as("pu"), lit("").as("pd"),
+      lit(0L).as("su"), lit(0L).as("sd"))
+    // pu always ends "U" and pd "D", so a lineage cross (stay = false)
+    // is exactly one regime switch — the counters ride the fold
+    val fold = aggregate(col("seq"), init, (acc, x) => {
+      val sg = x.getField("sg")
+      val eu = when(sg === 1, 0L).when(sg === -1, 2L).otherwise(1L)
+      val ed = when(sg === -1, 0L).when(sg === 1, 2L).otherwise(1L)
+      val stayU = acc.getField("cu") <= acc.getField("cd") + 3L
+      val stayD = acc.getField("cd") <= acc.getField("cu") + 3L
+      val first = acc.getField("pu") === ""
+      struct(
+        (eu + when(stayU, acc.getField("cu"))
+          .otherwise(acc.getField("cd") + 3L)).as("cu"),
+        (ed + when(stayD, acc.getField("cd"))
+          .otherwise(acc.getField("cu") + 3L)).as("cd"),
+        concat(when(stayU, acc.getField("pu"))
+          .otherwise(acc.getField("pd")), lit("U")).as("pu"),
+        concat(when(stayD, acc.getField("pd"))
+          .otherwise(acc.getField("pu")), lit("D")).as("pd"),
+        when(stayU || first, acc.getField("su"))
+          .otherwise(acc.getField("sd") + 1L).as("su"),
+        when(stayD || first, acc.getField("sd"))
+          .otherwise(acc.getField("su") + 1L).as("sd"))
+    })
+    val z = col("z")
+    val best = when(z.getField("cu") <= z.getField("cd"),
+      struct(z.getField("cu").as("c"), z.getField("pu").as("p"),
+        z.getField("su").as("sw")))
+      .otherwise(struct(z.getField("cd").as("c"), z.getField("pd").as("p"),
+        z.getField("sd").as("sw")))
+    byPair.select(col("ccy_couple"), size(col("seq")).cast("long")
+        .as("n_days"), fold.as("z"))
+      .select(col("ccy_couple"), col("n_days"), best.as("b"))
+      .select(col("ccy_couple"), col("n_days"),
+        col("b.c").as("bit_cost"),
+        (length(col("b.p"))
+          - length(regexp_replace(col("b.p"), "U", ""))).cast("long")
+          .as("n_up_days"),
+        col("b.sw").as("n_switches"),
+        md5(col("b.p")).as("path_fp"))
+  }
+
   /** ZIGZAG swing pivots: the alternating sequence of confirmed swing
     * highs/lows — a pivot is confirmed when price retraces at least
     * `thresholdMilli` from the running extreme of the current leg (the

@@ -322,6 +322,36 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(r.getDate(4).toString == pd)
   }
 
+  test("Viterbi regime decode: switch beats mismatches, one blip never switches, ties go U") {
+    import spark.implicits._
+    def fx1(chg: Seq[Long]) = {
+      val closes = chg.scanLeft(5000L)(_ + _)
+      val days = (1 to closes.size).map(d => f"2024-01-$d%02d")
+      days.zipWithIndex.map { case (d, i) =>
+        (i.toLong, "P", closes(i) / 1000.0, d)
+      }.toDF("event_id", "ccy_couple", "rate", "ds")
+        .withColumn("date", to_date(col("ds")))
+        .withColumn("timestamp", col("date").cast("timestamp"))
+        .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+        .drop("ds")
+    }
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def run(chg: Long*) = {
+      val r = MarketAnalytics.regimeViterbi(fx1(chg)).collect().head
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+    }
+    // ++++−−−−: one switch (3 bits) beats four mismatches (8 bits)
+    assert(run(10, 10, 10, 10, -10, -10, -10, -10) ==
+      ((8L, 3L, 4L, 1L, md5hex("UUUUDDDD"))))
+    // +++−+++: one opposing blip (2 bits) never justifies two switches
+    assert(run(10, 10, 10, -10, 10, 10, 10) ==
+      ((7L, 2L, 7L, 0L, md5hex("UUUUUUU"))))
+    // all-flat: every day ties — stay rule + final U-tie give all-U at
+    // flat emission cost 1/day
+    assert(run(0, 0, 0) == ((3L, 3L, 3L, 0L, md5hex("UUU"))))
+  }
+
   test("pair-graph plan stays broadcast off the memoized digest (no sort-merge joins)") {
     // localCheckpoint strips size stats, so without explicit broadcast()
     // hints the planner falls back to sort-merge joins (6 SMJs observed
