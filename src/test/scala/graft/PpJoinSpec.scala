@@ -105,6 +105,28 @@ class PpJoinSpec extends SparkSuite {
     assert(run(d, 9, 10).isEmpty)
   }
 
+  test("property: the filter chain is lossless vs brute force on random corpora") {
+    // seeded random docs over a small alphabet (short words, heavy
+    // repetition — the prefix filter's adversarial regime) across four
+    // thresholds; every (seed, t) must match brute force EXACTLY
+    val words = Vector("aa", "ab", "ba", "bb", "abc", "cab", "bca")
+    def randomDocs(seed: Long) = {
+      val rnd = new scala.util.Random(seed)
+      docs((1L to 24L).map { id =>
+        id -> Seq.fill(4 + rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+          .mkString(" ")
+      }: _*)
+    }
+    for (seed <- 1L to 4L; (tn, td) <- Seq((1, 2), (2, 3), (4, 5), (9, 10))) {
+      val d = randomDocs(seed)
+      assert(run(d, tn, td) == brute(d, tn, td), s"seed=$seed t=$tn/$td")
+      // containment too: directional, same losslessness bar
+      val c = graft.text.PpJoin.containmentFrom(d, tn, td).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(c == bruteContain(d, tn, td), s"containment seed=$seed t=$tn/$td")
+    }
+  }
+
   test("short texts (under one trigram) fall back to the whole string") {
     // charTrigrams keeps length<3 texts as a single token — a 2-char
     // doc pairs with its duplicate, not with a superstring
