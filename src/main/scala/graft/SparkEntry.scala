@@ -507,6 +507,10 @@ object SparkEntry {
     // frontier day + chronological fold; must equal one-shot fx_zigzag
     "stream_zigzag_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayZigzagIncremental(s, dir)),
+    // incremental GARCH: the second order-dependent incremental — the
+    // recurrence tail + buffered frontier; must equal fx_garch_vol
+    "stream_garch_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayGarchIncremental(s, dir)),
 
     // robust trend: Theil-Sen median-of-pairwise-slopes, median by
     // SELECTION (no interpolation arithmetic), slopes exact-int ratios
@@ -3737,6 +3741,51 @@ object SparkEntry {
     * Shared verbatim by the one-shot gate and the incremental fold,
     * which must converge to it.
     */
+  /** The GARCH recurrence replay — shared by the one-shot gate and
+    * the order-dependent incremental, which must equal it.
+    */
+  private val GarchVolOracleSql: String =
+    s"""WITH RECURSIVE $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
+         |), g AS (
+         |  SELECT ccy_couple, date, chg_u,
+         |    row_number() OVER (PARTITION BY ccy_couple ORDER BY date) AS rn
+         |  FROM chn
+         |), nn AS (
+         |  SELECT ccy_couple, CAST(max(rn) AS BIGINT) AS n FROM g GROUP BY 1
+         |), rec AS (
+         |  SELECT ccy_couple, 0 AS rn, CAST(20000.0 AS DOUBLE) AS s,
+         |    CAST(NULL AS DOUBLE) AS pk, CAST(NULL AS DATE) AS pd
+         |  FROM nn
+         |  UNION ALL
+         |  SELECT ccy_couple, rn, s2 AS s,
+         |    CASE WHEN pk IS NULL OR s2 > pk THEN s2 ELSE pk END AS pk,
+         |    CASE WHEN pk IS NULL OR s2 > pk THEN date ELSE pd END AS pd
+         |  FROM (
+         |    SELECT rec.ccy_couple, g.rn, g.date, rec.pk, rec.pd,
+         |      1000.0 + 0.1 * (CAST(g.chg_u AS DOUBLE)
+         |                      * CAST(g.chg_u AS DOUBLE))
+         |        + 0.85 * rec.s AS s2
+         |    FROM rec JOIN g ON g.ccy_couple = rec.ccy_couple
+         |                   AND g.rn = rec.rn + 1
+         |  )
+         |)
+         |SELECT r.ccy_couple, nn.n AS n_days, r.s AS sigma2_forecast,
+         |  r.pk AS sigma2_peak, r.pd AS peak_date
+         |FROM rec r JOIN nn ON nn.ccy_couple = r.ccy_couple
+         |WHERE r.rn = nn.n""".stripMargin
+
   private val SurvivalKmOracleSql: String =
     """WITH RECURSIVE u AS (
       |  SELECT user_id, CAST(min(ts) AS DATE) AS f,
@@ -4795,47 +4844,11 @@ object SparkEntry {
     // the GARCH recurrence replayed one state row per day; the peak
     // CASE repeats the s2 subexpression via a wrapping subquery so the
     // doubles are the identical operands
-    "fx_garch_vol" ->
-      s"""WITH RECURSIVE $RatesCte, cl AS (
-         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
-         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
-         |  WHERE rn = 1
-         |), ch AS (
-         |  SELECT ccy_couple, date,
-         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
-         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
-         |  FROM cl
-         |), chn AS (
-         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
-         |  FROM ch WHERE chg IS NOT NULL
-         |), g AS (
-         |  SELECT ccy_couple, date, chg_u,
-         |    row_number() OVER (PARTITION BY ccy_couple ORDER BY date) AS rn
-         |  FROM chn
-         |), nn AS (
-         |  SELECT ccy_couple, CAST(max(rn) AS BIGINT) AS n FROM g GROUP BY 1
-         |), rec AS (
-         |  SELECT ccy_couple, 0 AS rn, CAST(20000.0 AS DOUBLE) AS s,
-         |    CAST(NULL AS DOUBLE) AS pk, CAST(NULL AS DATE) AS pd
-         |  FROM nn
-         |  UNION ALL
-         |  SELECT ccy_couple, rn, s2 AS s,
-         |    CASE WHEN pk IS NULL OR s2 > pk THEN s2 ELSE pk END AS pk,
-         |    CASE WHEN pk IS NULL OR s2 > pk THEN date ELSE pd END AS pd
-         |  FROM (
-         |    SELECT rec.ccy_couple, g.rn, g.date, rec.pk, rec.pd,
-         |      1000.0 + 0.1 * (CAST(g.chg_u AS DOUBLE)
-         |                      * CAST(g.chg_u AS DOUBLE))
-         |        + 0.85 * rec.s AS s2
-         |    FROM rec JOIN g ON g.ccy_couple = rec.ccy_couple
-         |                   AND g.rn = rec.rn + 1
-         |  )
-         |)
-         |SELECT r.ccy_couple, nn.n AS n_days, r.s AS sigma2_forecast,
-         |  r.pk AS sigma2_peak, r.pd AS peak_date
-         |FROM rec r JOIN nn ON nn.ccy_couple = r.ccy_couple
-         |WHERE r.rn = nn.n""".stripMargin,
+    "fx_garch_vol" -> GarchVolOracleSql,
+
+    // the incrementally-maintained report must equal the one-shot
+    // recurrence bit for bit — identical oracle
+    "stream_garch_incremental" -> GarchVolOracleSql,
 
     // lag-1 self-join on consecutive calendar days; same clamped corr
     // formula tree as fx_change_corr on exact integer moments

@@ -494,6 +494,38 @@ object StreamReplay {
     graft.analysis.ZigzagIncremental.report(s, root)
   }
 
+  /** The GARCH sibling of [[replayZigzagIncremental]] — the second
+    * ORDER-DEPENDENT incremental (the recurrence consumes returns in
+    * day order): buffered-frontier state via
+    * [[graft.analysis.GarchIncremental]], must equal the one-shot
+    * fx_garch_vol bit for bit (same oracle).
+    */
+  def replayGarchIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val tmp = Scratch.dir("graft_garch_replay")
+    val root = tmp.resolve("gv").toString
+    val rates = Tables.rates(s, dir)
+      .select(col("ccy_couple"), col("timestamp"), col("rate"), col("event_id"))
+    val feed = sharedOrderedFeed(s, dir, nBatches)
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(rates.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString + "/*")
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.analysis.GarchIncremental.applyBatch(s, root, batch,
+            batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.analysis.GarchIncremental.report(s, root)
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE: a daily-OHLC bars table kept up
     * to date by the stream, at O(touched days) per micro-batch. Each
     * batch (1) merges its raw ticks into a date-partitioned tick store
