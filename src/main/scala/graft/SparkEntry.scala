@@ -1192,6 +1192,11 @@ object SparkEntry {
     // counts — one per-user digest + a 1-row aggregate
     "q_ab_test" -> ((s, dir) =>
       graft.analysis.EventAnalytics.abTest(Tables.events(s, dir))),
+    // CUPED variance-reduced readout: pre-period spend as the control
+    // covariate, pooled theta from exact cent-long moments; rho_sq IS
+    // the sensitivity CUPED buys
+    "q_cuped_readout" -> ((s, dir) =>
+      graft.analysis.EventAnalytics.cupedReadout(Tables.events(s, dir))),
 
     // ordered conversion funnel view -> click -> purchase: earliest view,
     // earliest click strictly after it, earliest purchase strictly after
@@ -1997,6 +2002,11 @@ object SparkEntry {
     // docs' graphs advancing in the same five (doc, node)-keyed jobs —
     // the per-group-graph shape corpus-scale summarization needs
     "text_textrank" -> ((s, dir) => graft.text.TextRank.topPassages(s, dir)),
+    // incremental TextRank: doc-atomic partials (no cross-doc state at
+    // all) — each batch decodes ITS docs and appends finished rows;
+    // the union must equal the one-shot corpus run (same oracle)
+    "stream_textrank_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayTextRankIncremental(s, dir)),
 
     // in-engine model TRAINING as a query: hashed-bag-of-words linear
     // classifier, fixed-point full-batch GD with a correctly-rounded
@@ -6202,6 +6212,59 @@ object SparkEntry {
     // decayed ranking bit for bit — the oracle IS q_trending_events
     "stream_trending_incremental" -> TrendingOracleSql,
 
+    // CUPED replay: per-user cent-exact pre/post sums, the pooled
+    // moment row, per-arm means, the identical theta/rho_sq/adjustment
+    // double trees
+    "q_cuped_readout" ->
+      """WITH sp AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events
+        |), per AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) <
+        |          d0 + CAST(date_diff('day', d0, d1) // 2 AS INT)
+        |        THEN CAST(value AS DECIMAL(18,2)) END), 0.00) * 100
+        |      AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN NOT (CAST(ts AS DATE) <
+        |          d0 + CAST(date_diff('day', d0, d1) // 2 AS INT))
+        |        THEN CAST(value AS DECIMAL(18,2)) END), 0.00) * 100
+        |      AS BIGINT) AS y
+        |  FROM events, sp GROUP BY user_id
+        |), pa AS (
+        |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |              <= '7' THEN 0 ELSE 1 END AS arm, x, y
+        |  FROM per
+        |), mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pa
+        |), th AS (
+        |  SELECT
+        |    CASE WHEN n * sxx - sx * sx > 0
+        |         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |              / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |              * CAST(n * sxy - sx * sy AS DOUBLE)
+        |              / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |                 * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho_sq,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM mo
+        |), arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+        |  FROM pa GROUP BY arm
+        |)
+        |SELECT CAST(arm AS BIGINT) AS arm, n_users,
+        |  CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0 AS mean_y,
+        |  (CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |   - theta * (CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE) - xbar))
+        |    / 100.0 AS mean_y_adj,
+        |  theta, rho_sq
+        |FROM arms, th""".stripMargin,
+
     // the same exact conversion counts; the z statistic is the
     // identical double formula tree (p1-p0, pooled, sqrt) so every
     // rounded output is bit-equal
@@ -8540,6 +8603,8 @@ object SparkEntry {
     // raw-array positions (empties keep their slot, then drop) so
     // per-doc chunk-graph PageRank replayed round for round
     "text_textrank" -> TextRankOracleSql,
+    // doc-atomic incremental union must equal the one-shot — same oracle
+    "stream_textrank_incremental" -> TextRankOracleSql,
 
     // adjacency replays string-true; (count desc, w1, w2) total order
     "text_phrase_search" ->

@@ -71,6 +71,62 @@ object EventAnalytics {
       coalesce(abs(z) > 1.96, lit(false)).as("significant"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013 —
+    * public method; the industry-standard sensitivity booster): each
+    * user's PRE-period spend (first calendar half — independent of
+    * assignment by construction) is the control covariate for their
+    * experiment-period spend, Y_adj = Y − θ(X − X̄) with the pooled
+    * θ = cov(X, Y)/var(X). Per-user sums are exact (DECIMAL cents →
+    * longs), all moments exact longs, θ/ρ² the usual double trees over
+    * identical operands; `rho_sq` IS the variance reduction CUPED buys.
+    * Same hash-bucket arms as [[abTest]].
+    *
+    * Scale shape: one groupBy to the per-user digest, one 1-row moment
+    * aggregate, one per-arm aggregate — map-side combinable throughout.
+    */
+  def cupedReadout(events: DataFrame): DataFrame = {
+    val s0 = events.select(col("user_id"),
+      col("value").cast("decimal(18,2)").as("v"), to_date(col("ts")).as("d"))
+    val span = s0.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val per = s0.crossJoin(broadcast(span))
+      .withColumn("is_pre", col("d") < date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast("int")))
+      .groupBy(col("user_id"))
+      .agg(
+        (coalesce(sum(when(col("is_pre"), col("v"))),
+          lit(0).cast("decimal(18,2)")) * 100).cast("long").as("x"),
+        (coalesce(sum(when(!col("is_pre"), col("v"))),
+          lit(0).cast("decimal(18,2)")) * 100).cast("long").as("y"))
+      .select(when(substring(md5(col("user_id").cast("string")), 1, 1)
+          <= "7", 0L).otherwise(1L).as("arm"), col("x"), col("y"))
+      .localCheckpoint()
+    val mo = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    val theta = when(den > 0L, num.cast("double") / den.cast("double"))
+    val rhoSq = when(den > 0L && deny > 0L,
+      num.cast("double") * num.cast("double")
+        / (den.cast("double") * deny.cast("double")))
+    val xbar = col("sx").cast("double") / col("n").cast("double")
+    val arms = per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("ax"),
+        sum(col("y")).as("ay"))
+    arms.crossJoin(broadcast(mo.select(theta.as("theta"),
+        rhoSq.as("rho_sq"), xbar.as("xbar"))))
+      .select(col("arm"), col("n_users"),
+        (col("ay").cast("double") / col("n_users").cast("double")
+          / 100.0).as("mean_y"),
+        ((col("ay").cast("double") / col("n_users").cast("double")
+          - col("theta") * (col("ax").cast("double")
+            / col("n_users").cast("double") - col("xbar")))
+          / 100.0).as("mean_y_adj"),
+        col("theta"), col("rho_sq"))
+  }
+
   /** TRENDING ranking with exponential time decay (the HN/Reddit
     * hotness shape): each event weighs 2^-(age/halflifeDays weeks,
     * floored) anchored at the corpus's latest day, so recent activity

@@ -1550,6 +1550,44 @@ object StreamReplay {
     graft.operators.DataQuality.volumeAnomalyFromDaily(daily)
   }
 
+  /** Replay of INCREMENTAL TEXTRANK maintenance — the DOC-ATOMIC
+    * partial shape (classifier-features precedent): TextRank has no
+    * cross-document state at all (chunks, edges, teleport, and the five
+    * PageRank rounds are all per-doc), so each micro-batch computes the
+    * full decode for ITS docs only and appends the finished rows —
+    * O(batch) per batch, nothing re-ranked, batchId-idempotent via
+    * BatchAppend. The union must equal the one-shot corpus run row for
+    * row (identical oracle) BECAUSE of that independence — which is
+    * exactly what the gate proves.
+    */
+  def replayTextRankIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    val tmp = Scratch.dir("graft_textrank_replay")
+    val outDir = tmp.resolve("ranks").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val feed = memoFeed("textrank", dir, nBatches) { p =>
+      docs.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.util.BatchAppend.append(
+            graft.text.TextRank.topPassagesFrom(batch),
+            s"$outDir/partials", Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    s.read.parquet(s"$outDir/partials")
+  }
+
   /** Replay of INCREMENTAL SURVIVAL-CURVE maintenance: per-user
     * (first, last) event-date spans are VALUE-IDEMPOTENT mergeable
     * partials (min/max fold in any order and survive duplicate

@@ -140,6 +140,28 @@ class EventAnalyticsSpec extends SparkSuite {
     if (((d(0) >> 4) & 0xf) <= 7) 0 else 1
   }
 
+  test("CUPED: a perfect covariate gives theta = 2, rho_sq = 1, and flattens both arms to the grand mean") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // user u spends u.00 in the pre half and exactly 2u.00 in the post
+    // half: x = 100u cents, y = 200u → theta = 2 exactly, rho_sq = 1,
+    // and Y_adj = 2·x̄ for EVERY user, so both arms' adjusted means
+    // collapse to the same grand value whatever the md5 arms are
+    val rows = (1L to 8L).flatMap { u =>
+      Seq((u, u.toDouble, "2024-01-01"), (u, 2.0 * u, "2024-01-10"))
+    }.map { case (u, v, d) =>
+      (u, v, Timestamp.valueOf(d + " 00:00:00"))
+    }.toDF("user_id", "value", "ts")
+    val out = EventAnalytics.cupedReadout(rows).collect()
+    assert(out.nonEmpty && out.length <= 2)
+    val xbar = (1 to 8).map(_ * 100L).sum.toDouble / 8 // cents
+    out.foreach { r =>
+      assert(r.getDouble(4) == 2.0) // theta
+      assert(r.getDouble(5) == 1.0) // rho_sq
+      assert(math.abs(r.getDouble(3) - 2.0 * xbar / 100.0) < 1e-9)
+    }
+  }
+
   test("ab test: hand z-statistic, md5-hashed arms, significance branch") {
     import spark.implicits._
     // A lopsided experiment that must read significant: in arm 0 only
