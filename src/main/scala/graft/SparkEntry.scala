@@ -498,6 +498,20 @@ object SparkEntry {
       graft.analysis.MarketAnalytics.adfSpreadPairs(rates(s, dir),
         memoKey = Some(dir))),
 
+    // Spearman rank correlation per mutual edge: tie-aware DOUBLED
+    // average ranks (exact integers) over common days, Pearson tree on
+    // the rank moments — the robust sibling of fx_change_corr
+    "fx_spearman_pairs" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.spearmanPairs(rates(s, dir),
+        memoKey = Some(dir))),
+
+    // Lo-MacKinlay variance-ratio VR(5) per pair: the random-walk
+    // diagnostic on each pair's OWN series (ADF tests the spread) —
+    // exact-long moments over observed-day changes and their
+    // overlapping 5-day sums, sqrt-free squared-z rejection at 1.96²
+    "fx_variance_ratio" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.varianceRatio(rates(s, dir))),
+
     // confirmed zigzag swing pivots: all-integer leg fold per pair,
     // inline in the generator select; strict-extreme/≥T-retrace rules
     "fx_zigzag" -> ((s, dir) =>
@@ -1098,6 +1112,37 @@ object SparkEntry {
         .join(broadcast(names.select(col("n_nationkey").as("v"),
           col("n_name").as("nation_b"))), "v")
         .select(col("nation_a"), col("nation_b"), col("support"))
+    }),
+
+    // HITS hubs & authorities (5 synchronous iterations, max-norm) on
+    // the DIRECTED customer→supplier nation graph — the link-analysis
+    // split PageRank folds together: buying breadth vs supplying pull;
+    // ordered in/out-neighbor folds, 1-row max digests broadcast back
+    "q_hits_trade" -> ((s, dir) =>
+      graft.operators.Hits.hits(
+          tradeRevenueEdges(s, dir)
+            .where(col("src") =!= col("dst"))
+            .select(col("src"), col("dst")), iters = 5)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+        .select(col("n_name").as("nation"), col("authority"), col("hub"))),
+
+    // link prediction on the same graph: common-neighbor count +
+    // resource-allocation index (scaled-integer Σ floor(1e12/deg)) for
+    // every NON-adjacent pair sharing a neighbor — the "which tie forms
+    // next" primitive next to the cohesion family; one wedge join, one
+    // anti-join, all-integer scores
+    "q_linkpred_trade" -> ((s, dir) => {
+      val names = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      graft.operators.LinkPrediction.predictLinks(
+          mutualTopTradeEdges(s, dir, topN = 7))
+        .join(broadcast(names.select(col("n_nationkey").as("a"),
+          col("n_name").as("nation_a"))), "a")
+        .join(broadcast(names.select(col("n_nationkey").as("b"),
+          col("n_name").as("nation_b"))), "b")
+        .select(col("nation_a"), col("nation_b"),
+          col("common_neighbors"), col("ra_scaled"))
     }),
 
     // community detection on the same graph: deterministic synchronous
@@ -1839,6 +1884,10 @@ object SparkEntry {
     "text_stats" -> TextFunctions.textStats _,
     // composite quality score
     "text_quality" -> TextFunctions.textQuality _,
+    // Flesch-Kincaid grade, all-integer milli-grade variant + band —
+    // the complexity signal next to the cleanliness scores; pure
+    // codegen'd regexp_count map, no shuffle
+    "text_readability" -> TextFunctions.readability _,
     // the Gopher per-rule filter breakdown: each published drop rule as
     // an auditable boolean next to the composite score
     "text_gopher_rules" -> ((s, dir) =>
@@ -3701,6 +3750,104 @@ object SparkEntry {
        |JOIN nation nb ON nb.n_nationkey = e.v""".stripMargin
   }
 
+  /** HITS replay: 5 synchronous iterations as chained CTEs — each
+    * auth/hub update an ORDERED list_reduce left fold (the PageRank
+    * oracle discipline, matching Spark's sort_array + aggregate HOF),
+    * each normalization a 1-row max cross-joined back.
+    */
+  private val HitsTradeOracleSql: String = {
+    val iters = 5
+    val steps = (1 to iters).map { i =>
+      s"""ac$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    list_reduce(list_prepend(0.0, list(h.s ORDER BY e.src)),
+         |                (x, y) -> x + y) AS m
+         |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst
+         |), am$i AS MATERIALIZED (SELECT max(m) AS mx FROM ac$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT nodes.node, coalesce(ac$i.m, 0.0) / am$i.mx AS s
+         |  FROM nodes LEFT JOIN ac$i ON ac$i.node = nodes.node
+         |  CROSS JOIN am$i
+         |), hc$i AS MATERIALIZED (
+         |  SELECT e.src AS node,
+         |    list_reduce(list_prepend(0.0, list(a.s ORDER BY e.dst)),
+         |                (x, y) -> x + y) AS m
+         |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src
+         |), hm$i AS MATERIALIZED (SELECT max(m) AS mx FROM hc$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT nodes.node, coalesce(hc$i.m, 0.0) / hm$i.mx AS s
+         |  FROM nodes LEFT JOIN hc$i ON hc$i.node = nodes.node
+         |  CROSS JOIN hm$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS MATERIALIZED (
+       |  SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+       |$steps
+       |SELECT n_name AS nation, a$iters.s AS authority, h$iters.s AS hub
+       |FROM nodes
+       |JOIN a$iters ON a$iters.node = nodes.node
+       |JOIN h$iters ON h$iters.node = nodes.node
+       |JOIN nation ON n_nationkey = nodes.node""".stripMargin
+  }
+
+  /** Link-prediction replay: the mutual-top-7 edge chain, a wedge join
+    * on the centre with a < b, integer floor-divided RA weights summed
+    * per candidate pair, then the anti-join against existing edges —
+    * every score exact integer arithmetic (`//` mirrors Spark's `div`).
+    */
+  private val LinkpredTradeOracleSql: String =
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |        * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       |      AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey
+       |  GROUP BY 1, 2
+       |), top AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC)
+       |        AS rn
+       |    FROM e0)
+       |  WHERE rn <= 7
+       |), r0 AS MATERIALIZED (
+       |  SELECT a.src, a.dst FROM top a
+       |  JOIN top b ON a.src = b.dst AND a.dst = b.src
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM r0 GROUP BY 1
+       |), sc AS (
+       |  SELECT e1.src AS a, e2.dst AS b,
+       |    count(*) AS common_neighbors,
+       |    CAST(sum(1000000000000 // d.deg) AS BIGINT) AS ra_scaled
+       |  FROM r0 e1
+       |  JOIN r0 e2 ON e1.dst = e2.src
+       |  JOIN deg d ON d.src = e1.dst
+       |  WHERE e1.src < e2.dst
+       |  GROUP BY 1, 2
+       |), pred AS (
+       |  SELECT sc.a, sc.b, sc.common_neighbors, sc.ra_scaled
+       |  FROM sc LEFT JOIN r0 e ON e.src = sc.a AND e.dst = sc.b
+       |  WHERE e.src IS NULL
+       |)
+       |SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+       |  common_neighbors, ra_scaled
+       |FROM pred
+       |JOIN nation na ON na.n_nationkey = a
+       |JOIN nation nb ON nb.n_nationkey = b""".stripMargin
+
   private val KcoreTradeOracleSql: String = {
     val k = 4
     val rounds = (1 to 26).map { i =>
@@ -4659,6 +4806,39 @@ object SparkEntry {
     // the maintained frontier report must reproduce the one-shot fold
     "stream_zigzag_incremental" -> ZigzagOracleSql,
 
+    // tie-aware doubled ranks via rank() + per-value count windows,
+    // exact BIGINT rank moments, the fx_autocorr closing tree
+    "fx_spearman_pairs" ->
+      s"""WITH $RatesCte, $DtwSeqCtes, $CoSignGraphCtes, mutc AS (
+         |  SELECT src, dst FROM mutall WHERE src < dst
+         |), ob AS (
+         |  SELECT c.src, c.dst, a.chg_u AS xa, b.chg_u AS xb
+         |  FROM mutc c
+         |  JOIN chn a ON a.ccy_couple = c.src
+         |  JOIN chn b ON b.ccy_couple = c.dst AND b.date = a.date
+         |), rk AS (
+         |  SELECT src, dst,
+         |    2 * rank() OVER (PARTITION BY src, dst ORDER BY xa)
+         |      + count(*) OVER (PARTITION BY src, dst, xa) - 1 AS ra,
+         |    2 * rank() OVER (PARTITION BY src, dst ORDER BY xb)
+         |      + count(*) OVER (PARTITION BY src, dst, xb) - 1 AS rb
+         |  FROM ob
+         |), mo AS (
+         |  SELECT src, dst, count(*) AS n,
+         |    CAST(sum(ra) AS DOUBLE) AS sx, CAST(sum(rb) AS DOUBLE) AS sy,
+         |    CAST(sum(ra * rb) AS DOUBLE) AS sxy,
+         |    CAST(sum(ra * ra) AS DOUBLE) AS sxx,
+         |    CAST(sum(rb * rb) AS DOUBLE) AS syy
+         |  FROM rk GROUP BY 1, 2
+         |)
+         |SELECT src AS src_ccy, dst AS dst_ccy, CAST(n AS BIGINT) AS n_days,
+         |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+         |    / sqrt(nullif(greatest(
+         |        (CAST(n AS DOUBLE) * sxx - sx * sx)
+         |        * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0), 0.0))
+         |    AS spearman_rho
+         |FROM mo WHERE n >= 2""".stripMargin,
+
     // the same centered moments, then the closed-form hedge ratio with
     // a non-positive-denominator NULL guard
     "fx_minvar_pairs" ->
@@ -4862,6 +5042,63 @@ object SparkEntry {
 
     // lag-1 self-join on consecutive calendar days; same clamped corr
     // formula tree as fx_change_corr on exact integer moments
+    // VR(5): the chg_u chain, window row-number + q-sum over 5 rows,
+    // exact integer moments (DuckDB HUGEINT sums cast to DOUBLE only in
+    // the closing tree, which mirrors varianceRatio's operand order)
+    "fx_variance_ratio" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, date, CAST(chg * 1000 AS BIGINT) AS chg_u
+         |  FROM ch WHERE chg IS NOT NULL
+         |), ord AS (
+         |  SELECT ccy_couple, chg_u,
+         |    row_number() OVER (PARTITION BY ccy_couple ORDER BY date) AS t,
+         |    count(*) OVER (PARTITION BY ccy_couple) AS n
+         |  FROM chn
+         |), qs AS (
+         |  SELECT ccy_couple, n, t,
+         |    sum(chg_u) OVER (PARTITION BY ccy_couple ORDER BY t
+         |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s
+         |  FROM ord
+         |), mo AS (
+         |  SELECT ccy_couple, max(n) AS n,
+         |    sum(chg_u) AS s1, sum(chg_u * chg_u) AS s2
+         |  FROM ord GROUP BY 1
+         |), mq AS (
+         |  SELECT ccy_couple, count(*) AS nq, sum(s) AS t1, sum(s * s) AS t2
+         |  FROM qs WHERE t <= n - 4 GROUP BY 1
+         |), z AS (
+         |  SELECT mo.ccy_couple, CAST(mo.n AS BIGINT) AS n_days,
+         |    CAST(mq.nq AS BIGINT) AS nq,
+         |    CASE WHEN CAST(mo.n AS DOUBLE) * CAST(s2 AS DOUBLE)
+         |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) = 0.0
+         |      THEN NULL
+         |      ELSE ((CAST(mq.nq AS DOUBLE) * CAST(t2 AS DOUBLE)
+         |             - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+         |            * CAST(mo.n AS DOUBLE) * CAST(mo.n AS DOUBLE))
+         |           / (5.0 * (CAST(mo.n AS DOUBLE) * CAST(s2 AS DOUBLE)
+         |                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |              * CAST(mq.nq AS DOUBLE) * CAST(mq.nq AS DOUBLE))
+         |      END AS vr,
+         |    CAST(mo.n AS DOUBLE) AS nd
+         |  FROM mo JOIN mq USING (ccy_couple)
+         |  WHERE mo.n > 5
+         |)
+         |SELECT ccy_couple, n_days, nq, vr,
+         |  (vr - 1.0) * (vr - 1.0) / (72.0 / (15.0 * nd)) AS z_sq,
+         |  (vr - 1.0) * (vr - 1.0) / (72.0 / (15.0 * nd)) > 3.8416
+         |    AS walk_rejected
+         |FROM z""".stripMargin,
+
     "fx_autocorr" ->
       s"""WITH $RatesCte, cl AS (
          |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
@@ -5933,6 +6170,8 @@ object SparkEntry {
     "q_pagerank_trade" -> PagerankTradeOracleSql,
     "q_ppr_trade" -> PprTradeOracleSql,
     "q_kcore_trade" -> KcoreTradeOracleSql,
+    "q_linkpred_trade" -> LinkpredTradeOracleSql,
+    "q_hits_trade" -> HitsTradeOracleSql,
 
     // edge-support peel unrolled to the |E|-bound round count (a
     // converged round is a no-op, so the fixed unroll is exact); each
@@ -6943,6 +7182,31 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
         |    / nullif(length(text), 0) AS alpha_ratio
         |FROM documents""".stripMargin,
+
+    // the identical integer floor-division tree (`//` mirrors `div`);
+    // every intermediate is positive, so floor == truncation on both
+    "text_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    CAST(((390 * n_words) // n_sentences)
+        |      + ((11800 * n_syllables) // n_words) - 15590 AS BIGINT)
+        |      AS fk_grade_milli
+        |  FROM t WHERE n_words > 0
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, fk_grade_milli,
+        |  CASE WHEN fk_grade_milli < 6000 THEN 'elementary'
+        |       WHEN fk_grade_milli < 9000 THEN 'middle'
+        |       WHEN fk_grade_milli < 13000 THEN 'high_school'
+        |       ELSE 'college' END AS band
+        |FROM g""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (

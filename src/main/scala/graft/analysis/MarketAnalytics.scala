@@ -591,6 +591,69 @@ object MarketAnalytics {
         .cast("long").as("halflife_days"))
   }
 
+  /** SPEARMAN rank correlation per mutual co-movement edge — the
+    * robust sibling of the Pearson matrix ([[dailyChangeCorr]]): a
+    * single fat-finger day dominates a Pearson moment; ranks cap its
+    * leverage at one rank slot. Semantics: both pairs' changes on their
+    * COMMON days, tie-aware average ranks within that common-day set,
+    * Pearson on the ranks.
+    *
+    * Exactness device: ranks are DOUBLED average ranks — 2·rank_min +
+    * ties − 1, an exact integer even for .5 averages — so Σr, Σr²,
+    * Σr_a·r_b are exact longs (doubling cancels in the correlation),
+    * and the closing rho is the [[autocorr1d]] double tree on identical
+    * operands. Tie policy is pinned by the window pair (rank() +
+    * per-value count), replayed verbatim in SQL.
+    *
+    * Scale shape: runs on the memoized co-movement digest — edges
+    * broadcast against the day-aligned vectors, common days exploded to
+    * |edges|×|days| rows (digest-confined), two rank windows partitioned
+    * by edge, one grouped exact-moment aggregation. The corpus is never
+    * touched past the digest build.
+    */
+  def spearmanPairs(rates: DataFrame, topN: Int = 3,
+      memoKey: Option[String] = None): DataFrame = {
+    val (_, vecs, edgesSym) = comovementDigest(rates, topN, memoKey)
+    val edges = edgesSym.where(col("src") < col("dst"))
+    val obs = edges
+      .join(broadcast(vecs.select(col("ccy_couple").as("src"),
+        col("v").as("va"))), Seq("src"))
+      .join(broadcast(vecs.select(col("ccy_couple").as("dst"),
+        col("v").as("vb"))), Seq("dst"))
+      .select(col("src"), col("dst"),
+        explode(filter(zip_with(col("va"), col("vb"), (a, b) =>
+          when(a.isNotNull && b.isNotNull,
+            struct(a.as("xa"), b.as("xb")))),
+          x => x.isNotNull)).as("o"))
+      .select(col("src"), col("dst"),
+        col("o.xa").as("xa"), col("o.xb").as("xb"))
+    val wA = Window.partitionBy(col("src"), col("dst")).orderBy(col("xa"))
+    val wB = Window.partitionBy(col("src"), col("dst")).orderBy(col("xb"))
+    val tA = Window.partitionBy(col("src"), col("dst"), col("xa"))
+    val tB = Window.partitionBy(col("src"), col("dst"), col("xb"))
+    val ranked = obs
+      .withColumn("ra",
+        lit(2L) * rank().over(wA) + count(lit(1)).over(tA) - lit(1L))
+      .withColumn("rb",
+        lit(2L) * rank().over(wB) + count(lit(1)).over(tB) - lit(1L))
+    val mo = ranked.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra")).as("sx"), sum(col("rb")).as("sy"),
+        sum(col("ra") * col("rb")).as("sxy"),
+        sum(col("ra") * col("ra")).as("sxx"),
+        sum(col("rb") * col("rb")).as("syy"))
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val cov = nd * col("sxy").cast("double") - sx * sy
+    val vx = nd * col("sxx").cast("double") - sx * sx
+    val vy = nd * col("syy").cast("double") - sy * sy
+    mo.where(col("n") >= 2)
+      .select(col("src").as("src_ccy"), col("dst").as("dst_ccy"),
+        col("n").as("n_days"),
+        (cov / sqrt(nullif(greatest(vx * vy, lit(0.0)), lit(0.0))))
+          .as("spearman_rho"))
+  }
+
   /** DICKEY-FULLER unit-root test on the same pair spread — the
     * SIGNIFICANCE that completes the pairs-desk family:
     * [[minVariancePairs]] quotes the hedge, [[ouHalflifePairs]] the
@@ -1632,5 +1695,68 @@ object MarketAnalytics {
       .groupBy(col("ccy_couple"))
       .agg(count(lit(1)).as("n_days"),
         (max(col("dd")) * lit(1000)).cast("long").as("max_drawdown_milli"))
+  }
+
+  /** Lo–MacKinlay VARIANCE-RATIO test (Lo & MacKinlay 1988 — a public
+    * method) per pair: VR(q) = Var[q-period overlapping change sums] /
+    * (q · Var[1-period change]) over the observed-day change series —
+    * the random-walk diagnostic completing the unit-root family
+    * ([[adfSpreadPairs]] tests the SPREAD's reversion; this tests each
+    * pair's own walk). VR ≈ 1 under a random walk; VR < 1 means
+    * mean-reversion, VR > 1 momentum. Variant pinned here: per-horizon
+    * demeaning (each horizon's variance is taken around that horizon's
+    * own mean — the biased n²-denominator form), which keeps every
+    * moment an exact integer.
+    *
+    * Exactness: Σr, Σr², Σs, Σs² are exact longs folded over the
+    * per-pair array (q-sums are integer sums of integer changes, so no
+    * accumulation-order issue exists anywhere); the closing VR / z²
+    * arithmetic is one fixed DOUBLE expression tree mirrored verbatim
+    * in the oracle, and the rejection flag compares z² against the
+    * squared 5% normal critical value 1.96² = 3.8416 — the sqrt-free
+    * squared-threshold discipline of the ADF/KS gates. ψ is the
+    * homoskedastic Lo–MacKinlay asymptotic variance
+    * 2(2q−1)(q−1)/(3qn). Degenerate series (zero 1-period variance)
+    * yield NULL vr with a NULL flag (3VL — no evidence, not evidence
+    * of a walk).
+    *
+    * Scale shape: the tick corpus reduces to the |pairs|×|days| change
+    * digest FIRST (one shuffle); the per-pair fold is O(|days|·q) on
+    * digest-sized arrays; output is |pairs| rows. Nothing quadratic
+    * touches the corpus.
+    */
+  def varianceRatio(rates: DataFrame, q: Int = 5): DataFrame = {
+    require(q >= 2, s"variance ratio needs q >= 2, got $q")
+    val ser = dailyChangesU(rates)
+      .groupBy(col("ccy_couple"))
+      .agg(sort_array(collect_list(struct(col("date"), col("chg_u"))))
+        .as("seq"))
+      .select(col("ccy_couple"),
+        transform(col("seq"), x => x.getField("chg_u")).as("r"))
+      .where(size(col("r")) > q) // nq = n-q+1 >= 2 overlapping q-sums
+    val nCol = size(col("r")).cast("long")
+    val nqCol = (size(col("r")) - lit(q) + lit(1)).cast("long")
+    // overlapping q-period sums: s_t = r_t + ... + r_{t+q-1}; O(n·q)
+    // on the digest-sized array beats materializing a prefix array
+    val qsums = transform(sequence(lit(1), size(col("r")) - lit(q) + lit(1)),
+      t => aggregate(slice(col("r"), t, lit(q)), lit(0L), (a, x) => a + x))
+    val mo = ser.select(col("ccy_couple"), nCol.as("n"), nqCol.as("nq"),
+      aggregate(col("r"), lit(0L), (a, x) => a + x).as("s1"),
+      aggregate(col("r"), lit(0L), (a, x) => a + x * x).as("s2"),
+      aggregate(qsums, lit(0L), (a, x) => a + x).as("t1"),
+      aggregate(qsums, lit(0L), (a, x) => a + x * x).as("t2"))
+    // closing arithmetic: one fixed DOUBLE tree, mirrored in the oracle
+    val nd = col("n").cast("double"); val nqd = col("nq").cast("double")
+    val s1d = col("s1").cast("double"); val s2d = col("s2").cast("double")
+    val t1d = col("t1").cast("double"); val t2d = col("t2").cast("double")
+    val v1num = nd * s2d - s1d * s1d       // n²·biased Var_1
+    val vqnum = nqd * t2d - t1d * t1d      // nq²·biased Var_q
+    val vr = when(v1num === lit(0.0), lit(null).cast("double"))
+      .otherwise((vqnum * nd * nd) / (lit(q.toDouble) * v1num * nqd * nqd))
+    val psi = lit(2.0 * (2 * q - 1) * (q - 1)) / (lit(3.0 * q) * nd)
+    val zsq = (vr - lit(1.0)) * (vr - lit(1.0)) / psi
+    mo.select(col("ccy_couple"), col("n").as("n_days"), col("nq"),
+      vr.as("vr"), zsq.as("z_sq"),
+      (zsq > lit(3.8416)).as("walk_rejected"))
   }
 }

@@ -956,4 +956,78 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(out(("A", "D")).getString(6) ==
       (if (z > 2.0) "short_a" else if (z < -2.0) "long_a" else "flat"))
   }
+
+  test("variance ratio: exact VR on hand series, z² rejection, NULL and length edges") {
+    import spark.implicits._
+    def mk(pair: String, closes: Seq[Double], idBase: Long) =
+      closes.zipWithIndex.map { case (c, i) =>
+        (idBase + i, idBase * 1000000L + i * 1000L, pair, c,
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString)
+      }
+    val alt8 = (0 until 8).map(i => if (i % 2 == 0) 1.000 else 1.001)
+    val alt32 = (0 until 32).map(i => if (i % 2 == 0) 1.000 else 1.001)
+    val lin7 = (0 until 7).map(i => 1.000 + 0.002 * i)
+    val short6 = (0 until 6).map(i => 1.000 + 0.001 * (i % 2))
+    val fx = (mk("ALT/S", alt8, 100) ++ mk("ALT/L", alt32, 200) ++
+      mk("C/C", lin7, 300) ++ mk("S/S", short6, 400))
+      .toDF("event_id", "event_time", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", timestamp_micros(col("event_time")))
+      .drop("ds")
+    val out = MarketAnalytics.varianceRatio(fx).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // 6 closes -> 5 changes = q: below the n > q floor, absent entirely
+    assert(out.size == 3 && !out.contains("S/S"))
+    // the operator's own closing tree, recomputed from exact moments
+    def expect(n: Long, nq: Long, s1: Long, s2: Long, t1: Long, t2: Long) = {
+      val (nd, nqd) = (n.toDouble, nq.toDouble)
+      val vr = ((nqd * t2 - t1.toDouble * t1) * nd * nd) /
+        (5.0 * (nd * s2 - s1.toDouble * s1) * nqd * nqd)
+      (vr, (vr - 1.0) * (vr - 1.0) / (72.0 / (15.0 * nd)))
+    }
+    // ALT/S: r = [+1,-1,+1,-1,+1,-1,+1]; q-sums [1,-1,1]
+    val (vrS, zS) = expect(7, 3, 1, 7, 1, 3)
+    val rS = out("ALT/S")
+    assert(rS.getLong(1) == 7 && rS.getLong(2) == 3)
+    assert(rS.getDouble(3) == vrS && rS.getDouble(4) == zS)
+    assert(!rS.getBoolean(5) && zS < 3.8416) // n too small to reject
+    // ALT/L: 31 alternating changes; 27 q-sums alternating +1/-1
+    val (vrL, zL) = expect(31, 27, 1, 31, 1, 27)
+    val rL = out("ALT/L")
+    assert(rL.getDouble(3) == vrL && rL.getDouble(4) == zL)
+    assert(rL.getBoolean(5) && zL > 3.8416) // anti-persistence detected
+    // C/C: constant +2 changes -> zero 1-period variance -> 3VL NULLs
+    val rC = out("C/C")
+    assert(rC.isNullAt(3) && rC.isNullAt(4) && rC.isNullAt(5))
+  }
+
+  test("spearman: tie-free hand value 0.8 exact; tie ranks doubled-average") {
+    import spark.implicits._
+    def mk(pair: String, closes: Seq[Double], idBase: Long) =
+      closes.zipWithIndex.map { case (c, i) =>
+        (idBase + i, idBase * 1000000L + i * 1000L, pair, c,
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString)
+      }
+    def df(rows: Seq[(Long, Long, String, Double, String)]) =
+      rows.toDF("event_id", "event_time", "ccy_couple", "rate", "ds")
+        .withColumn("date", to_date(col("ds")))
+        .withColumn("timestamp", timestamp_micros(col("event_time")))
+        .drop("ds")
+    // changes x = [1,2,3,4,5], y = [10,30,20,50,40]: classic rho = 0.8,
+    // exact here (sqrt(200·200) = 200 is an IEEE-exact square)
+    val fxP = df(mk("P/1", Seq(1.000, 1.001, 1.003, 1.006, 1.010, 1.015), 100)
+      ++ mk("P/2", Seq(1.000, 1.010, 1.040, 1.060, 1.110, 1.150), 200))
+    val p = MarketAnalytics.spearmanPairs(fxP).collect()
+    assert(p.length == 1)
+    assert(p.head.getString(0) == "P/1" && p.head.getString(1) == "P/2")
+    assert(p.head.getLong(2) == 5 && p.head.getDouble(3) == 0.8)
+    // ties both sides: x = [1,1,2,3] -> doubled ranks [3,3,6,8];
+    // y = [5,5,5,1] -> [6,6,6,2]; rho = -48/sqrt(72*48)
+    val fxQ = df(mk("Q/1", Seq(1.000, 1.001, 1.002, 1.004, 1.007), 300)
+      ++ mk("Q/2", Seq(1.000, 1.005, 1.010, 1.015, 1.016), 400))
+    val q = MarketAnalytics.spearmanPairs(fxQ).collect()
+    assert(q.length == 1)
+    assert(q.head.getLong(2) == 4)
+    assert(q.head.getDouble(3) == -48.0 / math.sqrt(72.0 * 48.0))
+  }
 }

@@ -575,4 +575,30 @@ class OperatorsSpec extends SparkSuite {
       .as("u2")).collect().head
     assert(r.getLong(0) == 7L)
   }
+
+  test("readability: counts and integer milli-grade match a driver recompute") {
+    val docs = graft.model.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextFunctions.readability(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    var bands = Set.empty[String]
+    out.foreach { r =>
+      val text = docs(r.getLong(0))
+      val words = "\\S+".r.findAllIn(text).size.toLong
+      val sents = math.max("[.!?]+".r.findAllIn(text).size, 1).toLong
+      val syll = "[aeiouy]+".r.findAllIn(text.toLowerCase).size.toLong
+      assert(r.getLong(1) == words && r.getLong(2) == sents &&
+        r.getLong(3) == syll)
+      val grade = (390L * words) / sents + (11800L * syll) / words - 15590L
+      assert(r.getLong(4) == grade)
+      val band = if (grade < 6000) "elementary" else if (grade < 9000) "middle"
+        else if (grade < 13000) "high_school" else "college"
+      assert(r.getString(5) == band)
+      bands += band
+    }
+    // zero-word docs are dropped, never divided by
+    assert(out.length == docs.count(_._2.trim.nonEmpty))
+    assert(bands.nonEmpty)
+  }
 }
