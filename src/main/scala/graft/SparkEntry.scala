@@ -948,6 +948,19 @@ object SparkEntry {
           graft.operators.IncrementalView.tradeEdgeDigestIncremental(
             s, dir, nBatches = 4, scratchTag = "graft_gs_edges"),
           topN = 7))),
+    // incremental HITS: the same maintained edge digest, distinct
+    // directed pairs projected, the 5-iteration fixpoint rerun at
+    // report time — must equal the one-shot q_hits_trade bit for bit
+    "stream_hits_incremental" -> ((s, dir) =>
+      graft.operators.Hits.hits(
+          graft.operators.IncrementalView.tradeEdgeDigestIncremental(
+              s, dir, nBatches = 4, scratchTag = "graft_hits_edges")
+            .where(col("src") =!= col("dst"))
+            .select(col("src"), col("dst")), iters = 5)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+        .select(col("n_name").as("nation"), col("authority"), col("hub"))),
+
     "stream_neardup_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayNearDupIncremental(s, dir)),
 
@@ -1888,6 +1901,10 @@ object SparkEntry {
     // the complexity signal next to the cleanliness scores; pure
     // codegen'd regexp_count map, no shuffle
     "text_readability" -> TextFunctions.readability _,
+    // curriculum-learning stages: exact (grade, doc_id) rank via the
+    // two-pass distributed prefix count, 4 equal-frequency stages by
+    // one integer floor division — no global sort touches the corpus
+    "cur_curriculum_stages" -> graft.text.Curation.curriculumStages _,
     // the Gopher per-rule filter breakdown: each published drop rule as
     // an auditable boolean next to the composite score
     "text_gopher_rules" -> ((s, dir) =>
@@ -6172,6 +6189,8 @@ object SparkEntry {
     "q_kcore_trade" -> KcoreTradeOracleSql,
     "q_linkpred_trade" -> LinkpredTradeOracleSql,
     "q_hits_trade" -> HitsTradeOracleSql,
+    // the maintained digest must converge to the one-shot fixpoint
+    "stream_hits_incremental" -> HitsTradeOracleSql,
 
     // edge-support peel unrolled to the |E|-bound round count (a
     // converged round is a no-op, so the fixed unroll is exact); each
@@ -7207,6 +7226,35 @@ object SparkEntry {
         |       WHEN fk_grade_milli < 13000 THEN 'high_school'
         |       ELSE 'college' END AS band
         |FROM g""".stripMargin,
+
+    // one plain row_number replays the two-pass distributed rank; the
+    // stage is the identical integer floor division
+    "cur_curriculum_stages" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CAST(((390 * n_words) // n_sentences)
+        |      + ((11800 * n_syllables) // n_words) - 15590 AS BIGINT)
+        |      AS fk_grade_milli
+        |  FROM t WHERE n_words > 0
+        |), r AS (
+        |  SELECT doc_id, fk_grade_milli,
+        |    row_number() OVER (ORDER BY fk_grade_milli, doc_id) AS rank,
+        |    count(*) OVER () AS n
+        |  FROM g
+        |)
+        |SELECT doc_id, fk_grade_milli, CAST(rank AS BIGINT) AS rank,
+        |  CASE ((rank - 1) * 4) // n
+        |    WHEN 0 THEN 's1_simple' WHEN 1 THEN 's2_moderate'
+        |    WHEN 2 THEN 's3_advanced' ELSE 's4_complex' END AS stage
+        |FROM r""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (

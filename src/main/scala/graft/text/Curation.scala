@@ -1027,6 +1027,53 @@ object Curation {
     * exact, overflow-proof at corpus scale) and the report emits the
     * BIGINT cast.
     */
+  /** CURRICULUM-learning stage assignment (Bengio et al. 2009 — a
+    * public method): documents ranked by DIFFICULTY — the all-integer
+    * Flesch-Kincaid milli-grade ([[TextFunctions.readability]]) under
+    * the (grade, doc_id) total order — and split into 4 equal-frequency
+    * stages, simplest quarter first. The stage column is what a
+    * training loader orders shards by; equal-frequency (not
+    * equal-width) so every stage carries the same sample budget.
+    *
+    * Exactness: the global rank is exact and total (integer grade,
+    * doc_id tiebreak), and stage = ((rank−1)·4) div n is one integer
+    * floor division — nothing to round, the oracle replays it with a
+    * plain row_number.
+    *
+    * Scale shape: the rank is a DISTRIBUTED two-pass prefix count (the
+    * [[packSequences]] discipline — a global row_number window would
+    * put the corpus on one task): pass 1 counts per 1000-milli grade
+    * band (trunc-div banding is monotonic, so band order is grade
+    * order) and prefix-sums the ≤\|bands\|-row relation; pass 2 ranks
+    * within each band's bounded partition and adds the band offset.
+    * The corpus is touched by two narrow passes, no global sort.
+    */
+  def curriculumStages(s: SparkSession, dir: String): DataFrame = {
+    val g = TextFunctions.readability(s, dir)
+      .select(col("doc_id"), col("fk_grade_milli"))
+      .withColumn("band", expr("fk_grade_milli div 1000"))
+    // pass 1: band counts + exclusive prefix (window over the tiny
+    // aggregated relation, not the corpus)
+    val wb = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = g.groupBy(col("band")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wb), lit(0L)))
+      .select(col("band"), col("off"))
+    val total = g.agg(count(lit(1)).as("n"))
+    // pass 2: bounded within-band rank + band offset
+    val wl = Window.partitionBy(col("band"))
+      .orderBy(col("fk_grade_milli"), col("doc_id"))
+    g.join(broadcast(offs), "band")
+      .withColumn("rank", col("off") + row_number().over(wl))
+      .crossJoin(broadcast(total))
+      .withColumn("stage_idx", expr("((rank - 1) * 4) div n"))
+      .select(col("doc_id"), col("fk_grade_milli"), col("rank"),
+        when(col("stage_idx") === 0, "s1_simple")
+          .when(col("stage_idx") === 1, "s2_moderate")
+          .when(col("stage_idx") === 2, "s3_advanced")
+          .otherwise("s4_complex").as("stage"))
+  }
+
   def dsirMargin(s: SparkSession, dir: String, targetLang: String = "en",
       buckets: Int = 256): DataFrame = {
     val tb = Tables.documents(s, dir)

@@ -761,4 +761,24 @@ class CurationSpec extends SparkSuite {
     // both branches are live on the fixture
     assert(out.values.exists(_._2 > 0) && out.values.exists(_._2 == 0))
   }
+
+  test("curriculum stages: two-pass rank equals the naive global rank; stages balanced") {
+    val out = Curation.curriculumStages(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out.nonEmpty)
+    val n = out.size.toLong
+    // naive recompute: global sort by (grade, doc_id)
+    val naive = out.toSeq.sortBy { case (id, (g, _, _)) => (g, id) }
+      .zipWithIndex.map { case ((id, (g, _, _)), i) => id -> (i + 1L) }
+      .toMap
+    val stages = Array("s1_simple", "s2_moderate", "s3_advanced", "s4_complex")
+    out.foreach { case (id, (_, rank, stage)) =>
+      assert(rank == naive(id), s"doc $id rank")
+      assert(stage == stages((((rank - 1) * 4) / n).toInt), s"doc $id stage")
+    }
+    // equal-frequency: stage sizes differ by at most 1
+    val sizes = out.values.groupBy(_._3).map(_._2.size)
+    assert(sizes.size == 4 && sizes.max - sizes.min <= 1)
+  }
 }
