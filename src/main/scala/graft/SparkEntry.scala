@@ -498,6 +498,14 @@ object SparkEntry {
       graft.analysis.MarketAnalytics.adfSpreadPairs(rates(s, dir),
         memoKey = Some(dir))),
 
+    // empirical upper-tail dependence per mutual edge: top-⌈n/20⌉
+    // selection thresholds per side, exact joint/marginal tail counts,
+    // λ_U = joint/na one division — the crash co-movement Pearson and
+    // Spearman both average away
+    "fx_tail_dependence" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.tailDependencePairs(rates(s, dir),
+        memoKey = Some(dir))),
+
     // Spearman rank correlation per mutual edge: tie-aware DOUBLED
     // average ranks (exact integers) over common days, Pearson tree on
     // the rank moments — the robust sibling of fx_change_corr
@@ -4822,6 +4830,45 @@ object SparkEntry {
 
     // the maintained frontier report must reproduce the one-shot fold
     "stream_zigzag_incremental" -> ZigzagOracleSql,
+
+    // identical rank/threshold windows and integer tail counts; the
+    // k-th-largest threshold is tiebreak-invariant (multiset position)
+    "fx_tail_dependence" ->
+      s"""WITH $RatesCte, $DtwSeqCtes, $CoSignGraphCtes, mutc AS (
+         |  SELECT src, dst FROM mutall WHERE src < dst
+         |), ob AS (
+         |  SELECT c.src, c.dst, a.date, a.chg_u AS xa, b.chg_u AS xb
+         |  FROM mutc c
+         |  JOIN chn a ON a.ccy_couple = c.src
+         |  JOIN chn b ON b.ccy_couple = c.dst AND b.date = a.date
+         |), rk AS (
+         |  SELECT src, dst, xa, xb,
+         |    count(*) OVER (PARTITION BY src, dst) AS n,
+         |    (count(*) OVER (PARTITION BY src, dst) + 19) // 20 AS k,
+         |    row_number() OVER (PARTITION BY src, dst
+         |      ORDER BY xa DESC, date ASC) AS rna,
+         |    row_number() OVER (PARTITION BY src, dst
+         |      ORDER BY xb DESC, date ASC) AS rnb
+         |  FROM ob
+         |), q AS (
+         |  SELECT src, dst, xa, xb, n, k,
+         |    max(CASE WHEN rna = k THEN xa END)
+         |      OVER (PARTITION BY src, dst) AS qa,
+         |    max(CASE WHEN rnb = k THEN xb END)
+         |      OVER (PARTITION BY src, dst) AS qb
+         |  FROM rk
+         |), agg AS (
+         |  SELECT src, dst, CAST(max(n) AS BIGINT) AS n_days,
+         |    CAST(max(k) AS BIGINT) AS k_tail,
+         |    CAST(sum(CASE WHEN xa >= qa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN xb >= qb THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |    CAST(sum(CASE WHEN xa >= qa AND xb >= qb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS joint
+         |  FROM q GROUP BY 1, 2
+         |)
+         |SELECT src AS src_ccy, dst AS dst_ccy, n_days, k_tail, na, nb,
+         |  joint, CAST(joint AS DOUBLE) / CAST(na AS DOUBLE) AS lambda_u
+         |FROM agg""".stripMargin,
 
     // tie-aware doubled ranks via rank() + per-value count windows,
     // exact BIGINT rank moments, the fx_autocorr closing tree

@@ -654,6 +654,60 @@ object MarketAnalytics {
           .as("spearman_rho"))
   }
 
+  /** Empirical UPPER-TAIL dependence per mutual co-movement edge — the
+    * crash-co-movement question Pearson and Spearman both miss
+    * (correlation averages over the whole distribution; portfolios die
+    * in the joint tail): λ_U = P(X_b in its top tail | X_a in its top
+    * tail), estimated on common days with the tail cut at the top
+    * k = ⌈n/20⌉ observations per side (the empirical 95th by
+    * SELECTION — the Theil-Sen median-by-selection discipline, so no
+    * interpolation arithmetic exists).
+    *
+    * Exactness: thresholds are the k-th largest VALUES under the
+    * (value DESC, date ASC) total order (the k-th value is
+    * tiebreak-invariant — it's a multiset position); tail memberships
+    * use ≥ threshold, so ties INSIDE the cut enter both sides
+    * identically in both engines; every count is an exact long and
+    * λ_U is the one closing division joint/na.
+    *
+    * Scale shape: the broadcast edge digest joins the |pairs|×|days|
+    * change digest twice (src side broadcast-joined, dst side one
+    * digest-scale shuffle on (dst, date)); two rank windows + two
+    * conditional-max windows per edge partition; one grouped count.
+    * Digest-confined throughout.
+    */
+  def tailDependencePairs(rates: DataFrame, topN: Int = 3,
+      memoKey: Option[String] = None): DataFrame = {
+    val (chg, _, edgesSym) = comovementDigest(rates, topN, memoKey)
+    val edges = edgesSym.where(col("src") < col("dst"))
+    val obs = chg.select(col("ccy_couple").as("src"), col("date"),
+        col("chg_u").as("xa"))
+      .join(broadcast(edges), Seq("src"))
+      .join(chg.select(col("ccy_couple").as("dst"), col("date"),
+        col("chg_u").as("xb")), Seq("dst", "date"))
+    val pw = Window.partitionBy(col("src"), col("dst"))
+    val wa = pw.orderBy(col("xa").desc, col("date").asc)
+    val wb = pw.orderBy(col("xb").desc, col("date").asc)
+    val withK = obs
+      .withColumn("n", count(lit(1)).over(pw))
+      .withColumn("k", expr("(n + 19) div 20"))
+      .withColumn("rna", row_number().over(wa))
+      .withColumn("rnb", row_number().over(wb))
+    val withQ = withK
+      .withColumn("qa", max(when(col("rna") === col("k"), col("xa"))).over(pw))
+      .withColumn("qb", max(when(col("rnb") === col("k"), col("xb"))).over(pw))
+    withQ.groupBy(col("src"), col("dst"))
+      .agg(max(col("n")).as("n_days"), max(col("k")).as("k_tail"),
+        sum(when(col("xa") >= col("qa"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("xb") >= col("qb"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("xa") >= col("qa") && col("xb") >= col("qb"), 1L)
+          .otherwise(0L)).as("joint"))
+      .select(col("src").as("src_ccy"), col("dst").as("dst_ccy"),
+        col("n_days"), col("k_tail"), col("na"), col("nb"), col("joint"),
+        (col("joint").cast("double") / col("na").cast("double"))
+          .as("lambda_u"))
+  }
+
   /** DICKEY-FULLER unit-root test on the same pair spread — the
     * SIGNIFICANCE that completes the pairs-desk family:
     * [[minVariancePairs]] quotes the hedge, [[ouHalflifePairs]] the

@@ -1001,6 +1001,42 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(rC.isNullAt(3) && rC.isNullAt(4) && rC.isNullAt(5))
   }
 
+  test("tail dependence: joint/disjoint/tied tails give λ = 1, 0, ½ exactly") {
+    import spark.implicits._
+    def mk(pair: String, changesMilli: Seq[Int], idBase: Long) = {
+      val closes = changesMilli.scanLeft(1.000)((c, d) => c + d / 1000.0)
+      closes.zipWithIndex.map { case (c, i) =>
+        (idBase + i, idBase * 1000000L + i * 1000L, pair, c,
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString)
+      }
+    }
+    def run(rows: Seq[(Long, Long, String, Double, String)]) =
+      MarketAnalytics.tailDependencePairs(
+        rows.toDF("event_id", "event_time", "ccy_couple", "rate", "ds")
+          .withColumn("date", to_date(col("ds")))
+          .withColumn("timestamp", timestamp_micros(col("event_time")))
+          .drop("ds")).collect()
+    val base = (1 to 20)
+    // same extreme day on both sides: k=1, na=nb=1, joint=1 -> λ=1
+    val a = run(mk("T/1", base.map(i => if (i == 5) 100 else i), 100)
+      ++ mk("T/2", base.map(i => if (i == 5) 200 else 21 - i), 200))
+    assert(a.length == 1)
+    assert(a.head.getLong(2) == 20 && a.head.getLong(3) == 1)
+    assert(a.head.getLong(4) == 1 && a.head.getLong(6) == 1)
+    assert(a.head.getDouble(7) == 1.0)
+    // extremes on different days -> joint=0, λ=0
+    val b = run(mk("T/1", base.map(i => if (i == 2) 300 else i), 300)
+      ++ mk("T/2", base.map(i => if (i == 17) 300 else 21 - i), 400))
+    assert(b.head.getLong(6) == 0 && b.head.getDouble(7) == 0.0)
+    // tied maxima on the src side: threshold ties enter the tail, na=2,
+    // joint hits only the shared day -> λ = 1/2
+    val c = run(
+      mk("T/1", base.map(i => if (i == 3 || i == 9) 100 else i), 500)
+        ++ mk("T/2", base.map(i => if (i == 3) 150 else 21 - i), 600))
+    assert(c.head.getLong(4) == 2 && c.head.getLong(6) == 1)
+    assert(c.head.getDouble(7) == 0.5)
+  }
+
   test("spearman: tie-free hand value 0.8 exact; tie ranks doubled-average") {
     import spark.implicits._
     def mk(pair: String, closes: Seq[Double], idBase: Long) =
