@@ -2304,6 +2304,12 @@ object SparkEntry {
     // the PQ codebook-training job itself (the sim_kmeans_cells shape);
     // sim_pq_topk then searches against the persisted artifact
     "sim_pq_codebooks" -> ((s, dir) => Similarity.pqCodebooksScalar(s, dir)),
+    // dominant principal component by power iteration on the exact-
+    // integer covariance digest (milli-quantized moment identity, d² =
+    // 4096 rows at any corpus size); ordered folds, L∞ normalization,
+    // final normalizer = eigenvalue estimate
+    "sim_pca_power" -> ((s, dir) => Similarity.pcaPower(s, dir)),
+
     "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     // IVFADC: IVF cell pruning + PQ asymmetric-distance scoring over the
     // persisted codes — the billion-vector serving composition
@@ -3822,6 +3828,47 @@ object SparkEntry {
        |JOIN a$iters ON a$iters.node = nodes.node
        |JOIN h$iters ON h$iters.node = nodes.node
        |JOIN nation ON n_nationkey = nodes.node""".stripMargin
+  }
+
+  /** PCA power-iteration replay: the milli-quantized covariance digest
+    * by moment identity (all-HUGEINT, cast to BIGINT), then 8 matvec
+    * steps as MATERIALIZED CTEs — ordered list_reduce folds and 1-row
+    * L∞ normalizers, operand-identical to the engine's HOF folds.
+    */
+  private val PcaPowerOracleSql: String = {
+    val iters = 8
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT m.j,
+         |    list_reduce(list_prepend(0.0,
+         |        list(CAST(m.c AS DOUBLE) * v.s ORDER BY m.k)),
+         |      (x, y) -> x + y) AS w
+         |  FROM cm m JOIN v${i - 1} v ON v.j = m.k GROUP BY m.j
+         |), n$i AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM p$i),
+         |v$i AS MATERIALIZED (
+         |  SELECT p$i.j, p$i.w / n$i.mx AS s FROM p$i CROSS JOIN n$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, t.i,
+       |    CAST(trunc(CAST(embedding[t.i] AS DOUBLE) * 1000.0) AS BIGINT)
+       |      AS x
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+       |), mo AS MATERIALIZED (
+       |  SELECT i, sum(x) AS s1, count(*) AS n FROM q GROUP BY 1
+       |), cr AS MATERIALIZED (
+       |  SELECT a.i AS j, b.i AS k, sum(a.x * b.x) AS sjk
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2
+       |), cm AS MATERIALIZED (
+       |  SELECT j, k, CAST(ma.n * cr.sjk - ma.s1 * mb.s1 AS BIGINT) AS c
+       |  FROM cr JOIN mo ma ON ma.i = cr.j JOIN mo mb ON mb.i = cr.k
+       |), v0 AS MATERIALIZED (
+       |  SELECT unnest(range(1, 65)) AS j, CAST(1.0 AS DOUBLE) AS s
+       |), $steps
+       |SELECT CAST(v$iters.j AS BIGINT) AS dim,
+       |  v$iters.s AS loading, n$iters.mx AS lambda_inf
+       |FROM v$iters CROSS JOIN n$iters""".stripMargin
   }
 
   /** Link-prediction replay: the mutual-top-7 edge chain, a wedge join
@@ -8785,6 +8832,10 @@ object SparkEntry {
          |    AS recall
          |FROM tru t LEFT JOIN hits h USING (qid)""".stripMargin
     },
+
+    // covariance by exact-integer moment identity + 8 ordered matvec
+    // folds with L∞ normalizers — operand-identical to the engine
+    "sim_pca_power" -> PcaPowerOracleSql,
 
     // the full PQ pipeline replayed: per-subspace training (PqCtes),
     // argmin-L2² encoding, per-(query, candidate, subspace) ADC parts,

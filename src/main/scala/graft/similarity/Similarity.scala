@@ -1099,4 +1099,71 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double")
           / col("n_true").cast("double")).as("recall"))
   }
+
+  /** DOMINANT PRINCIPAL COMPONENT of the embedding corpus by POWER
+    * ITERATION on an exact-integer covariance digest — the dimension-
+    * reduction / "market-mode" primitive next to the quantization
+    * ladder (a pipeline projects onto leading components before
+    * clustering or visualizes drift along them). Two stages:
+    *
+    * 1. COVARIANCE DIGEST, exact: embeddings milli-quantized
+    *    (x → trunc(double(x)·1000), truncation toward zero on both
+    *    engines; PCA directions are invariant to the uniform scale),
+    *    then C_jk = n·Σx_j x_k − Σx_j·Σx_k by the moment identity —
+    *    every entry an exact long, so centering never subtracts a
+    *    float mean. One pass: per-row 64² outer-product structs
+    *    explode into a map-side-combinable groupBy (the d²-per-row
+    *    accumulation every distributed PCA uses); the digest is d² =
+    *    4096 rows whatever the corpus size.
+    * 2. POWER ITERATION on the digest (fixed 8 steps): w = C·v with
+    *    the [[graft.operators.Hits]] ordered-fold discipline (per-row
+    *    contributions sorted by k, one codegen'd aggregate HOF — the
+    *    left fold list_reduce replays), then v = w / max|w| — L∞
+    *    normalization is order-free and sqrt-free, and the final
+    *    normalizer IS the eigenvalue estimate (for unit-L∞ v,
+    *    max|C·v| → λ).
+    *
+    * Output: one row per dimension (dim, loading, lambda_inf).
+    * Moment-sum bound: milli-codes ≤ ~2^10, so Σx_j·x_k stays inside
+    * BIGINT up to ~2^42 rows; past that, requantize or lift the digest
+    * to DECIMAL — the plan shape is unchanged.
+    */
+  def pcaPower(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(
+      transform(col("embedding"),
+        x => (x.cast("double") * lit(1000.0)).cast("long")).as("qv"))
+    val sums = base.select(posexplode(col("qv")).as(Seq("p", "q")))
+      .groupBy((col("p") + 1).as("j"))
+      .agg(sum(col("q")).as("sj"), count(lit(1)).as("n"))
+    val cross = base.select(explode(flatten(transform(col("qv"), (xj, pj) =>
+        transform(col("qv"), (xk, pk) => struct(pj.as("pj"), pk.as("pk"),
+          (xj * xk).as("prod")))))).as("e"))
+      .groupBy((col("e.pj") + 1).as("j"), (col("e.pk") + 1).as("k"))
+      .agg(sum(col("e.prod")).as("sjk"))
+    val cov = cross
+      .join(broadcast(sums.select(col("j"), col("sj"))), "j")
+      .join(broadcast(sums.select(col("j").as("k"), col("sj").as("sk"),
+        col("n"))), "k")
+      .select(col("j"), col("k"),
+        (col("n") * col("sjk") - col("sj") * col("sk")).as("c"))
+      .localCheckpoint(true)
+    val wAll = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val dims = cov.select(col("j")).distinct()
+    var v = dims.select(col("j"), lit(1.0).as("s"))
+    var last: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = cov
+        .join(broadcast(v.select(col("j").as("k"), col("s"))), "k")
+        .select(col("j"), col("k"), (col("c").cast("double") * col("s")).as("c"))
+        .groupBy(col("j"))
+        .agg(aggregate(sort_array(collect_list(struct(col("k"), col("c")))),
+          lit(0.0), (acc, x) => acc + x("c")).as("w"))
+      last = w.select(col("j"), col("w"),
+        max(abs(col("w"))).over(wAll).as("mx"))
+      v = last.select(col("j"), (col("w") / col("mx")).as("s"))
+    }
+    last.select(col("j").cast("long").as("dim"),
+      (col("w") / col("mx")).as("loading"), col("mx").as("lambda_inf"))
+  }
 }

@@ -134,4 +134,32 @@ class QuantizationSpec extends SparkSuite {
         s"ADC drift for $key: pq $d vs ivfpq ${r.getDouble(3)}"))
     }
   }
+
+  test("pca power: driver recompute matches fold-for-fold, eigenvalue positive") {
+    val emb = Tables.embeddings(spark, sf("sf0.001")).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val n = emb.length
+    val d = 64
+    val q = emb.map(_.map(x => (x.toDouble * 1000.0).toLong))
+    val s1 = Array.tabulate(d)(j => q.map(_(j)).sum)
+    val c = Array.tabulate(d, d)((j, k) =>
+      n.toLong * q.map(r => r(j) * r(k)).sum - s1(j) * s1(k))
+    var v = Array.fill(d)(1.0)
+    var mx = 0.0
+    for (_ <- 1 to 8) {
+      // the engine folds contributions in ascending-k order — mirror it
+      val w = Array.tabulate(d)(j =>
+        (0 until d).foldLeft(0.0)((acc, k) => acc + c(j)(k).toDouble * v(k)))
+      mx = w.map(math.abs).max
+      v = w.map(_ / mx)
+    }
+    val out = Similarity.pcaPower(spark, sf("sf0.001")).collect()
+    assert(out.length == d)
+    out.foreach { r =>
+      val j = r.getLong(0).toInt - 1
+      assert(r.getDouble(1) == v(j), s"loading dim ${j + 1}")
+      assert(r.getDouble(2) == mx, "lambda")
+    }
+    assert(mx > 0.0 && v.exists(x => math.abs(x) == 1.0))
+  }
 }
