@@ -498,6 +498,12 @@ object SparkEntry {
       graft.analysis.MarketAnalytics.adfSpreadPairs(rates(s, dir),
         memoKey = Some(dir))),
 
+    // per-pair fat-tail report: signed-squared skewness + excess
+    // kurtosis from exact power sums via DECIMAL(38) central-moment
+    // identities — the n-powers cancel so no integer division exists
+    "fx_higher_moments" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.higherMoments(rates(s, dir))),
+
     // empirical upper-tail dependence per mutual edge: top-⌈n/20⌉
     // selection thresholds per side, exact joint/marginal tail counts,
     // λ_U = joint/na one division — the crash co-movement Pearson and
@@ -4877,6 +4883,51 @@ object SparkEntry {
 
     // the maintained frontier report must reproduce the one-shot fold
     "stream_zigzag_incremental" -> ZigzagOracleSql,
+
+    // HUGEINT power sums + the identical central-moment identities;
+    // only the closing ratios are doubles, operand-identical
+    "fx_higher_moments" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, CAST(CAST(chg * 1000 AS BIGINT) AS HUGEINT) AS x
+         |  FROM ch WHERE chg IS NOT NULL
+         |), mo AS (
+         |  SELECT ccy_couple, count(*) AS n, sum(x) AS s1,
+         |    sum(x * x) AS s2, sum(x * x * x) AS s3,
+         |    sum(x * x * x * x) AS s4
+         |  FROM chn GROUP BY 1 HAVING count(*) >= 3
+         |), cm AS (
+         |  SELECT ccy_couple, n,
+         |    n * s2 - s1 * s1 AS m2,
+         |    n * (n * s3) - 3 * (n * s2) * s1 + 2 * (s1 * s1 * s1) AS m3,
+         |    n * (n * (n * s4)) - 4 * (n * (n * s3)) * s1
+         |      + 6 * ((n * s2) * (s1 * s1)) - 3 * (s1 * s1 * s1 * s1) AS m4
+         |  FROM mo
+         |)
+         |SELECT ccy_couple, CAST(n AS BIGINT) AS n_days,
+         |  CASE WHEN m2 = 0 THEN NULL ELSE
+         |    (CASE WHEN m3 < 0 THEN -1.0 ELSE 1.0 END)
+         |      * (CAST(CAST(m3 AS VARCHAR) AS DOUBLE)
+         |         * CAST(CAST(m3 AS VARCHAR) AS DOUBLE))
+         |      / (CAST(CAST(m2 AS VARCHAR) AS DOUBLE)
+         |         * CAST(CAST(m2 AS VARCHAR) AS DOUBLE)
+         |         * CAST(CAST(m2 AS VARCHAR) AS DOUBLE))
+         |    END AS skew_g1sq_signed,
+         |  CASE WHEN m2 = 0 THEN NULL ELSE
+         |    CAST(CAST(m4 AS VARCHAR) AS DOUBLE)
+         |      / (CAST(CAST(m2 AS VARCHAR) AS DOUBLE)
+         |         * CAST(CAST(m2 AS VARCHAR) AS DOUBLE))
+         |      - 3.0 END AS kurt_excess
+         |FROM cm""".stripMargin,
 
     // identical rank/threshold windows and integer tail counts; the
     // k-th-largest threshold is tiebreak-invariant (multiset position)

@@ -654,6 +654,64 @@ object MarketAnalytics {
           .as("spearman_rho"))
   }
 
+  /** Per-pair HIGHER-MOMENT report — skewness and excess kurtosis of
+    * the daily changes, the fat-tail diagnostics next to the variance
+    * ([[volatility]]) and its clustering ([[garchVol]]): g1 tells which
+    * side the big moves land on, g2 how much of the variance lives in
+    * the tails (a Gaussian book and a fat-tailed book can share a
+    * stddev).
+    *
+    * Exactness: raw power sums Σx..Σx⁴ are exact longs; the central-
+    * moment identities (n²Σx³ − 3nΣx²Σx + 2(Σx)³ etc.) are computed in
+    * DECIMAL(38,0) — exact integer arithmetic matching the oracle's
+    * HUGEINT, immune to the (Σx)³/n³Σx⁴ long overflow — and only the
+    * closing ratios are doubles on identical operands. Sqrt-free: g1
+    * is quoted SIGNED-SQUARED (sign(M3)·n·M3²/M2³ = sign(g1)·g1²) —
+    * the ADF/KS squared-statistic discipline; g2 = n·M4/M2² − 3 needs
+    * no root. Zero-variance series → 3VL NULLs.
+    *
+    * Scale shape: one map-side-combinable groupBy over the change
+    * digest; |pairs| output rows; nothing else touches the corpus.
+    */
+  def higherMoments(rates: DataFrame): DataFrame = {
+    // power sums in DECIMAL(38,0) from the first multiply: a large-
+    // valued pair's x⁴ already overflows BIGINT (x ~ 10⁶ milli-units)
+    val x = col("chg_u").cast("decimal(38,0)")
+    val mo = dailyChangesU(rates).groupBy(col("ccy_couple"))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+        sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+        sum(x * x * x * x).as("s4"))
+      .where(col("n") >= 3)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val n = d38(col("n")); val s1 = d38(col("s1")); val s2 = d38(col("s2"))
+    val s3 = d38(col("s3")); val s4 = d38(col("s4"))
+    // central sums scaled by powers of n (all exact integers):
+    // m2 = n·M2, m3 = n²·M3, m4 = n³·M4 with M_k = Σ(x−μ)^k, so the
+    // textbook ratios g1² = n·M3²/M2³ and g2+3 = n·M4/M2² are exactly
+    // m3²/m2³ and m4/m2² — the n-powers cancel with no division ever
+    // performed on the integer side
+    val m2 = n * s2 - s1 * s1
+    val m3 = (n * (n * s3) - lit(3) * (n * s2) * s1) +
+      lit(2) * (s1 * s1 * s1)
+    val m4 = (n * (n * (n * s4)) - lit(4) * (n * (n * s3)) * s1) +
+      lit(6) * ((n * s2) * (s1 * s1)) - lit(3) * (s1 * s1 * s1 * s1)
+    // integer→double through the STRING path: these integers exceed
+    // 2^53, and Spark's Decimal→double and DuckDB's HUGEINT→double can
+    // disagree in the last ulp — decimal-string parsing is correctly
+    // rounded on both engines (strtod / Double.parseDouble)
+    def viaStr(c: Column) = c.cast("string").cast("double")
+    val m2d = viaStr(m2); val m3d = viaStr(m3)
+    val m4d = viaStr(m4)
+    val degenerate = m2 === lit(0)
+    val g1sq = when(degenerate, lit(null).cast("double"))
+      .otherwise(when(m3 < lit(0), lit(-1.0)).otherwise(lit(1.0))
+        * (m3d * m3d) / (m2d * m2d * m2d))
+    val g2 = when(degenerate, lit(null).cast("double"))
+      .otherwise(m4d / (m2d * m2d) - lit(3.0))
+    mo.select(col("ccy_couple"), col("n").as("n_days"),
+      g1sq.as("skew_g1sq_signed"), g2.as("kurt_excess"))
+  }
+
   /** Empirical UPPER-TAIL dependence per mutual co-movement edge — the
     * crash-co-movement question Pearson and Spearman both miss
     * (correlation averages over the whole distribution; portfolios die

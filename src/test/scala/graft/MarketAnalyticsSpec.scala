@@ -1001,6 +1001,33 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(rC.isNullAt(3) && rC.isNullAt(4) && rC.isNullAt(5))
   }
 
+  test("higher moments: hand skew/kurtosis exact; symmetric zero; degenerate NULL") {
+    import spark.implicits._
+    def mk(pair: String, changesMilli: Seq[Int], idBase: Long) = {
+      val closes = changesMilli.scanLeft(1.000)((c, d) => c + d / 1000.0)
+      closes.zipWithIndex.map { case (c, i) =>
+        (idBase + i, idBase * 1000000L + i * 1000L, pair, c,
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString)
+      }
+    }
+    val fx = (mk("S/Y", Seq(1, 2, 3), 100)    // symmetric: skew 0, g2 -1.5
+      ++ mk("S/K", Seq(1, 1, 4), 200)         // right-skewed: g1² = 0.5
+      ++ mk("C/C", Seq(2, 2, 2), 300))        // zero variance: NULLs
+      .toDF("event_id", "event_time", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", timestamp_micros(col("event_time")))
+      .drop("ds")
+    val out = MarketAnalytics.higherMoments(fx).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 3)
+    assert(out("S/Y").getDouble(2) == 0.0 &&
+      out("S/Y").getDouble(3) == -1.5)
+    // central sums: M2=6, M3=6, M4=18 -> g1² = 3·36/216 = 0.5, g2 = -1.5
+    assert(out("S/K").getDouble(2) == 0.5 &&
+      out("S/K").getDouble(3) == -1.5)
+    assert(out("C/C").isNullAt(2) && out("C/C").isNullAt(3))
+  }
+
   test("tail dependence: joint/disjoint/tied tails give λ = 1, 0, ½ exactly") {
     import spark.implicits._
     def mk(pair: String, changesMilli: Seq[Int], idBase: Long) = {
