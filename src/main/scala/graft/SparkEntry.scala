@@ -2315,6 +2315,10 @@ object SparkEntry {
     // 4096 rows at any corpus size); ordered folds, L∞ normalization,
     // final normalizer = eigenvalue estimate
     "sim_pca_power" -> ((s, dir) => Similarity.pcaPower(s, dir)),
+    // the trained component applied back: memoized 64-double artifact,
+    // index-ordered q·v fold per vector, top-10 by |score| — the
+    // train→project pair of the reduction pipeline
+    "sim_pca_project" -> ((s, dir) => Similarity.pcaProject(s, dir)),
 
     "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     // IVFADC: IVF cell pruning + PQ asymmetric-distance scoring over the
@@ -3841,7 +3845,29 @@ object SparkEntry {
     * steps as MATERIALIZED CTEs — ordered list_reduce folds and 1-row
     * L∞ normalizers, operand-identical to the engine's HOF folds.
     */
-  private val PcaPowerOracleSql: String = {
+  private val PcaPowerOracleSql: String =
+    s"""WITH $PcaPowerCtes
+       |SELECT CAST(v8.j AS BIGINT) AS dim,
+       |  v8.s AS loading, n8.mx AS lambda_inf
+       |FROM v8 CROSS JOIN n8""".stripMargin
+
+  /** The trained component applied back to the corpus: per-vector
+    * ordered dim fold q·v, global top-10 by (\|score\| DESC, vec_id). */
+  private val PcaProjectOracleSql: String =
+    s"""WITH $PcaPowerCtes, sc AS MATERIALIZED (
+       |  SELECT q.vec_id,
+       |    list_reduce(list_prepend(0.0,
+       |        list(CAST(q.x AS DOUBLE) * v8.s ORDER BY q.i)),
+       |      (x, y) -> x + y) AS score
+       |  FROM q JOIN v8 ON v8.j = q.i GROUP BY q.vec_id
+       |)
+       |SELECT vec_id, score FROM (
+       |  SELECT vec_id, score,
+       |    row_number() OVER (ORDER BY abs(score) DESC, vec_id ASC) AS rn
+       |  FROM sc)
+       |WHERE rn <= 10""".stripMargin
+
+  private lazy val PcaPowerCtes: String = {
     val iters = 8
     val steps = (1 to iters).map { i =>
       s"""p$i AS MATERIALIZED (
@@ -3855,7 +3881,7 @@ object SparkEntry {
          |  SELECT p$i.j, p$i.w / n$i.mx AS s FROM p$i CROSS JOIN n$i
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH q AS MATERIALIZED (
+    s"""q AS MATERIALIZED (
        |  SELECT vec_id, t.i,
        |    CAST(trunc(CAST(embedding[t.i] AS DOUBLE) * 1000.0) AS BIGINT)
        |      AS x
@@ -3871,10 +3897,7 @@ object SparkEntry {
        |  FROM cr JOIN mo ma ON ma.i = cr.j JOIN mo mb ON mb.i = cr.k
        |), v0 AS MATERIALIZED (
        |  SELECT unnest(range(1, 65)) AS j, CAST(1.0 AS DOUBLE) AS s
-       |), $steps
-       |SELECT CAST(v$iters.j AS BIGINT) AS dim,
-       |  v$iters.s AS loading, n$iters.mx AS lambda_inf
-       |FROM v$iters CROSS JOIN n$iters""".stripMargin
+       |), $steps""".stripMargin
   }
 
   /** Link-prediction replay: the mutual-top-7 edge chain, a wedge join
@@ -8887,6 +8910,7 @@ object SparkEntry {
     // covariance by exact-integer moment identity + 8 ordered matvec
     // folds with L∞ normalizers — operand-identical to the engine
     "sim_pca_power" -> PcaPowerOracleSql,
+    "sim_pca_project" -> PcaProjectOracleSql,
 
     // the full PQ pipeline replayed: per-subspace training (PqCtes),
     // argmin-L2² encoding, per-(query, candidate, subspace) ADC parts,

@@ -1128,6 +1128,34 @@ object Similarity {
     * BIGINT up to ~2^42 rows; past that, requantize or lift the digest
     * to DECIMAL — the plan shape is unchanged.
     */
+  private val pcaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
+  /** The trained component APPLIED back to the corpus — the
+    * train→project pair every reduction pipeline ships (scores feed
+    * outlier review and drift dashboards; the top-|score| vectors are
+    * the corpus's most extreme along its own dominant axis). Loadings
+    * are a per-(source) memoized 64-double artifact (the classifier-
+    * weights / k-means-centroid discipline); the projection is one
+    * narrow map — per vector an index-ordered zip_with fold q·v
+    * (ascending-dim order, the same left fold the oracle's ordered
+    * list_reduce replays) — and a TakeOrdered top-k by
+    * (|score| DESC, vec_id). Nothing shuffles but the top-k.
+    */
+  def pcaProject(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val loadings = pcaMemo.getOrElseUpdate(dir,
+      pcaPower(s, dir).collect().sortBy(_.getLong(0)).map(_.getDouble(1)))
+    val lArr = array(loadings.toIndexedSeq.map(lit): _*)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => (x.cast("double") * lit(1000.0)).cast("long")).as("qv"))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("qv"), lArr, (q, l) => q.cast("double") * l),
+          lit(0.0), (a, x) => a + x).as("score"))
+      .orderBy(abs(col("score")).desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def pcaPower(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
     val base = Tables.embeddings(s, dir).select(
       transform(col("embedding"),

@@ -135,11 +135,11 @@ class QuantizationSpec extends SparkSuite {
     }
   }
 
-  test("pca power: driver recompute matches fold-for-fold, eigenvalue positive") {
-    val emb = Tables.embeddings(spark, sf("sf0.001")).select("embedding")
-      .collect().map(_.getSeq[Float](0).toArray)
-    val n = emb.length
-    val d = 64
+  // the engine's exact arithmetic in plain Scala: integer covariance by
+  // moment identity, 8 power steps folding contributions in ascending-k
+  // order, L∞ normalization
+  private def driverPca(emb: Array[Array[Float]]): (Array[Double], Double) = {
+    val n = emb.length; val d = 64
     val q = emb.map(_.map(x => (x.toDouble * 1000.0).toLong))
     val s1 = Array.tabulate(d)(j => q.map(_(j)).sum)
     val c = Array.tabulate(d, d)((j, k) =>
@@ -147,19 +147,41 @@ class QuantizationSpec extends SparkSuite {
     var v = Array.fill(d)(1.0)
     var mx = 0.0
     for (_ <- 1 to 8) {
-      // the engine folds contributions in ascending-k order — mirror it
       val w = Array.tabulate(d)(j =>
         (0 until d).foldLeft(0.0)((acc, k) => acc + c(j)(k).toDouble * v(k)))
       mx = w.map(math.abs).max
       v = w.map(_ / mx)
     }
+    (v, mx)
+  }
+
+  test("pca power: driver recompute matches fold-for-fold, eigenvalue positive") {
+    val emb = Tables.embeddings(spark, sf("sf0.001")).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val (v, mx) = driverPca(emb)
     val out = Similarity.pcaPower(spark, sf("sf0.001")).collect()
-    assert(out.length == d)
+    assert(out.length == 64)
     out.foreach { r =>
       val j = r.getLong(0).toInt - 1
       assert(r.getDouble(1) == v(j), s"loading dim ${j + 1}")
       assert(r.getDouble(2) == mx, "lambda")
     }
     assert(mx > 0.0 && v.exists(x => math.abs(x) == 1.0))
+  }
+
+  test("pca project: scores are exact index-ordered folds; top-k order correct") {
+    val rows = Tables.embeddings(spark, sf("sf0.001"))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val (v, _) = driverPca(rows.map(_._2))
+    val scores = rows.map { case (id, e) =>
+      val q = e.map(x => (x.toDouble * 1000.0).toLong)
+      id -> (0 until 64).foldLeft(0.0)((acc, i) => acc + q(i).toDouble * v(i))
+    }.toMap
+    val expectTop = scores.toSeq.sortBy { case (id, sc) => (-math.abs(sc), id) }
+      .take(10)
+    val out = Similarity.pcaProject(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.toSeq == expectTop)
   }
 }
