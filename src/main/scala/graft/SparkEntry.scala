@@ -498,6 +498,12 @@ object SparkEntry {
       graft.analysis.MarketAnalytics.adfSpreadPairs(rates(s, dir),
         memoKey = Some(dir))),
 
+    // cross-sectional momentum backtest: per-day tercile rank on the
+    // trailing 5-day move, next-day long-short spread — exact milli-
+    // long baskets, two closing divisions; the factor-portfolio axis
+    "fx_xs_momentum" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.crossSectionalMomentum(rates(s, dir))),
+
     // per-pair fat-tail report: signed-squared skewness + excess
     // kurtosis from exact power sums via DECIMAL(38) central-moment
     // identities — the n-powers cancel so no integer division exists
@@ -4906,6 +4912,51 @@ object SparkEntry {
 
     // the maintained frontier report must reproduce the one-shot fold
     "stream_zigzag_incremental" -> ZigzagOracleSql,
+
+    // the same close digest, date-offset self-joins, per-day tercile
+    // windows and exact basket sums; spread = the two divisions
+    "fx_xs_momentum" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), cu AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(CAST(close AS DECIMAL(12,3)) * 1000 AS BIGINT) AS cu
+         |  FROM cl
+         |), sg AS (
+         |  SELECT a.ccy_couple, a.date, a.cu - b.cu AS sig
+         |  FROM cu a JOIN cu b ON b.ccy_couple = a.ccy_couple
+         |    AND b.date = a.date - INTERVAL 5 DAY
+         |), nx AS (
+         |  SELECT a.ccy_couple, a.date, c.cu - a.cu AS r
+         |  FROM cu a JOIN cu c ON c.ccy_couple = a.ccy_couple
+         |    AND c.date = a.date + INTERVAL 1 DAY
+         |), j AS (
+         |  SELECT s.ccy_couple, s.date, s.sig, n.r
+         |  FROM sg s JOIN nx n
+         |    ON n.ccy_couple = s.ccy_couple AND n.date = s.date
+         |), rk AS (
+         |  SELECT date, r,
+         |    row_number() OVER (PARTITION BY date
+         |      ORDER BY sig DESC, ccy_couple ASC) AS rn,
+         |    count(*) OVER (PARTITION BY date) AS n,
+         |    count(*) OVER (PARTITION BY date) // 3 AS k
+         |  FROM j
+         |), agg AS (
+         |  SELECT date, CAST(max(n) AS BIGINT) AS n_pairs,
+         |    CAST(max(k) AS BIGINT) AS k_basket,
+         |    CAST(sum(CASE WHEN rn <= k THEN r END) AS BIGINT) AS long_sum,
+         |    CAST(sum(CASE WHEN rn > n - k THEN r END) AS BIGINT)
+         |      AS short_sum
+         |  FROM rk WHERE n >= 6 GROUP BY 1
+         |)
+         |SELECT date, n_pairs, k_basket, long_sum, short_sum,
+         |  CAST(long_sum AS DOUBLE) / CAST(k_basket AS DOUBLE)
+         |    - CAST(short_sum AS DOUBLE) / CAST(k_basket AS DOUBLE)
+         |    AS ls_spread_milli
+         |FROM agg""".stripMargin,
 
     // HUGEINT power sums + the identical central-moment identities;
     // only the closing ratios are doubles, operand-identical

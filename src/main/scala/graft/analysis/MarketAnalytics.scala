@@ -654,6 +654,63 @@ object MarketAnalytics {
           .as("spearman_rho"))
   }
 
+  /** CROSS-SECTIONAL momentum backtest (Jegadeesh & Titman 1993 — a
+    * public method) — the factor-portfolio primitive, a NEW axis next
+    * to the per-pair time-series family: each day, pairs are ranked by
+    * their trailing 5-calendar-day move, the top tercile is held long
+    * and the bottom tercile short, and the report quotes the NEXT-day
+    * long-short spread per day (positive spread days = momentum
+    * persists cross-sectionally).
+    *
+    * Exactness: signals and next-day returns are exact milli-long
+    * close differences on the DECIMAL(12,3) close digest (integral
+    * ×1000 values — both engines cast exactly); tercile membership is
+    * a row_number under the (signal DESC, pair ASC) total order with
+    * k = n div 3; basket sums are exact longs and the spread is the
+    * two fixed closing divisions. Days with n < 6 pairs (k < 2) are
+    * dropped — a one-pair basket is noise, not a portfolio.
+    *
+    * Scale shape: three self-joins of the |pairs|×|days| close digest
+    * on (pair, date±L) keys, two windows per day partition, one
+    * grouped sum — digest-confined; the tick corpus is touched once.
+    */
+  def crossSectionalMomentum(rates: DataFrame, lagDays: Int = 5)
+      : DataFrame = {
+    val cl = dailyCloses3(rates).select(col("ccy_couple"), col("date"),
+      (col("close") * lit(1000)).cast("long").as("cu"))
+    val sig = cl.as("a")
+      .join(cl.select(col("ccy_couple").as("cc0"),
+        col("date").as("d0"), col("cu").as("cu0")),
+        col("a.ccy_couple") === col("cc0")
+          && col("d0") === date_sub(col("a.date"), lagDays))
+      .select(col("a.ccy_couple").as("ccy_couple"), col("a.date").as("date"),
+        (col("a.cu") - col("cu0")).as("sig"))
+    val nxt = cl.as("a")
+      .join(cl.select(col("ccy_couple").as("cc1"),
+        col("date").as("d1"), col("cu").as("cu1")),
+        col("a.ccy_couple") === col("cc1")
+          && col("d1") === date_add(col("a.date"), 1))
+      .select(col("a.ccy_couple").as("ccy_couple"), col("a.date").as("date"),
+        (col("cu1") - col("a.cu")).as("r"))
+    val j = sig.join(nxt, Seq("ccy_couple", "date"))
+    val wd = Window.partitionBy(col("date"))
+    val rk = j
+      .withColumn("rn", row_number().over(
+        wd.orderBy(col("sig").desc, col("ccy_couple").asc)))
+      .withColumn("n", count(lit(1)).over(wd))
+      .withColumn("k", expr("n div 3"))
+      .where(col("n") >= 6)
+    rk.groupBy(col("date"))
+      .agg(max(col("n")).as("n_pairs"), max(col("k")).as("k_basket"),
+        sum(when(col("rn") <= col("k"), col("r"))).as("long_sum"),
+        sum(when(col("rn") > col("n") - col("k"), col("r"))).as("short_sum"))
+      .select(col("date"), col("n_pairs"), col("k_basket"),
+        col("long_sum"), col("short_sum"),
+        (col("long_sum").cast("double") / col("k_basket").cast("double")
+          - col("short_sum").cast("double") / col("k_basket").cast("double"))
+          .as("ls_spread_milli"))
+  }
+
   /** Per-pair HIGHER-MOMENT report — skewness and excess kurtosis of
     * the daily changes, the fat-tail diagnostics next to the variance
     * ([[volatility]]) and its clustering ([[garchVol]]): g1 tells which

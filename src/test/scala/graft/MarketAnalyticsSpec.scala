@@ -1001,6 +1001,33 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(rC.isNullAt(3) && rC.isNullAt(4) && rC.isNullAt(5))
   }
 
+  test("xs momentum: hand terciles, exact basket sums, boundary days dropped") {
+    import spark.implicits._
+    // closes only on days 1, 6, 7: day 6 is the single report day
+    // (day 1 lacks a 5-day lookback, day 7 a next day); (sig, r) per
+    // pair: longs {+60/+5, +50/+3}, shorts {-40/-7, -60/+4}
+    val spec = Seq(("M/1", 60, 5), ("M/2", 50, 3), ("M/3", 20, -1),
+      ("M/4", -10, 2), ("M/5", -40, -7), ("M/6", -60, 4))
+    val rows = spec.zipWithIndex.flatMap { case ((p, sig, r), i) =>
+      val c1 = 1.000
+      val c6 = c1 + sig / 1000.0
+      val c7 = c6 + r / 1000.0
+      Seq((i * 10L + 1, i * 1000000L + 1, p, c1, "2024-01-01"),
+        (i * 10L + 6, i * 1000000L + 6, p, c6, "2024-01-06"),
+        (i * 10L + 7, i * 1000000L + 7, p, c7, "2024-01-07"))
+    }.toDF("event_id", "event_time", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", timestamp_micros(col("event_time")))
+      .drop("ds")
+    val out = MarketAnalytics.crossSectionalMomentum(rows).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDate(0).toString == "2024-01-06")
+    assert(r.getLong(1) == 6 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 8 && r.getLong(4) == -3)
+    assert(r.getDouble(5) == 8.0 / 2.0 - (-3.0) / 2.0)
+  }
+
   test("higher moments: hand skew/kurtosis exact; symmetric zero; degenerate NULL") {
     import spark.implicits._
     def mk(pair: String, changesMilli: Seq[Int], idBase: Long) = {
