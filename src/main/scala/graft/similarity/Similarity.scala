@@ -1115,21 +1115,28 @@ object Similarity {
     *    explode into a map-side-combinable groupBy (the d²-per-row
     *    accumulation every distributed PCA uses); the digest is d² =
     *    4096 rows whatever the corpus size.
-    * 2. POWER ITERATION on the digest (fixed 8 steps): w = C·v with
-    *    the [[graft.operators.Hits]] ordered-fold discipline (per-row
-    *    contributions sorted by k, one codegen'd aggregate HOF — the
-    *    left fold list_reduce replays), then v = w / max|w| — L∞
-    *    normalization is order-free and sqrt-free, and the final
+    * 2. POWER ITERATION on the COLLECTED digest (fixed 8 steps,
+    *    driver-side — the k-means-centroid discipline: the digest is
+    *    d² = 4096 rows bounded by DIMENSION, not corpus, and the
+    *    per-step state is one d-vector; running 8 matvecs as Spark
+    *    jobs spent ~5 s of pure scheduling on a 4 KB problem): each
+    *    w_j folds c_jk·v_k in ascending-k order (the left fold the
+    *    oracle's ordered list_reduce replays), then v = w / max|w| —
+    *    L∞ normalization is order-free and sqrt-free, and the final
     *    normalizer IS the eigenvalue estimate (for unit-L∞ v,
-    *    max|C·v| → λ).
+    *    max|C·v| → λ). The (loadings, λ) artifact is memoized per
+    *    source and shared with [[pcaProject]].
     *
     * Output: one row per dimension (dim, loading, lambda_inf).
     * Moment-sum bound: milli-codes ≤ ~2^10, so Σx_j·x_k stays inside
     * BIGINT up to ~2^42 rows; past that, requantize or lift the digest
     * to DECIMAL — the plan shape is unchanged.
     */
-  private val pcaMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+  /** Per-source memoized (loadings, lambda) artifact shared by the
+    * train gate and the projection — the classifier-weights pattern.
+    */
+  private val pcaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Double], Double)]
 
   /** The trained component APPLIED back to the corpus — the
     * train→project pair every reduction pipeline ships (scores feed
@@ -1143,8 +1150,7 @@ object Similarity {
     * (|score| DESC, vec_id). Nothing shuffles but the top-k.
     */
   def pcaProject(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val loadings = pcaMemo.getOrElseUpdate(dir,
-      pcaPower(s, dir).collect().sortBy(_.getLong(0)).map(_.getDouble(1)))
+    val loadings = trainPca(s, dir)._1
     val lArr = array(loadings.toIndexedSeq.map(lit): _*)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"),
@@ -1156,42 +1162,46 @@ object Similarity {
       .limit(k)
   }
 
+  private def trainPca(s: SparkSession, dir: String,
+      iters: Int = 8): (Array[Double], Double) =
+    pcaMemo.getOrElseUpdate(dir, {
+      val base = Tables.embeddings(s, dir).select(
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(1000.0)).cast("long")).as("qv"))
+      val sums = base.select(posexplode(col("qv")).as(Seq("p", "q")))
+        .groupBy((col("p") + 1).as("j"))
+        .agg(sum(col("q")).as("sj"), count(lit(1)).as("n"))
+      val cross = base.select(explode(flatten(transform(col("qv"), (xj, pj) =>
+          transform(col("qv"), (xk, pk) => struct(pj.as("pj"), pk.as("pk"),
+            (xj * xk).as("prod")))))).as("e"))
+        .groupBy((col("e.pj") + 1).as("j"), (col("e.pk") + 1).as("k"))
+        .agg(sum(col("e.prod")).as("sjk"))
+      val cov = cross
+        .join(broadcast(sums.select(col("j"), col("sj"))), "j")
+        .join(broadcast(sums.select(col("j").as("k"), col("sj").as("sk"),
+          col("n"))), "k")
+        .select(col("j"), col("k"),
+          (col("n") * col("sjk") - col("sj") * col("sk")).as("c"))
+        .collect() // d² = 4096 rows — dimension-bounded, never corpus
+      val d = 64
+      val c = Array.ofDim[Long](d, d)
+      cov.foreach(r => c(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2))
+      var v = Array.fill(d)(1.0)
+      var mx = 0.0
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(d)(j => (0 until d)
+          .foldLeft(0.0)((acc, k) => acc + c(j)(k).toDouble * v(k)))
+        mx = w.map(math.abs).max
+        v = w.map(_ / mx)
+      }
+      (v, mx)
+    })
+
   def pcaPower(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
-    val base = Tables.embeddings(s, dir).select(
-      transform(col("embedding"),
-        x => (x.cast("double") * lit(1000.0)).cast("long")).as("qv"))
-    val sums = base.select(posexplode(col("qv")).as(Seq("p", "q")))
-      .groupBy((col("p") + 1).as("j"))
-      .agg(sum(col("q")).as("sj"), count(lit(1)).as("n"))
-    val cross = base.select(explode(flatten(transform(col("qv"), (xj, pj) =>
-        transform(col("qv"), (xk, pk) => struct(pj.as("pj"), pk.as("pk"),
-          (xj * xk).as("prod")))))).as("e"))
-      .groupBy((col("e.pj") + 1).as("j"), (col("e.pk") + 1).as("k"))
-      .agg(sum(col("e.prod")).as("sjk"))
-    val cov = cross
-      .join(broadcast(sums.select(col("j"), col("sj"))), "j")
-      .join(broadcast(sums.select(col("j").as("k"), col("sj").as("sk"),
-        col("n"))), "k")
-      .select(col("j"), col("k"),
-        (col("n") * col("sjk") - col("sj") * col("sk")).as("c"))
-      .localCheckpoint(true)
-    val wAll = Window.partitionBy(lit(1)).rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val dims = cov.select(col("j")).distinct()
-    var v = dims.select(col("j"), lit(1.0).as("s"))
-    var last: DataFrame = null
-    for (_ <- 1 to iters) {
-      val w = cov
-        .join(broadcast(v.select(col("j").as("k"), col("s"))), "k")
-        .select(col("j"), col("k"), (col("c").cast("double") * col("s")).as("c"))
-        .groupBy(col("j"))
-        .agg(aggregate(sort_array(collect_list(struct(col("k"), col("c")))),
-          lit(0.0), (acc, x) => acc + x("c")).as("w"))
-      last = w.select(col("j"), col("w"),
-        max(abs(col("w"))).over(wAll).as("mx"))
-      v = last.select(col("j"), (col("w") / col("mx")).as("s"))
-    }
-    last.select(col("j").cast("long").as("dim"),
-      (col("w") / col("mx")).as("loading"), col("mx").as("lambda_inf"))
+    val (v, mx) = trainPca(s, dir, iters)
+    import s.implicits._
+    v.toIndexedSeq.zipWithIndex
+      .map { case (l, i) => (i + 1L, l, mx) }
+      .toDF("dim", "loading", "lambda_inf")
   }
 }
