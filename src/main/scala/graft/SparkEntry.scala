@@ -498,6 +498,12 @@ object SparkEntry {
       graft.analysis.MarketAnalytics.adfSpreadPairs(rates(s, dir),
         memoKey = Some(dir))),
 
+    // Welch two-sample t² for the Monday effect per pair — the event-
+    // study pre/post primitive; exact conditional moments, fixed double
+    // tree, sqrt-free squared 1.96² threshold behind an n floor
+    "fx_monday_effect" -> ((s, dir) =>
+      graft.analysis.MarketAnalytics.mondayEffect(rates(s, dir))),
+
     // cross-sectional momentum backtest: per-day tercile rank on the
     // trailing 5-day move, next-day long-short spread — exact milli-
     // long baskets, two closing divisions; the factor-portfolio axis
@@ -4912,6 +4918,56 @@ object SparkEntry {
 
     // the maintained frontier report must reproduce the one-shot fold
     "stream_zigzag_incremental" -> ZigzagOracleSql,
+
+    // isodow(date)=1 mirrors weekday(date)=0; identical conditional
+    // HUGEINT moments and the one Welch double tree
+    "fx_monday_effect" ->
+      s"""WITH $RatesCte, cl AS (
+         |  SELECT ccy_couple, date, CAST(rate AS DECIMAL(18,6)) AS close
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ccy_couple, date
+         |          ORDER BY event_time DESC, event_id DESC) AS rn FROM rates)
+         |  WHERE rn = 1
+         |), ch AS (
+         |  SELECT ccy_couple, date,
+         |    CAST(close - lag(close) OVER (PARTITION BY ccy_couple
+         |        ORDER BY date) AS DECIMAL(12,3)) AS chg
+         |  FROM cl
+         |), chn AS (
+         |  SELECT ccy_couple, CAST(chg * 1000 AS BIGINT) AS x,
+         |    isodow(date) = 1 AS is_mon
+         |  FROM ch WHERE chg IS NOT NULL
+         |), mo AS (
+         |  SELECT ccy_couple,
+         |    CAST(sum(CASE WHEN is_mon THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN is_mon THEN x ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN is_mon THEN x * x ELSE 0 END) AS BIGINT)
+         |      AS q1,
+         |    CAST(sum(CASE WHEN is_mon THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN is_mon THEN 0 ELSE x END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN is_mon THEN 0 ELSE x * x END) AS BIGINT)
+         |      AS q2
+         |  FROM chn GROUP BY 1
+         |  HAVING n1 >= 3 AND n2 >= 10
+         |), z AS (
+         |  SELECT ccy_couple, n1, n2,
+         |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md,
+         |    (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+         |       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+         |      / CAST(n1 AS DOUBLE)
+         |    + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+         |       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+         |      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+         |      / CAST(n2 AS DOUBLE) AS se2
+         |  FROM mo
+         |)
+         |SELECT ccy_couple, n1 AS n_monday, n2 AS n_rest,
+         |  md AS mean_diff_milli,
+         |  CASE WHEN se2 = 0.0 THEN NULL ELSE md * md / se2 END AS t_sq,
+         |  CASE WHEN se2 = 0.0 THEN NULL
+         |       ELSE md * md / se2 > 3.8416 END AS monday_differs
+         |FROM z""".stripMargin,
 
     // the same close digest, date-offset self-joins, per-day tercile
     // windows and exact basket sums; spread = the two divisions

@@ -654,6 +654,51 @@ object MarketAnalytics {
           .as("spearman_rho"))
   }
 
+  /** WELCH two-sample test for the MONDAY EFFECT (Welch 1947; the
+    * weekend-effect literature per French 1980 — public methods): per
+    * pair, are Monday changes drawn from a different mean than the
+    * rest of the week? The two-sample-difference primitive of every
+    * event study (pre/post, treatment/control, anomaly calendars),
+    * pinned here on the weekday grouping both engines compute
+    * identically (Spark `weekday` Mon=0 ↔ DuckDB `isodow` Mon=1).
+    *
+    * Exactness: group counts, sums, and sums of squares are exact
+    * longs; means/variances/t² are one fixed DOUBLE tree (Welch t² =
+    * (m1−m2)² / (v1/n1 + v2/n2), sample variances via the n·Q − S²
+    * identity), and the flag compares t² against the asymptotic
+    * squared 5% critical 1.96² = 3.8416 — the sqrt-free squared-
+    * statistic discipline, indicative below n ≈ 30; the n1 ≥ 3,
+    * n2 ≥ 10 floor enforced here fits the fixture's one-month span
+    * and the flag is the discipline, not a promise of power. Zero-variance-both-groups → 3VL NULL.
+    *
+    * Scale shape: one map-side-combinable groupBy over the change
+    * digest with conditional aggregates; |pairs| output rows.
+    */
+  def mondayEffect(rates: DataFrame): DataFrame = {
+    val isMon = weekday(col("date")) === 0
+    val x = col("chg_u")
+    val mo = dailyChangesU(rates).groupBy(col("ccy_couple"))
+      .agg(sum(when(isMon, 1L).otherwise(0L)).as("n1"),
+        sum(when(isMon, x).otherwise(0L)).as("s1"),
+        sum(when(isMon, x * x).otherwise(0L)).as("q1"),
+        sum(when(!isMon, 1L).otherwise(0L)).as("n2"),
+        sum(when(!isMon, x).otherwise(0L)).as("s2"),
+        sum(when(!isMon, x * x).otherwise(0L)).as("q2"))
+      .where(col("n1") >= 3 && col("n2") >= 10)
+    def d(c: Column) = c.cast("double")
+    val m1 = d(col("s1")) / d(col("n1")); val m2 = d(col("s2")) / d(col("n2"))
+    val v1 = (d(col("n1")) * d(col("q1")) - d(col("s1")) * d(col("s1"))) /
+      (d(col("n1")) * (d(col("n1")) - lit(1.0)))
+    val v2 = (d(col("n2")) * d(col("q2")) - d(col("s2")) * d(col("s2"))) /
+      (d(col("n2")) * (d(col("n2")) - lit(1.0)))
+    val se2 = v1 / d(col("n1")) + v2 / d(col("n2"))
+    val tsq = when(se2 === lit(0.0), lit(null).cast("double"))
+      .otherwise((m1 - m2) * (m1 - m2) / se2)
+    mo.select(col("ccy_couple"), col("n1").as("n_monday"),
+      col("n2").as("n_rest"), (m1 - m2).as("mean_diff_milli"),
+      tsq.as("t_sq"), (tsq > lit(3.8416)).as("monday_differs"))
+  }
+
   /** CROSS-SECTIONAL momentum backtest (Jegadeesh & Titman 1993 — a
     * public method) — the factor-portfolio primitive, a NEW axis next
     * to the per-pair time-series family: each day, pairs are ranked by

@@ -1001,6 +1001,44 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(rC.isNullAt(3) && rC.isNullAt(4) && rC.isNullAt(5))
   }
 
+  test("monday effect: Welch t² matches driver recompute; degenerate and floor arms") {
+    import spark.implicits._
+    val monVals = Map(8 -> 10, 15 -> 10, 22 -> 10, 29 -> 14)
+    def restVal(d: Int) = if (d % 2 == 0) -1 else -3
+    val changes = (2 to 30).map(d => d -> monVals.getOrElse(d, restVal(d)))
+    def rows(pair: String, chg: Seq[(Int, Int)], idBase: Long) = {
+      val closes = chg.scanLeft((1, 1.000)) { case ((_, c), (d, v)) =>
+        (d, c + v / 1000.0) }
+      closes.map { case (d, c) =>
+        (idBase + d, idBase * 1000000L + d, pair, c, f"2024-01-$d%02d") }
+    }
+    val fx = (rows("W/1", changes, 100)
+      ++ rows("C/C", (2 to 30).map(d => d -> 2), 200)   // constant: se²=0
+      ++ rows("S/S", (2 to 6).map(d => d -> 1), 300))   // no Mondays: absent
+      .toDF("event_id", "event_time", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", timestamp_micros(col("event_time")))
+      .drop("ds")
+    val out = MarketAnalytics.mondayEffect(fx).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2 && !out.contains("S/S"))
+    val (mon, rest) = changes.partition { case (d, _) =>
+      java.time.LocalDate.of(2024, 1, d).getDayOfWeek.getValue == 1 }
+    val (n1, n2) = (mon.size.toDouble, rest.size.toDouble)
+    val (s1, s2) = (mon.map(_._2).sum.toDouble, rest.map(_._2).sum.toDouble)
+    val q1 = mon.map(x => x._2.toLong * x._2).sum.toDouble
+    val q2 = rest.map(x => x._2.toLong * x._2).sum.toDouble
+    val md = s1 / n1 - s2 / n2
+    val se2 = (n1 * q1 - s1 * s1) / (n1 * (n1 - 1.0)) / n1 +
+      (n2 * q2 - s2 * s2) / (n2 * (n2 - 1.0)) / n2
+    val w = out("W/1")
+    assert(w.getLong(1) == 4 && w.getLong(2) == 25)
+    assert(w.getDouble(3) == md && w.getDouble(4) == md * md / se2)
+    assert(w.getBoolean(5) == (md * md / se2 > 3.8416))
+    val c = out("C/C")
+    assert(c.isNullAt(4) && c.isNullAt(5))
+  }
+
   test("xs momentum: hand terciles, exact basket sums, boundary days dropped") {
     import spark.implicits._
     // closes only on days 1, 6, 7: day 6 is the single report day
