@@ -1,0 +1,47 @@
+package graft
+
+import graft.text.TextFunctions
+
+/** Plan-shape pins for the round-17 third-session operators: the scale
+  * arguments in their Scaladocs as executable assertions — readability
+  * is a shuffle-free codegen'd map, link prediction broadcasts its
+  * degree digest, and the Welch/VR/moment gates reduce to single
+  * map-side-combinable aggregations over the change digest.
+  */
+class NewOpPlanSpec extends SparkSuite {
+
+  test("readability: no Exchange, whole-stage codegen, pruned scan") {
+    val plan = TextFunctions.readability(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // "*(1)" is executedPlan.toString's whole-stage-codegen marker
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+    // only doc_id and text must be read from the documents table
+    val i = plan.indexOf("ReadSchema: ")
+    val rs = plan.substring(i).takeWhile(_ != '\n')
+    assert(rs.contains("doc_id") && rs.contains("text") &&
+      !rs.contains("lang"), s"scan not pruned: $rs")
+  }
+
+  test("link prediction: degree digest rides as a broadcast join") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val plan = graft.operators.LinkPrediction.predictLinks(edges)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"degree digest not broadcast:\n$plan")
+  }
+
+  test("higher moments / monday effect: one hash-aggregate pair over the digest") {
+    val rates = graft.model.Tables.rates(spark, sf("sf0.001"))
+    for (df <- Seq(graft.analysis.MarketAnalytics.higherMoments(rates),
+        graft.analysis.MarketAnalytics.mondayEffect(rates))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // partial + final HashAggregate = map-side combine is in effect
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"no partial aggregation:\n$plan")
+    }
+  }
+}
