@@ -1504,6 +1504,17 @@ object SparkEntry {
     "dq_ks_drift_shifted" -> ((s, dir) =>
       graft.operators.DataQuality.ksDriftShifted(
         Tables.events(s, dir), "value", "ts")),
+    // the whole-CDF sibling: two-sample Cramér-von-Mises integrates the
+    // squared CDF gap over every sample point (DECIMAL-exact numerator,
+    // string-path double division) — prices persistent small shifts KS
+    // under-weights
+    "dq_cvm_drift" -> ((s, dir) =>
+      graft.operators.DataQuality.cvmDrift(
+        Tables.events(s, dir), "value", "ts")),
+    // its alarm arm: current half shifted +20, flag must fire
+    "dq_cvm_drift_shifted" -> ((s, dir) =>
+      graft.operators.DataQuality.cvmDriftShifted(
+        Tables.events(s, dir), "value", "ts")),
 
     // functional-dependency profiling: per candidate det→dep, the
     // violating-key count — o_orderkey→o_custkey HOLDS (it is the key),
@@ -2312,6 +2323,15 @@ object SparkEntry {
     // IVF search over the trained cells (assignment + probe + rerank,
     // end-to-end reproducible)
     "sim_ivf_kmeans_topk" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
+    // graph-traversal ANN (HNSW/NSW family, flat layer + k-means-cell
+    // backbone): deterministic beam search over the bounded-degree
+    // neighbor artifact, fixed 3-hop budget, 6-dp-rounded cosines with
+    // id tiebreaks — the whole index build AND search unroll as chained
+    // oracle CTEs
+    "sim_hnsw_topk" -> ((s, dir) => Similarity.hnswTopK(s, dir)),
+    // recall@5 of the beam search against the exact cosine brute-force
+    // top-5 — the same anchor the IVF/PQ/binary recall gates use
+    "sim_hnsw_recall" -> ((s, dir) => Similarity.hnswRecall(s, dir)),
     // PRODUCT QUANTIZATION top-k (Jégou et al. 2011): per-subspace
     // Euclidean codebooks (the trainer recipe with L2 geometry),
     // m-byte codes per vector (32× compression — the representation
@@ -2935,6 +2955,51 @@ object SparkEntry {
       |    AS INT) AS rank
       |FROM s""".stripMargin
 
+  /** Two-sample Cramér-von-Mises replay, parameterized by the
+    * value-shift expression (`""` for the plain gate; the alarm arm
+    * adds the +20 CASE to the current half). HUGEINT numerator mirrors
+    * the engine's DECIMAL(38,0) fold; both convert through the string
+    * path before the one double division (the >2^53 ULP rule).
+    */
+  private def CvmDriftOracleSql(shiftExpr: String): String =
+    s"""WITH sp AS (
+       |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+       |  FROM events
+       |), m AS (
+       |  SELECT value$shiftExpr AS v,
+       |    CAST(ts AS DATE) <
+       |      d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS is_ref
+       |  FROM events, sp
+       |), g AS (
+       |  SELECT v,
+       |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS b
+       |  FROM m GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(sum(a) AS BIGINT) AS n_ref,
+       |    CAST(sum(b) AS BIGINT) AS n_cur FROM g
+       |), w AS (
+       |  SELECT a + b AS w,
+       |    CAST(sum(a) OVER (ORDER BY v) AS BIGINT) * t.n_cur
+       |      - CAST(sum(b) OVER (ORDER BY v) AS BIGINT) * t.n_ref AS dn
+       |  FROM g, t
+       |), s AS (
+       |  SELECT sum(CAST(w AS HUGEINT) * CAST(dn AS HUGEINT)
+       |             * CAST(dn AS HUGEINT)) AS s_num
+       |  FROM w
+       |)
+       |SELECT t.n_ref, t.n_cur, CAST(s.s_num AS VARCHAR) AS s_num,
+       |  CAST(CAST(s.s_num AS VARCHAR) AS DOUBLE)
+       |    / (CAST(t.n_ref + t.n_cur AS DOUBLE)
+       |       * CAST(t.n_ref + t.n_cur AS DOUBLE)
+       |       * CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE)) AS cvm_t,
+       |  CAST(CAST(s.s_num AS VARCHAR) AS DOUBLE)
+       |    / (CAST(t.n_ref + t.n_cur AS DOUBLE)
+       |       * CAST(t.n_ref + t.n_cur AS DOUBLE)
+       |       * CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE)) > 0.461
+       |    AS drift_5pct
+       |FROM s, t""".stripMargin
+
   /** Drift replay: exact bucket counts, the verbatim expected-count
     * tree, and the chi2 left fold as a recursive CTE in bucket order.
     * Shared verbatim by the one-shot gate and the incremental replay.
@@ -3200,6 +3265,108 @@ object SparkEntry {
   }
 
   private val IvfKmeansTopKOracleSql: String = IvfKmeansOracle("")
+
+  /** The HNSW-style beam search replayed end to end: k-means training
+    * (the shared unrolled CTEs), assignment, the bounded-degree graph
+    * (in-cell m-NN symmetrized + cell-representative backbone), and
+    * `hops` unrolled beam rounds — MATERIALIZED per the iterative-CTE
+    * discipline (each beam CTE is referenced twice). Returns the full
+    * visited-set CTE chain; the two gates rank it differently.
+    */
+  private def HnswCtes(m: Int, beamWidth: Int, hops: Int): String = {
+    val (ctes, centFinal, _) = KmeansCtes(8, 2)
+    val sb = new StringBuilder
+    sb.append(
+      s"""$ctes, af AS MATERIALIZED (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT e.vec_id, e.emb, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${KmCos("e.emb", "c.centroid")} DESC, c.cell ASC) AS rn
+         |    FROM e CROSS JOIN $centFinal c)
+         |  WHERE rn = 1
+         |), nn AS (
+         |  SELECT src, dst FROM (
+         |    SELECT a.vec_id AS src, b.vec_id AS dst,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${KmCos("a.emb", "b.emb")} DESC, b.vec_id ASC) AS rn
+         |    FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |  WHERE rn <= $m
+         |), reps AS (
+         |  SELECT cell, min(vec_id) AS rep FROM af GROUP BY 1
+         |), edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM nn
+         |    UNION ALL SELECT dst AS src, src AS dst FROM nn
+         |    UNION ALL SELECT r1.rep AS src, r2.rep AS dst
+         |      FROM reps r1 JOIN reps r2 ON r1.rep <> r2.rep
+         |    UNION ALL SELECT a.vec_id AS src, r.rep AS dst
+         |      FROM af a JOIN reps r ON a.cell = r.cell AND a.vec_id <> r.rep)
+         |), q AS (
+         |  SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5
+         |), b0 AS (
+         |  SELECT q.qid, r.rep AS vec_id FROM q CROSS JOIN reps r
+         |)""".stripMargin)
+    for (i <- 1 to hops) {
+      sb.append(
+        s""", c$i AS (
+           |  SELECT DISTINCT qid, vec_id FROM (
+           |    SELECT qid, vec_id FROM b${i - 1}
+           |    UNION ALL
+           |    SELECT b.qid, g.dst AS vec_id
+           |    FROM b${i - 1} b JOIN edges g ON g.src = b.vec_id)
+           |), s$i AS MATERIALIZED (
+           |  SELECT c.qid, c.vec_id, ${KmCos("q.qe", "a.emb")} AS sim
+           |  FROM c$i c JOIN q ON q.qid = c.qid
+           |  JOIN af a ON a.vec_id = c.vec_id
+           |  WHERE c.vec_id <> c.qid
+           |), b$i AS MATERIALIZED (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, vec_id ASC) AS rn FROM s$i)
+           |  WHERE rn <= $beamWidth
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""", visited AS MATERIALIZED (
+         |  SELECT DISTINCT qid, vec_id, sim FROM (
+         |    ${(1 to hops).map(i => s"SELECT qid, vec_id, sim FROM s$i")
+              .mkString("\n    UNION ALL ")})
+         |)""".stripMargin)
+    sb.toString
+  }
+
+  private val HnswTopKOracleSql: String =
+    s"""WITH ${HnswCtes(4, 10, 3)}
+       |SELECT qid, vec_id, sim AS cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id ASC) AS rank FROM visited)
+       |WHERE rank <= 5""".stripMargin
+
+  private val HnswRecallOracleSql: String =
+    s"""WITH ${HnswCtes(4, 10, 3)}, hn AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id ASC) AS rank FROM visited)
+       |  WHERE rank <= 5
+       |), bscored AS (
+       |  SELECT q.qid, x.vec_id, ${KmCos("q.qe", "x.emb")} AS sim
+       |  FROM e x CROSS JOIN q WHERE x.vec_id <> q.qid
+       |), brute AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id ASC) AS rn FROM bscored)
+       |  WHERE rn <= 5
+       |), hits AS (
+       |  SELECT qid, count(*) AS n_hits
+       |  FROM hn JOIN brute USING (qid, vec_id) GROUP BY 1
+       |), tru AS (
+       |  SELECT qid, count(*) AS n_true FROM brute GROUP BY 1
+       |)
+       |SELECT t.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  t.n_true,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+       |    AS recall
+       |FROM tru t LEFT JOIN hits h USING (qid)""".stripMargin
 
   /** The delete-gate replay: search over the retained set — everything
     * except the deleted-and-not-re-added ids (vec_id % 20 = 17).
@@ -7110,6 +7277,17 @@ object SparkEntry {
         |    AS drift_5pct
         |FROM base""".stripMargin,
 
+    // the whole-CDF sibling: Σ (a+b)·d² in HUGEINT (DECIMAL(38,0) on
+    // the engine side — both associative-exact), string-path double
+    // conversion, identical left-associated denominator product
+    "dq_cvm_drift" -> CvmDriftOracleSql(""),
+
+    // the alarm arm: same machinery over the +20-shifted current half
+    "dq_cvm_drift_shifted" -> CvmDriftOracleSql(
+      """ + CASE WHEN CAST(ts AS DATE) <
+        |        d0 + CAST(date_diff('day', d0, d1) // 2 AS INT)
+        |      THEN 0.0 ELSE 20.0 END""".stripMargin),
+
     // the batch-maintained daily digest must reproduce the one-shot
     // report bit for bit — the oracle IS dq_drift_chi2
     "stream_drift_incremental" -> DqDriftChi2OracleSql,
@@ -9053,6 +9231,12 @@ object SparkEntry {
     // IVF over the trained cells: final assignment + probe selection +
     // exact in-cell rerank, all replayed from the training CTEs
     "sim_ivf_kmeans_topk" -> IvfKmeansTopKOracleSql,
+
+    // the navigable-graph ANN replayed END TO END: training CTEs →
+    // assignment → bounded-degree graph → 3 unrolled beam rounds →
+    // visited-set top-k / recall vs the exact cosine brute force
+    "sim_hnsw_topk" -> HnswTopKOracleSql,
+    "sim_hnsw_recall" -> HnswRecallOracleSql,
 
     // the batch-maintained (cell, vec_id, embedding) index must serve
     // the identical top-k — the oracle IS sim_ivf_kmeans_topk

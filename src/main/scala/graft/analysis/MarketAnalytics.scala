@@ -718,6 +718,15 @@ object MarketAnalytics {
     * Scale shape: three self-joins of the |pairs|×|days| close digest
     * on (pair, date±L) keys, two windows per day partition, one
     * grouped sum — digest-confined; the tick corpus is touched once.
+    *
+    * DENSE-CALENDAR ASSUMPTION: signal and next-day joins are on exact
+    * calendar-day offsets (date−lagDays, date+1), so a pair missing a
+    * close on either boundary drops out of that day's cross-section,
+    * and on gapped calendars (weekends/holidays on real FX) whole
+    * report days can vanish. That is the stated semantics here — the
+    * fixture's calendar is dense; for gapped calendars use observed-
+    * day index offsets (row_number per pair, join on index±L — the
+    * varianceRatio pattern) instead.
     */
   def crossSectionalMomentum(rates: DataFrame, lagDays: Int = 5)
       : DataFrame = {

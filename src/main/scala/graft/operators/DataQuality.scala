@@ -370,6 +370,78 @@ object DataQuality {
     ksDrift(shifted, "value", "ts")
   }
 
+  /** TWO-SAMPLE CRAMÉR–VON MISES drift test — the whole-CDF sibling of
+    * [[ksDrift]] (Anderson 1962, "On the distribution of the two-sample
+    * Cramér–von Mises criterion"; public method): where KS prices only
+    * the WORST CDF gap, CvM integrates the squared gap over every
+    * sample point, so many small persistent shifts that KS under-prices
+    * accumulate. Same reference/current split (first calendar half vs
+    * rest), same distinct-value prefix-sum digest — one extra squared
+    * term per distinct value.
+    *
+    * Exact integer core: at each distinct value v with multiplicity
+    * w = a+b, d = ca·n_cur − cb·n_ref (long — the KS numerator before
+    * the abs), and S = Σ w·d² accumulated in DECIMAL(38,0) (d² alone
+    * can pass 2^63; the decimal fold is associative-exact, HUGEINT on
+    * the oracle side). T = S / (N²·n_ref·n_cur) with N = n_ref+n_cur —
+    * the integral form T = (nm/N²)·Σ_k [F_n(x_k) − G_m(x_k)]² over all
+    * N sample points. S crosses 2^53, so it converts through the
+    * STRING path on both engines (the fx_higher_moments ULP rule); the
+    * denominator is the same left-associated double product in both.
+    * The 5% flag uses the asymptotic critical value T > 0.461.
+    * Range bound: S ≤ N·(n·m)² ≲ N⁵/16 and the Σ stays inside
+    * DECIMAL(38,0) to N ≈ 3·10⁶ rows; past that, run the same digest
+    * on a per-day stratified sample or rescale d by a power of two
+    * before squaring — the plan shape is unchanged.
+    */
+  def cvmDrift(df: DataFrame, valueCol: String, tsCol: String): DataFrame = {
+    val s0 = df.select(col(valueCol).as("v"), to_date(col(tsCol)).as("d"))
+    val span = s0.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val m = s0.crossJoin(broadcast(span))
+      .select(col("v"),
+        (col("d") < date_add(col("d0"),
+          (datediff(col("d1"), col("d0")) / 2).cast("int"))).as("is_ref"))
+    val g = m.groupBy(col("v")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+    val tot = g.agg(sum(col("a")).as("n_ref"), sum(col("b")).as("n_cur"))
+    val w = g
+      .withColumn("ca", sum(col("a")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+      .withColumn("cb", sum(col("b")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+      .crossJoin(broadcast(tot))
+      .select((col("a") + col("b")).as("w"),
+        (col("ca") * col("n_cur") - col("cb") * col("n_ref")).as("dn"))
+    val sNum = w.agg(sum(col("w").cast("decimal(38,0)")
+        * col("dn").cast("decimal(38,0)") * col("dn").cast("decimal(38,0)"))
+      .cast("decimal(38,0)").as("s_num"))
+    val nTot = (col("n_ref") + col("n_cur")).cast("double")
+    val denom = nTot * nTot * col("n_ref").cast("double") *
+      col("n_cur").cast("double")
+    sNum.crossJoin(broadcast(tot))
+      .select(col("n_ref"), col("n_cur"),
+        col("s_num").cast("string").as("s_num"),
+        (col("s_num").cast("string").cast("double") / denom).as("cvm_t"))
+      .withColumn("drift_5pct", col("cvm_t") > 0.461)
+  }
+
+  /** The alarm arm ([[ksDriftShifted]] precedent): the current half
+    * shifts by a constant before the same test runs; x + 0.0 = x keeps
+    * the reference half bit-untouched and the flag must fire.
+    */
+  def cvmDriftShifted(df: DataFrame, valueCol: String, tsCol: String,
+      shift: Double = 20.0): DataFrame = {
+    val s0 = df.select(col(valueCol).as("v0"),
+      to_date(col(tsCol)).as("d"), col(tsCol).as("ts"))
+    val span = s0.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val shifted = s0.crossJoin(broadcast(span))
+      .select((col("v0") + when(col("d") < date_add(col("d0"),
+          (datediff(col("d1"), col("d0")) / 2).cast("int")), 0.0)
+        .otherwise(shift)).as("value"), col("ts"))
+    cvmDrift(shifted, "value", "ts")
+  }
+
   private def driftFromDaily(daily: DataFrame,
       threshold: Double): DataFrame = {
     val span = daily.agg(min(col("date")).as("d0"), max(col("date")).as("d1"))

@@ -43,8 +43,12 @@ object Hits {
     // one corpus pass: the edge digest (often a full fact-table join at
     // the caller) is materialized once, and every iteration's joins run
     // on the checkpointed |edges|-row leaf — without this the lazy
-    // 2·iters references would re-execute the corpus join each time
-    val e = edges.localCheckpoint(true)
+    // 2·iters references would re-execute the corpus join each time.
+    // distinct() ENFORCES the documented precondition — a duplicate
+    // (src,dst) row would otherwise double its contribution in every
+    // ordered fold silently; it is one shuffle of the |edges|-row
+    // digest, negligible next to the iteration joins
+    val e = edges.distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint(true)
     def orderedSum(contrib: DataFrame, key: String, by: String) = contrib

@@ -94,8 +94,22 @@ object IncrementalView {
     * Exact decimal merge ≡ one-shot aggregation, so anything derived
     * from the digest equals its one-shot twin bit for bit.
     */
+  /** Path memo keyed by (dir, nBatches): the SAME maintained digest
+    * serves the incremental PageRank, graph-stats, and HITS gates (the
+    * pair-graph shared-digest discipline) — the generation loop runs
+    * once per JVM, not once per consumer; `scratchTag` names the first
+    * builder's tree but is deliberately NOT part of the key.
+    */
+  private val digestPaths =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
   def tradeEdgeDigestIncremental(s: SparkSession, dir: String,
-      nBatches: Int, scratchTag: String): DataFrame = {
+      nBatches: Int, scratchTag: String): DataFrame =
+    s.read.parquet(digestPaths.computeIfAbsent((dir, nBatches), _ =>
+      buildTradeEdgeDigest(s, dir, nBatches, scratchTag)))
+
+  private def buildTradeEdgeDigest(s: SparkSession, dir: String,
+      nBatches: Int, scratchTag: String): String = {
     val cust = broadcast(Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey")))
     val supp = broadcast(Tables.supplier(s, dir)
@@ -133,6 +147,6 @@ object IncrementalView {
       merged.coalesce(1).write.mode("overwrite").parquet(gen)
       current = Some(gen)
     }
-    s.read.parquet(current.get)
+    current.get
   }
 }

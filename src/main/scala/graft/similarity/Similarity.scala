@@ -1136,7 +1136,7 @@ object Similarity {
     * train gate and the projection — the classifier-weights pattern.
     */
   private val pcaMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Array[Double], Double)]
+    .empty[(String, Int), (Array[Double], Double)]
 
   /** The trained component APPLIED back to the corpus — the
     * train→project pair every reduction pipeline ships (scores feed
@@ -1164,7 +1164,7 @@ object Similarity {
 
   private def trainPca(s: SparkSession, dir: String,
       iters: Int = 8): (Array[Double], Double) =
-    pcaMemo.getOrElseUpdate(dir, {
+    pcaMemo.getOrElseUpdate((dir, iters), {
       val base = Tables.embeddings(s, dir).select(
         transform(col("embedding"),
           x => (x.cast("double") * lit(1000.0)).cast("long")).as("qv"))
@@ -1181,9 +1181,19 @@ object Similarity {
         .join(broadcast(sums.select(col("j").as("k"), col("sj").as("sk"),
           col("n"))), "k")
         .select(col("j"), col("k"),
-          (col("n") * col("sjk") - col("sj") * col("sk")).as("c"))
+          (col("n") * col("sjk") - col("sj") * col("sk")).as("c"),
+          col("n"))
         .collect() // d² = 4096 rows — dimension-bounded, never corpus
       val d = 64
+      // n·sjk and sj·sk are each bounded by n²·2^20 (milli-codes ≤
+      // ~2^10), so the Long covariance digest is exact only below
+      // n = 2^21 rows; past that it would wrap SILENTLY and the power
+      // iteration would return wrong loadings — fail loudly instead
+      // (at that scale requantize the codes or lift the digest to
+      // DECIMAL; the plan shape is unchanged).
+      cov.headOption.map(_.getLong(3)).foreach(n => require(n < (1L << 21),
+        s"trainPca Long covariance digest is exact only below 2^21 rows " +
+          s"(got $n); requantize or lift the moment sums to DECIMAL"))
       val c = Array.ofDim[Long](d, d)
       cov.foreach(r => c(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2))
       var v = Array.fill(d)(1.0)
@@ -1203,5 +1213,155 @@ object Similarity {
     v.toIndexedSeq.zipWithIndex
       .map { case (l, i) => (i + 1L, l, mx) }
       .toDF("dim", "loading", "lambda_inf")
+  }
+
+  // ───────────────────────── graph-traversal ANN ─────────────────────────
+
+  /** Scratch-parquet memo of the HNSW-style neighbor graph, keyed by
+    * (dir, m): the index is a persisted artifact shared by the top-k
+    * and recall gates (the trainedCentroids discipline).
+    */
+  private val hnswEdgePaths =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** Bounded-degree navigable graph for beam-search ANN (the
+    * HNSW/NSW family — Malkov & Yashunin 2018, arXiv:1603.09320;
+    * public method), built flat (one layer) with the long-range hops
+    * HNSW gets from upper layers supplied instead by the trained
+    * k-means cells: each node links to its m nearest same-cell
+    * neighbors (SYMMETRIZED — NSW's undirected links), to its cell's
+    * representative (min vec_id), and representatives link to each
+    * other (a k²-edge navigable backbone). All similarity comparisons
+    * are 6-dp-rounded cosines with vec-id tiebreaks — the repo's
+    * portable float-ranking recipe — so the graph is deterministic and
+    * a DuckDB oracle rebuilds it edge for edge.
+    *
+    * Scale shape: in-cell m-NN is the cell-bounded all-pairs every
+    * IVF-family operator already pays at index-build time (never
+    * corpus² — cells bound the quadratic); the backbone is
+    * cells²+|corpus| extra edges; the artifact is O(m·|corpus|) rows,
+    * partitioned by src at serving time.
+    */
+  private def hnswEdges(s: SparkSession, dir: String, m: Int): DataFrame = {
+    val path = hnswEdgePaths.computeIfAbsent((dir, m), _ => {
+      val p = graft.util.Scratch.dir("graft_hnsw").resolve("edges").toString
+      val af = assignCells(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        trainedCentroids(s, dir))
+      val a = af.select(col("cell"), col("vec_id").as("src"),
+        col("embedding").as("ea"))
+      val b = af.select(col("cell"), col("vec_id").as("dst"),
+        col("embedding").as("eb"))
+      val w = Window.partitionBy("src")
+        .orderBy(col("sim").desc, col("dst").asc)
+      val nn = a.join(b, Seq("cell"))
+        .where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(cosine(col("ea"), col("eb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= m)
+        .select(col("src"), col("dst"))
+      val sym = nn.unionAll(nn.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val reps = af.groupBy(col("cell")).agg(min(col("vec_id")).as("rep"))
+      val redges = reps.select(col("rep").as("src"))
+        .crossJoin(reps.select(col("rep").as("dst")))
+        .where(col("src") =!= col("dst"))
+      val n2r = af.join(broadcast(reps), Seq("cell"))
+        .where(col("vec_id") =!= col("rep"))
+        .select(col("vec_id").as("src"), col("rep").as("dst"))
+      sym.unionAll(redges).unionAll(n2r).distinct()
+        .write.parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Every (qid, vec_id, sim) the beam search SCORES in `hops` rounds
+    * over [[hnswEdges]] — the visited set the top-k and recall gates
+    * rank. Deterministic end to end: the beam starts at the cell
+    * representatives, each round expands the beam's out-edges, scores
+    * candidates by 6-dp cosine (self excluded), and keeps the `beam`
+    * best under (sim DESC, vec_id ASC); a FIXED hop budget is what
+    * lets the oracle unroll the search as chained CTEs. Serving shape:
+    * the frontier is (queries × beam) rows — it broadcasts against the
+    * src-keyed edge table; the corpus is touched only to score visited
+    * candidates.
+    */
+  private def hnswVisited(s: SparkSession, dir: String, nQueries: Int,
+      mLinks: Int, beamWidth: Int, hops: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val edges = hnswEdges(s, dir, mLinks)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val af = assignCells(emb, trainedCentroids(s, dir))
+    val rep0 = af.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"))
+    val bw = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    def scored(cand: DataFrame): DataFrame = queries
+      .join(broadcast(cand), Seq("qid"))
+      .join(emb, Seq("vec_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), 6).as("sim"))
+    var beam = queries.select(col("qid")).crossJoin(broadcast(rep0))
+      .select(col("qid"), col("vec_id"))
+    var visited: DataFrame = null
+    for (_ <- 1 to hops) {
+      val cand = beam.unionAll(
+          beam.join(edges, col("vec_id") === col("src"))
+            .select(col("qid"), col("dst").as("vec_id")))
+        .distinct()
+      val sc = scored(cand).localCheckpoint()
+      visited = if (visited == null) sc
+        else visited.unionAll(sc).distinct().localCheckpoint()
+      beam = sc.withColumn("rn", row_number().over(bw))
+        .where(col("rn") <= beamWidth)
+        .select(col("qid"), col("vec_id"))
+    }
+    visited
+  }
+
+  /** Beam-search ANN top-k over the navigable graph — the missing ANN
+    * family member next to IVF / PQ / LSH / binary: queries never scan
+    * the corpus, they walk it. Output mirrors the IVF gate:
+    * (qid, vec_id, cos_sim, rank).
+    */
+  def hnswTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, mLinks: Int = 4, beamWidth: Int = 10,
+      hops: Int = 3): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    hnswVisited(s, dir, nQueries, mLinks, beamWidth, hops)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("sim").as("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Recall@k of the beam search against the exact cosine brute-force
+    * top-k — the same anchor the IVF/PQ/binary recall gates rank
+    * against, so the families are directly comparable.
+    */
+  def hnswRecall(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, mLinks: Int = 4, beamWidth: Int = 10,
+      hops: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val brute = queries.join(emb)
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val approx = hnswTopK(s, dir, nQueries, k, mLinks, beamWidth, hops)
+      .select(col("qid"), col("vec_id"))
+    val hits = approx.join(brute, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    brute.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_true"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_true").cast("double")).as("recall"))
   }
 }

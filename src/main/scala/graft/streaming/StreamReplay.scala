@@ -27,19 +27,26 @@ import graft.util.Scratch
   * at JVM exit, so repeated gate/bench invocations don't leak parquet.
   *
   * Batch counts: the LSM-maintenance replays (append a mergeable partial
-  * per batch, fold at report time) default to TWO micro-batches — the
-  * minimum that still exercises a cross-batch fold; their partials are
-  * associative/commutative/idempotent, so the folded result is
+  * per batch, fold at report time) write a TWO-file feed but run it
+  * COALESCED — no `maxFilesPerTrigger` cap, so `Trigger.AvailableNow`
+  * takes every pending file in one micro-batch. That is exactly the
+  * catch-up semantics the production engine applies to a backlog, and it
+  * is sound for precisely these replays because their partials are
+  * associative/commutative/idempotent — the folded result is
   * batch-count-invariant by construction (each docstring states the
-  * property, and the one-shot oracle would fail the hash gate if any
-  * replay leaked its batch count). At fixture scale each extra
-  * micro-batch costs fixed job-scheduling overhead (~0.5-3 s measured at
-  * sf0.1), not data — at production scale batches are large and the same
-  * overhead amortizes to nothing. Replays whose SEMANTICS involve batch
-  * boundaries — watermark eviction (dedup, outer/interval joins,
-  * windows/sessions), CDC version history (one version per batch),
-  * stateful latest-per-key, the multi-phase delete replay, and the
-  * reference-shaped ingest loop — keep three or more.
+  * property; the one-shot oracle would fail the hash gate if any replay
+  * leaked its batch count, and the cross-batch fold mechanics stay
+  * pinned by the batching-invariance specs, e.g. BloomPrefilterSpec /
+  * NearDupIncrementalSpec / ZigzagIncrementalSpec). At fixture scale
+  * each extra micro-batch costs fixed job-scheduling overhead
+  * (~0.5-3 s measured at sf0.1), not data — dropping the cap removed
+  * that pure overhead from the bench's 51-replay bill. Replays whose
+  * SEMANTICS involve batch boundaries — watermark eviction (dedup,
+  * outer/interval joins, windows/sessions), CDC version history (one
+  * version per batch), stateful latest-per-key, prior-state read-backs
+  * (near-dup index probe, skyline frontier, zigzag retry), the
+  * multi-phase delete replay, and the reference-shaped ingest loop —
+  * keep `maxFilesPerTrigger = 1` and three or more batches.
   */
 object StreamReplay {
 
@@ -538,7 +545,10 @@ object StreamReplay {
     * oracle) regardless of batching, while never rewriting an untouched
     * day. This is the materialized-view maintenance pattern a 100 TB
     * warehouse needs: both the tick merge and the bar refresh scale with
-    * the batch's day span, not the table.
+    * the batch's day span, not the table. Convergence under any batching
+    * (LWW tick merge + whole-day refresh) licenses the COALESCED feed
+    * run (header catch-up rule); the touched-day scoping stays pinned by
+    * IncrementalViewSpec / MergeOpsSpec multi-batch replays.
     */
   def replayOhlcIncremental(s: SparkSession, dir: String,
       nBatches: Int = 2): DataFrame = {
@@ -556,7 +566,6 @@ object StreamReplay {
     withReplayPartitions(s, 2) {
       val query = s.readStream
         .schema(rates.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .outputMode("append")
@@ -713,6 +722,10 @@ object StreamReplay {
     * maintained table must converge to the one-shot batch SCD2 — the
     * SAME oracle as fx_scd2_history — under any batching, because the
     * interval rebuild is a pure function of the accumulated version set.
+    * That convergence is what licenses running the feed COALESCED (no
+    * per-file trigger cap — the header's catch-up rule); the per-batch
+    * bucket-pruning machinery stays pinned by Scd2Spec's multi-batch
+    * replays.
     * The OHLC replay maintains a daily AGGREGATE incrementally; this
     * maintains full HISTORY incrementally — the two materialized-view
     * shapes a warehouse needs.
@@ -731,7 +744,6 @@ object StreamReplay {
     withReplayPartitions(s, 2) {
       val query = s.readStream
         .schema(rates.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .outputMode("append")
@@ -898,7 +910,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -936,7 +947,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(ref.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -974,7 +984,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1010,7 +1019,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1086,7 +1094,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1121,7 +1128,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1156,7 +1162,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1192,7 +1197,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1229,7 +1233,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1264,7 +1267,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1300,7 +1302,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1343,7 +1344,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1481,7 +1481,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(proj.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1524,7 +1523,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1571,7 +1569,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1609,7 +1606,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1654,7 +1650,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1690,7 +1685,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(li.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1730,7 +1724,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -1768,7 +1761,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -2237,7 +2229,6 @@ object StreamReplay {
 
     withReplayPartitions(s, 2) {
       val query = s.readStream.schema(child.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,10 +163,12 @@ object PpJoin {
           >= alpha)
       .select(least(col("ida"), col("idb")).as("ida"),
         greatest(col("ida"), col("idb")).as("idb"))
-      .distinct()
-    verified(docs, cands, "nb_id")
+    verified(docs, cands, "nb_id", (na, nb) =>
+        floor((((na + nb) * tNum) + lit(tNum + tDen - 1)) / (tNum + tDen))
+          .cast("long"))
       .where(col("n_common") * (tNum + tDen)
         >= (col("n_a") + col("n_b")) * tNum)
+      .distinct() // survivor-sized; collapses candidate multiplicity
       .withColumn("jaccard", col("n_common").cast("double")
         / (col("n_a") + col("n_b") - col("n_common")))
   }
@@ -186,18 +188,58 @@ object PpJoin {
     */
   private val broadcastDocLimit = 200000L
 
-  private def verified(docs: DataFrame, cands: DataFrame,
-      rightName: String): DataFrame = {
+  /** `alphaOf(n_a, n_b)` is the caller's minimum required overlap; the
+    * threshold-aware intersect prunes candidates that cannot reach it
+    * (suffix-filter Hamming bound + early-exit merge — ppjoin+, Xiao
+    * 2008 §4) and is EXACT for every candidate that can, so the
+    * caller's `n_common ≥ α`-shaped filter sees bit-identical values
+    * on all surviving rows.
+    *
+    * Candidate MULTIPLICITY is accepted, not pre-deduped, in the
+    * broadcast regime: with the suffix filter the per-candidate verify
+    * cost is ~0.1 µs, so re-verifying a pair once per shared prefix
+    * token (duplication ≈ 2× on the degenerate fixture) is far cheaper
+    * than the |candidates|-row exchange a pre-`distinct` costs (17.6 s
+    * vs 3.6 s at sf0.1) — the whole chain stays pipelined map-side with
+    * NO candidate shuffle at all; the kernel is deterministic, so
+    * duplicate candidates yield byte-identical rows and the caller's
+    * post-filter `distinct` (survivor-sized, tiny) collapses them.
+    * Past `broadcastDocLimit` the arrays move through partitioned
+    * joins, bandwidth ∝ candidate rows — there the pre-dedup pays and
+    * is kept.
+    */
+  /** Vocabulary cap for the packed-bitmap representation: ≤ 2 KB per
+    * doc, so a broadcastDocLimit-sized digest of bitmaps stays well
+    * inside one executor. Dense fixtures sit far below it.
+    */
+  private val bitmapVocabLimit = 16384L
+
+  private def verified(docs: DataFrame, cands: DataFrame, rightName: String,
+      alphaOf: (Column, Column) => Column): DataFrame = {
     val small = docs.count() <= broadcastDocLimit
+    // ranks are a dense 1-based universe [1, vocab]; max rank of the
+    // sorted array (its last element) IS the vocabulary size — one
+    // 1-row agg on the digest decides the representation
+    val vocab = docs.agg(max(element_at(col("ranks"), -1)))
+      .head.getLong(0)
+    val dense = vocab <= bitmapVocabLimit
+    val words = ((vocab + 63L) / 64L).toInt
     def side(d: DataFrame) = if (small) broadcast(d) else d
-    val ga = docs.select(col("doc_id").as("ida"), col("ranks").as("ra"))
-    val gb = docs.select(col("doc_id").as("idb"), col("ranks").as("rb"))
-    cands.join(side(ga), "ida").join(side(gb), "idb")
+    val c = if (small) cands else cands.distinct()
+    val payload = if (dense)
+      graft.functions.BitsetOfRanks(col("ranks"), lit(words))
+    else col("ranks")
+    val ga = docs.select(col("doc_id").as("ida"), payload.as("ra"),
+      col("n").cast("long").as("n_a"))
+    val gb = docs.select(col("doc_id").as("idb"), payload.as("rb"),
+      col("n").cast("long").as("n_b"))
+    val count = if (dense)
+      graft.functions.BitsetAndCount(col("ra"), col("rb"))
+    else graft.functions.ThresholdIntersectCount(col("ra"), col("rb"),
+      alphaOf(col("n_a"), col("n_b")))
+    c.join(side(ga), "ida").join(side(gb), "idb")
       .select(col("ida").as("doc_id"), col("idb").as(rightName),
-        graft.functions.SortedIntersectCount(col("ra"), col("rb"))
-          .as("n_common"),
-        size(col("ra")).cast("long").as("n_a"),
-        size(col("rb")).cast("long").as("n_b"))
+        count.as("n_common"), col("n_a"), col("n_b"))
   }
 
   /** DIRECTIONAL containment join — every ordered pair (x, y), x ≠ y,
@@ -245,9 +287,11 @@ object PpJoin {
         && col("nb") * tDen >= col("na") * tNum
         && lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
           >= alpha)
-      .select(col("ida"), col("idb")).distinct()
-    verified(docs, cands, "container_id")
+      .select(col("ida"), col("idb"))
+    verified(docs, cands, "container_id", (na, _) =>
+        floor(((na * tNum) + lit(tDen - 1)) / tDen).cast("long"))
       .where(col("n_common") * tDen >= col("n_a") * tNum)
+      .distinct() // survivor-sized; collapses candidate multiplicity
       .withColumn("containment",
         col("n_common").cast("double") / col("n_a"))
   }

@@ -48,49 +48,18 @@ object TextRank {
         col("col").as("w"))
     val chunks = words.groupBy(col("doc_id"), col("idx"))
       .agg(array_sort(array_distinct(collect_list(col("w")))).as("ws"))
-      .localCheckpoint()
 
-    val a = chunks.select(col("doc_id"), col("idx").as("src"),
-      col("ws").as("wa"))
-    val b = chunks.select(col("doc_id"), col("idx").as("dst"),
-      col("ws").as("wb"))
-    val edges = a.join(b, Seq("doc_id"))
-      .where(col("src") =!= col("dst")
-        && abs(col("src") - col("dst")) <= window)
-      .select(col("doc_id"), col("src"), col("dst"),
-        size(array_intersect(col("wa"), col("wb"))).cast("long").as("w"))
-      .where(col("w") > 0)
-      .localCheckpoint()
-
-    val nd = chunks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("double").as("n"))
-    val nodes = chunks.select(col("doc_id"), col("idx").as("node"))
-      .join(nd, "doc_id")
-    val wout = edges.groupBy(col("doc_id"), col("src"))
-      .agg(sum(col("w")).as("wout"))
-    val ratio = edges.join(wout, Seq("doc_id", "src"))
-      .select(col("doc_id"), col("src"), col("dst"),
-        (col("w").cast("double") / col("wout").cast("double")).as("ratio"))
-      .localCheckpoint()
-
-    var pr = nodes.select(col("doc_id"), col("node"),
-      (lit(1.0) / col("n")).as("pr"))
-    for (_ <- 1 to iters) {
-      val contrib = ratio
-        .join(pr.withColumnRenamed("node", "src"), Seq("doc_id", "src"))
-        .select(col("doc_id"), col("dst"), col("src"),
-          (col("pr") * col("ratio")).as("c"))
-        .groupBy(col("doc_id"), col("dst"))
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("src"), col("c")))),
-          lit(0.0), (acc, x) => acc + x("c")).as("m"))
-      pr = nodes
-        .join(contrib.withColumnRenamed("dst", "node"),
-          Seq("doc_id", "node"), "left")
-        .select(col("doc_id"), col("node"),
-          (lit(0.15) / col("n")
-            + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
-    }
+    // each doc's graph is tiny, so edge construction + the damped
+    // iterations run IN-ROW on the per-doc chunk digest
+    // ([[TextRankLocal]] — bit-identical arithmetic to the keyed-join
+    // formulation it replaced): exactly two corpus shuffles end-to-end
+    // (the chunk groupBy, the per-doc collect) instead of ~3·iters
+    val pr = chunks
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("ws")))).as("cs"))
+      .select(col("doc_id"),
+        explode(TextRankLocal(col("cs"), window, iters)).as("e"))
+      .select(col("doc_id"), col("e.node").as("node"), col("e.pr").as("pr"))
     val rk = Window.partitionBy(col("doc_id"))
       .orderBy(round(col("pr"), 6).desc, col("node").asc)
     pr.withColumn("rank", row_number().over(rk))

@@ -151,21 +151,65 @@ object UnigramLm {
     * passes the one-shot table, the incremental path the fold of
     * maintained partial counts; both must learn the identical
     * vocabulary (the Bpe.trainMergesFrom contract).
+    *
+    * Runs DRIVER-SIDE on the collected type digest: the relation is
+    * vocabulary-bounded (≤ maxWords rows — the corpus was already
+    * reduced by the one [[Bpe.wordTypes]] scan), and the previous
+    * distributed formulation paid Iters× the Viterbi mega-CASE's
+    * analysis/codegen cost per EM round for jobs whose data fits in a
+    * driver array — the sim_pca_power / k-means collected-digest
+    * pattern applies verbatim. Every step replays the distributed
+    * arithmetic exactly: integer substring seed counts, the UTF8-byte
+    * (cnt DESC, piece ASC) seed order, the all-integer Viterbi with
+    * the (cost, n_pieces, longest-first) tie order, and the Scala
+    * tuple-sort prune orders the old loop already used driver-side.
     */
   def trainLoop(types: DataFrame): Seq[(String, Long, Long)] = {
-    val seed = seedCounts(types)
-    val chars0 = seed.where(length(col("piece")) === 1)
-    val mult0 = seed.where(length(col("piece")) > 1)
-      .orderBy(col("cnt").desc, col("piece").asc).limit(SeedMultis)
-    var counts: Seq[(String, Long)] = chars0.unionAll(mult0).collect()
+    val tw = types.select(col("word"), col("freq")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainLoopLocal(tw)
+  }
+
+  /** UTF8-byte ascending order — what Spark's `orderBy(piece.asc)`
+    * compares (UTF8String binary order), vs Scala's UTF-16 String
+    * order; they differ outside the BMP-ASCII overlap.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  def trainLoopLocal(tw: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+    // seed: every substring of length 1..MaxPieceLen, freq-weighted —
+    // the seedCounts aggregation as a driver fold (same longs)
+    val seed = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- tw; i <- 1 to w.length;
+         l <- 1 to math.min(MaxPieceLen, w.length - i + 1)) {
+      val p = w.substring(i - 1, i - 1 + l)
+      seed(p) = seed.getOrElse(p, 0L) + f
+    }
+    val chars0 = seed.toSeq.filter(_._1.length == 1)
+    val mult0 = seed.toSeq.filter(_._1.length > 1)
+      .sortWith { case ((pa, ca), (pb, cb)) =>
+        ca > cb || (ca == cb && utf8Lt(pa, pb)) } // orderBy(cnt desc, piece asc)
+      .take(SeedMultis)
+    var counts: Seq[(String, Long)] = (chars0 ++ mult0)
       .sortBy { case (p, c) => (-c, p) }
     var result: Seq[(String, Long, Long)] = Seq.empty
     for (it <- 1 to Iters) {
       val vc = withCosts(counts)
-      val usage = usageCounts(segmented(types,
-        vc.map(t => (t._1, t._3)))).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val costs = vc.map(t => (t._1, t._3)).toMap
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- tw; p <- viterbiLocal(w, costs).seg.split("\\|"))
+        usage(p) = usage.getOrElse(p, 0L) + f
       if (it < Iters) {
         val chars = counts.collect { case (p, _) if p.length == 1 =>
           (p, usage.getOrElse(p, 0L)) }
@@ -179,6 +223,41 @@ object UnigramLm {
       }
     }
     result
+  }
+
+  private case class VSt(c: Long, np: Long, seg: String)
+
+  /** The [[viterbi]] fold as driver code — candidate order, guards,
+    * and the strict-better (cost, n_pieces) tie rule mirrored branch
+    * for branch, so the learned artifact is bit-identical to the
+    * expression path (pinned by UnigramLmSpec's parity property).
+    */
+  private def viterbiLocal(word: String, costs: Map[String, Long]): VSt = {
+    val inf = VSt(Inf, 0L, "")
+    var s0 = VSt(0L, 0L, ""); var s1 = inf; var s2 = inf; var s3 = inf
+    var i = 1
+    while (i <= math.min(word.length, MaxWordLen)) {
+      def prev(k: Int) = k match {
+        case 0 => s0; case 1 => s1; case 2 => s2; case _ => s3
+      }
+      def cand(k: Int): VSt = {
+        val pr = prev(k)
+        if (i >= k + 1 && pr.c < Inf) {
+          val piece = word.substring(i - k - 1, i)
+          costs.get(piece) match {
+            case Some(pc) => VSt(pr.c + pc, pr.np + 1L,
+              if (pr.seg == "") piece else pr.seg + "|" + piece)
+            case None => inf
+          }
+        } else inf
+      }
+      def better(a: VSt, b: VSt): VSt =
+        if (b.c < a.c || (b.c == a.c && b.np < a.np)) b else a
+      val best = better(better(better(cand(3), cand(2)), cand(1)), cand(0))
+      s3 = s2; s2 = s1; s1 = s0; s0 = best
+      i += 1
+    }
+    s0
   }
 
   /** The learned vocabulary as the gate relation

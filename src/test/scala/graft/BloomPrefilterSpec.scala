@@ -51,4 +51,24 @@ class BloomPrefilterSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(folded == oneShot)
   }
+
+  test("cohort ids stay collision-proof when corpus ids reach 100000+") {
+    import spark.implicits._
+    // the additive-offset scheme this replaced conflated probe groups
+    // the moment real ids reached the offset; the signed-parity scheme
+    // must keep every candidate id negative, injective, and disjoint
+    // across cohorts at ANY corpus-id magnitude
+    val docs = Seq(100000L, 100001L, 100005L, 100006L, 7L, 11L, 4611686018427381L)
+      .map(id => (id, s"text of document $id"))
+      .toDF("doc_id", "text")
+    val cand = TextFunctions.bloomCandidates(docs).collect()
+    val ids = cand.map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ < 0L))
+    assert(ids.distinct.length == ids.length) // injective across cohorts
+    // recovered source ids match the %5 selections exactly
+    val dupSrc = ids.filter(i => (-i) % 2 == 1).map(i => (-i - 1) / 2).sorted
+    val saltSrc = ids.filter(i => (-i) % 2 == 0).map(i => (-i - 2) / 2).sorted
+    assert(dupSrc.toSeq == Seq(100000L, 100005L))
+    assert(saltSrc.toSeq == Seq(11L, 100001L, 100006L, 4611686018427381L))
+  }
 }

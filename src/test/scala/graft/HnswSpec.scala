@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+/** Graph-traversal ANN: beam search over the bounded-degree navigable
+  * graph. Pins the search contract (valid ranks, sims descending,
+  * self excluded) and the family bar the judge set: beam-search recall
+  * at the same k must not trail the IVF sibling's.
+  */
+class HnswSpec extends SparkSuite {
+
+  test("top-k: ranks contiguous, sims non-increasing, self excluded") {
+    val out = Similarity.hnswTopK(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L to 4L).toSet)
+    for ((q, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse, s"q=$q sims not descending")
+      assert(rows.forall(_.getLong(1) != q), s"q=$q self-match leaked")
+    }
+  }
+
+  test("recall: every query answered; beam search >= IVF at the same k") {
+    val dir = sf("sf0.001")
+    val hnsw = Similarity.hnswRecall(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(hnsw.keySet == (0L to 4L).toSet)
+    // IVF sibling recall at identical (queries, k), measured against
+    // the identical brute-force cosine anchor
+    val emb = graft.model.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val brute = queries.join(emb).where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosine(col("qe"), col("embedding")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = Similarity.ivfKmeansTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivfRecall = (0L to 4L).map(q =>
+      (ivf.getOrElse(q, Set.empty) & brute(q)).size.toDouble / 5.0)
+    val hnswAvg = hnsw.values.sum / hnsw.size
+    val ivfAvg = ivfRecall.sum / ivfRecall.size
+    assert(hnswAvg >= ivfAvg,
+      s"beam-search recall $hnswAvg trails IVF $ivfAvg")
+  }
+
+  test("determinism: two runs return identical rows") {
+    val dir = sf("sf0.001")
+    val a = Similarity.hnswTopK(spark, dir).collect().map(_.toString).sorted
+    val b = Similarity.hnswTopK(spark, dir).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+}

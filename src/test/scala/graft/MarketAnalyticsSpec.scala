@@ -1158,4 +1158,27 @@ class MarketAnalyticsSpec extends SparkSuite {
     assert(q.head.getLong(2) == 4)
     assert(q.head.getDouble(3) == -48.0 / math.sqrt(72.0 * 48.0))
   }
+
+  test("lead-lag short series: span < maxLag clamps to empty slice, no throw") {
+    import spark.implicits._
+    // 3 days -> change vectors of length 2, strictly shorter than the
+    // default maxLag = 3: the pre-clamp code passed a NEGATIVE length
+    // to slice() for lag = 3 and threw at runtime; the clamp yields an
+    // empty shifted slice -> n = 0 overlap -> the lag row is dropped
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    val fx = days.zipWithIndex.flatMap { case (d, i) =>
+      Seq(("X", 1000L + 2L * i), ("Y", 2000L + 3L * i)).map { case (p, c) =>
+        (i * 10L + p.head.toLong, p, c / 1000.0, d) }
+    }.toDF("event_id", "ccy_couple", "rate", "ds")
+      .withColumn("date", to_date(col("ds")))
+      .withColumn("timestamp", col("date").cast("timestamp"))
+      .withColumn("event_time", unix_micros(col("timestamp")) + col("event_id"))
+      .drop("ds")
+    val ll = MarketAnalytics.leadLagPairs(fx, topN = 1).collect()
+    // no lag can exceed span − 1 = 1 (lag 2 has one overlap but zero
+    // variance -> NULL corr is still rankable; lag 3 has n = 0 and is
+    // dropped before ranking) — the only hard assertion the clamp owes
+    // is "evaluates without throwing" plus lag bounds on what survives
+    assert(ll.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 2L))
+  }
 }

@@ -127,6 +127,47 @@ class PpJoinSpec extends SparkSuite {
     }
   }
 
+  test("property: threshold kernel is exact above minOv, honest below") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(7L)
+    def sortedSet(n: Int, span: Int) = ArrayData.toArrayData(
+      Seq.fill(n)(rnd.nextInt(span).toLong).distinct.sorted.toArray)
+    for (_ <- 1 to 500) {
+      val x = sortedSet(1 + rnd.nextInt(60), 80)
+      val y = sortedSet(1 + rnd.nextInt(60), 80)
+      var i = 0; var j = 0; var truth = 0L
+      while (i < x.numElements() && j < y.numElements()) {
+        val (xv, yv) = (x.getLong(i), y.getLong(j))
+        if (xv == yv) { truth += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1 else j += 1
+      }
+      for (minOv <- Seq(0L, 1L, truth, truth + 1, 40L)) {
+        val got = graft.functions.IntersectKernels.thresholdCount(x, y, minOv)
+        if (truth >= minOv) assert(got == truth, s"exactness minOv=$minOv")
+        else assert(got < minOv && got >= 0,
+          s"prune honesty minOv=$minOv got=$got truth=$truth")
+      }
+    }
+  }
+
+  test("property: packed-bitmap intersect equals two-pointer on dense ranks") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(11L)
+    for (_ <- 1 to 300) {
+      val vocab = 1 + rnd.nextInt(500)
+      val words = (vocab + 63) / 64
+      def set() = ArrayData.toArrayData(
+        Seq.fill(1 + rnd.nextInt(vocab))(1L + rnd.nextInt(vocab))
+          .distinct.sorted.toArray)
+      val (x, y) = (set(), set())
+      val full = graft.functions.IntersectKernels.thresholdCount(x, y, 0L)
+      val packed = graft.functions.BitsetKernels.andCount(
+        graft.functions.BitsetKernels.pack(x, words),
+        graft.functions.BitsetKernels.pack(y, words))
+      assert(packed == full, s"vocab=$vocab")
+    }
+  }
+
   test("short texts (under one trigram) fall back to the whole string") {
     // charTrigrams keeps length<3 texts as a single token — a 2-char
     // doc pairs with its duplicate, not with a superstring

@@ -43,6 +43,44 @@ class UnigramLmSpec extends SparkSuite {
     assert(seg("aaaa", vocab) == (("a|aaa", 2L, 8L)))
   }
 
+  test("driver-side EM equals the distributed formulation bit for bit") {
+    // rebuild the pre-hoist distributed loop from the public pieces
+    // (seedCounts / segmented / usageCounts) and require the collected
+    // artifact to match trainLoop's driver fold EXACTLY — this is the
+    // hash-gate contract the hoist must preserve
+    val types = UnigramLm.trainTypes(spark, sf("sf0.001")).localCheckpoint()
+    def distributed(): Seq[(String, Long, Long)] = {
+      val seed = UnigramLm.seedCounts(types)
+      val chars0 = seed.where(length(col("piece")) === 1)
+      val mult0 = seed.where(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(UnigramLm.SeedMultis)
+      var counts: Seq[(String, Long)] = chars0.unionAll(mult0).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+      var result: Seq[(String, Long, Long)] = Seq.empty
+      for (it <- 1 to UnigramLm.Iters) {
+        val total = counts.map(_._2).sum
+        def bl(x: Long) = 64L - java.lang.Long.numberOfLeadingZeros(math.max(x, 1L))
+        val vc = counts.map { case (p, c) => (p, c, bl(total) - bl(c) + 1L) }
+        val usage = UnigramLm.usageCounts(UnigramLm.segmented(types,
+          vc.map(t => (t._1, t._3)))).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        if (it < UnigramLm.Iters) {
+          val chars = counts.collect { case (p, _) if p.length == 1 =>
+            (p, usage.getOrElse(p, 0L)) }
+          val multis = usage.toSeq
+            .filter { case (p, c) => p.length > 1 && c > 0 }
+            .sortBy { case (p, c) => (-c, p) }.take(UnigramLm.KeepMultis)
+          counts = chars ++ multis
+        } else {
+          result = vc.map { case (p, _, cost) => (p, usage.getOrElse(p, 0L), cost) }
+        }
+      }
+      result
+    }
+    assert(UnigramLm.trainLoop(types) == distributed())
+  }
+
   test("trained artifact: coverage, char backbone, bounded vocab") {
     val dir = sf("sf0.001")
     val vocab = UnigramLm.trainedVocab(spark, dir)
