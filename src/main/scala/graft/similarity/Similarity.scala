@@ -1297,28 +1297,36 @@ object Similarity {
     val rep0 = af.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"))
     val bw = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
-    def scored(cand: DataFrame): DataFrame = queries
-      .join(broadcast(cand), Seq("qid"))
-      .join(emb, Seq("vec_id"))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(cosine(col("qe"), col("embedding")), 6).as("sim"))
+    // the frontier/candidate relations are serving-bounded (queries ×
+    // beam), so they are ALWAYS the broadcast side — the corpus-sized
+    // edge and embedding tables stream past them, never the reverse
+    def scored(cand: DataFrame): DataFrame =
+      broadcast(queries.join(broadcast(cand), Seq("qid")))
+        .join(emb, Seq("vec_id"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("qe"), col("embedding")), 6).as("sim"))
+    // each hop's BEAM is checkpointed (it is referenced twice — as the
+    // next hop's seed and inside its own expansion — and the iterative
+    // lazy plan would otherwise double per hop); the visited union
+    // keeps its lineage, so the serving plan shows the per-hop
+    // broadcast joins it actually runs (pinned in NewOpPlanSpec)
     var beam = queries.select(col("qid")).crossJoin(broadcast(rep0))
       .select(col("qid"), col("vec_id"))
     var visited: DataFrame = null
     for (_ <- 1 to hops) {
       val cand = beam.unionAll(
-          beam.join(edges, col("vec_id") === col("src"))
+          broadcast(beam).join(edges, col("vec_id") === col("src"))
             .select(col("qid"), col("dst").as("vec_id")))
         .distinct()
-      val sc = scored(cand).localCheckpoint()
-      visited = if (visited == null) sc
-        else visited.unionAll(sc).distinct().localCheckpoint()
+      val sc = scored(cand)
+      visited = if (visited == null) sc else visited.unionAll(sc)
       beam = sc.withColumn("rn", row_number().over(bw))
         .where(col("rn") <= beamWidth)
         .select(col("qid"), col("vec_id"))
+        .localCheckpoint()
     }
-    visited
+    visited.distinct()
   }
 
   /** Beam-search ANN top-k over the navigable graph — the missing ANN

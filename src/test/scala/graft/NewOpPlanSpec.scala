@@ -34,6 +34,18 @@ class NewOpPlanSpec extends SparkSuite {
       s"degree digest not broadcast:\n$plan")
   }
 
+  test("hnsw search: frontier broadcasts, edge/embedding tables never do") {
+    val plan = graft.similarity.Similarity.hnswTopK(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // every hop joins the serving-bounded frontier as the BUILD side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier not broadcast:\n$plan")
+    // the corpus-sized relations must stream: no sort-merge join of the
+    // edge artifact against anything at serving time
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized join shuffled at serving time:\n$plan")
+  }
+
   test("higher moments / monday effect: one hash-aggregate pair over the digest") {
     val rates = graft.model.Tables.rates(spark, sf("sf0.001"))
     for (df <- Seq(graft.analysis.MarketAnalytics.higherMoments(rates),
