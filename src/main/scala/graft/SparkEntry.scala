@@ -906,6 +906,11 @@ object SparkEntry {
     // — must equal the one-shot dq_drift_chi2
     "stream_drift_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayDriftIncremental(s, dir)),
+    // incremental CvM drift: per-batch (d, v) distinct-value partials
+    // folded, split re-derived from the maintained span at report time
+    // — must equal the one-shot dq_cvm_drift
+    "stream_cvm_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayCvmIncremental(s, dir)),
     // incremental trending: per-batch (type, date) partials folded,
     // decay levels re-derived from the maintained anchor at report time
     // — must equal the one-shot q_trending_events
@@ -922,6 +927,12 @@ object SparkEntry {
     // must equal the one-shot search over the retained corpus
     "stream_annindex_delete" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayAnnIndexDeletes(s, dir)),
+    // incremental navigable-graph (HNSW) maintenance: per-batch in-cell
+    // neighbor candidates appended (mergeable per-src top-m), graph
+    // folded at report time; the beam search over the maintained graph
+    // must equal the one-shot sim_hnsw_topk
+    "stream_hnsw_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayHnswIncremental(s, dir)),
     // incremental tokenizer-training state: per-batch word-type partial
     // counts (LSM shape) folded, then the merge loop retrained from
     // state — must learn the identical table to cur_bpe_merges
@@ -2491,6 +2502,11 @@ object SparkEntry {
     // nprobe best cells only; the text corpus never fully scans
     "mm_crossmodal_ivf_topk" -> ((s, dir) =>
       graft.multimodal.Multimodal.crossModalIvfTopK(s, dir)),
+    // the same retrieval WALKED over the trained navigable graph — the
+    // graph-index serving path: probes beam-search from the cell reps,
+    // O(beam·hops·degree) per probe whatever the text-corpus size
+    "mm_crossmodal_hnsw_topk" -> ((s, dir) =>
+      graft.multimodal.Multimodal.crossModalHnswTopK(s, dir)),
     // per-label centroids: distributed vector aggregation (IVF training
     // step). Emitted as (label, pos, c) scalar rows — one row per centroid
     // component, 1-based pos — because the oracle gate cannot sort/hash
@@ -3273,7 +3289,9 @@ object SparkEntry {
     * discipline (each beam CTE is referenced twice). Returns the full
     * visited-set CTE chain; the two gates rank it differently.
     */
-  private def HnswCtes(m: Int, beamWidth: Int, hops: Int): String = {
+  private def HnswCtes(m: Int, beamWidth: Int, hops: Int,
+      queryCte: String = "SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5",
+      excludeSelf: Boolean = true): String = {
     val (ctes, centFinal, _) = KmeansCtes(8, 2)
     val sb = new StringBuilder
     sb.append(
@@ -3302,7 +3320,7 @@ object SparkEntry {
          |    UNION ALL SELECT a.vec_id AS src, r.rep AS dst
          |      FROM af a JOIN reps r ON a.cell = r.cell AND a.vec_id <> r.rep)
          |), q AS (
-         |  SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5
+         |  $queryCte
          |), b0 AS (
          |  SELECT q.qid, r.rep AS vec_id FROM q CROSS JOIN reps r
          |)""".stripMargin)
@@ -3318,7 +3336,7 @@ object SparkEntry {
            |  SELECT c.qid, c.vec_id, ${KmCos("q.qe", "a.emb")} AS sim
            |  FROM c$i c JOIN q ON q.qid = c.qid
            |  JOIN af a ON a.vec_id = c.vec_id
-           |  WHERE c.vec_id <> c.qid
+           |  ${if (excludeSelf) "WHERE c.vec_id <> c.qid" else ""}
            |), b$i AS MATERIALIZED (
            |  SELECT qid, vec_id FROM (
            |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
@@ -3373,6 +3391,37 @@ object SparkEntry {
     */
   private val IvfKmeansDeleteOracleSql: String =
     IvfKmeansOracle(" AND NOT (a.vec_id % 20 = 17)")
+
+  /** Cross-modal retrieval through the navigable graph: the media-
+    * encoder replay (the mm_crossmodal_topk mv CTE) fed as the query
+    * frame into the HNSW training→graph→beam CTEs — no self-exclusion
+    * (doc_ids and vec_ids are different id spaces).
+    */
+  private val MmCrossModalHnswTopKOracleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS len,
+       |    hex(encode(text)) AS hx
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), mv AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      CAST(CAST(
+       |        list_reduce(
+       |          list_prepend(CAST(1125899906842597 + i AS HUGEINT),
+       |            list_transform(range(i, len, 64), j ->
+       |              CAST(16 * (strpos('0123456789ABCDEF', substring(hx, 2*j + 1, 1)) - 1)
+       |                   + (strpos('0123456789ABCDEF', substring(hx, 2*j + 2, 1)) - 1)
+       |                   AS HUGEINT))),
+       |          (acc, x) -> (31 * acc + x) % 18446744073709551616::HUGEINT
+       |        ) // 2048 AS DOUBLE) / 9007199254740992.0 AS FLOAT)) AS v
+       |  FROM m
+       |), ${HnswCtes(4, 10, 3,
+          queryCte = "SELECT doc_id AS qid, CAST(v AS DOUBLE[]) AS qe FROM mv",
+          excludeSelf = false)}
+       |SELECT qid AS doc_id, vec_id, sim AS cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id ASC) AS rank FROM visited)
+       |WHERE rank <= 3""".stripMargin
 
   /** The recursive-closure SQL, built from two shared fragments: the
     * corpus-scale edge aggregation and the bounded recursion over the
@@ -7282,6 +7331,10 @@ object SparkEntry {
     // conversion, identical left-associated denominator product
     "dq_cvm_drift" -> CvmDriftOracleSql(""),
 
+    // the batch-maintained (d, v, n) digest must report the identical
+    // statistic — the oracle IS dq_cvm_drift
+    "stream_cvm_incremental" -> CvmDriftOracleSql(""),
+
     // the alarm arm: same machinery over the +20-shifted current half
     "dq_cvm_drift_shifted" -> CvmDriftOracleSql(
       """ + CASE WHEN CAST(ts AS DATE) <
@@ -9242,6 +9295,14 @@ object SparkEntry {
     // the identical top-k — the oracle IS sim_ivf_kmeans_topk
     "stream_annindex_incremental" -> IvfKmeansTopKOracleSql,
     "stream_annindex_delete" -> IvfKmeansDeleteOracleSql,
+
+    // the batch-maintained navigable graph must serve the identical
+    // beam-search top-k — the oracle IS sim_hnsw_topk
+    "stream_hnsw_incremental" -> HnswTopKOracleSql,
+
+    // cross-modal probes through the navigable graph: encoder replay
+    // composed with the HNSW training→graph→beam CTEs
+    "mm_crossmodal_hnsw_topk" -> MmCrossModalHnswTopKOracleSql,
 
     // SemDeDup replayed end-to-end: trained cells (same unrolled
     // training CTEs), max-cosine assignment, then the within-cell

@@ -715,4 +715,22 @@ object Multimodal {
       .select(col("qid").as("doc_id"), col("label"), col("vec_id"),
         col("cos_sim"), col("rank"))
   }
+
+  /** Cross-modal retrieval WALKED over the navigable graph — the
+    * mm family's graph-index scale path next to the IVF cells: image
+    * probes enter at the text corpus's cell representatives and beam-
+    * search the trained HNSW graph, so serving cost is O(beam · hops ·
+    * degree) per probe whatever the text-corpus size (the brute gate
+    * stays as the recall anchor). No self-exclusion: doc_ids and
+    * vec_ids are different id spaces.
+    */
+  def crossModalHnswTopK(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    val queries = mediaEmbeddingTable(spark, dir)
+      .select(col("doc_id").as("qid"), col("media_vec").as("qe"))
+    graft.similarity.Similarity
+      .hnswTopKForQueries(spark, dir, queries, k, excludeSelf = false)
+      .select(col("qid").as("doc_id"), col("vec_id"), col("cos_sim"),
+        col("rank"))
+  }
 }

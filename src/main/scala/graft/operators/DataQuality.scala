@@ -310,6 +310,48 @@ object DataQuality {
         .groupBy(col("date"), col("bucket")).agg(sum(col("n")).as("n")),
       threshold)
 
+  /** TWO-PASS DISTRIBUTED PREFIX SUM over the distinct-value digest —
+    * the warehouse-scale cumulative-CDF primitive shared by [[ksDrift]]
+    * and [[cvmDrift]]. An unpartitioned `Window.orderBy(v)` would move
+    * the whole digest (corpus-sized for a continuous column) into ONE
+    * task; instead: (1) range-partition by `v` (equal values colocate;
+    * partition order follows value order by RangePartitioner's
+    * contract), compute in-partition running sums with a PARTITIONED
+    * window; (2) aggregate per-partition totals (a partition-count-
+    * bounded digest), turn them into exclusive prefix offsets with a
+    * broadcast theta-join over that tiny frame, and broadcast the
+    * offsets back onto the ranged digest. All-integer, so the result is
+    * bit-identical to the single-task form regardless of where the
+    * range boundaries fall. Input: (v, a, b); output adds cumulative
+    * (ca, cb).
+    */
+  private def rangedCumCounts(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // partition count follows the session's shuffle parallelism: the
+    // digest is corpus-sized for a continuous column, so a deployment
+    // sizes this the same way it sizes every other shuffle
+    val parts = g.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = g.repartitionByRange(parts, col("v"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("v"))
+    val inPart = ranged
+      .withColumn("ra", sum(col("a")).over(wIn))
+      .withColumn("rb", sum(col("b")).over(wIn))
+    val totals = ranged.groupBy(col("pid"))
+      .agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val prior = totals
+      .select(col("pid").as("ppid"), col("ta"), col("tb"))
+    val offsets = totals.select(col("pid"))
+      .join(broadcast(prior), col("ppid") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(coalesce(sum(col("ta")), lit(0L)).as("oa"),
+        coalesce(sum(col("tb")), lit(0L)).as("ob"))
+    inPart.join(broadcast(offsets), Seq("pid"))
+      .select(col("v"), col("a"), col("b"),
+        (col("ra") + col("oa")).as("ca"),
+        (col("rb") + col("ob")).as("cb"))
+  }
+
   /** TWO-SAMPLE KOLMOGOROV-SMIRNOV drift test on the UNBINNED values —
     * the continuous sibling of [[driftChi2]] (binning hides
     * within-bucket shifts; KS prices the worst CDF gap at full value
@@ -319,8 +361,8 @@ object DataQuality {
     * compared), KS D = max D_num / (n_ref·n_cur). The 5% flag uses the
     * squared two-sample threshold c(0.05)² = 1.358² = 1.844164:
     * D²·n_ref·n_cur/(n_ref+n_cur) > c² — sqrt-free. One grouped count
-    * plus one ordered prefix sum over the distinct-value digest (the
-    * two-pass distributed prefix sum is the warehouse-scale form).
+    * plus the [[rangedCumCounts]] two-pass distributed prefix sum over
+    * the distinct-value digest — no single-task window anywhere.
     */
   def ksDrift(df: DataFrame, valueCol: String, tsCol: String): DataFrame = {
     val s0 = df.select(col(valueCol).as("v"), to_date(col(tsCol)).as("d"))
@@ -333,11 +375,7 @@ object DataQuality {
       sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
       sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
     val tot = g.agg(sum(col("a")).as("n_ref"), sum(col("b")).as("n_cur"))
-    val w = g
-      .withColumn("ca", sum(col("a")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
-      .withColumn("cb", sum(col("b")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+    val w = rangedCumCounts(g)
       .crossJoin(broadcast(tot))
       .select(abs(col("ca") * col("n_cur") - col("cb") * col("n_ref"))
         .as("dn"))
@@ -394,22 +432,62 @@ object DataQuality {
     * on a per-day stratified sample or rescale d by a power of two
     * before squaring — the plan shape is unchanged.
     */
-  def cvmDrift(df: DataFrame, valueCol: String, tsCol: String): DataFrame = {
-    val s0 = df.select(col(valueCol).as("v"), to_date(col(tsCol)).as("d"))
-    val span = s0.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
-    val m = s0.crossJoin(broadcast(span))
-      .select(col("v"),
+  def cvmDrift(df: DataFrame, valueCol: String, tsCol: String): DataFrame =
+    cvmFromDaily(cvmDaily(df, valueCol, tsCol))
+
+  /** The (d, v, n) daily distinct-value digest — shared by the one-shot
+    * test and the incremental counter maintenance, which must count
+    * identically or the maintained report diverges. O(distinct values
+    * per day) rows; counts are additive, so per-batch partials fold.
+    */
+  private def cvmDaily(df: DataFrame, valueCol: String,
+      tsCol: String): DataFrame =
+    df.select(col(valueCol).as("v"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("d"), col("v")).agg(count(lit(1)).as("n"))
+
+  /** Batch half of INCREMENTAL CvM-drift maintenance (the
+    * [[appendDriftBatch]] shape at value resolution): append this
+    * batch's (d, v, n) partial counts — O(batch distinct)/batch, LSM
+    * shape, batchId-idempotent. The REFERENCE/CURRENT split derives
+    * from the maintained span at REPORT time, so late batches that
+    * move the midpoint are handled by construction.
+    */
+  def appendCvmBatch(s: org.apache.spark.sql.SparkSession,
+      countsDir: String, batch: DataFrame, valueCol: String, tsCol: String,
+      batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$countsDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    graft.util.BatchAppend.append(cvmDaily(batch, valueCol, tsCol),
+      s"$countsDir/partials", batchId)
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** Report half: fold the maintained daily digest and run the same
+    * statistic — must equal the one-shot [[cvmDrift]] bit for bit
+    * (counts are additive integers, so the fold is exact whatever the
+    * batching).
+    */
+  def cvmDriftFromPartials(s: org.apache.spark.sql.SparkSession,
+      countsDir: String): DataFrame =
+    cvmFromDaily(
+      s.read.parquet(s"$countsDir/partials")
+        .groupBy(col("d"), col("v")).agg(sum(col("n")).as("n")))
+
+  private def cvmFromDaily(daily: DataFrame): DataFrame = {
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val m = daily.crossJoin(broadcast(span))
+      .select(col("v"), col("n"),
         (col("d") < date_add(col("d0"),
           (datediff(col("d1"), col("d0")) / 2).cast("int"))).as("is_ref"))
     val g = m.groupBy(col("v")).agg(
-      sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
-      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+      sum(when(col("is_ref"), col("n")).otherwise(0L)).as("a"),
+      sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("b"))
     val tot = g.agg(sum(col("a")).as("n_ref"), sum(col("b")).as("n_cur"))
-    val w = g
-      .withColumn("ca", sum(col("a")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
-      .withColumn("cb", sum(col("b")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+    val w = rangedCumCounts(g)
       .crossJoin(broadcast(tot))
       .select((col("a") + col("b")).as("w"),
         (col("ca") * col("n_cur") - col("cb") * col("n_ref")).as("dn"))

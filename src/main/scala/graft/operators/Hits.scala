@@ -44,11 +44,15 @@ object Hits {
     // the caller) is materialized once, and every iteration's joins run
     // on the checkpointed |edges|-row leaf — without this the lazy
     // 2·iters references would re-execute the corpus join each time.
-    // distinct() ENFORCES the documented precondition — a duplicate
-    // (src,dst) row would otherwise double its contribution in every
-    // ordered fold silently; it is one shuffle of the |edges|-row
-    // digest, negligible next to the iteration joins
-    val e = edges.distinct().localCheckpoint(true)
+    // distinct ON THE (src,dst) PROJECTION enforces the documented
+    // precondition — a duplicate (src,dst) row would otherwise double
+    // its contribution in every ordered fold silently; projecting
+    // first keeps the semantics stable if a caller's edge schema ever
+    // grows extra columns (a whole-row distinct would silently stop
+    // deduplicating). One shuffle of the |edges|-row digest,
+    // negligible next to the iteration joins
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint(true)
     def orderedSum(contrib: DataFrame, key: String, by: String) = contrib

@@ -1296,16 +1296,29 @@ object Similarity {
     val af = assignCells(emb, trainedCentroids(s, dir))
     val rep0 = af.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"))
+    hnswBeamVisited(queries, emb, edges, rep0, beamWidth, hops)
+  }
+
+  /** The beam-search core, abstracted over WHERE the graph comes from —
+    * the one-shot build ([[hnswVisited]]) and the maintained streaming
+    * index ([[hnswTopKFromIndex]]) walk the identical search.
+    */
+  private def hnswBeamVisited(queries: DataFrame, emb: DataFrame,
+      edges: DataFrame, rep0: DataFrame, beamWidth: Int,
+      hops: Int, excludeSelf: Boolean = true): DataFrame = {
     val bw = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
     // the frontier/candidate relations are serving-bounded (queries ×
     // beam), so they are ALWAYS the broadcast side — the corpus-sized
     // edge and embedding tables stream past them, never the reverse
-    def scored(cand: DataFrame): DataFrame =
-      broadcast(queries.join(broadcast(cand), Seq("qid")))
+    def scored(cand: DataFrame): DataFrame = {
+      val joined = broadcast(queries.join(broadcast(cand), Seq("qid")))
         .join(emb, Seq("vec_id"))
-        .where(col("vec_id") =!= col("qid"))
+      // cross-modal callers keep self-matches: qids live in a different
+      // id space from vec_ids, so a numeric collision is not "self"
+      (if (excludeSelf) joined.where(col("vec_id") =!= col("qid")) else joined)
         .select(col("qid"), col("vec_id"),
           round(cosine(col("qe"), col("embedding")), 6).as("sim"))
+    }
     // each hop's BEAM is checkpointed (it is referenced twice — as the
     // next hop's seed and inside its own expansion — and the iterative
     // lazy plan would otherwise double per hop); the visited union
@@ -1344,6 +1357,27 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Beam-search top-k over the one-shot navigable graph for an
+    * ARBITRARY query frame (qid, qe) — the cross-modal serving entry:
+    * encoder probes from another modality walk the text corpus's graph
+    * instead of scanning it. Self-exclusion is OFF by default here
+    * because foreign qids live in a different id space from vec_ids.
+    */
+  def hnswTopKForQueries(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 3, mLinks: Int = 4, beamWidth: Int = 10, hops: Int = 3,
+      excludeSelf: Boolean = false): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val edges = hnswEdges(s, dir, mLinks)
+    val af = assignCells(emb, trainedCentroids(s, dir))
+    val rep0 = af.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    hnswBeamVisited(queries, emb, edges, rep0, beamWidth, hops, excludeSelf)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("sim").as("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Recall@k of the beam search against the exact cosine brute-force
     * top-k — the same anchor the IVF/PQ/binary recall gates rank
     * against, so the families are directly comparable.
@@ -1371,5 +1405,110 @@ object Similarity {
         col("n_true"),
         (coalesce(col("n_hits"), lit(0L)).cast("double")
           / col("n_true").cast("double")).as("recall"))
+  }
+
+  /** Batch half of INCREMENTAL NAVIGABLE-GRAPH (HNSW) maintenance — the
+    * streaming twin the IVF and MinHash indexes already have: each
+    * arriving batch of vectors is assigned to the FIXED trained
+    * centroids, its in-cell neighbor CANDIDATES are computed against
+    * the members indexed so far (both directions, each side capped at
+    * its top-`mLinks` under the build's (sim DESC, dst ASC) order), and
+    * the candidates + memberships are appended — O(batch · cell) per
+    * batch, never a graph rebuild. The per-src top-m is a MERGEABLE
+    * partial: once a dst falls out of a src's top-m it can never
+    * re-enter (sims are immutable), and any dst in the FINAL top-m
+    * ranks ≤ m inside the batch that introduced the pair — so the
+    * report-time fold over the appended candidates equals the one-shot
+    * [[hnswEdges]] m-NN bit for bit, whatever the batching. batchId
+    * markers make re-delivered micro-batches no-ops; [[BatchAppend]]
+    * keeps a crash mid-append from double-counting.
+    */
+  def appendHnswIndexBatch(s: SparkSession, indexDir: String,
+      batch: DataFrame, dir: String, cells: Int = 8, iters: Int = 2,
+      mLinks: Int = 4, batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    val ba = assignCells(batch.select(col("vec_id"), col("embedding")),
+      trainedCentroids(s, dir, cells, iters)).localCheckpoint()
+    val membersPath = new org.apache.hadoop.fs.Path(s"$indexDir/members")
+    val fs = membersPath.getFileSystem(s.sessionState.newHadoopConf())
+    val existing =
+      if (fs.exists(membersPath)) s.read.parquet(membersPath.toString)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ba.schema)
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    def topM(srcSide: DataFrame, dstSide: DataFrame): DataFrame =
+      srcSide.select(col("cell"), col("vec_id").as("src"),
+          col("embedding").as("ea"))
+        .join(dstSide.select(col("cell"), col("vec_id").as("dst"),
+          col("embedding").as("eb")), Seq("cell"))
+        .where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(cosine(col("ea"), col("eb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= mLinks)
+        .select(col("src"), col("dst"), col("sim"))
+    // new-node side: top-m among everything present INCLUDING the batch;
+    // existing side: top-m among the batch alone (a batch can push at
+    // most m new entries into any existing node's neighbor list)
+    val cand = topM(ba, existing.unionByName(ba)).unionAll(topM(existing, ba))
+    graft.util.BatchAppend.append(cand, s"$indexDir/nncand", batchId)
+    graft.util.BatchAppend.append(ba, s"$indexDir/members", batchId)
+    marker.foreach { case (fs2, p) =>
+      fs2.mkdirs(p.getParent); fs2.create(p, true).close() }
+  }
+
+  /** Report half: fold the maintained candidate digest into the SAME
+    * navigable graph the one-shot [[hnswEdges]] builds — re-rank the
+    * appended per-src candidates (distinct first: sims are a pure
+    * function of the pair, so duplicates collapse exactly), keep m,
+    * symmetrize, and derive the cell-representative backbone from the
+    * maintained membership table.
+    */
+  private def hnswEdgesFromIndex(s: SparkSession, indexDir: String,
+      mLinks: Int): DataFrame = {
+    val members = s.read.parquet(s"$indexDir/members")
+    val cand = s.read.parquet(s"$indexDir/nncand")
+      .select(col("src"), col("dst"), col("sim")).distinct()
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    val nn = cand.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= mLinks).select(col("src"), col("dst"))
+    val sym = nn.unionAll(nn.select(col("dst").as("src"), col("src").as("dst")))
+    val reps = members.groupBy(col("cell")).agg(min(col("vec_id")).as("rep"))
+    val redges = reps.select(col("rep").as("src"))
+      .crossJoin(reps.select(col("rep").as("dst")))
+      .where(col("src") =!= col("dst"))
+    val n2r = members.join(broadcast(reps), Seq("cell"))
+      .where(col("vec_id") =!= col("rep"))
+      .select(col("vec_id").as("src"), col("rep").as("dst"))
+    sym.unionAll(redges).unionAll(n2r).distinct()
+  }
+
+  /** Search half: the identical beam search as [[hnswTopK]], but walked
+    * over the MAINTAINED graph — entry points, edges, and scoring
+    * embeddings all come from the index artifact, so the gate proves
+    * the maintained index alone answers queries. Must return the
+    * one-shot hnswTopK answer bit for bit (the gate reuses the
+    * sim_hnsw_topk oracle verbatim).
+    */
+  def hnswTopKFromIndex(s: SparkSession, indexDir: String, dir: String,
+      nQueries: Int = 5, k: Int = 5, mLinks: Int = 4, beamWidth: Int = 10,
+      hops: Int = 3): DataFrame = {
+    val members = s.read.parquet(s"$indexDir/members")
+    val emb = members.select(col("vec_id"), col("embedding"))
+    val queries = Tables.embeddings(s, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val rep0 = members.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"))
+    // the folded graph is walked `hops` times — freeze it once, the
+    // same cost shape as the one-shot build's scratch-parquet artifact
+    val edges = hnswEdgesFromIndex(s, indexDir, mLinks).localCheckpoint()
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    hnswBeamVisited(queries, emb, edges, rep0, beamWidth, hops)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("sim").as("cos_sim"),
+        col("rank").cast("long").as("rank"))
   }
 }

@@ -91,6 +91,36 @@ object StreamReplay {
     }).toString
   }
 
+  /** Dev measurement, not a gate: the identical micro-batch machinery a
+    * foreachBatch replay pays — feed listing, per-trigger offset/commit
+    * log fsyncs, query planning, start/stop — with an EMPTY batch body.
+    * replay_time − null_time is the replay's actual data work; the null
+    * time is the irreducible engine floor COVERAGE.md's replay-overhead
+    * analysis cites (run via `graft.tools.CompactProfile`-style ad-hoc
+    * mains or a scala console; kept next to the replays it measures).
+    */
+  def replayNull(s: SparkSession, dir: String, nBatches: Int = 2,
+      perFile: Boolean = false): Long = {
+    val tmp = Scratch.dir("graft_null_replay")
+    val ev = Tables.events(s, dir).select(col("value"), col("ts"))
+    val feed = memoFeed("nullreplay", dir, nBatches) { p =>
+      ev.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+    var n = 0L
+    withReplayPartitions(s, 2) {
+      val src = s.readStream.schema(ev.schema)
+      val query = (if (perFile) src.option("maxFilesPerTrigger", "1") else src)
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: DataFrame, _: Long) => n += 1 }
+        .start()
+      query.awaitTermination()
+    }
+    n
+  }
+
   private def sharedOrderedFeed(s: SparkSession, dir: String,
       n: Int): java.nio.file.Path = sharedFeed("rates", dir, n) {
     Tables.rates(s, dir)
@@ -909,7 +939,11 @@ object StreamReplay {
     }
 
     withReplayPartitions(s, 2) {
+      // ONE FILE PER TRIGGER deliberately: this gate is the additive-
+      // counts partial family's end-to-end multi-batch representative
+      // (its siblings run coalesced and pin their folds in unit specs)
       val query = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .writeStream
         .option("checkpointLocation", tmp.resolve("chk").toString)
@@ -923,6 +957,42 @@ object StreamReplay {
     }
 
     graft.operators.DataQuality.driftChi2FromPartials(s, countsDir)
+  }
+
+  /** Replay of INCREMENTAL CvM-DRIFT maintenance — the [[
+    * replayDriftIncremental]] shape at full value resolution: each
+    * micro-batch appends its (d, v, n) daily distinct-value partial
+    * counts (DataQuality.appendCvmBatch — O(batch distinct), LSM shape,
+    * idempotent); the whole-CDF statistic over the folded digest must
+    * equal the one-shot dq_cvm_drift — which is exactly the oracle.
+    * Counts are additive integers and the split re-derives from the
+    * maintained span, so the fold is batching-invariant by
+    * construction.
+    */
+  def replayCvmIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    val tmp = Scratch.dir("graft_cvm_replay")
+    val countsDir = tmp.resolve("counts").toString
+    val ev = Tables.events(s, dir).select(col("value"), col("ts"))
+    val feed = memoFeed("cvmdrift", dir, nBatches) { p =>
+      ev.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(ev.schema)
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.DataQuality.appendCvmBatch(s, countsDir,
+            batch, "value", "ts", batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.operators.DataQuality.cvmDriftFromPartials(s, countsDir)
   }
 
   /** Replay of INCREMENTAL BLOOM maintenance: the reference half of the
@@ -1081,6 +1151,46 @@ object StreamReplay {
         batchId = Some(200L + bid)))
 
     graft.similarity.Similarity.ivfTopKFromIndex(s, indexDir, dir)
+  }
+
+  /** Replay of INCREMENTAL NAVIGABLE-GRAPH (HNSW) maintenance: the
+    * embeddings table streams in micro-batches, each assigned to the
+    * frozen trained centroids and linked to its in-cell neighbor
+    * candidates (Similarity.appendHnswIndexBatch — O(batch·cell),
+    * append-only, idempotent via batchId markers); the beam search over
+    * the folded graph must return the one-shot sim_hnsw_topk answer —
+    * which is exactly the oracle. Deliberately ONE FILE PER TRIGGER
+    * with 3+ batches: the per-src top-m is a mergeable partial whose
+    * cross-batch fold is the operator's whole point, so this gate is
+    * the mergeable-partial family's end-to-end multi-batch
+    * representative (the coalesced replays pin their folds in unit
+    * specs instead).
+    */
+  def replayHnswIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    val tmp = Scratch.dir("graft_hnswidx_replay")
+    val indexDir = tmp.resolve("index").toString
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val feed = memoFeed("hnswidx", dir, nBatches) { p =>
+      emb.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.similarity.Similarity.appendHnswIndexBatch(s, indexDir,
+            batch, dir, batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.similarity.Similarity.hnswTopKFromIndex(s, indexDir, dir)
   }
 
   def replayTopTokensIncremental(s: SparkSession, dir: String,

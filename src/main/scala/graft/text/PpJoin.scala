@@ -216,12 +216,19 @@ object PpJoin {
 
   private def verified(docs: DataFrame, cands: DataFrame, rightName: String,
       alphaOf: (Column, Column) => Column): DataFrame = {
-    val small = docs.count() <= broadcastDocLimit
     // ranks are a dense 1-based universe [1, vocab]; max rank of the
     // sorted array (its last element) IS the vocabulary size — one
-    // 1-row agg on the digest decides the representation
-    val vocab = docs.agg(max(element_at(col("ranks"), -1)))
-      .head.getLong(0)
+    // 1-row agg on the digest decides BOTH the join side and the
+    // representation (fused: a single eager action on the digest).
+    // max() is NULL on an empty digest — then every branch is
+    // equivalent (no rows survive), so take the cheap dense one.
+    // functions.count spelled out: `count` is shadowed by the verify
+    // kernel val below
+    val stats = docs.agg(
+      org.apache.spark.sql.functions.count(lit(1)),
+      max(element_at(col("ranks"), -1))).head
+    val small = stats.getLong(0) <= broadcastDocLimit
+    val vocab = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val dense = vocab <= bitmapVocabLimit
     val words = ((vocab + 63L) / 64L).toInt
     def side(d: DataFrame) = if (small) broadcast(d) else d

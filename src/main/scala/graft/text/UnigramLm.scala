@@ -163,8 +163,25 @@ object UnigramLm {
     * (cnt DESC, piece ASC) seed order, the all-integer Viterbi with
     * the (cost, n_pieces, longest-first) tie order, and the Scala
     * tuple-sort prune orders the old loop already used driver-side.
+    * Lengths and slices are CODE-POINT based throughout ([[cpOffsets]])
+    * because Spark's `length`/`substr` count code points, not UTF-16
+    * units — so the parity holds for supplementary (non-BMP)
+    * characters too, not just the BMP.
     */
+  /** Hard cap on the collected type digest: the driver-side seed map
+    * is ≤ MaxWordLen·MaxPieceLen ≈ 64 entries per type, so 2^17 types
+    * (~8M map entries) is the loud upper bound of the collected-digest
+    * discipline — a caller that skipped the upstream [[trainTypes]]
+    * cap fails with a message, not an OOM (the trainPca guard).
+    */
+  val MaxTrainTypes: Long = 1L << 17
+
   def trainLoop(types: DataFrame): Seq[(String, Long, Long)] = {
+    val n = types.count()
+    require(n <= MaxTrainTypes,
+      s"trainLoop collects the type digest to the driver and is bounded " +
+        s"to $MaxTrainTypes types (got $n); cap the relation upstream " +
+        s"(trainTypes maxWords) before training")
     val tw = types.select(col("word"), col("freq")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     trainLoopLocal(tw)
@@ -187,17 +204,36 @@ object UnigramLm {
     x.length < y.length
   }
 
+  /** UTF-16 offsets of the word's code-point boundaries — the driver
+    * fold must slice by CODE POINT like the expression path (Spark's
+    * `length`/`substr` count code points, not UTF-16 units), or the
+    * two paths diverge on supplementary (non-BMP) characters.
+    */
+  private def cpOffsets(w: String): Array[Int] = {
+    val n = w.codePointCount(0, w.length)
+    val offs = new Array[Int](n + 1)
+    var i = 0; var j = 0
+    while (j < n) { offs(j) = i; i = w.offsetByCodePoints(i, 1); j += 1 }
+    offs(n) = w.length
+    offs
+  }
+
   def trainLoopLocal(tw: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
     // seed: every substring of length 1..MaxPieceLen, freq-weighted —
-    // the seedCounts aggregation as a driver fold (same longs)
+    // the seedCounts aggregation as a driver fold (same longs);
+    // lengths/slices are code-point based to match the expression path
     val seed = scala.collection.mutable.HashMap.empty[String, Long]
-    for ((w, f) <- tw; i <- 1 to w.length;
-         l <- 1 to math.min(MaxPieceLen, w.length - i + 1)) {
-      val p = w.substring(i - 1, i - 1 + l)
-      seed(p) = seed.getOrElse(p, 0L) + f
+    for ((w, f) <- tw) {
+      val o = cpOffsets(w)
+      val n = o.length - 1
+      for (i <- 1 to n; l <- 1 to math.min(MaxPieceLen, n - i + 1)) {
+        val p = w.substring(o(i - 1), o(i - 1 + l))
+        seed(p) = seed.getOrElse(p, 0L) + f
+      }
     }
-    val chars0 = seed.toSeq.filter(_._1.length == 1)
-    val mult0 = seed.toSeq.filter(_._1.length > 1)
+    def cpLen(p: String): Int = p.codePointCount(0, p.length)
+    val chars0 = seed.toSeq.filter(t => cpLen(t._1) == 1)
+    val mult0 = seed.toSeq.filter(t => cpLen(t._1) > 1)
       .sortWith { case ((pa, ca), (pb, cb)) =>
         ca > cb || (ca == cb && utf8Lt(pa, pb)) } // orderBy(cnt desc, piece asc)
       .take(SeedMultis)
@@ -211,10 +247,10 @@ object UnigramLm {
       for ((w, f) <- tw; p <- viterbiLocal(w, costs).seg.split("\\|"))
         usage(p) = usage.getOrElse(p, 0L) + f
       if (it < Iters) {
-        val chars = counts.collect { case (p, _) if p.length == 1 =>
+        val chars = counts.collect { case (p, _) if cpLen(p) == 1 =>
           (p, usage.getOrElse(p, 0L)) }
         val multis = usage.toSeq
-          .filter { case (p, c) => p.length > 1 && c > 0 }
+          .filter { case (p, c) => cpLen(p) > 1 && c > 0 }
           .sortBy { case (p, c) => (-c, p) }.take(KeepMultis)
         counts = chars ++ multis
       } else {
@@ -234,16 +270,18 @@ object UnigramLm {
     */
   private def viterbiLocal(word: String, costs: Map[String, Long]): VSt = {
     val inf = VSt(Inf, 0L, "")
+    val offs = cpOffsets(word)
+    val nCp = offs.length - 1
     var s0 = VSt(0L, 0L, ""); var s1 = inf; var s2 = inf; var s3 = inf
     var i = 1
-    while (i <= math.min(word.length, MaxWordLen)) {
+    while (i <= math.min(nCp, MaxWordLen)) {
       def prev(k: Int) = k match {
         case 0 => s0; case 1 => s1; case 2 => s2; case _ => s3
       }
       def cand(k: Int): VSt = {
         val pr = prev(k)
         if (i >= k + 1 && pr.c < Inf) {
-          val piece = word.substring(i - k - 1, i)
+          val piece = word.substring(offs(i - k - 1), offs(i))
           costs.get(piece) match {
             case Some(pc) => VSt(pr.c + pc, pr.np + 1L,
               if (pr.seg == "") piece else pr.seg + "|" + piece)

@@ -42,6 +42,38 @@ class CvmDriftSpec extends SparkSuite {
     assert(out.getDouble(3) == 0.375)
   }
 
+  test("incremental partials: batching-invariant, idempotent, equals one-shot") {
+    val ev = graft.model.Tables.events(spark, sf("sf0.001"))
+      .select(col("value"), col("ts"))
+    val oneShot = DataQuality.cvmDrift(ev, "value", "ts")
+      .collect().map(_.toString).toSeq
+    def report(splits: Seq[org.apache.spark.sql.DataFrame],
+        tag: String): (String, Seq[String]) = {
+      val d = graft.util.Scratch.dir(s"cvm_$tag").toString
+      splits.zipWithIndex.foreach { case (b, i) =>
+        DataQuality.appendCvmBatch(spark, d, b, "value", "ts",
+          batchId = Some(i.toLong))
+      }
+      (d, DataQuality.cvmDriftFromPartials(spark, d)
+        .collect().map(_.toString).toSeq)
+    }
+    // one batch vs three uneven batches split mid-day: identical report
+    val (_, a) = report(Seq(ev), "one")
+    val cut = ev.agg(min(to_date(col("ts")))).head().getDate(0)
+    val (d3, b) = report(Seq(
+      ev.where(to_date(col("ts")) === cut && col("value") < 500),
+      ev.where(to_date(col("ts")) === cut && col("value") >= 500),
+      ev.where(to_date(col("ts")) =!= cut)), "three")
+    assert(a == oneShot && a.nonEmpty)
+    assert(b == oneShot)
+    // re-delivered batch is a no-op
+    DataQuality.appendCvmBatch(spark, d3,
+      ev.where(to_date(col("ts")) === cut && col("value") < 500),
+      "value", "ts", batchId = Some(0L))
+    assert(DataQuality.cvmDriftFromPartials(spark, d3)
+      .collect().map(_.toString).toSeq == oneShot)
+  }
+
   test("corpus: plain gate is quiet, shifted arm fires") {
     val ev = graft.model.Tables.events(spark, sf("sf0.001"))
     val plain = DataQuality.cvmDrift(ev, "value", "ts").head()

@@ -54,6 +54,64 @@ class HnswSpec extends SparkSuite {
       s"beam-search recall $hnswAvg trails IVF $ivfAvg")
   }
 
+  test("cross-modal beam search: recall vs brute anchor >= the mm IVF sibling's") {
+    val dir = sf("sf0.001")
+    def sets(df: org.apache.spark.sql.DataFrame, idCol: String,
+        vCol: String): Map[Long, Set[Long]] =
+      df.select(col(idCol), col(vCol)).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // the brute broadcast-cosine gate IS the recall anchor
+    val brute = sets(graft.multimodal.Multimodal.crossModalTopK(spark, dir),
+      "doc_id", "vec_id")
+    val hnsw = sets(graft.multimodal.Multimodal.crossModalHnswTopK(spark, dir),
+      "doc_id", "vec_id")
+    val ivf = sets(graft.multimodal.Multimodal.crossModalIvfTopK(spark, dir),
+      "doc_id", "vec_id")
+    assert(hnsw.keySet == brute.keySet, "a probe went unanswered")
+    def recall(m: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, t) =>
+        (m.getOrElse(q, Set.empty) & t).size.toDouble / t.size }.sum / brute.size
+    val (hr, ir) = (recall(hnsw), recall(ivf))
+    assert(hr >= ir, s"cross-modal beam recall $hr trails IVF $ir")
+  }
+
+  test("incremental HNSW index: batching-invariant, idempotent, serves one-shot top-k") {
+    val dir = sf("sf0.001")
+    val emb = graft.model.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val oneShot = Similarity.hnswTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def build(splits: Seq[org.apache.spark.sql.DataFrame],
+        tag: String): String = {
+      val idx = graft.util.Scratch.dir(s"hnswidx_$tag").toString
+      splits.zipWithIndex.foreach { case (b, i) =>
+        Similarity.appendHnswIndexBatch(spark, idx, b, dir,
+          batchId = Some(i.toLong))
+      }
+      idx
+    }
+    def topk(idx: String) = Similarity.hnswTopKFromIndex(spark, idx, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // one batch vs three uneven batches: the folded graph must serve
+    // the identical answer — the per-src top-m is a mergeable partial
+    val idxA = build(Seq(emb), "one")
+    val idxB = build(Seq(emb.where(col("vec_id") < n / 4),
+      emb.where(col("vec_id") >= n / 4 && col("vec_id") < n / 2),
+      emb.where(col("vec_id") >= n / 2)), "three")
+    val a = topk(idxA)
+    assert(a == oneShot && a.nonEmpty)
+    assert(topk(idxB) == oneShot)
+    // re-delivered batch is a no-op (candidate rows unchanged)
+    val before = spark.read.parquet(s"$idxB/nncand").count()
+    Similarity.appendHnswIndexBatch(spark, idxB,
+      emb.where(col("vec_id") < n / 4), dir, batchId = Some(0L))
+    assert(spark.read.parquet(s"$idxB/nncand").count() == before)
+  }
+
   test("determinism: two runs return identical rows") {
     val dir = sf("sf0.001")
     val a = Similarity.hnswTopK(spark, dir).collect().map(_.toString).sorted

@@ -46,6 +46,25 @@ class NewOpPlanSpec extends SparkSuite {
       s"corpus-sized join shuffled at serving time:\n$plan")
   }
 
+  test("ks/cvm drift: CDF prefix sum runs on PARTITIONED windows only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val events = graft.model.Tables.events(spark, sf("sf0.001"))
+    for (df <- Seq(
+        graft.operators.DataQuality.ksDrift(events, "value", "ts"),
+        graft.operators.DataQuality.cvmDrift(events, "value", "ts"))) {
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }
+      // the two-pass form keeps a window (the in-partition running sum)
+      assert(wins.nonEmpty, "prefix sum lost its window entirely")
+      // but NEVER an unpartitioned one — that is the single-task
+      // corpus-sized bottleneck the two-pass rewrite exists to kill
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"unpartitioned WindowExec (single-task prefix sum):\n" +
+          df.queryExecution.optimizedPlan)
+    }
+  }
+
   test("higher moments / monday effect: one hash-aggregate pair over the digest") {
     val rates = graft.model.Tables.rates(spark, sf("sf0.001"))
     for (df <- Seq(graft.analysis.MarketAnalytics.higherMoments(rates),

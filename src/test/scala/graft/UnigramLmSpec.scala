@@ -49,7 +49,36 @@ class UnigramLmSpec extends SparkSuite {
     // artifact to match trainLoop's driver fold EXACTLY — this is the
     // hash-gate contract the hoist must preserve
     val types = UnigramLm.trainTypes(spark, sf("sf0.001")).localCheckpoint()
-    def distributed(): Seq[(String, Long, Long)] = {
+    assert(UnigramLm.trainLoop(types) == distributedEm(types))
+  }
+
+  test("EM parity holds on supplementary (non-BMP) characters") {
+    import spark.implicits._
+    // 𝕒 (U+1D552) and 😀 (U+1F600) are surrogate PAIRS in UTF-16:
+    // String.length counts them as 2 where Spark's length/substr count
+    // 1 — the driver fold must slice by code point or the paths diverge
+    val types = Seq(("x𝕒y", 5L), ("𝕒𝕒", 3L),
+      ("ab😀", 4L), ("😀😀ab", 2L),
+      ("plain", 6L))
+      .toDF("word", "freq").localCheckpoint()
+    val trained = UnigramLm.trainLoop(types)
+    assert(trained == distributedEm(types))
+    // the single-char backbone counts CODE POINTS: 𝕒 and 😀 are chars
+    val singles = trained.map(_._1)
+      .filter(p => p.codePointCount(0, p.length) == 1).toSet
+    assert(singles.contains("𝕒") && singles.contains("😀"))
+  }
+
+  test("trainLoop fails loudly past its collected-digest bound") {
+    import spark.implicits._
+    val big = spark.range(UnigramLm.MaxTrainTypes + 1)
+      .select(concat(lit("w"), col("id")).as("word"), lit(1L).as("freq"))
+    val e = intercept[IllegalArgumentException](UnigramLm.trainLoop(big))
+    assert(e.getMessage.contains("cap the relation upstream"))
+  }
+
+  private def distributedEm(
+      types: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] = {
       val seed = UnigramLm.seedCounts(types)
       val chars0 = seed.where(length(col("piece")) === 1)
       val mult0 = seed.where(length(col("piece")) > 1)
@@ -66,10 +95,13 @@ class UnigramLmSpec extends SparkSuite {
           vc.map(t => (t._1, t._3)))).collect()
           .map(r => (r.getString(0), r.getLong(1))).toMap
         if (it < UnigramLm.Iters) {
-          val chars = counts.collect { case (p, _) if p.length == 1 =>
+          // "char" means ONE CODE POINT — Spark's length(piece) === 1,
+          // which counts surrogate pairs as a single char
+          def cpLen(p: String) = p.codePointCount(0, p.length)
+          val chars = counts.collect { case (p, _) if cpLen(p) == 1 =>
             (p, usage.getOrElse(p, 0L)) }
           val multis = usage.toSeq
-            .filter { case (p, c) => p.length > 1 && c > 0 }
+            .filter { case (p, c) => cpLen(p) > 1 && c > 0 }
             .sortBy { case (p, c) => (-c, p) }.take(UnigramLm.KeepMultis)
           counts = chars ++ multis
         } else {
@@ -77,8 +109,6 @@ class UnigramLmSpec extends SparkSuite {
         }
       }
       result
-    }
-    assert(UnigramLm.trainLoop(types) == distributed())
   }
 
   test("trained artifact: coverage, char backbone, bounded vocab") {
