@@ -911,6 +911,10 @@ object SparkEntry {
     // — must equal the one-shot dq_cvm_drift
     "stream_cvm_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayCvmIncremental(s, dir)),
+    // the KS report over the SAME maintained digest — one state, both
+    // whole-CDF statistics; must equal the one-shot dq_ks_drift
+    "stream_ks_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayKsIncremental(s, dir)),
     // incremental trending: per-batch (type, date) partials folded,
     // decay levels re-derived from the maintained anchor at report time
     // — must equal the one-shot q_trending_events
@@ -933,6 +937,20 @@ object SparkEntry {
     // must equal the one-shot sim_hnsw_topk
     "stream_hnsw_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayHnswIncremental(s, dir)),
+    // incremental PCA: per-batch dimension-bounded exact-Long moment
+    // partials folded, then the same collected-digest power iteration
+    // — must equal the one-shot sim_pca_power
+    "stream_pca_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayPcaIncremental(s, dir)),
+    // incremental SemDeDup: per-batch lower-cos partial maxes folded at
+    // report time — must equal the one-shot dedup_semantic
+    "stream_semantic_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replaySemanticIncremental(s, dir)),
+    // navigable-graph DELETES: tombstones still route (soft delete, the
+    // documented HNSW practice) but are filtered from results — must
+    // equal the full-graph beam search retained-filtered and re-ranked
+    "stream_hnsw_delete" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayHnswDeletes(s, dir)),
     // incremental tokenizer-training state: per-batch word-type partial
     // counts (LSM shape) folded, then the merge loop retrained from
     // state — must learn the identical table to cur_bpe_merges
@@ -2971,6 +2989,74 @@ object SparkEntry {
       |    AS INT) AS rank
       |FROM s""".stripMargin
 
+  /** SemDeDup replayed end-to-end: trained cells (the shared unrolled
+    * training CTEs), max-cosine assignment, then the within-cell
+    * lower-id max-cosine flag — value-exact because every cosine is
+    * 6-dp-rounded pre-compare and the reduction is MAX. Shared verbatim
+    * by the one-shot gate and the maintained-index report.
+    */
+  private val SemanticDedupOracleSql: String = {
+    val (ctes, centFinal, _) = KmeansCtes(8, 2)
+    s"""WITH $ctes, af AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${KmCos("e.emb", "c.centroid")} DESC, c.cell ASC) AS rn
+       |    FROM e CROSS JOIN $centFinal c)
+       |  WHERE rn = 1
+       |), best AS (
+       |  SELECT a.vec_id, max(${KmCos("a.emb", "b.emb")}) AS max_lower_cos
+       |  FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  GROUP BY a.vec_id
+       |)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, b.max_lower_cos,
+       |       coalesce(b.max_lower_cos >= 0.45, false) AS is_semantic_dup
+       |FROM af a LEFT JOIN best b USING (vec_id)""".stripMargin
+  }
+
+  /** Two-sample Kolmogorov-Smirnov replay: exact integer CDF-gap
+    * maximum, one closing division, the sqrt-free squared threshold.
+    * Shared verbatim by the one-shot gate and the maintained-digest
+    * report, which must produce the identical row.
+    */
+  private val KsDriftOracleSql: String =
+    """WITH sp AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      |  FROM events
+      |), m AS (
+      |  SELECT value AS v,
+      |    CAST(ts AS DATE) <
+      |      d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS is_ref
+      |  FROM events, sp
+      |), g AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |  FROM m GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(a) AS BIGINT) AS n_ref,
+      |    CAST(sum(b) AS BIGINT) AS n_cur FROM g
+      |), w AS (
+      |  SELECT CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+      |    CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
+      |  FROM g
+      |), dm AS (
+      |  SELECT max(abs(ca * t.n_cur - cb * t.n_ref)) AS d_num
+      |  FROM w, t
+      |), base AS (
+      |  SELECT t.n_ref, t.n_cur, dm.d_num,
+      |    CAST(dm.d_num AS DOUBLE)
+      |      / (CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE)) AS ks_d
+      |  FROM dm, t
+      |)
+      |SELECT n_ref, n_cur, d_num, ks_d,
+      |  ks_d * ks_d * (CAST(n_ref * n_cur AS DOUBLE)
+      |                 / CAST(n_ref + n_cur AS DOUBLE)) AS ks_stat,
+      |  ks_d * ks_d * (CAST(n_ref * n_cur AS DOUBLE)
+      |                 / CAST(n_ref + n_cur AS DOUBLE)) > 1.844164
+      |    AS drift_5pct
+      |FROM base""".stripMargin
+
   /** Two-sample Cramér-von-Mises replay, parameterized by the
     * value-shift expression (`""` for the plain gate; the alarm arm
     * adds the +20 CASE to the current half). HUGEINT numerator mirrors
@@ -3358,6 +3444,18 @@ object SparkEntry {
        |SELECT qid, vec_id, sim AS cos_sim, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |    ORDER BY sim DESC, vec_id ASC) AS rank FROM visited)
+       |WHERE rank <= 5""".stripMargin
+
+  /** The delete-gate replay: the SAME full-graph beam search (soft
+    * deletes leave the graph and the walk untouched), visited set
+    * filtered to the retained ids BEFORE ranking.
+    */
+  private val HnswDeleteOracleSql: String =
+    s"""WITH ${HnswCtes(4, 10, 3)}
+       |SELECT qid, vec_id, sim AS cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id ASC) AS rank FROM visited
+       |  WHERE NOT (vec_id % 10 = 7))
        |WHERE rank <= 5""".stripMargin
 
   private val HnswRecallOracleSql: String =
@@ -7246,43 +7344,11 @@ object SparkEntry {
 
     // the unbinned KS sibling: exact integer CDF-gap maximum, one
     // closing division, the sqrt-free squared threshold
-    "dq_ks_drift" ->
-      """WITH sp AS (
-        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-        |  FROM events
-        |), m AS (
-        |  SELECT value AS v,
-        |    CAST(ts AS DATE) <
-        |      d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS is_ref
-        |  FROM events, sp
-        |), g AS (
-        |  SELECT v,
-        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS a,
-        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS b
-        |  FROM m GROUP BY 1
-        |), t AS (
-        |  SELECT CAST(sum(a) AS BIGINT) AS n_ref,
-        |    CAST(sum(b) AS BIGINT) AS n_cur FROM g
-        |), w AS (
-        |  SELECT CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
-        |    CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
-        |  FROM g
-        |), dm AS (
-        |  SELECT max(abs(ca * t.n_cur - cb * t.n_ref)) AS d_num
-        |  FROM w, t
-        |), base AS (
-        |  SELECT t.n_ref, t.n_cur, dm.d_num,
-        |    CAST(dm.d_num AS DOUBLE)
-        |      / (CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE)) AS ks_d
-        |  FROM dm, t
-        |)
-        |SELECT n_ref, n_cur, d_num, ks_d,
-        |  ks_d * ks_d * (CAST(n_ref * n_cur AS DOUBLE)
-        |                 / CAST(n_ref + n_cur AS DOUBLE)) AS ks_stat,
-        |  ks_d * ks_d * (CAST(n_ref * n_cur AS DOUBLE)
-        |                 / CAST(n_ref + n_cur AS DOUBLE)) > 1.844164
-        |    AS drift_5pct
-        |FROM base""".stripMargin,
+    "dq_ks_drift" -> KsDriftOracleSql,
+
+    // the KS report over the batch-maintained (d, v, n) digest — the
+    // oracle IS dq_ks_drift
+    "stream_ks_incremental" -> KsDriftOracleSql,
 
     // the alarm arm: identical machinery over the +20-shifted current
     // half (x + 0.0 = x in IEEE keeps the reference half bit-untouched)
@@ -9250,6 +9316,10 @@ object SparkEntry {
     "sim_pca_power" -> PcaPowerOracleSql,
     "sim_pca_project" -> PcaProjectOracleSql,
 
+    // the batch-maintained moment digest must train the identical
+    // component — the oracle IS sim_pca_power
+    "stream_pca_incremental" -> PcaPowerOracleSql,
+
     // the full PQ pipeline replayed: per-subspace training (PqCtes),
     // argmin-L2² encoding, per-(query, candidate, subspace) ADC parts,
     // and the subspace-ordered fold — bit for bit
@@ -9300,6 +9370,10 @@ object SparkEntry {
     // beam-search top-k — the oracle IS sim_hnsw_topk
     "stream_hnsw_incremental" -> HnswTopKOracleSql,
 
+    // soft deletes: tombstoned ids route but never rank — the oracle is
+    // the full-graph visited set, retained-filtered, re-ranked
+    "stream_hnsw_delete" -> HnswDeleteOracleSql,
+
     // cross-modal probes through the navigable graph: encoder replay
     // composed with the HNSW training→graph→beam CTEs
     "mm_crossmodal_hnsw_topk" -> MmCrossModalHnswTopKOracleSql,
@@ -9308,24 +9382,12 @@ object SparkEntry {
     // training CTEs), max-cosine assignment, then the within-cell
     // lower-id max-cosine flag — value-exact because every cosine is
     // 6-dp-rounded pre-compare and the reduction is MAX
-    "dedup_semantic" -> {
-      val (ctes, centFinal, _) = KmeansCtes(8, 2)
-      s"""WITH $ctes, af AS (
-         |  SELECT vec_id, emb, cell FROM (
-         |    SELECT e.vec_id, e.emb, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${KmCos("e.emb", "c.centroid")} DESC, c.cell ASC) AS rn
-         |    FROM e CROSS JOIN $centFinal c)
-         |  WHERE rn = 1
-         |), best AS (
-         |  SELECT a.vec_id, max(${KmCos("a.emb", "b.emb")}) AS max_lower_cos
-         |  FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
-         |  GROUP BY a.vec_id
-         |)
-         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, b.max_lower_cos,
-         |       coalesce(b.max_lower_cos >= 0.45, false) AS is_semantic_dup
-         |FROM af a LEFT JOIN best b USING (vec_id)""".stripMargin
-    },
+    "dedup_semantic" -> SemanticDedupOracleSql,
+
+    // the batch-maintained (members, per-doc lower-cos max partials)
+    // index must report the identical flags — the oracle IS
+    // dedup_semantic
+    "stream_semantic_incremental" -> SemanticDedupOracleSql,
 
     // LSH ANN end-to-end: the oracle recomputes the hyperplane signatures
     // from the literal plane values, applies the same <=50 bucket cap,

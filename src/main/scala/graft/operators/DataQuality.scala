@@ -364,16 +364,29 @@ object DataQuality {
     * plus the [[rangedCumCounts]] two-pass distributed prefix sum over
     * the distinct-value digest — no single-task window anywhere.
     */
-  def ksDrift(df: DataFrame, valueCol: String, tsCol: String): DataFrame = {
-    val s0 = df.select(col(valueCol).as("v"), to_date(col(tsCol)).as("d"))
-    val span = s0.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
-    val m = s0.crossJoin(broadcast(span))
-      .select(col("v"),
+  def ksDrift(df: DataFrame, valueCol: String, tsCol: String): DataFrame =
+    ksFromDaily(valueDaily(df, valueCol, tsCol))
+
+  /** Report half of incremental KS maintenance: the SAME maintained
+    * (d, v, n) digest the CvM family folds ([[appendValueCountBatch]])
+    * answers the KS question too — one state, both statistics. Must
+    * equal the one-shot [[ksDrift]] bit for bit.
+    */
+  def ksDriftFromPartials(s: org.apache.spark.sql.SparkSession,
+      countsDir: String): DataFrame =
+    ksFromDaily(
+      s.read.parquet(s"$countsDir/partials")
+        .groupBy(col("d"), col("v")).agg(sum(col("n")).as("n")))
+
+  private def ksFromDaily(daily: DataFrame): DataFrame = {
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val m = daily.crossJoin(broadcast(span))
+      .select(col("v"), col("n"),
         (col("d") < date_add(col("d0"),
           (datediff(col("d1"), col("d0")) / 2).cast("int"))).as("is_ref"))
     val g = m.groupBy(col("v")).agg(
-      sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
-      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+      sum(when(col("is_ref"), col("n")).otherwise(0L)).as("a"),
+      sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("b"))
     val tot = g.agg(sum(col("a")).as("n_ref"), sum(col("b")).as("n_cur"))
     val w = rangedCumCounts(g)
       .crossJoin(broadcast(tot))
@@ -433,26 +446,29 @@ object DataQuality {
     * before squaring — the plan shape is unchanged.
     */
   def cvmDrift(df: DataFrame, valueCol: String, tsCol: String): DataFrame =
-    cvmFromDaily(cvmDaily(df, valueCol, tsCol))
+    cvmFromDaily(valueDaily(df, valueCol, tsCol))
 
   /** The (d, v, n) daily distinct-value digest — shared by the one-shot
-    * test and the incremental counter maintenance, which must count
-    * identically or the maintained report diverges. O(distinct values
-    * per day) rows; counts are additive, so per-batch partials fold.
+    * KS and CvM tests and the incremental counter maintenance, which
+    * must count identically or the maintained reports diverge.
+    * O(distinct values per day) rows; counts are additive, so per-batch
+    * partials fold.
     */
-  private def cvmDaily(df: DataFrame, valueCol: String,
+  private def valueDaily(df: DataFrame, valueCol: String,
       tsCol: String): DataFrame =
     df.select(col(valueCol).as("v"), to_date(col(tsCol)).as("d"))
       .groupBy(col("d"), col("v")).agg(count(lit(1)).as("n"))
 
-  /** Batch half of INCREMENTAL CvM-drift maintenance (the
+  /** Batch half of INCREMENTAL CDF-drift maintenance (the
     * [[appendDriftBatch]] shape at value resolution): append this
     * batch's (d, v, n) partial counts — O(batch distinct)/batch, LSM
-    * shape, batchId-idempotent. The REFERENCE/CURRENT split derives
+    * shape, batchId-idempotent. ONE maintained state serves BOTH
+    * whole-CDF statistics ([[ksDriftFromPartials]] and
+    * [[cvmDriftFromPartials]]). The REFERENCE/CURRENT split derives
     * from the maintained span at REPORT time, so late batches that
     * move the midpoint are handled by construction.
     */
-  def appendCvmBatch(s: org.apache.spark.sql.SparkSession,
+  def appendValueCountBatch(s: org.apache.spark.sql.SparkSession,
       countsDir: String, batch: DataFrame, valueCol: String, tsCol: String,
       batchId: Option[Long] = None): Unit = {
     val marker = batchId.map { id =>
@@ -460,7 +476,7 @@ object DataQuality {
       (p.getFileSystem(s.sessionState.newHadoopConf()), p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    graft.util.BatchAppend.append(cvmDaily(batch, valueCol, tsCol),
+    graft.util.BatchAppend.append(valueDaily(batch, valueCol, tsCol),
       s"$countsDir/partials", batchId)
     marker.foreach { case (fs, p) =>
       fs.mkdirs(p.getParent); fs.create(p, true).close() }

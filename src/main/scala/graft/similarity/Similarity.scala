@@ -804,6 +804,70 @@ object Similarity {
           .as("is_semantic_dup"))
   }
 
+  /** Batch half of INCREMENTAL SemDeDup maintenance — the streaming
+    * twin of [[semanticDedup]]: each arriving batch is assigned to the
+    * FIXED trained centroids, and each affected doc's "best lower-id
+    * in-cell cosine" gets a per-batch PARTIAL MAX appended (new docs
+    * score against everything present including the batch; existing
+    * docs score against their new lower-id cellmates). MAX is
+    * mergeable and every lower-id pair contributes exactly in the
+    * batch where its later member arrives, so the report-time fold
+    * equals the one-shot flags whatever the batching. O(batch · cell)
+    * per batch, ≤ |touched docs| appended rows; batchId markers +
+    * [[graft.util.BatchAppend]] give the family's idempotence and
+    * crash-safety contracts.
+    */
+  def appendSemanticIndexBatch(s: SparkSession, indexDir: String,
+      batch: DataFrame, dir: String, cells: Int = 8, iters: Int = 2,
+      batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    val ba = assignCells(batch.select(col("vec_id"), col("embedding")),
+      trainedCentroids(s, dir, cells, iters)).localCheckpoint()
+    val membersPath = new org.apache.hadoop.fs.Path(s"$indexDir/members")
+    val fs = membersPath.getFileSystem(s.sessionState.newHadoopConf())
+    val existing =
+      if (fs.exists(membersPath)) s.read.parquet(membersPath.toString)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ba.schema)
+    def bestOf(hi: DataFrame, lo: DataFrame): DataFrame =
+      hi.select(col("cell"), col("vec_id"), col("embedding").as("e_hi"))
+        .join(lo.select(col("cell"), col("vec_id").as("lo_id"),
+          col("embedding").as("lo_emb")), Seq("cell"))
+        .where(col("lo_id") < col("vec_id"))
+        .select(col("vec_id"),
+          round(cosine(col("e_hi"), col("lo_emb")), 6).as("cs"))
+        .groupBy(col("vec_id")).agg(max(col("cs")).as("max_lower_cos"))
+    // (existing lo, new hi) and (new lo, new hi) land via the first
+    // side; (new lo, existing hi) via the second — each pair exactly once
+    val best = bestOf(ba, existing.unionByName(ba))
+      .unionAll(bestOf(existing, ba))
+    graft.util.BatchAppend.append(best, s"$indexDir/best", batchId)
+    graft.util.BatchAppend.append(ba, s"$indexDir/members", batchId)
+    marker.foreach { case (fs2, p) =>
+      fs2.mkdirs(p.getParent); fs2.create(p, true).close() }
+  }
+
+  /** Report half: fold the maintained per-batch partial maxes and emit
+    * the same flags — must equal the one-shot [[semanticDedup]] bit for
+    * bit (MAX folds exactly; cosines are 6-dp-rounded pre-compare).
+    */
+  def semanticDedupFromIndex(s: SparkSession, indexDir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val members = s.read.parquet(s"$indexDir/members")
+    val best = s.read.parquet(s"$indexDir/best")
+      .groupBy(col("vec_id")).agg(max(col("max_lower_cos")).as("max_lower_cos"))
+    members.select(col("vec_id"), col("cell"))
+      .join(best, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("max_lower_cos"),
+        coalesce(col("max_lower_cos") >= threshold, lit(false))
+          .as("is_semantic_dup"))
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (Jégou, Douze, Schmid — TPAMI 2011, public
   // method): the memory-compression layer under billion-scale ANN.
@@ -1162,50 +1226,115 @@ object Similarity {
       .limit(k)
   }
 
+  /** The quantized moment digests of an embedding relation — (j, k,
+    * sjk) cross sums (d² rows) and (j, sj, n) per-dim sums (d rows).
+    * Shared by the one-shot trainer and the incremental maintenance:
+    * every entry is an exact Long SUM, so per-batch partials fold to
+    * the one-shot digest whatever the batching.
+    */
+  private def pcaMoments(emb: DataFrame): (DataFrame, DataFrame) = {
+    val base = emb.select(
+      transform(col("embedding"),
+        x => (x.cast("double") * lit(1000.0)).cast("long")).as("qv"))
+    val sums = base.select(posexplode(col("qv")).as(Seq("p", "q")))
+      .groupBy((col("p") + 1).as("j"))
+      .agg(sum(col("q")).as("sj"), count(lit(1)).as("n"))
+    val cross = base.select(explode(flatten(transform(col("qv"), (xj, pj) =>
+        transform(col("qv"), (xk, pk) => struct(pj.as("pj"), pk.as("pk"),
+          (xj * xk).as("prod")))))).as("e"))
+      .groupBy((col("e.pj") + 1).as("j"), (col("e.pk") + 1).as("k"))
+      .agg(sum(col("e.prod")).as("sjk"))
+    (cross, sums)
+  }
+
+  /** Covariance digest from the moment digests (the moment identity
+    * C_jk = n·Σx_j x_k − Σx_j·Σx_k — exact longs, centering never
+    * subtracts a float mean), collected (d² rows, dimension-bounded)
+    * and power-iterated driver-side.
+    */
+  private def powerFromMoments(cross: DataFrame, sums: DataFrame,
+      iters: Int): (Array[Double], Double) = {
+    val cov = cross
+      .join(broadcast(sums.select(col("j"), col("sj"))), "j")
+      .join(broadcast(sums.select(col("j").as("k"), col("sj").as("sk"),
+        col("n"))), "k")
+      .select(col("j"), col("k"),
+        (col("n") * col("sjk") - col("sj") * col("sk")).as("c"),
+        col("n"))
+      .collect() // d² = 4096 rows — dimension-bounded, never corpus
+    val d = 64
+    // n·sjk and sj·sk are each bounded by n²·2^20 (milli-codes ≤
+    // ~2^10), so the Long covariance digest is exact only below
+    // n = 2^21 rows; past that it would wrap SILENTLY and the power
+    // iteration would return wrong loadings — fail loudly instead
+    // (at that scale requantize the codes or lift the digest to
+    // DECIMAL; the plan shape is unchanged).
+    cov.headOption.map(_.getLong(3)).foreach(n => require(n < (1L << 21),
+      s"trainPca Long covariance digest is exact only below 2^21 rows " +
+        s"(got $n); requantize or lift the moment sums to DECIMAL"))
+    val c = Array.ofDim[Long](d, d)
+    cov.foreach(r => c(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2))
+    var v = Array.fill(d)(1.0)
+    var mx = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(j => (0 until d)
+        .foldLeft(0.0)((acc, k) => acc + c(j)(k).toDouble * v(k)))
+      mx = w.map(math.abs).max
+      v = w.map(_ / mx)
+    }
+    (v, mx)
+  }
+
   private def trainPca(s: SparkSession, dir: String,
       iters: Int = 8): (Array[Double], Double) =
     pcaMemo.getOrElseUpdate((dir, iters), {
-      val base = Tables.embeddings(s, dir).select(
-        transform(col("embedding"),
-          x => (x.cast("double") * lit(1000.0)).cast("long")).as("qv"))
-      val sums = base.select(posexplode(col("qv")).as(Seq("p", "q")))
-        .groupBy((col("p") + 1).as("j"))
-        .agg(sum(col("q")).as("sj"), count(lit(1)).as("n"))
-      val cross = base.select(explode(flatten(transform(col("qv"), (xj, pj) =>
-          transform(col("qv"), (xk, pk) => struct(pj.as("pj"), pk.as("pk"),
-            (xj * xk).as("prod")))))).as("e"))
-        .groupBy((col("e.pj") + 1).as("j"), (col("e.pk") + 1).as("k"))
-        .agg(sum(col("e.prod")).as("sjk"))
-      val cov = cross
-        .join(broadcast(sums.select(col("j"), col("sj"))), "j")
-        .join(broadcast(sums.select(col("j").as("k"), col("sj").as("sk"),
-          col("n"))), "k")
-        .select(col("j"), col("k"),
-          (col("n") * col("sjk") - col("sj") * col("sk")).as("c"),
-          col("n"))
-        .collect() // d² = 4096 rows — dimension-bounded, never corpus
-      val d = 64
-      // n·sjk and sj·sk are each bounded by n²·2^20 (milli-codes ≤
-      // ~2^10), so the Long covariance digest is exact only below
-      // n = 2^21 rows; past that it would wrap SILENTLY and the power
-      // iteration would return wrong loadings — fail loudly instead
-      // (at that scale requantize the codes or lift the digest to
-      // DECIMAL; the plan shape is unchanged).
-      cov.headOption.map(_.getLong(3)).foreach(n => require(n < (1L << 21),
-        s"trainPca Long covariance digest is exact only below 2^21 rows " +
-          s"(got $n); requantize or lift the moment sums to DECIMAL"))
-      val c = Array.ofDim[Long](d, d)
-      cov.foreach(r => c(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2))
-      var v = Array.fill(d)(1.0)
-      var mx = 0.0
-      for (_ <- 1 to iters) {
-        val w = Array.tabulate(d)(j => (0 until d)
-          .foldLeft(0.0)((acc, k) => acc + c(j)(k).toDouble * v(k)))
-        mx = w.map(math.abs).max
-        v = w.map(_ / mx)
-      }
-      (v, mx)
+      val (cross, sums) =
+        pcaMoments(Tables.embeddings(s, dir).select(col("embedding")))
+      powerFromMoments(cross, sums, iters)
     })
+
+  /** Batch half of INCREMENTAL PCA maintenance — the streaming twin the
+    * IVF/MinHash/HNSW indexes and the drift monitors already have: each
+    * arriving batch of vectors appends its own exact-Long moment
+    * partials ((j, k, sjk) cross sums + (j, sj, n) dim sums — both
+    * dimension-bounded: ≤ d²+d rows per batch whatever the batch size).
+    * Sums are associative integers, so the folded digest equals the
+    * one-shot corpus digest whatever the batching; batchId markers make
+    * re-delivered micro-batches no-ops, [[graft.util.BatchAppend]]
+    * closes the mid-commit double-count window.
+    */
+  def appendPcaMomentBatch(s: SparkSession, countsDir: String,
+      batch: DataFrame, batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$countsDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    val (cross, sums) = pcaMoments(batch.select(col("embedding")))
+    graft.util.BatchAppend.append(cross, s"$countsDir/cross", batchId)
+    graft.util.BatchAppend.append(sums, s"$countsDir/sums", batchId)
+    marker.foreach { case (fs, p) =>
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
+  }
+
+  /** Report half: fold the maintained moment partials and run the same
+    * collected-digest power iteration — must equal the one-shot
+    * [[pcaPower]] bit for bit (integer sums fold exactly; the driver
+    * matvec consumes the identical covariance longs).
+    */
+  def pcaPowerFromPartials(s: SparkSession, countsDir: String,
+      iters: Int = 8): DataFrame = {
+    val cross = s.read.parquet(s"$countsDir/cross")
+      .groupBy(col("j"), col("k")).agg(sum(col("sjk")).as("sjk"))
+    val sums = s.read.parquet(s"$countsDir/sums")
+      .groupBy(col("j"))
+      .agg(sum(col("sj")).as("sj"), sum(col("n")).as("n"))
+    val (v, mx) = powerFromMoments(cross, sums, iters)
+    import s.implicits._
+    v.toIndexedSeq.zipWithIndex
+      .map { case (l, i) => (i + 1L, l, mx) }
+      .toDF("dim", "loading", "lambda_inf")
+  }
 
   def pcaPower(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
     val (v, mx) = trainPca(s, dir, iters)
@@ -1505,9 +1634,21 @@ object Similarity {
     // the folded graph is walked `hops` times — freeze it once, the
     // same cost shape as the one-shot build's scratch-parquet artifact
     val edges = hnswEdgesFromIndex(s, indexDir, mLinks).localCheckpoint()
+    val visited = hnswBeamVisited(queries, emb, edges, rep0, beamWidth, hops)
+    // SOFT DELETES (the documented HNSW practice — Malkov & Yashunin's
+    // graphs keep deleted nodes as routing waypoints; repairing every
+    // in-edge would be a corpus-sized rewrite): tombstoned ids still
+    // ROUTE (the walk and the graph are untouched — O(batch) deletes,
+    // never a rebuild) but are filtered from RESULTS before ranking.
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombPath.getFileSystem(s.sessionState.newHadoopConf())
+    val live =
+      if (!fs.exists(tombPath)) visited
+      else visited.join(
+        s.read.parquet(tombPath.toString).select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
-    hnswBeamVisited(queries, emb, edges, rep0, beamWidth, hops)
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    live.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("sim").as("cos_sim"),
         col("rank").cast("long").as("rank"))
   }

@@ -959,41 +959,63 @@ object StreamReplay {
     graft.operators.DataQuality.driftChi2FromPartials(s, countsDir)
   }
 
+  /** ONE maintained (d, v, n) distinct-value state serves BOTH
+    * whole-CDF drift statistics — maintained once per (dir, nBatches)
+    * per JVM (the pair-graph digest-memo discipline: the first consumer
+    * pays the streaming replay, later consumers time their own report
+    * fold), reported by [[replayCvmIncremental]] and
+    * [[replayKsIncremental]].
+    */
+  private val valueCountsStates =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private def valueCountsState(s: SparkSession, dir: String,
+      nBatches: Int): String =
+    valueCountsStates.computeIfAbsent((dir, nBatches), _ => {
+      val tmp = Scratch.dir("graft_cdfdrift_replay")
+      val countsDir = tmp.resolve("counts").toString
+      val ev = Tables.events(s, dir).select(col("value"), col("ts"))
+      val feed = memoFeed("cdfdrift", dir, nBatches) { p =>
+        ev.repartition(nBatches).write.mode("overwrite").parquet(p)
+      }
+      withReplayPartitions(s, 2) {
+        val query = s.readStream.schema(ev.schema)
+          .parquet(feed)
+          .writeStream
+          .option("checkpointLocation", tmp.resolve("chk").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            graft.operators.DataQuality.appendValueCountBatch(s, countsDir,
+              batch, "value", "ts", batchId = Some(bid))
+          }
+          .start()
+        query.awaitTermination()
+      }
+      countsDir
+    })
+
   /** Replay of INCREMENTAL CvM-DRIFT maintenance — the [[
     * replayDriftIncremental]] shape at full value resolution: each
     * micro-batch appends its (d, v, n) daily distinct-value partial
-    * counts (DataQuality.appendCvmBatch — O(batch distinct), LSM shape,
-    * idempotent); the whole-CDF statistic over the folded digest must
-    * equal the one-shot dq_cvm_drift — which is exactly the oracle.
-    * Counts are additive integers and the split re-derives from the
-    * maintained span, so the fold is batching-invariant by
+    * counts (DataQuality.appendValueCountBatch — O(batch distinct),
+    * LSM shape, idempotent); the whole-CDF statistic over the folded
+    * digest must equal the one-shot dq_cvm_drift — which is exactly
+    * the oracle. Counts are additive integers and the split re-derives
+    * from the maintained span, so the fold is batching-invariant by
     * construction.
     */
   def replayCvmIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 2): DataFrame = {
-    val tmp = Scratch.dir("graft_cvm_replay")
-    val countsDir = tmp.resolve("counts").toString
-    val ev = Tables.events(s, dir).select(col("value"), col("ts"))
-    val feed = memoFeed("cvmdrift", dir, nBatches) { p =>
-      ev.repartition(nBatches).write.mode("overwrite").parquet(p)
-    }
+      nBatches: Int = 2): DataFrame =
+    graft.operators.DataQuality.cvmDriftFromPartials(s,
+      valueCountsState(s, dir, nBatches))
 
-    withReplayPartitions(s, 2) {
-      val query = s.readStream.schema(ev.schema)
-        .parquet(feed)
-        .writeStream
-        .option("checkpointLocation", tmp.resolve("chk").toString)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          graft.operators.DataQuality.appendCvmBatch(s, countsDir,
-            batch, "value", "ts", batchId = Some(bid))
-        }
-        .start()
-      query.awaitTermination()
-    }
-
-    graft.operators.DataQuality.cvmDriftFromPartials(s, countsDir)
-  }
+  /** The KS report over the SAME maintained state — one digest, both
+    * statistics; must equal the one-shot dq_ks_drift (its oracle).
+    */
+  def replayKsIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame =
+    graft.operators.DataQuality.ksDriftFromPartials(s,
+      valueCountsState(s, dir, nBatches))
 
   /** Replay of INCREMENTAL BLOOM maintenance: the reference half of the
     * corpus streams in micro-batches; each batch appends its own
@@ -1153,6 +1175,78 @@ object StreamReplay {
     graft.similarity.Similarity.ivfTopKFromIndex(s, indexDir, dir)
   }
 
+  /** Replay of INCREMENTAL SemDeDup maintenance: the embeddings table
+    * streams in micro-batches, each assigned to the frozen trained
+    * centroids and appending per-doc lower-cos partial maxes
+    * (Similarity.appendSemanticIndexBatch — O(batch·cell), LSM shape,
+    * idempotent); the folded flags must equal the one-shot
+    * dedup_semantic — which is exactly the oracle. MAX partials fold,
+    * so the maintained index is batching-invariant by construction.
+    */
+  def replaySemanticIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    val tmp = Scratch.dir("graft_semdedup_replay")
+    val indexDir = tmp.resolve("index").toString
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val feed = memoFeed("semdedup", dir, nBatches) { p =>
+      emb.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.similarity.Similarity.appendSemanticIndexBatch(s, indexDir,
+            batch, dir, batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.similarity.Similarity.semanticDedupFromIndex(s, indexDir)
+  }
+
+  /** Replay of INCREMENTAL PCA maintenance: the embeddings table
+    * streams in micro-batches, each appending its dimension-bounded
+    * exact-Long moment partials (Similarity.appendPcaMomentBatch —
+    * O(batch) compute, ≤ d²+d appended rows per batch, LSM shape,
+    * idempotent); the power iteration over the folded digest must
+    * equal the one-shot sim_pca_power — which is exactly the oracle.
+    * Integer sums fold associatively, so the maintained model is
+    * batching-invariant by construction (runs coalesced per the
+    * mergeable-partial policy; the drift gate is the family's
+    * per-file representative).
+    */
+  def replayPcaIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    val tmp = Scratch.dir("graft_pca_replay")
+    val countsDir = tmp.resolve("counts").toString
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val feed = memoFeed("pcainc", dir, nBatches) { p =>
+      emb.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(emb.schema)
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.similarity.Similarity.appendPcaMomentBatch(s, countsDir,
+            batch, batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.similarity.Similarity.pcaPowerFromPartials(s, countsDir)
+  }
+
   /** Replay of INCREMENTAL NAVIGABLE-GRAPH (HNSW) maintenance: the
     * embeddings table streams in micro-batches, each assigned to the
     * frozen trained centroids and linked to its in-cell neighbor
@@ -1189,6 +1283,54 @@ object StreamReplay {
         .start()
       query.awaitTermination()
     }
+
+    graft.similarity.Similarity.hnswTopKFromIndex(s, indexDir, dir)
+  }
+
+  /** Replay of NAVIGABLE-GRAPH DELETES — the maintenance shape a
+    * production vector store needs beyond append-only ingestion, in the
+    * form HNSW actually supports: the corpus streams in and is indexed
+    * (appendHnswIndexBatch, one file per trigger), then a DELETE stream
+    * tombstones every `vec_id % 10 == 7` (Similarity.
+    * deleteFromIvfIndexBatch — the tombstone table is index-agnostic;
+    * its own batchId namespace, O(batch), no graph rewrite). SOFT
+    * delete semantics (the documented HNSW practice): tombstoned nodes
+    * still ROUTE — the graph and the walk are untouched — but are
+    * filtered from RESULTS before ranking. The oracle replays exactly
+    * that: the full-graph beam search's visited set, retained-filtered,
+    * re-ranked.
+    */
+  def replayHnswDeletes(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    val tmp = Scratch.dir("graft_hnswdel_replay")
+    val indexDir = tmp.resolve("index").toString
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+    def phase(name: String, feed: DataFrame,
+        apply: (DataFrame, Long) => Unit): Unit = {
+      val feedDir = memoFeed(s"hnswdel_$name", dir, nBatches) { p =>
+        feed.write.mode("overwrite").parquet(p)
+      }
+      withReplayPartitions(s, 2) {
+        val query = s.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feedDir)
+          .writeStream
+          .option("checkpointLocation", tmp.resolve(s"chk_$name").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, bid: Long) => apply(batch, bid) }
+          .start()
+        query.awaitTermination()
+      }
+    }
+
+    phase("ingest", emb.repartition(nBatches), (b, bid) =>
+      graft.similarity.Similarity.appendHnswIndexBatch(s, indexDir, b, dir,
+        batchId = Some(bid)))
+    phase("delete", emb.where(col("vec_id") % 10 === 7)
+        .select(col("vec_id")).repartition(1), (b, bid) =>
+      graft.similarity.Similarity.deleteFromIvfIndexBatch(s, indexDir, b,
+        batchId = Some(100L + bid)))
 
     graft.similarity.Similarity.hnswTopKFromIndex(s, indexDir, dir)
   }

@@ -51,7 +51,7 @@ class CvmDriftSpec extends SparkSuite {
         tag: String): (String, Seq[String]) = {
       val d = graft.util.Scratch.dir(s"cvm_$tag").toString
       splits.zipWithIndex.foreach { case (b, i) =>
-        DataQuality.appendCvmBatch(spark, d, b, "value", "ts",
+        DataQuality.appendValueCountBatch(spark, d, b, "value", "ts",
           batchId = Some(i.toLong))
       }
       (d, DataQuality.cvmDriftFromPartials(spark, d)
@@ -67,11 +67,17 @@ class CvmDriftSpec extends SparkSuite {
     assert(a == oneShot && a.nonEmpty)
     assert(b == oneShot)
     // re-delivered batch is a no-op
-    DataQuality.appendCvmBatch(spark, d3,
+    DataQuality.appendValueCountBatch(spark, d3,
       ev.where(to_date(col("ts")) === cut && col("value") < 500),
       "value", "ts", batchId = Some(0L))
     assert(DataQuality.cvmDriftFromPartials(spark, d3)
       .collect().map(_.toString).toSeq == oneShot)
+    // ONE maintained state answers BOTH whole-CDF statistics: the KS
+    // report over the same partials equals the one-shot ksDrift
+    assert(DataQuality.ksDriftFromPartials(spark, d3)
+      .collect().map(_.toString).toSeq ==
+      DataQuality.ksDrift(ev, "value", "ts")
+        .collect().map(_.toString).toSeq)
   }
 
   test("corpus: plain gate is quiet, shifted arm fires") {

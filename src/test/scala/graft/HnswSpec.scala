@@ -112,6 +112,34 @@ class HnswSpec extends SparkSuite {
     assert(spark.read.parquet(s"$idxB/nncand").count() == before)
   }
 
+  test("HNSW soft deletes: tombstoned ids route but never rank") {
+    val dir = sf("sf0.001")
+    val emb = graft.model.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val idx = graft.util.Scratch.dir("hnswdel").toString
+    Similarity.appendHnswIndexBatch(spark, idx, emb, dir, batchId = Some(0L))
+    val before = Similarity.hnswTopKFromIndex(spark, idx, dir).collect()
+    Similarity.deleteFromIvfIndexBatch(spark, idx,
+      emb.where(col("vec_id") % 10 === 7).select(col("vec_id")),
+      batchId = Some(100L))
+    val after = Similarity.hnswTopKFromIndex(spark, idx, dir).collect()
+    assert(after.nonEmpty)
+    // no tombstoned id in the results; ranks re-pack contiguously
+    assert(after.forall(_.getLong(1) % 10 != 7))
+    after.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length))
+    }
+    // soft delete = the full-graph walk's surviving rows, re-ranked:
+    // every (qid, vec_id, sim) in `after` appears in the pre-delete
+    // VISITED set with the same sim (the walk itself is untouched)
+    val beforeSet = before.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survivors = before.filter(_.getLong(1) % 10 != 7)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after.filter(r => beforeSet.contains((r.getLong(0), r.getLong(1))))
+      .forall(r => survivors.contains((r.getLong(0), r.getLong(1),
+        r.getDouble(2)))))
+  }
+
   test("determinism: two runs return identical rows") {
     val dir = sf("sf0.001")
     val a = Similarity.hnswTopK(spark, dir).collect().map(_.toString).sorted

@@ -133,6 +133,36 @@ class KmeansSpec extends SparkSuite {
       "tail-only signal cannot retrieve perfectly from the prefix")
   }
 
+  test("incremental SemDeDup: batching-invariant, idempotent, equals one-shot flags") {
+    val dir = sf("sf0.001")
+    val emb = graft.model.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val oneShot = Similarity.semanticDedup(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+    def flags(splits: Seq[org.apache.spark.sql.DataFrame],
+        tag: String): (String, Seq[String]) = {
+      val idx = graft.util.Scratch.dir(s"semidx_$tag").toString
+      splits.zipWithIndex.foreach { case (b, i) =>
+        Similarity.appendSemanticIndexBatch(spark, idx, b, dir,
+          batchId = Some(i.toLong))
+      }
+      (idx, Similarity.semanticDedupFromIndex(spark, idx).collect()
+        .map(_.toString).sorted.toSeq)
+    }
+    val (_, a) = flags(Seq(emb), "one")
+    val (i3, b) = flags(Seq(emb.where(col("vec_id") < n / 4),
+      emb.where(col("vec_id") >= n / 4 && col("vec_id") < n / 2),
+      emb.where(col("vec_id") >= n / 2)), "three")
+    assert(a == oneShot && a.nonEmpty)
+    assert(b == oneShot)
+    // re-delivered batch is a no-op
+    Similarity.appendSemanticIndexBatch(spark, i3,
+      emb.where(col("vec_id") < n / 4), dir, batchId = Some(0L))
+    assert(Similarity.semanticDedupFromIndex(spark, i3).collect()
+      .map(_.toString).sorted.toSeq == oneShot)
+  }
+
   test("incremental ANN index: batching-invariant, idempotent, serves one-shot top-k") {
     val dir = sf("sf0.001")
     val emb = graft.model.Tables.embeddings(spark, dir)

@@ -169,6 +169,37 @@ class QuantizationSpec extends SparkSuite {
     assert(mx > 0.0 && v.exists(x => math.abs(x) == 1.0))
   }
 
+  test("incremental pca: batching-invariant, idempotent, equals one-shot") {
+    val dir = sf("sf0.001")
+    val emb = Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val n = emb.count()
+    val oneShot = Similarity.pcaPower(spark, dir).collect()
+      .map(_.toString).toSeq
+    def report(splits: Seq[org.apache.spark.sql.DataFrame],
+        tag: String): (String, Seq[String]) = {
+      val d = graft.util.Scratch.dir(s"pcainc_$tag").toString
+      splits.zipWithIndex.foreach { case (b, i) =>
+        Similarity.appendPcaMomentBatch(spark, d, b, batchId = Some(i.toLong))
+      }
+      (d, Similarity.pcaPowerFromPartials(spark, d)
+        .collect().map(_.toString).toSeq)
+    }
+    import org.apache.spark.sql.functions.col
+    val (_, a) = report(Seq(emb), "one")
+    val (d3, b) = report(Seq(emb.where(col("vec_id") < n / 4),
+      emb.where(col("vec_id") >= n / 4 && col("vec_id") < n / 2),
+      emb.where(col("vec_id") >= n / 2)), "three")
+    assert(a == oneShot && a.nonEmpty)
+    assert(b == oneShot)
+    // re-delivered batch is a no-op
+    Similarity.appendPcaMomentBatch(spark, d3,
+      emb.where(col("vec_id") < n / 4), batchId = Some(0L))
+    assert(Similarity.pcaPowerFromPartials(spark, d3)
+      .collect().map(_.toString).toSeq == oneShot)
+  }
+
   test("pca project: scores are exact index-ordered folds; top-k order correct") {
     val rows = Tables.embeddings(spark, sf("sf0.001"))
       .select("vec_id", "embedding").collect()
