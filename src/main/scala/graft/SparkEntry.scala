@@ -1019,6 +1019,21 @@ object SparkEntry {
     "stream_neardup_incremental" -> ((s, dir) =>
       graft.streaming.StreamReplay.replayNearDupIncremental(s, dir)),
 
+    // incremental LOSSLESS similarity-join maintenance: each batch is
+    // rank-encoded against the frozen df-rank universe and prefix-probes
+    // the members admitted so far in both size-order roles; the union of
+    // per-batch verified emissions must equal the one-shot dedup_ppjoin
+    // pair set — same naive all-pairs oracle
+    "stream_ppjoin_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayPpjoinIncremental(s, dir)),
+
+    // the directional sibling: incremental containment-join maintenance
+    // (contained side probes, container side indexed; both directions
+    // per batch); union of per-batch emissions = one-shot
+    // dedup_containment — same naive all-ordered-pairs oracle
+    "stream_containment_incremental" -> ((s, dir) =>
+      graft.streaming.StreamReplay.replayContainmentIncremental(s, dir)),
+
     // incremental SCD2 maintenance: the full version-history table kept
     // by the stream at O(touched key-buckets) per batch (bucket-pruned
     // read + interval rebuild + dynamic overwrite); must converge to the
@@ -2562,6 +2577,37 @@ object SparkEntry {
       |), db AS (
       |  SELECT d.* FROM d JOIN ok USING (lang, source)
       |)""".stripMargin
+
+  /** Shared by `dedup_ppjoin` and its maintained-index streaming twin
+    * `stream_ppjoin_incremental`: the naive global all-pairs join at the
+    * same integer threshold (9i >= 4(a+b) <=> J >= 0.8) — both plans
+    * must reproduce it pair for pair.
+    */
+  private lazy val PpjoinPairsSql: String =
+    s"""WITH $NgramCappedCtes
+       |SELECT a.doc_id, b.doc_id AS nb_id,
+       |  len(list_intersect(a.g, b.g)) AS n_common,
+       |  len(a.g) AS n_a, len(b.g) AS n_b,
+       |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+       |    AS jaccard
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |WHERE 9 * len(list_intersect(a.g, b.g))
+       |   >= 4 * (len(a.g) + len(b.g))""".stripMargin
+
+  /** Shared by `dedup_containment` and its maintained-index streaming
+    * twin `stream_containment_incremental`: the naive directional
+    * all-ordered-pairs join at 10i >= 9·|a| (C >= 0.9).
+    */
+  private lazy val ContainmentSql: String =
+    s"""WITH $NgramCappedCtes
+       |SELECT a.doc_id, b.doc_id AS container_id,
+       |  len(list_intersect(a.g, b.g)) AS n_common,
+       |  len(a.g) AS n_a, len(b.g) AS n_b,
+       |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+       |    AS containment
+       |FROM d a JOIN d b ON a.doc_id <> b.doc_id
+       |WHERE 10 * len(list_intersect(a.g, b.g)) >= 9 * len(a.g)""".stripMargin
 
   /** The LSH hyperplanes inlined as DuckDB DOUBLE[] literals. The planes
     * are a deterministic LCG stream (Similarity.planes — no RNG at
@@ -8035,29 +8081,17 @@ object SparkEntry {
     // PPJoin is exact and lossless, so the oracle is the naive global
     // all-pairs join at the same threshold (9i >= 4(a+b) <=> J >= 0.8) —
     // the prefix/length/positional filters must not lose a single pair
-    "dedup_ppjoin" ->
-      s"""WITH $NgramCappedCtes
-         |SELECT a.doc_id, b.doc_id AS nb_id,
-         |  len(list_intersect(a.g, b.g)) AS n_common,
-         |  len(a.g) AS n_a, len(b.g) AS n_b,
-         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
-         |    AS jaccard
-         |FROM d a JOIN d b ON a.doc_id < b.doc_id
-         |WHERE 9 * len(list_intersect(a.g, b.g))
-         |   >= 4 * (len(a.g) + len(b.g))""".stripMargin,
+    "dedup_ppjoin" -> PpjoinPairsSql,
+    // the incrementally-maintained similarity-join index must converge
+    // to the one-shot lossless pair set — identical oracle
+    "stream_ppjoin_incremental" -> PpjoinPairsSql,
 
     // the containment variant: directional naive all-pairs at
     // 10i >= 9·|a| — again lossless, again pair-for-pair
-    "dedup_containment" ->
-      s"""WITH $NgramCappedCtes
-         |SELECT a.doc_id, b.doc_id AS container_id,
-         |  len(list_intersect(a.g, b.g)) AS n_common,
-         |  len(a.g) AS n_a, len(b.g) AS n_b,
-         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
-         |    AS containment
-         |FROM d a JOIN d b ON a.doc_id <> b.doc_id
-         |WHERE 10 * len(list_intersect(a.g, b.g)) >= 9 * len(a.g)""".stripMargin,
+    "dedup_containment" -> ContainmentSql,
+    // the incrementally-maintained containment index must converge to
+    // the one-shot directional join — identical oracle
+    "stream_containment_incremental" -> ContainmentSql,
 
     // recall measurements: the oracle replays the capped candidate
     // generation (XXH64 and all) and counts the exact-Jaccard>=0.8 pairs

@@ -1624,7 +1624,7 @@ object Similarity {
     */
   def hnswTopKFromIndex(s: SparkSession, indexDir: String, dir: String,
       nQueries: Int = 5, k: Int = 5, mLinks: Int = 4, beamWidth: Int = 10,
-      hops: Int = 3): DataFrame = {
+      hops: Int = 3, tombstonesDir: Option[String] = None): DataFrame = {
     val members = s.read.parquet(s"$indexDir/members")
     val emb = members.select(col("vec_id"), col("embedding"))
     val queries = Tables.embeddings(s, dir).where(col("vec_id") < nQueries)
@@ -1640,7 +1640,11 @@ object Similarity {
     // in-edge would be a corpus-sized rewrite): tombstoned ids still
     // ROUTE (the walk and the graph are untouched — O(batch) deletes,
     // never a rebuild) but are filtered from RESULTS before ranking.
-    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    // tombstones default to living inside the index; a caller sharing
+    // one ingested index across consumers passes its own tombstone dir
+    // so the shared artifact is never mutated
+    val tombPath = new org.apache.hadoop.fs.Path(
+      tombstonesDir.getOrElse(s"$indexDir/tombstones"))
     val fs = tombPath.getFileSystem(s.sessionState.newHadoopConf())
     val live =
       if (!fs.exists(tombPath)) visited

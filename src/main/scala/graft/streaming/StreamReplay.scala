@@ -912,6 +912,85 @@ object StreamReplay {
       Tables.documents(s, dir).select(col("doc_id")))
   }
 
+  /** Replay of INCREMENTAL LOSSLESS-SIMILARITY-JOIN maintenance — the
+    * streaming twin of the EXACT global PPJoin ([[graft.text.PpJoin
+    * .pairs]]): documents arrive in micro-batches, each batch is
+    * rank-encoded against the frozen df-rank universe and its prefix
+    * tokens probe the members admitted so far in both size-order roles
+    * (PpJoin.appendJaccardIndexBatch — O(batch-prefix × index) per
+    * batch, never a corpus re-join). Every J ≥ t pair is generated
+    * exactly in the batch where its LATER member arrives, so the union
+    * of per-batch verified emissions must EQUAL the one-shot lossless
+    * join — same oracle as dedup_ppjoin (the naive all-pairs SQL),
+    * which is the convergence proof. ONE FILE PER TRIGGER deliberately:
+    * this gate is the similarity-join family's end-to-end multi-batch
+    * representative (the pair-emission rule is per-batch, not a
+    * mergeable fold — coalescing would reduce it to the one-shot join).
+    */
+  def replayPpjoinIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    val tmp = Scratch.dir("graft_ppjoin_replay")
+    val indexDir = tmp.resolve("index").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val feed = memoFeed("ppjoin", dir, nBatches) { p =>
+      docs.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.text.PpJoin.appendJaccardIndexBatch(s, indexDir, batch,
+            dir, batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.text.PpJoin.jaccardPairsFromIndex(s, indexDir)
+  }
+
+  /** Replay of INCREMENTAL CONTAINMENT-JOIN maintenance — the
+    * directional sibling of [[replayPpjoinIncremental]] (and it shares
+    * that replay's memoized document feed): each batch probes as the
+    * contained side against everything admitted and is probed as the
+    * container side by the existing members, so every ordered
+    * C(x→y) ≥ t pair is emitted exactly in the batch where its later
+    * member arrives. The union must EQUAL the one-shot directional
+    * join — same oracle as dedup_containment (the naive all-ordered-
+    * pairs SQL), which is the convergence proof.
+    */
+  def replayContainmentIncremental(s: SparkSession, dir: String,
+      nBatches: Int = 2): DataFrame = {
+    val tmp = Scratch.dir("graft_containment_replay")
+    val indexDir = tmp.resolve("index").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val feed = memoFeed("ppjoin", dir, nBatches) { p =>
+      docs.repartition(nBatches).write.mode("overwrite").parquet(p)
+    }
+
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.text.PpJoin.appendContainmentIndexBatch(s, indexDir, batch,
+            dir, batchId = Some(bid))
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    graft.text.PpJoin.containmentFromIndex(s, indexDir)
+  }
+
   /** Replay of INCREMENTAL VOCABULARY maintenance: the documents table
     * streams in micro-batches, each batch appending its token-count
     * PARTIAL aggregate (log-structured merge shape, O(batch) per batch —
@@ -1261,31 +1340,52 @@ object StreamReplay {
     * specs instead).
     */
   def replayHnswIncremental(s: SparkSession, dir: String,
-      nBatches: Int = 2): DataFrame = {
-    val tmp = Scratch.dir("graft_hnswidx_replay")
-    val indexDir = tmp.resolve("index").toString
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val feed = memoFeed("hnswidx", dir, nBatches) { p =>
-      emb.repartition(nBatches).write.mode("overwrite").parquet(p)
-    }
+      nBatches: Int = 2): DataFrame =
+    graft.similarity.Similarity.hnswTopKFromIndex(
+      s, hnswIngestedIndex(s, dir, nBatches), dir)
 
-    withReplayPartitions(s, 2) {
-      val query = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(feed)
-        .writeStream
-        .option("checkpointLocation", tmp.resolve("chk").toString)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          graft.similarity.Similarity.appendHnswIndexBatch(s, indexDir,
-            batch, dir, batchId = Some(bid))
-        }
-        .start()
-      query.awaitTermination()
-    }
+  /** The streamed-in HNSW index artifact, maintained ONCE per
+    * (dir, nBatches) per JVM and shared by its two consumers — the
+    * ingest gate (stream_hnsw_incremental, which proves the multi-batch
+    * fold itself) and the delete gate (stream_hnsw_delete, whose
+    * subject is the DELETE stream and which writes its tombstones to
+    * its OWN directory so this shared artifact stays pristine). The
+    * tradeEdgeDigestIncremental discipline: maintenance runs once,
+    * every consumer folds/serves from the same maintained state —
+    * which is also what a production deployment does (one index, many
+    * readers). First consumer in a JVM pays the streaming maintenance;
+    * timings of the second are report-only.
+    */
+  private val hnswIngestMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
-    graft.similarity.Similarity.hnswTopKFromIndex(s, indexDir, dir)
-  }
+  private def hnswIngestedIndex(s: SparkSession, dir: String,
+      nBatches: Int): String =
+    hnswIngestMemo.computeIfAbsent((dir, nBatches), _ => {
+      val tmp = Scratch.dir("graft_hnswidx_replay")
+      val indexDir = tmp.resolve("index").toString
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val feed = memoFeed("hnswidx", dir, nBatches) { p =>
+        emb.repartition(nBatches).write.mode("overwrite").parquet(p)
+      }
+
+      withReplayPartitions(s, 2) {
+        val query = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed)
+          .writeStream
+          .option("checkpointLocation", tmp.resolve("chk").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            graft.similarity.Similarity.appendHnswIndexBatch(s, indexDir,
+              batch, dir, batchId = Some(bid))
+          }
+          .start()
+        query.awaitTermination()
+      }
+      indexDir
+    })
 
   /** Replay of NAVIGABLE-GRAPH DELETES — the maintenance shape a
     * production vector store needs beyond append-only ingestion, in the
@@ -1302,37 +1402,38 @@ object StreamReplay {
     */
   def replayHnswDeletes(s: SparkSession, dir: String,
       nBatches: Int = 2): DataFrame = {
+    // the INGESTED index is the shared maintained artifact (built by
+    // this gate or its sibling, whichever runs first — one index, many
+    // readers); the delete stream is THIS gate's subject, and its
+    // tombstones go to a private directory so the shared ingest
+    // artifact is never mutated (gate results stay order-independent)
+    val indexDir = hnswIngestedIndex(s, dir, nBatches)
     val tmp = Scratch.dir("graft_hnswdel_replay")
-    val indexDir = tmp.resolve("index").toString
+    val delDir = tmp.resolve("deletes").toString
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
 
-    def phase(name: String, feed: DataFrame,
-        apply: (DataFrame, Long) => Unit): Unit = {
-      val feedDir = memoFeed(s"hnswdel_$name", dir, nBatches) { p =>
-        feed.write.mode("overwrite").parquet(p)
-      }
-      withReplayPartitions(s, 2) {
-        val query = s.readStream.schema(feed.schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(feedDir)
-          .writeStream
-          .option("checkpointLocation", tmp.resolve(s"chk_$name").toString)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, bid: Long) => apply(batch, bid) }
-          .start()
-        query.awaitTermination()
-      }
+    val delFeed = emb.where(col("vec_id") % 10 === 7)
+      .select(col("vec_id")).repartition(1)
+    val feedDir = memoFeed("hnswdel_delete", dir, nBatches) { p =>
+      delFeed.write.mode("overwrite").parquet(p)
+    }
+    withReplayPartitions(s, 2) {
+      val query = s.readStream.schema(delFeed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("chk_delete").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.similarity.Similarity.deleteFromIvfIndexBatch(s, delDir,
+            batch, batchId = Some(100L + bid))
+        }
+        .start()
+      query.awaitTermination()
     }
 
-    phase("ingest", emb.repartition(nBatches), (b, bid) =>
-      graft.similarity.Similarity.appendHnswIndexBatch(s, indexDir, b, dir,
-        batchId = Some(bid)))
-    phase("delete", emb.where(col("vec_id") % 10 === 7)
-        .select(col("vec_id")).repartition(1), (b, bid) =>
-      graft.similarity.Similarity.deleteFromIvfIndexBatch(s, indexDir, b,
-        batchId = Some(100L + bid)))
-
-    graft.similarity.Similarity.hnswTopKFromIndex(s, indexDir, dir)
+    graft.similarity.Similarity.hnswTopKFromIndex(s, indexDir, dir,
+      tombstonesDir = Some(s"$delDir/tombstones"))
   }
 
   def replayTopTokensIncremental(s: SparkSession, dir: String,

@@ -58,22 +58,45 @@ object PpJoin {
       tNum: Int = 4, tDen: Int = 5): DataFrame =
     pairsFromRanked(rankedDocsCached(s, dir), tNum, tDen)
 
-  /** The rank-encoded digest staged ONCE per dir to scratch parquet —
-    * the Jaccard and containment gates (and every Bench pass) share the
-    * normalize → trigram → rank → collect pipeline, which is the
-    * expensive half of both; same shape as NearDup.cappedTrigrams.
+  /** The rank artifacts staged ONCE per dir to scratch parquet — the
+    * Jaccard and containment gates, their maintained-index twins, and
+    * every Bench pass all derive from one corpus normalize → trigram
+    * pass: the (g, r) df-rank map (the incremental twins' FROZEN
+    * universe) and the (doc_id, ranks, n) encoded digest (the one-shot
+    * joins' operand) are written together, so neither consumer repeats
+    * the expensive half; same staging shape as NearDup.cappedTrigrams.
     */
   private val rankedPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def rankedDocsCached(s: SparkSession, dir: String): DataFrame = {
-    val path = rankedPaths.computeIfAbsent(dir, _ => {
-      val p = graft.util.Scratch.dir("graft_ppjoin").resolve("db").toString
-      rankedDocs(Tables.documents(s, dir)).write.parquet(p)
-      p
+  private def stagedArtifacts(s: SparkSession, dir: String): (String, String) =
+    rankedPaths.computeIfAbsent(dir, _ => {
+      val root = graft.util.Scratch.dir("graft_ppjoin")
+      val db = root.resolve("db").toString
+      val rk = root.resolve("ranks").toString
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val nt = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("nt"))
+        .persist(mem)
+      try {
+        val tok = nt.select(col("doc_id"),
+          explode(NearDup.charTrigrams(col("nt"))).as("g"))
+        tok.groupBy(col("g"))
+          .agg(count(lit(1)).as("df"))
+          .select(col("g"), row_number().over(
+            Window.orderBy(col("df").asc, col("g").asc)).cast("long").as("r"))
+          .coalesce(1).write.parquet(rk)
+        tok.join(broadcast(s.read.parquet(rk)), "g")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("r"))).as("ranks"))
+          .withColumn("n", size(col("ranks")))
+          .write.parquet(db)
+      } finally { nt.unpersist(); () }
+      (db, rk)
     })
-    s.read.parquet(path)
-  }
+
+  private def rankedDocsCached(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(stagedArtifacts(s, dir)._1)
 
   /** The shared rank-encoded stage: (doc_id, ranks, n) with `ranks` the
     * ascending df-rank array (head = rarest-first prefix, whole array =
@@ -140,22 +163,39 @@ object PpJoin {
   private def pairsFromRanked(docs: DataFrame, tNum: Int,
       tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > tNum, "threshold must be in (0, 1)")
-    // size-ordered index prefix (Xiao et al. 2008): pairs generate with
-    // the SMALLER doc as the index side b, whose prefix only needs
-    // n − ⌈2t/(1+t)·n⌉ + 1 tokens (for the first shared token of a
-    // J ≥ t pair with nb ≤ na, the overlap bound α ≥ ⌈2t/(1+t)·nb⌉
-    // already confines it there) — at t = 4/5 that is ~n/9 vs the
-    // probing prefix's ~n/5, which is most of the candidate join volume
-    val a = prefixRows(docs, tNum, tDen)
+    jaccardVerified(docs, jaccardCandidates(docs, docs, tNum, tDen),
+      tNum, tDen)
+  }
+
+  /** The prefix-filter candidate join between a PROBE digest and an
+    * INDEX digest (both rank-encoded against the same rank universe).
+    * One-shot self-join passes the same digest twice; the incremental
+    * path probes a batch against the maintained members. Role filters
+    * are pair-local (the probe doc takes the `a` role only when it is
+    * the size-ordered LARGER side), so splitting the corpus across
+    * calls never loses a pair as long as each pair's two role splits
+    * are covered by some call — the incremental batch logic does both
+    * directions.
+    *
+    * Size-ordered index prefix (Xiao et al. 2008): pairs generate with
+    * the SMALLER doc as the index side b, whose prefix only needs
+    * n − ⌈2t/(1+t)·n⌉ + 1 tokens (for the first shared token of a
+    * J ≥ t pair with nb ≤ na, the overlap bound α ≥ ⌈2t/(1+t)·nb⌉
+    * already confines it there) — at t = 4/5 that is ~n/9 vs the
+    * probing prefix's ~n/5, which is most of the candidate join volume.
+    */
+  private def jaccardCandidates(probe: DataFrame, index: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
+    val a = prefixRows(probe, tNum, tDen)
       .select(col("doc_id").as("ida"), col("n").as("na"),
         col("pos").as("pa"), col("tok"))
-    val b = prefixRows(docs, 2 * tNum, tNum + tDen)
+    val b = prefixRows(index, 2 * tNum, tNum + tDen)
       .select(col("doc_id").as("idb"), col("n").as("nb"),
         col("pos").as("pb"), col("tok"))
     // minimum required overlap α = ⌈t·(na+nb)/(1+t)⌉
     val alpha = floor(((col("na") + col("nb")) * tNum + (tNum + tDen) - 1)
       / (tNum + tDen)).cast("int")
-    val cands = a.join(b, Seq("tok"))
+    a.join(b, Seq("tok"))
       .where((col("nb") < col("na")
           || (col("nb") === col("na") && col("idb") < col("ida")))
         && col("na") * tNum <= col("nb") * tDen
@@ -163,6 +203,14 @@ object PpJoin {
           >= alpha)
       .select(least(col("ida"), col("idb")).as("ida"),
         greatest(col("ida"), col("idb")).as("idb"))
+  }
+
+  /** Exact verification + threshold + jaccard emission over any
+    * candidate set — the shared tail of the one-shot join and the
+    * maintained-index batch probe.
+    */
+  private def jaccardVerified(docs: DataFrame, cands: DataFrame,
+      tNum: Int, tDen: Int): DataFrame =
     verified(docs, cands, "nb_id", (na, nb) =>
         floor((((na + nb) * tNum) + lit(tNum + tDen - 1)) / (tNum + tDen))
           .cast("long"))
@@ -171,7 +219,6 @@ object PpJoin {
       .distinct() // survivor-sized; collapses candidate multiplicity
       .withColumn("jaccard", col("n_common").cast("double")
         / (col("n_a") + col("n_b") - col("n_common")))
-  }
 
   /** Exact verification of deduped candidate pairs. The array payload,
     * not the intersect, is the cost: one rank array is ~1 KB, and a
@@ -273,33 +320,206 @@ object PpJoin {
   private def containmentFromRanked(docs: DataFrame, tNum: Int,
       tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > tNum, "threshold must be in (0, 1)")
-    val a = prefixRows(docs, tNum, tDen)
+    containmentVerified(docs,
+      containmentCandidates(docs, docs, tNum, tDen), tNum, tDen)
+  }
+
+  /** Prefix-filter candidates for the DIRECTIONAL join between a
+    * CONTAINED-side probe digest and a CONTAINER-side index digest.
+    * Roles here are the measure's own direction (x ⊆ y), not size
+    * order, so the incremental path must probe each batch in both
+    * directions — see [[appendContainmentIndexBatch]].
+    */
+  private def containmentCandidates(probe: DataFrame, index: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
+    val a = prefixRows(probe, tNum, tDen)
       .select(col("doc_id").as("ida"), col("n").as("na"),
         col("pos").as("pa"), col("tok"))
     // the container side indexes (almost) all tokens — asymmetry is
-    // the point; the only sound pre-cut is the GLOBAL smallest-probe
-    // bound: a first shared token at container position j needs
+    // the point; the only sound pre-cut is the smallest-PROBE bound:
+    // a first shared token at container position j needs
     // j ≤ n_b − α + 1 with α ≥ ⌈t·min(n_a)⌉, so later positions can
-    // never generate a candidate (1-row digest agg, computed once)
-    val naMin = docs.agg(min(col("n"))).head.getInt(0)
+    // never generate a candidate (1-row digest agg, computed once —
+    // per probe side, which keeps the cut sound call-locally; NULL on
+    // an empty probe digest means no candidates at all)
+    val naMinRow = probe.agg(min(col("n"))).head
+    if (naMinRow.isNullAt(0))
+      return index.sparkSession.createDataFrame(
+        index.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ida",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("idb",
+            org.apache.spark.sql.types.LongType))))
+    val naMin = naMinRow.getInt(0)
     val alphaMin = (naMin * tNum + tDen - 1) / tDen
-    val b = docs.select(col("doc_id").as("idb"), col("n").as("nb"),
+    val b = index.select(col("doc_id").as("idb"), col("n").as("nb"),
         posexplode(slice(col("ranks"), lit(1),
           greatest(col("n") - lit(alphaMin) + 1, lit(0)))))
       .select(col("idb"), col("nb"), (col("pos") + 1).as("pb"),
         col("col").as("tok"))
     val alpha = floor((col("na") * tNum + tDen - 1) / tDen).cast("int")
-    val cands = a.join(b, Seq("tok"))
+    a.join(b, Seq("tok"))
       .where(col("ida") =!= col("idb")
         && col("nb") * tDen >= col("na") * tNum
         && lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
           >= alpha)
       .select(col("ida"), col("idb"))
+  }
+
+  /** Exact verification + threshold + containment emission — the shared
+    * tail of the one-shot join and the maintained-index batch probe.
+    */
+  private def containmentVerified(docs: DataFrame, cands: DataFrame,
+      tNum: Int, tDen: Int): DataFrame =
     verified(docs, cands, "container_id", (na, _) =>
         floor(((na * tNum) + lit(tDen - 1)) / tDen).cast("long"))
       .where(col("n_common") * tDen >= col("n_a") * tNum)
       .distinct() // survivor-sized; collapses candidate multiplicity
       .withColumn("containment",
         col("n_common").cast("double") / col("n_a"))
+
+  // ─────────────────── incremental similarity-join index ───────────────────
+
+  /** FROZEN rank universe per dir — the trainedCentroids discipline: the
+    * global df-rank map is a persisted training artifact (alphabet-
+    * bounded: one row per distinct trigram) and batch ingestion encodes
+    * against it, never retrains. It is the SAME staged artifact the
+    * one-shot digest is encoded against ([[stagedArtifacts]] writes
+    * both from one corpus pass), so the one-shot and incremental
+    * encodings are bit-identical by construction. (In production an
+    * unseen trigram maps to no rank and drops from the set — here
+    * training saw the corpus, the same closed-world premise every
+    * frozen-artifact twin makes.)
+    */
+  private def trainedRanks(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(stagedArtifacts(s, dir)._2)
+
+  /** Rank-encode a batch against the frozen universe — O(batch), one
+    * broadcast of the vocab-bounded rank table.
+    */
+  private def encodeAgainst(docsRaw: DataFrame, rank: DataFrame): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nt = docsRaw
+      .select(col("doc_id"), TextFunctions.normText(col("text")).as("nt"))
+      .persist(mem)
+    try {
+      nt.select(col("doc_id"),
+          explode(NearDup.charTrigrams(col("nt"))).as("g"))
+        .join(broadcast(rank), "g")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("r"))).as("ranks"))
+        .withColumn("n", size(col("ranks")))
+        .localCheckpoint()
+    } finally { nt.unpersist(); () }
   }
+
+  /** Batch half of INCREMENTAL LOSSLESS-SIMILARITY-JOIN maintenance —
+    * the streaming twin of [[pairs]]: each arriving batch of documents
+    * is rank-encoded against the frozen universe, its prefix tokens
+    * probe the members indexed so far IN BOTH ROLES (batch as the
+    * size-ordered larger side against everything present including the
+    * batch; existing members as the larger side against the batch), and
+    * the verified surviving pairs + memberships are appended. Every
+    * J ≥ t pair is candidate-generable exactly in the batch where its
+    * LATER member arrives (the prefix/length/positional filters are
+    * pair-local given the frozen ranks), so the union of per-batch
+    * emissions IS the one-shot lossless pair set, whatever the
+    * batching. Per-batch cost, honestly: the CANDIDATE join volume is
+    * batch-prefix-keyed (rarest-token keys, the one-shot envelope paid
+    * incrementally), but the existing-members side is ONE columnar
+    * scan + prefix explode of the flat LSM members table per batch —
+    * the same read-the-index-per-batch tradeoff every LSM twin here
+    * makes (NearDup reads its bucket tables per batch). The 100-TB
+    * form shards the members' prefix postings BY TOKEN (an inverted
+    * layout) so a batch touches only its tokens' shards; the flat
+    * table keeps the gate's arithmetic identical while the postings
+    * layout is a partitioning choice, not a semantics one. batchId
+    * markers + [[graft.util.BatchAppend]] give idempotence and
+    * crash-safety.
+    */
+  def appendJaccardIndexBatch(s: SparkSession, indexDir: String,
+      batch: DataFrame, dir: String, tNum: Int = 4, tDen: Int = 5,
+      batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    val ba = encodeAgainst(batch.select(col("doc_id"), col("text")),
+      trainedRanks(s, dir))
+    val membersPath = new org.apache.hadoop.fs.Path(s"$indexDir/members")
+    val fs = membersPath.getFileSystem(s.sessionState.newHadoopConf())
+    val existing =
+      if (fs.exists(membersPath)) s.read.parquet(membersPath.toString)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ba.schema)
+    val all = existing.unionByName(ba)
+    // new doc as the larger (probe) side vs everything present; old
+    // docs as the larger side vs the new batch — each pair's role split
+    // is covered exactly in the batch where its later member arrives
+    val cands = jaccardCandidates(ba, all, tNum, tDen)
+      .unionAll(jaccardCandidates(existing, ba, tNum, tDen))
+    val newPairs = jaccardVerified(all, cands, tNum, tDen)
+    graft.util.BatchAppend.append(newPairs, s"$indexDir/pairs", batchId)
+    graft.util.BatchAppend.append(ba, s"$indexDir/members", batchId)
+    marker.foreach { case (fs2, p) =>
+      fs2.mkdirs(p.getParent); fs2.create(p, true).close() }
+  }
+
+  /** Report half: the union of the per-batch verified emissions — no
+    * fold needed beyond a survivor-sized distinct (each pair was
+    * emitted in exactly one batch; the distinct only guards replayed
+    * partial writes). Must equal the one-shot [[pairs]] bit for bit.
+    */
+  def jaccardPairsFromIndex(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/pairs").distinct()
+
+  /** Batch half of INCREMENTAL CONTAINMENT-JOIN maintenance — the
+    * directional sibling of [[appendJaccardIndexBatch]]. Containment
+    * roles are the measure's own direction (contained x probes,
+    * container y is indexed), not size order, so each batch probes in
+    * both directions: the batch as the contained side against
+    * everything present (covering batch⊆batch, batch⊆existing), and the
+    * existing members as the contained side against the batch
+    * (existing⊆batch). Every ordered pair (x, y) with C(x→y) ≥ t is
+    * generated exactly in the batch where its LATER member arrives, so
+    * the union of per-batch verified emissions IS the one-shot
+    * directional join, whatever the batching. Same frozen rank
+    * universe, members table, batchId idempotence, and crash-safe LSM
+    * appends as the Jaccard twin.
+    */
+  def appendContainmentIndexBatch(s: SparkSession, indexDir: String,
+      batch: DataFrame, dir: String, tNum: Int = 9, tDen: Int = 10,
+      batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/_applied/batch-$id")
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    if (marker.exists { case (fs, p) => fs.exists(p) }) return
+    val ba = encodeAgainst(batch.select(col("doc_id"), col("text")),
+      trainedRanks(s, dir))
+    val membersPath = new org.apache.hadoop.fs.Path(s"$indexDir/members")
+    val fs = membersPath.getFileSystem(s.sessionState.newHadoopConf())
+    val existing =
+      if (fs.exists(membersPath)) s.read.parquet(membersPath.toString)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ba.schema)
+    val all = existing.unionByName(ba)
+    val cands = containmentCandidates(ba, all, tNum, tDen)
+      .unionAll(containmentCandidates(existing, ba, tNum, tDen))
+    val newPairs = containmentVerified(all, cands, tNum, tDen)
+    graft.util.BatchAppend.append(newPairs, s"$indexDir/pairs", batchId)
+    graft.util.BatchAppend.append(ba, s"$indexDir/members", batchId)
+    marker.foreach { case (fs2, p) =>
+      fs2.mkdirs(p.getParent); fs2.create(p, true).close() }
+  }
+
+  /** Report half of the containment twin — must equal the one-shot
+    * [[containment]] bit for bit (the distinct only guards replayed
+    * partial writes; each ordered pair was emitted in exactly one
+    * batch).
+    */
+  def containmentFromIndex(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/pairs").distinct()
 }
