@@ -392,26 +392,26 @@ object PpJoin {
     * training saw the corpus, the same closed-world premise every
     * frozen-artifact twin makes.)
     */
-  private def trainedRanks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def trainedRanks(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(stagedArtifacts(s, dir)._2)
 
   /** Rank-encode a batch against the frozen universe — O(batch), one
     * broadcast of the vocab-bounded rank table.
     */
-  private def encodeAgainst(docsRaw: DataFrame, rank: DataFrame): DataFrame = {
+  private[graft] def encodeAgainst(docsRaw: DataFrame, rank: DataFrame,
+      eager: Boolean = true): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val nt = docsRaw
+    val ntRaw = docsRaw
       .select(col("doc_id"), TextFunctions.normText(col("text")).as("nt"))
-      .persist(mem)
-    try {
-      nt.select(col("doc_id"),
-          explode(NearDup.charTrigrams(col("nt"))).as("g"))
-        .join(broadcast(rank), "g")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("r"))).as("ranks"))
-        .withColumn("n", size(col("ranks")))
-        .localCheckpoint()
-    } finally { nt.unpersist(); () }
+    val nt = if (eager) ntRaw.persist(mem) else ntRaw
+    def enc = nt.select(col("doc_id"),
+        explode(NearDup.charTrigrams(col("nt"))).as("g"))
+      .join(broadcast(rank), "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("r"))).as("ranks"))
+      .withColumn("n", size(col("ranks")))
+    if (!eager) enc // plan-inspection path (specs) — no materialization
+    else try enc.localCheckpoint() finally { nt.unpersist(); () }
   }
 
   /** Batch half of INCREMENTAL LOSSLESS-SIMILARITY-JOIN maintenance —

@@ -65,6 +65,24 @@ class NewOpPlanSpec extends SparkSuite {
     }
   }
 
+  test("incremental similarity join: batch encode broadcasts the frozen rank map") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val batch = graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(20)
+    // the per-batch ingest join must build on the vocab-bounded rank
+    // table — a sort-merge here would shuffle every arriving batch's
+    // trigram explosion on the token key, turning O(batch) admission
+    // into a batch-sized shuffle per micro-batch
+    val plan = graft.text.PpJoin.encodeAgainst(batch,
+        graft.text.PpJoin.trainedRanks(spark, dir), eager = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank map not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"batch encode sort-merges:\n$plan")
+  }
+
   test("higher moments / monday effect: one hash-aggregate pair over the digest") {
     val rates = graft.model.Tables.rates(spark, sf("sf0.001"))
     for (df <- Seq(graft.analysis.MarketAnalytics.higherMoments(rates),
