@@ -185,13 +185,24 @@ object PpJoin {
     * probing prefix's ~n/5, which is most of the candidate join volume.
     */
   private def jaccardCandidates(probe: DataFrame, index: DataFrame,
+      tNum: Int, tDen: Int): DataFrame =
+    jaccardCandidatesFromRows(
+      prefixRows(probe, tNum, tDen).select(col("doc_id").as("ida"),
+        col("n").as("na"), col("pos").as("pa"), col("tok")),
+      prefixRows(index, 2 * tNum, tNum + tDen).select(
+        col("doc_id").as("idb"), col("n").as("nb"),
+        col("pos").as("pb"), col("tok")),
+      tNum, tDen)
+
+  /** The candidate join + filter chain over prebuilt prefix-row
+    * relations — `a` the probing (size-ordered larger) side with
+    * columns (ida, na, pa, tok), `b` the index side with
+    * (idb, nb, pb, tok). Split out so the maintained-index path can
+    * feed `a`/`b` from the bucket-partitioned postings table instead of
+    * re-exploding digests.
+    */
+  private def jaccardCandidatesFromRows(a: DataFrame, b: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {
-    val a = prefixRows(probe, tNum, tDen)
-      .select(col("doc_id").as("ida"), col("n").as("na"),
-        col("pos").as("pa"), col("tok"))
-    val b = prefixRows(index, 2 * tNum, tNum + tDen)
-      .select(col("doc_id").as("idb"), col("n").as("nb"),
-        col("pos").as("pb"), col("tok"))
     // minimum required overlap α = ⌈t·(na+nb)/(1+t)⌉
     val alpha = floor(((col("na") + col("nb")) * tNum + (tNum + tDen) - 1)
       / (tNum + tDen)).cast("int")
@@ -425,18 +436,25 @@ object PpJoin {
     * LATER member arrives (the prefix/length/positional filters are
     * pair-local given the frozen ranks), so the union of per-batch
     * emissions IS the one-shot lossless pair set, whatever the
-    * batching. Per-batch cost, honestly: the CANDIDATE join volume is
-    * batch-prefix-keyed (rarest-token keys, the one-shot envelope paid
-    * incrementally), but the existing-members side is ONE columnar
-    * scan + prefix explode of the flat LSM members table per batch —
-    * the same read-the-index-per-batch tradeoff every LSM twin here
-    * makes (NearDup reads its bucket tables per batch). The 100-TB
-    * form shards the members' prefix postings BY TOKEN (an inverted
-    * layout) so a batch touches only its tokens' shards; the flat
-    * table keeps the gate's arithmetic identical while the postings
-    * layout is a partitioning choice, not a semantics one. batchId
-    * markers + [[graft.util.BatchAppend]] give idempotence and
-    * crash-safety.
+    * batching.
+    *
+    * THE INDEX LAYOUT IS THE SCALE STORY: admitted members' probing-
+    * prefix rows are maintained as a POSTINGS table partitioned by
+    * token bucket (`bucket = tok % 64` — the inverted-index layout a
+    * warehouse similarity join keeps), so a batch's probe reads ONLY
+    * the partitions its own prefix tokens hash into — partition
+    * pruning makes per-batch admission O(batch-prefix ×
+    * touched-buckets), never a corpus re-explode, and the index-side
+    * shorter prefix is a `pos` filter on the same rows (the index
+    * prefix is a PREFIX of the probing prefix). The touched-bucket
+    * sets are driver-side digests bounded by the 64 buckets — the
+    * k-means-centroid collect discipline. Postings append is PLAIN
+    * partitioned append (not [[graft.util.BatchAppend]]): posting rows
+    * are VALUE-IDEMPOTENT — a crash-window duplicate only duplicates
+    * candidate generation, which the verify tail's distinct collapses —
+    * the same immunity argument the KMV/Bloom partials use; the pairs
+    * and members tables stay BatchAppend-atomic, and batchId markers
+    * make re-delivery a no-op.
     */
   def appendJaccardIndexBatch(s: SparkSession, indexDir: String,
       batch: DataFrame, dir: String, tNum: Int = 4, tDen: Int = 5,
@@ -455,16 +473,76 @@ object PpJoin {
       else s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ba.schema)
     val all = existing.unionByName(ba)
-    // new doc as the larger (probe) side vs everything present; old
-    // docs as the larger side vs the new batch — each pair's role split
-    // is covered exactly in the batch where its later member arrives
-    val cands = jaccardCandidates(ba, all, tNum, tDen)
-      .unionAll(jaccardCandidates(existing, ba, tNum, tDen))
+
+    // batch probing-prefix rows, staged once (probe side, index side
+    // via the pos filter, postings append, and the bucket digests all
+    // derive from it)
+    val pIdx = col("n") - floor((col("n") * (2 * tNum) + (tNum + tDen) - 1)
+      / (tNum + tDen)).cast("int") + lit(1)
+    val baPost = prefixRows(ba, tNum, tDen)
+      .withColumn("bucket",
+        pmod(col("tok"), lit(PostingsBuckets.toLong)).cast("int"))
+      .localCheckpoint()
+    val baProbe = baPost.select(col("doc_id").as("ida"), col("n").as("na"),
+      col("pos").as("pa"), col("tok"))
+    val baIndex = baPost.where(col("pos") <= pIdx)
+      .select(col("doc_id").as("idb"), col("n").as("nb"),
+        col("pos").as("pb"), col("tok"))
+
+    val postPath = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val cands = if (!fs.exists(postPath)) {
+      // first batch: nothing admitted yet — batch vs batch only
+      jaccardCandidatesFromRows(baProbe, baIndex, tNum, tDen)
+    } else {
+      // touched-bucket digests: bounded by the bucket count, collected
+      // driver-side to drive partition pruning on the postings read
+      val probeBuckets = baPost.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0))
+      val idxBuckets = baPost.where(col("pos") <= pIdx)
+        .select(col("bucket")).distinct().collect().map(_.getInt(0))
+      def posts(buckets: Array[Int]) =
+        postingsPruned(s, indexDir, buckets)
+      // batch as probe: index side = admitted postings (pruned to the
+      // batch-probe buckets, cut to the shorter index prefix) + batch
+      val bExisting = posts(probeBuckets).where(col("pos") <= pIdx)
+        .select(col("doc_id").as("idb"), col("n").as("nb"),
+          col("pos").as("pb"), col("tok"))
+      // admitted members as probe: only postings in the batch-index
+      // buckets can match the batch's index side
+      val aExisting = posts(idxBuckets)
+        .select(col("doc_id").as("ida"), col("n").as("na"),
+          col("pos").as("pa"), col("tok"))
+      jaccardCandidatesFromRows(baProbe, bExisting.unionAll(baIndex),
+          tNum, tDen)
+        .unionAll(jaccardCandidatesFromRows(aExisting, baIndex, tNum, tDen))
+    }
     val newPairs = jaccardVerified(all, cands, tNum, tDen)
     graft.util.BatchAppend.append(newPairs, s"$indexDir/pairs", batchId)
     graft.util.BatchAppend.append(ba, s"$indexDir/members", batchId)
+    baPost.select(col("doc_id"), col("n"), col("pos"), col("tok"),
+        col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(postPath.toString)
     marker.foreach { case (fs2, p) =>
       fs2.mkdirs(p.getParent); fs2.create(p, true).close() }
+  }
+
+  /** Token-bucket count of the maintained postings layout — small
+    * enough that the touched-bucket digest is a trivial driver-side
+    * collect, large enough that a batch prunes most of the index.
+    */
+  private val PostingsBuckets = 64
+
+  /** The bucket-pruned postings read — the filter is on the PARTITION
+    * column, so it resolves to directory pruning at planning time (the
+    * plan's FileSourceScan carries it as a PartitionFilter, pinned in
+    * NewOpPlanSpec): a batch physically never opens the buckets its
+    * prefix tokens do not hash into.
+    */
+  private[graft] def postingsPruned(s: SparkSession, indexDir: String,
+      buckets: Array[Int]): DataFrame = {
+    val posts = s.read.parquet(s"$indexDir/postings")
+    if (buckets.isEmpty) posts.where(lit(false))
+    else posts.where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
   }
 
   /** Report half: the union of the per-batch verified emissions — no

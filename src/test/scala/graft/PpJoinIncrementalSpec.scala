@@ -40,6 +40,27 @@ class PpJoinIncrementalSpec extends SparkSuite {
     assert(incremental.nonEmpty) // the fixture must actually have pairs
   }
 
+  test("postings probe is partition-pruned to the batch's token buckets") {
+    val index = graft.util.Scratch.dir("ppjinc_plan").resolve("idx").toString
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    PpJoin.appendJaccardIndexBatch(spark, index,
+      docs.where(col("doc_id") < 200), dir, batchId = Some(0L))
+    // the maintained layout IS bucket-partitioned directories
+    val bucketDirs = new java.io.File(s"$index/postings").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty, "postings not partitioned by bucket")
+    // and the pruned read resolves to a planning-time PartitionFilter —
+    // a batch never opens buckets its prefix tokens do not hash into
+    val plan = PpJoin.postingsPruned(spark, index, Array(3, 7))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters", 2)(1).takeWhile(_ != ']')
+        .contains("bucket"),
+      s"bucket filter did not become a partition filter:\n$plan")
+    assert(!plan.contains("PushedFilters: [In(bucket"),
+      s"bucket filter pushed as a DATA filter (scan not pruned):\n$plan")
+  }
+
   test("containment index over doc_id-split batches equals the one-shot join") {
     val index = "file:" +
       graft.util.Scratch.dir("ctinc_spec").resolve("idx").toString
