@@ -78,6 +78,28 @@ class PpJoinIncrementalSpec extends SparkSuite {
     assert(incremental.nonEmpty)
   }
 
+  test("seeded random batchings converge to the same one-shot pair set") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val oneShot = pairMap(PpJoin.pairs(spark, dir))
+    // two deterministic 4-way splits by md5(doc_id, seed) — arbitrary
+    // interleavings, unlike the range split above and the replay's
+    // round-robin; the later-member-arrival rule must hold for ANY
+    // partition of the corpus into batches
+    for (seed <- Seq("s1", "s2")) {
+      val index = graft.util.Scratch.dir(s"ppjinc_rand_$seed")
+        .resolve("idx").toString
+      val part = pmod(conv(substring(md5(
+        concat_ws("|", col("doc_id"), lit(seed))), 1, 6), 16, 10)
+        .cast("long"), lit(4))
+      (0 until 4).foreach { k =>
+        PpJoin.appendJaccardIndexBatch(spark, index,
+          docs.where(part === k), dir)
+      }
+      assert(pairMap(PpJoin.jaccardPairsFromIndex(spark, index)) == oneShot,
+        s"random batching $seed diverged from the one-shot join")
+    }
+  }
+
   test("re-delivered batchId is a no-op (foreachBatch at-least-once)") {
     val index =
       graft.util.Scratch.dir("ppjinc_idem").resolve("idx").toString
