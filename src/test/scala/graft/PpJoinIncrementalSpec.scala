@@ -78,6 +78,31 @@ class PpJoinIncrementalSpec extends SparkSuite {
     assert(incremental.nonEmpty)
   }
 
+  test("duplicated postings (crash-window replay) cannot change the converged pairs") {
+    // the value-idempotence argument behind the plain partitioned
+    // postings append, exercised end-to-end: duplicate every admitted
+    // posting row mid-stream (what a crash between postings write and
+    // marker creation leaves behind), then admit another batch — the
+    // duplicates only duplicate candidate generation, which the verify
+    // tail's distinct collapses
+    val index = graft.util.Scratch.dir("ppjinc_dup").resolve("idx").toString
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    PpJoin.appendJaccardIndexBatch(spark, index,
+      docs.where(col("doc_id") < 150), dir, batchId = Some(0L))
+    PpJoin.appendJaccardIndexBatch(spark, index,
+      docs.where(col("doc_id") >= 150 && col("doc_id") < 300), dir,
+      batchId = Some(1L))
+    // localCheckpoint breaks lineage from the source files so the
+    // append does not read the directory it is writing into
+    val posts = spark.read.parquet(s"$index/postings").localCheckpoint()
+    posts.write.mode("append").partitionBy("bucket")
+      .parquet(s"$index/postings")
+    PpJoin.appendJaccardIndexBatch(spark, index,
+      docs.where(col("doc_id") >= 300), dir, batchId = Some(2L))
+    assert(pairMap(PpJoin.jaccardPairsFromIndex(spark, index)) ==
+      pairMap(PpJoin.pairs(spark, dir)))
+  }
+
   test("seeded random batchings converge to the same one-shot pair set") {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val oneShot = pairMap(PpJoin.pairs(spark, dir))
