@@ -55,8 +55,66 @@ object Tables {
           "wrong-value results.")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The text/vector corpora load SPREAD (see [[spread]]): essentially
+    * every consumer of these two tables runs heavy per-row compute
+    * (tokenization, regex normalization, signature hashing, vector
+    * scoring) straight off the scan, and the fixture files are
+    * single-row-group parquet — without the rebalance the whole map
+    * stage of every dedup/similarity/curation pipeline runs on ONE core
+    * regardless of the session's size. At warehouse scale the scan's
+    * natural splits exceed the core count and no exchange is added.
+    */
+  def documents(s: SparkSession, d: String): DataFrame  =
+    spread(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(load(s, d, "embeddings"))
+
+  /** Scan partition count per fixture file, probed once per JVM — the
+    * [[spread]] condition needs it and physical-planning the same tiny
+    * scan on every loader call would be pure overhead.
+    */
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Post-read rebalance guard for compute-heavy pipelines (the
+    * input-skew remedy: an under-split input — one huge unsplittable
+    * file, or a small single-row-group fixture — should be repartitioned
+    * immediately after the read). The fixture tables are single-row-group
+    * parquet, so every scan yields ONE task however many cores the
+    * session has; a stage whose per-row work is heavy (signature
+    * computation, media decode, scoring fan-out joins, iterative
+    * training) then runs single-threaded. `spread` raises the stage's
+    * parallelism to the session default ONLY when the scan
+    * under-parallelizes: at warehouse scale the input's natural splits
+    * exceed the core count and no exchange is added at all, so this is
+    * scale-adaptive, not a local-mode constant. Row placement is the
+    * only thing that changes — every gate's result is
+    * partitioning-invariant by the oracle-hash contract (the driver
+    * already re-runs the bench at a different core count).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    val parts = spreadKey(df) match {
+      case Some(key) =>
+        scanParts.computeIfAbsent(key, _ => df.rdd.getNumPartitions).intValue()
+      case None => df.rdd.getNumPartitions
+    }
+    if (parts < want) df.repartition(want) else df
+  }
+
+  /** Memo key for [[spread]]'s partition probe: the scan's root paths —
+    * stable per file set, independent of the plan object identity.
+    * None for non-scan frames (probe uncached).
+    */
+  private def spreadKey(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => null
+        }
+    }.filter(_ != null)
 
   /** The reference rate-event schema (SURVEY.md §1.2). `event_time` is kept
     * in epoch MICROseconds (the reference uses ms, /root/reference/Fx_1min.py:73)

@@ -726,8 +726,12 @@ object Multimodal {
     */
   def crossModalHnswTopK(spark: SparkSession, dir: String,
       k: Int = 3): DataFrame = {
+    // the beam search references the query frame once per hop (plus the
+    // final ranking) — checkpoint it so the media decode runs ONCE per
+    // invocation instead of once per hop
     val queries = mediaEmbeddingTable(spark, dir)
       .select(col("doc_id").as("qid"), col("media_vec").as("qe"))
+      .localCheckpoint()
     graft.similarity.Similarity
       .hnswTopKForQueries(spark, dir, queries, k, excludeSelf = false)
       .select(col("qid").as("doc_id"), col("vec_id"), col("cos_sim"),

@@ -10,12 +10,22 @@ import graft.text.TextFunctions
   */
 class NewOpPlanSpec extends SparkSuite {
 
-  test("readability: no Exchange, whole-stage codegen, pruned scan") {
-    val plan = TextFunctions.readability(spark, sf("sf0.001"))
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
-    // "*(1)" is executedPlan.toString's whole-stage-codegen marker
-    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+  test("readability: no keyed Exchange, whole-stage codegen, pruned scan") {
+    val df = TextFunctions.readability(spark, sf("sf0.001"))
+    // execute first (through THIS frame's own QueryExecution): the
+    // input rebalance makes AQE wrap the plan, and codegen markers only
+    // appear on the FINALIZED adaptive plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-doc map induces NO KEYED shuffle — the only exchange
+    // allowed is the loader's round-robin input rebalance
+    // (Tables.spread), which is absent at scale by construction
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"unexpected keyed shuffle:\n$plan")
+    // "*(n)" is executedPlan.toString's whole-stage-codegen marker
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+      s"no codegen span:\n$plan")
     // only doc_id and text must be read from the documents table
     val i = plan.indexOf("ReadSchema: ")
     val rs = plan.substring(i).takeWhile(_ != '\n')
