@@ -936,7 +936,11 @@ object StreamReplay {
       docs.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 2) {
+    // NO reduced-partition wrapper here: this replay is STATELESS (file
+    // source -> foreachBatch), so the state-store-instance rationale for
+    // 2 shuffle partitions does not apply, and its per-batch work is a
+    // full batch similarity join that wants the session's parallelism
+    locally {
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -973,7 +977,9 @@ object StreamReplay {
       docs.repartition(nBatches).write.mode("overwrite").parquet(p)
     }
 
-    withReplayPartitions(s, 2) {
+    // stateless replay — see replayPpjoinIncremental for why no
+    // reduced-partition wrapper
+    locally {
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)

@@ -456,7 +456,10 @@ object NearDup {
       (fs, p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    val sigs = minhashSignatures(batch).persist(mem)
+    // a foreachBatch micro-batch arrives as ONE scan partition: rebalance
+    // so the single-pass signature map parallelizes (no-op when the
+    // batch's own splits already reach the session's cores)
+    val sigs = minhashSignatures(Tables.spread(batch)).persist(mem)
     val banded = sigs.select(col("doc_id"),
       posexplode(bandKeys(col("mh"))).as(Seq("band", "key"))).persist(mem)
     var existingTouched: Option[DataFrame] = None

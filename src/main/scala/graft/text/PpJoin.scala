@@ -412,7 +412,10 @@ object PpJoin {
   private[graft] def encodeAgainst(docsRaw: DataFrame, rank: DataFrame,
       eager: Boolean = true): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ntRaw = docsRaw
+    // a foreachBatch micro-batch arrives as ONE scan partition (one feed
+    // file per trigger): rebalance before the normalize/trigram stage so
+    // the per-row regex work parallelizes (no-op for well-split inputs)
+    val ntRaw = (if (eager) Tables.spread(docsRaw) else docsRaw)
       .select(col("doc_id"), TextFunctions.normText(col("text")).as("nt"))
     val nt = if (eager) ntRaw.persist(mem) else ntRaw
     def enc = nt.select(col("doc_id"),
@@ -495,11 +498,13 @@ object PpJoin {
       jaccardCandidatesFromRows(baProbe, baIndex, tNum, tDen)
     } else {
       // touched-bucket digests: bounded by the bucket count, collected
-      // driver-side to drive partition pruning on the postings read
-      val probeBuckets = baPost.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0))
-      val idxBuckets = baPost.where(col("pos") <= pIdx)
-        .select(col("bucket")).distinct().collect().map(_.getInt(0))
+      // driver-side to drive partition pruning on the postings read —
+      // ONE fused agg job for both digests instead of two
+      val bucketsRow = baPost.agg(
+        collect_set(col("bucket")),
+        collect_set(when(col("pos") <= pIdx, col("bucket")))).head
+      val probeBuckets = bucketsRow.getSeq[Int](0).toArray
+      val idxBuckets = bucketsRow.getSeq[Int](1).toArray
       def posts(buckets: Array[Int]) =
         postingsPruned(s, indexDir, buckets)
       // batch as probe: index side = admitted postings (pruned to the
@@ -519,8 +524,12 @@ object PpJoin {
     val newPairs = jaccardVerified(all, cands, tNum, tDen)
     graft.util.BatchAppend.append(newPairs, s"$indexDir/pairs", batchId)
     graft.util.BatchAppend.append(ba, s"$indexDir/members", batchId)
+    // cluster by bucket before the partitioned write: one file per
+    // touched bucket per batch instead of (tasks × buckets) shards —
+    // the file-count hygiene a maintained inverted index needs
     baPost.select(col("doc_id"), col("n"), col("pos"), col("tok"),
         col("bucket"))
+      .repartition(PostingsBuckets, col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(postPath.toString)
     marker.foreach { case (fs2, p) =>
       fs2.mkdirs(p.getParent); fs2.create(p, true).close() }

@@ -525,8 +525,14 @@ object TextFunctions {
     */
   def winnowingNearDup(s: SparkSession, dir: String,
       maxDocsPerHash: Int = 100, minShared: Int = 2): DataFrame = {
+    // the fingerprint digest is referenced four times below (df cap,
+    // sizes, both self-join sides) — checkpoint it so the winnowing
+    // pipeline (trigram explode + per-window argmin) runs ONCE per
+    // invocation, not once per reference; ~2/(w+1) density keeps the
+    // digest corpus-digest-sized
     val fh = textWinnowing(s, dir)
       .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint()
     val capped = fh.join(
       fh.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDocsPerHash).select(col("fp_hash")),
