@@ -2,10 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // A/B knob for the size-based AQE coalescing experiment
+    val spark = (if (sys.env.contains("PROFILE_AQE_SIZE"))
+      builder
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          sys.env.getOrElse("PROFILE_AQE_SIZE", "64m"))
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq

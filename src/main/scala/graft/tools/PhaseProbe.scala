@@ -94,6 +94,31 @@ object PhaseProbe {
       t("crossModalHnswTopK (count)") {
         noop(graft.multimodal.Multimodal.crossModalHnswTopK(spark, dir))
       }
+      // ---- similarity-join twin: per-phase split of one replay ----
+      val docs = graft.model.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val half = t("split docs into 2 batches") {
+        val h = docs.withColumn("__b", pmod(col("doc_id"), lit(2)))
+          .localCheckpoint()
+        (h.where(col("__b") === 0).drop("__b"),
+         h.where(col("__b") === 1).drop("__b"))
+      }
+      val idx = graft.util.Scratch.dir(s"graft_probe_ppjoin_$pass")
+        .resolve("index").toString
+      t("ppjoin train ranks (staged artifacts)") {
+        graft.text.PpJoin.trainedRanks(spark, dir).count()
+      }
+      t("ppjoin append batch 1") {
+        graft.text.PpJoin.appendJaccardIndexBatch(spark, idx, half._1, dir,
+          batchId = Some(0L))
+      }
+      t("ppjoin append batch 2") {
+        graft.text.PpJoin.appendJaccardIndexBatch(spark, idx, half._2, dir,
+          batchId = Some(1L))
+      }
+      t("ppjoin report from index") {
+        graft.text.PpJoin.jaccardPairsFromIndex(spark, idx).count()
+      }
     }
     spark.stop()
   }
