@@ -456,10 +456,12 @@ object NearDup {
       (fs, p)
     }
     if (marker.exists { case (fs, p) => fs.exists(p) }) return
-    // a foreachBatch micro-batch arrives as ONE scan partition: rebalance
-    // so the single-pass signature map parallelizes (no-op when the
-    // batch's own splits already reach the session's cores)
-    val sigs = minhashSignatures(Tables.spread(batch)).persist(mem)
+    // NOTE (r19 optimization round): rebalancing the arriving batch here
+    // (Tables.spread, as the PpJoin twin does) was measured SLOWER — the
+    // one-pass signature map is light relative to the added exchange at
+    // this replay's reduced partition count — so the batch is consumed
+    // as delivered.
+    val sigs = minhashSignatures(batch).persist(mem)
     val banded = sigs.select(col("doc_id"),
       posexplode(bandKeys(col("mh"))).as(Seq("band", "key"))).persist(mem)
     var existingTouched: Option[DataFrame] = None
